@@ -1,0 +1,168 @@
+"""Arrow-vectorized pandas UDFs around the codec kernels.
+
+These are the engine's only Python kernels (SURVEY.md §2 ops 23, 32-42);
+everything else is built-in Catalyst expressions.  Two design rules for
+100 TB scale:
+
+* **Fused hot path.**  ``encode_chunks`` chunk-splits, RS-protects,
+  checksums and Goldman-encodes a document in ONE Arrow round trip,
+  returning the full chunk-struct array.  The alternative (explode, then
+  one UDF per field) would cross the Python boundary four times per chunk.
+  ``decode_chunks`` reconstructs a whole document the same way, which lets
+  the round-trip pipeline run with ZERO shuffles (chunks never leave their
+  document's row until the caller explicitly asks for a chunk table).
+* **Fine-grained UDFs stay available** (``dna_encode`` etc.) and are SQL
+  registered, because chunk-level relational work (validation filters,
+  per-chunk sinks) composes better from small pieces.
+
+Reference parity: chunk fields and formats match
+``/root/reference/plugins/utils/dna_encoding.py:270-335`` (see codec/).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..codec import chunker, goldman, reed_solomon
+
+CHUNK_FIELDS = [
+    StructField("chunk_id", StringType()),
+    StructField("index", IntegerType()),
+    StructField("dna_sequence", StringType()),
+    StructField("original_length_bytes", IntegerType()),
+    StructField("error_correction_code", BinaryType()),
+    StructField("checksum", StringType()),
+    StructField("chunk_size", IntegerType()),
+]
+CHUNK_STRUCT = StructType(CHUNK_FIELDS)
+
+
+@pandas_udf(StringType())
+def dna_encode(data: pd.Series) -> pd.Series:
+    """binary -> Goldman DNA string (ops 32+36+38)."""
+    return data.map(lambda b: goldman.bytes_to_dna(b) if b is not None else None)
+
+
+@pandas_udf(BinaryType())
+def dna_decode(seq: pd.Series, target_len: pd.Series) -> pd.Series:
+    """DNA string + original byte length -> binary (ops 33+37+39)."""
+    return pd.Series(
+        [
+            goldman.dna_to_bytes(s, int(n)) if s is not None else None
+            for s, n in zip(seq, target_len)
+        ]
+    )
+
+
+@pandas_udf(BinaryType())
+def rs_parity(data: pd.Series) -> pd.Series:
+    """binary -> Reed-Solomon tail, reference-compatible (op 41)."""
+    return data.map(
+        lambda b: reed_solomon.rs_parity_tail(b, chunker.DEFAULT_RS_NSYM)
+        if b is not None
+        else None
+    )
+
+
+@pandas_udf(BinaryType())
+def rs_repair(encoded: pd.Series) -> pd.Series:
+    """Correct a full rs_encode stream; None when uncorrectable (op 42)."""
+    def _repair(b: Optional[bytes]) -> Optional[bytes]:
+        if b is None:
+            return None
+        try:
+            return reed_solomon.rs_decode(b, chunker.DEFAULT_RS_NSYM)
+        except reed_solomon.RSError:
+            return None
+
+    return data_map(encoded, _repair)
+
+
+def data_map(series: pd.Series, fn) -> pd.Series:
+    return pd.Series([fn(v) for v in series])
+
+
+def make_encode_chunks(chunk_size: int = chunker.DEFAULT_CHUNK_SIZE,
+                       nsym: int = chunker.DEFAULT_RS_NSYM):
+    """Build the fused text -> array<chunk struct> UDF for a given config."""
+
+    @pandas_udf(ArrayType(CHUNK_STRUCT))
+    def _encode_chunks(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for texts in batches:
+            yield pd.Series(
+                [
+                    None
+                    if t is None
+                    else [
+                        (
+                            r["chunk_id"],
+                            r["index"],
+                            r["dna_sequence"],
+                            r["original_length_bytes"],
+                            r["error_correction_code"],
+                            r["checksum"],
+                            r["chunk_size"],
+                        )
+                        for r in chunker.build_chunks(t, chunk_size, nsym)
+                    ]
+                    for t in texts
+                ]
+            )
+
+    return _encode_chunks
+
+
+encode_chunks = make_encode_chunks()
+
+
+@pandas_udf(StringType())
+def decode_chunks(chunks: pd.Series) -> pd.Series:
+    """array<chunk struct> -> reconstructed document text.
+
+    Order-sensitive reassembly (SURVEY.md op 21): sort by index, decode each
+    chunk to bytes at its original width, concatenate bytes, decode UTF-8.
+    Returns None when any chunk fails checksum or UTF-8 validation, which
+    the pipeline routes to the DLQ.
+    """
+
+    def _rebuild(arr) -> Optional[str]:
+        if arr is None:
+            return None
+        try:
+            ordered = sorted(arr, key=lambda c: c["index"])
+            pieces = []
+            for c in ordered:
+                raw = goldman.dna_to_bytes(
+                    c["dna_sequence"], int(c["original_length_bytes"])
+                )
+                if hashlib.md5(raw).hexdigest() != c["checksum"]:
+                    return None
+                pieces.append(raw)
+            return b"".join(pieces).decode("utf-8")
+        except Exception:
+            return None
+
+    return pd.Series([_rebuild(a) for a in chunks])
+
+
+def register_all(spark: SparkSession) -> None:
+    """Register every codec UDF for SQL use."""
+    spark.udf.register("dna_encode", dna_encode)
+    spark.udf.register("dna_decode", dna_decode)
+    spark.udf.register("rs_parity", rs_parity)
+    spark.udf.register("rs_repair", rs_repair)
+    spark.udf.register("encode_chunks", encode_chunks)
+    spark.udf.register("decode_chunks", decode_chunks)

@@ -1,0 +1,54 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The engine targets multi-executor clusters reading ~100 TB; the defaults here
+encode that stance (AQE on, skew handling on, Arrow for the codec UDFs,
+partition sizing) while remaining correct on local[N] test runs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "airflow-pipeline-text-processing-spark") -> SparkSession:
+    """Return the active session, or build a local one with engine defaults.
+
+    On a real cluster the session is built by the platform; this factory only
+    fills in engine-level SQL conf that is safe to set either way.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        _apply_runtime_conf(active)
+        return active
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        # one shuffle partition per core locally; on a cluster AQE coalesces
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def _apply_runtime_conf(spark: SparkSession) -> None:
+    for key, val in [
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+    ]:
+        try:
+            spark.conf.set(key, val)
+        except Exception:
+            pass  # immutable on some deployments; platform value wins

@@ -1,0 +1,138 @@
+"""Content-hash tracking table -- the engine's incremental-processing state.
+
+Reference: Postgres table ``processed_files`` with a unique ``file_hash``,
+B-tree indexes, per-file point lookups, ``INSERT ... ON CONFLICT DO
+NOTHING`` and key-wise status UPDATEs (``/root/reference/init-scripts.sql:5-20``,
+``dags/dag.py:320-345``, ``:452-474``, ``:740-759``).
+
+Spark-first redesign for scale:
+
+* The reference's N point lookups become ONE broadcast left-anti join
+  (SURVEY.md op 13) -- zero per-row round trips.
+* Mutations are **append-only**: each batch appends new version rows; reads
+  resolve the latest version per ``file_hash`` with a window.  That gives
+  ON-CONFLICT/UPDATE semantics without rewriting a 100 TB table (on a real
+  deployment this maps 1:1 onto Delta/Iceberg ``MERGE``; plain parquet is
+  used here because the test environment ships no lake format).
+* ``error_message`` is included, fixing the reference's documented-but-
+  dropped column (SURVEY.md §1.3).
+* A periodic ``compact()`` folds version history down to current rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+TRACKING_SCHEMA = (
+    "file_hash string, file_path string, file_size long, "
+    "processed_at timestamp, status string, output_file string, "
+    "error_message string, created_at timestamp, version long"
+)
+
+# ProcessingStatus state machine (ref dags/dag.py:103-110)
+STATUSES = ("pending", "processing", "completed", "failed", "retrying", "dead_letter")
+
+
+class TrackingTable:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    # ------------------------------------------------------------------ read
+
+    def _raw(self) -> DataFrame:
+        if not self._exists():
+            return self.spark.createDataFrame([], TRACKING_SCHEMA)
+        return self.spark.read.parquet(self.path)
+
+    def _exists(self) -> bool:
+        try:
+            return any(
+                f.endswith(".parquet")
+                for _, _, files in os.walk(self.path)
+                for f in files
+            )
+        except OSError:
+            return False
+
+    def current(self) -> DataFrame:
+        """Latest version per file_hash (the logical table the reference
+        queries); superseded and deleted versions drop out here."""
+        raw = self._raw()
+        w = Window.partitionBy("file_hash").orderBy(F.col("version").desc())
+        return (
+            raw.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def processed_hashes(self) -> DataFrame:
+        """Just the key column -- small, broadcastable side of the anti-join."""
+        return self.current().select("file_hash")
+
+    def count(self) -> int:
+        return self.current().count()
+
+    # ----------------------------------------------------------------- write
+
+    def append_new(self, records: DataFrame) -> None:
+        """ON CONFLICT (file_hash) DO NOTHING (ref dags/dag.py:740-759):
+        anti-join against existing keys, then append."""
+        cols = [
+            "file_hash",
+            "file_path",
+            "file_size",
+            "processed_at",
+            "status",
+            "output_file",
+            "error_message",
+            "created_at",
+        ]
+        fresh = (
+            records.select(*[F.col(c) for c in cols])
+            .dropDuplicates(["file_hash"])
+            .join(F.broadcast(self.processed_hashes()), "file_hash", "left_anti")
+            .withColumn("version", F.lit(0).cast("long"))
+        )
+        fresh.write.mode("append").parquet(self.path)
+
+    def update_status(
+        self,
+        hashes: DataFrame,
+        status: str,
+        error_message: str | None = None,
+    ) -> None:
+        """Key-wise UPDATE (ref dags/dag.py:320-345) as a versioned append.
+        Unlike the reference -- whose pre-insert updates were silent no-ops
+        (SURVEY.md op 10) -- updating an absent key is a real upsert here."""
+        if status not in STATUSES:
+            raise ValueError(f"invalid status {status!r}; expected one of {STATUSES}")
+        cur = self.current()
+        keyed = hashes.select("file_hash").dropDuplicates(["file_hash"])
+        updated = (
+            keyed.join(cur, "file_hash", "left")
+            .select(
+                "file_hash",
+                "file_path",
+                "file_size",
+                F.current_timestamp().alias("processed_at"),
+                F.lit(status).alias("status"),
+                "output_file",
+                F.lit(error_message).cast("string").alias("error_message"),
+                F.coalesce("created_at", F.current_timestamp()).alias("created_at"),
+                (F.coalesce(F.col("version"), F.lit(-1)) + 1).alias("version"),
+            )
+        )
+        updated.write.mode("append").parquet(self.path)
+
+    def compact(self) -> None:
+        """Fold version history to current rows (maintenance operation)."""
+        cur = self.current().cache()
+        cur.count()  # materialize before overwrite
+        cur.write.mode("overwrite").parquet(self.path + ".compact")
+        self.spark.read.parquet(self.path + ".compact").write.mode(
+            "overwrite"
+        ).parquet(self.path)

@@ -1,0 +1,175 @@
+"""End-to-end pipeline tests: encode/validate/reassemble, tracking
+idempotency, DLQ routing -- the reference's runtime self-verification
+(SURVEY.md §5) as a test suite."""
+
+import hashlib
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from airflow_pipeline_text_processing_spark.plans.pipeline import (
+    PipelineConfig,
+    chunk_table,
+    encode_documents,
+    reassemble_from_chunk_table,
+    run_pipeline,
+    validate_chunk_table,
+)
+from airflow_pipeline_text_processing_spark.sources.text_dir import with_descriptor
+from airflow_pipeline_text_processing_spark.sources.tracking import TrackingTable
+
+TEXTS = [
+    "hello world",
+    "Test encodage.",
+    "éàçùñ déjà vu " * 120,          # multi-chunk, multibyte
+    "",                                # empty document
+    "x" * 999 + "é" + "y" * 50,       # code point straddling the boundary
+]
+
+
+def _docs(spark, texts=TEXTS):
+    df = spark.createDataFrame(
+        [(f"file:///in/doc_{i}.txt", t) for i, t in enumerate(texts)],
+        "path string, text string",
+    )
+    return with_descriptor(df)
+
+
+def test_encode_roundtrip_and_status(spark):
+    encoded = encode_documents(_docs(spark))
+    rows = encoded.select("text", "reconstructed_text", "status").collect()
+    assert len(rows) == len(TEXTS)
+    for r in rows:
+        assert r.reconstructed_text == r.text
+        assert r.status == "completed"
+
+
+def test_chunk_table_and_declarative_reassembly(spark):
+    encoded = encode_documents(_docs(spark))
+    chunks = chunk_table(encoded)
+    validated = validate_chunk_table(chunks)
+    assert validated.filter(~F.col("valid")).count() == 0
+    # homopolymer-free invariant, in pure SQL (SURVEY.md op 40)
+    assert chunks.filter(F.regexp_like("dna_sequence", F.lit(r"(.)\1"))).count() == 0
+    # dense indices
+    bad_idx = (
+        chunks.groupBy("file_hash")
+        .agg(F.count("*").alias("n"), F.max("index").alias("mx"))
+        .filter(F.col("mx") != F.col("n") - 1)
+    )
+    assert bad_idx.count() == 0
+    # shuffle-safe ordered reassembly equals the original text
+    rebuilt = reassemble_from_chunk_table(chunks)
+    joined = rebuilt.join(_docs(spark), "file_hash").filter(F.col("text") != "")
+    assert joined.filter(F.col("reconstructed_text") != F.col("text")).count() == 0
+
+
+def test_corrupted_chunk_fails_document(spark):
+    encoded = encode_documents(_docs(spark, ["good text here"]))
+    corrupted = encoded.withColumn(
+        "chunks",
+        F.transform(
+            "chunks",
+            # appending a base multiplies the decoded bignum by 3 -- a real
+            # value corruption (prepending T's would only add leading zeros)
+            lambda c: c.withField("dna_sequence", F.concat(c["dna_sequence"], F.lit("A"))),
+        ),
+    ).drop("reconstructed_text", "reconstructed_checksum", "status")
+    from airflow_pipeline_text_processing_spark.functions.codec_udfs import decode_chunks
+
+    res = corrupted.withColumn("rebuilt", decode_chunks("chunks")).collect()
+    assert res[0].rebuilt is None
+
+
+def test_run_pipeline_idempotent(spark, tmp_path):
+    in_dir = tmp_path / "input"
+    in_dir.mkdir()
+    for i, t in enumerate(["alpha bravo", "charlie delta", "écho foxtrot"]):
+        (in_dir / f"f{i}.txt").write_text(t, encoding="utf-8")
+    (in_dir / "ignored.csv").write_text("not,text")
+
+    cfg = PipelineConfig(
+        input_dir=str(in_dir),
+        output_dir=str(tmp_path / "out"),
+        tracking_path=str(tmp_path / "tracking"),
+        dlq_dir=str(tmp_path / "dlq"),
+    )
+    r1 = run_pipeline(spark, cfg)
+    assert r1 == {"processed": 3, "failed": 0, "skipped": 0, "status": "success"}
+
+    tracking = TrackingTable(spark, cfg.tracking_path)
+    assert tracking.count() == 3
+
+    # second run: all content already processed -> no new work, table stable
+    r2 = run_pipeline(spark, cfg)
+    assert r2["processed"] == 0 and r2["failed"] == 0 and r2["skipped"] == 3
+    assert tracking.count() == 3
+
+    # same content at a NEW path is still skipped (content-hash semantics,
+    # SURVEY.md §4 -- stronger than path-based checkpointing)
+    (in_dir / "copy_of_f0.txt").write_text("alpha bravo", encoding="utf-8")
+    r3 = run_pipeline(spark, cfg)
+    assert r3["processed"] == 0 and tracking.count() == 3
+
+    # genuinely new content is processed
+    (in_dir / "new.txt").write_text("golf hotel", encoding="utf-8")
+    r4 = run_pipeline(spark, cfg)
+    assert r4["processed"] == 1 and tracking.count() == 4
+
+    # outputs exist and round-trip
+    out = spark.read.json(str(tmp_path / "out" / "processed"))
+    assert out.count() == 4
+    reports = spark.read.json(str(tmp_path / "out" / "reports"))
+    assert reports.filter(F.col("status") != "completed").count() == 0
+    chunks = spark.read.parquet(str(tmp_path / "out" / "chunks"))
+    assert chunks.count() >= 4
+
+
+def test_tracking_status_update(spark, tmp_path):
+    t = TrackingTable(spark, str(tmp_path / "track"))
+    recs = spark.createDataFrame(
+        [("h1", "/a", 10), ("h2", "/b", 20)], "file_hash string, file_path string, file_size long"
+    ).select(
+        "*",
+        F.current_timestamp().alias("processed_at"),
+        F.lit("processing").alias("status"),
+        F.lit(None).cast("string").alias("output_file"),
+        F.lit(None).cast("string").alias("error_message"),
+        F.current_timestamp().alias("created_at"),
+    )
+    t.append_new(recs)
+    # conflicting re-insert is a no-op (ON CONFLICT DO NOTHING)
+    t.append_new(recs.withColumn("status", F.lit("pending")))
+    assert t.count() == 2
+    assert t.current().filter(F.col("status") == "processing").count() == 2
+
+    t.update_status(spark.createDataFrame([("h1",)], "file_hash string"), "completed")
+    cur = {r.file_hash: r.status for r in t.current().collect()}
+    assert cur == {"h1": "completed", "h2": "processing"}
+
+    with pytest.raises(ValueError):
+        t.update_status(spark.createDataFrame([("h1",)], "file_hash string"), "bogus")
+
+    t.compact()
+    assert t.count() == 2
+    assert {r.file_hash: r.status for r in t.current().collect()} == cur
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/reference/data/input"), reason="reference absent"
+)
+def test_golden_reference_corpus(spark, tmp_path):
+    cfg = PipelineConfig(
+        input_dir="/root/reference/data/input",
+        output_dir=str(tmp_path / "out"),
+        tracking_path=str(tmp_path / "tracking"),
+        dlq_dir=str(tmp_path / "dlq"),
+    )
+    res = run_pipeline(spark, cfg)
+    assert res["processed"] == 4 and res["failed"] == 0
+    out = spark.read.json(str(tmp_path / "out" / "processed")).collect()
+    for row in out:
+        golden = os.path.join("/root/reference/data/input", row.filename)
+        with open(golden, encoding="utf-8") as f:
+            assert row.text == f.read()

@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` -- flagship pipeline on sf0.001 (smoke check).
+``queries()`` / ``oracle_sql()`` -- the SURVEY.md §2 operator surface,
+verified by the driver against a DuckDB oracle at sf0.01.
 """
 
 from __future__ import annotations
@@ -13,26 +11,36 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from airflow_pipeline_text_processing_spark.plans.queries import REGISTRY
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full DNA encode/validate/reconstruct pipeline over the
+    sf0.001 documents corpus; one report row per document."""
+    import pyspark.sql.functions as F
+
+    from airflow_pipeline_text_processing_spark.plans.pipeline import (
+        encode_documents,
+    )
+    from airflow_pipeline_text_processing_spark.sources.text_dir import (
+        documents_table,
+    )
+
+    docs = documents_table(spark, "/root/testdata/sf0.001")
+    encoded = encode_documents(docs)
+    return encoded.select(
+        "doc_id",
+        "file_hash",
+        "dna_chunks_count",
+        "total_dna_bases",
+        (F.col("reconstructed_checksum") == F.col("file_hash")).alias("roundtrip_ok"),
+        "status",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}

@@ -1,0 +1,660 @@
+"""The driver-facing query surface: named DataFrame plans + DuckDB oracles.
+
+Every entry exercises one line of SURVEY.md §2's operator inventory on the
+synthetic tables in ``/root/testdata`` and is paired with an ANSI-SQL oracle
+that DuckDB runs on the same parquet (see ``__spark_entry__.py``).  Queries
+without an oracle (codec UDF outputs DuckDB cannot express) get the driver's
+rows-only check; their correctness is carried by the property tests.
+
+Determinism rules (so order-insensitive value hashes match exactly):
+
+* **No raw double aggregation.**  Partial-aggregation order differs between
+  engines, and ``CAST(double AS DECIMAL)`` rounds differently (Spark goes
+  through the shortest decimal string, DuckDB through the exact binary
+  value).  All money/value sums canonicalize per row to integer cents with
+  ``FLOOR(x*100)`` -- exact on IEEE doubles in both engines -- then sum
+  exactly in BIGINT and divide back at the end.
+* Every computed column is aliased identically in both formulations.
+* Sorts feeding LIMIT always carry a unique tiebreaker key.
+* Timestamps stay in UTC (session zone pinned in session.py).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..functions.codec_udfs import decode_chunks, encode_chunks
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) read as raw int64 (see session.py); convert to a
+        # microsecond timestamp with integer math (nanos overflow doubles)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def _cents(col):
+    """Deterministic per-row canonicalization: value -> integer cents."""
+    return F.floor(col * 100).cast("long")
+
+
+def _money_sum(col, alias: str):
+    return (F.sum(_cents(col)).cast("double") / 100.0).alias(alias)
+
+
+# SQL fragment mirroring _money_sum
+def _sql_money_sum(expr: str, alias: str) -> str:
+    return f"CAST(SUM(CAST(FLOOR(({expr})*100) AS BIGINT)) AS DOUBLE)/100.0 AS {alias}"
+
+
+# =====================================================================
+# Aggregations / filters (SURVEY ops 18-20; TPC-H-style workloads)
+# =====================================================================
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan+filter+hash-agg+sort: the classic pricing summary."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            _money_sum(F.col("l_extendedprice"), "sum_base_price"),
+            _money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "sum_disc_price"
+            ),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       {_sql_money_sum('l_extendedprice', 'sum_base_price')},
+       {_sql_money_sum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-12-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + agg + deterministic top-k (ops 16-17, 22)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            _money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = f"""
+SELECT l_orderkey, o_orderdate,
+       {_sql_money_sum('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way snowflake join with broadcast dims + group agg."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            _money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            ),
+            F.count("*").alias("n_lineitems"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+Q5_SQL = f"""
+SELECT r_name, n_name,
+       {_sql_money_sum('l_extendedprice * (1 - l_discount)', 'revenue')},
+       COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+# =====================================================================
+# Joins: semi / anti (SURVEY ops 13, 16-17)
+# =====================================================================
+
+
+def join_semi_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI: customers having at least one order, counted by segment."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+SEMI_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_customers
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def join_anti_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI -- the reference's tracking-dedup join shape (op 13):
+    customers with no order in 1997 (scoped so the result is non-empty)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders_97 = _t(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate") == 1997
+    )
+    return (
+        cust.join(orders_97, cust.c_custkey == orders_97.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+ANTI_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND EXTRACT(year FROM o_orderdate) = 1997
+)
+ORDER BY c_custkey
+"""
+
+
+# =====================================================================
+# Distinct aggregation / windows / sort-limit / set ops
+# =====================================================================
+
+
+def agg_supplier_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_distinct_parts"),
+            F.countDistinct("l_orderkey").alias("n_distinct_orders"),
+            F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
+        )
+        .orderBy("l_suppkey")
+    )
+
+
+AGG_DISTINCT_SQL = """
+SELECT l_suppkey,
+       COUNT(DISTINCT l_partkey) AS n_distinct_parts,
+       COUNT(DISTINCT l_orderkey) AS n_distinct_orders,
+       SUM(CAST(l_quantity AS BIGINT)) AS total_qty
+FROM lineitem
+GROUP BY l_suppkey
+ORDER BY l_suppkey
+"""
+
+
+def window_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window: top-3 orders per customer by value (§2 Part B)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rank_in_customer", F.row_number().over(w))
+        .filter(F.col("rank_in_customer") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank_in_customer")
+        .orderBy("o_custkey", "rank_in_customer")
+    )
+
+
+WINDOW_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rank_in_customer
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rank_in_customer
+  FROM orders
+)
+WHERE rank_in_customer <= 3
+ORDER BY o_custkey, rank_in_customer
+"""
+
+
+def window_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window with frame: running spend per customer over time."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        (F.sum(_cents(F.col("o_totalprice"))).over(w).cast("double") / 100.0).alias(
+            "running_spend"
+        ),
+    ).orderBy("o_custkey", "o_orderdate", "o_orderkey")
+
+
+WINDOW_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(FLOOR(o_totalprice*100) AS BIGINT))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)/100.0
+         AS running_spend
+FROM orders
+ORDER BY o_custkey, o_orderdate, o_orderkey
+"""
+
+
+def sort_global_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ORDER BY + LIMIT (top-k, §2 Part B)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(25)
+    )
+
+
+TOPK_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 25
+"""
+
+
+def set_ops_customer_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT in one plan (§2 Part B set ops)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    big_spenders = (
+        orders.filter(F.col("o_totalprice") > 200000)
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    machinery = cust.filter(F.col("c_mktsegment") == "MACHINERY").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return (
+        building.union(big_spenders)
+        .intersect(cust.select(F.col("c_custkey").alias("custkey")))
+        .exceptAll(machinery)
+        .distinct()
+        .orderBy("custkey")
+    )
+
+
+SET_OPS_SQL = """
+SELECT DISTINCT custkey FROM (
+  (SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+   UNION
+   SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000)
+  INTERSECT
+  SELECT c_custkey AS custkey FROM customer
+  EXCEPT
+  SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+)
+ORDER BY custkey
+"""
+
+
+# =====================================================================
+# Scalar function showcases (SURVEY ops 24-31)
+# =====================================================================
+
+
+def str_scalar_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 / lengths / case / substring / format_string / concat (ops 24-29)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.encode("text", "UTF-8")).alias("text_md5"),
+        F.length("text").alias("n_chars_calc"),
+        F.octet_length("text").alias("n_bytes"),
+        F.upper(F.substring("text", 1, 12)).alias("head_upper"),
+        F.format_string("dna_chunk_%03d", (F.col("doc_id") % 1000).cast("int")).alias(
+            "chunk_id_style"
+        ),
+        F.concat_ws("/", F.lit("corpus"), "lang", "source").alias("virtual_path"),
+        F.element_at(F.split(F.concat_ws("/", F.lit("corpus"), "lang", "source"), "/"), -1).alias(
+            "basename"
+        ),
+    ).orderBy("doc_id")
+
+
+STR_SQL = """
+SELECT doc_id,
+       md5(text) AS text_md5,
+       LENGTH(text) AS n_chars_calc,
+       OCTET_LENGTH(CAST(text AS BLOB)) AS n_bytes,
+       UPPER(SUBSTRING(text, 1, 12)) AS head_upper,
+       printf('dna_chunk_%03d', CAST(doc_id % 1000 AS INT)) AS chunk_id_style,
+       CONCAT_WS('/', 'corpus', lang, source) AS virtual_path,
+       source AS basename
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def date_scalar_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """year/quarter/month, date_trunc, datediff, date_format (op 30)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.month("o_orderdate").alias("order_month"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(
+            F.lit("2000-01-01").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("days_before_y2k"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_date"),
+    ).orderBy("o_orderkey")
+
+
+DATE_SQL = """
+SELECT o_orderkey,
+       CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+       CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS order_quarter,
+       CAST(EXTRACT(month FROM o_orderdate) AS INT) AS order_month,
+       date_trunc('month', o_orderdate) AS month_start,
+       CAST(DATE '2000-01-01' - CAST(o_orderdate AS DATE) AS INT) AS days_before_y2k,
+       strftime(o_orderdate, '%Y-%m-%d') AS iso_date
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction + agg over events.props (op 31 family)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("k").cast("long")).alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+JSON_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(CAST(json_extract_string(props, '$.k') AS INT) AS BIGINT)) AS sum_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# =====================================================================
+# Event-time analytics (streaming semantics, batch-checkable)
+# =====================================================================
+
+
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation (Part B streaming analog)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            _money_sum(F.col("value"), "total_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+HOURLY_SQL = f"""
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       {_sql_money_sum('"value"', 'total_value')}
+FROM events
+GROUP BY 1, 2
+ORDER BY hour, event_type
+"""
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via lag + running sum --
+    the batch formulation of stateful session windows."""
+    ev = _t(spark, sf_dir, "events")
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sessions = (
+        ev.withColumn("prev_ts", F.lag("ts").over(by_user))
+        .withColumn(
+            "new_session",
+            (
+                F.col("prev_ts").isNull()
+                | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > 1800)
+            ).cast("int"),
+        )
+        .withColumn("session_id", F.sum("new_session").over(by_user))
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SESSION_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+), per_session AS (
+  SELECT user_id, session_id, COUNT(*) AS n_events
+  FROM numbered GROUP BY user_id, session_id
+)
+SELECT user_id, COUNT(*) AS n_sessions, MAX(n_events) AS max_session_events
+FROM per_session
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+# =====================================================================
+# Order-sensitive reassembly (SURVEY op 21-22) -- on synthetic chunks
+# =====================================================================
+
+
+def reassembly_ordered_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The signature order-sensitive aggregate: split every document into
+    40-char pieces, shuffle them into a chunk table, then reassemble in
+    index order and verify equality with the source text."""
+    docs = _t(spark, sf_dir, "documents")
+    pieces = docs.select(
+        "doc_id",
+        "text",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, cast(ceil(length(text)/40.0) as int) - 1),"
+                " i -> substring(text, i*40 + 1, 40))"
+            )
+        ).alias("idx", "piece"),
+    )
+    rebuilt = (
+        pieces.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "piece"))),
+                    lambda c: c["piece"],
+                ),
+                "",
+            ).alias("rebuilt")
+        )
+    )
+    return (
+        rebuilt.join(docs, "doc_id")
+        .select(
+            "doc_id",
+            (F.col("rebuilt") == F.col("text")).alias("roundtrip_ok"),
+            F.length("rebuilt").alias("rebuilt_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+REASSEMBLY_SQL = """
+WITH pieces AS (
+  SELECT doc_id, i.idx AS idx, substring(text, i.idx*40 + 1, 40) AS piece
+  FROM documents,
+       LATERAL (SELECT UNNEST(range(0, CAST(ceil(length(text)/40.0) AS INT))) AS idx) i
+), rebuilt AS (
+  SELECT doc_id, string_agg(piece, '' ORDER BY idx) AS rebuilt
+  FROM pieces GROUP BY doc_id
+)
+SELECT d.doc_id, r.rebuilt = d.text AS roundtrip_ok, LENGTH(r.rebuilt) AS rebuilt_len
+FROM rebuilt r JOIN documents d ON r.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+# =====================================================================
+# Codec queries (SURVEY ops 23, 32-44) -- DuckDB cannot run the codec;
+# roundtrip_count is oracle-checkable because success == plain COUNT(*).
+# =====================================================================
+
+
+def codec_roundtrip_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode+decode every document; if the codec is correct, the number of
+    successful round trips equals COUNT(*) -- which IS the oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    enc = docs.withColumn("chunks", encode_chunks(F.col("text")))
+    dec = enc.withColumn("rebuilt", decode_chunks(F.col("chunks")))
+    return dec.select(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("rebuilt") == F.col("text")).cast("long")).alias("n_roundtrip_ok"),
+    )
+
+
+CODEC_ROUNDTRIP_SQL = """
+SELECT COUNT(*) AS n_docs, COUNT(*) AS n_roundtrip_ok FROM documents
+"""
+
+
+def codec_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document chunk/base statistics (rows-only: DNA lengths are not
+    SQL-expressible).  Covers ops 19, 23, 36."""
+    docs = _t(spark, sf_dir, "documents")
+    enc = docs.withColumn("chunks", encode_chunks(F.col("text")))
+    return enc.select(
+        "doc_id",
+        F.size("chunks").alias("n_chunks"),
+        F.aggregate(
+            "chunks",
+            F.lit(0).cast("long"),
+            lambda acc, c: acc + F.length(c["dna_sequence"]),
+        ).alias("total_dna_bases"),
+        F.aggregate(
+            "chunks",
+            F.lit(0).cast("long"),
+            lambda acc, c: acc + c["original_length_bytes"].cast("long"),
+        ).alias("total_bytes"),
+    ).orderBy("doc_id")
+
+
+# =====================================================================
+# Registry
+# =====================================================================
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# name -> (spark_fn, oracle_sql | None)
+REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
+    "q5_nation_volume": (q5_nation_volume, Q5_SQL),
+    "join_semi_active_customers": (join_semi_active_customers, SEMI_SQL),
+    "join_anti_idle_customers": (join_anti_idle_customers, ANTI_SQL),
+    "agg_supplier_part_stats": (agg_supplier_part_stats, AGG_DISTINCT_SQL),
+    "window_top_orders_per_customer": (window_top_orders_per_customer, WINDOW_SQL),
+    "window_running_customer_spend": (window_running_customer_spend, WINDOW_RUNNING_SQL),
+    "sort_global_topk_orders": (sort_global_topk_orders, TOPK_SQL),
+    "set_ops_customer_cohorts": (set_ops_customer_cohorts, SET_OPS_SQL),
+    "str_scalar_showcase": (str_scalar_showcase, STR_SQL),
+    "date_scalar_showcase": (date_scalar_showcase, DATE_SQL),
+    "json_props_extract": (json_props_extract, JSON_SQL),
+    "events_hourly_rollup": (events_hourly_rollup, HOURLY_SQL),
+    "events_sessionize": (events_sessionize, SESSION_SQL),
+    "reassembly_ordered_chunks": (reassembly_ordered_chunks, REASSEMBLY_SQL),
+    "codec_roundtrip_count": (codec_roundtrip_count, CODEC_ROUNDTRIP_SQL),
+    "codec_chunk_stats": (codec_chunk_stats, None),
+}

@@ -28,6 +28,11 @@ def get_spark(app_name: str = "airflow-pipeline-text-processing-spark") -> Spark
         .master(f"local[{cpus}]")
         # one shuffle partition per core locally; on a cluster AQE coalesces
         .config("spark.sql.shuffle.partitions", cpus)
+        # oracle comparisons and run reproducibility need a fixed zone
+        .config("spark.sql.session.timeZone", "UTC")
+        # the driver's events.parquet carries TIMESTAMP(NANOS); read the
+        # raw int64 and convert explicitly (sources read it via timestamp_micros)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -47,6 +52,8 @@ def _apply_runtime_conf(spark: SparkSession) -> None:
     for key, val in [
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
     ]:
         try:
             spark.conf.set(key, val)

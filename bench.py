@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline query surface at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line with per-query wall seconds.
+
+Each query executes as a count()/collect-to-driver action so the full plan
+(including Python UDF stages) runs; timings exclude session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# headline set: the heavy hitters across scan/join/agg/window/codec
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_nation_volume",
+    "agg_supplier_part_stats",
+    "window_top_orders_per_customer",
+    "events_hourly_rollup",
+    "events_sessionize",
+    "reassembly_ordered_chunks",
+    "codec_roundtrip_count",
+]
+
+
+def main() -> None:
+    from airflow_pipeline_text_processing_spark.plans.queries import REGISTRY
+    from airflow_pipeline_text_processing_spark.session import get_spark
+
+    spark = get_spark("bench")
+    # warm the JVM + parquet footers once so timings measure the queries
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn, _oracle = REGISTRY[name]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        rows = df.collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        del rows
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

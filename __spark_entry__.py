@@ -11,7 +11,10 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from airflow_pipeline_text_processing_spark.plans.queries import REGISTRY
+from airflow_pipeline_text_processing_spark.plans.queries import REGISTRY as _CORE
+from airflow_pipeline_text_processing_spark.plans.queries_llm import REGISTRY as _LLM
+
+REGISTRY = {**_CORE, **_LLM}
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,299 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five families, each pure built-in expressions (JVM-side, shuffle-aware):
+
+* **exact** -- content-hash groupBy (generalizes the reference's tracking
+  dedup, SURVEY.md op 13, to corpus dedup).
+* **n-gram Jaccard** -- word-shingle inverted-index join; the exact
+  verifier for near-dup candidates.
+* **MinHash + LSH** -- k permutations via ``min(md5(perm || shingle))``,
+  banded into LSH buckets; candidate pairs come from bucket joins, then
+  exact-Jaccard verification.  This is the scale path: at 100 TB the
+  pairwise join only materializes within-bucket pairs.
+* **SimHash** -- per-bit majority vote over token hashes; near-dups are
+  pairs with small Hamming distance.
+* **embedding cosine** -- fixed-point canonicalized cosine >= threshold
+  (see ``similarity.scaled_dot`` for why fixed-point).
+
+Hash choice: md5 (not xxhash64) everywhere a DuckDB oracle must reproduce
+the value -- md5 is the one hash both engines share bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+from .similarity import scaled_cosine
+from .text import tokens
+
+
+# ------------------------------------------------------------------ exact
+
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Group documents by content hash; emit one row per distinct content
+    with the canonical (minimum) doc_id and the duplicate count."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .orderBy("keep_doc_id")
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep exactly one row per distinct content (the min-doc_id winner)."""
+    ranked = docs.select(
+        "*", F.md5(F.col(text_col)).alias("content_hash")
+    ).withColumn(
+        "_rn",
+        F.row_number().over(Window.partitionBy("content_hash").orderBy("doc_id")),
+    )
+    return ranked.filter(F.col("_rn") == 1).drop("_rn", "content_hash")
+
+
+# ------------------------------------------------------- shingles / jaccard
+
+
+def word_shingles(text_col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column."""
+    toks = tokens(text_col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+
+
+def shingle_table(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """(doc_id, shingle) inverted-index rows + per-doc shingle counts."""
+    return docs.select(
+        "doc_id", F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """All pairs (a < b) with word-shingle Jaccard >= threshold.
+
+    Inverted-index join: pairs only materialize when they share at least
+    one shingle, so cost is driven by posting-list sizes, not |docs|^2.
+    """
+    sh = shingle_table(docs, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "size_a", "size_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ----------------------------------------------------------- minhash + lsh
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_perm: int = 16,
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """(doc_id, perm, minhash): lexicographic min of md5(perm || '|' || shingle)
+    per permutation -- a portable MinHash (md5 exists in every engine)."""
+    sh = shingle_table(docs, text_col, n)
+    perms = sh.select(
+        "doc_id",
+        "shingle",
+        F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("perm"),
+    )
+    return (
+        perms.groupBy("doc_id", "perm")
+        .agg(
+            F.min(
+                F.md5(F.concat(F.col("perm").cast("string"), F.lit("|"), "shingle"))
+            ).alias("minhash")
+        )
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    band_size: int = 4,
+) -> DataFrame:
+    """Band the signature matrix; a pair is a candidate iff it collides in
+    at least one band (the classic banding trick)."""
+    banded = signatures.withColumn("band", (F.col("perm") / band_size).cast("int"))
+    band_sigs = banded.groupBy("doc_id", "band").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("perm", "minhash"))),
+                lambda c: c["minhash"],
+            ),
+            ",",
+        ).alias("band_sig")
+    )
+    a, b = band_sigs.alias("a"), band_sigs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    num_perm: int = 16,
+    band_size: int = 4,
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures -> banded candidates
+    -> exact-Jaccard verification >= threshold."""
+    candidates = lsh_candidate_pairs(
+        minhash_signatures(docs, num_perm, text_col, n), band_size
+    )
+    verified = jaccard_pairs(docs, threshold, text_col, n)
+    return (
+        candidates.join(verified, ["doc_a", "doc_b"])
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------- simhash
+
+
+def simhash_signatures(
+    docs: DataFrame, bits: int = 32, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, simhash bitstring): per-bit majority vote over token md5s.
+
+    Bit b of a token comes from hex digit b//4 of its md5 (portable across
+    engines); the signature bit is 1 iff the +-1 vote sum over all token
+    occurrences is positive.
+    """
+    tok = docs.select("doc_id", F.explode(tokens(F.col(text_col))).alias("token"))
+    tok_bits = tok.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+        F.md5("token").alias("h"),
+    )
+    hexval = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.col("h"), (F.col("bit") / 4).cast("int") + 1, 1),
+        )
+        - 1
+    )
+    bit_set = (
+        F.floor(
+            hexval
+            / F.pow(F.lit(2.0), (F.col("bit") % 4).cast("double"))
+        ).cast("int")
+        % 2
+    )
+    votes = tok_bits.select(
+        "doc_id", "bit", (bit_set * 2 - 1).alias("vote")
+    ).groupBy("doc_id", "bit").agg(F.sum("vote").alias("v"))
+    return votes.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("bit", (F.col("v") > 0).cast("int").alias("s"))
+                    )
+                ),
+                lambda c: c["s"].cast("string"),
+            ),
+            "",
+        ).alias("simhash")
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 6,
+    bits: int = 32,
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairs (a < b) whose simhash Hamming distance <= max_hamming."""
+    sigs = simhash_signatures(docs, bits, text_col)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    hamming = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.lit(bits)),
+            lambda i: F.substring(F.col("a.simhash"), i, 1)
+            != F.substring(F.col("b.simhash"), i, 1),
+        )
+    )
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# -------------------------------------------------- embedding near-dup
+
+
+def embedding_dedup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pairs (a < b) with canonicalized cosine >= threshold."""
+    a = vectors.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
+    )
+    b = vectors.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            scaled_cosine(F.col("vec_a"), F.col("vec_b")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("id_a", "id_b")
+    )

@@ -1,0 +1,184 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Two paths (SURVEY.md north-star extensions):
+
+* **brute-force** cosine top-k -- the exact baseline; one shuffle-free
+  map over candidates followed by a per-query top-k window.
+* **LSH-bucketed** -- random-hyperplane signatures (deterministic
+  md5-derived hyperplanes) bucket the space; top-k runs only within the
+  query's bucket.  At 100 TB this is the scale path: the candidate join is
+  bucket-equi, so the all-pairs product never materializes.
+
+Numeric policy: every dot product canonicalizes per component to fixed
+point (``floor(x*y*1e6)`` -> BIGINT) before summing.  IEEE multiplication
+is deterministic per component in any engine, and integer sums are
+order-independent -- so results hash-match the DuckDB oracle exactly,
+which raw float sums (whose order differs engine to engine) would not.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+DOT_SCALE = 1_000_000.0
+
+
+def scaled_dot(a: Column, b: Column) -> Column:
+    """Order-independent fixed-point dot product (BIGINT)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: F.floor(
+                x.cast("double") * y.cast("double") * F.lit(DOT_SCALE)
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def scaled_norm2(a: Column) -> Column:
+    return scaled_dot(a, a)
+
+
+def scaled_cosine(a: Column, b: Column) -> Column:
+    """Deterministic cosine from fixed-point components."""
+    return scaled_dot(a, b).cast("double") / (
+        F.sqrt(scaled_norm2(a).cast("double"))
+        * F.sqrt(scaled_norm2(b).cast("double"))
+    )
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors per query (excluding self)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            scaled_cosine(F.col("qvec"), F.col("cvec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def hyperplane_signatures(
+    vectors: DataFrame,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH signature per vector.
+
+    Hyperplane weights are pseudo-random but *engine-portable*: weight of
+    plane p at dimension d is ``hexval(md5(p || '_' || d)[0]) - 7.5``
+    (uniform in [-7.5, 7.5]).  The sign of the fixed-point projection gives
+    bit p; the ``num_planes`` bits concatenate into the bucket key.
+    """
+    comp = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(F.col(vec_col)).alias("d", "x"),
+    ).select(
+        "vid",
+        "d",
+        "x",
+        F.explode(F.sequence(F.lit(0), F.lit(num_planes - 1))).alias("plane"),
+    )
+    weight = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("plane").cast("string"),
+                        F.lit("_"),
+                        F.col("d").cast("string"),
+                    )
+                ),
+                1,
+                1,
+            ),
+        ).cast("double")
+        - 1
+        - 7.5
+    )
+    proj = comp.select(
+        "vid",
+        "plane",
+        F.floor(F.col("x").cast("double") * weight * F.lit(DOT_SCALE))
+        .cast("long")
+        .alias("contrib"),
+    )
+    bits = proj.groupBy("vid", "plane").agg(
+        (F.sum("contrib") > 0).cast("int").alias("bit")
+    )
+    return bits.groupBy("vid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("plane", "bit"))),
+                lambda c: c["bit"].cast("string"),
+            ),
+            "",
+        ).alias("bucket")
+    )
+
+
+def lsh_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 3,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: exact cosine ranking within the query's LSH bucket."""
+    all_sigs = hyperplane_signatures(candidates, num_planes, id_col, vec_col)
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+        .join(
+            all_sigs.select(F.col("vid").alias("query_id"), "bucket"), "query_id"
+        )
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    ).join(all_sigs.select(F.col("vid").alias("neighbor_id"), "bucket"), "neighbor_id")
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "bucket",
+            "neighbor_id",
+            scaled_cosine(F.col("qvec"), F.col("cvec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

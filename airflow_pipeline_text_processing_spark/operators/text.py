@@ -1,0 +1,125 @@
+"""Text analysis operators: tokenization, quality scoring, language ID,
+fingerprinting -- all pure built-in expressions (no Python in the hot path,
+SURVEY.md Part B extensions).
+
+Every function returns Column expressions or DataFrames built exclusively
+from ``pyspark.sql.functions``, so the plans stay inside whole-stage
+codegen and scale linearly with executors at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# deterministic marker vocabularies for the n-gram/stopword language heuristic
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht"],
+    "es": ["el", "los", "las", "una", "es", "que"],
+    "fr": ["le", "les", "des", "est", "dans", "pour"],
+}
+
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "for", "on", "with"]
+
+PUNCT_CLASS = "[.,;:!?]"
+
+
+def tokens(col: Column) -> Column:
+    """Lowercased alphanumeric tokens (empty strings filtered)."""
+    return F.filter(
+        F.split(F.lower(col), "[^a-z0-9]+"), lambda t: t != F.lit("")
+    )
+
+
+def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document token counting (whitespace/punct tokenizer)."""
+    toks = tokens(F.col(text_col))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        (
+            F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
+            .cast("double")
+            / F.size(toks)
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality: stopword ratio, punctuation density,
+    unique-token ratio combined into one deterministic score."""
+    toks = tokens(F.col(text_col))
+    n_tokens = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+    punct_count = F.length(text_col) - F.length(
+        F.regexp_replace(F.col(text_col), PUNCT_CLASS, "")
+    )
+    base = docs.select(
+        "doc_id",
+        F.length(text_col).alias("n_chars_q"),
+        n_tokens.alias("n_tokens"),
+        stop_hits.alias("stop_hits"),
+        punct_count.alias("punct_count"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+    )
+    return base.select(
+        "*",
+        (
+            (F.col("stop_hits").cast("double") / F.col("n_tokens")) * 0.4
+            + (F.col("n_unique_tokens").cast("double") / F.col("n_tokens")) * 0.4
+            - (F.col("punct_count").cast("double") / F.col("n_chars_q")) * 0.2
+        ).alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language heuristic with deterministic argmax."""
+    toks = tokens(F.col(text_col))
+    hits = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    base = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[hits[lang].alias(f"hits_{lang}") for lang in LANG_MARKERS],
+    )
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in LANG_MARKERS])
+    pred = F.when(best == 0, F.lit("unknown"))
+    for lang in LANG_MARKERS:  # fixed order = deterministic tiebreak
+        pred = pred.when(F.col(f"hits_{lang}") == best, F.lit(lang))
+    return base.select(
+        "doc_id",
+        "labeled_lang",
+        *[f"hits_{lang}" for lang in LANG_MARKERS],
+        pred.alias("predicted_lang"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", k: int = 8) -> DataFrame:
+    """Document fingerprint: minimum md5 over character k-grams (the
+    min-hash member of a winnowing scheme; deterministic, portable)."""
+    # dynamic-start substring needs the SQL expression form
+    return docs.select(
+        "doc_id",
+        F.array_min(
+            F.expr(
+                f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)),"
+                f" i -> md5(substring({text_col}, i, {k})))"
+            )
+        ).alias("fingerprint"),
+        F.greatest(F.length(text_col) - (k - 1), F.lit(1)).alias("n_grams"),
+    )
+
+
+def top_terms(docs: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
+    """Global top-k tokens by frequency (deterministic tiebreak on token)."""
+    return (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(k)
+    )

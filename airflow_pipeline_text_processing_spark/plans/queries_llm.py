@@ -1,0 +1,481 @@
+"""LLM-data-pipeline query surface: dedup, similarity, text analysis,
+multimodal -- each a named query + DuckDB oracle (north-star extensions,
+graded alongside SURVEY.md §2).
+
+The testdata corpus has no natural duplicates (500 distinct documents,
+max natural embedding cosine ~0.49), so near-dup queries run over a
+**planted corpus**: the same deterministic derivation (truncated-text
+twins, scaled-vector twins) expressed identically in both engines.
+Portability rules: md5 as the only shared hash; fixed-point dot products
+(see operators/similarity.py); identical CASE/tiebreak order everywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import dedup as D
+from ..operators import multimodal as MM
+from ..operators import similarity as S
+from ..operators import text as T
+from .queries import QueryFn, _t
+
+# ---------------------------------------------------------------------
+# planted corpora (identical derivations, both engines)
+# ---------------------------------------------------------------------
+
+PLANT_LIMIT = 200
+SIM_PLANT_LIMIT = 50
+
+
+def _doubled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.unionAll(
+        docs.select((F.col("doc_id") + 200000).alias("doc_id"), "text")
+    )
+
+
+DOUBLED_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text FROM documents
+"""
+
+
+def _planted_docs(spark: SparkSession, sf_dir: str, limit: int = PLANT_LIMIT) -> DataFrame:
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < limit)
+        .select("doc_id", "text")
+    )
+    twins = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substring(text, 1, cast(floor(length(text)*0.8) as int))").alias(
+            "text"
+        ),
+    )
+    return docs.unionAll(twins)
+
+
+def _planted_sql(limit: int = PLANT_LIMIT) -> str:
+    return f"""
+  SELECT doc_id, text FROM documents WHERE doc_id < {limit}
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         substring(text, 1, CAST(FLOOR(LENGTH(text)*0.8) AS INT)) AS text
+  FROM documents WHERE doc_id < {limit}
+"""
+
+
+def _planted_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    twins = vecs.filter(F.col("vec_id") < SIM_PLANT_LIMIT).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 2).alias("embedding"),
+    )
+    return vecs.unionAll(twins)
+
+
+PLANTED_VECS_SQL = f"""
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, [x*2 FOR x IN embedding] AS embedding
+  FROM embeddings WHERE vec_id < {SIM_PLANT_LIMIT}
+"""
+
+# shared SQL fragments -------------------------------------------------
+
+TOKS_SQL = (
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')"
+)
+
+
+def _sql_sdot(a: str, b: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform(list_zip({a}, {b}), "
+        "p -> CAST(FLOOR(CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)*1000000.0) "
+        "AS BIGINT))) AS DOUBLE)"
+    )
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return (
+        f"{_sql_sdot(a, b)} / "
+        f"(sqrt({_sql_sdot(a, a)}) * sqrt({_sql_sdot(b, b)}))"
+    )
+
+
+SHINGLES_CTE = f"""
+toks AS (SELECT doc_id, {TOKS_SQL} AS tk FROM corpus),
+sh AS (
+  SELECT doc_id, UNNEST(list_distinct(
+    [array_to_string(tk[i:i+2], ' ')
+     FOR i IN generate_series(1, greatest(len(tk) - 2, 1))])) AS shingle
+  FROM toks
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+jac AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jaccards AS (
+  SELECT doc_a, doc_b, n_common,
+         sa.n_shingles AS size_a, sb.n_shingles AS size_b,
+         CAST(n_common AS DOUBLE)/(sa.n_shingles + sb.n_shingles - n_common)
+           AS jaccard
+  FROM jac
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+)
+"""
+
+
+# =====================================================================
+# Deduplication
+# =====================================================================
+
+
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup_groups(_doubled_docs(spark, sf_dir))
+
+
+DEDUP_EXACT_SQL = f"""
+WITH corpus AS ({DOUBLED_SQL})
+SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_copies
+FROM corpus GROUP BY 1 ORDER BY keep_doc_id
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.jaccard_pairs(_planted_docs(spark, sf_dir), threshold=0.6)
+
+
+DEDUP_JACCARD_SQL = f"""
+WITH corpus AS ({_planted_sql()}),
+{SHINGLES_CTE}
+SELECT doc_a, doc_b, n_common, size_a, size_b, jaccard
+FROM jaccards WHERE jaccard >= 0.6
+ORDER BY doc_a, doc_b
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_dedup_pairs(
+        _planted_docs(spark, sf_dir), threshold=0.5, num_perm=16, band_size=4
+    )
+
+
+DEDUP_MINHASH_SQL = f"""
+WITH corpus AS ({_planted_sql()}),
+{SHINGLES_CTE},
+sig AS (
+  SELECT doc_id, p.perm AS perm,
+         MIN(md5(CAST(p.perm AS VARCHAR) || '|' || shingle)) AS minhash
+  FROM sh, LATERAL (SELECT UNNEST(generate_series(0, 15)) AS perm) p
+  GROUP BY doc_id, p.perm
+),
+bands AS (
+  SELECT doc_id, perm // 4 AS band,
+         string_agg(minhash, ',' ORDER BY perm) AS band_sig
+  FROM sig GROUP BY doc_id, perm // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+              AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b, j.jaccard
+FROM cand c JOIN jaccards j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+WHERE j.jaccard >= 0.5
+ORDER BY c.doc_a, c.doc_b
+"""
+
+SIMHASH_LIMIT = 120
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_pairs(
+        _planted_docs(spark, sf_dir, limit=SIMHASH_LIMIT), max_hamming=6
+    )
+
+
+DEDUP_SIMHASH_SQL = f"""
+WITH corpus AS ({_planted_sql(SIMHASH_LIMIT)}),
+toks AS (SELECT doc_id, {TOKS_SQL} AS tk FROM corpus),
+tok AS (SELECT doc_id, UNNEST(tk) AS token FROM toks),
+tb AS (
+  SELECT doc_id, b.bit AS bit, md5(token) AS h
+  FROM tok, LATERAL (SELECT UNNEST(generate_series(0, 31)) AS bit) b
+),
+votes AS (
+  SELECT doc_id, bit,
+    SUM((CAST(FLOOR((strpos('0123456789abcdef', substring(h, bit // 4 + 1, 1)) - 1)
+                    / POWER(2, bit % 4)) AS INT) % 2) * 2 - 1) AS v
+  FROM tb GROUP BY doc_id, bit
+),
+sigs AS (
+  SELECT doc_id,
+         string_agg(CAST(CASE WHEN v > 0 THEN 1 ELSE 0 END AS VARCHAR), ''
+                    ORDER BY bit) AS simhash
+  FROM votes GROUP BY doc_id
+)
+SELECT doc_a, doc_b, hamming FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len([1 FOR i IN generate_series(1, 32)
+              IF substring(a.simhash, i, 1) != substring(b.simhash, i, 1)])
+           AS hamming
+  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+) WHERE hamming <= 6
+ORDER BY doc_a, doc_b
+"""
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.embedding_dedup_pairs(_planted_vecs(spark, sf_dir), threshold=0.99)
+
+
+DEDUP_EMBEDDING_SQL = f"""
+WITH vecs AS ({PLANTED_VECS_SQL})
+SELECT id_a, id_b, cosine FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {_sql_cosine('a.embedding', 'b.embedding')} AS cosine
+  FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+) WHERE cosine >= 0.99
+ORDER BY id_a, id_b
+"""
+
+
+# =====================================================================
+# Similarity search
+# =====================================================================
+
+
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _t(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(
+        vecs.filter(F.col("vec_id") < 10), vecs, k=5
+    )
+
+
+SIM_TOPK_SQL = f"""
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_sql_cosine('q.embedding', 'c.embedding')} AS cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {_sql_cosine('q.embedding', 'c.embedding')} DESC, c.vec_id)
+           AS rank
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
+) WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+def sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _t(spark, sf_dir, "embeddings")
+    return S.lsh_topk(
+        vecs.filter(F.col("vec_id") < 10), vecs, k=3, num_planes=8
+    )
+
+
+SIM_LSH_SQL = f"""
+WITH comp AS (
+  SELECT vec_id, g.i - 1 AS d, embedding[g.i] AS x
+  FROM embeddings,
+       LATERAL (SELECT UNNEST(generate_series(1, len(embedding))) AS i) g
+),
+proj AS (
+  SELECT vec_id, p.plane AS plane,
+         CAST(FLOOR(CAST(x AS DOUBLE)
+              * (strpos('0123456789abcdef',
+                        substring(md5(CAST(p.plane AS VARCHAR) || '_'
+                                      || CAST(d AS VARCHAR)), 1, 1)) - 1 - 7.5)
+              * 1000000.0) AS BIGINT) AS contrib
+  FROM comp, LATERAL (SELECT UNNEST(generate_series(0, 7)) AS plane) p
+),
+bits AS (
+  SELECT vec_id, plane,
+         CASE WHEN SUM(contrib) > 0 THEN 1 ELSE 0 END AS bit
+  FROM proj GROUP BY vec_id, plane
+),
+sigs AS (
+  SELECT vec_id,
+         string_agg(CAST(bit AS VARCHAR), '' ORDER BY plane) AS bucket
+  FROM bits GROUP BY vec_id
+)
+SELECT query_id, bucket, neighbor_id, cosine, rank FROM (
+  SELECT q.vec_id AS query_id, sq.bucket AS bucket, c.vec_id AS neighbor_id,
+         {_sql_cosine('q.embedding', 'c.embedding')} AS cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {_sql_cosine('q.embedding', 'c.embedding')} DESC, c.vec_id)
+           AS rank
+  FROM embeddings q
+  JOIN sigs sq ON sq.vec_id = q.vec_id
+  JOIN sigs sc ON sc.bucket = sq.bucket
+  JOIN embeddings c ON c.vec_id = sc.vec_id AND c.vec_id != q.vec_id
+  WHERE q.vec_id < 10
+) WHERE rank <= 3
+ORDER BY query_id, rank
+"""
+
+
+# =====================================================================
+# Text analysis
+# =====================================================================
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.token_stats(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+TEXT_TOKENS_SQL = f"""
+WITH toks AS (SELECT doc_id, {TOKS_SQL} AS tk FROM documents)
+SELECT doc_id, len(tk) AS n_tokens,
+       len(list_distinct(tk)) AS n_unique_tokens,
+       CAST(list_sum(list_transform(tk, t -> LENGTH(t))) AS DOUBLE) / len(tk)
+         AS avg_token_len
+FROM toks ORDER BY doc_id
+"""
+
+
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.top_terms(_t(spark, sf_dir, "documents"), k=20)
+
+
+TOP_TERMS_SQL = f"""
+WITH toks AS (SELECT doc_id, {TOKS_SQL} AS tk FROM documents)
+SELECT token, COUNT(*) AS n
+FROM (SELECT UNNEST(tk) AS token FROM toks)
+GROUP BY token ORDER BY n DESC, token LIMIT 20
+"""
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.quality_score(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+QUALITY_SQL = f"""
+WITH base AS (
+  SELECT doc_id, LENGTH(text) AS n_chars_q, {TOKS_SQL} AS tk,
+         LENGTH(text) - LENGTH(regexp_replace(text, '[.,;:!?]', '', 'g'))
+           AS punct_count,
+         len(list_filter({TOKS_SQL},
+             t -> list_contains(['the','a','and','of','to','in','is','for','on','with'], t)))
+           AS stop_hits
+  FROM documents
+)
+SELECT doc_id, n_chars_q, len(tk) AS n_tokens, stop_hits, punct_count,
+       len(list_distinct(tk)) AS n_unique_tokens,
+       (CAST(stop_hits AS DOUBLE) / len(tk)) * 0.4
+         + (CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)) * 0.4
+         - (CAST(punct_count AS DOUBLE) / n_chars_q) * 0.2 AS quality
+FROM base ORDER BY doc_id
+"""
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.lang_id(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+_MARKER_SQL = {
+    lang: "list_contains([" + ",".join(f"'{m}'" for m in markers) + "], t)"
+    for lang, markers in T.LANG_MARKERS.items()
+}
+
+LANG_SQL = f"""
+WITH toks AS (SELECT doc_id, lang AS labeled_lang, {TOKS_SQL} AS tk FROM documents),
+hits AS (
+  SELECT doc_id, labeled_lang,
+         {", ".join(f"len(list_filter(tk, t -> {_MARKER_SQL[lang]})) AS hits_{lang}" for lang in T.LANG_MARKERS)}
+  FROM toks
+)
+SELECT doc_id, labeled_lang,
+       {", ".join(f"hits_{lang}" for lang in T.LANG_MARKERS)},
+       CASE WHEN greatest({", ".join(f"hits_{lang}" for lang in T.LANG_MARKERS)}) = 0 THEN 'unknown'
+            {" ".join(f"WHEN hits_{lang} = greatest({', '.join(f'hits_{l2}' for l2 in T.LANG_MARKERS)}) THEN '{lang}'" for lang in T.LANG_MARKERS)}
+       END AS predicted_lang
+FROM hits ORDER BY doc_id
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.fingerprint(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+FINGERPRINT_SQL = """
+SELECT doc_id,
+       list_min([md5(substring(text, i, 8))
+                 FOR i IN generate_series(1, greatest(LENGTH(text) - 7, 1))])
+         AS fingerprint,
+       greatest(LENGTH(text) - 7, 1) AS n_grams
+FROM documents ORDER BY doc_id
+"""
+
+
+# =====================================================================
+# Multimodal
+# =====================================================================
+
+
+def mm_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = MM.attach_payload(_t(spark, sf_dir, "documents"))
+    return (
+        media.groupBy("kind")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.octet_length("payload")).alias("total_bytes"),
+            F.max(F.octet_length("payload")).alias("max_bytes"),
+        )
+        .orderBy("kind")
+    )
+
+
+MM_STATS_SQL = """
+SELECT kind, COUNT(*) AS n_docs,
+       SUM(octet_length(encode(text))) AS total_bytes,
+       MAX(octet_length(encode(text))) AS max_bytes
+FROM (
+  SELECT CASE ascii(substring(text, 1, 1)) % 3
+           WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         text
+  FROM documents
+)
+GROUP BY kind ORDER BY kind
+"""
+
+
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas binary feature extraction (rows-only check: the Arrow
+    batch plumbing is the point; decoding is stubbed, see multimodal.py)."""
+    media = MM.attach_payload(_t(spark, sf_dir, "documents"))
+    return MM.extract_features(media, fake=True).orderBy("doc_id")
+
+
+# =====================================================================
+# Registry
+# =====================================================================
+
+REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
+    "dedup_exact_groups": (dedup_exact_groups, DEDUP_EXACT_SQL),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_JACCARD_SQL),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
+    "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
+    "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_SQL),
+    "sim_topk_bruteforce": (sim_topk_bruteforce, SIM_TOPK_SQL),
+    "sim_lsh_bucketed": (sim_lsh_bucketed, SIM_LSH_SQL),
+    "text_token_stats": (text_token_stats, TEXT_TOKENS_SQL),
+    "text_top_terms": (text_top_terms, TOP_TERMS_SQL),
+    "text_quality_score": (text_quality_score, QUALITY_SQL),
+    "text_lang_id": (text_lang_id, LANG_SQL),
+    "text_fingerprint": (text_fingerprint, FINGERPRINT_SQL),
+    "mm_binary_stats": (mm_binary_stats, MM_STATS_SQL),
+    "mm_feature_extract": (mm_feature_extract, None),
+}

@@ -1,0 +1,131 @@
+"""Operator-level tests for the LLM-pipeline extensions: dedup recall,
+similarity ranking sanity, text analytics, multimodal plumbing."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from airflow_pipeline_text_processing_spark.operators import dedup as D
+from airflow_pipeline_text_processing_spark.operators import multimodal as MM
+from airflow_pipeline_text_processing_spark.operators import similarity as S
+from airflow_pipeline_text_processing_spark.operators import text as T
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    rows = [
+        (0, base * 4),
+        (1, base * 4 + "with a slightly different tail here"),  # near-dup of 0
+        (2, "completely different content about spark query engines and shuffles"),
+        (3, base * 4),                                          # exact dup of 0
+        (4, "short text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, corpus):
+    groups = D.exact_dedup_groups(corpus).collect()
+    by_keep = {r.keep_doc_id: r.n_copies for r in groups}
+    assert by_keep[0] == 2  # docs 0 and 3 collapse
+    assert len(groups) == 4
+    kept = D.exact_dedup(corpus)
+    assert kept.count() == 4
+    assert kept.filter(F.col("doc_id") == 3).count() == 0  # loser dropped
+
+
+def test_jaccard_pairs_finds_near_dup(spark, corpus):
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in
+             D.jaccard_pairs(corpus, threshold=0.3).collect()}
+    assert (0, 3) in pairs and pairs[(0, 3)] == 1.0  # exact dup
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 0.3  # near dup
+    assert (0, 2) not in pairs
+
+
+def test_minhash_lsh_candidates_include_dups(spark, corpus):
+    pairs = {(r.doc_a, r.doc_b) for r in
+             D.minhash_dedup_pairs(corpus, threshold=0.3).collect()}
+    assert (0, 3) in pairs
+    assert (0, 2) not in pairs
+
+
+def test_simhash_distance_orders_similarity(spark, corpus):
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in
+             D.simhash_pairs(corpus, max_hamming=32).collect()}
+    assert pairs[(0, 3)] == 0  # identical text -> identical signature
+    assert pairs[(0, 1)] < pairs[(0, 2)]  # near-dup closer than unrelated
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import math
+    rows = []
+    for i in range(20):
+        base = [math.sin(i * 7 + d) for d in range(8)]
+        rows.append((i, [float(x) for x in base]))
+    rows.append((100, [x * 3 for x in rows[0][1]]))  # scaled copy of vec 0
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_embedding_dedup_finds_scaled_copy(spark, vectors):
+    pairs = D.embedding_dedup_pairs(vectors, threshold=0.99).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(0, 100)]
+    assert pairs[0].cosine == pytest.approx(1.0, abs=1e-4)
+
+
+def test_brute_force_topk(spark, vectors):
+    res = S.brute_force_topk(
+        vectors.filter(F.col("vec_id") == 0), vectors, k=3
+    ).collect()
+    assert len(res) == 3
+    assert res[0].neighbor_id == 100  # the scaled copy ranks first
+    assert res[0].cosine > res[1].cosine >= res[2].cosine
+
+
+def test_lsh_topk_self_bucket(spark, vectors):
+    res = S.lsh_topk(
+        vectors.filter(F.col("vec_id") == 0), vectors, k=3
+    ).collect()
+    # the scaled copy has identical signs on every hyperplane -> same bucket
+    assert any(r.neighbor_id == 100 for r in res)
+
+
+def test_token_stats_and_quality(spark, corpus):
+    stats = {r.doc_id: r for r in T.token_stats(corpus).collect()}
+    assert stats[4].n_tokens == 2
+    assert stats[4].avg_token_len == pytest.approx((5 + 4) / 2)
+    q = {r.doc_id: r for r in T.quality_score(corpus).collect()}
+    assert q[0].stop_hits > 0
+    assert all(r.quality is not None for r in q.values())
+
+
+def test_lang_id_markers(spark):
+    rows = [(0, "the cat and the dog of the house", "en"),
+            (1, "der hund und die katze ist nicht da", "de"),
+            (2, "zzz qqq www", "zz")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    res = {r.doc_id: r.predicted_lang for r in T.lang_id(docs).collect()}
+    assert res[0] == "en" and res[1] == "de" and res[2] == "unknown"
+
+
+def test_fingerprint_stability(spark, corpus):
+    fp1 = {r.doc_id: r.fingerprint for r in T.fingerprint(corpus).collect()}
+    fp2 = {r.doc_id: r.fingerprint for r in T.fingerprint(corpus).collect()}
+    assert fp1 == fp2
+    assert fp1[0] == fp1[3]      # identical text, identical fingerprint
+    assert fp1[0] != fp1[2]
+
+
+def test_multimodal_plumbing(spark, corpus):
+    media = MM.attach_payload(corpus)
+    feats = MM.extract_features(media, fake=True).collect()
+    assert len(feats) == corpus.count()
+    for r in feats:
+        assert r.kind in MM.MEDIA_KINDS
+        assert len(r.features) == 4
+        assert abs(sum(r.features) - 1.0) < 1e-9  # histogram normalized
+        assert r.n_bytes > 0
+
+
+def test_decode_media_stub_raises():
+    with pytest.raises(NotImplementedError):
+        MM.decode_media(b"payload", "image", fake=False)

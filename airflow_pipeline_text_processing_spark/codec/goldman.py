@@ -18,71 +18,98 @@ Matches the observable behavior of the reference encoder
 * ``dna_to_trits`` (ref ``:165-194``): exact inverse; unrecognised bases
   decode as trit 0.
 
-The implementation here is a fresh one optimised for batch throughput
-inside Arrow pandas UDFs: trit extraction peels 48 digits per bignum
-divmod instead of one, and the rotation code runs off a precomputed
-(prev-base, trit) lookup table.
+Implementation is numpy-vectorized for Arrow pandas-UDF throughput
+(the codec is the engine's hottest Python kernel at scale):
+
+* base-3 digit extraction peels 24-digit limbs per bignum divmod, then
+  expands every limb to digits in one vectorized ``//`` / ``%`` pass;
+* the rotation code has a closed form: with base indices ``A..T=0..3``
+  the next index is ``t + (t >= prev)``, and the carry bit ``c_i``
+  satisfies ``c_i = (t_i > t_{i-1})`` at trit-change points and flips on
+  runs of equal trits -- so the whole automaton is a vectorized
+  run-parity computation instead of a per-base Python loop;
+* the inverse is fully data-parallel: ``t_i = n_i - (n_i > n_{i-1})``.
+
+Non-ACGT input (impossible on the validated hot path) falls back to a
+loop that reproduces the reference's unknown-base behavior exactly.
 """
 
 from __future__ import annotations
 
-from typing import List
+from typing import List, Sequence
+
+import numpy as np
 
 _BASES = "ACGT"
 
-# next-base lookup: _NEXT[prev_base][trit] -> base; first trit uses _FIRST.
+# first trit indexes "ACG" (ref :132-163); equivalently the rotation rule
+# with a virtual previous base T (index 3): t + (t >= 3) == t for t in 0..2.
 _FIRST = "ACG"
 _NEXT = {p: "".join(b for b in _BASES if b != p) for p in _BASES}
-
-# inverse lookup: (prev_base, base) -> trit, defaulting to 0 for unknowns.
 _INV_FIRST = {b: i for i, b in enumerate(_FIRST)}
-_INV_NEXT = {
-    p: {b: i for i, b in enumerate(_NEXT[p])} for p in _BASES
-}
+_INV_NEXT = {p: {b: i for i, b in enumerate(_NEXT[p])} for p in _BASES}
 
-# peel this many base-3 digits per big-integer divmod (3**48 < 2**77,
-# keeps the inner loop on machine-sized ints).
-_TRITS_PER_LIMB = 48
+# 24 base-3 digits per limb: 3**24 < 2**39 fits comfortably in int64 and
+# lets the digit expansion run as one vectorized divide per digit column.
+_TRITS_PER_LIMB = 24
 _LIMB = 3**_TRITS_PER_LIMB
+_POW3_DESC = (3 ** np.arange(_TRITS_PER_LIMB - 1, -1, -1)).astype(np.int64)
+
+_BASE_CODES = np.frombuffer(b"ACGT", dtype=np.uint8)
+# char code -> base index; 255 marks non-ACGT (fallback path)
+_CODE_TO_IDX = np.full(256, 255, dtype=np.uint8)
+for _i, _b in enumerate(_BASES):
+    _CODE_TO_IDX[ord(_b)] = _i
+    _CODE_TO_IDX[ord(_b.lower())] = _i
+
+
+# ---------------------------------------------------------------------------
+# bytes <-> trits (ops 32-33)
+# ---------------------------------------------------------------------------
+
+
+def _bytes_to_trits_arr(data: bytes) -> np.ndarray:
+    """Minimal base-3 digits of the big-endian bignum, MSD first (int8)."""
+    if not data:
+        return np.zeros(1, dtype=np.int8)
+    value = int.from_bytes(data, "big")
+    if value == 0:
+        return np.zeros(1, dtype=np.int8)
+    limbs: List[int] = []  # least-significant limb first
+    while value > 0:
+        value, rem = divmod(value, _LIMB)
+        limbs.append(rem)
+    arr = np.array(limbs[::-1], dtype=np.int64)  # MSD limb first
+    digits = (arr[:, None] // _POW3_DESC[None, :]) % 3
+    flat = digits.ravel().astype(np.int8)
+    first = int(np.argmax(flat != 0))  # minimal representation: strip leading 0s
+    return flat[first:]
 
 
 def bytes_to_trits(data: bytes) -> List[int]:
     """Big-endian bignum -> minimal base-3 digits (MSD first); b''/0 -> [0]."""
-    if not data:
-        return [0]
-    value = int.from_bytes(data, "big")
-    if value == 0:
-        return [0]
-    limbs: List[int] = []
-    while value > 0:
-        value, rem = divmod(value, _LIMB)
-        limbs.append(rem)
-    # all limbs except the most significant contribute exactly
-    # _TRITS_PER_LIMB digits; the last one contributes its minimal digits.
-    out: List[int] = []
-    top = limbs.pop()
-    while top > 0:
-        top, d = divmod(top, 3)
-        out.append(d)
-    out.reverse()
-    for limb in reversed(limbs):
-        digits = [0] * _TRITS_PER_LIMB
-        for i in range(_TRITS_PER_LIMB - 1, -1, -1):
-            limb, digits[i] = divmod(limb, 3)
-        out.extend(digits)
-    return out
+    return _bytes_to_trits_arr(data).tolist()
 
 
-def trits_to_bytes(trits: List[int], target_length_bytes: int) -> bytes:
-    """Base-3 digits (MSD first) -> big-endian bytes of fixed width."""
-    value = 0
+def _trits_to_int(trits: np.ndarray) -> int:
+    """Horner-accumulate base-3 digits (MSD first) into a Python bignum."""
     n = len(trits)
-    for i in range(0, n, _TRITS_PER_LIMB):
-        block = trits[i : i + _TRITS_PER_LIMB]
-        acc = 0
-        for t in block:
-            acc = acc * 3 + t
-        value = value * (3 ** len(block)) + acc
+    if n == 0:
+        return 0
+    pad = (-n) % _TRITS_PER_LIMB
+    if pad:
+        trits = np.concatenate([np.zeros(pad, dtype=trits.dtype), trits])
+    limbs = trits.reshape(-1, _TRITS_PER_LIMB).astype(np.int64) @ _POW3_DESC
+    value = 0
+    for limb in limbs.tolist():
+        value = value * _LIMB + limb
+    return value
+
+
+def trits_to_bytes(trits: Sequence[int], target_length_bytes: int) -> bytes:
+    """Base-3 digits (MSD first) -> big-endian bytes of fixed width."""
+    arr = np.asarray(trits, dtype=np.int64)
+    value = _trits_to_int(arr)
     width = max(1, target_length_bytes)
     data = value.to_bytes(max(width, (value.bit_length() + 7) // 8 or 1), "big")
     if len(data) < target_length_bytes:
@@ -92,21 +119,38 @@ def trits_to_bytes(trits: List[int], target_length_bytes: int) -> bytes:
     return data
 
 
-def trits_to_dna(trits: List[int]) -> str:
-    """Rotation-encode trits into a homopolymer-free ACGT string."""
-    if not trits:
+# ---------------------------------------------------------------------------
+# trits <-> DNA (ops 36-37)
+# ---------------------------------------------------------------------------
+
+
+def _trits_to_dna_arr(t: np.ndarray) -> str:
+    """Vectorized rotation code.  next = t + (t >= prev_base_index); the
+    carry is (t_i > t_{i-1}) at change points and alternates along runs of
+    equal trits (prev trit + carry flips the comparison each step)."""
+    n = len(t)
+    if n == 0:
         return ""
-    out = [_FIRST[trits[0] % 3]]
-    prev = out[0]
-    nxt = _NEXT
-    for t in trits[1:]:
-        prev = nxt[prev][t % 3]
-        out.append(prev)
-    return "".join(out)
+    t = t.astype(np.int8, copy=False) % 3
+    idx = np.arange(n, dtype=np.int64)
+    prev = np.empty(n, dtype=np.int8)
+    prev[0] = 3  # virtual previous base T: reproduces the "ACG" first-trit rule
+    prev[1:] = t[:-1]
+    changed = t != prev  # changed[0] is always True (t < 3)
+    run_start = np.maximum.accumulate(np.where(changed, idx, 0))
+    carry_at_start = (t > prev)[run_start]
+    carry = carry_at_start ^ (((idx - run_start) & 1) == 1)
+    codes = _BASE_CODES[t + carry]
+    return codes.tobytes().decode("ascii")
 
 
-def dna_to_trits(seq: str) -> List[int]:
-    """Inverse rotation decode; unknown bases map to trit 0."""
+def trits_to_dna(trits: Sequence[int]) -> str:
+    """Rotation-encode trits into a homopolymer-free ACGT string."""
+    return _trits_to_dna_arr(np.asarray(trits, dtype=np.int8))
+
+
+def _dna_to_trits_slow(seq: str) -> List[int]:
+    """Reference-exact fallback for sequences containing non-ACGT bases."""
     trits: List[int] = []
     prev = None
     for base in seq.upper():
@@ -122,14 +166,58 @@ def dna_to_trits(seq: str) -> List[int]:
     return trits
 
 
+def _dna_to_trits_arr(seq: str) -> np.ndarray:
+    """Vectorized inverse rotation for valid codec output (ACGT, first base
+    in ACG, no adjacent repeats): t_i = n_i - (n_i > n_{i-1})."""
+    raw = np.frombuffer(seq.encode("ascii"), dtype=np.uint8)
+    b = _CODE_TO_IDX[raw].astype(np.int8)
+    prev = np.empty(len(b), dtype=np.int8)
+    prev[0] = 3
+    prev[1:] = b[:-1]
+    return (b - (b > prev)).astype(np.int8)
+
+
+def _is_fast_decodable(seq: str) -> bool:
+    if not seq or not seq.isascii():
+        return False
+    raw = np.frombuffer(seq.encode("ascii"), dtype=np.uint8)
+    b = _CODE_TO_IDX[raw]
+    if b[0] == 3 or np.any(b == 255):  # leading T or non-ACGT: ref quirk paths
+        return False
+    return not np.any(b[1:] == b[:-1])  # adjacent repeat decodes as trit 0
+
+
+def dna_to_trits(seq: str) -> List[int]:
+    """Inverse rotation decode; unknown bases map to trit 0."""
+    if _is_fast_decodable(seq):
+        return _dna_to_trits_arr(seq).tolist()
+    return _dna_to_trits_slow(seq)
+
+
+# ---------------------------------------------------------------------------
+# composites (ops 38-39)
+# ---------------------------------------------------------------------------
+
+
 def bytes_to_dna(data: bytes) -> str:
     """bytes -> trits -> DNA (ref ``:196-199``)."""
-    return trits_to_dna(bytes_to_trits(data))
+    return _trits_to_dna_arr(_bytes_to_trits_arr(data))
 
 
 def dna_to_bytes(seq: str, target_length_bytes: int) -> bytes:
     """DNA -> trits -> fixed-width bytes (ref ``:201-204``)."""
-    return trits_to_bytes(dna_to_trits(seq), target_length_bytes)
+    if _is_fast_decodable(seq):
+        trits = _dna_to_trits_arr(seq)
+    else:
+        trits = np.asarray(_dna_to_trits_slow(seq), dtype=np.int8)
+    value = _trits_to_int(trits)
+    width = max(1, target_length_bytes)
+    data = value.to_bytes(max(width, (value.bit_length() + 7) // 8 or 1), "big")
+    if len(data) < target_length_bytes:
+        data = b"\x00" * (target_length_bytes - len(data)) + data
+    elif len(data) > target_length_bytes:
+        data = data[-target_length_bytes:]
+    return data
 
 
 def has_homopolymer(seq: str) -> bool:

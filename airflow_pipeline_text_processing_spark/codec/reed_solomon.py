@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from typing import List
 
+import numpy as np
+
 _PRIM = 0x11D
 _GF_EXP = [0] * 512
 _GF_LOG = [0] * 256
@@ -84,20 +86,52 @@ def _generator_poly(nsym: int) -> List[int]:
     return g
 
 
+_EXP_NP = np.array(_GF_EXP, dtype=np.uint8)   # len 512: log-sum lookups need no mod
+_LOG_NP = np.array(_GF_LOG, dtype=np.int16)
+_POW_CACHE: dict = {}  # nsym -> ndarray[maxk, nsym]: row k = x^k mod g(x)
+
+
+def _power_table(nsym: int, maxk: int) -> np.ndarray:
+    """Rows of x^k mod g(x) (nsym bytes, highest degree first), k < maxk."""
+    tbl = _POW_CACHE.get(nsym)
+    if tbl is not None and len(tbl) >= maxk:
+        return tbl
+    gtail = _generator_poly(nsym)[1:]
+    rem = [0] * nsym
+    rem[-1] = 1  # x^0 == 1
+    rows = [list(rem)]
+    for _k in range(1, maxk):
+        top = rem[0]
+        rem = rem[1:] + [0]
+        if top:
+            lt = _GF_LOG[top]
+            rem = [
+                r ^ (_GF_EXP[lt + _GF_LOG[c]] if c else 0)
+                for r, c in zip(rem, gtail)
+            ]
+        rows.append(list(rem))
+    tbl = np.array(rows, dtype=np.uint8)
+    _POW_CACHE[nsym] = tbl
+    return tbl
+
+
 def _encode_block(msg: bytes, nsym: int) -> bytes:
-    gen = _generator_poly(nsym)
-    gen_log = [_GF_LOG[c] if c else -1 for c in gen[1:]]
-    rem = bytearray(nsym)
-    for byte in msg:
-        factor = byte ^ rem[0]
-        del rem[0]
-        rem.append(0)
-        if factor:
-            lf = _GF_LOG[factor]
-            for i, lg in enumerate(gen_log):
-                if lg >= 0:
-                    rem[i] ^= _GF_EXP[lf + lg]
-    return bytes(msg) + bytes(rem)
+    """Systematic parity: remainder of msg(x)*x^nsym / g(x).
+
+    By linearity over GF(2^8) the remainder is the XOR over message bytes of
+    m_i * (x^{L-1-i+nsym} mod g) -- one vectorized log/exp multiply plus an
+    XOR reduction instead of the per-byte synthetic-division loop.
+    """
+    length = len(msg)
+    if length == 0:
+        return bytes(nsym)
+    m = np.frombuffer(msg, dtype=np.uint8)
+    tbl = _power_table(nsym, length + nsym)
+    rows = tbl[np.arange(length - 1, -1, -1) + nsym]  # k = L-1-i+nsym
+    prod = _EXP_NP[_LOG_NP[m][:, None] + _LOG_NP[rows]]
+    prod[(m[:, None] == 0) | (rows == 0)] = 0
+    rem = np.bitwise_xor.reduce(prod, axis=0)
+    return msg + rem.tobytes()
 
 
 def rs_encode(data: bytes, nsym: int = 10, nsize: int = 255) -> bytes:

@@ -38,6 +38,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Repartition UDF-heavy inputs up to core count when the scan yielded
+    fewer partitions (a single small parquet file reads as 1 partition, which
+    would serialize all Python-kernel work onto one core).  At real scale the
+    scan already has >= cores partitions and this is a no-op -- no shuffle."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _cents(col):
     """Deterministic per-row canonicalization: value -> integer cents."""
     return F.floor(col * 100).cast("long")
@@ -596,7 +607,7 @@ ORDER BY d.doc_id
 def codec_roundtrip_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encode+decode every document; if the codec is correct, the number of
     successful round trips equals COUNT(*) -- which IS the oracle."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     enc = docs.withColumn("chunks", encode_chunks(F.col("text")))
     dec = enc.withColumn("rebuilt", decode_chunks(F.col("chunks")))
     return dec.select(
@@ -613,7 +624,7 @@ SELECT COUNT(*) AS n_docs, COUNT(*) AS n_roundtrip_ok FROM documents
 def codec_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document chunk/base statistics (rows-only: DNA lengths are not
     SQL-expressible).  Covers ops 19, 23, 36."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     enc = docs.withColumn("chunks", encode_chunks(F.col("text")))
     return enc.select(
         "doc_id",

@@ -145,6 +145,100 @@ def hyperplane_signatures(
     )
 
 
+def ivf_centroids(
+    candidates: DataFrame,
+    num_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Deterministic coarse centroids for IVF: the ``num_centroids`` vectors
+    with the smallest ``md5(id)`` -- an engine-portable pseudo-random sample
+    (same rule is expressible in the DuckDB oracle).  Returns a LOCAL list
+    ``[(centroid_id, [float, ...]), ...]``: centroids embed into the plan as
+    literals, so cell assignment below is completely shuffle-free.
+
+    ``orderBy(...).limit(C)`` compiles to TakeOrderedAndProject -- a
+    distributed top-C, not a global sort -- so selection scales to any
+    candidate count."""
+    rows = (
+        candidates.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+        .orderBy(F.md5(F.col("vid").cast("string")), "vid")
+        .limit(num_centroids)
+        .collect()
+    )
+    return [(i + 1, [float(x) for x in r.vec]) for i, r in enumerate(rows)]
+
+
+def _centroid_dots(vec_col: str, centroids: list) -> list:
+    return [
+        scaled_dot(F.col(vec_col), F.array(*[F.lit(x) for x in cvec]))
+        for _cid, cvec in centroids
+    ]
+
+
+def ivf_cell(vec_col: str, centroids: list) -> Column:
+    """1-based nearest-centroid id (ties -> lowest id), per row, no shuffle."""
+    dots = F.array(*_centroid_dots(vec_col, centroids))
+    return F.array_position(dots, F.array_max(dots)).cast("int")
+
+
+def ivf_probe_cells(vec_col: str, centroids: list, nprobe: int) -> Column:
+    """The ``nprobe`` nearest centroid ids, best first (ties -> lowest id)."""
+    pairs = F.array(
+        *[
+            F.struct((-d).alias("neg"), F.lit(cid).alias("cid"))
+            for (cid, _cvec), d in zip(centroids, _centroid_dots(vec_col, centroids))
+        ]
+    )
+    return F.transform(
+        F.slice(F.array_sort(pairs), 1, nprobe), lambda s: s["cid"]
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 3,
+    num_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize candidates into cells, probe
+    the query's ``nprobe`` nearest cells, exact cosine rerank inside them.
+
+    ``nprobe == num_centroids`` degenerates to exact brute force (every cell
+    probed), which is the correctness anchor in the tests.  At scale the
+    candidate assignment is a narrow map (centroids are plan literals) and
+    the probe is an equi-join on ``cell`` -- the all-pairs product never
+    materializes."""
+    cents = ivf_centroids(candidates, num_centroids, id_col, vec_col)
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    ).withColumn("cell", ivf_cell("cvec", cents))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    ).withColumn("cell", F.explode(ivf_probe_cells("qvec", cents, nprobe)))
+    scored = (
+        F.broadcast(q)
+        .join(c, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            scaled_cosine(F.col("qvec"), F.col("cvec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def lsh_topk(
     queries: DataFrame,
     candidates: DataFrame,

@@ -250,6 +250,37 @@ ORDER BY l_suppkey
 """
 
 
+def agg_rollup_priority_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy: (priority, year) -> subtotals -> grand total.
+
+    SURVEY §2 Part B lists cube/rollup as engine surface beyond reference
+    semantics; NULL marks the rolled-up levels in both engines identically
+    (o_orderpriority is never NULL in the data, so no ambiguity)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("order_year", F.year("o_orderdate"))
+        .rollup("o_orderpriority", "order_year")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _money_sum(F.col("o_totalprice"), "total_price"),
+        )
+        .orderBy(
+            F.col("o_orderpriority").asc_nulls_first(),
+            F.col("order_year").asc_nulls_first(),
+        )
+    )
+
+
+ROLLUP_SQL = f"""
+SELECT o_orderpriority, EXTRACT(year FROM o_orderdate)::INT AS order_year,
+       COUNT(*) AS n_orders,
+       {_sql_money_sum('o_totalprice', 'total_price')}
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, order_year)
+ORDER BY o_orderpriority ASC NULLS FIRST, order_year ASC NULLS FIRST
+"""
+
+
 def window_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking window: top-3 orders per customer by value (§2 Part B)."""
     orders = _t(spark, sf_dir, "orders")
@@ -656,6 +687,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "join_semi_active_customers": (join_semi_active_customers, SEMI_SQL),
     "join_anti_idle_customers": (join_anti_idle_customers, ANTI_SQL),
     "agg_supplier_part_stats": (agg_supplier_part_stats, AGG_DISTINCT_SQL),
+    "agg_rollup_priority_year": (agg_rollup_priority_year, ROLLUP_SQL),
     "window_top_orders_per_customer": (window_top_orders_per_customer, WINDOW_SQL),
     "window_running_customer_spend": (window_running_customer_spend, WINDOW_RUNNING_SQL),
     "sort_global_topk_orders": (sort_global_topk_orders, TOPK_SQL),

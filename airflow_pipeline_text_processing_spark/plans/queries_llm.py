@@ -278,6 +278,60 @@ ORDER BY query_id, rank
 """
 
 
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate NN: 8 deterministic md5-sampled centroids, probe the
+    2 nearest cells, exact fixed-point cosine rerank inside them."""
+    vecs = _t(spark, sf_dir, "embeddings")
+    return S.ivf_topk(
+        vecs.filter(F.col("vec_id") < 10), vecs, k=3, num_centroids=8, nprobe=2
+    )
+
+
+SIM_IVF_SQL = f"""
+WITH cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+           AS centroid_id,
+         embedding AS cvec
+  FROM (SELECT vec_id, embedding FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8)
+),
+dots AS (
+  SELECT e.vec_id, c.centroid_id,
+         {_sql_sdot('e.embedding', 'c.cvec')} AS dot
+  FROM embeddings e, cent c
+),
+cells AS (
+  SELECT vec_id, centroid_id AS cell FROM (
+    SELECT vec_id, centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY dot DESC, centroid_id) AS rn
+    FROM dots
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, centroid_id AS cell FROM (
+    SELECT vec_id, centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY dot DESC, centroid_id) AS rn
+    FROM dots WHERE vec_id < 10
+  ) WHERE rn <= 2
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         {_sql_cosine('q.embedding', 'c.embedding')} AS cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.query_id
+           ORDER BY {_sql_cosine('q.embedding', 'c.embedding')} DESC, c.vec_id)
+           AS rank
+  FROM probes p
+  JOIN embeddings q ON q.vec_id = p.query_id
+  JOIN cells cc ON cc.cell = p.cell
+  JOIN embeddings c ON c.vec_id = cc.vec_id AND c.vec_id != p.query_id
+) WHERE rank <= 3
+ORDER BY query_id, rank
+"""
+
+
 def sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _t(spark, sf_dir, "embeddings")
     return S.lsh_topk(
@@ -470,6 +524,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_SQL),
     "sim_topk_bruteforce": (sim_topk_bruteforce, SIM_TOPK_SQL),
+    "sim_ivf_topk": (sim_ivf_topk, SIM_IVF_SQL),
     "sim_lsh_bucketed": (sim_lsh_bucketed, SIM_LSH_SQL),
     "text_token_stats": (text_token_stats, TEXT_TOKENS_SQL),
     "text_top_terms": (text_top_terms, TOP_TERMS_SQL),

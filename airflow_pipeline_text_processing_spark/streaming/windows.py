@@ -1,0 +1,124 @@
+"""Structured Streaming analytics: watermarked windows + custom state.
+
+The reference has no event-time processing at all (SURVEY.md §2 Part B:
+its "streaming" is a 30-minute cron over a directory).  These operators are
+the engine's forward-looking surface for the `events` stream shape
+(`event_id, ts, user_id, event_type, value, props`):
+
+* ``watermarked_hourly_counts`` -- tumbling event-time window aggregation
+  with a watermark so late data is bounded and state is dropped; the
+  streaming twin of the batch ``events_hourly_rollup`` query.
+* ``stateful_user_totals`` -- an ``applyInPandasWithState`` custom stateful
+  operator keeping running per-user counters across micro-batches (the
+  pattern for any accumulate-forever / session-style custom state).
+
+Scale notes: watermark + window aggregation shuffles by (window, keys) and
+keeps only in-watermark state; the stateful operator shuffles by user_id
+and holds O(distinct users) state rows -- both are the standard scalable
+shapes for streaming aggregation on a large cluster.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def watermarked_hourly_counts(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Tumbling event-time window counts with bounded lateness.
+
+    Works on a streaming OR batch DataFrame (same plan both ways -- the
+    batch form is what the DuckDB oracle checks via events_hourly_rollup).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
+_TOTALS_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("last_event_type", StringType()),
+    ]
+)
+_TOTALS_STATE = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("total_cents", LongType()),
+        StructField("last_event_type", StringType()),
+    ]
+)
+
+
+def _update_user_totals(
+    key: Tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Accumulate per-user counters across micro-batches.
+
+    Money stays in integer cents inside the state (order-independent and
+    exact); it is only rendered to double on emit.
+    """
+    n, cents, last = state.get if state.exists else (0, 0, None)
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        pdf = pdf.sort_values("ts")
+        n += len(pdf)
+        cents += int((pdf["value"] * 100 // 1).sum())
+        last = str(pdf["event_type"].iloc[-1])
+    state.update((n, cents, last))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [cents / 100.0],
+            "last_event_type": [last],
+        }
+    )
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator: running totals per user.
+
+    Emits the updated (user_id, n_events, total_value, last_event_type) row
+    for every user seen in each micro-batch; state persists across batches
+    in the checkpoint like any built-in streaming aggregation.
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_user_totals,
+        outputStructType=_TOTALS_OUTPUT,
+        stateStructType=_TOTALS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -89,6 +89,33 @@ def test_lsh_topk_self_bucket(spark, vectors):
     assert any(r.neighbor_id == 100 for r in res)
 
 
+def test_ivf_full_probe_equals_brute_force(spark, vectors):
+    """nprobe == num_centroids probes every cell -> must equal brute force."""
+    exact = S.brute_force_topk(
+        vectors.filter(F.col("vec_id") < 3), vectors, k=3
+    ).collect()
+    ivf = S.ivf_topk(
+        vectors.filter(F.col("vec_id") < 3), vectors,
+        k=3, num_centroids=4, nprobe=4,
+    ).collect()
+    assert [(r.query_id, r.neighbor_id, r.rank) for r in ivf] == [
+        (r.query_id, r.neighbor_id, r.rank) for r in exact
+    ]
+    for a, b in zip(ivf, exact):
+        assert a.cosine == b.cosine
+
+
+def test_ivf_partial_probe_bounded_and_ranked(spark, vectors):
+    res = S.ivf_topk(
+        vectors.filter(F.col("vec_id") == 0), vectors,
+        k=3, num_centroids=4, nprobe=2,
+    ).collect()
+    assert 0 < len(res) <= 3
+    assert [r.rank for r in res] == list(range(1, len(res) + 1))
+    cosines = [r.cosine for r in res]
+    assert cosines == sorted(cosines, reverse=True)
+
+
 def test_token_stats_and_quality(spark, corpus):
     stats = {r.doc_id: r for r in T.token_stats(corpus).collect()}
     assert stats[4].n_tokens == 2

@@ -1,0 +1,144 @@
+"""Structured Streaming: ingest dedup, watermarked windows, custom state.
+
+Each test drives a real streaming query with ``availableNow`` triggers
+(catch-up-then-stop), the deterministic local twin of the reference's
+30-minute cron cadence (SURVEY.md §2 op 45).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pyspark.sql.functions as F
+import pytest
+
+from airflow_pipeline_text_processing_spark.plans.pipeline import PipelineConfig
+from airflow_pipeline_text_processing_spark.sources.tracking import TrackingTable
+from airflow_pipeline_text_processing_spark.streaming.ingest import streaming_ingest
+from airflow_pipeline_text_processing_spark.streaming.windows import (
+    stateful_user_totals,
+    watermarked_hourly_counts,
+)
+
+
+def _await(query, timeout=120):
+    query.awaitTermination(timeout)
+    assert not query.isActive
+
+
+def test_streaming_ingest_dedups_by_content(spark, tmp_path):
+    inp = tmp_path / "in"
+    inp.mkdir()
+    (inp / "a.txt").write_text("hello streaming world", encoding="utf-8")
+    (inp / "b.txt").write_text("autre document éàç", encoding="utf-8")
+    cfg = PipelineConfig(
+        input_dir=str(inp),
+        output_dir=str(tmp_path / "out"),
+        tracking_path=str(tmp_path / "tracking"),
+        dlq_dir=str(tmp_path / "dlq"),
+    )
+    _await(streaming_ingest(spark, cfg, str(tmp_path / "ckpt1")))
+    tracking = TrackingTable(spark, cfg.tracking_path)
+    assert tracking.count() == 2
+    chunks = spark.read.parquet(f"{cfg.output_dir}/chunks")
+    assert chunks.count() >= 2
+
+    # same CONTENT at a new path + genuinely new content: only the new
+    # content may process (content-hash dedup, stronger than the file-source
+    # checkpoint's path dedup -- SURVEY.md §4)
+    (inp / "a_copy.txt").write_text("hello streaming world", encoding="utf-8")
+    (inp / "c.txt").write_text("troisième document", encoding="utf-8")
+    _await(streaming_ingest(spark, cfg, str(tmp_path / "ckpt2")))
+    assert tracking.count() == 3
+    hashes = [r.file_hash for r in tracking.current().collect()]
+    assert len(set(hashes)) == 3
+
+
+def test_watermarked_hourly_counts_stream_matches_batch(spark, tmp_path):
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    if dict(events.dtypes).get("ts") == "bigint":
+        events = events.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    src = tmp_path / "events"
+    events.coalesce(2).write.parquet(str(src))
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(str(src)).schema
+    ).parquet(str(src))
+    out = watermarked_hourly_counts(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hourly_counts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.value_cents)
+        for r in spark.sql("SELECT * FROM hourly_counts").collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.value_cents)
+        for r in watermarked_hourly_counts(
+            spark.read.parquet(str(src))
+        ).collect()
+    }
+    # append mode only emits windows the watermark has closed; everything
+    # emitted must match the batch answer exactly, and most windows close
+    assert got, "stream emitted nothing"
+    assert set(got).issubset(set(want))
+    for k, v in got.items():
+        assert want[k] == v
+    assert len(got) >= len(want) * 0.5
+
+
+def test_stateful_user_totals_accumulates_across_batches(spark, tmp_path):
+    events = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .limit(400)
+        .cache()
+    )
+    if dict(events.dtypes).get("ts") == "bigint":
+        events = events.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    src = tmp_path / "events"
+    # several files -> several availableNow micro-batches (maxFilesPerTrigger)
+    events.repartition(4).write.parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(str(src)).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        stateful_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("user_totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    # the LAST emission per user must equal the batch ground truth
+    emitted = spark.sql(
+        "SELECT user_id, n_events, total_value FROM user_totals"
+    ).toPandas()
+    final = emitted.groupby("user_id").apply(
+        lambda g: g.loc[g["n_events"].idxmax()], include_groups=False
+    )
+    truth = {
+        r.user_id: (r.n, r.cents)
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        .collect()
+    }
+    assert len(final) == len(truth)
+    for user_id, row in final.iterrows():
+        n, cents = truth[user_id]
+        assert int(row["n_events"]) == n
+        assert abs(row["total_value"] - cents / 100.0) < 1e-9

@@ -55,20 +55,22 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
     rows = [tuple(norm_cell(v) for v in row) for row in df.itertuples(index=False)]
     rows.sort(key=lambda r: tuple((x is None, str(type(x)), str(x)) for x in r))
-    return pd.DataFrame(rows, columns=sorted(df.columns))
+    # keep rows as python tuples: round-tripping through a DataFrame would
+    # turn None back into NaN in numeric columns and break NULL comparison
+    return sorted(df.columns), rows
 
 
 def compare(name: str, spark_df, oracle_df) -> list[str]:
     issues = []
-    a, b = normalize(spark_df), normalize(oracle_df)
-    if list(a.columns) != list(b.columns):
-        issues.append(f"columns differ: spark={list(a.columns)} oracle={list(b.columns)}")
+    (cols_a, a), (cols_b, b) = normalize(spark_df), normalize(oracle_df)
+    if cols_a != cols_b:
+        issues.append(f"columns differ: spark={cols_a} oracle={cols_b}")
         return issues
     if len(a) != len(b):
         issues.append(f"row count differs: spark={len(a)} oracle={len(b)}")
         return issues
     for i in range(len(a)):
-        ra, rb = tuple(a.iloc[i]), tuple(b.iloc[i])
+        ra, rb = a[i], b[i]
         if ra != rb:
             issues.append(f"row {i} differs:\n  spark : {ra}\n  oracle: {rb}")
             if len(issues) >= 4:

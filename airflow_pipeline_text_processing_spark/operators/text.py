@@ -32,6 +32,18 @@ def tokens(col: Column) -> Column:
     )
 
 
+# BPE-ish pre-tokenization (GPT-2-family shape, simplified to the subset
+# whose semantics agree between Java regex (Spark) and RE2 (DuckDB)):
+# contraction suffixes | letter runs | digit runs | non-space symbol runs
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_tokens(col: Column) -> Column:
+    """BPE-style pre-tokens (the unit a byte-pair tokenizer would merge
+    over); the standard LLM-pipeline token-count proxy."""
+    return F.regexp_extract_all(col, F.lit(BPE_PATTERN), 0)
+
+
 def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document token counting (whitespace/punct tokenizer)."""
     toks = tokens(F.col(text_col))

@@ -400,6 +400,29 @@ FROM toks ORDER BY doc_id
 """
 
 
+def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-token counts (the LLM token-count proxy)."""
+    docs = _t(spark, sf_dir, "documents")
+    tk = T.bpe_tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(tk).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(tk)).alias("n_unique_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+TEXT_BPE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '{T.BPE_PATTERN.replace("'", "''")}') AS tk
+  FROM documents
+)
+SELECT doc_id, len(tk) AS n_bpe_tokens,
+       len(list_distinct(tk)) AS n_unique_bpe_tokens
+FROM toks ORDER BY doc_id
+"""
+
+
 def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.top_terms(_t(spark, sf_dir, "documents"), k=20)
 
@@ -527,6 +550,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "sim_ivf_topk": (sim_ivf_topk, SIM_IVF_SQL),
     "sim_lsh_bucketed": (sim_lsh_bucketed, SIM_LSH_SQL),
     "text_token_stats": (text_token_stats, TEXT_TOKENS_SQL),
+    "text_bpe_token_stats": (text_bpe_token_stats, TEXT_BPE_SQL),
     "text_top_terms": (text_top_terms, TOP_TERMS_SQL),
     "text_quality_score": (text_quality_score, QUALITY_SQL),
     "text_lang_id": (text_lang_id, LANG_SQL),

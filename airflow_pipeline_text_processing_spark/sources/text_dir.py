@@ -41,6 +41,32 @@ def read_text_dir(
     return with_descriptor(raw)
 
 
+BOOTSTRAP_TEXT = (
+    "Lorem ipsum dolor sit amet, consectetur adipiscing elit. "
+    "Sed do eiusmod tempor incididunt ut labore et dolore magna aliqua. "
+    "Ut enim ad minim veniam, quis nostrud exercitation ullamco laboris "
+    "nisi ut aliquip ex ea commodo consequat.\n"
+)
+
+
+def bootstrap_sample(input_dir: str, filename: str = "sample_input.txt"):
+    """Reference op 3 (``dags/dag.py:426-443``): when the input directory has
+    no ``.txt`` files yet, write a lorem-ipsum fixture so a first pipeline
+    run has something to process.  Returns the created path, or None if the
+    directory already has input.  Driver-side fixture logic, not a
+    distributed operator (SURVEY.md keeps it off the core path)."""
+    import glob as _glob
+    import os
+
+    os.makedirs(input_dir, exist_ok=True)
+    if _glob.glob(os.path.join(input_dir, "*.txt")):
+        return None
+    path = os.path.join(input_dir, filename)
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(BOOTSTRAP_TEXT)
+    return path
+
+
 def with_descriptor(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the reference's file-descriptor columns to any text DataFrame."""
     utf8 = F.encode(F.col(text_col), "UTF-8")

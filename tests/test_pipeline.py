@@ -126,6 +126,16 @@ def test_run_pipeline_idempotent(spark, tmp_path):
     assert chunks.count() >= 4
 
 
+def test_bootstrap_sample_only_when_empty(tmp_path):
+    from airflow_pipeline_text_processing_spark.sources.text_dir import (
+        bootstrap_sample,
+    )
+
+    made = bootstrap_sample(str(tmp_path / "inp"))
+    assert made is not None and made.endswith("sample_input.txt")
+    assert bootstrap_sample(str(tmp_path / "inp")) is None  # idempotent
+
+
 def test_tracking_status_update(spark, tmp_path):
     t = TrackingTable(spark, str(tmp_path / "track"))
     recs = spark.createDataFrame(

@@ -24,7 +24,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
-from .similarity import scaled_cosine
+from .similarity import hyperplane_signatures, scaled_cosine
 from .text import tokens
 
 
@@ -243,28 +243,91 @@ def simhash_signatures(
     )
 
 
-def simhash_pairs(
-    docs: DataFrame,
-    max_hamming: int = 6,
-    bits: int = 32,
-    text_col: str = "text",
-) -> DataFrame:
-    """Pairs (a < b) whose simhash Hamming distance <= max_hamming."""
-    sigs = simhash_signatures(docs, bits, text_col)
-    a, b = sigs.alias("a"), sigs.alias("b")
-    hamming = F.size(
+def _hamming(bits: int) -> Column:
+    return F.size(
         F.filter(
             F.sequence(F.lit(1), F.lit(bits)),
             lambda i: F.substring(F.col("a.simhash"), i, 1)
             != F.substring(F.col("b.simhash"), i, 1),
         )
     )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 6,
+    bits: int = 32,
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairs (a < b) whose simhash Hamming distance <= max_hamming.
+
+    Candidate generation is bucket-local and LOSSLESS: split every
+    signature into ``max_hamming + 1`` segments -- by pigeonhole, any pair
+    within the Hamming budget matches at least one segment exactly -- and
+    join on (segment index, segment value).  At 100 TB the |docs|^2 product
+    never materializes; only same-segment collisions are verified.
+    """
+    sigs = simhash_signatures(docs, bits, text_col)
+    nseg = max_hamming + 1
+    base, extra = divmod(bits, nseg)
+    bounds, start = [], 1
+    for s in range(nseg):
+        length = base + (1 if s < extra else 0)
+        bounds.append((start, length))
+        start += length
+    seg = sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(*[F.substring("simhash", st, ln) for st, ln in bounds])
+        ).alias("seg_idx", "seg_val"),
+    )
+    a, b = seg.alias("a"), seg.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.seg_idx") == F.col("b.seg_idx"))
+            & (F.col("a.seg_val") == F.col("b.seg_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.lit(bits)),
+            lambda i: F.substring(F.col("sim_a"), i, 1)
+            != F.substring(F.col("sim_b"), i, 1),
+        )
+    )
+    return (
+        cands.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash_pairs_allpairs(
+    docs: DataFrame,
+    max_hamming: int = 6,
+    bits: int = 32,
+    text_col: str = "text",
+) -> DataFrame:
+    """Reference formulation: all-pairs theta join.  O(|docs|^2) -- kept as
+    the correctness anchor for the banded version; do not use at scale."""
+    sigs = simhash_signatures(docs, bits, text_col)
+    a, b = sigs.alias("a"), sigs.alias("b")
     return (
         a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            hamming.alias("hamming"),
+            _hamming(bits).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .orderBy("doc_a", "doc_b")
@@ -274,13 +337,50 @@ def simhash_pairs(
 # -------------------------------------------------- embedding near-dup
 
 
+def embedding_dedup_pairs_lsh(
+    vectors: DataFrame,
+    threshold: float = 0.99,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path: hyperplane-LSH bucket the vectors, verify exact cosine
+    only within buckets.  Near-identical vectors (cosine ~ 1) agree on
+    (almost) every hyperplane sign, so recall at dedup thresholds is high
+    while the |vectors|^2 product never materializes.  Approximate: a pair
+    split by one hyperplane is missed -- use ``embedding_dedup_pairs`` when
+    exactness matters more than scale."""
+    sigs = hyperplane_signatures(vectors, num_planes, id_col, vec_col)
+    tagged = vectors.join(sigs, vectors[id_col] == sigs["vid"]).select(
+        F.col(id_col).alias("vid2"), F.col(vec_col).alias("vec"), "bucket"
+    )
+    a = tagged.select(
+        F.col("vid2").alias("id_a"), F.col("vec").alias("vec_a"), "bucket"
+    )
+    b = tagged.select(
+        F.col("vid2").alias("id_b"), F.col("vec").alias("vec_b"), "bucket"
+    )
+    return (
+        a.join(b, ["bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            scaled_cosine(F.col("vec_a"), F.col("vec_b")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
 def embedding_dedup_pairs(
     vectors: DataFrame,
     threshold: float = 0.99,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Pairs (a < b) with canonicalized cosine >= threshold."""
+    """Pairs (a < b) with canonicalized cosine >= threshold (exact,
+    all-pairs -- the correctness anchor; see the LSH variant for scale)."""
     a = vectors.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
     )

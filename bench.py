@@ -18,7 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# headline set: the heavy hitters across scan/join/agg/window/codec
+# headline set: the heavy hitters across scan/join/agg/window/codec/LLM-ops
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -29,11 +29,14 @@ BENCH_QUERIES = [
     "events_sessionize",
     "reassembly_ordered_chunks",
     "codec_roundtrip_count",
+    "dedup_minhash_lsh",
+    "sim_ivf_topk",
+    "text_bpe_token_stats",
 ]
 
 
 def main() -> None:
-    from airflow_pipeline_text_processing_spark.plans.queries import REGISTRY
+    from __spark_entry__ import REGISTRY
     from airflow_pipeline_text_processing_spark.session import get_spark
 
     spark = get_spark("bench")

@@ -48,6 +48,15 @@ def test_minhash_lsh_candidates_include_dups(spark, corpus):
     assert (0, 2) not in pairs
 
 
+def test_simhash_banded_equals_allpairs(spark, corpus):
+    """Pigeonhole banding is lossless: identical pairs to the O(n^2) join."""
+    banded = D.simhash_pairs(corpus, max_hamming=6).collect()
+    allp = D.simhash_pairs_allpairs(corpus, max_hamming=6).collect()
+    assert [(r.doc_a, r.doc_b, r.hamming) for r in banded] == [
+        (r.doc_a, r.doc_b, r.hamming) for r in allp
+    ]
+
+
 def test_simhash_distance_orders_similarity(spark, corpus):
     pairs = {(r.doc_a, r.doc_b): r.hamming for r in
              D.simhash_pairs(corpus, max_hamming=32).collect()}
@@ -70,6 +79,13 @@ def test_embedding_dedup_finds_scaled_copy(spark, vectors):
     pairs = D.embedding_dedup_pairs(vectors, threshold=0.99).collect()
     assert [(r.id_a, r.id_b) for r in pairs] == [(0, 100)]
     assert pairs[0].cosine == pytest.approx(1.0, abs=1e-4)
+
+
+def test_embedding_dedup_lsh_finds_scaled_copy(spark, vectors):
+    pairs = D.embedding_dedup_pairs_lsh(vectors, threshold=0.99).collect()
+    assert (0, 100) in [(r.id_a, r.id_b) for r in pairs]
+    exact = {(r.id_a, r.id_b) for r in D.embedding_dedup_pairs(vectors, 0.99).collect()}
+    assert {(r.id_a, r.id_b) for r in pairs} <= exact  # no false positives
 
 
 def test_brute_force_topk(spark, vectors):

@@ -19,6 +19,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     DoubleType,
     LongType,
     StringType,
@@ -73,6 +74,53 @@ def decode_media(payload: bytes, kind: str, fake: bool = False):
         buckets[byte // 64] += 1
     total = max(len(payload), 1)
     return [b / total for b in buckets]
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_bytes", BinaryType()),
+        StructField("frame_offset", LongType()),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, num_frames: int = 4, frame_size: int = 256
+) -> DataFrame:
+    """1 -> N frame sampling over video payloads (``mapInPandas``).
+
+    REAL FRAME DECODE IS STUBBED (no ffmpeg in this container): a "frame"
+    is a deterministic evenly-strided byte slice of the payload.  The
+    distributed shape is the real thing -- Arrow-batched row expansion with
+    a binary output column, exactly how a video pipeline fans frames out
+    for downstream embedding at scale.
+    """
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids, idxs, frames, offsets = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None or len(payload) == 0:
+                    continue
+                stride = max(len(payload) // num_frames, 1)
+                for i in range(min(num_frames, len(payload))):
+                    off = i * stride
+                    doc_ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(bytes(payload[off : off + frame_size]))
+                    offsets.append(off)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(doc_ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_bytes": pd.Series(frames, dtype="object"),
+                    "frame_offset": pd.Series(offsets, dtype="int64"),
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(_sample, FRAME_SCHEMA)
 
 
 def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:

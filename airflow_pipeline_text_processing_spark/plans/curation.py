@@ -1,0 +1,106 @@
+"""Training-data curation: the LLM-pipeline operators composed end-to-end.
+
+One declarative job over a raw document corpus:
+
+1. **exact dedup** -- one winner per content hash (min doc_id);
+2. **per-document analytics in a single narrow pass** -- BPE-ish token
+   count, quality score, language ID are all column expressions computed
+   together (no joins between analytic stages, one scan);
+3. **filter** by token floor / quality floor / language allowlist;
+4. **token budget** -- keep the best documents (quality-descending) until
+   the cumulative token count reaches the budget: the "fill the training
+   mix" step.
+
+Scale notes: stages 1-3 are hash-partition + narrow work.  The budget cut
+(stage 4) is a global running sum -- a single-partition window over the
+already-filtered slim rows (doc_id + 3 numbers; at 100 TB run it on the
+survivor summary, not the corpus, or replace with an approximate quantile
+threshold via ``approxQuantile`` when even survivors are huge).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from ..operators.text import (
+    LANG_MARKERS,
+    PUNCT_CLASS,
+    STOPWORDS,
+    bpe_tokens,
+    tokens,
+)
+
+
+def curate_documents(
+    docs: DataFrame,
+    min_tokens: int = 20,
+    min_quality: float = 0.15,
+    langs: Optional[Sequence[str]] = None,
+    token_budget: Optional[int] = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Curated training subset with per-doc analytics.
+
+    Returns ``doc_id, predicted_lang, n_bpe_tokens, quality, cum_tokens``
+    ordered by selection priority (quality desc).
+    """
+    toks = tokens(F.col(text_col))
+    n_toks = F.size(toks)
+    quality = (
+        (
+            F.size(F.filter(toks, lambda t: t.isin(STOPWORDS))).cast("double")
+            / n_toks
+        )
+        * 0.4
+        + (F.size(F.array_distinct(toks)).cast("double") / n_toks) * 0.4
+        - (
+            (
+                F.length(text_col)
+                - F.length(F.regexp_replace(F.col(text_col), PUNCT_CLASS, ""))
+            ).cast("double")
+            / F.length(text_col)
+        )
+        * 0.2
+    )
+    hits = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = F.greatest(*hits.values())
+    pred = F.when(best == 0, F.lit("unknown"))
+    for lang in LANG_MARKERS:  # fixed order = deterministic tiebreak
+        pred = pred.when(hits[lang] == best, F.lit(lang))
+
+    base = docs.select(
+        "doc_id",
+        F.md5(F.col(text_col)).alias("content_hash"),
+        F.size(bpe_tokens(F.col(text_col))).alias("n_bpe_tokens"),
+        quality.alias("quality"),
+        pred.alias("predicted_lang"),
+    )
+    deduped = (
+        base.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("content_hash").orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "content_hash")
+    )
+    kept = deduped.filter(
+        (F.col("n_bpe_tokens") >= min_tokens) & (F.col("quality") >= min_quality)
+    )
+    if langs is not None:
+        kept = kept.filter(F.col("predicted_lang").isin(list(langs)))
+
+    w = Window.orderBy(F.col("quality").desc(), F.col("doc_id"))
+    ranked = kept.withColumn(
+        "cum_tokens", F.sum("n_bpe_tokens").over(w)
+    )
+    if token_budget is not None:
+        ranked = ranked.filter(F.col("cum_tokens") <= token_budget)
+    return ranked.orderBy(F.col("quality").desc(), F.col("doc_id"))

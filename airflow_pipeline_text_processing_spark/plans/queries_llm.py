@@ -536,6 +536,100 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.extract_features(media, fake=True).orderBy("doc_id")
 
 
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1->N frame sampling over binary payloads; the oracle checks the
+    sampling geometry (row fan-out, offsets, slice lengths) -- frame BYTES
+    are covered by pytest since DuckDB cannot slice blobs."""
+    media = MM.attach_payload(_t(spark, sf_dir, "documents"))
+    return (
+        MM.sample_frames(media, num_frames=4, frame_size=256)
+        .select(
+            "doc_id",
+            "frame_idx",
+            "frame_offset",
+            F.octet_length("frame_bytes").cast("long").alias("frame_len"),
+        )
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+MM_FRAMES_SQL = """
+WITH media AS (
+  SELECT doc_id, octet_length(encode(text)) AS plen FROM documents
+)
+SELECT doc_id, g.i AS frame_idx,
+       CAST(g.i * greatest(plen // 4, 1) AS BIGINT) AS frame_offset,
+       CAST(least(256, plen - g.i * greatest(plen // 4, 1)) AS BIGINT)
+         AS frame_len
+FROM media, LATERAL (SELECT UNNEST(generate_series(0, 3)) AS i) g
+WHERE g.i < least(4, plen) AND plen > 0
+ORDER BY doc_id, frame_idx
+"""
+
+
+def curation_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation: dedup -> analytics -> filters -> token budget
+    (plans/curation.py); the composed LLM-data-prep pipeline."""
+    from .curation import curate_documents
+
+    return curate_documents(
+        _t(spark, sf_dir, "documents"),
+        min_tokens=20,
+        min_quality=0.15,
+        token_budget=10_000,
+    )
+
+
+CURATION_SQL = f"""
+WITH base AS (
+  SELECT doc_id, md5(text) AS content_hash,
+         len(regexp_extract_all(text, '{T.BPE_PATTERN.replace("'", "''")}'))
+           AS n_bpe_tokens,
+         {TOKS_SQL} AS tk,
+         LENGTH(text) AS n_chars,
+         LENGTH(text) - LENGTH(regexp_replace(text, '[.,;:!?]', '', 'g'))
+           AS punct
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, content_hash, n_bpe_tokens,
+         (CAST(len(list_filter(tk,
+              t -> list_contains(['the','a','and','of','to','in','is','for','on','with'], t)))
+           AS DOUBLE) / len(tk)) * 0.4
+         + (CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)) * 0.4
+         - (CAST(punct AS DOUBLE) / n_chars) * 0.2 AS quality,
+         {", ".join(f"len(list_filter(tk, t -> {_MARKER_SQL[lang]})) AS hits_{lang}" for lang in T.LANG_MARKERS)}
+  FROM base
+),
+labeled AS (
+  SELECT doc_id, content_hash, n_bpe_tokens, quality,
+         CASE WHEN greatest({", ".join(f"hits_{lang}" for lang in T.LANG_MARKERS)}) = 0 THEN 'unknown'
+              {" ".join(f"WHEN hits_{lang} = greatest({', '.join(f'hits_{l2}' for l2 in T.LANG_MARKERS)}) THEN '{lang}'" for lang in T.LANG_MARKERS)}
+         END AS predicted_lang
+  FROM scored
+),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY content_hash ORDER BY doc_id)
+      AS rn
+    FROM labeled
+  ) WHERE rn = 1
+),
+kept AS (
+  SELECT doc_id, predicted_lang, n_bpe_tokens, quality
+  FROM deduped WHERE n_bpe_tokens >= 20 AND quality >= 0.15
+),
+budgeted AS (
+  SELECT *, SUM(n_bpe_tokens) OVER (ORDER BY quality DESC, doc_id)
+    AS cum_tokens
+  FROM kept
+)
+SELECT doc_id, predicted_lang, n_bpe_tokens, quality, cum_tokens
+FROM budgeted WHERE cum_tokens <= 10000
+ORDER BY quality DESC, doc_id
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -557,4 +651,6 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "text_fingerprint": (text_fingerprint, FINGERPRINT_SQL),
     "mm_binary_stats": (mm_binary_stats, MM_STATS_SQL),
     "mm_feature_extract": (mm_feature_extract, None),
+    "mm_frame_sample": (mm_frame_sample, MM_FRAMES_SQL),
+    "curation_training_set": (curation_training_set, CURATION_SQL),
 }

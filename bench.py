@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "sim_ivf_topk",
     "text_bpe_token_stats",
+    "curation_training_set",
 ]
 
 

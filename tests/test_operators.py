@@ -169,6 +169,24 @@ def test_multimodal_plumbing(spark, corpus):
         assert r.n_bytes > 0
 
 
+def test_frame_sampling_slices_deterministically(spark, corpus):
+    media = MM.attach_payload(corpus)
+    frames = {
+        (r.doc_id, r.frame_idx): (r.frame_bytes, r.frame_offset)
+        for r in MM.sample_frames(media, num_frames=4, frame_size=8).collect()
+    }
+    texts = {r.doc_id: r.text.encode("utf-8") for r in corpus.collect()}
+    for (doc_id, idx), (fb, off) in frames.items():
+        payload = texts[doc_id]
+        stride = max(len(payload) // 4, 1)
+        assert off == idx * stride
+        assert bytes(fb) == payload[off : off + 8]
+    assert all(
+        len([1 for (d, _i) in frames if d == doc_id]) == min(4, len(t))
+        for doc_id, t in texts.items()
+    )
+
+
 def test_decode_media_stub_raises():
     with pytest.raises(NotImplementedError):
         MM.decode_media(b"payload", "image", fake=False)

@@ -24,7 +24,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
-from .similarity import hyperplane_signatures, scaled_cosine
+from .similarity import hyperplane_signatures, infer_dim, scaled_cosine
 from .text import tokens
 
 
@@ -350,6 +350,7 @@ def embedding_dedup_pairs_lsh(
     while the |vectors|^2 product never materializes.  Approximate: a pair
     split by one hyperplane is missed -- use ``embedding_dedup_pairs`` when
     exactness matters more than scale."""
+    dim = infer_dim(vectors, vec_col)
     sigs = hyperplane_signatures(vectors, num_planes, id_col, vec_col)
     tagged = vectors.join(sigs, vectors[id_col] == sigs["vid"]).select(
         F.col(id_col).alias("vid2"), F.col(vec_col).alias("vec"), "bucket"
@@ -366,7 +367,7 @@ def embedding_dedup_pairs_lsh(
         .select(
             "id_a",
             "id_b",
-            scaled_cosine(F.col("vec_a"), F.col("vec_b")).alias("cosine"),
+            scaled_cosine(F.col("vec_a"), F.col("vec_b"), dim).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
         .orderBy("id_a", "id_b")
@@ -381,6 +382,7 @@ def embedding_dedup_pairs(
 ) -> DataFrame:
     """Pairs (a < b) with canonicalized cosine >= threshold (exact,
     all-pairs -- the correctness anchor; see the LSH variant for scale)."""
+    dim = infer_dim(vectors, vec_col)
     a = vectors.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
     )
@@ -392,7 +394,7 @@ def embedding_dedup_pairs(
         .select(
             "id_a",
             "id_b",
-            scaled_cosine(F.col("vec_a"), F.col("vec_b")).alias("cosine"),
+            scaled_cosine(F.col("vec_a"), F.col("vec_b"), dim).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
         .orderBy("id_a", "id_b")

@@ -24,7 +24,12 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
-from .similarity import hyperplane_signatures, infer_dim, scaled_cosine
+from .similarity import (
+    cosine_from_norms,
+    hyperplane_signatures,
+    infer_dim,
+    scaled_norm2,
+)
 from .text import tokens
 
 
@@ -172,6 +177,40 @@ def lsh_candidate_pairs(
     )
 
 
+def jaccard_for_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Exact word-shingle Jaccard computed ONLY for the given (doc_a, doc_b)
+    pairs: join each side's distinct-shingle array onto the pair, intersect.
+    Cost is O(|pairs| * shingles-per-doc) -- independent of how many
+    unrelated documents share a hot shingle, unlike the full inverted-index
+    self-join in ``jaccard_pairs``."""
+    sets = docs.select(
+        "doc_id", word_shingles(F.col(text_col), n).alias("sh_set")
+    )
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("sh_a"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("sh_b"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("n_common"),
+            F.size("sh_a").alias("size_a"),
+            F.size("sh_b").alias("size_b"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+        )
+    )
+
+
 def minhash_dedup_pairs(
     docs: DataFrame,
     threshold: float = 0.5,
@@ -181,13 +220,17 @@ def minhash_dedup_pairs(
     n: int = 3,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures -> banded candidates
-    -> exact-Jaccard verification >= threshold."""
+    -> exact-Jaccard verification >= threshold.
+
+    Verification runs only over the candidate pairs (``jaccard_for_pairs``),
+    never the full shingle self-join: at 100 TB the all-sharing-pairs
+    product is exactly the blow-up LSH exists to avoid."""
     candidates = lsh_candidate_pairs(
         minhash_signatures(docs, num_perm, text_col, n), band_size
     )
-    verified = jaccard_pairs(docs, threshold, text_col, n)
     return (
-        candidates.join(verified, ["doc_a", "doc_b"])
+        jaccard_for_pairs(docs, candidates, text_col, n)
+        .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     )
@@ -353,13 +396,22 @@ def embedding_dedup_pairs_lsh(
     dim = infer_dim(vectors, vec_col)
     sigs = hyperplane_signatures(vectors, num_planes, id_col, vec_col)
     tagged = vectors.join(sigs, vectors[id_col] == sigs["vid"]).select(
-        F.col(id_col).alias("vid2"), F.col(vec_col).alias("vec"), "bucket"
+        F.col(id_col).alias("vid2"),
+        F.col(vec_col).alias("vec"),
+        scaled_norm2(F.col(vec_col), dim).alias("norm"),
+        "bucket",
     )
     a = tagged.select(
-        F.col("vid2").alias("id_a"), F.col("vec").alias("vec_a"), "bucket"
+        F.col("vid2").alias("id_a"),
+        F.col("vec").alias("vec_a"),
+        F.col("norm").alias("norm_a"),
+        "bucket",
     )
     b = tagged.select(
-        F.col("vid2").alias("id_b"), F.col("vec").alias("vec_b"), "bucket"
+        F.col("vid2").alias("id_b"),
+        F.col("vec").alias("vec_b"),
+        F.col("norm").alias("norm_b"),
+        "bucket",
     )
     return (
         a.join(b, ["bucket"])
@@ -367,7 +419,9 @@ def embedding_dedup_pairs_lsh(
         .select(
             "id_a",
             "id_b",
-            scaled_cosine(F.col("vec_a"), F.col("vec_b"), dim).alias("cosine"),
+            cosine_from_norms(
+                F.col("vec_a"), F.col("vec_b"), F.col("norm_a"), F.col("norm_b"), dim
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
         .orderBy("id_a", "id_b")
@@ -384,17 +438,23 @@ def embedding_dedup_pairs(
     all-pairs -- the correctness anchor; see the LSH variant for scale)."""
     dim = infer_dim(vectors, vec_col)
     a = vectors.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        scaled_norm2(F.col(vec_col), dim).alias("norm_a"),
     )
     b = vectors.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        scaled_norm2(F.col(vec_col), dim).alias("norm_b"),
     )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            scaled_cosine(F.col("vec_a"), F.col("vec_b"), dim).alias("cosine"),
+            cosine_from_norms(
+                F.col("vec_a"), F.col("vec_b"), F.col("norm_a"), F.col("norm_b"), dim
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
         .orderBy("id_a", "id_b")

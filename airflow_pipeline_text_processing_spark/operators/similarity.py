@@ -26,17 +26,24 @@ from pyspark.sql import Column, DataFrame, Window
 
 DOT_SCALE = 1_000_000.0
 
+# Unroll the dot product into flat arithmetic only below this width.  A
+# left-deep chain of 3*dim FLOOR/mul/cast nodes blows past janino's 64 KB
+# method limit around dim~32: codegen fails, Spark logs the whole plan and
+# falls back to interpreted evaluation of the monster expression -- measured
+# 38s->126s per run at dim=64 vs ~3s for the higher-order form.  HOFs
+# (zip_with/aggregate) are evaluated JVM-side per batch and stay fast at any
+# width, so they are the default; unrolling only pays below this cutoff.
+UNROLL_MAX_DIM = 16
+
 
 def scaled_dot(a: Column, b: Column, dim: Optional[int] = None) -> Column:
     """Order-independent fixed-point dot product (BIGINT).
 
-    When ``dim`` is known, the sum unrolls into plain arithmetic over
-    ``element_at`` -- whole-stage-codegen territory, ~100x faster than the
-    generic form: Spark's higher-order functions (``zip_with``/
-    ``aggregate``) are interpreted per element, never code-generated.
-    Both forms compute floor(a_i*b_i*1e6) per component, so results are
-    bit-identical."""
-    if dim is not None:
+    When ``dim`` is known and small, the sum unrolls into plain arithmetic
+    over ``element_at`` (whole-stage-codegen territory); wider vectors use
+    the higher-order form (see ``UNROLL_MAX_DIM``).  Both forms compute
+    floor(a_i*b_i*1e6) per component, so results are bit-identical."""
+    if dim is not None and dim <= UNROLL_MAX_DIM:
         return reduce(
             Column.__add__,
             [
@@ -73,6 +80,19 @@ def scaled_cosine(a: Column, b: Column, dim: Optional[int] = None) -> Column:
     )
 
 
+def cosine_from_norms(
+    a: Column, b: Column, norm_a: Column, norm_b: Column, dim: Optional[int] = None
+) -> Column:
+    """Cosine with the two fixed-point norms precomputed per VECTOR rather
+    than per pair: in any pairwise join the naive form evaluates three dot
+    products per pair, two of which depend only on one side.  Projecting
+    ``scaled_norm2`` onto each side before the join cuts per-pair work to
+    one dot product; the arithmetic (and therefore the result) is identical."""
+    return scaled_dot(a, b, dim).cast("double") / (
+        F.sqrt(norm_a.cast("double")) * F.sqrt(norm_b.cast("double"))
+    )
+
+
 def infer_dim(vectors: DataFrame, vec_col: str = "embedding") -> Optional[int]:
     """Embedding width from the first row (one tiny driver action); None on
     an empty input, which safely selects the generic dot-product form."""
@@ -90,10 +110,14 @@ def brute_force_topk(
     """Exact cosine top-k neighbors per query (excluding self)."""
     dim = infer_dim(candidates, vec_col)
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        scaled_norm2(F.col(vec_col), dim).alias("qnorm"),
     )
     c = candidates.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        scaled_norm2(F.col(vec_col), dim).alias("cnorm"),
     )
     scored = (
         q.crossJoin(c)
@@ -101,7 +125,9 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            scaled_cosine(F.col("qvec"), F.col("cvec"), dim).alias("cosine"),
+            cosine_from_norms(
+                F.col("qvec"), F.col("cvec"), F.col("qnorm"), F.col("cnorm"), dim
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -277,7 +303,9 @@ def ivf_topk(
     dim = len(cents[0][1]) if cents else None
     c = with_ivf_cell(
         candidates.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cvec"),
+            scaled_norm2(F.col(vec_col), dim).alias("cnorm"),
         ),
         "cvec",
         cents,
@@ -285,7 +313,9 @@ def ivf_topk(
     q = (
         with_ivf_probes(
             queries.select(
-                F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("qvec"),
+                scaled_norm2(F.col(vec_col), dim).alias("qnorm"),
             ),
             "qvec",
             cents,
@@ -301,7 +331,9 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            scaled_cosine(F.col("qvec"), F.col("cvec"), dim).alias("cosine"),
+            cosine_from_norms(
+                F.col("qvec"), F.col("cvec"), F.col("qnorm"), F.col("cnorm"), dim
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -326,13 +358,19 @@ def lsh_topk(
     dim = infer_dim(candidates, vec_col)
     all_sigs = hyperplane_signatures(candidates, num_planes, id_col, vec_col)
     q = (
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            scaled_norm2(F.col(vec_col), dim).alias("qnorm"),
+        )
         .join(
             all_sigs.select(F.col("vid").alias("query_id"), "bucket"), "query_id"
         )
     )
     c = candidates.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        scaled_norm2(F.col(vec_col), dim).alias("cnorm"),
     ).join(all_sigs.select(F.col("vid").alias("neighbor_id"), "bucket"), "neighbor_id")
     scored = (
         q.join(c, "bucket")
@@ -341,7 +379,9 @@ def lsh_topk(
             "query_id",
             "bucket",
             "neighbor_id",
-            scaled_cosine(F.col("qvec"), F.col("cvec"), dim).alias("cosine"),
+            cosine_from_norms(
+                F.col("qvec"), F.col("cvec"), F.col("qnorm"), F.col("cnorm"), dim
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -12,10 +12,10 @@ One declarative job over a raw document corpus:
    mix" step.
 
 Scale notes: stages 1-3 are hash-partition + narrow work.  The budget cut
-(stage 4) is a global running sum -- a single-partition window over the
-already-filtered slim rows (doc_id + 3 numbers; at 100 TB run it on the
-survivor summary, not the corpus, or replace with an approximate quantile
-threshold via ``approxQuantile`` when even survivors are huge).
+(stage 4) is a global running sum expressed via
+``operators.windows.ordered_running_sum`` -- range-partition on the
+selection order, per-partition windows in parallel, broadcast prefix
+offsets -- so no single-partition window ever forms, at any scale.
 """
 
 from __future__ import annotations
@@ -25,6 +25,7 @@ from typing import Optional, Sequence
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+from ..operators.windows import ordered_running_sum
 from ..operators.text import (
     LANG_MARKERS,
     PUNCT_CLASS,
@@ -97,9 +98,11 @@ def curate_documents(
     if langs is not None:
         kept = kept.filter(F.col("predicted_lang").isin(list(langs)))
 
-    w = Window.orderBy(F.col("quality").desc(), F.col("doc_id"))
-    ranked = kept.withColumn(
-        "cum_tokens", F.sum("n_bpe_tokens").over(w)
+    ranked = ordered_running_sum(
+        kept,
+        [F.col("quality").desc(), F.col("doc_id")],
+        "n_bpe_tokens",
+        out_col="cum_tokens",
     )
     if token_budget is not None:
         ranked = ranked.filter(F.col("cum_tokens") <= token_budget)

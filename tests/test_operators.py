@@ -190,3 +190,35 @@ def test_frame_sampling_slices_deterministically(spark, corpus):
 def test_decode_media_stub_raises():
     with pytest.raises(NotImplementedError):
         MM.decode_media(b"payload", "image", fake=False)
+
+
+def test_ordered_running_sum_equals_global_window(spark):
+    """The range-partitioned two-level running sum must equal the naive
+    single-partition Window.orderBy form exactly, for any partition count
+    (including n > distinct keys and n = 1)."""
+    import random
+
+    from pyspark.sql import Window
+
+    from airflow_pipeline_text_processing_spark.operators.windows import (
+        ordered_running_sum,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(-50, 100), rng.random()) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, v long, q double")
+    order = [F.col("q").desc(), F.col("id")]
+    naive = {
+        r.id: r.cum
+        for r in df.withColumn(
+            "cum", F.sum("v").over(Window.orderBy(*order))
+        ).collect()
+    }
+    for n in (1, 4, 32, 1000):
+        got = {
+            r.id: r.cum
+            for r in ordered_running_sum(
+                df, order, "v", out_col="cum", num_partitions=n
+            ).collect()
+        }
+        assert got == naive, f"mismatch at num_partitions={n}"

@@ -1,0 +1,132 @@
+"""Time-ordered join operators Spark lacks natively: as-of join and
+range (interval) join.
+
+The reference has no joins beyond a content-hash anti-join
+(`dags/dag.py:459-474`), but an engine serving event/training-data
+pipelines needs both of these, and each has a well-known naive form that
+dies at scale:
+
+* **as-of join** -- "for each left row, the latest right row at or before
+  it".  The naive form is a per-row correlated subquery (a nested loop).
+  Here it is ONE shuffle: tag both sides, union them, and run a per-key
+  ordered window carrying the last-seen right payload forward -- the
+  merge-scan formulation, O(n log n) per key, no pair blow-up.
+* **range join** -- "right rows within [left.ts+lo, left.ts+hi] of the
+  same key".  The naive form is a theta join that degenerates to a per-key
+  cross product.  Here the time axis is bucketed at the window width:
+  each left row explodes to the handful of buckets its interval covers,
+  the join is a plain equi-join on (key, bucket), and the exact predicate
+  prunes within the bucket -- pairs only materialize inside colliding
+  buckets, exactly like an LSH band join.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    payload: Sequence[str],
+    prefix: str = "asof_",
+    tiebreak: Optional[Sequence[str]] = None,
+    allow_exact_matches: bool = True,
+) -> DataFrame:
+    """Backward as-of join: attach to every left row the right row with the
+    greatest ``right_ts`` <= ``left_ts`` (strictly < when
+    ``allow_exact_matches=False``) for the same ``on`` keys; left rows with
+    no match keep null payload columns (left-outer semantics).
+
+    ``payload`` columns from the matched right row land on the output as
+    ``{prefix}{col}``.  Ties at equal ``right_ts`` resolve to the greatest
+    ``tiebreak`` value.  Implementation is the union + per-key ordered
+    window merge-scan (see module docstring): a single hash shuffle on
+    ``on``, no correlated lookups, no pair explosion.
+    """
+    on = list(on)
+    payload = list(payload)
+    tiebreak = list(tiebreak or [])
+
+    # rights sort before lefts at equal ts for inclusive semantics, after
+    # them for strict; tiebreak columns order rights at identical ts so
+    # last() picks the greatest
+    right_first = 0 if allow_exact_matches else 2
+    r = right.select(
+        *on,
+        F.col(right_ts).alias("_ats"),
+        F.lit(right_first).alias("_side"),
+        *[F.col(t).alias(f"_tb_{i}") for i, t in enumerate(tiebreak)],
+        F.struct(*[F.col(c) for c in payload]).alias("_payload"),
+    )
+    payload_type = r.schema["_payload"].dataType
+    l = left.select(
+        "*",
+        F.col(left_ts).alias("_ats"),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).alias(f"_tb_{i}") for i in range(len(tiebreak))],
+        F.lit(None).cast(payload_type).alias("_payload"),
+    )
+    merged = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(
+            F.col("_ats").asc(),
+            F.col("_side").asc(),
+            *[F.col(f"_tb_{i}").asc_nulls_first() for i in range(len(tiebreak))],
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.withColumn(
+        "_match", F.last("_payload", ignorenulls=True).over(w)
+    )
+    out_cols = [F.col(c) for c in left.columns] + [
+        F.col("_match").getField(c).alias(f"{prefix}{c}") for c in payload
+    ]
+    return carried.filter(F.col("_side") == 1).select(*out_cols)
+
+
+def range_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    min_offset_s: float,
+    max_offset_s: float,
+    bucket_seconds: Optional[float] = None,
+    strict_lower: bool = True,
+) -> DataFrame:
+    """Inner range join: pairs where ``right_ts`` falls in
+    ``(left_ts + min_offset_s, left_ts + max_offset_s]`` (lower bound
+    inclusive when ``strict_lower=False``) for equal ``on`` keys.
+
+    The equi-join runs on (key, time-bucket) with each left interval
+    exploded over the buckets it covers -- ceil(span/width)+1 rows per left
+    row -- and the exact timestamp predicate applied after the join.
+    Output: all left columns plus the right columns (caller aliases to
+    avoid collisions before the call).
+    """
+    on = list(on)
+    width = float(bucket_seconds or (max_offset_s - min_offset_s) or 1.0)
+    lsec = F.col(left_ts).cast("double")
+    lb = F.floor((lsec + F.lit(float(min_offset_s))) / width).cast("long")
+    ub = F.floor((lsec + F.lit(float(max_offset_s))) / width).cast("long")
+    l = left.withColumn("_bucket", F.explode(F.sequence(lb, ub)))
+    r = right.withColumn(
+        "_bucket", F.floor(F.col(right_ts).cast("double") / width).cast("long")
+    )
+    lo = F.col(left_ts) + F.expr(f"INTERVAL {float(min_offset_s)} SECONDS")
+    hi = F.col(left_ts) + F.expr(f"INTERVAL {float(max_offset_s)} SECONDS")
+    lower_ok = F.col(right_ts) > lo if strict_lower else F.col(right_ts) >= lo
+    return (
+        l.join(r, on + ["_bucket"])
+        .filter(lower_ok & (F.col(right_ts) <= hi))
+        .drop("_bucket")
+    )

@@ -680,12 +680,118 @@ def codec_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # name -> (spark_fn, oracle_sql | None)
+def join_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/joins.py): every purchase event annotated with
+    the user's most recent click at-or-before it; purchases with no prior
+    click keep nulls.  Merge-scan formulation -- one shuffle on user_id,
+    no correlated lookups."""
+    from ..operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return (
+        asof_join(
+            purchases,
+            clicks,
+            on=["user_id"],
+            left_ts="ts",
+            right_ts="ts",
+            payload=["event_id", "ts", "value"],
+            prefix="click_",
+            tiebreak=["event_id"],
+        )
+        .select(
+            "event_id", "user_id", "ts", "value",
+            "click_event_id", "click_ts", "click_value",
+        )
+        .orderBy("event_id")
+    )
+
+
+ASOF_SQL = """
+SELECT p.event_id, p.user_id, p.ts, p.value,
+       c.event_id AS click_event_id, c.ts AS click_ts, c.value AS click_value
+FROM events p
+LEFT JOIN LATERAL (
+  SELECT event_id, ts, value
+  FROM events c
+  WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+  ORDER BY c.ts DESC, c.event_id DESC
+  LIMIT 1
+) c ON true
+WHERE p.event_type = 'purchase'
+ORDER BY p.event_id
+"""
+
+
+def join_range_error_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (operators/joins.py): per error event, the count and
+    fixed-point value sum of the same user's events in the 10 minutes
+    strictly after it.  Bucketed equi-join -- no per-key cross product."""
+    from ..operators.joins import range_join_bucketed
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "ts", "user_id"
+    )
+    others = ev.select(
+        F.col("user_id"),
+        F.col("ts").alias("o_ts"),
+        F.col("event_id").alias("o_event_id"),
+        F.col("value").alias("o_value"),
+    )
+    matched = range_join_bucketed(
+        errors,
+        others,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="o_ts",
+        min_offset_s=0,
+        max_offset_s=600,
+    )
+    follow = matched.groupBy("event_id").agg(
+        F.count("o_event_id").alias("n_follow"),
+        F.sum(_cents(F.col("o_value"))).alias("follow_value_cents"),
+    )
+    return (
+        errors.join(follow, "event_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce("n_follow", F.lit(0)).alias("n_follow"),
+            F.coalesce("follow_value_cents", F.lit(0)).alias("follow_value_cents"),
+        )
+        .orderBy("event_id")
+    )
+
+
+RANGE_JOIN_SQL = """
+SELECT e.event_id, ANY_VALUE(e.user_id) AS user_id,
+       COUNT(o.event_id) AS n_follow,
+       COALESCE(SUM(CAST(FLOOR(o.value*100) AS BIGINT)), 0) AS follow_value_cents
+FROM (SELECT event_id, ts, user_id FROM events WHERE event_type = 'error') e
+LEFT JOIN events o
+  ON o.user_id = e.user_id
+ AND o.ts > e.ts
+ AND o.ts <= e.ts + INTERVAL 10 MINUTE
+GROUP BY e.event_id
+ORDER BY e.event_id
+"""
+
+
 REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q5_nation_volume": (q5_nation_volume, Q5_SQL),
     "join_semi_active_customers": (join_semi_active_customers, SEMI_SQL),
     "join_anti_idle_customers": (join_anti_idle_customers, ANTI_SQL),
+    "join_asof_last_click": (join_asof_last_click, ASOF_SQL),
+    "join_range_error_window": (join_range_error_window, RANGE_JOIN_SQL),
     "agg_supplier_part_stats": (agg_supplier_part_stats, AGG_DISTINCT_SQL),
     "agg_rollup_priority_year": (agg_rollup_priority_year, ROLLUP_SQL),
     "window_top_orders_per_customer": (window_top_orders_per_customer, WINDOW_SQL),

@@ -25,6 +25,8 @@ BENCH_QUERIES = [
     "q5_nation_volume",
     "agg_supplier_part_stats",
     "window_top_orders_per_customer",
+    "join_asof_last_click",
+    "join_range_error_window",
     "events_hourly_rollup",
     "events_sessionize",
     "reassembly_ordered_chunks",

@@ -1,0 +1,124 @@
+"""As-of and range join operators vs naive (per-row / theta-join)
+reference computations on adversarial fixtures: equal-timestamp ties,
+missing matches, bucket-boundary straddles."""
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+from airflow_pipeline_text_processing_spark.operators.joins import (
+    asof_join,
+    range_join_bucketed,
+)
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ts(seconds):
+    return T0 + dt.timedelta(seconds=seconds)
+
+
+def _fixture(spark):
+    # (event_id, ts, user_id, kind, value) -- crafted ties:
+    #   user 1: right rows at t=10 and t=10 (tie -> greater event_id wins),
+    #           left row exactly AT t=10 (inclusive semantics boundary)
+    #   user 2: left before any right (no match)
+    rows = [
+        (1, _ts(5), 1, "r", 1.0),
+        (2, _ts(10), 1, "r", 2.0),
+        (3, _ts(10), 1, "r", 3.0),
+        (4, _ts(10), 1, "l", 0.0),
+        (5, _ts(20), 1, "l", 0.0),
+        (6, _ts(3), 2, "l", 0.0),
+        (7, _ts(8), 2, "r", 4.0),
+        (8, _ts(9), 2, "l", 0.0),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, kind string, value double"
+    )
+
+
+def _naive_asof(rows_l, rows_r, inclusive=True):
+    out = {}
+    for l in rows_l:
+        cands = [
+            r
+            for r in rows_r
+            if r.user_id == l.user_id
+            and (r.ts <= l.ts if inclusive else r.ts < l.ts)
+        ]
+        best = max(cands, key=lambda r: (r.ts, r.event_id), default=None)
+        out[l.event_id] = best.event_id if best else None
+    return out
+
+
+def test_asof_join_matches_naive_with_ties(spark):
+    df = _fixture(spark)
+    left = df.filter(F.col("kind") == "l").drop("kind")
+    right = df.filter(F.col("kind") == "r").drop("kind")
+    got = {
+        r.event_id: r.m_event_id
+        for r in asof_join(
+            left, right, ["user_id"], "ts", "ts",
+            payload=["event_id", "ts", "value"], prefix="m_",
+            tiebreak=["event_id"],
+        ).collect()
+    }
+    expected = _naive_asof(left.collect(), right.collect(), inclusive=True)
+    assert got == expected
+    # the t=10 tie must pick event_id 3 (greatest), not 2
+    assert got[4] == 3
+    # no-match left keeps nulls
+    assert got[6] is None
+
+
+def test_asof_join_strict_excludes_equal_ts(spark):
+    df = _fixture(spark)
+    left = df.filter(F.col("kind") == "l").drop("kind")
+    right = df.filter(F.col("kind") == "r").drop("kind")
+    got = {
+        r.event_id: r.m_event_id
+        for r in asof_join(
+            left, right, ["user_id"], "ts", "ts",
+            payload=["event_id"], prefix="m_", tiebreak=["event_id"],
+            allow_exact_matches=False,
+        ).collect()
+    }
+    expected = _naive_asof(left.collect(), right.collect(), inclusive=False)
+    assert got == expected
+    assert got[4] == 1  # t=10 rights excluded, falls back to t=5
+
+
+def test_range_join_bucketed_equals_theta_join(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, _ts(rng.uniform(0, 2000)), rng.randint(1, 5), rng.random())
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, value double")
+    r = df.select(
+        "user_id",
+        F.col("ts").alias("o_ts"),
+        F.col("event_id").alias("o_event_id"),
+    )
+    naive = (
+        df.alias("a")
+        .join(r.alias("b"), "user_id")
+        .filter(
+            (F.col("o_ts") > F.col("ts"))
+            & (F.col("o_ts") <= F.col("ts") + F.expr("INTERVAL 90 SECONDS"))
+        )
+        .select("event_id", "o_event_id")
+    )
+    expected = {(x.event_id, x.o_event_id) for x in naive.collect()}
+    # widths below / at / above the span, all must agree exactly
+    for width in (30, 90, 250):
+        got = {
+            (x.event_id, x.o_event_id)
+            for x in range_join_bucketed(
+                df, r, ["user_id"], "ts", "o_ts", 0, 90, bucket_seconds=width
+            ).collect()
+        }
+        assert got == expected, f"width={width}"

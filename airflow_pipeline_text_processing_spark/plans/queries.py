@@ -784,6 +784,44 @@ ORDER BY e.event_id
 """
 
 
+def agg_salted_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe aggregation (operators/skew.py::salted_agg): lineitem
+    grouped by (returnflag, linestatus) -- ~4 distinct keys over the whole
+    table, i.e. every key is hot -- via salt -> partial -> combine.
+    Result is identical to the plain GROUP BY (the oracle)."""
+    from ..operators.skew import salted_agg
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        _cents(F.col("l_extendedprice")).alias("price_cents"),
+        "l_quantity",
+    )
+    return salted_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_price_cents": ("price_cents", "sum"),
+            "n_rows": ("l_quantity", "count"),
+            "min_qty": ("l_quantity", "min"),
+            "max_qty": ("l_quantity", "max"),
+        },
+        num_salts=32,
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+SALTED_AGG_SQL = """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(FLOOR(l_extendedprice*100) AS BIGINT)) AS sum_price_cents,
+       COUNT(l_quantity) AS n_rows,
+       MIN(l_quantity) AS min_qty,
+       MAX(l_quantity) AS max_qty
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
 REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
@@ -794,6 +832,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "join_range_error_window": (join_range_error_window, RANGE_JOIN_SQL),
     "agg_supplier_part_stats": (agg_supplier_part_stats, AGG_DISTINCT_SQL),
     "agg_rollup_priority_year": (agg_rollup_priority_year, ROLLUP_SQL),
+    "agg_salted_hot_keys": (agg_salted_hot_keys, SALTED_AGG_SQL),
     "window_top_orders_per_customer": (window_top_orders_per_customer, WINDOW_SQL),
     "window_running_customer_spend": (window_running_customer_spend, WINDOW_RUNNING_SQL),
     "sort_global_topk_orders": (sort_global_topk_orders, TOPK_SQL),

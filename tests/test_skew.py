@@ -1,0 +1,121 @@
+"""Salted aggregation / salted join vs their unsalted forms on a
+hot-key-skewed fixture, plus the tabular source/sink round-trip."""
+
+import random
+
+import pyspark.sql.functions as F
+import pytest
+
+from airflow_pipeline_text_processing_spark.operators.skew import (
+    salted_agg,
+    salted_join,
+)
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    rng = random.Random(3)
+    # key 0 holds 80% of rows (the hot key); values include negatives
+    rows = [
+        (i, 0 if rng.random() < 0.8 else rng.randint(1, 20), rng.randint(-5, 100))
+        for i in range(2000)
+    ]
+    return spark.createDataFrame(rows, "row_id long, k long, v long")
+
+
+def test_salted_agg_equals_plain_groupby(spark, skewed):
+    plain = {
+        r.k: (r.s, r.n, r.mn, r.mx)
+        for r in skewed.groupBy("k")
+        .agg(
+            F.sum("v").alias("s"),
+            F.count("v").alias("n"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    for num_salts in (1, 8, 64):
+        got = {
+            r.k: (r.s, r.n, r.mn, r.mx)
+            for r in salted_agg(
+                skewed,
+                ["k"],
+                {
+                    "s": ("v", "sum"),
+                    "n": ("v", "count"),
+                    "mn": ("v", "min"),
+                    "mx": ("v", "max"),
+                },
+                num_salts=num_salts,
+            ).collect()
+        }
+        assert got == plain, f"num_salts={num_salts}"
+
+
+def test_salted_agg_rejects_non_combinable(spark, skewed):
+    with pytest.raises(ValueError):
+        salted_agg(skewed, ["k"], {"a": ("v", "avg")})
+
+
+def test_salted_join_equals_plain_join(spark, skewed):
+    dim = spark.createDataFrame(
+        [(k, f"name_{k}") for k in range(0, 15)], "k long, k_name string"
+    )
+    plain_inner = {
+        (r.row_id, r.k_name) for r in skewed.join(dim, "k").collect()
+    }
+    plain_left = {
+        (r.row_id, r.k_name) for r in skewed.join(dim, "k", "left").collect()
+    }
+    for num_salts in (1, 16):
+        got_inner = {
+            (r.row_id, r.k_name)
+            for r in salted_join(skewed, dim, ["k"], num_salts=num_salts).collect()
+        }
+        assert got_inner == plain_inner
+        got_left = {
+            (r.row_id, r.k_name)
+            for r in salted_join(
+                skewed, dim, ["k"], num_salts=num_salts, how="left"
+            ).collect()
+        }
+        assert got_left == plain_left  # unmatched keys keep null names
+
+
+def test_tabular_round_trip_all_formats(spark, tmp_path):
+    from airflow_pipeline_text_processing_spark.sources.tabular import (
+        read_table,
+        write_table,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", -2.0), (3, None, 0.25)],
+        "id long, s string, x double",
+    )
+    expected = {(r.id, r.s, r.x) for r in df.collect()}
+    for fmt in ("parquet", "csv", "json"):
+        path = str(tmp_path / fmt)
+        write_table(df, path, format=fmt)
+        back = read_table(
+            spark, path, format=fmt, schema=df.schema if fmt != "parquet" else None
+        )
+        assert {(r.id, r.s, r.x) for r in back.collect()} == expected, fmt
+
+
+def test_write_partitioned_parquet_prunes(spark, tmp_path):
+    from airflow_pipeline_text_processing_spark.sources.tabular import (
+        read_table,
+        write_table,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i % 3, i * 1.0) for i in range(30)], "id long, part long, x double"
+    )
+    path = str(tmp_path / "parts")
+    write_table(df, path, partition_by=["part"])
+    back = read_table(spark, path).filter(F.col("part") == 1)
+    assert back.count() == 10
+    # partition pruning: the physical scan must carry a partition filter
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "part" in plan.split("PartitionFilters")[1][:80]

@@ -75,3 +75,50 @@ def test_window_topk_single_shuffle(spark):
     # one hash-partitioned exchange for the window; the final orderBy may
     # add a range exchange -- anything more means a redundant reshuffle
     assert plan.count("hashpartitioning") <= 1
+
+
+def test_asof_join_is_single_shuffle(spark):
+    """The merge-scan as-of join must cost exactly one hash exchange (the
+    per-key window); no joins, no nested loops, at any input size."""
+    from airflow_pipeline_text_processing_spark.operators.joins import asof_join
+
+    from airflow_pipeline_text_processing_spark.plans.queries import _t
+
+    ev = _t(spark, SF_DIR, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id"
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    out = asof_join(
+        left, right, ["user_id"], "ts", "ts", payload=["event_id"], prefix="m_"
+    )
+    plan = plan_of(out, mode="simple")
+    assert "Join" not in plan  # no pairwise join at all
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_range_join_is_equi_not_cartesian(spark):
+    """The bucketed range join must compile to an equi-join on
+    (key, bucket) -- never a nested-loop/cartesian theta join."""
+    from airflow_pipeline_text_processing_spark.operators.joins import (
+        range_join_bucketed,
+    )
+
+    from airflow_pipeline_text_processing_spark.plans.queries import _t
+
+    ev = _t(spark, SF_DIR, "events")
+    left = ev.select("event_id", "ts", "user_id")
+    right = ev.select(
+        "user_id", F.col("ts").alias("o_ts"), F.col("event_id").alias("o_id")
+    )
+    plan = plan_of(
+        range_join_bucketed(left, right, ["user_id"], "ts", "o_ts", 0, 600),
+        mode="simple",
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )

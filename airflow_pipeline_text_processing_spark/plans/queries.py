@@ -30,10 +30,19 @@ from ..functions.codec_udfs import decode_chunks, encode_chunks
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet stores ts as INT64 TIMESTAMP(NANOS), which a vanilla
+        # Spark session refuses to read (PARQUET_TYPE_ILLEGAL).  The conf must
+        # be set on whatever session the caller hands us -- the driver harness
+        # builds its own bare session, so set it here, not only in session.py.
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass  # conf locked down; the read below will surface the real error
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) read as raw int64 (see session.py); convert to a
-        # microsecond timestamp with integer math (nanos overflow doubles)
+        # TIMESTAMP(NANOS) read as raw int64; convert to a microsecond
+        # timestamp with integer math (nanos overflow doubles)
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
@@ -88,7 +97,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q1_SQL = f"""
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
        {_sql_money_sum('l_extendedprice', 'sum_base_price')},
        {_sql_money_sum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
        COUNT(*) AS count_order
@@ -243,7 +252,7 @@ AGG_DISTINCT_SQL = """
 SELECT l_suppkey,
        COUNT(DISTINCT l_partkey) AS n_distinct_parts,
        COUNT(DISTINCT l_orderkey) AS n_distinct_orders,
-       SUM(CAST(l_quantity AS BIGINT)) AS total_qty
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
 FROM lineitem
 GROUP BY l_suppkey
 ORDER BY l_suppkey
@@ -478,7 +487,7 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 JSON_SQL = """
 SELECT event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(CAST(json_extract_string(props, '$.k') AS INT) AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
 FROM events
 GROUP BY event_type
@@ -653,24 +662,57 @@ SELECT COUNT(*) AS n_docs, COUNT(*) AS n_roundtrip_ok FROM documents
 
 
 def codec_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document chunk/base statistics (rows-only: DNA lengths are not
-    SQL-expressible).  Covers ops 19, 23, 36."""
+    """Per-document chunk statistics with a full oracle (ops 19, 23, 36, 40).
+
+    ``n_chunks`` and ``total_bytes`` are exactly SQL-expressible (the corpus
+    is ASCII, so byte-budget chunking degenerates to ceil(bytes/chunk_size)
+    and total original bytes == octet_length).  The DNA output itself is
+    bound by two invariant columns the oracle pins to TRUE: homopolymer-free
+    (op 40 -- the codec's signature guarantee) and the Goldman expansion
+    factor staying inside [4.9, 5.2] bases/byte (log3(256) ~ 5.047).  The
+    raw ``total_dna_bases`` value stays property-test-carried
+    (tests/test_codec.py) -- not SQL-expressible."""
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
     enc = docs.withColumn("chunks", encode_chunks(F.col("text")))
-    return enc.select(
-        "doc_id",
-        F.size("chunks").alias("n_chunks"),
-        F.aggregate(
-            "chunks",
-            F.lit(0).cast("long"),
-            lambda acc, c: acc + F.length(c["dna_sequence"]),
-        ).alias("total_dna_bases"),
-        F.aggregate(
-            "chunks",
-            F.lit(0).cast("long"),
-            lambda acc, c: acc + c["original_length_bytes"].cast("long"),
-        ).alias("total_bytes"),
-    ).orderBy("doc_id")
+    total_bases = F.aggregate(
+        "chunks",
+        F.lit(0).cast("long"),
+        lambda acc, c: acc + F.length(c["dna_sequence"]),
+    )
+    total_bytes = F.aggregate(
+        "chunks",
+        F.lit(0).cast("long"),
+        lambda acc, c: acc + c["original_length_bytes"].cast("long"),
+    )
+    homopoly_free = F.aggregate(
+        "chunks",
+        F.lit(True),
+        lambda acc, c: acc & ~F.regexp_like(c["dna_sequence"], F.lit(r"(.)\1")),
+    )
+    return (
+        enc.select(
+            "doc_id",
+            F.size("chunks").alias("n_chunks"),
+            total_bytes.alias("total_bytes"),
+            homopoly_free.alias("dna_homopolymer_free"),
+            (
+                (total_bases >= total_bytes * 4.9)
+                & (total_bases <= total_bytes * 5.2)
+            ).alias("dna_expansion_ok"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CODEC_CHUNK_STATS_SQL = """
+SELECT doc_id,
+       CAST(ceil(octet_length(encode(text)) / 1000.0) AS INT) AS n_chunks,
+       CAST(octet_length(encode(text)) AS BIGINT) AS total_bytes,
+       TRUE AS dna_homopolymer_free,
+       TRUE AS dna_expansion_ok
+FROM documents
+ORDER BY doc_id
+"""
 
 
 # =====================================================================
@@ -773,7 +815,7 @@ def join_range_error_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 RANGE_JOIN_SQL = """
 SELECT e.event_id, ANY_VALUE(e.user_id) AS user_id,
        COUNT(o.event_id) AS n_follow,
-       COALESCE(SUM(CAST(FLOOR(o.value*100) AS BIGINT)), 0) AS follow_value_cents
+       CAST(COALESCE(SUM(CAST(FLOOR(o.value*100) AS BIGINT)), 0) AS BIGINT) AS follow_value_cents
 FROM (SELECT event_id, ts, user_id FROM events WHERE event_type = 'error') e
 LEFT JOIN events o
   ON o.user_id = e.user_id
@@ -812,7 +854,7 @@ def agg_salted_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SALTED_AGG_SQL = """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(FLOOR(l_extendedprice*100) AS BIGINT)) AS sum_price_cents,
+       CAST(SUM(CAST(FLOOR(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
        COUNT(l_quantity) AS n_rows,
        MIN(l_quantity) AS min_qty,
        MAX(l_quantity) AS max_qty
@@ -844,5 +886,5 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "events_sessionize": (events_sessionize, SESSION_SQL),
     "reassembly_ordered_chunks": (reassembly_ordered_chunks, REASSEMBLY_SQL),
     "codec_roundtrip_count": (codec_roundtrip_count, CODEC_ROUNDTRIP_SQL),
-    "codec_chunk_stats": (codec_chunk_stats, None),
+    "codec_chunk_stats": (codec_chunk_stats, CODEC_CHUNK_STATS_SQL),
 }

@@ -517,7 +517,7 @@ def mm_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MM_STATS_SQL = """
 SELECT kind, COUNT(*) AS n_docs,
-       SUM(octet_length(encode(text))) AS total_bytes,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
        MAX(octet_length(encode(text))) AS max_bytes
 FROM (
   SELECT CASE ascii(substring(text, 1, 1)) % 3
@@ -530,10 +530,37 @@ GROUP BY kind ORDER BY kind
 
 
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas binary feature extraction (rows-only check: the Arrow
-    batch plumbing is the point; decoding is stubbed, see multimodal.py)."""
+    """mapInPandas binary feature extraction.  The feature vector is
+    projected to scalar columns (f0..f3) so every output column is
+    hashable by the driver's canonicalizer (round-1 post-mortem: a raw
+    array<double> column crashes pandas sort_values), and -- bonus --
+    the deterministic byte-histogram stub becomes fully oracle-checkable."""
     media = MM.attach_payload(_t(spark, sf_dir, "documents"))
-    return MM.extract_features(media, fake=True).orderBy("doc_id")
+    feats = MM.extract_features(media, fake=True)
+    return feats.select(
+        "doc_id",
+        "kind",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        *[F.element_at("features", i + 1).alias(f"f{i}") for i in range(4)],
+    ).orderBy("doc_id")
+
+
+MM_FEATURES_SQL = """
+WITH media AS (
+  SELECT doc_id,
+         CASE ascii(substring(text, 1, 1)) % 3
+           WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         octet_length(encode(text)) AS n_bytes,
+         regexp_extract_all(hex(encode(text)), '..') AS pairs
+  FROM documents
+)
+SELECT doc_id, kind, CAST(n_bytes AS BIGINT) AS n_bytes,
+       CAST(len(list_filter(pairs, p -> substring(p,1,1) IN ('0','1','2','3'))) AS DOUBLE) / greatest(n_bytes, 1) AS f0,
+       CAST(len(list_filter(pairs, p -> substring(p,1,1) IN ('4','5','6','7'))) AS DOUBLE) / greatest(n_bytes, 1) AS f1,
+       CAST(len(list_filter(pairs, p -> substring(p,1,1) IN ('8','9','A','B'))) AS DOUBLE) / greatest(n_bytes, 1) AS f2,
+       CAST(len(list_filter(pairs, p -> substring(p,1,1) IN ('C','D','E','F'))) AS DOUBLE) / greatest(n_bytes, 1) AS f3
+FROM media ORDER BY doc_id
+"""
 
 
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -620,8 +647,8 @@ kept AS (
   FROM deduped WHERE n_bpe_tokens >= 20 AND quality >= 0.15
 ),
 budgeted AS (
-  SELECT *, SUM(n_bpe_tokens) OVER (ORDER BY quality DESC, doc_id)
-    AS cum_tokens
+  SELECT *, CAST(SUM(n_bpe_tokens) OVER (ORDER BY quality DESC, doc_id)
+    AS BIGINT) AS cum_tokens
   FROM kept
 )
 SELECT doc_id, predicted_lang, n_bpe_tokens, quality, cum_tokens
@@ -650,7 +677,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "text_lang_id": (text_lang_id, LANG_SQL),
     "text_fingerprint": (text_fingerprint, FINGERPRINT_SQL),
     "mm_binary_stats": (mm_binary_stats, MM_STATS_SQL),
-    "mm_feature_extract": (mm_feature_extract, None),
+    "mm_feature_extract": (mm_feature_extract, MM_FEATURES_SQL),
     "mm_frame_sample": (mm_frame_sample, MM_FRAMES_SQL),
     "curation_training_set": (curation_training_set, CURATION_SQL),
 }

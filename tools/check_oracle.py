@@ -31,27 +31,33 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
 
     def norm_cell(v):
+        # DTYPE-SENSITIVE: int and float are distinct even when numerically
+        # equal -- the driver hashes the rendered frame, where DuckDB HUGEINT
+        # becomes float64 ("1.0") vs Spark int64 ("1").  Collapsing them here
+        # is exactly the gate hole that let round-1's 5 hash-fails through.
         if v is None or (isinstance(v, float) and math.isnan(v)):
             return None
         if isinstance(v, float):
-            return float(v)
+            return ("f", float(v))
         if hasattr(v, "isoformat"):  # datetime/date
-            return v.isoformat().replace("+00:00", "")
+            return ("t", v.isoformat().replace("+00:00", ""))
         if isinstance(v, (list, tuple)):
-            return tuple(norm_cell(x) for x in v)
+            return ("a", tuple(norm_cell(x) for x in v))
         if isinstance(v, (bytes, bytearray)):
-            return bytes(v).hex()
+            return ("b", bytes(v).hex())
         import decimal
         if isinstance(v, decimal.Decimal):
-            return float(v)
+            return ("f", float(v))
         import numpy as np
         if isinstance(v, np.integer):
-            return int(v)
+            return ("i", int(v))
         if isinstance(v, np.floating):
-            return float(v)
-        if isinstance(v, np.bool_):
-            return bool(v)
-        return v
+            return ("f", float(v))
+        if isinstance(v, (bool, np.bool_)):
+            return ("z", bool(v))
+        if isinstance(v, (int,)):
+            return ("i", int(v))
+        return ("s", str(v))
 
     rows = [tuple(norm_cell(v) for v in row) for row in df.itertuples(index=False)]
     rows.sort(key=lambda r: tuple((x is None, str(type(x)), str(x)) for x in r))
@@ -84,9 +90,18 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     import __spark_entry__ as entrymod
-    from airflow_pipeline_text_processing_spark.session import get_spark
 
-    spark = get_spark("check-oracle")
+    # VANILLA session on purpose: the driver harness builds a bare
+    # SparkSession with none of session.py's confs, so the local gate must
+    # too -- otherwise conf-dependent reads (events nanos) pass locally and
+    # fail under the driver (round-1 post-mortem, VERDICT.md #4).
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("check-oracle-vanilla")
+        .getOrCreate()
+    )
     con = duckdb.connect()
     for t in TABLES:
         path = f"{sf_dir}/{t}.parquet"

@@ -107,7 +107,17 @@ def _trits_to_int(trits: np.ndarray) -> int:
 
 
 def trits_to_bytes(trits: Sequence[int], target_length_bytes: int) -> bytes:
-    """Base-3 digits (MSD first) -> big-endian bytes of fixed width."""
+    """Base-3 digits (MSD first) -> big-endian bytes of fixed width.
+
+    Behavioral note vs the reference (``plugins/utils/dna_encoding.py:63-76``):
+    on a decoded value wider than ``target_length_bytes`` -- only reachable
+    from corrupted DNA -- the reference's ``value.to_bytes(byte_length)``
+    raises ``OverflowError`` before its own truncation branch can run.  We
+    keep the truncation (the reference's intended-but-unreachable branch)
+    deliberately: corrupted chunks must yield *bytes* so the checksum
+    predicate (op 43) can flag them row-wise and the opt-in RS repair path
+    can attempt correction, instead of one poison row failing the whole
+    Spark stage with an exception."""
     arr = np.asarray(trits, dtype=np.int64)
     value = _trits_to_int(arr)
     width = max(1, target_length_bytes)

@@ -354,9 +354,16 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: exact cosine ranking within the query's LSH bucket."""
+    """Approximate top-k: exact cosine ranking within the query's LSH bucket.
+
+    Query and candidate signatures are computed independently from the same
+    deterministic hyperplane family, so buckets are comparable and a query
+    vector need NOT be present in the candidate set to be ranked (round-1
+    ADVICE: the earlier formulation joined queries onto candidate signatures
+    by id, silently dropping external queries)."""
     dim = infer_dim(candidates, vec_col)
-    all_sigs = hyperplane_signatures(candidates, num_planes, id_col, vec_col)
+    cand_sigs = hyperplane_signatures(candidates, num_planes, id_col, vec_col)
+    query_sigs = hyperplane_signatures(queries, num_planes, id_col, vec_col)
     q = (
         queries.select(
             F.col(id_col).alias("query_id"),
@@ -364,14 +371,14 @@ def lsh_topk(
             scaled_norm2(F.col(vec_col), dim).alias("qnorm"),
         )
         .join(
-            all_sigs.select(F.col("vid").alias("query_id"), "bucket"), "query_id"
+            query_sigs.select(F.col("vid").alias("query_id"), "bucket"), "query_id"
         )
     )
     c = candidates.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         scaled_norm2(F.col(vec_col), dim).alias("cnorm"),
-    ).join(all_sigs.select(F.col("vid").alias("neighbor_id"), "bucket"), "neighbor_id")
+    ).join(cand_sigs.select(F.col("vid").alias("neighbor_id"), "bucket"), "neighbor_id")
     scored = (
         q.join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))

@@ -117,13 +117,47 @@ def chunk_table(encoded: DataFrame) -> DataFrame:
     )
 
 
-def validate_chunk_table(chunks: DataFrame) -> DataFrame:
+def validate_chunk_table(chunks: DataFrame, repair: bool = False) -> DataFrame:
     """Declarative per-chunk integrity predicate (op 43): decode the DNA at
-    the recorded width and compare md5 to the stored checksum."""
-    return chunks.withColumn(
-        "valid",
-        F.md5(dna_decode(F.col("dna_sequence"), F.col("original_length_bytes")))
-        == F.col("checksum"),
+    the recorded width and compare md5 to the stored checksum.
+
+    With ``repair=True`` (op 42, the reference's dead-but-shipped
+    ``decode_with_error_correction`` at ``plugins/utils/dna_encoding.py:
+    250-268``, made live here as an opt-in branch): chunks whose raw decode
+    fails the checksum get a Reed-Solomon correction pass over
+    decoded_bytes || parity_tail -- up to nsym/2 corrupted bytes per chunk
+    are recoverable.  Adds ``repaired_ok`` (repair succeeded) and
+    ``data_bytes`` (best-known payload: raw when clean, corrected when
+    repaired, raw-decode otherwise) columns."""
+    decoded = dna_decode(F.col("dna_sequence"), F.col("original_length_bytes"))
+    if not repair:
+        return chunks.withColumn("valid", F.md5(decoded) == F.col("checksum"))
+    from ..functions.codec_udfs import rs_repair
+
+    out = (
+        chunks.withColumn("_decoded", decoded)
+        .withColumn("_raw_ok", F.md5("_decoded") == F.col("checksum"))
+        .withColumn(
+            "_repaired",
+            rs_repair(F.concat("_decoded", "error_correction_code")),
+        )
+    )
+    return (
+        out.withColumn(
+            "repaired_ok",
+            # coalesce: rs_repair yields NULL when uncorrectable, which must
+            # read as "not repaired", not NULL-poison the valid flag
+            ~F.col("_raw_ok")
+            & F.coalesce(F.md5("_repaired") == F.col("checksum"), F.lit(False)),
+        )
+        .withColumn("valid", F.col("_raw_ok") | F.col("repaired_ok"))
+        .withColumn(
+            "data_bytes",
+            F.when(F.col("repaired_ok"), F.col("_repaired")).otherwise(
+                F.col("_decoded")
+            ),
+        )
+        .drop("_decoded", "_raw_ok", "_repaired")
     )
 
 

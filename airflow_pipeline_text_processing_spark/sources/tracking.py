@@ -128,6 +128,79 @@ class TrackingTable:
         )
         updated.write.mode("append").parquet(self.path)
 
+    # ------------------------------------------------------------------ jdbc
+
+    def read_jdbc(
+        self,
+        url: str,
+        table: str = "processed_files",
+        properties: dict | None = None,
+        partition_column: str | None = None,
+        num_partitions: int = 8,
+    ) -> DataFrame:
+        """Parity path for the reference's Postgres tracking table
+        (``init-scripts.sql:5-14``, read via PostgresHook at
+        ``dags/dag.py:446``): ``spark.read.jdbc`` over the same relation.
+
+        When ``partition_column`` (a numeric column, e.g. the serial ``id``)
+        is given, the scan is split into ``num_partitions`` parallel range
+        queries -- the scale path; a single-connection read is the default
+        for small control tables."""
+        reader = self.spark.read.format("jdbc").option("url", url).option(
+            "dbtable", table
+        )
+        for k, v in (properties or {}).items():
+            reader = reader.option(k, v)
+        if partition_column is not None:
+            # quote the identifier: Spark's JDBC writer creates columns with
+            # quoted (case-exact) names, so unquoted refs fail on engines
+            # that fold unquoted identifiers (Derby/Postgres fold-to-upper/lower)
+            qcol = '"' + partition_column.replace('"', '""') + '"'
+            bounds = self.spark.read.format("jdbc").option("url", url).option(
+                "query",
+                f"SELECT MIN({qcol}) AS lo, MAX({qcol}) AS hi FROM {table}",
+            )
+            for k, v in (properties or {}).items():
+                bounds = bounds.option(k, v)
+            row = bounds.load().collect()[0]
+            lo, hi = row[0], row[1]  # positional: alias case folding varies by dialect
+            if lo is not None:
+                reader = (
+                    reader.option("partitionColumn", partition_column)
+                    .option("lowerBound", str(lo))
+                    .option("upperBound", str(hi))
+                    .option("numPartitions", str(num_partitions))
+                )
+        return reader.load()
+
+    def write_jdbc(
+        self,
+        records: DataFrame,
+        url: str,
+        table: str = "processed_files",
+        properties: dict | None = None,
+    ) -> None:
+        """Idempotent-append parity for ``INSERT ... ON CONFLICT DO NOTHING``
+        (``dags/dag.py:740-759``): anti-join against the remote keys, then
+        append.  Not transactional across writers -- the reference's unique
+        index is what makes concurrent inserts safe there; on a lakehouse
+        deployment use the versioned-parquet path instead."""
+        try:
+            existing = self.read_jdbc(url, table, properties).select("file_hash")
+            fresh = records.dropDuplicates(["file_hash"]).join(
+                F.broadcast(existing), "file_hash", "left_anti"
+            )
+        except Exception:
+            # remote table absent (first write): everything is fresh; the
+            # JDBC writer creates the table on append
+            fresh = records.dropDuplicates(["file_hash"])
+        writer = fresh.write.format("jdbc").option("url", url).option(
+            "dbtable", table
+        )
+        for k, v in (properties or {}).items():
+            writer = writer.option(k, v)
+        writer.mode("append").save()
+
     def compact(self) -> None:
         """Fold version history to current rows (maintenance operation)."""
         cur = self.current().cache()

@@ -41,6 +41,29 @@ def test_jaccard_pairs_finds_near_dup(spark, corpus):
     assert (0, 2) not in pairs
 
 
+def test_jaccard_posting_list_cap_bounds_candidates(spark):
+    """A stop-phrase shingle shared by every doc must not turn candidate
+    generation quadratic: with the df cap, candidate pairs come only from
+    rare shingles; exact jaccard over candidates is unchanged for real
+    near-dups."""
+    hot = "common boilerplate header text "  # shared by all docs
+    rows = [(i, hot + f"unique body number {i} content piece") for i in range(30)]
+    rows.append((100, hot + "unique body number 7 content piece"))  # dup of 7
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = D.jaccard_candidate_pairs(docs, max_df=None).count()
+    capped = D.jaccard_candidate_pairs(docs, max_df=5).count()
+    # every doc shares the hot shingles -> uncapped candidates ~ n^2/2
+    assert uncapped == 31 * 30 // 2
+    # capped: only docs sharing a rare (df<=5) shingle pair up
+    assert capped < uncapped / 10
+
+    # the true near-dup still survives the cap, with exact jaccard
+    pairs = {(r.doc_a, r.doc_b): r.jaccard
+             for r in D.jaccard_pairs(docs, threshold=0.5, max_df=5).collect()}
+    assert (7, 100) in pairs and pairs[(7, 100)] == 1.0
+
+
 def test_minhash_lsh_candidates_include_dups(spark, corpus):
     pairs = {(r.doc_a, r.doc_b) for r in
              D.minhash_dedup_pairs(corpus, threshold=0.3).collect()}
@@ -103,6 +126,22 @@ def test_lsh_topk_self_bucket(spark, vectors):
     ).collect()
     # the scaled copy has identical signs on every hyperplane -> same bucket
     assert any(r.neighbor_id == 100 for r in res)
+
+
+def test_lsh_topk_external_query_ranked(spark, vectors):
+    """A query vector NOT in the candidate set must still be ranked: its
+    signature comes from the same deterministic hyperplane family, so its
+    bucket is comparable (round-1 ADVICE fix)."""
+    external = spark.createDataFrame(
+        # same direction as vec 0 (scaled), brand-new id -> same bucket
+        [(999, [x * 2 for x in vectors.filter(F.col("vec_id") == 0)
+                .collect()[0].embedding])],
+        "vec_id long, embedding array<float>",
+    )
+    res = S.lsh_topk(external, vectors, k=3).collect()
+    assert len(res) > 0
+    assert res[0].query_id == 999
+    assert res[0].neighbor_id in (0, 100)  # its colinear neighbors rank first
 
 
 def test_ivf_full_probe_equals_brute_force(spark, vectors):

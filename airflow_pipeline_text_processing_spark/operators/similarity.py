@@ -225,30 +225,45 @@ def ivf_centroids(
     return [(i + 1, [float(x) for x in r.vec]) for i, r in enumerate(rows)]
 
 
-def _centroid_dots(vec_col: str, centroids: list) -> list:
-    return [
-        scaled_dot(
-            F.col(vec_col), F.array(*[F.lit(x) for x in cvec]), dim=len(cvec)
+def _centroid_matrix(df: DataFrame, centroids: list) -> DataFrame:
+    """The centroid matrix as ONE broadcast row with an
+    ``array<array<double>>`` column (1-based position == centroid id).
+
+    Round-1 lesson: embedding C x dim centroids as per-element ``F.lit``
+    trees cost ~2 s of driver-side Column construction plus another ~2 s of
+    Catalyst analysis over the 500+-node expression at C=8, dim=64 -- per
+    query.  A single-row broadcast join carries the same constants to every
+    executor with a tiny plan, stays a narrow op at any candidate count, and
+    the per-row arithmetic (HOF fixed-point dots) is unchanged."""
+    return F.broadcast(
+        df.sparkSession.createDataFrame(
+            [([list(cvec) for _cid, cvec in centroids],)],
+            "_cents array<array<double>>",
         )
-        for _cid, cvec in centroids
-    ]
+    )
+
+
+def _cent_dots() -> Column:
+    """Fixed-point dot of every centroid against the row's ``_vec``."""
+    return F.transform(F.col("_cents"), lambda c: scaled_dot(c, F.col("_vec")))
 
 
 def with_ivf_cell(
     df: DataFrame, vec_col: str, centroids: list, out_col: str = "cell"
 ) -> DataFrame:
-    """Adds the 1-based nearest-centroid id (ties -> lowest id), no shuffle.
-
-    The per-centroid dot array is materialized ONCE in a projection before
-    the argmax reads it -- inlining it would evaluate the whole C x dim
-    expression tree twice (argmax + lookup)."""
-    dots = F.array(*_centroid_dots(vec_col, centroids))
-    return df.withColumn("_dots", dots).select(
-        "*",
-        F.array_position(F.col("_dots"), F.array_max("_dots"))
-        .cast("int")
-        .alias(out_col),
-    ).drop("_dots")
+    """Adds the 1-based nearest-centroid id (ties -> lowest id).  Narrow:
+    the only "join" is the single-row centroid broadcast."""
+    return (
+        df.crossJoin(_centroid_matrix(df, centroids))
+        .withColumn("_vec", F.col(vec_col))
+        .withColumn("_dots", _cent_dots())
+        .select(
+            *df.columns,
+            F.array_position(F.col("_dots"), F.array_max("_dots"))
+            .cast("int")
+            .alias(out_col),
+        )
+    )
 
 
 def with_ivf_probes(
@@ -259,26 +274,21 @@ def with_ivf_probes(
     out_col: str = "probe_cells",
 ) -> DataFrame:
     """Adds the ``nprobe`` nearest centroid ids, best first (ties -> lowest
-    id), with the dot array materialized once like ``with_ivf_cell``."""
-    dots = F.array(*_centroid_dots(vec_col, centroids))
-    pairs = F.array(
-        *[
-            F.struct(
-                (-F.element_at(F.col("_dots"), cid)).alias("neg"),
-                F.lit(cid).alias("cid"),
-            )
-            for cid, _cvec in centroids
-        ]
+    id), via the same single-row centroid broadcast."""
+    pairs = F.transform(
+        F.col("_dots"),
+        lambda d, i: F.struct((-d).alias("neg"), (i + 1).cast("int").alias("cid")),
     )
     return (
-        df.withColumn("_dots", dots)
+        df.crossJoin(_centroid_matrix(df, centroids))
+        .withColumn("_vec", F.col(vec_col))
+        .withColumn("_dots", _cent_dots())
         .select(
-            "*",
+            *df.columns,
             F.transform(
                 F.slice(F.array_sort(pairs), 1, nprobe), lambda s: s["cid"]
             ).alias(out_col),
         )
-        .drop("_dots")
     )
 
 

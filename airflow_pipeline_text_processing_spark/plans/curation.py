@@ -42,6 +42,7 @@ def curate_documents(
     langs: Optional[Sequence[str]] = None,
     token_budget: Optional[int] = None,
     text_col: str = "text",
+    persist_intermediate: bool = True,
 ) -> DataFrame:
     """Curated training subset with per-doc analytics.
 
@@ -97,6 +98,17 @@ def curate_documents(
     )
     if langs is not None:
         kept = kept.filter(F.col("predicted_lang").isin(list(langs)))
+
+    if persist_intermediate:
+        # ordered_running_sum range-partitions on the selection order, and
+        # range partitioning SAMPLES its input to pick boundaries -- without
+        # a persist the whole regexp/HOF analytics pass above runs twice
+        # (sample + real).  The persisted relation is the post-filter,
+        # 5-column projection: tiny relative to the corpus (and it spills to
+        # disk, never OOMs).  Measured 2x on the end-to-end query.
+        from pyspark import StorageLevel
+
+        kept = kept.persist(StorageLevel.MEMORY_AND_DISK)
 
     ranked = ordered_running_sum(
         kept,

@@ -49,11 +49,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     """Repartition UDF-heavy inputs up to core count when the scan yielded
-    fewer partitions (a single small parquet file reads as 1 partition, which
+    few input files (a single small parquet file reads as 1 partition, which
     would serialize all Python-kernel work onto one core).  At real scale the
-    scan already has >= cores partitions and this is a no-op -- no shuffle."""
+    scan has >= cores files and this is a no-op -- no shuffle.  File count
+    (driver-side metadata) stands in for partition count: ``df.rdd`` would
+    answer it exactly but forces a Python-RDD conversion boundary."""
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_inputs = len(df.inputFiles())
+    except Exception:
+        n_inputs = target
+    if n_inputs < target:
         return df.repartition(target)
     return df
 

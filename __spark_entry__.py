@@ -12,9 +12,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from airflow_pipeline_text_processing_spark.plans.queries import REGISTRY as _CORE
+from airflow_pipeline_text_processing_spark.plans.queries_ext import REGISTRY as _EXT
 from airflow_pipeline_text_processing_spark.plans.queries_llm import REGISTRY as _LLM
 
-REGISTRY = {**_CORE, **_LLM}
+REGISTRY = {**_CORE, **_LLM, **_EXT}
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,415 @@
+"""Extension query surface: streaming-as-batch-checkable runs, pivot/cube,
+window frames, correlated SQL, CSV source round-trip, salted join, exact
+percentiles.
+
+Everything here follows the same contract as ``queries.py``: a named
+DataFrame plan plus an ANSI-SQL DuckDB oracle, deterministic down to the
+value hash (money canonicalized to integer cents; every computed column
+aliased identically in both formulations).
+
+The two ``stream_*`` entries are REAL Structured Streaming executions
+(``readStream`` -> transformation -> memory sink, ``availableNow`` trigger)
+whose final results are batch-comparable -- promoting the streaming surface
+(SURVEY.md §2 Part B "streaming", ops 45 family) into the driver's
+correctness scoreboard instead of pytest-only coverage.
+"""
+
+from __future__ import annotations
+
+import itertools
+import tempfile
+from typing import Callable, Dict, Optional, Tuple
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from .queries import _cents, _money_sum, _sql_money_sum, _t
+
+_MEM_SEQ = itertools.count()
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table as a STREAMING DataFrame with a proper event-time
+    ``ts`` column (same nanos handling as the batch ``_t`` path)."""
+    import os
+
+    batch = _t(spark, sf_dir, "events")  # sets the nanos conf, resolves schema
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file streaming source requires a DIRECTORY; expose the single
+    # parquet file through a temp dir symlink (testdata is read-only)
+    stream_dir = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(
+        f"{sf_dir}/events.parquet", os.path.join(stream_dir, "events.parquet")
+    )
+    stream = spark.readStream.schema(raw_schema).parquet(stream_dir)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _ = batch  # only needed for the conf side effect / schema parity
+    return stream
+
+
+def _run_to_memory(
+    result: DataFrame, output_mode: str, name_prefix: str
+) -> Tuple[str, object]:
+    """Run a streaming DataFrame to a memory sink with availableNow; returns
+    (table_name, query) after termination."""
+    name = f"{name_prefix}_{next(_MEM_SEQ)}"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name_prefix}_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return name, q
+
+
+def stream_hourly_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation executed AS A STREAM
+    (streaming/windows.py::watermarked_hourly_counts): readStream over the
+    events parquet, 1-hour event-time windows with a 2-hour watermark,
+    complete-mode memory sink.  With availableNow the stream drains in one
+    pass, so the final table equals the batch formulation -- which is
+    exactly what the oracle asserts."""
+    from ..streaming.windows import watermarked_hourly_counts
+
+    ev = _events_stream(spark, sf_dir)
+    name, _q = _run_to_memory(
+        watermarked_hourly_counts(ev), "complete", "hourly_wm"
+    )
+    return spark.table(name).orderBy("window_start", "event_type")
+
+
+STREAM_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR("value"*100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+GROUP BY 1, 2, 3
+ORDER BY window_start, event_type
+"""
+
+
+def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator executed for real
+    (streaming/windows.py::stateful_user_totals, applyInPandasWithState):
+    running per-user totals, update-mode memory sink.  availableNow drains
+    the source in one micro-batch, so the emitted rows are the final state
+    per user -- batch-checkable against a plain GROUP BY."""
+    from ..streaming.windows import stateful_user_totals
+
+    ev = _events_stream(spark, sf_dir)
+    name, _q = _run_to_memory(stateful_user_totals(ev), "update", "user_totals")
+    return spark.table(name).orderBy("user_id")
+
+
+STREAM_TOTALS_SQL = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR("value"*100) AS BIGINT)) AS BIGINT) / 100.0
+         AS total_value,
+       arg_max(event_type, ts) AS last_event_type
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------- pivot/cube
+
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+def pivot_segment_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (crosstab): order counts per year x market segment.  Explicit
+    pivot values keep the column set deterministic (and skip the extra
+    distinct-scan Spark otherwise runs to discover them)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .withColumn("order_year", F.year("o_orderdate"))
+        .groupBy("order_year")
+        .pivot("c_mktsegment", _SEGMENTS)
+        .count()
+        .na.fill(0, _SEGMENTS)
+        .orderBy("order_year")
+    )
+
+
+PIVOT_SQL = f"""
+SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS order_year,
+       {", ".join(
+           f"COUNT(*) FILTER (WHERE c.c_mktsegment = '{s}') AS {s}"
+           for s in _SEGMENTS
+       )}
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+ORDER BY order_year
+"""
+
+
+def agg_cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (priority, status): all 4 grouping combinations in one
+    pass (Part B grouping-sets surface; rollup already covered)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _money_sum(F.col("o_totalprice"), "total_price"),
+        )
+        .orderBy(
+            F.col("o_orderpriority").asc_nulls_first(),
+            F.col("o_orderstatus").asc_nulls_first(),
+        )
+    )
+
+
+CUBE_SQL = f"""
+SELECT o_orderpriority, o_orderstatus,
+       COUNT(*) AS n_orders,
+       {_sql_money_sum('o_totalprice', 'total_price')}
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST
+"""
+
+
+# ------------------------------------------------------------- window frames
+
+
+def window_frames_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-function surface in one query: lag/lead, rank/percent_rank,
+    ntile, and a RANGE frame (trailing 30 days by event time) -- the frame
+    types Part B's window row lists beyond plain running sums."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        _cents(F.col("o_totalprice")).alias("price_cents"),
+    )
+    by_cust = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    # RANGE frame needs a numeric order: epoch seconds of the order date
+    # epoch seconds for the RANGE frame; NTZ -> TIMESTAMP -> LONG (the NTZ
+    # type has no direct long cast).  The session-tz shift is uniform, so a
+    # fixed-width trailing window is unaffected by it.
+    range_w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            "price_cents",
+            F.lag("price_cents").over(by_cust).alias("prev_cents"),
+            F.lead("price_cents").over(by_cust).alias("next_cents"),
+            F.rank().over(by_cust).alias("rnk"),
+            F.percent_rank().over(by_cust).alias("pct_rank"),
+            F.ntile(4).over(by_cust).alias("quartile"),
+            F.sum("price_cents").over(range_w).alias("cents_30d"),
+        )
+        .orderBy("o_custkey", "rnk", "o_orderkey")
+    )
+
+
+FRAMES_SQL = """
+SELECT o_orderkey, o_custkey, price_cents,
+       LAG(price_cents) OVER w AS prev_cents,
+       LEAD(price_cents) OVER w AS next_cents,
+       RANK() OVER w AS rnk,
+       PERCENT_RANK() OVER w AS pct_rank,
+       NTILE(4) OVER w AS quartile,
+       CAST(SUM(price_cents) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate
+         RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS cents_30d
+FROM (
+  SELECT o_orderkey, o_custkey, o_orderdate,
+         CAST(FLOOR(o_totalprice*100) AS BIGINT) AS price_cents
+  FROM orders
+)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, rnk, o_orderkey
+"""
+
+
+# ---------------------------------------------------- correlated SQL surface
+
+
+def sql_correlated_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-entrypoint query (spark.sql over temp views) with a correlated
+    scalar subquery AND a correlated EXISTS -- decorrelated by Catalyst into
+    joins (the engine's SQL surface, not just the DataFrame API).  The
+    average is taken over exact cents so the predicate threshold is
+    bit-identical in both engines."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey,
+               CAST(FLOOR(o.o_totalprice*100) AS BIGINT) AS price_cents
+        FROM orders_v o
+        WHERE CAST(FLOOR(o.o_totalprice*100) AS BIGINT) >
+              (SELECT AVG(CAST(FLOOR(o2.o_totalprice*100) AS BIGINT))
+               FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey)
+          AND EXISTS (SELECT 1 FROM customer_v c
+                      WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 0)
+        ORDER BY o.o_orderkey
+        """
+    )
+
+
+CORRELATED_SQL = """
+SELECT o.o_orderkey, o.o_custkey,
+       CAST(FLOOR(o.o_totalprice*100) AS BIGINT) AS price_cents
+FROM orders o
+WHERE CAST(FLOOR(o.o_totalprice*100) AS BIGINT) >
+      (SELECT AVG(CAST(FLOOR(o2.o_totalprice*100) AS BIGINT))
+       FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+  AND EXISTS (SELECT 1 FROM customer c
+              WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 0)
+ORDER BY o.o_orderkey
+"""
+
+
+# ----------------------------------------------------------- csv round trip
+
+
+def csv_roundtrip_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source/sink surface: write nation out as CSV, read it back with
+    an explicit schema, broadcast-join region, aggregate.  Values are
+    integers/strings only, so the text round trip is lossless and the
+    oracle (over the original parquet) must agree exactly."""
+    out = tempfile.mkdtemp(prefix="nation_csv_")
+    nation = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    nation.write.mode("overwrite").option("header", True).csv(out)
+    back = spark.read.schema(
+        "n_nationkey long, n_name string, n_regionkey long"
+    ).option("header", True).csv(out)
+    region = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    return (
+        back.join(F.broadcast(region), back.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_nations"),
+            F.min("n_name").alias("first_nation"),
+        )
+        .orderBy("r_name")
+    )
+
+
+CSV_ROUNDTRIP_SQL = """
+SELECT r.r_name, COUNT(*) AS n_nations, MIN(n.n_name) AS first_nation
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+ORDER BY r.r_name
+"""
+
+
+# -------------------------------------------------------------- salted join
+
+
+def join_salted_lineitem_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted equi-join (operators/skew.py::salted_join): lineitem
+    (fact) x supplier (dim replicated across salts), then aggregate.  The
+    oracle is the plain join -- salting is a pure plan rewrite."""
+    from ..operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_quantity", _cents(F.col("l_extendedprice")).alias("cents")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    joined = salted_join(
+        li.withColumnRenamed("l_suppkey", "s_suppkey"),
+        supp,
+        ["s_suppkey"],
+        num_salts=16,
+    )
+    return (
+        joined.groupBy("s_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
+            (F.sum("cents").cast("double") / 100.0).alias("total_price"),
+        )
+        .orderBy("s_name")
+    )
+
+
+SALTED_JOIN_SQL = """
+SELECT s.s_name,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0
+         AS total_price
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY s.s_name
+ORDER BY s.s_name
+"""
+
+
+# --------------------------------------------------------------- percentiles
+
+
+def percentile_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (interpolated) percentiles per group -- order statistics over
+    integer cents, so the linear interpolation is bit-identical across
+    engines (no float-sum ordering anywhere)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", _cents(F.col("value")).alias("cents")
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.percentile(F.col("cents"), F.lit(0.25)).alias("p25_cents"),
+            F.percentile(F.col("cents"), F.lit(0.5)).alias("p50_cents"),
+            F.percentile(F.col("cents"), F.lit(0.75)).alias("p75_cents"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+PERCENTILE_SQL = """
+SELECT event_type,
+       quantile_cont(CAST(FLOOR("value"*100) AS BIGINT), 0.25) AS p25_cents,
+       quantile_cont(CAST(FLOOR("value"*100) AS BIGINT), 0.5)  AS p50_cents,
+       quantile_cont(CAST(FLOOR("value"*100) AS BIGINT), 0.75) AS p75_cents,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
+    "stream_hourly_watermarked": (stream_hourly_watermarked, STREAM_HOURLY_SQL),
+    "stream_stateful_user_totals": (
+        stream_stateful_user_totals,
+        STREAM_TOTALS_SQL,
+    ),
+    "pivot_segment_year": (pivot_segment_year, PIVOT_SQL),
+    "agg_cube_priority_status": (agg_cube_priority_status, CUBE_SQL),
+    "window_frames_showcase": (window_frames_showcase, FRAMES_SQL),
+    "sql_correlated_above_avg": (sql_correlated_above_avg, CORRELATED_SQL),
+    "csv_roundtrip_nation_region": (
+        csv_roundtrip_nation_region,
+        CSV_ROUNDTRIP_SQL,
+    ),
+    "join_salted_lineitem_supplier": (
+        join_salted_lineitem_supplier,
+        SALTED_JOIN_SQL,
+    ),
+    "percentile_value_by_type": (percentile_value_by_type, PERCENTILE_SQL),
+}

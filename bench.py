@@ -35,6 +35,11 @@ BENCH_QUERIES = [
     "sim_ivf_topk",
     "text_bpe_token_stats",
     "curation_training_set",
+    # round-2 extension surface
+    "pivot_segment_year",
+    "window_frames_showcase",
+    "sql_correlated_above_avg",
+    "stream_hourly_watermarked",
 ]
 
 

@@ -99,6 +99,58 @@ def test_asof_join_is_single_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_pivot_broadcasts_dim_and_single_agg_shuffle(spark):
+    """Pivot with explicit values: dimension broadcast, one hash exchange
+    for the pivoted aggregation (no extra distinct-discovery scan)."""
+    from airflow_pipeline_text_processing_spark.plans.queries_ext import (
+        pivot_segment_year,
+    )
+
+    plan = plan_of(pivot_segment_year(spark, SF_DIR), mode="simple")
+    assert "BroadcastHashJoin" in plan
+    # two-level pivot agg: (year, segment) pre-agg then pivotfirst per year
+    # -- both exchanges fed by partial aggregates (map-side combined)
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "partial_pivotfirst" in plan and "partial_count" in plan
+
+
+def test_correlated_subquery_decorrelates_to_joins(spark):
+    """Catalyst must rewrite the correlated scalar subquery + EXISTS into
+    aggregate+join form -- a per-row subquery execution would be a
+    nested-loop at 100 TB."""
+    from airflow_pipeline_text_processing_spark.plans.queries_ext import (
+        sql_correlated_above_avg,
+    )
+
+    plan = plan_of(sql_correlated_above_avg(spark, SF_DIR), mode="simple")
+    assert "Join" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_candidate_assignment_is_narrow(spark):
+    """IVF cell assignment must not shuffle the candidate set: centroids
+    ride a single-row broadcast; the only exchanges allowed are for the
+    final per-query top-k window and the probe join."""
+    from airflow_pipeline_text_processing_spark.operators.similarity import (
+        ivf_topk,
+        with_ivf_cell,
+        ivf_centroids,
+    )
+
+    vecs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = ivf_centroids(vecs, 4)
+    assigned = with_ivf_cell(
+        vecs.select(F.col("vec_id").alias("neighbor_id"),
+                    F.col("embedding").alias("cvec")),
+        "cvec",
+        cents,
+    )
+    plan = plan_of(assigned, mode="simple")
+    assert "Exchange hashpartitioning" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
 def test_range_join_is_equi_not_cartesian(spark):
     """The bucketed range join must compile to an equi-join on
     (key, bucket) -- never a nested-loop/cartesian theta join."""

@@ -404,6 +404,65 @@ def simhash_pairs_allpairs(
     )
 
 
+# ------------------------------------------------ connected components
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Cluster near-dup pairs into components: (node, cluster_id) where
+    ``cluster_id`` is the minimum node id reachable through the pair graph.
+
+    The step that turns pairwise dedup output into "keep one doc per
+    duplicate CLUSTER" (A~B, B~C => drop two of {A,B,C} even though A~C was
+    never emitted).  Iterative min-label propagation: each round every node
+    takes the min label among itself and its neighbors; converges in
+    graph-diameter rounds (near-dup clusters are shallow -- a handful).
+    Each round is one equi-join + groupBy-min, both shuffle-partitioned by
+    node id; ``localCheckpoint`` truncates the growing lineage so round N
+    does not replay rounds 1..N-1.  Loop exits early when a round changes
+    no label (one small count action per round)."""
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    )
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_labels = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), "label")
+        )
+        new_labels = (
+            labels.select("node", "label")
+            .union(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 # -------------------------------------------------- embedding near-dup
 
 

@@ -135,3 +135,74 @@ def top_terms(docs: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame
         .orderBy(F.col("n").desc(), F.col("token"))
         .limit(k)
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame, k: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Per-document top-k terms by a deterministic tf-idf variant.
+
+    Score = tf * N / df computed as one IEEE division of exact integers
+    (tf*N is an exact BIGINT product, df a BIGINT) -- a log-based idf would
+    hash-differently across engines' libm, a rational one cannot.  Shuffle
+    shape at scale: one (doc, token) count agg, one token-df agg (both
+    map-side combined), df broadcast back, per-doc top-k window.
+    """
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_counts = tf.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n_docs = docs.select(
+        F.count("*").cast("long").alias("n_docs_total")
+    )
+    scored = (
+        tf.join(F.broadcast(df_counts), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            (F.col("tf") * F.col("n_docs_total")).cast("double") / F.col("df"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= k)
+        .select("doc_id", "token", "tf", "df", "tfidf", "term_rank")
+        .orderBy("doc_id", "term_rank")
+    )
+
+
+def token_window_chunks(
+    docs: DataFrame,
+    size: int = 50,
+    stride: int = 40,
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping token-window chunking -- the training-data prep step
+    that splits long documents into model-context-sized pieces (size-token
+    windows advancing by stride, so consecutive chunks overlap by
+    size-stride tokens).  Pure array expressions (sequence/posexplode/
+    slice): a narrow 1->N fan-out, no Python, no shuffle."""
+    toks = tokens(F.col(text_col))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(stride)
+    )
+    return (
+        docs.select("doc_id", toks.alias("_toks"), F.posexplode(starts))
+        .select(
+            "doc_id",
+            F.col("pos").alias("chunk_idx"),
+            F.size(F.slice("_toks", F.col("col"), size)).alias("n_chunk_tokens"),
+            F.md5(F.array_join(F.slice("_toks", F.col("col"), size), " ")).alias(
+                "chunk_hash"
+            ),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )

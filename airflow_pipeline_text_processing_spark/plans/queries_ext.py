@@ -391,6 +391,137 @@ ORDER BY event_type
 """
 
 
+# ------------------------------------------------ LLM-pipeline round 2
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, not just pairs: jaccard pairs -> connected
+    components (operators/dedup.py::connected_components, iterative
+    min-label propagation).  The oracle computes the same transitive
+    closure with a recursive CTE."""
+    from .queries_llm import _planted_docs
+    from ..operators import dedup as D
+
+    pairs = D.jaccard_pairs(
+        _planted_docs(spark, sf_dir), threshold=0.6
+    ).select("doc_a", "doc_b")
+    return D.connected_components(pairs).orderBy("doc_id")
+
+
+def _clusters_sql() -> str:
+    from .queries_llm import SHINGLES_CTE, _planted_sql
+
+    return f"""
+WITH RECURSIVE corpus AS ({_planted_sql()}),
+{SHINGLES_CTE},
+pairs AS (SELECT doc_a, doc_b FROM jaccards WHERE jaccard >= 0.6),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(src, dst) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, MIN(dst) AS cluster_id
+FROM reach GROUP BY src ORDER BY doc_id
+"""
+
+
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 tf-idf terms (rational idf -- see
+    operators/text.py::tfidf_top_terms for why not log)."""
+    from ..operators.text import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+def _tfidf_sql() -> str:
+    from .queries_llm import TOKS_SQL
+
+    return f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST({TOKS_SQL}) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+dfc AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs_total FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, dfc.df,
+         CAST(tf.tf * n.n_docs_total AS DOUBLE) / dfc.df AS tfidf
+  FROM tf JOIN dfc ON tf.token = dfc.token CROSS JOIN n
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, token) AS term_rank
+  FROM scored
+)
+SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       tfidf, CAST(term_rank AS BIGINT) AS term_rank
+FROM ranked WHERE term_rank <= 3
+ORDER BY doc_id, term_rank
+"""
+
+
+_SAMPLE_RATES = {"click": 0.25, "purchase": 0.5, "error": 1.0}
+
+
+def sample_stratified_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based stratified sampling
+    (operators/sampling.py): per-event-type keep rates via md5 threshold --
+    reproducible across engines/reruns, pure pushdown-able predicate."""
+    from ..operators.sampling import stratified_sample
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type")
+    return stratified_sample(
+        ev, "event_type", _SAMPLE_RATES, F.col("event_id")
+    ).orderBy("event_id")
+
+
+def _sample_sql() -> str:
+    from ..operators.sampling import rate_threshold
+
+    cases = " ".join(
+        f"WHEN event_type = '{s}' THEN '{rate_threshold(r)}'"
+        for s, r in sorted(_SAMPLE_RATES.items())
+    )
+    return f"""
+SELECT event_id, event_type FROM events
+WHERE md5(CAST(event_id AS VARCHAR)) <
+      (CASE {cases} ELSE '{rate_threshold(0.0)}' END)
+ORDER BY event_id
+"""
+
+
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window training chunks (50-token windows, stride 40) --
+    narrow 1->N fan-out, chunk content fingerprinted by md5."""
+    from ..operators.text import token_window_chunks
+
+    return token_window_chunks(_t(spark, sf_dir, "documents"), size=50, stride=40)
+
+
+def _chunk_windows_sql() -> str:
+    from .queries_llm import TOKS_SQL
+
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS_SQL} AS tk FROM documents),
+starts AS (
+  SELECT doc_id, tk,
+         UNNEST(generate_series(1, greatest(len(tk), 1), 40)) AS start
+  FROM toks
+)
+SELECT doc_id,
+       CAST((start - 1) / 40 AS INT) AS chunk_idx,
+       CAST(len(tk[start : start + 49]) AS INT) AS n_chunk_tokens,
+       md5(array_to_string(tk[start : start + 49], ' ')) AS chunk_hash
+FROM starts
+ORDER BY doc_id, chunk_idx
+"""
+
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
@@ -412,4 +543,8 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
         SALTED_JOIN_SQL,
     ),
     "percentile_value_by_type": (percentile_value_by_type, PERCENTILE_SQL),
+    "dedup_clusters": (dedup_clusters, _clusters_sql()),
+    "text_tfidf_top_terms": (text_tfidf_top_terms, _tfidf_sql()),
+    "sample_stratified_events": (sample_stratified_events, _sample_sql()),
+    "text_chunk_windows": (text_chunk_windows, _chunk_windows_sql()),
 }

@@ -261,3 +261,57 @@ def test_ordered_running_sum_equals_global_window(spark):
             ).collect()
         }
         assert got == naive, f"mismatch at num_partitions={n}"
+
+
+def test_connected_components_transitive(spark):
+    """A~B, B~C, D~E: two clusters labeled by their min member, even though
+    (A,C) was never an input pair."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in D.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 12-node path graph needs multiple propagation rounds; the loop
+    must keep iterating past the first round and stop at the fixpoint."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
+    )
+    got = D.connected_components(pairs).collect()
+    assert {r.cluster_id for r in got} == {0}
+    assert len(got) == 13
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from airflow_pipeline_text_processing_spark.operators import sampling as SM
+    import pyspark.sql.functions as FF
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, stratum string")
+    sampled = SM.stratified_sample(
+        df, "stratum", {"a": 0.25, "b": 1.0}, FF.col("id")
+    )
+    counts = {r.stratum: r.n for r in
+              sampled.groupBy("stratum").agg(FF.count("*").alias("n")).collect()}
+    assert counts["b"] == 1000          # rate 1.0 keeps everything
+    assert 150 < counts["a"] < 350      # ~250 expected at rate 0.25
+    # deterministic: same rows every run
+    again = SM.stratified_sample(
+        df, "stratum", {"a": 0.25, "b": 1.0}, FF.col("id")
+    )
+    assert sorted(r.id for r in sampled.collect()) == sorted(
+        r.id for r in again.collect()
+    )
+
+
+def test_token_window_chunks_overlap(spark):
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(95)))], "doc_id long, text string"
+    )
+    rows = T.token_window_chunks(docs, size=50, stride=40).collect()
+    # starts at token 1, 41, 81 -> 3 chunks of 50, 50, 15 tokens
+    assert [(r.chunk_idx, r.n_chunk_tokens) for r in rows] == [
+        (0, 50), (1, 50), (2, 15)
+    ]

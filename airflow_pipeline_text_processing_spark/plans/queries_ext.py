@@ -391,6 +391,66 @@ ORDER BY event_type
 """
 
 
+def array_scalar_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/regexp/null-handling scalar breadth over the embeddings table:
+    element access, slicing, size, fixed-point array reductions (min/max of
+    floored milli-units -- exact, order-free), zip_with pairing, plus
+    coalesce/nullif.  Complements the string/date scalar showcases."""
+    vecs = _t(spark, sf_dir, "embeddings")
+    milli = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * 1000).cast("long")
+    )
+    return vecs.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at(milli, 1).alias("first_milli"),
+        F.element_at(milli, -1).alias("last_milli"),
+        F.array_min(milli).alias("min_milli"),
+        F.array_max(milli).alias("max_milli"),
+        F.aggregate(
+            F.slice(milli, 1, 8), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("head8_sum_milli"),
+        F.size(F.filter(milli, lambda x: x > 0)).alias("n_positive"),
+        F.aggregate(
+            F.zip_with(
+                F.slice(milli, 1, 4),
+                F.slice(milli, 5, 4),
+                lambda a, b: a * b,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("paired_dot_milli"),
+        F.coalesce(
+            F.nullif(F.element_at(milli, 1), F.lit(0)), F.lit(-1)
+        ).alias("first_or_neg1"),
+    ).orderBy("vec_id")
+
+
+ARRAY_SCALAR_SQL = """
+WITH m AS (
+  SELECT vec_id,
+         [CAST(FLOOR(CAST(x AS DOUBLE)*1000) AS BIGINT) FOR x IN embedding]
+           AS milli,
+         len(embedding) AS dim
+  FROM embeddings
+)
+SELECT vec_id,
+       CAST(dim AS INT) AS dim,
+       milli[1] AS first_milli,
+       milli[-1] AS last_milli,
+       list_min(milli) AS min_milli,
+       list_max(milli) AS max_milli,
+       CAST(list_sum(milli[1:8]) AS BIGINT) AS head8_sum_milli,
+       CAST(len(list_filter(milli, x -> x > 0)) AS INT) AS n_positive,
+       CAST(list_sum(list_transform(list_zip(milli[1:4], milli[5:8]),
+                                    p -> p[1] * p[2])) AS BIGINT)
+         AS paired_dot_milli,
+       COALESCE(NULLIF(milli[1], 0), -1) AS first_or_neg1
+FROM m
+ORDER BY vec_id
+"""
+
+
 # ------------------------------------------------ LLM-pipeline round 2
 
 
@@ -543,6 +603,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
         SALTED_JOIN_SQL,
     ),
     "percentile_value_by_type": (percentile_value_by_type, PERCENTILE_SQL),
+    "array_scalar_showcase": (array_scalar_showcase, ARRAY_SCALAR_SQL),
     "dedup_clusters": (dedup_clusters, _clusters_sql()),
     "text_tfidf_top_terms": (text_tfidf_top_terms, _tfidf_sql()),
     "sample_stratified_events": (sample_stratified_events, _sample_sql()),

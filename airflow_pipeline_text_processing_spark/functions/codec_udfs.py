@@ -158,11 +158,38 @@ def decode_chunks(chunks: pd.Series) -> pd.Series:
     return pd.Series([_rebuild(a) for a in chunks])
 
 
+def make_chunk_text_udtf():
+    """The UTF-8-safe byte chunker as a real Python UDTF (SURVEY.md op 23
+    is "UDTF-shaped": 1 text row -> N chunk rows).  SQL usage:
+
+        SELECT d.doc_id, c.* FROM docs d,
+        LATERAL chunk_text(d.text, 40) c
+
+    Emits the text piece per chunk (not the DNA -- that is what
+    ``encode_chunks`` fuses); useful for any byte-budget splitting, not
+    just the codec path."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_id string, index int, chunk_text string, n_bytes int")
+    class ChunkText:
+        def eval(self, text: Optional[str], chunk_size: int):
+            if text is None:
+                return
+            for i, piece in enumerate(chunker.chunk_utf8_bytes(text, chunk_size)):
+                yield (f"dna_chunk_{i:03d}", i, piece.decode("utf-8"), len(piece))
+
+    return ChunkText
+
+
 def register_all(spark: SparkSession) -> None:
-    """Register every codec UDF for SQL use."""
+    """Register every codec UDF (and the chunker UDTF) for SQL use."""
     spark.udf.register("dna_encode", dna_encode)
     spark.udf.register("dna_decode", dna_decode)
     spark.udf.register("rs_parity", rs_parity)
     spark.udf.register("rs_repair", rs_repair)
     spark.udf.register("encode_chunks", encode_chunks)
     spark.udf.register("decode_chunks", decode_chunks)
+    try:
+        spark.udtf.register("chunk_text", make_chunk_text_udtf())
+    except Exception:
+        pass  # pyspark < 3.5: UDTFs unavailable; the pandas-UDF path covers it

@@ -275,3 +275,45 @@ def test_golden_reference_corpus(spark, tmp_path):
         golden = os.path.join("/root/reference/data/input", row.filename)
         with open(golden, encoding="utf-8") as f:
             assert row.text == f.read()
+
+
+def test_sql_registered_udf_surface(spark):
+    """register_all makes the whole codec surface SQL-callable (SURVEY §2
+    UDF/UDAF/UDTF row): scalar UDFs compose in SQL, and the chunker runs as
+    a real LATERAL UDTF with correct byte budgets and reassembly."""
+    from airflow_pipeline_text_processing_spark.functions.codec_udfs import (
+        register_all,
+    )
+
+    register_all(spark)
+    spark.createDataFrame(
+        [(1, "héllo wörld, " * 7), (2, "plain ascii text")],
+        "doc_id long, text string",
+    ).createOrReplaceTempView("sql_docs")
+
+    # scalar UDFs compose: encode -> decode round trip in pure SQL
+    rt = spark.sql(
+        """
+        SELECT doc_id,
+               decode(dna_decode(dna_encode(encode(text, 'utf-8')),
+                                 octet_length(text)), 'utf-8') AS back,
+               text
+        FROM sql_docs
+        """
+    ).collect()
+    assert all(r.back == r.text for r in rt)
+
+    # UDTF: LATERAL 1->N chunking, UTF-8-safe at a tiny byte budget
+    rows = spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_id, c.index, c.chunk_text, c.n_bytes
+        FROM sql_docs d, LATERAL chunk_text(d.text, 20) c
+        """
+    ).collect()
+    assert all(r.n_bytes <= 20 for r in rows)
+    assert all(len(r.chunk_text.encode()) == r.n_bytes for r in rows)
+    by_doc = {}
+    for r in sorted(rows, key=lambda r: (r.doc_id, r["index"])):
+        by_doc.setdefault(r.doc_id, []).append(r.chunk_text)
+    originals = {r.doc_id: r.text for r in spark.table("sql_docs").collect()}
+    assert {d: "".join(ps) for d, ps in by_doc.items()} == originals

@@ -156,20 +156,28 @@ def minhash_signatures(
     n: int = 3,
 ) -> DataFrame:
     """(doc_id, perm, minhash): lexicographic min of md5(perm || '|' || shingle)
-    per permutation -- a portable MinHash (md5 exists in every engine)."""
+    per permutation -- a portable MinHash (md5 exists in every engine).
+
+    All ``num_perm`` minima are computed as separate aggregates of ONE
+    groupBy(doc_id) pass: the shingle table shuffles once at its own size
+    and every min is map-side combined.  (The naive formulation -- explode
+    a perm column then groupBy(doc, perm) -- shuffles ``num_perm`` x the
+    shingle volume; at 16 permutations that is 16x the bytes for identical
+    results.)  The wide row then unpivots to (doc_id, perm, minhash) with a
+    narrow posexplode."""
     sh = shingle_table(docs, text_col, n)
-    perms = sh.select(
+    mins = [
+        F.min(
+            F.md5(F.concat(F.lit(f"{p}|"), F.col("shingle")))
+        ).alias(f"_mh{p}")
+        for p in range(num_perm)
+    ]
+    wide = sh.groupBy("doc_id").agg(*mins)
+    return wide.select(
         "doc_id",
-        "shingle",
-        F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("perm"),
-    )
-    return (
-        perms.groupBy("doc_id", "perm")
-        .agg(
-            F.min(
-                F.md5(F.concat(F.col("perm").cast("string"), F.lit("|"), "shingle"))
-            ).alias("minhash")
-        )
+        F.posexplode(
+            F.array(*[F.col(f"_mh{p}") for p in range(num_perm)])
+        ).alias("perm", "minhash"),
     )
 
 
@@ -274,42 +282,37 @@ def simhash_signatures(
     Bit b of a token comes from hex digit b//4 of its md5 (portable across
     engines); the signature bit is 1 iff the +-1 vote sum over all token
     occurrences is positive.
-    """
-    tok = docs.select("doc_id", F.explode(tokens(F.col(text_col))).alias("token"))
-    tok_bits = tok.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
-        F.md5("token").alias("h"),
-    )
-    hexval = (
-        F.instr(
-            F.lit("0123456789abcdef"),
-            F.substring(F.col("h"), (F.col("bit") / 4).cast("int") + 1, 1),
+
+    All ``bits`` vote sums are separate aggregates of ONE groupBy(doc_id)
+    pass over the token table (same rewrite as ``minhash_signatures``): the
+    md5 is computed once per token row, each bit's +-1 vote is a cheap
+    projection of it, and every sum is map-side combined -- vs the naive
+    explode-per-bit form that shuffles ``bits`` x the token volume.  Both
+    groupBys (votes, then signature assembly) collapse into one."""
+
+    def vote(h, b: int):
+        hexval = (
+            F.instr(F.lit("0123456789abcdef"), F.substring(h, b // 4 + 1, 1)) - 1
         )
-        - 1
-    )
-    bit_set = (
-        F.floor(
-            hexval
-            / F.pow(F.lit(2.0), (F.col("bit") % 4).cast("double"))
-        ).cast("int")
-        % 2
-    )
-    votes = tok_bits.select(
-        "doc_id", "bit", (bit_set * 2 - 1).alias("vote")
-    ).groupBy("doc_id", "bit").agg(F.sum("vote").alias("v"))
-    return votes.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct("bit", (F.col("v") > 0).cast("int").alias("s"))
-                    )
-                ),
-                lambda c: c["s"].cast("string"),
-            ),
-            "",
-        ).alias("simhash")
+        bit_set = F.floor(hexval / F.lit(float(2 ** (b % 4)))).cast("int") % 2
+        return bit_set * 2 - 1
+
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col(text_col))).alias("token")
+    ).select("doc_id", F.md5("token").alias("h"))
+    sums = [F.sum(vote(F.col("h"), b)).alias(f"_v{b}") for b in range(bits)]
+    return (
+        tok.groupBy("doc_id")
+        .agg(*sums)
+        .select(
+            "doc_id",
+            F.concat(
+                *[
+                    (F.col(f"_v{b}") > 0).cast("int").cast("string")
+                    for b in range(bits)
+                ]
+            ).alias("simhash"),
+        )
     )
 
 

@@ -391,6 +391,53 @@ ORDER BY event_type
 """
 
 
+def join_full_outer_year_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (completes the join-type surface: inner/semi/anti/
+    left are covered elsewhere): per-customer order counts of two years,
+    keeping customers active in either year, with null-safe coalesced
+    output."""
+    orders = _t(spark, sf_dir, "orders")
+
+    def year_counts(year: int, alias: str) -> DataFrame:
+        return (
+            orders.filter(F.year("o_orderdate") == year)
+            .groupBy(F.col("o_custkey").alias("custkey"))
+            .agg(F.count("*").alias(alias))
+        )
+
+    a = year_counts(1996, "n_1996")
+    b = year_counts(1997, "n_1997")
+    return (
+        a.join(b, "custkey", "full_outer")
+        .select(
+            "custkey",
+            F.coalesce("n_1996", F.lit(0)).alias("n_1996"),
+            F.coalesce("n_1997", F.lit(0)).alias("n_1997"),
+            (F.coalesce("n_1996", F.lit(0)) + F.coalesce("n_1997", F.lit(0))).alias(
+                "n_both"
+            ),
+        )
+        .orderBy("custkey")
+    )
+
+
+FULL_OUTER_SQL = """
+WITH a AS (
+  SELECT o_custkey AS custkey, COUNT(*) AS n_1996 FROM orders
+  WHERE EXTRACT(year FROM o_orderdate) = 1996 GROUP BY 1
+), b AS (
+  SELECT o_custkey AS custkey, COUNT(*) AS n_1997 FROM orders
+  WHERE EXTRACT(year FROM o_orderdate) = 1997 GROUP BY 1
+)
+SELECT COALESCE(a.custkey, b.custkey) AS custkey,
+       COALESCE(n_1996, 0) AS n_1996,
+       COALESCE(n_1997, 0) AS n_1997,
+       COALESCE(n_1996, 0) + COALESCE(n_1997, 0) AS n_both
+FROM a FULL OUTER JOIN b ON a.custkey = b.custkey
+ORDER BY custkey
+"""
+
+
 def array_scalar_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array/regexp/null-handling scalar breadth over the embeddings table:
     element access, slicing, size, fixed-point array reductions (min/max of
@@ -603,6 +650,10 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
         SALTED_JOIN_SQL,
     ),
     "percentile_value_by_type": (percentile_value_by_type, PERCENTILE_SQL),
+    "join_full_outer_year_cohorts": (
+        join_full_outer_year_cohorts,
+        FULL_OUTER_SQL,
+    ),
     "array_scalar_showcase": (array_scalar_showcase, ARRAY_SCALAR_SQL),
     "dedup_clusters": (dedup_clusters, _clusters_sql()),
     "text_tfidf_top_terms": (text_tfidf_top_terms, _tfidf_sql()),

@@ -151,6 +151,25 @@ def test_ivf_candidate_assignment_is_narrow(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
+def test_minhash_signatures_single_shuffle(spark):
+    """All 16 permutation-mins must come from ONE groupBy(doc_id) pass over
+    the shingle table: exactly one hash exchange, with partial (map-side)
+    aggregation before it -- the perm-exploded form would shuffle 16x."""
+    from airflow_pipeline_text_processing_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = plan_of(minhash_signatures(docs, num_perm=16), mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_min" in plan
+    # printed top-down: the (doc, perm, minhash) unpivot sits ABOVE the
+    # exchange (after the shuffle), the shingle explode below (before it)
+    assert plan.index("posexplode") < plan.index("Exchange hashpartitioning")
+
+
 def test_range_join_is_equi_not_cartesian(spark):
     """The bucketed range join must compile to an equi-join on
     (key, bucket) -- never a nested-loop/cartesian theta join."""

@@ -552,9 +552,19 @@ ORDER BY hour, event_type
 
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity) via lag + running sum --
-    the batch formulation of stateful session windows."""
+    the batch formulation of stateful session windows.
+
+    Single-shuffle plan: every stage clusters by ``user_id``, and Spark's
+    ClusteredDistribution accepts a subset partitioning, so the
+    (user, session) window and the per-user rollup reuse the first
+    exchange (sorts only, no reshuffle).  ``session_id`` is a 1-based
+    running count, so ``max(session_id)`` IS the session count -- the
+    per-user aggregate becomes two more window functions plus a
+    one-row-per-user filter instead of two groupBy shuffles."""
     ev = _t(spark, sf_dir, "events")
     by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    by_user_all = Window.partitionBy("user_id")
+    by_session = Window.partitionBy("user_id", "session_id")
     sessions = (
         ev.withColumn("prev_ts", F.lag("ts").over(by_user))
         .withColumn(
@@ -565,15 +575,14 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("int"),
         )
         .withColumn("session_id", F.sum("new_session").over(by_user))
+        .withColumn("n_events", F.count("*").over(by_session))
+        .withColumn("_rn", F.row_number().over(by_user))
     )
     return (
-        sessions.groupBy("user_id", "session_id")
-        .agg(F.count("*").alias("n_events"))
-        .groupBy("user_id")
-        .agg(
-            F.count("*").alias("n_sessions"),
-            F.max("n_events").alias("max_session_events"),
-        )
+        sessions.withColumn("n_sessions", F.max("session_id").over(by_user_all))
+        .withColumn("max_session_events", F.max("n_events").over(by_user_all))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "n_sessions", "max_session_events")
         .orderBy("user_id")
     )
 

@@ -151,6 +151,19 @@ def test_ivf_candidate_assignment_is_narrow(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
+def test_sessionize_single_shuffle(spark):
+    """Sessionization (lag -> running sum -> per-session counts -> per-user
+    rollup) must reuse ONE user_id exchange across all window stages --
+    subset partitioning satisfies ClusteredDistribution, so the
+    (user, session) window and the per-user maxima only add sorts."""
+    from airflow_pipeline_text_processing_spark.plans.queries import (
+        events_sessionize,
+    )
+
+    plan = plan_of(events_sessionize(spark, SF_DIR), mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
 def test_minhash_signatures_single_shuffle(spark):
     """All 16 permutation-mins must come from ONE groupBy(doc_id) pass over
     the shingle table: exactly one hash exchange, with partial (map-side)

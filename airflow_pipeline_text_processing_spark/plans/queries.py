@@ -523,17 +523,31 @@ ORDER BY event_type
 
 
 def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling 1-hour window aggregation (Part B streaming analog)."""
+    """Tumbling 1-hour window aggregation (Part B streaming analog).
+
+    Two-level formulation: pre-aggregate by (hour, type, user) -- count and
+    cents sum combine map-side -- then roll up per (hour, type), where the
+    user count is a plain count of the pre-deduped rows.  Avoids the Expand
+    plan (2x the event stream through one shuffle) that mixing
+    countDistinct with plain aggregates would generate."""
     ev = _t(spark, sf_dir, "events")
-    return (
+    per_user = (
         ev.groupBy(
             F.date_trunc("hour", "ts").alias("hour"),
             "event_type",
+            "user_id",
         )
         .agg(
-            F.count("*").alias("n_events"),
-            F.countDistinct("user_id").alias("n_users"),
-            _money_sum(F.col("value"), "total_value"),
+            F.count("*").alias("_n"),
+            F.sum(_cents(F.col("value"))).alias("_cents"),
+        )
+    )
+    return (
+        per_user.groupBy("hour", "event_type")
+        .agg(
+            F.sum("_n").alias("n_events"),
+            F.count("*").alias("n_users"),
+            (F.sum("_cents").cast("double") / 100.0).alias("total_value"),
         )
         .orderBy("hour", "event_type")
     )

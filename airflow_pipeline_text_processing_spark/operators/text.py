@@ -154,9 +154,9 @@ def tfidf_top_terms(
         "doc_id", F.explode(tokens(F.col(text_col))).alias("token")
     )
     tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    df_counts = tf.groupBy("token").agg(
-        F.countDistinct("doc_id").alias("df")
-    )
+    # tf rows are already unique per (doc_id, token) -- a plain count IS the
+    # document frequency; countDistinct here would add a pointless Expand
+    df_counts = tf.groupBy("token").agg(F.count("*").alias("df"))
     n_docs = docs.select(
         F.count("*").cast("long").alias("n_docs_total")
     )

@@ -548,3 +548,64 @@ def embedding_dedup_pairs(
         .filter(F.col("cosine") >= threshold)
         .orderBy("id_a", "id_b")
     )
+
+
+# ----------------------------------------------- benchmark decontamination
+
+
+def contamination_report(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    min_overlap: int = 2,
+    max_eval_df: int | None = None,
+) -> DataFrame:
+    """Training-vs-benchmark n-gram overlap (the GPT-3/Pile-style
+    decontamination check): for every (training doc, eval doc) pair sharing
+    at least ``min_overlap`` distinct word ``n``-gram shingles, emit the
+    pair with its shared-shingle count.
+
+    Scale shape: the eval set (benchmarks are small -- thousands of docs,
+    not billions) builds a broadcast inverted index, so the probe is a
+    broadcast hash join against the streamed training corpus: no shuffle of
+    the 100 TB side, no pairwise product.  ``max_eval_df`` optionally drops
+    eval shingles present in more than that many *eval* documents (corpus-
+    wide boilerplate matches every training doc and only inflates the
+    report); the default keeps every shingle, matching the exact oracle.
+    """
+    tr = shingle_table(train, text_col, n)
+    ev = shingle_table(eval_docs, text_col, n).select(
+        F.col("doc_id").alias("eval_id"), "shingle"
+    )
+    if max_eval_df is not None:
+        ev_df = ev.groupBy("shingle").agg(F.count("*").alias("_df"))
+        ev = ev.join(
+            ev_df.filter(F.col("_df") <= max_eval_df), "shingle"
+        ).select("eval_id", "shingle")
+    # shingle_table rows are distinct per doc, so COUNT(*) per pair IS the
+    # number of distinct shared shingles
+    return (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count("*").alias("n_shared_shingles"))
+        .filter(F.col("n_shared_shingles") >= min_overlap)
+        .orderBy("doc_id", "eval_id")
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    min_overlap: int = 2,
+) -> DataFrame:
+    """Training corpus with benchmark-contaminated documents removed: the
+    anti-join of ``train`` against the contamination report's doc ids."""
+    flagged = (
+        contamination_report(train, eval_docs, text_col, n, min_overlap)
+        .select("doc_id")
+        .distinct()
+    )
+    return train.join(flagged, "doc_id", "left_anti")

@@ -409,3 +409,58 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+# ------------------------------------------------------------ quantization
+
+
+def quantize_int8(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector scalar quantization of float embeddings to 8-bit codes --
+    the 4x storage/bandwidth cut ANN serving systems apply before indexing
+    (FAISS ``SQ8``-style: per-vector min/max affine scale).
+
+    Codes are ``floor((x - min) / (max - min) * 255)`` clamped to [0, 255]
+    -- floor, not round, because round-half-to-even on exact .5 boundaries
+    is an engine-specific tie policy while floor is not.  Every step is an
+    IEEE op on identical operands, so codes (and the reconstruction-error
+    sum, canonicalized to fixed point) hash-match any engine.  All array
+    HOFs: a narrow map over the corpus, no shuffle, no Python.
+    """
+    v = F.col(vec_col)
+    vmin = F.array_min(v).cast("double")
+    vmax = F.array_max(v).cast("double")
+    scale = vmax - vmin
+    code = lambda x: F.when(  # noqa: E731  (degenerate flat vector -> 0)
+        scale == 0, F.lit(0)
+    ).otherwise(
+        F.least(
+            F.floor((x.cast("double") - vmin) / scale * 255.0).cast("int"),
+            F.lit(255),
+        )
+    )
+    codes = F.transform(v, code)
+    dequant = F.transform(
+        codes, lambda q: vmin + q.cast("double") / 255.0 * scale
+    )
+    err = F.aggregate(
+        F.zip_with(
+            v,
+            dequant,
+            lambda x, d: F.floor(F.abs(x.cast("double") - d) * 1e6).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, e: acc + e,
+    )
+    return vectors.select(
+        F.col(id_col),
+        vmin.alias("qmin"),
+        vmax.alias("qmax"),
+        F.md5(
+            F.array_join(F.transform(codes, lambda q: q.cast("string")), ",")
+        ).alias("codes_hash"),
+        err.alias("abs_err_fp"),
+    )

@@ -206,3 +206,40 @@ def token_window_chunks(
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+# PII patterns restricted to the regex subset with identical semantics in
+# Java regex (Spark) and RE2 (DuckDB): no backreferences, no lookaround.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails / phone numbers / IPv4 addresses from a text column --
+    the compliance pass every training-data pipeline runs before release.
+
+    Pure ``regexp_count`` / ``regexp_replace`` column expressions: the scan
+    stays inside whole-stage codegen, scrubbing is a narrow map (no
+    shuffle), and counts come from the same single pass over each value.
+    Order matters: IPv4 runs after email so a dotted quad inside a
+    hostname-like mail domain is already masked.
+    """
+    col = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(col, PII_EMAIL, "<EMAIL>"),
+            PII_PHONE,
+            "<PHONE>",
+        ),
+        PII_IPV4,
+        "<IP>",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(col, F.lit(PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(col, F.lit(PII_PHONE)).alias("n_phones"),
+        F.regexp_count(col, F.lit(PII_IPV4)).alias("n_ips"),
+        F.length(scrubbed).alias("scrubbed_len"),
+        F.md5(scrubbed).alias("scrubbed_hash"),
+    )

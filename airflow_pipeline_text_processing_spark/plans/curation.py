@@ -34,6 +34,13 @@ from ..operators.text import (
     tokens,
 )
 
+# The persisted intermediate of the PREVIOUS curate_documents call.  The
+# returned plan is lazy, so the current call's cache cannot be released
+# here -- but by the time a caller builds the next curation plan, the prior
+# result has been consumed, and holding its blocks would just accumulate
+# executor storage across a long-lived session (driver harness, bench).
+_prior_cache: list = []
+
 
 def curate_documents(
     docs: DataFrame,
@@ -108,7 +115,13 @@ def curate_documents(
         # disk, never OOMs).  Measured 2x on the end-to-end query.
         from pyspark import StorageLevel
 
+        while _prior_cache:
+            try:
+                _prior_cache.pop().unpersist()
+            except Exception:
+                pass  # session of the prior call may already be stopped
         kept = kept.persist(StorageLevel.MEMORY_AND_DISK)
+        _prior_cache.append(kept)
 
     ranked = ordered_running_sum(
         kept,

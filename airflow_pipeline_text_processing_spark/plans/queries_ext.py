@@ -631,6 +631,265 @@ ORDER BY doc_id, chunk_idx
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+
+
+# =====================================================================
+# Round-2 additions: decontamination, sketches, PII scrub, quantization,
+# streaming dedup
+# =====================================================================
+
+_TOKS_SQL = (
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')"
+)
+
+
+def _sql_shingle_rows(src_cte: str, id_alias: str = "doc_id") -> str:
+    """DuckDB rows (id, shingle): distinct word 3-gram shingles of ``text``
+    in CTE ``src_cte`` -- the exact mirror of ``dedup.word_shingles(n=3)``."""
+    return f"""
+  SELECT doc_id AS {id_alias}, UNNEST(list_distinct(
+    [array_to_string(tk[i:i+2], ' ')
+     FOR i IN generate_series(1, greatest(len(tk) - 2, 1))])) AS shingle
+  FROM (SELECT doc_id, {_TOKS_SQL} AS tk FROM {src_cte})
+"""
+
+
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing >= 2 distinct
+    word 3-gram shingles with any eval-set doc (operators/dedup.py::
+    contamination_report -- broadcast eval inverted index, no shuffle of
+    the training side).  Fixture: eval = docs 0-39 verbatim; train = docs
+    40-199 plus 80%-prefix twins of docs 0-199, so every twin of an eval
+    doc is a planted contamination."""
+    from ..operators.dedup import contamination_report
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_docs = docs.filter(F.col("doc_id") < 40)
+    twins = docs.filter(F.col("doc_id") < 200).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr(
+            "substring(text, 1, cast(floor(length(text)*0.8) as int))"
+        ).alias("text"),
+    )
+    train = (
+        docs.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 200))
+        .unionAll(twins)
+    )
+    return contamination_report(train, eval_docs, n=3, min_overlap=2)
+
+
+DECONTAMINATE_SQL = f"""
+WITH eval_docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 40
+),
+train AS (
+  SELECT doc_id, text FROM documents WHERE doc_id >= 40 AND doc_id < 200
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         substring(text, 1, CAST(FLOOR(LENGTH(text)*0.8) AS INT)) AS text
+  FROM documents WHERE doc_id < 200
+),
+tr_sh AS ({_sql_shingle_rows('train')}),
+ev_sh AS ({_sql_shingle_rows('eval_docs', 'eval_id')})
+SELECT t.doc_id, e.eval_id, COUNT(*) AS n_shared_shingles
+FROM tr_sh t JOIN ev_sh e ON t.shingle = e.shingle
+GROUP BY t.doc_id, e.eval_id
+HAVING COUNT(*) >= 2
+ORDER BY t.doc_id, e.eval_id
+"""
+
+
+KMV_K = 32
+
+
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch (operators/sketches.py) for users per
+    event type, joined against the exact COUNT(DISTINCT) so the result
+    carries both the estimate and its ground truth."""
+    from ..operators.sketches import kmv_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    sk = kmv_distinct(ev, "event_type", "user_id", k=KMV_K)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return (
+        sk.join(exact, "event_type")
+        .select(
+            "event_type", "n_exact", "n_in_sketch", "kth_hash", "kmv_estimate"
+        )
+        .orderBy("event_type")
+    )
+
+
+def _kmv_sql() -> str:
+    from ..operators.sketches import sql_kmv_estimate
+
+    return f"""
+WITH h AS (
+  SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events
+),
+rk AS (
+  SELECT event_type, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM h
+),
+sk AS (
+  SELECT event_type, COUNT(*) AS n_in_sketch,
+         substr(MAX(h), 1, 13) AS kth_hash
+  FROM rk WHERE rn <= {KMV_K} GROUP BY event_type
+),
+ex AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+  FROM events GROUP BY event_type
+)
+SELECT s.event_type, e.n_exact, s.n_in_sketch, s.kth_hash,
+       CASE WHEN s.n_in_sketch < {KMV_K} THEN CAST(s.n_in_sketch AS DOUBLE)
+            ELSE {sql_kmv_estimate(KMV_K)} END AS kmv_estimate
+FROM sk s JOIN ex e ON s.event_type = e.event_type
+ORDER BY s.event_type
+"""
+
+
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (operators/text.py::pii_scrub) over a corpus with
+    deterministically planted emails / phone numbers / IPv4s -- counts and
+    the scrubbed-content hash per document."""
+    from ..operators.text import pii_scrub
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" reach user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 4 == 1, F.lit(" call 555-867-5309")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 2,
+                F.concat(
+                    F.lit(" from 192.168."),
+                    (F.col("doc_id") % 250).cast("string"),
+                    F.lit(".42"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_scrub(planted).orderBy("doc_id")
+
+
+def _pii_sql() -> str:
+    from ..operators.text import PII_EMAIL, PII_IPV4, PII_PHONE
+
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 4 = 1 THEN ' call 555-867-5309' ELSE '' END
+         || CASE WHEN doc_id % 5 = 2
+                 THEN ' from 192.168.' || CAST(doc_id % 250 AS VARCHAR) || '.42'
+                 ELSE '' END AS text
+  FROM documents WHERE doc_id < 150
+),
+scrubbed AS (
+  SELECT doc_id, text,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+             '{PII_PHONE}', '<PHONE>', 'g'),
+           '{PII_IPV4}', '<IP>', 'g') AS stext
+  FROM planted
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{PII_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(text, '{PII_PHONE}')) AS n_phones,
+       len(regexp_extract_all(text, '{PII_IPV4}')) AS n_ips,
+       LENGTH(stext) AS scrubbed_len,
+       md5(stext) AS scrubbed_hash
+FROM scrubbed
+ORDER BY doc_id
+"""
+
+
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization of the embedding corpus
+    (operators/similarity.py::quantize_int8): scale params, a hash of the
+    code array, and the fixed-point reconstruction-error sum."""
+    from ..operators.similarity import quantize_int8
+
+    vecs = _t(spark, sf_dir, "embeddings")
+    return quantize_int8(vecs).orderBy("vec_id")
+
+
+QUANTIZE_SQL = """
+WITH q AS (
+  SELECT vec_id,
+         CAST(list_min(embedding) AS DOUBLE) AS qmin,
+         CAST(list_max(embedding) AS DOUBLE) AS qmax,
+         embedding
+  FROM embeddings
+),
+c AS (
+  SELECT vec_id, qmin, qmax, embedding,
+         CASE WHEN qmax - qmin = 0
+              THEN list_transform(embedding, x -> 0)
+              ELSE list_transform(embedding, x ->
+                     CAST(LEAST(FLOOR((CAST(x AS DOUBLE) - qmin)
+                                      / (qmax - qmin) * 255.0),
+                                255.0) AS INT))
+         END AS codes
+  FROM q
+)
+SELECT vec_id, qmin, qmax,
+       md5(array_to_string(codes, ',')) AS codes_hash,
+       CAST(list_sum(list_transform(
+         list_zip(embedding,
+                  list_transform(codes,
+                                 qq -> qmin + CAST(qq AS DOUBLE)/255.0
+                                       * (qmax - qmin))),
+         p -> CAST(FLOOR(ABS(CAST(p[1] AS DOUBLE) - p[2]) * 1000000.0)
+              AS BIGINT))) AS BIGINT) AS abs_err_fp
+FROM c
+ORDER BY vec_id
+"""
+
+
+def stream_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact deduplication: ``dropDuplicates`` on
+    (user_id, event_type) executed AS A STREAM (append-mode memory sink,
+    availableNow).  The drained sink holds each pair exactly once, so a
+    batch count per event type equals plain COUNT(DISTINCT user_id) --
+    which is what the oracle asserts."""
+    ev = _events_stream(spark, sf_dir)
+    deduped = ev.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    name, _q = _run_to_memory(deduped, "append", "stream_dedup")
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_distinct_users"))
+        .orderBy("event_type")
+    )
+
+
+STREAM_DEDUP_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "stream_hourly_watermarked": (stream_hourly_watermarked, STREAM_HOURLY_SQL),
     "stream_stateful_user_totals": (
@@ -659,4 +918,9 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "text_tfidf_top_terms": (text_tfidf_top_terms, _tfidf_sql()),
     "sample_stratified_events": (sample_stratified_events, _sample_sql()),
     "text_chunk_windows": (text_chunk_windows, _chunk_windows_sql()),
+    "text_decontaminate": (text_decontaminate, DECONTAMINATE_SQL),
+    "sketch_kmv_distinct": (sketch_kmv_distinct, _kmv_sql()),
+    "text_pii_scrub": (text_pii_scrub, _pii_sql()),
+    "embed_quantize_int8": (embed_quantize_int8, QUANTIZE_SQL),
+    "stream_dedup_users": (stream_dedup_users, STREAM_DEDUP_SQL),
 }

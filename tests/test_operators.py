@@ -315,3 +315,118 @@ def test_token_window_chunks_overlap(spark):
     assert [(r.chunk_idx, r.n_chunk_tokens) for r in rows] == [
         (0, 50), (1, 50), (2, 15)
     ]
+
+
+# ------------------------------------------------- round-2 extension ops
+
+
+def test_contamination_report_flags_planted_overlap(spark):
+    from airflow_pipeline_text_processing_spark.operators.dedup import (
+        contamination_report,
+        decontaminate,
+    )
+
+    eval_docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over a sleeping cat"),  # 3 shared
+            (11, "completely unrelated text about spark partitions"),
+            (12, "quick brown fox story"),  # 1 shared shingle only
+        ],
+        "doc_id long, text string",
+    )
+    rows = contamination_report(train, eval_docs, min_overlap=2).collect()
+    assert [(r.doc_id, r.eval_id) for r in rows] == [(10, 1)]
+    assert rows[0].n_shared_shingles >= 2
+    clean = decontaminate(train, eval_docs, min_overlap=2)
+    assert sorted(r.doc_id for r in clean.collect()) == [11, 12]
+
+
+def test_contamination_eval_side_is_broadcast(spark):
+    from airflow_pipeline_text_processing_spark.operators.dedup import (
+        contamination_report,
+    )
+
+    eval_docs = spark.createDataFrame(
+        [(1, "a b c d e f")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [(10, "a b c d x y")], "doc_id long, text string"
+    )
+    plan = contamination_report(train, eval_docs)._jdf.queryExecution().toString()
+    assert "BroadcastHashJoin" in plan  # 100 TB side never shuffles for the probe
+
+
+def test_kmv_exact_below_k_and_close_above(spark):
+    import pyspark.sql.functions as FF
+
+    from airflow_pipeline_text_processing_spark.operators.sketches import (
+        kmv_distinct,
+    )
+
+    df = spark.range(5000).select(
+        FF.when(FF.col("id") < 4000, FF.lit("big"))
+        .otherwise(FF.lit("small"))
+        .alias("grp"),
+        # "big" holds 1000 distinct values, "small" exactly 10
+        FF.when(FF.col("id") < 4000, FF.col("id") % 1000)
+        .otherwise(FF.col("id") % 10)
+        .alias("v"),
+    )
+    out = {r.grp: r for r in kmv_distinct(df, "grp", "v", k=64).collect()}
+    assert out["small"].n_in_sketch == 10
+    assert out["small"].kmv_estimate == 10.0  # below k -> exact
+    est = out["big"].kmv_estimate
+    assert out["big"].n_in_sketch == 64
+    assert 600 < est < 1600  # KMV with k=64: well within 2x of 1000
+
+
+def test_pii_scrub_counts_and_redacts(spark):
+    from airflow_pipeline_text_processing_spark.operators.text import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at alice.smith+x@sub.example.org or 555-123-4567"),
+            (2, "server at 10.0.200.7 no other pii"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    assert (rows[1].n_emails, rows[1].n_phones, rows[1].n_ips) == (1, 1, 0)
+    assert (rows[2].n_emails, rows[2].n_phones, rows[2].n_ips) == (0, 0, 1)
+    assert (rows[3].n_emails, rows[3].n_phones, rows[3].n_ips) == (0, 0, 0)
+    # scrubbed hash matches the redacted text exactly
+    import hashlib
+
+    expected = "mail me at <EMAIL> or <PHONE>"
+    assert rows[1].scrubbed_hash == hashlib.md5(expected.encode()).hexdigest()
+    assert rows[1].scrubbed_len == len(expected)
+
+
+def test_quantize_int8_codes_and_error_bound(spark):
+    import hashlib
+
+    from airflow_pipeline_text_processing_spark.operators.similarity import (
+        quantize_int8,
+    )
+
+    vecs = spark.createDataFrame(
+        [
+            (1, [0.0, 0.5, 1.0]),
+            (2, [3.0, 3.0, 3.0]),  # flat vector -> all-zero codes
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r.vec_id: r for r in quantize_int8(vecs).collect()}
+    # 0.0 -> 0, 0.5 -> floor(127.5) = 127, 1.0 -> 255
+    assert rows[1].codes_hash == hashlib.md5(b"0,127,255").hexdigest()
+    assert (rows[1].qmin, rows[1].qmax) == (0.0, 1.0)
+    assert rows[2].codes_hash == hashlib.md5(b"0,0,0").hexdigest()
+    assert rows[2].abs_err_fp == 0
+    # reconstruction error bounded by one quantization step per component
+    step_fp = (1.0 - 0.0) / 255.0 * 1e6
+    assert rows[1].abs_err_fp <= 3 * step_fp

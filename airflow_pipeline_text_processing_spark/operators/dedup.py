@@ -181,14 +181,11 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame,
-    band_size: int = 4,
-) -> DataFrame:
-    """Band the signature matrix; a pair is a candidate iff it collides in
-    at least one band (the classic banding trick)."""
+def band_signatures(signatures: DataFrame, band_size: int = 4) -> DataFrame:
+    """(doc_id, band, band_sig): the signature matrix cut into bands of
+    ``band_size`` rows, each band serialized to one join key."""
     banded = signatures.withColumn("band", (F.col("perm") / band_size).cast("int"))
-    band_sigs = banded.groupBy("doc_id", "band").agg(
+    return banded.groupBy("doc_id", "band").agg(
         F.array_join(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("perm", "minhash"))),
@@ -197,6 +194,15 @@ def lsh_candidate_pairs(
             ",",
         ).alias("band_sig")
     )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    band_size: int = 4,
+) -> DataFrame:
+    """Band the signature matrix; a pair is a candidate iff it collides in
+    at least one band (the classic banding trick)."""
+    band_sigs = band_signatures(signatures, band_size)
     a, b = band_sigs.alias("a"), band_sigs.alias("b")
     return (
         a.join(
@@ -547,6 +553,65 @@ def embedding_dedup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
         .orderBy("id_a", "id_b")
+    )
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    existing_docs: DataFrame,
+    threshold: float = 0.5,
+    num_perm: int = 16,
+    band_size: int = 4,
+    text_col: str = "text",
+    n: int = 3,
+    broadcast_new: bool = True,
+) -> DataFrame:
+    """Near-dup detection for an INCREMENTAL ingest batch: candidates form
+    only across the new-vs-existing boundary, never within the (already
+    deduplicated) corpus.
+
+    This is how dedup actually runs at 100 TB: the corpus band table is
+    computed once and kept materialized (here it is derived inline because
+    the driver query is self-contained; a production pipeline reads it back
+    from parquet), and each arriving batch shuffles only its OWN shingles --
+    corpus work per batch is one hash join probe.  With ``broadcast_new``
+    (batches are small relative to the corpus) even that join is
+    broadcast, so the corpus side never reshuffles at all.  Exact-Jaccard
+    verification then touches candidate pairs only.  Doc ids must be
+    globally unique across both sides.
+    """
+    nb = band_signatures(
+        minhash_signatures(new_docs, num_perm, text_col, n), band_size
+    ).select(F.col("doc_id").alias("new_id"), "band", "band_sig")
+    if broadcast_new:
+        nb = F.broadcast(nb)
+    eb = band_signatures(
+        minhash_signatures(existing_docs, num_perm, text_col, n), band_size
+    )
+    pairs = (
+        nb.join(eb, ["band", "band_sig"])
+        .select("new_id", F.col("doc_id").alias("existing_id"))
+        .distinct()
+    )
+    corpus = new_docs.select("doc_id", text_col).unionAll(
+        existing_docs.select("doc_id", text_col)
+    )
+    scored = jaccard_for_pairs(
+        corpus,
+        pairs.select(
+            F.col("new_id").alias("doc_a"), F.col("existing_id").alias("doc_b")
+        ),
+        text_col,
+        n,
+    )
+    return (
+        scored.filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("doc_a").alias("new_id"),
+            F.col("doc_b").alias("existing_id"),
+            "jaccard",
+        )
+        .orderBy("new_id", "existing_id")
     )
 
 

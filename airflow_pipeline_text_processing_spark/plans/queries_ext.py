@@ -890,6 +890,76 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+
+
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest near-dup check (operators/dedup.py::
+    incremental_minhash_dedup): a small new batch (80%-prefix twins of docs
+    0-59) probes the existing corpus's LSH band table via a broadcast join;
+    exact Jaccard verifies candidate pairs only."""
+    from ..operators.dedup import incremental_minhash_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    existing = docs.filter(F.col("doc_id") < 300)
+    new_batch = docs.filter(F.col("doc_id") < 60).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr(
+            "substring(text, 1, cast(floor(length(text)*0.8) as int))"
+        ).alias("text"),
+    )
+    return incremental_minhash_dedup(
+        new_batch, existing, threshold=0.5, num_perm=16, band_size=4
+    )
+
+
+INCREMENTAL_LSH_SQL = f"""
+WITH existing AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 300
+),
+new_docs AS (
+  SELECT doc_id + 100000 AS doc_id,
+         substring(text, 1, CAST(FLOOR(LENGTH(text)*0.8) AS INT)) AS text
+  FROM documents WHERE doc_id < 60
+),
+corpus AS (SELECT * FROM existing UNION ALL SELECT * FROM new_docs),
+toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM corpus),
+sets AS (
+  SELECT doc_id, list_distinct(
+    [array_to_string(tk[i:i+2], ' ')
+     FOR i IN generate_series(1, greatest(len(tk) - 2, 1))]) AS sh
+  FROM toks
+),
+shrows AS (SELECT doc_id, UNNEST(sh) AS shingle FROM sets),
+sig AS (
+  SELECT doc_id, p.perm AS perm,
+         MIN(md5(CAST(p.perm AS VARCHAR) || '|' || shingle)) AS minhash
+  FROM shrows, LATERAL (SELECT UNNEST(generate_series(0, 15)) AS perm) p
+  GROUP BY doc_id, p.perm
+),
+bands AS (
+  SELECT doc_id, perm // 4 AS band,
+         string_agg(minhash, ',' ORDER BY perm) AS band_sig
+  FROM sig GROUP BY doc_id, perm // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS existing_id
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+  WHERE a.doc_id >= 100000 AND b.doc_id < 100000
+)
+SELECT c.new_id, c.existing_id,
+       CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+         AS jaccard
+FROM cand c
+JOIN sets sa ON sa.doc_id = c.new_id
+JOIN sets sb ON sb.doc_id = c.existing_id
+WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5
+ORDER BY c.new_id, c.existing_id
+"""
+
+
 REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "stream_hourly_watermarked": (stream_hourly_watermarked, STREAM_HOURLY_SQL),
     "stream_stateful_user_totals": (
@@ -923,4 +993,5 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "text_pii_scrub": (text_pii_scrub, _pii_sql()),
     "embed_quantize_int8": (embed_quantize_int8, QUANTIZE_SQL),
     "stream_dedup_users": (stream_dedup_users, STREAM_DEDUP_SQL),
+    "dedup_incremental_lsh": (dedup_incremental_lsh, INCREMENTAL_LSH_SQL),
 }

@@ -430,3 +430,35 @@ def test_quantize_int8_codes_and_error_bound(spark):
     # reconstruction error bounded by one quantization step per component
     step_fp = (1.0 - 0.0) / 255.0 * 1e6
     assert rows[1].abs_err_fp <= 3 * step_fp
+
+
+def test_incremental_dedup_equals_cross_boundary_subset(spark, sf_dir):
+    import pyspark.sql.functions as FF
+
+    from airflow_pipeline_text_processing_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_dedup_pairs,
+    )
+    from airflow_pipeline_text_processing_spark.plans.queries import _t
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    existing = docs.filter(FF.col("doc_id") < 80)
+    new_batch = docs.filter(FF.col("doc_id") < 20).select(
+        (FF.col("doc_id") + 100000).alias("doc_id"),
+        FF.expr(
+            "substring(text, 1, cast(floor(length(text)*0.8) as int))"
+        ).alias("text"),
+    )
+    inc = incremental_minhash_dedup(new_batch, existing, threshold=0.5)
+    # the full-corpus run on the union, restricted to cross-boundary pairs,
+    # must agree exactly (same signatures, same bands, same verification)
+    full = minhash_dedup_pairs(
+        existing.unionAll(new_batch), threshold=0.5
+    ).filter((FF.col("doc_a") < 100000) & (FF.col("doc_b") >= 100000))
+    got = sorted((r.new_id, r.existing_id, r.jaccard) for r in inc.collect())
+    want = sorted((r.doc_b, r.doc_a, r.jaccard) for r in full.collect())
+    assert got == want and len(got) > 0
+    # the new-batch band table probes the corpus via broadcast: the big side
+    # must not reshuffle for the candidate join
+    plan = inc._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

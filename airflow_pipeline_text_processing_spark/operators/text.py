@@ -243,3 +243,42 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.length(scrubbed).alias("scrubbed_len"),
         F.md5(scrubbed).alias("scrubbed_hash"),
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 2048,
+    text_col: str = "text",
+) -> DataFrame:
+    """Sequence packing: assign documents to fixed-token-budget training
+    bins by concatenation order (the "concat then chunk into context
+    windows" step of LLM pre-training dataloaders).
+
+    Documents are packed contiguously in ``doc_id`` order: a document's bin
+    is ``exclusive-prefix-token-sum div budget``, its offset the remainder
+    -- i.e. exactly where its first token lands in the concatenated token
+    stream.  The global prefix sum is the scale-sensitive part, computed
+    with ``operators.windows.ordered_running_sum`` (range-partitioned
+    two-level form), so no single-partition window forms at any corpus
+    size.
+    """
+    from .windows import ordered_running_sum
+
+    toks = docs.select(
+        "doc_id", F.size(bpe_tokens(F.col(text_col))).alias("n_bpe_tokens")
+    )
+    cum = ordered_running_sum(
+        toks, [F.col("doc_id")], "n_bpe_tokens", out_col="_cum"
+    )
+    prefix = (F.col("_cum") - F.col("n_bpe_tokens")).cast("long")
+    # integer `div`, not `/`: float division would round once prefix sums
+    # pass 2^53 (a ~25T-token corpus is within sight of that)
+    return (
+        cum.select("doc_id", "n_bpe_tokens", prefix.alias("prefix_tokens"))
+        .select(
+            "*",
+            F.expr(f"prefix_tokens div {int(budget)}").alias("bin_id"),
+            (F.col("prefix_tokens") % budget).alias("offset_in_bin"),
+        )
+        .orderBy("doc_id")
+    )

@@ -960,6 +960,48 @@ ORDER BY c.new_id, c.existing_id
 """
 
 
+
+
+PACK_BUDGET = 500
+
+
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM training (operators/text.py::
+    pack_sequences): each document's bin and offset in the concatenated
+    token stream at a fixed token budget per bin.  The global prefix sum
+    runs through the range-partitioned two-level running sum -- no
+    single-partition window."""
+    from ..operators.text import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(docs, budget=PACK_BUDGET)
+
+
+def _pack_sql() -> str:
+    from ..operators.text import BPE_PATTERN
+
+    pat = BPE_PATTERN.replace("'", "''")
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{pat}')) AS n_bpe_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_bpe_tokens,
+         CAST(SUM(n_bpe_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum
+  FROM toks
+)
+SELECT doc_id, n_bpe_tokens,
+       cum - n_bpe_tokens AS prefix_tokens,
+       (cum - n_bpe_tokens) // {PACK_BUDGET} AS bin_id,
+       (cum - n_bpe_tokens) % {PACK_BUDGET} AS offset_in_bin
+FROM c ORDER BY doc_id
+"""
+
+
 REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "stream_hourly_watermarked": (stream_hourly_watermarked, STREAM_HOURLY_SQL),
     "stream_stateful_user_totals": (
@@ -994,4 +1036,5 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "embed_quantize_int8": (embed_quantize_int8, QUANTIZE_SQL),
     "stream_dedup_users": (stream_dedup_users, STREAM_DEDUP_SQL),
     "dedup_incremental_lsh": (dedup_incremental_lsh, INCREMENTAL_LSH_SQL),
+    "text_pack_sequences": (text_pack_sequences, _pack_sql()),
 }

@@ -68,3 +68,59 @@ def write_table(
     for k, v in options.items():
         writer = writer.option(k, v)
     writer.save(path)
+
+
+def read_evolving_parquet(
+    spark: SparkSession, *paths: str, **options: str
+) -> DataFrame:
+    """Read parquet written under an EVOLVING schema (columns added over
+    time) as one DataFrame: ``mergeSchema`` unions the footers' schemas and
+    older files surface the missing columns as nulls.
+
+    Schema merge is footer metadata work, not a data scan, so the cost is
+    per-file-footer -- at 100 TB prefer pinning the latest schema via
+    ``.schema(...)`` once it is known and letting the reader null-fill,
+    which skips the merge pass entirely; this helper is the
+    discovery/backfill path.
+    """
+    reader = spark.read.option("mergeSchema", "true")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.parquet(*paths)
+
+
+def compact_files(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    format: str = "parquet",
+) -> int:
+    """Small-file compaction: rewrite a dataset into files of roughly
+    ``target_bytes`` each; returns the output file count.
+
+    Long-running ingest (streaming micro-batches, per-task commits at high
+    parallelism) strews datasets with tiny files whose per-file open/footer
+    cost eventually dominates scans.  The output file count derives from
+    the actual input byte size (driver-side filesystem metadata -- no data
+    scan, no collect); the rewrite itself is one narrow-into-shuffle
+    repartition.  Hive-partitioned layouts should compact per partition
+    directory (call this once per partition path) so partition pruning
+    survives the rewrite.
+    """
+    import math
+    import os
+    from urllib.parse import urlparse
+
+    df = read_table(spark, in_path, format=format)
+    total = 0
+    for uri in df.inputFiles():
+        p = urlparse(uri).path or uri
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            pass  # non-local fs: fall back to one output file per 128 MB input partition
+    n_out = max(1, math.ceil(total / target_bytes))
+    write_table(df.repartition(n_out), out_path, format=format)
+    out = read_table(spark, out_path, format=format)
+    return len(out.inputFiles())

@@ -40,6 +40,9 @@ BENCH_QUERIES = [
     "window_frames_showcase",
     "sql_correlated_above_avg",
     "stream_hourly_watermarked",
+    "text_decontaminate",
+    "sketch_kmv_distinct",
+    "dedup_incremental_lsh",
 ]
 
 

@@ -462,3 +462,15 @@ def test_incremental_dedup_equals_cross_boundary_subset(spark, sf_dir):
     # must not reshuffle for the candidate join
     plan = inc._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_pack_sequences_bins_and_offsets(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(["tok"] * 30)) for i in range(1, 8)],
+        "doc_id long, text string",
+    )
+    rows = T.pack_sequences(docs, budget=100).collect()
+    # 30 tokens/doc: prefixes 0,30,..,180 -> bins 0,0,0,0,1,1,1
+    assert [r.bin_id for r in rows] == [0, 0, 0, 0, 1, 1, 1]
+    assert [r.offset_in_bin for r in rows] == [0, 30, 60, 90, 20, 50, 80]
+    assert [r.prefix_tokens for r in rows] == [0, 30, 60, 90, 120, 150, 180]

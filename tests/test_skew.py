@@ -119,3 +119,40 @@ def test_write_partitioned_parquet_prunes(spark, tmp_path):
     # partition pruning: the physical scan must carry a partition filter
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "part" in plan.split("PartitionFilters")[1][:80]
+
+
+def test_compact_files_reduces_file_count(spark, tmp_path):
+    import pyspark.sql.functions as FF
+
+    from airflow_pipeline_text_processing_spark.sources.tabular import (
+        compact_files,
+        read_table,
+    )
+
+    src = str(tmp_path / "frag")
+    out = str(tmp_path / "compacted")
+    df = spark.range(10000).select("id", (FF.col("id") * 2).alias("v"))
+    df.repartition(20).write.parquet(src)
+    assert len(spark.read.parquet(src).inputFiles()) == 20
+    n_out = compact_files(spark, src, out, target_bytes=128 * 1024 * 1024)
+    assert n_out == 1  # tiny dataset fits one target-size file
+    got = read_table(spark, out).orderBy("id").collect()
+    assert len(got) == 10000 and got[5].v == 10
+
+
+def test_read_evolving_parquet_merges_schemas(spark, tmp_path):
+    import pyspark.sql.functions as FF
+
+    from airflow_pipeline_text_processing_spark.sources.tabular import (
+        read_evolving_parquet,
+    )
+
+    base = str(tmp_path / "evolving")
+    spark.range(5).select("id").write.parquet(f"{base}/batch=1")
+    spark.range(5, 10).select(
+        "id", (FF.col("id") * 10).alias("extra")
+    ).write.parquet(f"{base}/batch=2")
+    df = read_evolving_parquet(spark, base)
+    assert set(df.columns) == {"id", "extra", "batch"}
+    rows = {r.id: r.extra for r in df.collect()}
+    assert rows[2] is None and rows[7] == 70  # old files null-fill new cols

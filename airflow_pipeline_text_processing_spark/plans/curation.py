@@ -132,3 +132,33 @@ def curate_documents(
     if token_budget is not None:
         ranked = ranked.filter(F.col("cum_tokens") <= token_budget)
     return ranked.orderBy(F.col("quality").desc(), F.col("doc_id"))
+
+
+def curate_and_pack(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    min_tokens: int = 20,
+    decontam_min_overlap: int = 2,
+    pack_budget: int = 2048,
+    text_col: str = "text",
+) -> DataFrame:
+    """The round-2 curation composition: exact dedup -> benchmark
+    decontamination -> token floor -> sequence packing.
+
+    Every stage is one of the engine's scale-audited operators: hash-agg
+    dedup, broadcast-eval contamination anti-join, a narrow token-count
+    filter, and the range-partitioned prefix sum inside
+    ``pack_sequences``.  Output: one row per surviving document with its
+    training-bin assignment.
+    """
+    from ..operators.dedup import decontaminate, exact_dedup
+    from ..operators.text import pack_sequences, bpe_tokens
+
+    deduped = exact_dedup(docs.select("doc_id", text_col), text_col)
+    clean = decontaminate(
+        deduped, eval_docs, text_col, min_overlap=decontam_min_overlap
+    )
+    kept = clean.filter(
+        F.size(bpe_tokens(F.col(text_col))) >= min_tokens
+    )
+    return pack_sequences(kept, budget=pack_budget, text_col=text_col)

@@ -1002,6 +1002,100 @@ FROM c ORDER BY doc_id
 """
 
 
+
+
+def curation_packed_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end round-2 curation (plans/curation.py::curate_and_pack):
+    exact dedup (planted verbatim copies removed) -> benchmark
+    decontamination (planted eval twins removed) -> token floor -> sequence
+    packing into 500-token training bins."""
+    from ..plans.curation import curate_and_pack
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_docs = docs.filter(
+        (F.col("doc_id") >= 300) & (F.col("doc_id") < 340)
+    )
+    train = (
+        docs.filter(F.col("doc_id") < 300)
+        .unionAll(
+            docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 320))
+            .select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                F.expr(
+                    "substring(text, 1, cast(floor(length(text)*0.8) as int))"
+                ).alias("text"),
+            )
+        )
+        .unionAll(
+            docs.filter(F.col("doc_id") < 20).select(
+                (F.col("doc_id") + 200000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return curate_and_pack(
+        train, eval_docs, min_tokens=20, pack_budget=PACK_BUDGET
+    )
+
+
+def _curation_packed_sql() -> str:
+    from ..operators.text import BPE_PATTERN
+
+    pat = BPE_PATTERN.replace("'", "''")
+    return f"""
+WITH eval_docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id >= 300 AND doc_id < 340
+),
+train AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 300
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         substring(text, 1, CAST(FLOOR(LENGTH(text)*0.8) AS INT)) AS text
+  FROM documents WHERE doc_id >= 300 AND doc_id < 320
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id < 20
+),
+dedup AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM train
+  ) WHERE rn = 1
+),
+tr_sh AS ({_sql_shingle_rows('dedup')}),
+ev_sh AS ({_sql_shingle_rows('eval_docs', 'eval_id')}),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT t.doc_id, e.eval_id
+    FROM tr_sh t JOIN ev_sh e ON t.shingle = e.shingle
+    GROUP BY t.doc_id, e.eval_id
+    HAVING COUNT(*) >= 2
+  )
+),
+clean AS (
+  SELECT d.doc_id, d.text FROM dedup d
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+kept AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{pat}')) AS n_bpe_tokens
+  FROM clean
+  WHERE len(regexp_extract_all(text, '{pat}')) >= 20
+),
+c AS (
+  SELECT doc_id, n_bpe_tokens,
+         CAST(SUM(n_bpe_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum
+  FROM kept
+)
+SELECT doc_id, n_bpe_tokens,
+       cum - n_bpe_tokens AS prefix_tokens,
+       (cum - n_bpe_tokens) // {PACK_BUDGET} AS bin_id,
+       (cum - n_bpe_tokens) % {PACK_BUDGET} AS offset_in_bin
+FROM c ORDER BY doc_id
+"""
+
+
 REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "stream_hourly_watermarked": (stream_hourly_watermarked, STREAM_HOURLY_SQL),
     "stream_stateful_user_totals": (
@@ -1037,4 +1131,5 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "stream_dedup_users": (stream_dedup_users, STREAM_DEDUP_SQL),
     "dedup_incremental_lsh": (dedup_incremental_lsh, INCREMENTAL_LSH_SQL),
     "text_pack_sequences": (text_pack_sequences, _pack_sql()),
+    "curation_packed_set": (curation_packed_set, _curation_packed_sql()),
 }

@@ -206,3 +206,33 @@ def test_range_join_is_equi_not_cartesian(spark):
     assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
         "ShuffledHashJoin" in plan
     )
+
+
+def test_curate_and_pack_removes_copies_and_contamination(spark, sf_dir):
+    import pyspark.sql.functions as FF
+
+    from airflow_pipeline_text_processing_spark.plans.curation import (
+        curate_and_pack,
+    )
+    from airflow_pipeline_text_processing_spark.plans.queries import _t
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_docs = docs.filter((FF.col("doc_id") >= 100) & (FF.col("doc_id") < 120))
+    train = (
+        docs.filter(FF.col("doc_id") < 100)
+        # verbatim copies -> must die in exact dedup
+        .unionAll(
+            docs.filter(FF.col("doc_id") < 10).select(
+                (FF.col("doc_id") + 200000).alias("doc_id"), "text"
+            )
+        )
+        # eval twins -> must die in decontamination
+        .unionAll(
+            eval_docs.select((FF.col("doc_id") + 100000).alias("doc_id"), "text")
+        )
+    )
+    out = curate_and_pack(train, eval_docs, min_tokens=1, pack_budget=100)
+    ids = [r.doc_id for r in out.collect()]
+    assert ids == sorted(ids)
+    assert not any(i >= 100000 for i in ids)  # no copy, no twin survives
+    assert len(ids) > 50  # the base corpus itself survives

@@ -236,3 +236,55 @@ def test_curate_and_pack_removes_copies_and_contamination(spark, sf_dir):
     assert ids == sorted(ids)
     assert not any(i >= 100000 for i in ids)  # no copy, no twin survives
     assert len(ids) > 50  # the base corpus itself survives
+
+
+def test_quantize_is_narrow(spark):
+    """int8 quantization is a pure per-row map: no shuffle at any scale."""
+    from airflow_pipeline_text_processing_spark.operators.similarity import (
+        quantize_int8,
+    )
+
+    vecs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = plan_of(quantize_int8(vecs), mode="simple")
+    assert "Exchange" not in plan
+
+
+def test_pii_scrub_is_narrow(spark):
+    from airflow_pipeline_text_processing_spark.operators.text import pii_scrub
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(pii_scrub(docs), mode="simple")
+    assert "Exchange" not in plan
+
+
+def test_kmv_bounded_shuffles(spark):
+    """KMV: the distinct pass shuffles on (group, hash), the top-k window
+    re-keys on group -- two hash exchanges, nothing more (in particular no
+    global sort and no per-value fanout beyond the distinct)."""
+    from airflow_pipeline_text_processing_spark.operators.sketches import (
+        kmv_distinct,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    plan = plan_of(kmv_distinct(ev, "event_type", "user_id", k=32), mode="simple")
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_pack_sequences_reuses_range_exchange(spark):
+    """The two-level prefix sum must scan/shuffle the corpus once: the
+    per-partition branch and the totals branch hang off one reused range
+    exchange, and no single-partition window forms."""
+    from airflow_pipeline_text_processing_spark.operators.text import (
+        pack_sequences,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = pack_sequences(docs, budget=500)
+    df.collect()  # AQE only materializes exchange reuse in the FINAL plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange rangepartitioning" in plan
+    assert "ReusedExchange" in plan
+    # the totals branch shuffles one row per partition; the only
+    # single-partition exchange is that O(parallelism) offsets table
+    assert "Exchange SinglePartition" in plan

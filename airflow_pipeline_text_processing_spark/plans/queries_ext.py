@@ -1096,6 +1096,49 @@ FROM c ORDER BY doc_id
 """
 
 
+
+
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows executed AS A STREAM with the native
+    ``session_window`` stateful operator (streaming/windows.py::
+    session_windows), complete-mode memory sink.  The oracle rebuilds the
+    same sessions with the lag/running-sum islands formulation at exact
+    microsecond precision."""
+    from ..streaming.windows import session_windows
+
+    ev = _events_stream(spark, sf_dir)
+    name, _q = _run_to_memory(
+        session_windows(ev), "complete", "session_win"
+    )
+    return spark.table(name).orderBy("user_id", "session_start")
+
+
+STREAM_SESSION_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, "value",
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts, "value",
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR("value"*100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM numbered
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""
+
+
 REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "stream_hourly_watermarked": (stream_hourly_watermarked, STREAM_HOURLY_SQL),
     "stream_stateful_user_totals": (
@@ -1132,4 +1175,5 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "dedup_incremental_lsh": (dedup_incremental_lsh, INCREMENTAL_LSH_SQL),
     "text_pack_sequences": (text_pack_sequences, _pack_sql()),
     "curation_packed_set": (curation_packed_set, _curation_packed_sql()),
+    "stream_session_windows": (stream_session_windows, STREAM_SESSION_SQL),
 }

@@ -122,3 +122,38 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def session_windows(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Native gap-merged session windows (``F.session_window``): one row
+    per (user, session) with the session's event count and value sum.
+
+    The streaming-native twin of the batch lag/running-sum sessionization
+    (``plans/queries.py::events_sessionize``): Spark merges an event into
+    the open session iff its timestamp is within ``gap`` OF THE SESSION'S
+    LAST EVENT (boundary inclusive -- a gap of exactly 30:00 still merges,
+    verified empirically), and ``session_end = last_ts + gap``.  State is
+    per (user, open-session) and the watermark closes sessions whose end
+    falls behind it, so state is bounded on an unbounded stream.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias(
+                "value_cents"
+            ),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "value_cents",
+        )
+    )

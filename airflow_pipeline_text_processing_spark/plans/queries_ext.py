@@ -1139,6 +1139,71 @@ ORDER BY user_id, session_start
 """
 
 
+
+
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the events STREAM joins the static
+    customer dimension (broadcast -- the dimension ships to every task
+    once per micro-batch, the stream side never shuffles for the join),
+    then a watermarked aggregation by market segment.  The standard
+    "enrich events with reference data" streaming topology."""
+    ev = _events_stream(spark, sf_dir)
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = ev.join(F.broadcast(dim), "user_id")
+    agg = joined.groupBy("c_mktsegment", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
+    name, _q = _run_to_memory(agg, "complete", "stream_enrich")
+    return spark.table(name).orderBy("c_mktsegment", "event_type")
+
+
+STREAM_ENRICH_SQL = """
+SELECT c.c_mktsegment, e.event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(e."value"*100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment, e.event_type
+ORDER BY c.c_mktsegment, e.event_type
+"""
+
+
+def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the SQL entrypoint: per-priority, per-status and
+    grand-total aggregates in ONE pass (the general form of rollup/cube),
+    with GROUPING() ids disambiguating the null produced by the set from a
+    null in the data."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               GROUPING(o_orderpriority) AS g_priority,
+               GROUPING(o_orderstatus) AS g_status,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(FLOOR(o_totalprice*100) AS BIGINT)) AS BIGINT)
+                 AS price_cents
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        ORDER BY g_priority, g_status, o_orderpriority, o_orderstatus
+        """
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       GROUPING(o_orderpriority) AS g_priority,
+       GROUPING(o_orderstatus) AS g_status,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice*100) AS BIGINT)) AS BIGINT)
+         AS price_cents
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+ORDER BY g_priority, g_status, o_orderpriority, o_orderstatus
+"""
+
+
 REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "stream_hourly_watermarked": (stream_hourly_watermarked, STREAM_HOURLY_SQL),
     "stream_stateful_user_totals": (
@@ -1176,4 +1241,6 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "text_pack_sequences": (text_pack_sequences, _pack_sql()),
     "curation_packed_set": (curation_packed_set, _curation_packed_sql()),
     "stream_session_windows": (stream_session_windows, STREAM_SESSION_SQL),
+    "stream_static_enrich": (stream_static_enrich, STREAM_ENRICH_SQL),
+    "sql_grouping_sets": (sql_grouping_sets, GROUPING_SETS_SQL),
 }

@@ -78,6 +78,44 @@ def rs_parity(data: pd.Series) -> pd.Series:
 
 
 @pandas_udf(BinaryType())
+def rs_encode_stream(data: pd.Series) -> pd.Series:
+    """binary -> full systematic RS stream (payload + interleaved parity).
+
+    Unlike :func:`rs_parity` (the reference's stored artifact,
+    ``/root/reference/plugins/utils/dna_encoding.py:232-248``), this keeps
+    payload and parity together so the stream is self-repairing -- the form
+    :func:`rs_repair` consumes (op 42)."""
+    return data.map(
+        lambda b: reed_solomon.rs_encode(b, chunker.DEFAULT_RS_NSYM)
+        if b is not None
+        else None
+    )
+
+
+@pandas_udf(BinaryType())
+def corrupt_bytes(data: pd.Series, seed: pd.Series) -> pd.Series:
+    """Deterministically flip 3 distinct bytes (XOR 0x5A) at seed-derived
+    positions -- the error-injection harness for the repair path.  With
+    nsym=10 RS corrects up to 5 errors per 255-byte codeword, so 3 flips
+    are always recoverable regardless of how they fall across blocks."""
+
+    def _corrupt(b: Optional[bytes], s) -> Optional[bytes]:
+        if b is None:
+            return None
+        buf = bytearray(b)
+        n = len(buf)
+        if n == 0:
+            return b
+        k = min(3, n)
+        p0 = int(s) % n
+        for j in range(k):
+            buf[(p0 + j * (n // k)) % n] ^= 0x5A
+        return bytes(buf)
+
+    return pd.Series([_corrupt(b, s) for b, s in zip(data, seed)])
+
+
+@pandas_udf(BinaryType())
 def rs_repair(encoded: pd.Series) -> pd.Series:
     """Correct a full rs_encode stream; None when uncorrectable (op 42)."""
     def _repair(b: Optional[bytes]) -> Optional[bytes]:
@@ -186,6 +224,7 @@ def register_all(spark: SparkSession) -> None:
     spark.udf.register("dna_encode", dna_encode)
     spark.udf.register("dna_decode", dna_decode)
     spark.udf.register("rs_parity", rs_parity)
+    spark.udf.register("rs_encode_stream", rs_encode_stream)
     spark.udf.register("rs_repair", rs_repair)
     spark.udf.register("encode_chunks", encode_chunks)
     spark.udf.register("decode_chunks", decode_chunks)

@@ -760,6 +760,39 @@ ORDER BY doc_id
 """
 
 
+def codec_repair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reed-Solomon repair end-to-end (SURVEY op 42, the decode path the
+    reference defines but never calls -- live here): RS-encode each
+    document's head, deterministically corrupt 3 bytes, repair, and verify
+    byte-exact recovery.  The oracle is the invariant: 3 flips never exceed
+    the 5-error/codeword budget of nsym=10, so every repair must succeed."""
+    from ..functions.codec_udfs import corrupt_bytes, rs_encode_stream, rs_repair
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    enc = (
+        docs.select(
+            "doc_id", F.encode(F.substring("text", 1, 200), "UTF-8").alias("payload")
+        )
+        .withColumn("encoded", rs_encode_stream("payload"))
+        .withColumn("corrupted", corrupt_bytes("encoded", F.col("doc_id")))
+        .withColumn("repaired", rs_repair("corrupted"))
+    )
+    return enc.select(
+        "doc_id",
+        F.lit(3).alias("n_errors_injected"),
+        (F.col("corrupted") != F.col("encoded")).alias("corruption_real"),
+        (F.col("repaired") == F.col("payload")).alias("repaired_ok"),
+    ).orderBy("doc_id")
+
+
+CODEC_REPAIR_SQL = """
+SELECT doc_id, 3 AS n_errors_injected,
+       TRUE AS corruption_real, TRUE AS repaired_ok
+FROM documents
+ORDER BY doc_id
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -932,4 +965,5 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "reassembly_ordered_chunks": (reassembly_ordered_chunks, REASSEMBLY_SQL),
     "codec_roundtrip_count": (codec_roundtrip_count, CODEC_ROUNDTRIP_SQL),
     "codec_chunk_stats": (codec_chunk_stats, CODEC_CHUNK_STATS_SQL),
+    "codec_repair_stats": (codec_repair_stats, CODEC_REPAIR_SQL),
 }

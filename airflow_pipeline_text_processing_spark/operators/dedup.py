@@ -85,10 +85,15 @@ def jaccard_candidate_pairs(
     docs: DataFrame,
     text_col: str = "text",
     n: int = 3,
-    max_df: int | None = 1000,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Candidate (doc_a < doc_b) pairs sharing >= 1 shingle, generated from
-    the inverted index with hot posting lists capped.
+    the inverted index, optionally with hot posting lists capped.
+
+    The default is EXACT (no cap): approximation is opt-in, so callers that
+    never read this docstring get the textbook semantics.  At corpus scale,
+    pass ``max_df`` (the driver query uses 1000, and its oracle mirrors the
+    cap so the shipped configuration is what the gate exercises).
 
     A shingle shared by k documents contributes k*(k-1)/2 join rows, so a
     single stop-phrase shingle ("of the and" at web scale) makes the
@@ -126,16 +131,17 @@ def jaccard_pairs(
     threshold: float,
     text_col: str = "text",
     n: int = 3,
-    max_df: int | None = 1000,
+    max_df: int | None = None,
 ) -> DataFrame:
     """All pairs (a < b) with word-shingle Jaccard >= threshold.
 
-    Two-phase, scale-safe plan: (1) candidate generation from the inverted
-    index with hot posting lists capped at ``max_df`` (bounds the
-    self-join's per-shingle fan-out -- the round-1 verdict's one latent
-    scale-killer), then (2) exact Jaccard over the full shingle sets for
-    candidates only (``jaccard_for_pairs`` -- cost O(|pairs| * shingles/doc),
-    independent of posting-list skew).  Values are exact; see
+    Exact by default.  For corpus scale, opt into ``max_df`` for the
+    two-phase plan: (1) candidate generation from the inverted index with
+    hot posting lists capped at ``max_df`` (bounds the self-join's
+    per-shingle fan-out -- the round-1 verdict's one latent scale-killer),
+    then (2) exact Jaccard over the full shingle sets for candidates only
+    (``jaccard_for_pairs`` -- cost O(|pairs| * shingles/doc), independent
+    of posting-list skew).  Values are always exact; see
     ``jaccard_candidate_pairs`` for the recall caveat on the cap."""
     cands = jaccard_candidate_pairs(docs, text_col, n, max_df)
     return (
@@ -416,60 +422,109 @@ def simhash_pairs_allpairs(
 # ------------------------------------------------ connected components
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al., "Connected Components in MapReduce
+    and Beyond"): every node connects its LARGER neighbors to the minimum of
+    its neighborhood (incl. itself).  Input/output: directed (u, v) pairs.
+    """
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mnv"))
+        .select("u", F.least("u", "mnv").alias("mn"))
+    )
+    return (
+        sym.filter(F.col("v") > F.col("u"))
+        .join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: every node connects its SMALLER neighbors (and
+    itself) to the minimum among them.  Output edges all point
+    large -> small, which makes round-over-round comparison canonical."""
+    directed = (
+        edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    mins = directed.groupBy("u").agg(F.min("v").alias("mn"))
+    return (
+        directed.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+        .union(mins.select(F.col("u"), F.col("mn").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     max_iter: int = 20,
+    on_nonconverge: str = "raise",
 ) -> DataFrame:
     """Cluster near-dup pairs into components: (node, cluster_id) where
     ``cluster_id`` is the minimum node id reachable through the pair graph.
 
     The step that turns pairwise dedup output into "keep one doc per
     duplicate CLUSTER" (A~B, B~C => drop two of {A,B,C} even though A~C was
-    never emitted).  Iterative min-label propagation: each round every node
-    takes the min label among itself and its neighbors; converges in
-    graph-diameter rounds (near-dup clusters are shallow -- a handful).
-    Each round is one equi-join + groupBy-min, both shuffle-partitioned by
-    node id; ``localCheckpoint`` truncates the growing lineage so round N
-    does not replay rounds 1..N-1.  Loop exits early when a round changes
-    no label (one small count action per round)."""
-    edges = pairs.select(
-        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-    )
-    edges = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
-    labels = (
-        edges.select(F.col("src").alias("node"))
+    never emitted).  Alternates large-star and small-star rounds (Kiveris
+    et al.), which converge in O(log n) rounds *independent of graph
+    diameter* -- a duplicate chain of length 10^6 still closes within
+    ``max_iter=20`` -- and, unlike plain min-label propagation, shrink hot
+    components round over round instead of re-shuffling the full edge list
+    every round.  Each round is two groupBy/join shuffles partitioned by
+    node id; ``localCheckpoint`` truncates lineage between rounds.
+
+    Convergence is detected by edge-set stability (small-star output is
+    canonically large->small).  If ``max_iter`` rounds pass without
+    stability the result would silently under-merge, so the default is to
+    ``raise``; pass ``on_nonconverge="warn"`` to log and return the
+    partial merge instead."""
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
         .distinct()
-        .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
-        neighbor_labels = (
-            edges.join(labels, edges.src == labels.node)
-            .select(F.col("dst").alias("node"), "label")
-        )
-        new_labels = (
-            labels.select("node", "label")
-            .union(neighbor_labels)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        after_large = _large_star(edges)
+        after_small = _small_star(after_large).localCheckpoint()
+        # stable iff the canonical edge sets are identical (both directions
+        # of exceptAll -- a proper subset in either direction means motion)
+        if (
+            after_small.exceptAll(edges).isEmpty()
+            and edges.exceptAll(after_small).isEmpty()
+        ):
+            converged = True
+            edges = after_small
             break
-    return labels.select(
-        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+        edges = after_small
+    if not converged:
+        msg = (
+            f"connected_components: edge set not stable after {max_iter} "
+            "large-star/small-star rounds; clusters may be under-merged"
+        )
+        if on_nonconverge == "raise":
+            raise RuntimeError(msg)
+        import logging
+
+        logging.getLogger(__name__).warning(msg)
+    # at convergence every component is a star: each node points straight at
+    # the component minimum, and the minimum itself labels itself
+    members = edges.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+    roots = edges.select(F.col("v").alias("doc_id")).distinct().withColumn(
+        "cluster_id", F.col("doc_id")
     )
+    return members.union(roots).distinct()
 
 
 # -------------------------------------------------- embedding near-dup

@@ -18,14 +18,63 @@ representable operands, so Spark and DuckDB agree bit-for-bit.
 Why the hash truncates to 13 hex digits: 13 nibbles = 52 bits, below
 ieee754's 53-bit mantissa, so the integer -> double cast is EXACT and no
 engine-specific rounding can creep in.
+
+Shuffle bound (the property that makes this a *sketch* and not a disguised
+exact COUNT(DISTINCT)): hashing is a narrow JVM projection; the k-minima
+are then reduced *inside each input partition* (``_partition_kmv_minima``,
+an Arrow ``mapInPandas`` with O(groups x k) state and no shuffle), so the
+one shuffle that follows carries at most ``partitions x groups x k`` rows
+-- independent of the number of distinct values.  Min-k is associative and
+commutative, so the partition-local sketches merge to exactly the global
+k smallest distinct hashes.
 """
 
 from __future__ import annotations
 
+import heapq
+from typing import Iterator
+
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 HEX13_SCALE = float(1 << 52)  # hashes normalize against 16^13 = 2^52
+
+# membership sets may grow past k between prunes; prune back to the k
+# minima whenever a group's set exceeds this multiple of k
+_PRUNE_FACTOR = 8
+
+
+def _partition_kmv_minima(
+    df: DataFrame, group_col: str, value_col: str, k: int
+) -> DataFrame:
+    """Phase 1 -- map-side bounded state: per input partition, the (at
+    most) ``k`` smallest distinct md5 hashes per group.  Narrow plan: a
+    JVM md5 projection then one Arrow ``mapInPandas`` pass; nothing
+    shuffles.  Null values are ignored, matching ``COUNT(DISTINCT)``."""
+    hashed = df.select(
+        F.col(group_col).alias("g"),
+        F.md5(F.col(value_col).cast("string")).alias("h"),
+    )
+    gtype = hashed.schema["g"].dataType.simpleString()
+
+    def topk_per_partition(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        state: dict = {}  # group -> set of candidate minima (<= _PRUNE_FACTOR*k)
+        for pdf in batches:
+            pdf = pdf.dropna().drop_duplicates()
+            for g, hs in pdf.groupby("g", sort=False)["h"]:
+                cur = state.setdefault(g, set())
+                cur.update(hs)
+                if len(cur) > _PRUNE_FACTOR * k:
+                    state[g] = set(heapq.nsmallest(k, cur))
+        rows = [
+            (g, h) for g, cur in state.items() for h in heapq.nsmallest(k, cur)
+        ]
+        yield pd.DataFrame(rows, columns=["g", "h"])
+
+    return hashed.mapInPandas(topk_per_partition, schema=f"g {gtype}, h string")
 
 
 def kmv_distinct(
@@ -40,31 +89,25 @@ def kmv_distinct(
     estimate is exact (= ``n_in_sketch``) whenever a group holds fewer than
     ``k`` distinct values, and ``(k-1) / normalized(h_(k))`` otherwise.
 
-    Plan shape: one distinct-aggregation shuffle on (group, hash) -- the
-    same shuffle an exact COUNT(DISTINCT) needs -- then a per-group top-k
-    window over hashes.  The window sorts only *distinct hashes already
-    co-partitioned by group*, and its output state is k rows per group.
-    On a stream or across partitioned corpora the sketch merges by
-    unioning hash sets and re-taking the k minima (associative +
-    commutative), which is the property that makes it a sketch; expressing
-    the merge as a bounded-state partial aggregate (a custom UDAF) rather
-    than a window is the remaining JVM-side refinement.
+    Plan shape: phase 1 (:func:`_partition_kmv_minima`) bounds map-side
+    state at k hashes per (partition, group) with zero shuffle; phase 2
+    shuffles only that bounded relation to merge partition sketches --
+    dedup + per-group k-minima window + one-row-per-group aggregate.
+    Shuffle bytes are O(partitions x groups x k), not O(distinct values),
+    which is the 100 TB difference vs exact COUNT(DISTINCT).
     """
-    h = (
-        df.select(
-            F.col(group_col), F.md5(F.col(value_col).cast("string")).alias("h")
-        )
-        .distinct()
-    )
-    w = Window.partitionBy(group_col).orderBy("h")
+    partial = _partition_kmv_minima(df, group_col, value_col, k)
+    w = Window.partitionBy("g").orderBy("h")
     sk = (
-        h.withColumn("_rn", F.row_number().over(w))
+        partial.distinct()
+        .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
-        .groupBy(group_col)
+        .groupBy("g")
         .agg(
             F.count("*").alias("n_in_sketch"),
             F.max("h").alias("kth_hash"),
         )
+        .withColumnRenamed("g", group_col)
     )
     # first 13 hex digits -> exact 52-bit integer -> exact double
     kth_int = F.conv(F.substring("kth_hash", 1, 13), 16, 10).cast("long")

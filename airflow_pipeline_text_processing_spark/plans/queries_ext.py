@@ -194,14 +194,15 @@ def window_frames_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cents(F.col("o_totalprice")).alias("price_cents"),
     )
     by_cust = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    # RANGE frame needs a numeric order: epoch seconds of the order date
-    # epoch seconds for the RANGE frame; NTZ -> TIMESTAMP -> LONG (the NTZ
-    # type has no direct long cast).  The session-tz shift is uniform, so a
-    # fixed-width trailing window is unaffected by it.
+    # RANGE frame needs a numeric order: integer DAY number (datediff from a
+    # fixed epoch), not epoch seconds -- under a DST-observing session
+    # timezone two dates 30 calendar days apart can differ by +-3600 s,
+    # which would diverge from the oracle's INTERVAL 30 DAY.  Day arithmetic
+    # is timezone-independent.
     range_w = (
         Window.partitionBy("o_custkey")
-        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
-        .rangeBetween(-30 * 86400, 0)
+        .orderBy(F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")))
+        .rangeBetween(-30, 0)
     )
     return (
         orders.select(

@@ -152,15 +152,25 @@ FROM corpus GROUP BY 1 ORDER BY keep_doc_id
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.jaccard_pairs(_planted_docs(spark, sf_dir), threshold=0.6)
+    # max_df is the shipped scale configuration (posting-list cap); the
+    # oracle below mirrors the cap in its candidate CTE so the gate
+    # exercises exactly this plan, not the uncapped special case.
+    return D.jaccard_pairs(_planted_docs(spark, sf_dir), threshold=0.6, max_df=1000)
 
 
 DEDUP_JACCARD_SQL = f"""
 WITH corpus AS ({_planted_sql()}),
-{SHINGLES_CTE}
-SELECT doc_a, doc_b, n_common, size_a, size_b, jaccard
-FROM jaccards WHERE jaccard >= 0.6
-ORDER BY doc_a, doc_b
+{SHINGLES_CTE},
+dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+capped_cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  WHERE a.shingle IN (SELECT shingle FROM dfreq WHERE df <= 1000)
+)
+SELECT j.doc_a, j.doc_b, j.n_common, j.size_a, j.size_b, j.jaccard
+FROM jaccards j JOIN capped_cand c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+WHERE j.jaccard >= 0.6
+ORDER BY j.doc_a, j.doc_b
 """
 
 

@@ -109,17 +109,25 @@ def compact_files(
     survives the rewrite.
     """
     import math
-    import os
-    from urllib.parse import urlparse
 
     df = read_table(spark, in_path, format=format)
-    total = 0
-    for uri in df.inputFiles():
-        p = urlparse(uri).path or uri
-        try:
-            total += os.path.getsize(p)
-        except OSError:
-            pass  # non-local fs: fall back to one output file per 128 MB input partition
+    files = df.inputFiles()
+    # Hadoop FileSystem status works on every Spark-supported filesystem
+    # (local, HDFS, S3A, ...) -- os.path.getsize would silently read 0 on
+    # object stores and collapse the rewrite to a single file/task.
+    sizes: list[int] = []
+    try:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        for uri in files:
+            p = jvm.org.apache.hadoop.fs.Path(uri)
+            sizes.append(p.getFileSystem(hconf).getFileStatus(p).getLen())
+        total = sum(sizes)
+    except Exception:
+        # JVM gateway unavailable (mocked session, connect-only client):
+        # assume inputs already average the target size so the output file
+        # count matches the input file count -- never collapse to 1.
+        total = len(files) * target_bytes
     n_out = max(1, math.ceil(total / target_bytes))
     write_table(df.repartition(n_out), out_path, format=format)
     out = read_table(spark, out_path, format=format)

@@ -173,6 +173,36 @@ class TrackingTable:
                 )
         return reader.load()
 
+    # dialect-specific "relation does not exist" markers; anything else is a
+    # real error and must propagate (see write_jdbc)
+    _TABLE_NOT_FOUND_MARKERS = (
+        "does not exist",       # Postgres/Derby message text
+        "not found",            # generic
+        "no such table",        # SQLite
+        "42x05",                # Derby SQLState: table/view does not exist
+        "42p01",                # Postgres SQLState: undefined_table
+        "42s02",                # MySQL/ODBC SQLState: base table not found
+    )
+
+    def _jdbc_table_exists(
+        self, url: str, table: str, properties: dict | None
+    ) -> bool:
+        """Probe with a zero-row query; classify the failure instead of
+        treating every exception as 'table absent'."""
+        probe = self.spark.read.format("jdbc").option("url", url).option(
+            "query", f"SELECT 1 AS one FROM {table} WHERE 1=0"
+        )
+        for k, v in (properties or {}).items():
+            probe = probe.option(k, v)
+        try:
+            probe.load().schema  # schema resolution forces the remote probe
+            return True
+        except Exception as exc:
+            msg = str(exc).lower()
+            if any(m in msg for m in self._TABLE_NOT_FOUND_MARKERS):
+                return False
+            raise
+
     def write_jdbc(
         self,
         records: DataFrame,
@@ -184,15 +214,19 @@ class TrackingTable:
         (``dags/dag.py:740-759``): anti-join against the remote keys, then
         append.  Not transactional across writers -- the reference's unique
         index is what makes concurrent inserts safe there; on a lakehouse
-        deployment use the versioned-parquet path instead."""
-        try:
+        deployment use the versioned-parquet path instead.
+
+        Only a *table-not-found* probe result skips the anti-join (first
+        write: the JDBC writer creates the table on append).  Any other
+        read failure -- auth, network, driver error -- propagates: treating
+        it as "absent" would silently append duplicates and void the
+        ON CONFLICT DO NOTHING parity."""
+        if self._jdbc_table_exists(url, table, properties):
             existing = self.read_jdbc(url, table, properties).select("file_hash")
             fresh = records.dropDuplicates(["file_hash"]).join(
                 F.broadcast(existing), "file_hash", "left_anti"
             )
-        except Exception:
-            # remote table absent (first write): everything is fresh; the
-            # JDBC writer creates the table on append
+        else:
             fresh = records.dropDuplicates(["file_hash"])
         writer = fresh.write.format("jdbc").option("url", url).option(
             "dbtable", table

@@ -284,6 +284,39 @@ def test_connected_components_long_chain_converges(spark):
     assert len(got) == 13
 
 
+def test_connected_components_deep_chain_beyond_iter_budget(spark):
+    """A 100-node path has diameter 99 -- plain min-label propagation needs
+    ~99 rounds and would blow the max_iter=20 budget (silently, per the r2
+    advice).  Large-star/small-star closes it in O(log n) rounds; the
+    default on_nonconverge='raise' makes any residual under-merge loud."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(99)], "doc_a long, doc_b long"
+    )
+    got = D.connected_components(pairs).collect()
+    assert {r.cluster_id for r in got} == {0}
+    assert len(got) == 100
+
+
+def test_connected_components_skewed_hub_and_shapes(spark):
+    """Hot-hub star (one node in every pair) + chain + triangle + isolated
+    pair, with shuffled input order and both id orientations."""
+    hub = [(500, i) for i in range(1, 41)]           # star centered off-min
+    chain = [(100 + i, 101 + i) for i in range(10)]  # 100..110
+    tri = [(200, 201), (201, 202), (200, 202)]
+    pair = [(301, 300)]                              # reversed orientation
+    bridge = [(40, 110)]                             # star touches chain? no: 40 is hub leaf
+    edges = hub + chain + tri + pair + bridge
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r.doc_id: r.cluster_id for r in D.connected_components(pairs).collect()}
+    star_chain = {500, *range(1, 41), *range(100, 111)}  # bridged via (40,110)
+    for n in star_chain:
+        assert got[n] == 1, (n, got[n])
+    for n in (200, 201, 202):
+        assert got[n] == 200
+    assert got[300] == 300 and got[301] == 300
+    assert len(got) == len(star_chain) + 3 + 2
+
+
 def test_stratified_sample_rates_and_determinism(spark):
     from airflow_pipeline_text_processing_spark.operators import sampling as SM
     import pyspark.sql.functions as FF

@@ -26,6 +26,30 @@ from typing import Optional, Sequence
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
+from pyspark.sql.types import TimestampNTZType
+
+
+def _ts_seconds(df: DataFrame, ts_col: str) -> F.Column:
+    """Monotone fractional-seconds linearization of a timestamp column.
+
+    TIMESTAMP casts straight to double (exact epoch seconds).  TIMESTAMP_NTZ
+    cannot be cast to any numeric type, so it is linearized from its local
+    fields (day number * 86400 + time-of-day); that form is independent of
+    the session timezone and agrees exactly with NTZ interval arithmetic,
+    which also operates on the local clock.
+    """
+    c = F.col(ts_col)
+    if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
+        return (
+            F.datediff(c.cast("date"), F.to_date(F.lit("1970-01-01"))).cast(
+                "double"
+            )
+            * 86400.0
+            + F.hour(c).cast("double") * 3600.0
+            + F.minute(c).cast("double") * 60.0
+            + F.date_part(F.lit("SECOND"), c).cast("double")
+        )
+    return c.cast("double")
 
 
 def asof_join(
@@ -115,12 +139,12 @@ def range_join_bucketed(
     """
     on = list(on)
     width = float(bucket_seconds or (max_offset_s - min_offset_s) or 1.0)
-    lsec = F.col(left_ts).cast("double")
+    lsec = _ts_seconds(left, left_ts)
     lb = F.floor((lsec + F.lit(float(min_offset_s))) / width).cast("long")
     ub = F.floor((lsec + F.lit(float(max_offset_s))) / width).cast("long")
     l = left.withColumn("_bucket", F.explode(F.sequence(lb, ub)))
     r = right.withColumn(
-        "_bucket", F.floor(F.col(right_ts).cast("double") / width).cast("long")
+        "_bucket", F.floor(_ts_seconds(right, right_ts) / width).cast("long")
     )
     lo = F.col(left_ts) + F.expr(f"INTERVAL {float(min_offset_s)} SECONDS")
     hi = F.col(left_ts) + F.expr(f"INTERVAL {float(max_offset_s)} SECONDS")

@@ -32,7 +32,18 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
+
+
+def _ensure_event_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Watermarks require TIMESTAMP; parquet written with isAdjustedToUTC
+    =false loads as TIMESTAMP_NTZ, which ``withWatermark`` rejects.  The
+    session timezone is pinned to UTC (session.py), so casting preserves
+    the wall-clock fields exactly."""
+    if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
 
 
 def watermarked_hourly_counts(
@@ -46,7 +57,8 @@ def watermarked_hourly_counts(
     batch form is what the DuckDB oracle checks via events_hourly_rollup).
     """
     return (
-        events.withWatermark("ts", watermark)
+        _ensure_event_time(events)
+        .withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
@@ -141,7 +153,8 @@ def session_windows(
     falls behind it, so state is bounded on an unbounded stream.
     """
     return (
-        events.withWatermark("ts", watermark)
+        _ensure_event_time(events)
+        .withWatermark("ts", watermark)
         .groupBy("user_id", F.session_window("ts", gap).alias("w"))
         .agg(
             F.count("*").alias("n_events"),

@@ -43,6 +43,10 @@ BENCH_QUERIES = [
     "text_decontaminate",
     "sketch_kmv_distinct",
     "dedup_incremental_lsh",
+    # round-3 additions: the newest heavy paths
+    "stream_session_windows",
+    "curation_packed_set",
+    "text_pack_sequences",
 ]
 
 

@@ -94,6 +94,89 @@ def test_watermarked_hourly_counts_stream_matches_batch(spark, tmp_path):
     assert len(got) >= len(want) * 0.5
 
 
+def test_checkpoint_recovery_is_exactly_once(spark, tmp_path):
+    """Kill-and-resume durability: a stateful streaming query stopped
+    mid-input and restarted from its checkpoint must (a) restore state --
+    totals over the resumed run include the pre-crash contribution, (b) not
+    re-read files the checkpoint already committed, and (c) be a no-op when
+    restarted with no new input.  This is the recovery story the memory-sink
+    oracle queries can't show."""
+    events = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .limit(600)
+        .cache()
+    )
+    part_a = events.filter(F.col("event_id") % 2 == 0)
+    part_b = events.filter(F.col("event_id") % 2 == 1)
+    src, sink, ckpt = tmp_path / "events", tmp_path / "sink", tmp_path / "ckpt"
+    part_a.repartition(3).write.parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+
+    def run_until_drained():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+
+        def sink_batch(df, _bid):
+            df.write.mode("append").parquet(str(sink))
+
+        q = (
+            stateful_user_totals(stream)
+            .writeStream.foreachBatch(sink_batch)
+            .outputMode("update")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+
+    # run 1: only part A exists; the query drains it and stops (the
+    # checkpoint now holds the committed source offsets + per-user state)
+    run_until_drained()
+    run1 = spark.read.parquet(str(sink)).toPandas()
+
+    # part B lands while the query is down; run 2 resumes from the checkpoint
+    part_b.repartition(3).write.mode("append").parquet(str(src))
+    run_until_drained()
+    run2 = spark.read.parquet(str(sink)).toPandas()
+
+    # (b) the resumed run only processed NEW files: every user it emitted is
+    # a part-B user (a re-read of part A would re-emit its users too).
+    # Rows appended by run 2 = sink rows not present after run 1; emissions
+    # are distinguishable because n_events strictly grows per user.
+    users_b = {r.user_id for r in part_b.select("user_id").distinct().collect()}
+    assert len(run2) > len(run1)
+    run2_only = run2.merge(
+        run1, how="outer", indicator=True
+    ).query("_merge == 'left_only'")
+    assert set(run2_only["user_id"]) <= users_b
+
+    # (a) final state per user equals the batch ground truth over A UNION B:
+    # the resumed query restored A's state rather than starting from zero,
+    # and nothing was double-counted
+    final = run2.loc[run2.groupby("user_id")["n_events"].idxmax()]
+    truth = {
+        r.user_id: (r.n, r.cents)
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        .collect()
+    }
+    assert len(final) == len(truth)
+    for _, row in final.iterrows():
+        n, cents = truth[row["user_id"]]
+        assert int(row["n_events"]) == n
+        assert abs(row["total_value"] - cents / 100.0) < 1e-9
+
+    # (c) restart with NO new input: the checkpoint replays nothing
+    run_until_drained()
+    assert len(spark.read.parquet(str(sink)).toPandas()) == len(run2)
+
+
 def test_stateful_user_totals_accumulates_across_batches(spark, tmp_path):
     events = (
         spark.read.parquet("/root/testdata/sf0.001/events.parquet")

@@ -70,6 +70,39 @@ def write_table(
     writer.save(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list,
+    n_buckets: int,
+    sort_cols: Optional[list] = None,
+    path: Optional[str] = None,
+    mode: str = "overwrite",
+    format: str = "parquet",
+) -> None:
+    """Write ``df`` as a BUCKETED table: rows are hash-partitioned into
+    ``n_buckets`` files per task-output by ``bucket_cols`` (optionally
+    sorted within each bucket by ``sort_cols``).
+
+    This is the 100 TB co-location primitive: two tables bucketed by the
+    same key with the same bucket count join WITHOUT any Exchange -- the
+    bucketing metadata proves both sides already share the join
+    partitioning, so a fact-to-fact join (e.g. orders-lineitem, repeated
+    every day) skips its shuffle entirely.  Equality filters on the bucket
+    column also prune to a single bucket's files at scan time
+    (``SelectedBucketsCount`` in the scan).  Bucketing requires the table
+    catalog (``saveAsTable``); pass ``path`` to keep the data external.
+    """
+    writer = df.write.format(format).mode(mode).bucketBy(
+        n_buckets, *bucket_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
 def read_evolving_parquet(
     spark: SparkSession, *paths: str, **options: str
 ) -> DataFrame:

@@ -156,3 +156,59 @@ def test_read_evolving_parquet_merges_schemas(spark, tmp_path):
     assert set(df.columns) == {"id", "extra", "batch"}
     rows = {r.id: r.extra for r in df.collect()}
     assert rows[2] is None and rows[7] == 70  # old files null-fill new cols
+
+
+def test_bucketed_join_skips_the_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key with equal bucket counts must
+    join with NO Exchange on either side (the co-location contract
+    write_bucketed promises), and an equality filter on the bucket column
+    must prune the scan to a single bucket."""
+    import pyspark.sql.functions as FF
+
+    from airflow_pipeline_text_processing_spark.sources.tabular import (
+        write_bucketed,
+    )
+
+    orders = spark.range(1000).select(
+        FF.col("id").alias("o_orderkey"),
+        (FF.col("id") % 7).alias("o_status"),
+    )
+    items = spark.range(4000).select(
+        (FF.col("id") % 1000).alias("l_orderkey"),
+        (FF.col("id") * 3).alias("l_qty"),
+    )
+    write_bucketed(
+        orders, "b_orders", ["o_orderkey"], 8,
+        sort_cols=["o_orderkey"], path=str(tmp_path / "b_orders"),
+    )
+    write_bucketed(
+        items, "b_items", ["l_orderkey"], 8,
+        sort_cols=["l_orderkey"], path=str(tmp_path / "b_items"),
+    )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # forbid broadcast so the plan must prove co-location, not dodge it
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_orders").join(
+            spark.table("b_items"),
+            FF.col("o_orderkey") == FF.col("l_orderkey"),
+        )
+        assert joined.count() == 4000  # every item matches exactly one order
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange" not in plan, plan
+        # bucket pruning: an equality filter reads 1 of the 8 buckets
+        # (autoBucketedScan drops the bucketed layout when no join/agg asks
+        # for it, which also hides pruning -- pin it on for the assertion)
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+        )
+        pruned = spark.table("b_items").filter(FF.col("l_orderkey") == 42)
+        pplan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount: 1 out of 8" in pplan
+        assert pruned.count() == 4
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_items")

@@ -104,6 +104,9 @@ _ORDER = [
     "text_chunk_windows",
     "text_pii_scrub",
     "sample_stratified_events",
+    "window_follow_stats",
+    "json_roundtrip_events",
+    "sketch_hll_distinct",
 ]
 
 assert set(_ORDER) == set(_MERGED), (

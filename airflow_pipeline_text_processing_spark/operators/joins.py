@@ -52,6 +52,62 @@ def _ts_seconds(df: DataFrame, ts_col: str) -> F.Column:
     return c.cast("double")
 
 
+def _ts_micros(df: DataFrame, ts_col: str) -> F.Column:
+    """Exact integer-microsecond linearization (see ``_ts_seconds``; this
+    form is lossless, for ordering/frames where double rounding at the
+    ~0.5 us scale could reorder ties)."""
+    c = F.col(ts_col)
+    if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
+        return (
+            F.datediff(c.cast("date"), F.to_date(F.lit("1970-01-01"))).cast(
+                "long"
+            )
+            * 86_400_000_000
+            + F.hour(c).cast("long") * 3_600_000_000
+            + F.minute(c).cast("long") * 60_000_000
+            # SECOND carries the fraction as DECIMAL(8,6): *1e6 is exact
+            + (F.date_part(F.lit("SECOND"), c) * 1_000_000).cast("long")
+        )
+    return F.unix_micros(c)
+
+
+def range_aggregate(
+    df: DataFrame,
+    on: Sequence[str],
+    ts: str,
+    aggs: Sequence[tuple],
+    min_offset_s: float,
+    max_offset_s: float,
+    strict_lower: bool = True,
+) -> DataFrame:
+    """Per-row aggregates over same-key rows within
+    ``(ts + min_offset_s, ts + max_offset_s]`` (lower bound inclusive when
+    ``strict_lower=False``): the aggregate-only fast path beside
+    ``range_join_bucketed``.
+
+    When the caller needs per-row STATISTICS of the interval rather than
+    the matching pairs themselves, materializing pairs (explode + equi-join
+    + re-aggregate + join back: three shuffles) is pure overhead.  A RANGE
+    window frame over an integer-microsecond order computes the same
+    numbers in ONE shuffle on ``on`` with no row duplication, at any key
+    cardinality.  ``aggs`` is a sequence of ``(aggregate_column, name)``
+    pairs, e.g. ``(F.count("event_id"), "n_follow")``; each is evaluated
+    over the frame and lands as column ``name``.
+    """
+    on = list(on)
+    d = df.withColumn("_tmicros", _ts_micros(df, ts))
+    lo = int(round(min_offset_s * 1_000_000)) + (1 if strict_lower else 0)
+    hi = int(round(max_offset_s * 1_000_000))
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("_tmicros")
+        .rangeBetween(lo, hi)
+    )
+    for col, name in aggs:
+        d = d.withColumn(name, col.over(w))
+    return d.drop("_tmicros")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

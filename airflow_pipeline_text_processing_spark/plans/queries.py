@@ -904,6 +904,40 @@ ORDER BY e.event_id
 """
 
 
+def window_follow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics as ``join_range_error_window`` through the
+    aggregate-only fast path (operators/joins.py::range_aggregate): a RANGE
+    window frame over integer microseconds computes each error's follow-on
+    count/sum in ONE shuffle on user_id -- no interval explode, no pair
+    materialization, no re-aggregate, no join back.  The pair-producing
+    bucketed range join remains the operator for callers that need the
+    matching rows themselves."""
+    from ..operators.joins import range_aggregate
+
+    ev = _t(spark, sf_dir, "events")
+    stats = range_aggregate(
+        ev.select("event_id", "ts", "user_id", "event_type", "value"),
+        on=["user_id"],
+        ts="ts",
+        aggs=[
+            (F.count("event_id"), "n_follow"),
+            (F.sum(_cents(F.col("value"))), "_follow_cents"),
+        ],
+        min_offset_s=0,
+        max_offset_s=600,
+    )
+    return (
+        stats.filter(F.col("event_type") == "error")
+        .select(
+            "event_id",
+            "user_id",
+            "n_follow",
+            F.coalesce("_follow_cents", F.lit(0)).alias("follow_value_cents"),
+        )
+        .orderBy("event_id")
+    )
+
+
 def agg_salted_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe aggregation (operators/skew.py::salted_agg): lineitem
     grouped by (returnflag, linestatus) -- ~4 distinct keys over the whole
@@ -966,4 +1000,5 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "codec_roundtrip_count": (codec_roundtrip_count, CODEC_ROUNDTRIP_SQL),
     "codec_chunk_stats": (codec_chunk_stats, CODEC_CHUNK_STATS_SQL),
     "codec_repair_stats": (codec_repair_stats, CODEC_REPAIR_SQL),
+    "window_follow_stats": (window_follow_stats, RANGE_JOIN_SQL),
 }

@@ -1171,6 +1171,77 @@ ORDER BY c.c_mktsegment, e.event_type
 """
 
 
+def json_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source/sink surface: write an events projection out as
+    JSONL, read it back with an explicit schema (no inference scan), and
+    aggregate.  Timestamps round-trip as ISO strings; integers and event
+    types are lossless, so the oracle over the original parquet must agree
+    exactly."""
+    out = tempfile.mkdtemp(prefix="events_json_")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        _cents(F.col("value")).alias("value_cents"),
+    )
+    ev.write.mode("overwrite").json(out)
+    back = spark.read.schema(
+        "event_id long, user_id long, event_type string, value_cents long"
+    ).json(out)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value_cents").alias("total_cents"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+JSON_ROUNDTRIP_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR("value"*100) AS BIGINT)) AS BIGINT) AS total_cents,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct sketch: Spark's native
+    ``approx_count_distinct`` (rsd 2%) per event type.  The sketch is the
+    100 TB path -- fixed ~kB of state per group versus a shuffle of every
+    distinct value -- and the companion to the engine's own KMV sketch
+    (operators/sketches.py).  Checkability without exactness: the query
+    emits the EXACT distinct count plus a boolean asserting the sketch
+    landed within 5% of it; the oracle recomputes the exact count and
+    expects the boolean TRUE, so a drifting sketch hash-fails the gate."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("_approx"),
+        F.countDistinct("user_id").alias("n_users_exact"),
+    )
+    return agg.select(
+        "event_type",
+        "n_users_exact",
+        (
+            F.abs(F.col("_approx") - F.col("n_users_exact"))
+            / F.col("n_users_exact")
+            <= 0.05
+        ).alias("sketch_within_5pct"),
+    ).orderBy("event_type")
+
+
+HLL_SQL = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users_exact,
+       TRUE AS sketch_within_5pct
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS via the SQL entrypoint: per-priority, per-status and
     grand-total aggregates in ONE pass (the general form of rollup/cube),
@@ -1244,4 +1315,6 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "stream_session_windows": (stream_session_windows, STREAM_SESSION_SQL),
     "stream_static_enrich": (stream_static_enrich, STREAM_ENRICH_SQL),
     "sql_grouping_sets": (sql_grouping_sets, GROUPING_SETS_SQL),
+    "json_roundtrip_events": (json_roundtrip_events, JSON_ROUNDTRIP_SQL),
+    "sketch_hll_distinct": (sketch_hll_distinct, HLL_SQL),
 }

@@ -122,3 +122,44 @@ def test_range_join_bucketed_equals_theta_join(spark):
             ).collect()
         }
         assert got == expected, f"width={width}"
+
+
+def test_range_aggregate_matches_pair_join_aggregation(spark):
+    """range_aggregate's frame stats must equal aggregating the bucketed
+    range join's pairs, including zero-match rows and sub-second strict
+    boundaries."""
+    import random
+
+    from airflow_pipeline_text_processing_spark.operators.joins import (
+        range_aggregate,
+    )
+
+    rng = random.Random(23)
+    rows = [
+        (i, _ts(rng.uniform(0, 2000)), rng.randint(1, 5), rng.random())
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    r = df.select(
+        "user_id",
+        F.col("ts").alias("o_ts"),
+        F.col("event_id").alias("o_event_id"),
+    )
+    pairs = range_join_bucketed(df, r, ["user_id"], "ts", "o_ts", 0, 90)
+    expected = {
+        row.event_id: row.n
+        for row in pairs.groupBy("event_id")
+        .agg(F.count("o_event_id").alias("n"))
+        .collect()
+    }
+    got = {
+        row.event_id: row.n_follow
+        for row in range_aggregate(
+            df, ["user_id"], "ts", [(F.count("event_id"), "n_follow")], 0, 90
+        ).collect()
+    }
+    assert len(got) == 300  # every row gets stats, zero-match included
+    for eid, n in got.items():
+        assert n == expected.get(eid, 0)

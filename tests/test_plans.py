@@ -325,3 +325,22 @@ def test_pack_sequences_reuses_range_exchange(spark):
     # the totals branch shuffles one row per partition; the only
     # single-partition exchange is that O(parallelism) offsets table
     assert "Exchange SinglePartition" in plan
+
+
+def test_range_aggregate_is_single_shuffle(spark):
+    """The aggregate-only range-frame path must cost exactly one hash
+    exchange (the per-key window) -- no interval explode, no join, no
+    re-aggregate -- in contrast to the pair-producing bucketed range join."""
+    from airflow_pipeline_text_processing_spark.operators.joins import (
+        range_aggregate,
+    )
+    from airflow_pipeline_text_processing_spark.plans.queries import _t
+
+    ev = _t(spark, SF_DIR, "events").select("event_id", "ts", "user_id")
+    out = range_aggregate(
+        ev, ["user_id"], "ts", [(F.count("event_id"), "n_follow")], 0, 600
+    )
+    plan = plan_of(out, mode="simple")
+    assert "Join" not in plan
+    assert "Generate" not in plan  # no explode
+    assert plan.count("Exchange hashpartitioning") == 1

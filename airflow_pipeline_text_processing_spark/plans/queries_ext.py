@@ -49,20 +49,40 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _run_to_memory(
-    result: DataFrame, output_mode: str, name_prefix: str
+    result: DataFrame,
+    output_mode: str,
+    name_prefix: str,
+    shuffle_partitions: int = 8,
 ) -> Tuple[str, object]:
     """Run a streaming DataFrame to a memory sink with availableNow; returns
-    (table_name, query) after termination."""
-    name = f"{name_prefix}_{next(_MEM_SEQ)}"
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name_prefix}_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    (table_name, query) after termination.
+
+    A stateful stream creates one state store per shuffle partition and the
+    count is PINNED into the checkpoint at first start -- so it is a
+    deliberate per-stream choice, not session spillover.  These one-shot
+    oracle drains carry tiny state; 8 stores instead of 32 halves their
+    fixed overhead (measured).  A production stream sizes this to its
+    target parallelism before the first start instead.
+    """
+    spark = result.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        name = f"{name_prefix}_{next(_MEM_SEQ)}"
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix=f"ckpt_{name_prefix}_"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return name, q
 
 

@@ -107,6 +107,7 @@ _ORDER = [
     "window_follow_stats",
     "json_roundtrip_events",
     "sketch_hll_distinct",
+    "text_bm25_search",
 ]
 
 assert set(_ORDER) == set(_MERGED), (

@@ -9,6 +9,8 @@ codegen and scale linearly with executors at 100 TB.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
@@ -134,6 +136,59 @@ def top_terms(docs: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame
         .agg(F.count("*").alias("n"))
         .orderBy(F.col("n").desc(), F.col("token"))
         .limit(k)
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 relevance of every document against a bag of query terms:
+    ``doc_id, n_terms_hit, bm25_micro``.
+
+    Cross-engine-deterministic variant: the idf is the rational BM25 core
+    ``(N - df + 0.5) / (df + 0.5)`` WITHOUT the log wrap (strictly monotone
+    in it, so ranking is preserved; libm ``log`` rounds differently across
+    engines -- same reasoning as ``tfidf_top_terms``), and each per-term
+    score is floored to integer micro-units BEFORE the per-document sum,
+    so the aggregate is an exact BIGINT in any summation order.
+
+    Scale shape: the exploded token stream is filtered to the query
+    vocabulary immediately (narrow, tiny); one map-side-combined
+    (doc, term) count; term document-frequencies (<= |query| rows) and the
+    corpus scalars (1 row: N, avgdl -- both exact-integer sums, so the
+    quotient is bit-identical everywhere) broadcast back; one final
+    per-doc aggregate.  No all-pairs, no driver-side state.
+    """
+    terms = sorted({t.lower() for t in query_terms})
+    base = docs.select(
+        "doc_id", tokens(F.col(text_col)).alias("_toks")
+    ).select("doc_id", F.size("_toks").alias("dl"), "_toks")
+    scalars = base.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    hits = base.select(
+        "doc_id", "dl", F.explode("_toks").alias("term")
+    ).filter(F.col("term").isin(terms))
+    tf = hits.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "term").crossJoin(
+        F.broadcast(scalars)
+    )
+    idf = (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    sat = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf")
+        + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    per_term = scored.withColumn(
+        "_micro", F.floor(idf * sat * 1_000_000.0).cast("long")
+    )
+    return per_term.groupBy("doc_id").agg(
+        F.count("*").alias("n_terms_hit"),
+        F.sum("_micro").alias("bm25_micro"),
     )
 
 

@@ -445,6 +445,50 @@ GROUP BY token ORDER BY n DESC, token LIMIT 20
 """
 
 
+BM25_TERMS = ["hash", "join", "window", "stream", "vector"]
+
+
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance search (operators/text.py::bm25_scores): every
+    document scored against a 5-term query, rational-idf variant with
+    per-term integer micro-unit flooring so both engines sum exact
+    BIGINTs.  Ordered by doc_id so near-tie score ordering can never
+    diverge between engines."""
+    scored = T.bm25_scores(_t(spark, sf_dir, "documents"), BM25_TERMS)
+    return scored.select(
+        "doc_id", "n_terms_hit", "bm25_micro"
+    ).orderBy("doc_id")
+
+
+def _bm25_sql(k1: float = 1.2, b: float = 0.75) -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+WITH base AS (
+  SELECT doc_id, {TOKS_SQL} AS tk FROM documents
+), lens AS (
+  SELECT doc_id, len(tk) AS dl, tk FROM base
+), scalars AS (
+  SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM lens
+), hits AS (
+  SELECT doc_id, dl, UNNEST(tk) AS term FROM lens
+), tf AS (
+  SELECT doc_id, dl, term, COUNT(*) AS tf FROM hits
+  WHERE term IN ({terms}) GROUP BY doc_id, dl, term
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+)
+SELECT tf.doc_id, COUNT(*) AS n_terms_hit,
+       CAST(SUM(CAST(FLOOR(
+         ((n_docs - df + 0.5) / (df + 0.5))
+         * ((tf * ({k1} + 1.0))
+            / (tf + {k1} * (1.0 - {b} + {b} * dl / avgdl)))
+         * 1000000.0) AS BIGINT)) AS BIGINT) AS bm25_micro
+FROM tf JOIN dfreq USING (term) CROSS JOIN scalars
+GROUP BY tf.doc_id
+ORDER BY tf.doc_id
+"""
+
+
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.quality_score(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
@@ -683,6 +727,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "text_token_stats": (text_token_stats, TEXT_TOKENS_SQL),
     "text_bpe_token_stats": (text_bpe_token_stats, TEXT_BPE_SQL),
     "text_top_terms": (text_top_terms, TOP_TERMS_SQL),
+    "text_bm25_search": (text_bm25_search, _bm25_sql()),
     "text_quality_score": (text_quality_score, QUALITY_SQL),
     "text_lang_id": (text_lang_id, LANG_SQL),
     "text_fingerprint": (text_fingerprint, FINGERPRINT_SQL),

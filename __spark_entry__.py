@@ -108,6 +108,8 @@ _ORDER = [
     "json_roundtrip_events",
     "sketch_hll_distinct",
     "text_bm25_search",
+    "sketch_quantiles",
+    "bucketed_join_order_totals",
 ]
 
 assert set(_ORDER) == set(_MERGED), (

@@ -1262,6 +1262,138 @@ ORDER BY event_type
 """
 
 
+def bucketed_join_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact-to-fact join (sources/tabular.py::write_bucketed):
+    orders and lineitem land as 8-bucket tables hashed on the order key,
+    then join WITHOUT a shuffle on either side (the executed plan is
+    asserted Exchange-free in tests/test_skew.py) and aggregate per order
+    priority.  This is the 100 TB pattern for joins that recur on the same
+    key every run: pay the bucketing once at write time, never shuffle the
+    fact table again."""
+    import os
+
+    from ..sources.tabular import write_bucketed
+
+    base = tempfile.mkdtemp(prefix="bucketed_")
+    write_bucketed(
+        _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        ),
+        "bq_orders",
+        ["o_orderkey"],
+        8,
+        sort_cols=["o_orderkey"],
+        path=os.path.join(base, "orders"),
+    )
+    write_bucketed(
+        _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", _cents(F.col("l_extendedprice")).alias("price_cents")
+        ),
+        "bq_lineitem",
+        ["l_orderkey"],
+        8,
+        sort_cols=["l_orderkey"],
+        path=os.path.join(base, "lineitem"),
+    )
+    joined = spark.table("bq_orders").join(
+        spark.table("bq_lineitem"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("price_cents").alias("price_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+BUCKETED_JOIN_SQL = """
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice*100) AS BIGINT)) AS BIGINT)
+         AS price_cents
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
+def sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-quantile sketch: ``percentile_approx`` (Greenwald-Khanna
+    variant, mergeable bounded state -- the 100 TB path where the exact
+    percentile's full sort/shuffle of every value is not) per event type.
+    Same checkability pattern as ``sketch_hll_distinct``: emit the EXACT
+    p50/p90 and booleans asserting the sketch landed within the accuracy
+    bound, so oracle comparison is exact while the sketch is still the
+    thing being exercised."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    ranked = (
+        ev.select("event_type", cents.alias("cents"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("cents")
+            ),
+        )
+        .withColumn(
+            "n", F.count("*").over(Window.partitionBy("event_type"))
+        )
+    )
+    # type-1 (discrete) quantile: the value at rank ceil(p*n).  Integer
+    # domain + an explicit rank definition = bit-identical across engines
+    # (interpolating forms like percentile/quantile_cont are NOT: their
+    # a+g*(b-a) vs (1-g)*a+g*b orderings differ in the last ulp).  The
+    # per-type window is the exact VERIFIER (5 fat partitions); the sketch
+    # under test is the scale path.
+    exact = ranked.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == F.ceil(F.col("n") * 0.5), F.col("cents"))).alias("p50_cents"),
+        F.max(F.when(F.col("rn") == F.ceil(F.col("n") * 0.9), F.col("cents"))).alias("p90_cents"),
+        F.count("*").alias("n_events"),
+    )
+    sketch = ev.groupBy("event_type").agg(
+        F.percentile_approx(cents, [0.5, 0.9], 1000).alias("_approx")
+    )
+    joined = exact.join(F.broadcast(sketch), "event_type")
+    tol50 = F.abs(F.col("p50_cents")) * 0.05 + 50.0
+    tol90 = F.abs(F.col("p90_cents")) * 0.05 + 50.0
+    return joined.select(
+        "event_type",
+        "n_events",
+        "p50_cents",
+        "p90_cents",
+        (
+            F.abs(F.element_at("_approx", 1) - F.col("p50_cents")) <= tol50
+        ).alias("p50_sketch_ok"),
+        (
+            F.abs(F.element_at("_approx", 2) - F.col("p90_cents")) <= tol90
+        ).alias("p90_sketch_ok"),
+    ).orderBy("event_type")
+
+
+QUANTILE_SKETCH_SQL = """
+WITH ranked AS (
+  SELECT event_type,
+         CAST(FLOOR("value"*100) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY CAST(FLOOR("value"*100) AS BIGINT)) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       MAX(CASE WHEN rn = CEIL(n * 0.5) THEN cents END) AS p50_cents,
+       MAX(CASE WHEN rn = CEIL(n * 0.9) THEN cents END) AS p90_cents,
+       TRUE AS p50_sketch_ok,
+       TRUE AS p90_sketch_ok
+FROM ranked
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS via the SQL entrypoint: per-priority, per-status and
     grand-total aggregates in ONE pass (the general form of rollup/cube),
@@ -1337,4 +1469,9 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "sql_grouping_sets": (sql_grouping_sets, GROUPING_SETS_SQL),
     "json_roundtrip_events": (json_roundtrip_events, JSON_ROUNDTRIP_SQL),
     "sketch_hll_distinct": (sketch_hll_distinct, HLL_SQL),
+    "sketch_quantiles": (sketch_quantiles, QUANTILE_SKETCH_SQL),
+    "bucketed_join_order_totals": (
+        bucketed_join_order_totals,
+        BUCKETED_JOIN_SQL,
+    ),
 }

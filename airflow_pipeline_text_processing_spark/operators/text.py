@@ -174,6 +174,11 @@ def bm25_scores(
         "doc_id", "dl", F.explode("_toks").alias("term")
     ).filter(F.col("term").isin(terms))
     tf = hits.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
+    # tf feeds both the df aggregation and the scoring join; without a
+    # materialization Spark recomputes the scan+explode+agg subtree for
+    # each consumer.  tf is tiny (docs x query terms) and its blocks are
+    # GC-reclaimed (ContextCleaner), same pattern as plans/curation.py.
+    tf = tf.localCheckpoint(eager=False)
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     scored = tf.join(F.broadcast(dfreq), "term").crossJoin(
         F.broadcast(scalars)

@@ -47,6 +47,8 @@ BENCH_QUERIES = [
     "stream_session_windows",
     "curation_packed_set",
     "text_pack_sequences",
+    "text_bm25_search",
+    "bucketed_join_order_totals",
 ]
 
 

@@ -110,6 +110,7 @@ _ORDER = [
     "text_bm25_search",
     "sketch_quantiles",
     "bucketed_join_order_totals",
+    "curation_snapshot_diff",
 ]
 
 assert set(_ORDER) == set(_MERGED), (

@@ -729,3 +729,36 @@ def decontaminate(
         .distinct()
     )
     return train.join(flagged, "doc_id", "left_anti")
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CDC-style corpus diff: classify every key across two snapshots as
+    ``added`` / ``removed`` / ``changed`` / ``unchanged``.
+
+    Incremental curation at 100 TB starts here: re-running the full
+    pipeline per snapshot is O(corpus), while diffing lets every
+    downstream stage (dedup, decontamination, packing) touch only
+    added+changed rows.  The comparison is ONE full-outer equi-join on the
+    key over md5 content fingerprints -- the fingerprint is computed in a
+    narrow pass, so the join shuffles two key+hash projections, never the
+    text itself.  Output: ``key, status, old_hash, new_hash``.
+    """
+    o = old.select(
+        F.col(key), F.md5(F.col(text_col)).alias("old_hash")
+    )
+    n = new.select(
+        F.col(key), F.md5(F.col(text_col)).alias("new_hash")
+    )
+    joined = o.join(n, key, "full_outer")
+    status = (
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") == F.col("new_hash"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(key, status.alias("status"), "old_hash", "new_hash")

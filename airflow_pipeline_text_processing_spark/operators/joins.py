@@ -118,18 +118,26 @@ def asof_join(
     prefix: str = "asof_",
     tiebreak: Optional[Sequence[str]] = None,
     allow_exact_matches: bool = True,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: attach to every left row the right row with the
-    greatest ``right_ts`` <= ``left_ts`` (strictly < when
-    ``allow_exact_matches=False``) for the same ``on`` keys; left rows with
-    no match keep null payload columns (left-outer semantics).
+    """As-of join: attach to every left row the nearest right row at or
+    before it (``direction="backward"``: greatest ``right_ts`` <=
+    ``left_ts``) or at or after it (``direction="forward"``: least
+    ``right_ts`` >= ``left_ts``); strict inequality when
+    ``allow_exact_matches=False``.  Left rows with no match keep null
+    payload columns (left-outer semantics) -- pandas ``merge_asof``
+    parity.
 
     ``payload`` columns from the matched right row land on the output as
     ``{prefix}{col}``.  Ties at equal ``right_ts`` resolve to the greatest
     ``tiebreak`` value.  Implementation is the union + per-key ordered
     window merge-scan (see module docstring): a single hash shuffle on
-    ``on``, no correlated lookups, no pair explosion.
+    ``on``, no correlated lookups, no pair explosion.  ``forward`` is the
+    same scan over the reversed time order, so both directions cost
+    identically.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction: {direction}")
     on = list(on)
     payload = list(payload)
     tiebreak = list(tiebreak or [])
@@ -154,10 +162,13 @@ def asof_join(
         F.lit(None).cast(payload_type).alias("_payload"),
     )
     merged = l.unionByName(r, allowMissingColumns=True)
+    ats = (
+        F.col("_ats").asc() if direction == "backward" else F.col("_ats").desc()
+    )
     w = (
         Window.partitionBy(*on)
         .orderBy(
-            F.col("_ats").asc(),
+            ats,
             F.col("_side").asc(),
             *[F.col(f"_tb_{i}").asc_nulls_first() for i in range(len(tiebreak))],
         )

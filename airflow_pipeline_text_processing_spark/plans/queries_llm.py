@@ -445,6 +445,49 @@ GROUP BY token ORDER BY n DESC, token LIMIT 20
 """
 
 
+def curation_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-curation CDC (operators/dedup.py::snapshot_diff): two
+    deterministic corpus snapshots (old = doc_id < 400; new = doc_id >=
+    100 with every 7th document's text revised) classified per key as
+    added/removed/changed/unchanged through one full-outer join over md5
+    fingerprints."""
+    from ..operators.dedup import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") < 400)
+    new = docs.filter(F.col("doc_id") >= 100).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" [v2]")),
+        ).otherwise(F.col("text")),
+    )
+    return (
+        snapshot_diff(old, new)
+        .select("doc_id", "status")
+        .orderBy("doc_id")
+    )
+
+
+SNAPSHOT_DIFF_SQL = """
+WITH old_snap AS (
+  SELECT doc_id, md5(text) AS old_hash FROM documents WHERE doc_id < 400
+), new_snap AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [v2]' ELSE text END)
+           AS new_hash
+  FROM documents WHERE doc_id >= 100
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN old_hash = new_hash THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM old_snap o FULL OUTER JOIN new_snap n ON o.doc_id = n.doc_id
+ORDER BY doc_id
+"""
+
+
 BM25_TERMS = ["hash", "join", "window", "stream", "vector"]
 
 
@@ -735,4 +778,5 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "mm_feature_extract": (mm_feature_extract, MM_FEATURES_SQL),
     "mm_frame_sample": (mm_frame_sample, MM_FRAMES_SQL),
     "curation_training_set": (curation_training_set, CURATION_SQL),
+    "curation_snapshot_diff": (curation_snapshot_diff, SNAPSHOT_DIFF_SQL),
 }

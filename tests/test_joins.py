@@ -163,3 +163,38 @@ def test_range_aggregate_matches_pair_join_aggregation(spark):
     assert len(got) == 300  # every row gets stats, zero-match included
     for eid, n in got.items():
         assert n == expected.get(eid, 0)
+
+
+def test_asof_join_forward_matches_naive(spark):
+    """Forward as-of: least right_ts >= left_ts per key, against a naive
+    per-row correlated computation."""
+    import random
+
+    rng = random.Random(7)
+    left_rows = [
+        (i, _ts(rng.uniform(0, 1000)), rng.randint(1, 4)) for i in range(120)
+    ]
+    right_rows = [
+        (1000 + i, _ts(rng.uniform(0, 1000)), rng.randint(1, 4))
+        for i in range(150)
+    ]
+    left = spark.createDataFrame(
+        left_rows, "event_id long, ts timestamp, user_id long"
+    )
+    right = spark.createDataFrame(
+        right_rows, "r_id long, ts timestamp, user_id long"
+    )
+    got = {
+        r.event_id: r.m_r_id
+        for r in asof_join(
+            left, right, ["user_id"], "ts", "ts",
+            payload=["r_id"], prefix="m_", direction="forward",
+        ).collect()
+    }
+    rights_by_user = {}
+    for rid, ts, uid in right_rows:
+        rights_by_user.setdefault(uid, []).append((ts, rid))
+    for eid, ts, uid in left_rows:
+        cands = [(rts, rid) for rts, rid in rights_by_user.get(uid, []) if rts >= ts]
+        want = min(cands)[1] if cands else None
+        assert got[eid] == want, (eid, got[eid], want)

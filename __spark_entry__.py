@@ -35,7 +35,10 @@ _ORDER = [
     "join_full_outer_year_cohorts",
     # -- aggregation forms ------------------------------------------------
     "agg_rollup_priority_year",
-    "agg_cube_priority_status",
+    # cube is graded locally: rollup + GROUPING SETS verify the same
+    # multi-grouping machinery in-window; the slot instead driver-grades the
+    # bucketed co-located join (a capability no other entry exercises)
+    "bucketed_join_order_totals",
     "pivot_segment_year",
     "percentile_value_by_type",
     "agg_salted_hot_keys",
@@ -109,7 +112,7 @@ _ORDER = [
     "sketch_hll_distinct",
     "text_bm25_search",
     "sketch_quantiles",
-    "bucketed_join_order_totals",
+    "agg_cube_priority_status",
     "curation_snapshot_diff",
 ]
 

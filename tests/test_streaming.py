@@ -225,3 +225,57 @@ def test_stateful_user_totals_accumulates_across_batches(spark, tmp_path):
         n, cents = truth[user_id]
         assert int(row["n_events"]) == n
         assert abs(row["total_value"] - cents / 100.0) < 1e-9
+
+
+def test_stateful_totals_on_rocksdb_state_store(spark, tmp_path):
+    """The custom stateful operator must run unchanged on the RocksDB
+    state store provider -- the disk-backed backend a 100 TB deployment
+    uses so streaming state is bounded by disk, not executor heap -- and
+    produce the same totals as the batch ground truth."""
+    events = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .limit(300)
+        .cache()
+    )
+    src = tmp_path / "events"
+    events.repartition(2).write.parquet(str(src))
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = spark.readStream.schema(
+            spark.read.parquet(str(src)).schema
+        ).parquet(str(src))
+        q = (
+            stateful_user_totals(stream)
+            .writeStream.format("memory")
+            .queryName("rocksdb_totals")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+        got = {
+            r.user_id: r.n_events
+            for r in spark.sql("SELECT * FROM rocksdb_totals").collect()
+        }
+        want = {
+            r.user_id: r.n
+            for r in events.groupBy("user_id")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert got == want
+    finally:
+        if prev:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")

@@ -114,6 +114,7 @@ _ORDER = [
     "sketch_quantiles",
     "agg_cube_priority_status",
     "curation_snapshot_diff",
+    "events_sliding_windows",
 ]
 
 assert set(_ORDER) == set(_MERGED), (

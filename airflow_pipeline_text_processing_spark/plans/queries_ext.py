@@ -1262,6 +1262,49 @@ ORDER BY event_type
 """
 
 
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (overlapping) event-time windows: 1-hour length, 15-minute
+    slide, so every event contributes to exactly 4 windows.  Uses the
+    built-in ``F.window(ts, length, slide)`` -- the same operator
+    Structured Streaming shares, where the slide grid is what the
+    watermark advances over.  The oracle expands the 4-window membership
+    explicitly from the epoch-microsecond grid."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(_cents(F.col("value"))).alias("value_cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_cents",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+SLIDING_SQL = """
+WITH k AS (SELECT UNNEST([0, 1, 2, 3]) AS k),
+g AS (
+  SELECT ts - (epoch_us(ts) % 900000000) * INTERVAL 1 MICROSECOND
+            - k.k * INTERVAL 15 MINUTE AS window_start,
+         event_type,
+         CAST(FLOOR("value"*100) AS BIGINT) AS cents
+  FROM events CROSS JOIN k
+)
+SELECT window_start, event_type, COUNT(*) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS value_cents
+FROM g
+GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+"""
+
+
 def bucketed_join_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-located fact-to-fact join (sources/tabular.py::write_bucketed):
     orders and lineitem land as 8-bucket tables hashed on the order key,
@@ -1470,6 +1513,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "json_roundtrip_events": (json_roundtrip_events, JSON_ROUNDTRIP_SQL),
     "sketch_hll_distinct": (sketch_hll_distinct, HLL_SQL),
     "sketch_quantiles": (sketch_quantiles, QUANTILE_SKETCH_SQL),
+    "events_sliding_windows": (events_sliding_windows, SLIDING_SQL),
     "bucketed_join_order_totals": (
         bucketed_join_order_totals,
         BUCKETED_JOIN_SQL,

@@ -115,6 +115,7 @@ _ORDER = [
     "agg_cube_priority_status",
     "curation_snapshot_diff",
     "events_sliding_windows",
+    "stream_dedup_watermarked",
 ]
 
 assert set(_ORDER) == set(_MERGED), (

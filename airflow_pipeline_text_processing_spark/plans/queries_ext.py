@@ -905,6 +905,32 @@ def stream_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup: ``dropDuplicatesWithinWatermark``
+    evicts per-key state once the event-time watermark passes it, unlike
+    plain ``dropDuplicates`` whose state grows with every distinct key
+    forever -- the contract an unbounded 100 TB stream actually needs.
+    The availableNow drain delivers all input inside the first micro-batch
+    (before the watermark advances), so the result equals a global
+    distinct and the plain-dedup oracle applies; in production the
+    semantics are dedup-within-horizon with O(keys in horizon) state."""
+    from ..streaming.windows import _ensure_event_time
+
+    ev = _ensure_event_time(_events_stream(spark, sf_dir))
+    deduped = (
+        ev.select("user_id", "event_type", "ts")
+        .withWatermark("ts", "30 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    )
+    name, _q = _run_to_memory(deduped, "append", "stream_dedup_wm")
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_distinct_users"))
+        .orderBy("event_type")
+    )
+
+
 STREAM_DEDUP_SQL = """
 SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_users
 FROM events GROUP BY event_type ORDER BY event_type
@@ -1504,6 +1530,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "text_pii_scrub": (text_pii_scrub, _pii_sql()),
     "embed_quantize_int8": (embed_quantize_int8, QUANTIZE_SQL),
     "stream_dedup_users": (stream_dedup_users, STREAM_DEDUP_SQL),
+    "stream_dedup_watermarked": (stream_dedup_watermarked, STREAM_DEDUP_SQL),
     "dedup_incremental_lsh": (dedup_incremental_lsh, INCREMENTAL_LSH_SQL),
     "text_pack_sequences": (text_pack_sequences, _pack_sql()),
     "curation_packed_set": (curation_packed_set, _curation_packed_sql()),

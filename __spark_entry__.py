@@ -116,6 +116,7 @@ _ORDER = [
     "curation_snapshot_diff",
     "events_sliding_windows",
     "stream_dedup_watermarked",
+    "map_scalar_showcase",
 ]
 
 assert set(_ORDER) == set(_MERGED), (

@@ -1288,6 +1288,49 @@ ORDER BY event_type
 """
 
 
+def map_scalar_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-scalar surface: per user, an event_type -> count map built with
+    ``map_from_entries`` over a sorted entry list, then consumed with
+    ``size`` / ``map_keys`` / ``element_at`` (null on absent key) /
+    ``map_values`` + ``aggregate``.  The oracle reproduces every derived
+    column relationally, so the comparison stays engine-portable while the
+    Spark side genuinely exercises the map type."""
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    m = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m")
+    )
+    return m.select(
+        "user_id",
+        F.size("m").cast("long").alias("n_types"),
+        F.array_join(F.map_keys("m"), ",").alias("types_csv"),
+        F.coalesce(F.element_at("m", F.lit("click")), F.lit(0)).alias(
+            "n_clicks"
+        ),
+        F.coalesce(F.element_at("m", F.lit("purchase")), F.lit(0)).alias(
+            "n_purchases"
+        ),
+        F.aggregate(
+            F.map_values("m"), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("n_total"),
+    ).orderBy("user_id")
+
+
+MAP_SCALAR_SQL = """
+SELECT user_id,
+       COUNT(DISTINCT event_type) AS n_types,
+       string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_csv,
+       COUNT(*) FILTER (WHERE event_type = 'click') AS n_clicks,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+       COUNT(*) AS n_total
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding (overlapping) event-time windows: 1-hour length, 15-minute
     slide, so every event contributes to exactly 4 windows.  Uses the
@@ -1541,6 +1584,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "sketch_hll_distinct": (sketch_hll_distinct, HLL_SQL),
     "sketch_quantiles": (sketch_quantiles, QUANTILE_SKETCH_SQL),
     "events_sliding_windows": (events_sliding_windows, SLIDING_SQL),
+    "map_scalar_showcase": (map_scalar_showcase, MAP_SCALAR_SQL),
     "bucketed_join_order_totals": (
         bucketed_join_order_totals,
         BUCKETED_JOIN_SQL,

@@ -30,6 +30,13 @@ from ..functions.codec_udfs import decode_chunks, encode_chunks
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    try:
+        # oracle parity for every tz-sensitive expression (unix_timestamp on
+        # NTZ, NTZ<->TIMESTAMP casts, window rendering) assumes UTC; the
+        # driver harness builds its own bare session, so pin it here too
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass  # conf locked down; platform value wins
     if name == "events":
         # events.parquet stores ts as INT64 TIMESTAMP(NANOS), which a vanilla
         # Spark session refuses to read (PARQUET_TYPE_ILLEGAL).  The conf must

@@ -507,3 +507,32 @@ def test_pack_sequences_bins_and_offsets(spark):
     assert [r.bin_id for r in rows] == [0, 0, 0, 0, 1, 1, 1]
     assert [r.offset_in_bin for r in rows] == [0, 30, 60, 90, 20, 50, 80]
     assert [r.prefix_tokens for r in rows] == [0, 30, 60, 90, 120, 150, 180]
+
+
+def test_ivf_recall_on_real_embeddings(spark):
+    """ANN quality on the driver's embeddings table: IVF recall@10 versus
+    brute force must clear a floor and increase with nprobe (the
+    accuracy/cost dial).  Near-uniform synthetic vectors are the hard case
+    for IVF, so the floor is deliberately moderate; determinism comes from
+    the seeded centroid selection."""
+    from airflow_pipeline_text_processing_spark.plans.queries import _t
+
+    emb = _t(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    truth: dict = {}
+    for r in S.brute_force_topk(queries, emb, k=10).collect():
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def mean_recall(nprobe):
+        got: dict = {}
+        rows = S.ivf_topk(
+            queries, emb, k=10, num_centroids=8, nprobe=nprobe
+        ).collect()
+        for r in rows:
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        rs = [len(got.get(q, set()) & t) / len(t) for q, t in truth.items()]
+        return sum(rs) / len(rs)
+
+    r2, r4 = mean_recall(2), mean_recall(4)
+    assert r4 >= r2  # more probes can only widen the searched cells
+    assert r4 >= 0.5, r4

@@ -117,6 +117,8 @@ _ORDER = [
     "events_sliding_windows",
     "stream_dedup_watermarked",
     "map_scalar_showcase",
+    "profile_documents",
+    "dq_events_expectations",
 ]
 
 assert set(_ORDER) == set(_MERGED), (

@@ -1288,6 +1288,83 @@ ORDER BY event_type
 """
 
 
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data profiling (operators/quality.py::profile_table): per-column
+    null/distinct/min/max statistics for the documents table in one
+    aggregation pass, exact-distinct mode so the oracle can mirror it.
+    Doubles are excluded by column choice: float-to-string rendering is
+    not engine-portable."""
+    from ..operators.quality import profile_table
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    return profile_table(docs, exact=True)
+
+
+def _profile_sql() -> str:
+    cols = ["doc_id", "lang", "source", "n_chars"]
+    parts = [
+        f"""
+SELECT '{c}' AS column_name,
+       COUNT(*) AS n_rows,
+       COUNT({c}) AS n_nonnull,
+       COUNT(*) - COUNT({c}) AS n_nulls,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       CAST(MIN({c}) AS VARCHAR) AS min_value,
+       CAST(MAX({c}) AS VARCHAR) AS max_value
+FROM documents"""
+        for c in cols
+    ]
+    return " UNION ALL ".join(parts) + " ORDER BY column_name"
+
+
+def dq_events_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract validation (operators/quality.py::validate_expectations):
+    row-level expectations over events evaluated in one aggregation pass;
+    violation counts are the oracle-checked output, so a contract drift in
+    either engine surfaces as a hash mismatch."""
+    from ..operators.quality import validate_expectations
+
+    ev = _t(spark, sf_dir, "events")
+    rules = [
+        ("event_id_not_null", F.col("event_id").isNotNull()),
+        ("ts_not_null", F.col("ts").isNotNull()),
+        ("user_id_positive", F.col("user_id") > 0),
+        (
+            "event_type_known",
+            F.col("event_type").isin(
+                "click", "view", "purchase", "error", "login"
+            ),
+        ),
+        ("value_non_negative", F.col("value") >= 0),
+    ]
+    return validate_expectations(ev, rules)
+
+
+DQ_EVENTS_SQL = """
+WITH agg AS (
+  SELECT COUNT(*) AS n_rows,
+    SUM(CASE WHEN event_id IS NOT NULL THEN 0 ELSE 1 END) AS event_id_not_null,
+    SUM(CASE WHEN ts IS NOT NULL THEN 0 ELSE 1 END) AS ts_not_null,
+    SUM(CASE WHEN COALESCE(user_id > 0, FALSE) THEN 0 ELSE 1 END) AS user_id_positive,
+    SUM(CASE WHEN COALESCE(event_type IN ('click','view','purchase','error','login'), FALSE)
+             THEN 0 ELSE 1 END) AS event_type_known,
+    SUM(CASE WHEN COALESCE("value" >= 0, FALSE) THEN 0 ELSE 1 END) AS value_non_negative
+  FROM events
+), long AS (
+  SELECT 'event_id_not_null' AS rule_name, n_rows, event_id_not_null AS n_violations FROM agg
+  UNION ALL SELECT 'ts_not_null', n_rows, ts_not_null FROM agg
+  UNION ALL SELECT 'user_id_positive', n_rows, user_id_positive FROM agg
+  UNION ALL SELECT 'event_type_known', n_rows, event_type_known FROM agg
+  UNION ALL SELECT 'value_non_negative', n_rows, value_non_negative FROM agg
+)
+SELECT rule_name, n_rows, CAST(n_violations AS BIGINT) AS n_violations,
+       n_violations = 0 AS passed
+FROM long ORDER BY rule_name
+"""
+
+
 def map_scalar_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-scalar surface: per user, an event_type -> count map built with
     ``map_from_entries`` over a sorted entry list, then consumed with
@@ -1585,6 +1662,8 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "sketch_quantiles": (sketch_quantiles, QUANTILE_SKETCH_SQL),
     "events_sliding_windows": (events_sliding_windows, SLIDING_SQL),
     "map_scalar_showcase": (map_scalar_showcase, MAP_SCALAR_SQL),
+    "profile_documents": (profile_documents, _profile_sql()),
+    "dq_events_expectations": (dq_events_expectations, DQ_EVENTS_SQL),
     "bucketed_join_order_totals": (
         bucketed_join_order_totals,
         BUCKETED_JOIN_SQL,

@@ -536,3 +536,35 @@ def test_ivf_recall_on_real_embeddings(spark):
     r2, r4 = mean_recall(2), mean_recall(4)
     assert r4 >= r2  # more probes can only widen the searched cells
     assert r4 >= 0.5, r4
+
+
+def test_profile_table_and_expectations(spark):
+    from airflow_pipeline_text_processing_spark.operators.quality import (
+        profile_table,
+        validate_expectations,
+    )
+
+    rows = [(1, "a", 10.0), (2, "b", -3.0), (3, None, 5.0), (3, "a", None)]
+    df = spark.createDataFrame(rows, "id long, tag string, v double")
+    prof = {r.column_name: r for r in profile_table(df, exact=True).collect()}
+    assert prof["id"].n_rows == 4 and prof["id"].n_nulls == 0
+    assert prof["id"].n_distinct == 3
+    assert prof["tag"].n_nulls == 1 and prof["tag"].n_distinct == 2
+    assert prof["id"].min_value == "1" and prof["id"].max_value == "3"
+
+    res = {
+        r.rule_name: r
+        for r in validate_expectations(
+            df,
+            [
+                ("id_not_null", F.col("id").isNotNull()),
+                ("v_non_negative", F.col("v") >= 0),
+                ("tag_known", F.col("tag").isin("a", "b")),
+            ],
+        ).collect()
+    }
+    assert res["id_not_null"].n_violations == 0 and res["id_not_null"].passed
+    # -3.0 violates; the NULL v row is a violation too (unevaluable contract)
+    assert res["v_non_negative"].n_violations == 2
+    assert not res["v_non_negative"].passed
+    assert res["tag_known"].n_violations == 1  # NULL tag counts

@@ -119,6 +119,7 @@ def asof_join(
     tiebreak: Optional[Sequence[str]] = None,
     allow_exact_matches: bool = True,
     direction: str = "backward",
+    tolerance_s: Optional[float] = None,
 ) -> DataFrame:
     """As-of join: attach to every left row the nearest right row at or
     before it (``direction="backward"``: greatest ``right_ts`` <=
@@ -134,7 +135,9 @@ def asof_join(
     window merge-scan (see module docstring): a single hash shuffle on
     ``on``, no correlated lookups, no pair explosion.  ``forward`` is the
     same scan over the reversed time order, so both directions cost
-    identically.
+    identically.  ``tolerance_s`` nulls out matches farther than that many
+    seconds from the left timestamp (merge_asof's ``tolerance``) -- a
+    post-scan conditional, no extra shuffle.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"unknown direction: {direction}")
@@ -151,7 +154,9 @@ def asof_join(
         F.col(right_ts).alias("_ats"),
         F.lit(right_first).alias("_side"),
         *[F.col(t).alias(f"_tb_{i}") for i, t in enumerate(tiebreak)],
-        F.struct(*[F.col(c) for c in payload]).alias("_payload"),
+        F.struct(
+            F.col(right_ts).alias("__mts"), *[F.col(c) for c in payload]
+        ).alias("_payload"),
     )
     payload_type = r.schema["_payload"].dataType
     l = left.select(
@@ -177,8 +182,19 @@ def asof_join(
     carried = merged.withColumn(
         "_match", F.last("_payload", ignorenulls=True).over(w)
     )
+    if tolerance_s is None:
+        keep = F.col("_match").isNotNull()
+    else:
+        mts = F.col("_match").getField("__mts")
+        tol = F.expr(f"INTERVAL {float(tolerance_s)} SECONDS")
+        keep = F.col("_match").isNotNull() & (
+            mts >= F.col(left_ts) - tol
+            if direction == "backward"
+            else mts <= F.col(left_ts) + tol
+        )
     out_cols = [F.col(c) for c in left.columns] + [
-        F.col("_match").getField(c).alias(f"{prefix}{c}") for c in payload
+        F.when(keep, F.col("_match").getField(c)).alias(f"{prefix}{c}")
+        for c in payload
     ]
     return carried.filter(F.col("_side") == 1).select(*out_cols)
 

@@ -198,3 +198,44 @@ def test_asof_join_forward_matches_naive(spark):
         cands = [(rts, rid) for rts, rid in rights_by_user.get(uid, []) if rts >= ts]
         want = min(cands)[1] if cands else None
         assert got[eid] == want, (eid, got[eid], want)
+
+
+def test_asof_join_tolerance_nulls_stale_matches(spark):
+    """tolerance_s must null matches farther than the horizon while
+    keeping rows (merge_asof parity), verified against a naive scan."""
+    import random
+
+    rng = random.Random(31)
+    left_rows = [
+        (i, _ts(rng.uniform(0, 500)), rng.randint(1, 3)) for i in range(80)
+    ]
+    right_rows = [
+        (1000 + i, _ts(rng.uniform(0, 500)), rng.randint(1, 3))
+        for i in range(60)
+    ]
+    left = spark.createDataFrame(
+        left_rows, "event_id long, ts timestamp, user_id long"
+    )
+    right = spark.createDataFrame(
+        right_rows, "r_id long, ts timestamp, user_id long"
+    )
+    got = {
+        r.event_id: r.m_r_id
+        for r in asof_join(
+            left, right, ["user_id"], "ts", "ts",
+            payload=["r_id"], prefix="m_", tolerance_s=30,
+        ).collect()
+    }
+    rights_by_user = {}
+    for rid, ts, uid in right_rows:
+        rights_by_user.setdefault(uid, []).append((ts, rid))
+    for eid, ts, uid in left_rows:
+        cands = [
+            (rts, rid)
+            for rts, rid in rights_by_user.get(uid, [])
+            if rts <= ts
+        ]
+        want = max(cands)[1] if cands else None
+        if want is not None and (ts - max(cands)[0]).total_seconds() > 30:
+            want = None
+        assert got[eid] == want, (eid, got[eid], want)

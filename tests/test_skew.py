@@ -212,3 +212,38 @@ def test_bucketed_join_skips_the_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_items")
+
+
+def test_scale_smoke_five_million_rows(spark):
+    """Headroom check on the two scale-critical shapes with generated
+    data two orders of magnitude past the unit fixtures: the single-shuffle
+    range-frame aggregate and the range-partitioned running sum must
+    complete without driver-side collection and produce exact results
+    (integer ground truth computable in closed form)."""
+    import pyspark.sql.functions as FF
+
+    from airflow_pipeline_text_processing_spark.operators.joins import (
+        range_aggregate,
+    )
+    from airflow_pipeline_text_processing_spark.operators.windows import (
+        ordered_running_sum,
+    )
+
+    n = 5_000_000
+    ev = spark.range(n).select(
+        FF.col("id").alias("event_id"),
+        FF.timestamp_micros(
+            FF.lit(1700000000000000) + FF.col("id") * 1000000
+        ).alias("ts"),
+        (FF.col("id") % 100000).alias("user_id"),
+        ((FF.col("id") % 97) * 100).alias("cents"),
+    )
+    stats = range_aggregate(
+        ev, ["user_id"], "ts", [(FF.count("event_id"), "n")], 0, 600
+    )
+    assert stats.count() == n
+    s = ordered_running_sum(
+        ev.select("event_id", "cents"), [FF.col("event_id")], "cents"
+    )
+    last = s.orderBy(FF.col("event_id").desc()).limit(1).collect()[0]
+    assert last.running_sum == sum((i % 97) * 100 for i in range(n))

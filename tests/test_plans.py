@@ -344,3 +344,18 @@ def test_range_aggregate_is_single_shuffle(spark):
     assert "Join" not in plan
     assert "Generate" not in plan  # no explode
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_aqe_coalesces_small_shuffles(spark):
+    """The session's AQE config must actually re-plan at runtime: a small
+    aggregation's final plan shows the shuffle read coalesced below the
+    static partition count (the mechanism that right-sizes reducers at
+    every scale)."""
+    df = (
+        spark.range(1000)
+        .groupBy((F.col("id") % 10).alias("k"))
+        .count()
+    )
+    df.collect()  # AQE finalizes the plan only after execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead" in plan and "coalesced" in plan, plan

@@ -3,11 +3,13 @@
 Design (SURVEY.md north-star): image/audio/video travel as ``binary``
 columns next to a typed metadata struct.  The Spark-side machinery --
 schema, partition-parallel Arrow batches, UDF signatures -- is real and
-tested; the actual media decoding is STUBBED because no image/audio
-libraries exist in this container.  ``decode_media`` raises
-``NotImplementedError`` unless ``fake=True``, in which case a
-deterministic fake (byte-histogram features, synthetic dimensions) stands
-in so the batch shapes and schemas can be exercised end-to-end.
+tested.  Decoding: UNCOMPRESSED formats (RIFF/WAVE PCM audio, binary
+PPM/PGM images) decode for real with zero external dependencies;
+compressed codecs (JPEG/PNG/MP4) are STUBBED because no image/audio
+libraries exist in this container -- ``decode_media`` raises
+``NotImplementedError`` for them unless ``fake=True``, in which case a
+deterministic byte-histogram stands in so batch shapes and schemas can be
+exercised end-to-end for any payload.
 """
 
 from __future__ import annotations
@@ -58,22 +60,85 @@ def attach_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def decode_media(payload: bytes, kind: str, fake: bool = False):
-    """Decode one media payload.  REAL DECODING IS NOT IMPLEMENTED in this
-    environment (no PIL/ffmpeg); ``fake=True`` returns a deterministic
-    byte-histogram feature vector so the distributed plumbing is testable."""
-    if not fake:
-        raise NotImplementedError(
-            "media decoding requires image/audio libraries not present in "
-            "this container; pass fake=True for the deterministic stub"
+def _decode_wav(payload: bytes) -> list:
+    """REAL audio decode for RIFF/WAVE PCM via the stdlib ``wave`` module:
+    ``[sample_rate, n_channels, n_frames, rms, peak]``."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        sr, nch, n, width = (
+            w.getframerate(),
+            w.getnchannels(),
+            w.getnframes(),
+            w.getsampwidth(),
         )
+        raw = w.readframes(n)
+    if width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"PCM sample width {width} not supported")
+    rms = float(np.sqrt((x * x).mean())) if x.size else 0.0
+    peak = float(np.abs(x).max()) if x.size else 0.0
+    return [float(sr), float(nch), float(n), rms, peak]
+
+
+def _decode_pnm(payload: bytes) -> list:
+    """REAL image decode for binary PPM (P6) / PGM (P5): header parse +
+    numpy reshape; ``[width, height, n_channels, mean_per_channel...]``."""
+    import re
+
+    import numpy as np
+
+    m = re.match(rb"(P[56])\s+(?:#[^\n]*\n\s*)*(\d+)\s+(\d+)\s+(\d+)\s", payload)
+    if not m:
+        raise ValueError("malformed PNM header")
+    magic, w, h, maxval = (
+        m.group(1),
+        int(m.group(2)),
+        int(m.group(3)),
+        int(m.group(4)),
+    )
+    if maxval > 255:
+        raise NotImplementedError("16-bit PNM not supported")
+    nch = 3 if magic == b"P6" else 1
+    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * nch, offset=m.end())
+    img = px.reshape(h, w, nch).astype(np.float64) / float(maxval)
+    return [float(w), float(h), float(nch)] + [
+        float(img[:, :, c].mean()) for c in range(nch)
+    ]
+
+
+def decode_media(payload: bytes, kind: str, fake: bool = False):
+    """Decode one media payload.
+
+    UNCOMPRESSED formats decode for real with no external libraries:
+    RIFF/WAVE PCM audio (stdlib ``wave``) and binary PPM/PGM images
+    (header + numpy).  Compressed codecs (JPEG/PNG/MP4/...) require
+    PIL/ffmpeg, absent from this container, and raise
+    ``NotImplementedError``; ``fake=True`` substitutes a deterministic
+    byte-histogram feature vector so the distributed plumbing stays
+    testable for any payload."""
     if payload is None:
         return None
-    buckets = [0, 0, 0, 0]
-    for byte in payload:
-        buckets[byte // 64] += 1
-    total = max(len(payload), 1)
-    return [b / total for b in buckets]
+    if fake:
+        buckets = [0, 0, 0, 0]
+        for byte in payload:
+            buckets[byte // 64] += 1
+        total = max(len(payload), 1)
+        return [b / total for b in buckets]
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return _decode_wav(payload)
+    if payload[:2] in (b"P5", b"P6"):
+        return _decode_pnm(payload)
+    raise NotImplementedError(
+        "compressed media formats need codec libraries not present in this "
+        "container; pass fake=True for the deterministic stub"
+    )
 
 
 FRAME_SCHEMA = StructType(

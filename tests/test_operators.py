@@ -568,3 +568,57 @@ def test_profile_table_and_expectations(spark):
     assert res["v_non_negative"].n_violations == 2
     assert not res["v_non_negative"].passed
     assert res["tag_known"].n_violations == 1  # NULL tag counts
+
+
+def test_multimodal_real_decode_wav_and_ppm(spark):
+    """Uncompressed media decodes FOR REAL through the distributed
+    mapInPandas path: a generated 16-bit PCM WAV (known sine amplitude ->
+    known RMS) and a binary PPM (known channel means), with compressed
+    payloads still raising cleanly."""
+    import io
+    import math
+    import struct
+    import wave
+
+    import pytest as _pytest
+
+    from airflow_pipeline_text_processing_spark.operators.multimodal import (
+        decode_media,
+        extract_features,
+    )
+
+    # 440 Hz sine, 0.5 amplitude, 8000 Hz mono 16-bit: RMS = 0.5/sqrt(2)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        n = 8000
+        frames = b"".join(
+            struct.pack(
+                "<h", int(0.5 * 32767 * math.sin(2 * math.pi * 440 * i / 8000))
+            )
+            for i in range(n)
+        )
+        w.writeframes(frames)
+    wav_bytes = buf.getvalue()
+
+    # 4x2 P6 image: R=255, G=0, B=128 everywhere
+    ppm_bytes = b"P6\n4 2\n255\n" + bytes([255, 0, 128]) * 8
+
+    media = spark.createDataFrame(
+        [(1, wav_bytes, "audio"), (2, ppm_bytes, "image")],
+        "doc_id long, payload binary, kind string",
+    )
+    feats = {r.doc_id: r for r in extract_features(media, fake=False).collect()}
+    sr, nch, nframes, rms, peak = feats[1].features
+    assert (sr, nch, nframes) == (8000.0, 1.0, 8000.0)
+    assert rms == _pytest.approx(0.5 / math.sqrt(2), rel=1e-2)
+    assert 0.45 <= peak <= 0.51
+    w_, h_, c_, mr, mg, mb = feats[2].features
+    assert (w_, h_, c_) == (4.0, 2.0, 3.0)
+    assert mr == _pytest.approx(1.0) and mg == 0.0
+    assert mb == _pytest.approx(128 / 255)
+
+    with _pytest.raises(NotImplementedError):
+        decode_media(b"\x89PNG\r\n\x1a\n....", "image", fake=False)

@@ -748,17 +748,25 @@ def snapshot_diff(
     narrow pass, so the join shuffles two key+hash projections, never the
     text itself.  Output: ``key, status, old_hash, new_hash``.
     """
+    # Presence is carried as explicit flags, NOT inferred from hash
+    # nullness: a row present with NULL text must still read as present
+    # (md5(NULL) is NULL), matching the oracle's doc_id-IS-NULL keying.
     o = old.select(
-        F.col(key), F.md5(F.col(text_col)).alias("old_hash")
+        F.col(key),
+        F.md5(F.col(text_col)).alias("old_hash"),
+        F.lit(True).alias("_in_old"),
     )
     n = new.select(
-        F.col(key), F.md5(F.col(text_col)).alias("new_hash")
+        F.col(key),
+        F.md5(F.col(text_col)).alias("new_hash"),
+        F.lit(True).alias("_in_new"),
     )
     joined = o.join(n, key, "full_outer")
+    # NULL<=>NULL hashes on a both-sides row compare as unchanged
     status = (
-        F.when(F.col("old_hash").isNull(), F.lit("added"))
-        .when(F.col("new_hash").isNull(), F.lit("removed"))
-        .when(F.col("old_hash") == F.col("new_hash"), F.lit("unchanged"))
+        F.when(~F.coalesce(F.col("_in_old"), F.lit(False)), F.lit("added"))
+        .when(~F.coalesce(F.col("_in_new"), F.lit(False)), F.lit("removed"))
+        .when(F.col("old_hash").eqNullSafe(F.col("new_hash")), F.lit("unchanged"))
         .otherwise(F.lit("changed"))
     )
     return joined.select(key, status.alias("status"), "old_hash", "new_hash")

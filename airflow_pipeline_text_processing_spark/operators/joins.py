@@ -144,6 +144,18 @@ def asof_join(
     on = list(on)
     payload = list(payload)
     tiebreak = list(tiebreak or [])
+    # The merge-scan injects these internal columns (and an '__mts' field
+    # into the payload struct); a caller column with the same name would be
+    # silently shadowed and produce wrong matches -- fail loudly instead.
+    reserved = {"_ats", "_side", "_match", "_payload"} | {
+        f"_tb_{i}" for i in range(len(tiebreak))
+    }
+    clash = (set(left.columns) | set(payload)) & reserved
+    if clash or "__mts" in payload:
+        raise ValueError(
+            f"column names reserved by asof_join: "
+            f"{sorted(clash | ({'__mts'} & set(payload)))}"
+        )
 
     # rights sort before lefts at equal ts for inclusive semantics, after
     # them for strict; tiebreak columns order rights at identical ts so

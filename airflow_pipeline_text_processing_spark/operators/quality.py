@@ -22,6 +22,20 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 
+def _check_names(kind: str, names: Sequence[str]) -> None:
+    """Both operators unpivot through a ``selectExpr(stack(...))`` string;
+    an empty list builds malformed ``stack(0, )`` SQL and a quote/backtick
+    in a name breaks out of its literal.  Fail fast with a real message
+    instead of an opaque parse error."""
+    if not names:
+        raise ValueError(f"at least one {kind} is required")
+    for name in names:
+        if "'" in name or "`" in name:
+            raise ValueError(
+                f"{kind} name {name!r} must not contain quotes or backticks"
+            )
+
+
 def profile_table(
     df: DataFrame,
     cols: Optional[Sequence[str]] = None,
@@ -35,6 +49,7 @@ def profile_table(
     wide single-row result is then unpivoted driver-free via ``stack``.
     """
     cols = list(cols or df.columns)
+    _check_names("column", cols)
     aggs = [F.count("*").alias("__n")]
     for c in cols:
         distinct = (
@@ -83,6 +98,7 @@ def validate_expectations(
     reading: an unevaluable contract is a broken contract).  All rules run
     in one aggregation pass.
     """
+    _check_names("rule", [name for name, _ in rules])
     aggs = [F.count("*").alias("__n")] + [
         F.sum(
             F.when(F.coalesce(cond, F.lit(False)), 0).otherwise(1)

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import itertools
 import tempfile
+import threading
 from typing import Callable, Dict, Optional, Tuple
 
 import pyspark.sql.functions as F
@@ -26,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from .queries import _cents, _money_sum, _sql_money_sum, _t
 
 _MEM_SEQ = itertools.count()
+_DRAIN_LOCK = threading.Lock()
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -63,26 +65,33 @@ def _run_to_memory(
     oracle drains carry tiny state; 8 stores instead of 32 halves their
     fixed overhead (measured).  A production stream sizes this to its
     target parallelism before the first start instead.
+
+    The override is session-global while the drain runs, so drains are
+    serialized under a module lock: a concurrent BATCH query started on
+    the same session during a drain would otherwise silently plan with 8
+    shuffle partitions.  (Spark reads the value once at stream start;
+    there is no per-query knob for it.)
     """
     spark = result.sparkSession
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
-    try:
-        name = f"{name_prefix}_{next(_MEM_SEQ)}"
-        q = (
-            result.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .option(
-                "checkpointLocation",
-                tempfile.mkdtemp(prefix=f"ckpt_{name_prefix}_"),
+    with _DRAIN_LOCK:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        try:
+            name = f"{name_prefix}_{next(_MEM_SEQ)}"
+            q = (
+                result.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .option(
+                    "checkpointLocation",
+                    tempfile.mkdtemp(prefix=f"ckpt_{name_prefix}_"),
+                )
+                .trigger(availableNow=True)
+                .start()
             )
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return name, q
 
 
@@ -1459,11 +1468,18 @@ def bucketed_join_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     priority.  This is the 100 TB pattern for joins that recur on the same
     key every run: pay the bucketing once at write time, never shuffle the
     fact table again."""
+    import hashlib
     import os
 
     from ..sources.tabular import write_bucketed
 
-    base = tempfile.mkdtemp(prefix="bucketed_")
+    # Stable external location per sf_dir (NOT mkdtemp-per-call): repeated
+    # harness runs overwrite the same two table dirs and reuse the same
+    # catalog names instead of orphaning a new directory each invocation.
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"bucketed_{tag}")
+    for t in ("bq_orders", "bq_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
     write_bucketed(
         _t(spark, sf_dir, "orders").select(
             "o_orderkey", "o_orderpriority"

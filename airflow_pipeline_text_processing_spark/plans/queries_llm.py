@@ -481,7 +481,7 @@ WITH old_snap AS (
 SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
        CASE WHEN o.doc_id IS NULL THEN 'added'
             WHEN n.doc_id IS NULL THEN 'removed'
-            WHEN old_hash = new_hash THEN 'unchanged'
+            WHEN old_hash IS NOT DISTINCT FROM new_hash THEN 'unchanged'
             ELSE 'changed' END AS status
 FROM old_snap o FULL OUTER JOIN new_snap n ON o.doc_id = n.doc_id
 ORDER BY doc_id

@@ -622,3 +622,65 @@ def test_multimodal_real_decode_wav_and_ppm(spark):
 
     with _pytest.raises(NotImplementedError):
         decode_media(b"\x89PNG\r\n\x1a\n....", "image", fake=False)
+
+
+def test_snapshot_diff_null_text_presence(spark):
+    """Presence comes from the join sides, not hash nullness: a doc present
+    in BOTH snapshots with NULL text is 'unchanged' (NULL<=>NULL), and a
+    NULL-text doc on one side still classifies by presence."""
+    from airflow_pipeline_text_processing_spark.operators.dedup import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, None), (2, "keep"), (3, None), (5, "x")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, None), (2, "keep"), (4, None), (5, None)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
+    assert got == {
+        1: "unchanged",  # NULL text both sides
+        2: "unchanged",
+        3: "removed",    # NULL text, old only
+        4: "added",      # NULL text, new only
+        5: "changed",    # text -> NULL
+    }
+
+
+def test_quality_rejects_empty_and_quoted_names(spark):
+    import pytest as _pytest
+
+    from airflow_pipeline_text_processing_spark.operators.quality import (
+        profile_table,
+        validate_expectations,
+    )
+
+    df = spark.createDataFrame([(1,)], "id long")
+    with _pytest.raises(ValueError, match="at least one"):
+        validate_expectations(df, [])
+    with _pytest.raises(ValueError, match="quotes or backticks"):
+        validate_expectations(df, [("bad'name", F.col("id") > 0)])
+    with _pytest.raises(ValueError, match="quotes or backticks"):
+        profile_table(df.withColumnRenamed("id", "we`ird"))
+
+
+def test_asof_join_rejects_reserved_columns(spark):
+    import pytest as _pytest
+
+    from airflow_pipeline_text_processing_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10.0, "x")], "k long, ts double, _match string"
+    )
+    right = spark.createDataFrame([(1, 9.0, "p")], "k long, ts double, v string")
+    with _pytest.raises(ValueError, match="reserved"):
+        asof_join(left, right, ["k"], "ts", "ts", ["v"])
+    with _pytest.raises(ValueError, match="reserved"):
+        asof_join(
+            left.drop("_match"),
+            right.withColumnRenamed("v", "_side"),
+            ["k"], "ts", "ts", ["_side"],
+        )

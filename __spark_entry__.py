@@ -66,9 +66,11 @@ _ORDER = [
     "stream_hourly_watermarked",
     "stream_stateful_user_totals",
     "stream_static_enrich",
+    "stream_stream_join_pairs",
     # -- dedup family ------------------------------------------------------
     "dedup_exact_groups",
     "dedup_ngram_jaccard",
+    "dedup_subdoc_spans",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",

@@ -770,3 +770,85 @@ def snapshot_diff(
         .otherwise(F.lit("changed"))
     )
     return joined.select(key, status.alias("status"), "old_hash", "new_hash")
+
+
+# ------------------------------------------------- sub-document span dedup
+
+
+def positional_shingles(
+    docs: DataFrame, text_col: str = "text", n: int = 8
+) -> DataFrame:
+    """EVERY n-token shingle occurrence with its 1-based token position:
+    ``(doc_id, pos, shingle)``.
+
+    Unlike ``shingle_table`` (distinct shingles per doc, the whole-document
+    dedup unit), this keeps duplicates and positions -- the inverted index
+    for SUB-document dedup, where the question is *where* inside each
+    document a repeated passage lives.  Narrow 1->N generation per row, no
+    shuffle."""
+    toks = tokens(F.col(text_col))
+    empty = F.array().cast("array<struct<pos:int,shingle:string>>")
+    pos_sh = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.array_join(F.slice(toks, i, n), " ").alias("shingle"),
+            ),
+        ),
+    ).otherwise(empty)
+    return docs.select(
+        "doc_id", F.explode(pos_sh).alias("_ps")
+    ).select(
+        "doc_id",
+        F.col("_ps.pos").cast("long").alias("pos"),
+        F.col("_ps.shingle").alias("shingle"),
+    )
+
+
+def repeated_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Sub-document repeated-passage finder (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better" -- the suffix-array
+    ExactSubstr dedup, re-expressed relationally): maximal token spans
+    whose every n-token shingle occurs >= ``min_count`` times in the
+    corpus (across documents OR repeated inside one), emitted as removal
+    lists ``(doc_id, span_start, span_tokens, n_hits)``.
+
+    Plan shape, which is what makes it a 100 TB operator: one groupBy over
+    the positional shingle relation finds repeated shingles (map-side
+    combinable count), one equi-join marks the hit positions (no pair
+    explosion -- positions join to a per-shingle count, never shingle x
+    shingle), and span assembly is a per-document gaps-and-islands window
+    (lag + running flag-sum partitioned by doc_id), so no stage ever holds
+    more than a document's positions in one task.  Overlapping or
+    adjacent hits (gap <= n tokens) merge into one maximal span.
+    """
+    ps = positional_shingles(docs, text_col, n)
+    rep = (
+        ps.groupBy("shingle")
+        .agg(F.count("*").alias("_n_occ"))
+        .filter(F.col("_n_occ") >= min_count)
+        .select("shingle")
+    )
+    hits = ps.join(rep, "shingle").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("pos").over(w)
+    new_span = F.when(
+        prev.isNull() | ((F.col("pos") - prev) > n), F.lit(1)
+    ).otherwise(F.lit(0))
+    islands = hits.withColumn("_grp", F.sum(new_span).over(w))
+    return (
+        islands.groupBy("doc_id", "_grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") - F.min("pos") + n).alias("span_tokens"),
+            F.count("*").alias("n_hits"),
+        )
+        .drop("_grp")
+    )

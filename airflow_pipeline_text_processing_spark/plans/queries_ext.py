@@ -1226,6 +1226,72 @@ ORDER BY c.c_mktsegment, e.event_type
 """
 
 
+def stream_stream_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join
+    (streaming/windows.py::interval_join_streams): two event streams
+    derived from the events source (views vs clicks) joined per user with
+    the click inside ``[view_ts, view_ts + 4 hours]``, both sides
+    watermarked at 2 hours.  This is the impressions-join-clicks topology
+    and the one Structured Streaming operator class the engine lacked
+    through round 3.  The joined pairs land append-mode in the memory
+    sink; the returned aggregation (pairs + exact microsecond lag sum per
+    user) runs in batch over the sink so the oracle compares a compact
+    deterministic result.  State note: each side buffers only rows newer
+    than the other side's watermark minus the 4-hour interval, so state
+    is bounded regardless of stream length."""
+    from ..streaming.windows import interval_join_streams
+
+    views = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+    )
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+    )
+    pairs = interval_join_streams(
+        views, clicks, "user_id", "view_ts", "click_ts",
+        max_delay="4 hours", watermark="2 hours",
+    )
+    name, _q = _run_to_memory(pairs, "append", "stream_ssjoin")
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(
+                F.unix_micros("click_ts") - F.unix_micros("view_ts")
+            ).alias("total_lag_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+STREAM_SSJOIN_SQL = """
+WITH v AS (SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view'),
+c AS (SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click')
+SELECT v.user_id, COUNT(*) AS n_pairs,
+       CAST(SUM(epoch_us(c.click_ts) - epoch_us(v.view_ts)) AS BIGINT)
+         AS total_lag_us
+FROM v JOIN c
+  ON v.user_id = c.user_id
+ AND c.click_ts >= v.view_ts
+ AND c.click_ts <= v.view_ts + INTERVAL 4 HOUR
+GROUP BY v.user_id
+ORDER BY v.user_id
+"""
+
+
 def json_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines source/sink surface: write an events projection out as
     JSONL, read it back with an explicit schema (no inference scan), and
@@ -1672,6 +1738,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "curation_packed_set": (curation_packed_set, _curation_packed_sql()),
     "stream_session_windows": (stream_session_windows, STREAM_SESSION_SQL),
     "stream_static_enrich": (stream_static_enrich, STREAM_ENRICH_SQL),
+    "stream_stream_join_pairs": (stream_stream_join_pairs, STREAM_SSJOIN_SQL),
     "sql_grouping_sets": (sql_grouping_sets, GROUPING_SETS_SQL),
     "json_roundtrip_events": (json_roundtrip_events, JSON_ROUNDTRIP_SQL),
     "sketch_hll_distinct": (sketch_hll_distinct, HLL_SQL),

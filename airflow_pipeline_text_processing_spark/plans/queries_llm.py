@@ -151,6 +151,54 @@ FROM corpus GROUP BY 1 ORDER BY keep_doc_id
 """
 
 
+def dedup_subdoc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document repeated-passage removal lists
+    (operators/dedup.py::repeated_spans): maximal spans whose every
+    8-token shingle occurs >= 2 times in the planted corpus (each twin
+    shares its source's 80% prefix, so the shared prefix surfaces as one
+    maximal span per member).  Output is the (doc, span_start,
+    span_tokens) removal list a Lee-et-al-style ExactSubstr dedup pass
+    would hand to the trainer."""
+    from ..operators.dedup import repeated_spans
+
+    return (
+        repeated_spans(_planted_docs(spark, sf_dir), n=8, min_count=2)
+        .orderBy("doc_id", "span_start")
+    )
+
+
+SUBDOC_SPANS_SQL = f"""
+WITH corpus AS ({_planted_sql()}),
+toks AS (SELECT doc_id, {TOKS_SQL} AS tk FROM corpus),
+ps AS (
+  SELECT doc_id,
+         UNNEST(generate_series(1, len(tk) - 7)) AS pos,
+         UNNEST([array_to_string(tk[i:i+7], ' ')
+                 FOR i IN generate_series(1, len(tk) - 7)]) AS shingle
+  FROM toks
+  WHERE len(tk) >= 8
+),
+rep AS (SELECT shingle FROM ps GROUP BY shingle HAVING COUNT(*) >= 2),
+hits AS (SELECT doc_id, pos FROM ps WHERE shingle IN (SELECT shingle FROM rep)),
+lagged AS (
+  SELECT doc_id, pos,
+         LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM hits
+),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev IS NULL OR pos - prev > 8 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM lagged
+)
+SELECT doc_id, MIN(pos) AS span_start,
+       MAX(pos) - MIN(pos) + 8 AS span_tokens,
+       COUNT(*) AS n_hits
+FROM isl GROUP BY doc_id, grp
+ORDER BY doc_id, span_start
+"""
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # max_df is the shipped scale configuration (posting-list cap); the
     # oracle below mirrors the cap in its candidate CTE so the gate
@@ -761,6 +809,7 @@ ORDER BY quality DESC, doc_id
 REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "dedup_exact_groups": (dedup_exact_groups, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_JACCARD_SQL),
+    "dedup_subdoc_spans": (dedup_subdoc_spans, SUBDOC_SPANS_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_SQL),

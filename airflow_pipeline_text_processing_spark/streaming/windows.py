@@ -170,3 +170,40 @@ def session_windows(
             "value_cents",
         )
     )
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    max_delay: str = "4 hours",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked STREAM-STREAM inner interval join: pairs where
+    ``right_ts`` falls in ``[left_ts, left_ts + max_delay]`` for equal
+    ``key`` -- the impressions-join-clicks topology (the reference has no
+    event-time processing at all; this is the missing Structured Streaming
+    operator class flagged in round 3).
+
+    Both inputs MUST carry distinct column names apart from ``key`` (the
+    caller renames; enforced here).  Both sides get an event-time
+    watermark, which is what bounds the join state: Spark buffers each
+    side only until the other side's watermark passes the end of its
+    match interval, so per-key state is O(events inside watermark +
+    max_delay), never the whole stream.  Works identically on batch
+    DataFrames (same plan), which is what the DuckDB oracle checks; with
+    ``availableNow`` the one-pass drain emits exactly the batch result.
+    """
+    overlap = (set(left.columns) & set(right.columns)) - {key}
+    if overlap:
+        raise ValueError(f"ambiguous columns in stream-stream join: {sorted(overlap)}")
+    l = _ensure_event_time(left, left_ts).withWatermark(left_ts, watermark)
+    r = _ensure_event_time(right, right_ts).withWatermark(right_ts, watermark)
+    cond = (
+        (l[key] == r[key])
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return l.join(r, cond, "inner").drop(r[key])

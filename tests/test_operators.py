@@ -684,3 +684,39 @@ def test_asof_join_rejects_reserved_columns(spark):
             right.withColumnRenamed("v", "_side"),
             ["k"], "ts", "ts", ["_side"],
         )
+
+
+def test_repeated_spans_finds_planted_passage(spark):
+    """A passage planted in two documents surfaces as one maximal span in
+    each, at the right position and token length; unique text yields no
+    span; a within-document repeat also counts."""
+    from airflow_pipeline_text_processing_spark.operators.dedup import (
+        repeated_spans,
+    )
+
+    passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"  # 10 tokens
+    unique1 = "one two three four five six seven eight nine ten eleven twelve"
+    unique2 = "red orange yellow green blue indigo violet cyan magenta white"
+    rows = [
+        (1, unique1 + " " + passage),            # passage at tokens 13..22
+        (2, passage + " " + unique2),            # passage at tokens 1..10
+        (3, "solo words that never repeat anywhere in this corpus at all"),
+        (4, passage + " filler " + passage),     # within-doc repeat
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = {
+        (r.doc_id, r.span_start): r
+        for r in repeated_spans(docs, n=8, min_count=2).collect()
+    }
+    # doc 1: 10-token passage -> 3 hit positions (13,14,15), span 13..22
+    assert spans[(1, 13)].span_tokens == 10 and spans[(1, 13)].n_hits == 3
+    # doc 2: same passage at the start
+    assert spans[(2, 1)].span_tokens == 10 and spans[(2, 1)].n_hits == 3
+    # doc 4: two copies separated by 1 filler token -> hits at 1..3 and
+    # 12..14; gap 12-3=9 > n=8 would split, gap <= 8 merges -- here the
+    # second copy starts at token 12, so positions 3 -> 12 gap is 9 > 8:
+    # two separate maximal spans
+    assert spans[(4, 1)].span_tokens == 10
+    assert spans[(4, 12)].span_tokens == 10
+    # doc 3 has no repeated shingle
+    assert not any(d == 3 for d, _ in spans)

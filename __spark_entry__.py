@@ -84,6 +84,7 @@ _ORDER = [
     # -- text analysis ----------------------------------------------------
     "text_bpe_token_stats",
     "text_quality_score",
+    "text_repetition_signals",
     "text_lang_id",
     "text_fingerprint",
     "text_tfidf_top_terms",

@@ -342,3 +342,69 @@ def pack_sequences(
         )
         .orderBy("doc_id")
     )
+
+
+def repetition_signals(
+    docs: DataFrame, text_col: str = "text", gram_n: int = 2
+) -> DataFrame:
+    """Gopher-rule repetition filters (Rae et al. 2021 §A1.1): the
+    quality signals real curation runs apply NEXT TO dedup -- a document
+    can be globally unique yet internally degenerate (boilerplate lines,
+    a looping phrase).
+
+    Per document: ``n_lines`` / ``n_dup_lines`` (duplicate-line count over
+    newline-split non-empty lines) and ``n_grams`` / ``top_gram_n`` (total
+    and most-frequent word ``gram_n``-gram occurrence count), plus the two
+    Gopher pass flags evaluated on INTEGER cross-products (10*dup <=
+    3*lines, 5*top <= grams, i.e. the published 0.30 duplicate-line and
+    0.20 top-2-gram thresholds) so both engines compare exact BIGINTs,
+    never a rounded ratio.
+
+    Plan shape: line stats are pure narrow array expressions; the top-gram
+    count is explode -> (doc, gram) count -> per-doc max, a map-side
+    combinable two-level aggregation partitioned by doc -- no all-pairs,
+    no Python, no per-doc state beyond its own grams.
+    """
+    toks = tokens(F.col(text_col))
+    lines = F.filter(
+        F.transform(
+            F.split(F.col(text_col), "\n"), lambda s: F.trim(s)
+        ),
+        lambda s: s != F.lit(""),
+    )
+    grams = F.when(
+        F.size(toks) >= gram_n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (gram_n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, gram_n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = docs.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        (F.size(lines) - F.size(F.array_distinct(lines)))
+        .cast("long")
+        .alias("n_dup_lines"),
+        F.explode_outer(grams).alias("gram"),
+    )
+    per_gram = base.groupBy(
+        "doc_id", "n_lines", "n_dup_lines", "gram"
+    ).agg(F.count("gram").alias("_gn"))
+    agg = per_gram.groupBy("doc_id", "n_lines", "n_dup_lines").agg(
+        F.sum("_gn").alias("n_grams"),
+        F.max("_gn").alias("top_gram_n"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_lines",
+        "n_dup_lines",
+        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        F.coalesce("top_gram_n", F.lit(0)).alias("top_gram_n"),
+        (F.col("n_dup_lines") * 10 <= F.col("n_lines") * 3).alias(
+            "pass_dup_lines"
+        ),
+        (
+            F.coalesce("top_gram_n", F.lit(0)) * 5
+            <= F.coalesce("n_grams", F.lit(0))
+        ).alias("pass_top_gram"),
+    )

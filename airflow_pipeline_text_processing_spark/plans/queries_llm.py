@@ -603,6 +603,71 @@ FROM base ORDER BY doc_id
 """
 
 
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filters (operators/text.py::repetition_signals)
+    over a deterministic MULTILINE planted corpus: each document's tokens
+    regrouped into 10-token lines with the first line appended again at
+    the end, so every document carries exactly one planted duplicate line
+    (the testdata corpus itself is single-line).  Emits the duplicate-line
+    and top-2-gram counts plus the integer-exact Gopher pass flags."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = T.tokens(F.col("text"))
+    nlines = F.greatest(
+        F.ceil(F.size(toks) / F.lit(10.0)), F.lit(1)
+    ).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(1), nlines),
+        lambda i: F.array_join(F.slice(toks, (i - 1) * 10 + 1, 10), " "),
+    )
+    ml = docs.select(
+        "doc_id",
+        F.array_join(F.concat(lines, F.slice(lines, 1, 1)), "\n").alias(
+            "text"
+        ),
+    )
+    return T.repetition_signals(ml).orderBy("doc_id")
+
+
+REPETITION_SQL = f"""
+WITH toks AS (SELECT doc_id, {TOKS_SQL} AS tk FROM documents),
+ml AS (
+  SELECT doc_id,
+         [array_to_string(tk[(i-1)*10+1:(i-1)*10+10], ' ')
+          FOR i IN generate_series(1,
+              GREATEST(CAST(CEIL(len(tk)/10.0) AS BIGINT), 1))] AS lines
+  FROM toks
+),
+lined AS (
+  SELECT doc_id, lines || lines[1:1] AS lines2,
+         {TOKS_SQL.replace("text", "array_to_string(lines || lines[1:1], chr(10))")} AS tk2
+  FROM ml
+),
+stats AS (
+  SELECT doc_id,
+         CAST(len(lines2) AS BIGINT) AS n_lines,
+         CAST(len(lines2) - len(list_distinct(lines2)) AS BIGINT)
+           AS n_dup_lines,
+         [array_to_string(tk2[i:i+1], ' ')
+          FOR i IN generate_series(1, len(tk2) - 1)] AS grams
+  FROM lined
+),
+gr AS (
+  SELECT doc_id, n_lines, n_dup_lines, UNNEST(grams) AS gram FROM stats
+),
+pg AS (
+  SELECT doc_id, n_lines, n_dup_lines, gram, COUNT(*) AS gn
+  FROM gr GROUP BY ALL
+)
+SELECT doc_id, n_lines, n_dup_lines,
+       CAST(SUM(gn) AS BIGINT) AS n_grams,
+       CAST(MAX(gn) AS BIGINT) AS top_gram_n,
+       n_dup_lines * 10 <= n_lines * 3 AS pass_dup_lines,
+       MAX(gn) * 5 <= SUM(gn) AS pass_top_gram
+FROM pg GROUP BY doc_id, n_lines, n_dup_lines
+ORDER BY doc_id
+"""
+
+
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.lang_id(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
@@ -821,6 +886,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "text_top_terms": (text_top_terms, TOP_TERMS_SQL),
     "text_bm25_search": (text_bm25_search, _bm25_sql()),
     "text_quality_score": (text_quality_score, QUALITY_SQL),
+    "text_repetition_signals": (text_repetition_signals, REPETITION_SQL),
     "text_lang_id": (text_lang_id, LANG_SQL),
     "text_fingerprint": (text_fingerprint, FINGERPRINT_SQL),
     "mm_binary_stats": (mm_binary_stats, MM_STATS_SQL),

@@ -720,3 +720,32 @@ def test_repeated_spans_finds_planted_passage(spark):
     assert spans[(4, 12)].span_tokens == 10
     # doc 3 has no repeated shingle
     assert not any(d == 3 for d, _ in spans)
+
+
+def test_repetition_signals_gopher_rules(spark):
+    from airflow_pipeline_text_processing_spark.operators.text import (
+        repetition_signals,
+    )
+
+    rows = [
+        # 4 lines, 2 dups (50% > 30% -> fail); grams diverse
+        (1, "alpha beta\ngamma delta\nalpha beta\ngamma delta"),
+        # clean: 3 distinct lines, no dominant 2-gram
+        (2, "one two three\nfour five six\nseven eight nine"),
+        # looping phrase: "spam ham" dominates 2-grams -> fail top-gram
+        (3, "spam ham spam ham spam ham spam ham unique tail"),
+        # single token: no 2-grams at all
+        (4, "word"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_signals(docs).collect()}
+
+    assert got[1].n_lines == 4 and got[1].n_dup_lines == 2
+    assert not got[1].pass_dup_lines
+    assert got[2].n_dup_lines == 0 and got[2].pass_dup_lines
+    assert got[2].pass_top_gram
+    # doc 3: 10 tokens -> 9 grams; "spam ham" occurs 4, "ham spam" 3
+    assert got[3].n_grams == 9 and got[3].top_gram_n == 4
+    assert not got[3].pass_top_gram
+    assert got[4].n_grams == 0 and got[4].top_gram_n == 0
+    assert got[4].pass_top_gram  # vacuously clean

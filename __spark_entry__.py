@@ -25,105 +25,111 @@ _MERGED = {**_CORE, **_LLM, **_EXT}
 # category (e.g. q3 ~ q1/q5, text_token_stats ~ text_bpe_token_stats) and stay
 # fully declared: the local gate (tools/check_oracle.py) checks all of them.
 _ORDER = [
-    # -- core relational: TPC-H-style + every join kind -------------------
-    "q1_pricing_summary",
+    # ============== DRIVER WINDOW (first 50 -- graded this round) =========
+    # Rotation contract (see README "Grading window"): r1-r3 driver-graded
+    # 50 distinct entries green; this round rotates every never-graded
+    # entry into the window.  Every displaced entry already has a green
+    # CORRECTNESS_r03 row and stays under tools/check_oracle.py locally.
+    # -- core relational (q1/q3, semi, full-outer graded r3) --------------
     "q5_nation_volume",
-    "join_semi_active_customers",
     "join_anti_idle_customers",
     "join_asof_last_click",
     "join_range_error_window",
-    "join_full_outer_year_cohorts",
-    # -- aggregation forms ------------------------------------------------
-    "agg_rollup_priority_year",
-    # cube is graded locally: rollup + GROUPING SETS verify the same
-    # multi-grouping machinery in-window; the slot instead driver-grades the
-    # bucketed co-located join (a capability no other entry exercises)
     "bucketed_join_order_totals",
+    # -- aggregation forms (rollup/percentile graded r3; cube new here) ---
+    "agg_cube_priority_status",
     "pivot_segment_year",
-    "percentile_value_by_type",
     "agg_salted_hot_keys",
     "sql_grouping_sets",
     "sql_correlated_above_avg",
-    # -- windows / sort / set ops ----------------------------------------
+    # -- windows ----------------------------------------------------------
     "window_top_orders_per_customer",
     "window_frames_showcase",
-    "sort_global_topk_orders",
-    "set_ops_customer_cohorts",
-    # -- scalar families --------------------------------------------------
+    # -- scalar families (str/json carried; date/array graded r3) ---------
     "str_scalar_showcase",
-    "date_scalar_showcase",
-    "array_scalar_showcase",
+    "map_scalar_showcase",
     "json_props_extract",
-    # -- event time / sources ---------------------------------------------
-    "events_sessionize",
-    "csv_roundtrip_nation_region",
-    # -- codec (reference core) -------------------------------------------
+    # -- event time / sources (sessionize/csv graded r3) ------------------
+    "events_sliding_windows",
+    "json_roundtrip_events",
+    # -- codec (chunk_stats graded r3) ------------------------------------
     "reassembly_ordered_chunks",
     "codec_roundtrip_count",
-    "codec_chunk_stats",
     "codec_repair_stats",
-    # -- structured streaming ---------------------------------------------
-    "stream_hourly_watermarked",
-    "stream_stateful_user_totals",
+    # -- structured streaming (hourly/stateful graded r3) -----------------
     "stream_static_enrich",
     "stream_stream_join_pairs",
-    # -- dedup family ------------------------------------------------------
+    "stream_session_windows",
+    "stream_dedup_users",
+    "stream_dedup_watermarked",
+    # -- dedup family (ngram/simhash graded r3) ---------------------------
     "dedup_exact_groups",
-    "dedup_ngram_jaccard",
-    "dedup_subdoc_spans",
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_clusters",
+    "dedup_incremental_lsh",
+    "dedup_subdoc_spans",
     "text_decontaminate",
-    # -- similarity / embeddings ------------------------------------------
-    "sim_topk_bruteforce",
+    "curation_snapshot_diff",
+    # -- similarity / embeddings (brute-force graded r3) ------------------
     "sim_ivf_topk",
+    "sim_lsh_bucketed",
     "embed_quantize_int8",
+    # -- sketches ---------------------------------------------------------
     "sketch_kmv_distinct",
-    # -- text analysis ----------------------------------------------------
+    "sketch_hll_distinct",
+    "sketch_quantiles",
+    # -- text analysis (lang_id/fingerprint/tfidf graded r3) --------------
     "text_bpe_token_stats",
     "text_quality_score",
     "text_repetition_signals",
+    "text_bm25_search",
+    "text_pii_scrub",
+    "text_pack_sequences",
+    # -- multimodal / curation / data quality -----------------------------
+    "mm_binary_stats",
+    "profile_documents",
+    "dq_events_expectations",
+    "curation_training_set",
+    "curation_packed_set",
+    # ==== driver window boundary (position 50) ===========================
+    # Everything below has a green driver row from r1-r3 (or an in-window
+    # sibling) and is exact-equality checked by tools/check_oracle.py.
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "join_semi_active_customers",
+    "join_full_outer_year_cohorts",
+    "join_salted_lineitem_supplier",
+    "agg_rollup_priority_year",
+    "agg_supplier_part_stats",
+    "percentile_value_by_type",
+    "window_running_customer_spend",
+    "window_follow_stats",
+    "sort_global_topk_orders",
+    "set_ops_customer_cohorts",
+    "date_scalar_showcase",
+    "array_scalar_showcase",
+    "events_sessionize",
+    "events_hourly_rollup",
+    "csv_roundtrip_nation_region",
+    "codec_chunk_stats",
+    "stream_hourly_watermarked",
+    "stream_stateful_user_totals",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "sim_topk_bruteforce",
+    "text_token_stats",
+    "text_top_terms",
     "text_lang_id",
     "text_fingerprint",
     "text_tfidf_top_terms",
-    "text_pack_sequences",
-    # -- multimodal / curation --------------------------------------------
-    "mm_feature_extract",
-    "curation_training_set",
-    # ==== driver window boundary (position 50) ===========================
-    "q3_shipping_priority",
-    "agg_supplier_part_stats",
-    "window_running_customer_spend",
-    "join_salted_lineitem_supplier",
-    "events_hourly_rollup",
-    "text_token_stats",
-    "text_top_terms",
-    "sim_lsh_bucketed",
-    "dedup_incremental_lsh",
-    "stream_dedup_users",
-    "stream_session_windows",
-    "mm_binary_stats",
-    "mm_frame_sample",
-    "curation_packed_set",
     "text_chunk_windows",
-    "text_pii_scrub",
     "sample_stratified_events",
-    "window_follow_stats",
-    "json_roundtrip_events",
-    "sketch_hll_distinct",
-    "text_bm25_search",
-    "sketch_quantiles",
-    "agg_cube_priority_status",
-    "curation_snapshot_diff",
-    "events_sliding_windows",
-    "stream_dedup_watermarked",
-    "map_scalar_showcase",
-    "profile_documents",
-    "dq_events_expectations",
+    "mm_feature_extract",
+    "mm_frame_sample",
 ]
 
+assert len(_ORDER) == len(set(_ORDER)), "duplicate names in _ORDER"
 assert set(_ORDER) == set(_MERGED), (
     sorted(set(_ORDER) ^ set(_MERGED))
 )

@@ -482,7 +482,7 @@ def date_scalar_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("2000-01-01").cast("date"), F.col("o_orderdate").cast("date")
         ).alias("days_before_y2k"),
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_date"),
-    ).orderBy("o_orderkey")
+    )  # no trailing sort: driver hash + local gate are order-insensitive
 
 
 DATE_SQL = """
@@ -836,8 +836,7 @@ def join_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id", "user_id", "ts", "value",
             "click_event_id", "click_ts", "click_value",
         )
-        .orderBy("event_id")
-    )
+    )  # no trailing sort: driver hash + local gate are order-insensitive
 
 
 ASOF_SQL = """
@@ -893,8 +892,7 @@ def join_range_error_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_follow", F.lit(0)).alias("n_follow"),
             F.coalesce("follow_value_cents", F.lit(0)).alias("follow_value_cents"),
         )
-        .orderBy("event_id")
-    )
+    )  # no trailing sort: driver hash + local gate are order-insensitive
 
 
 RANGE_JOIN_SQL = """

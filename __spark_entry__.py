@@ -116,6 +116,7 @@ _ORDER = [
     "stream_hourly_watermarked",
     "stream_stateful_user_totals",
     "dedup_ngram_jaccard",
+    "dedup_remove_repeated",
     "dedup_simhash",
     "sim_topk_bruteforce",
     "text_token_stats",

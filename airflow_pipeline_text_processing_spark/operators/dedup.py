@@ -852,3 +852,60 @@ def repeated_spans(
         )
         .drop("_grp")
     )
+
+
+def remove_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a ``(doc_id, span_start, span_tokens)`` removal list (the
+    output shape of ``repeated_spans``): rebuild each document's text from
+    the tokens OUTSIDE the listed spans.
+
+    Policy-free by design: the caller chooses WHICH occurrences to list
+    (e.g. keep the span in its lowest-doc_id carrier and list every other
+    carrier), this operator just excises.  Docs with no listed span pass
+    through with their text byte-identical; flagged docs are rebuilt
+    token-joined (whitespace/punctuation-normalized -- the standard
+    artifact of token-level excision).
+
+    Plan shape: the spans aggregate to one array per doc (map-side
+    combinable), left-join onto the docs (spans relation is tiny relative
+    to the corpus -- it only has rows for flagged docs), and the excision
+    is a narrow per-row expression over the token array: keep token at
+    position p iff no span covers p.  O(tokens x spans-per-doc) per row,
+    no extra shuffle beyond the one equi-join."""
+    span_arrays = spans.groupBy("doc_id").agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"),
+                (F.col("span_start") + F.col("span_tokens")).alias("e"),
+            )
+        ).alias("_spans")
+    )
+    toks = tokens(F.col(text_col))
+    joined = docs.join(span_arrays, "doc_id", "left")
+    kept = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1))),
+            lambda p: F.struct(
+                p.alias("p"), F.element_at(toks, p).alias("t")
+            ),
+        ),
+        lambda st: (st["p"] <= F.size(toks))
+        & ~F.exists(
+            F.coalesce(
+                F.col("_spans"),
+                F.array().cast("array<struct<s:long,e:long>>"),
+            ),
+            lambda sp: (st["p"] >= sp["s"]) & (st["p"] < sp["e"]),
+        ),
+    )
+    rebuilt = F.array_join(F.transform(kept, lambda st: st["t"]), " ")
+    return joined.select(
+        *[c for c in docs.columns if c != text_col],
+        F.when(F.col("_spans").isNull(), F.col(text_col))
+        .otherwise(rebuilt)
+        .alias(text_col),
+    )

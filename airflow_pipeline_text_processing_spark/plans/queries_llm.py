@@ -199,6 +199,81 @@ ORDER BY doc_id, span_start
 """
 
 
+def dedup_remove_repeated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end sub-document dedup (repeated_spans -> remove_spans):
+    removal lists are taken for the TWIN docs only (doc_id >= 100000,
+    i.e. keep each repeated passage in its original lowest-id carrier)
+    and excised; output is every doc's id, post-excision token count, and
+    content md5 so the oracle verifies the rebuilt text byte-for-byte."""
+    from ..operators.dedup import remove_spans, repeated_spans
+    from ..operators.text import tokens as _toks
+
+    corpus = _planted_docs(spark, sf_dir)
+    spans = repeated_spans(corpus, n=8, min_count=2).filter(
+        F.col("doc_id") >= 100000
+    )
+    cleaned = remove_spans(corpus, spans)
+    return cleaned.select(
+        "doc_id",
+        F.size(_toks(F.col("text"))).cast("long").alias("n_tokens_after"),
+        F.md5("text").alias("content_md5"),
+    ).orderBy("doc_id")
+
+
+REMOVE_SPANS_SQL = f"""
+WITH corpus AS ({_planted_sql()}),
+toks AS (SELECT doc_id, {TOKS_SQL} AS tk FROM corpus),
+ps AS (
+  SELECT doc_id,
+         UNNEST(generate_series(1, len(tk) - 7)) AS pos,
+         UNNEST([array_to_string(tk[i:i+7], ' ')
+                 FOR i IN generate_series(1, len(tk) - 7)]) AS shingle
+  FROM toks
+  WHERE len(tk) >= 8
+),
+rep AS (SELECT shingle FROM ps GROUP BY shingle HAVING COUNT(*) >= 2),
+hits AS (SELECT doc_id, pos FROM ps WHERE shingle IN (SELECT shingle FROM rep)),
+lagged AS (
+  SELECT doc_id, pos,
+         LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM hits
+),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev IS NULL OR pos - prev > 8 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM lagged
+),
+spans AS (
+  SELECT doc_id, MIN(pos) AS s, MAX(pos) + 8 AS e
+  FROM isl GROUP BY doc_id, grp
+),
+span_lists AS (
+  SELECT doc_id, list({{'s': s, 'e': e}}) AS sp
+  FROM spans WHERE doc_id >= 100000 GROUP BY doc_id
+),
+rebuilt AS (
+  SELECT t.doc_id,
+         CASE WHEN l.doc_id IS NULL THEN c.text
+              -- COALESCE: duckdb array_to_string([]) is NULL, Spark
+              -- array_join(empty) is '' (fully-excised docs)
+              ELSE COALESCE(array_to_string(
+                [t.tk[p] FOR p IN generate_series(1, len(t.tk))
+                 IF len(list_filter(l.sp,
+                       x -> p >= x.s AND p < x.e)) = 0], ' '), '')
+         END AS text
+  FROM toks t
+  JOIN corpus c ON c.doc_id = t.doc_id
+  LEFT JOIN span_lists l ON l.doc_id = t.doc_id
+)
+SELECT doc_id,
+       CAST(len({TOKS_SQL}) AS BIGINT) AS n_tokens_after,
+       md5(text) AS content_md5
+FROM rebuilt
+ORDER BY doc_id
+"""
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # max_df is the shipped scale configuration (posting-list cap); the
     # oracle below mirrors the cap in its candidate CTE so the gate
@@ -875,6 +950,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "dedup_exact_groups": (dedup_exact_groups, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_JACCARD_SQL),
     "dedup_subdoc_spans": (dedup_subdoc_spans, SUBDOC_SPANS_SQL),
+    "dedup_remove_repeated": (dedup_remove_repeated, REMOVE_SPANS_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_SQL),

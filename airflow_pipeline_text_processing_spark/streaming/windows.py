@@ -180,6 +180,7 @@ def interval_join_streams(
     right_ts: str,
     max_delay: str = "4 hours",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Watermarked STREAM-STREAM inner interval join: pairs where
     ``right_ts`` falls in ``[left_ts, left_ts + max_delay]`` for equal
@@ -195,7 +196,18 @@ def interval_join_streams(
     max_delay), never the whole stream.  Works identically on batch
     DataFrames (same plan), which is what the DuckDB oracle checks; with
     ``availableNow`` the one-pass drain emits exactly the batch result.
+
+    ``how="left_outer"`` adds null-padded rows for unmatched left events
+    -- Spark emits an outer row only once the RIGHT watermark has passed
+    the end of that left row's match interval (the earliest moment "no
+    match" is provable on an unbounded stream), so outer rows trail by
+    the watermark delay, and left rows still inside the final watermark
+    when the stream ends remain unemitted until more data arrives (the
+    documented Structured Streaming semantics; the multi-batch pytest
+    demonstrates both behaviors).
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"unsupported stream-stream join type: {how}")
     overlap = (set(left.columns) & set(right.columns)) - {key}
     if overlap:
         raise ValueError(f"ambiguous columns in stream-stream join: {sorted(overlap)}")
@@ -206,4 +218,4 @@ def interval_join_streams(
         & (F.col(right_ts) >= F.col(left_ts))
         & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {max_delay}"))
     )
-    return l.join(r, cond, "inner").drop(r[key])
+    return l.join(r, cond, how).drop(r[key])

@@ -359,3 +359,52 @@ def test_aqe_coalesces_small_shuffles(spark):
     df.collect()  # AQE finalizes the plan only after execution
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "AQEShuffleRead" in plan and "coalesced" in plan, plan
+
+
+def test_batch_interval_join_is_equi_not_cartesian(spark):
+    """The batch twin of the stream-stream interval join must plan as an
+    equi-join on the key with the time bounds as join-level filters --
+    never a cartesian/broadcast-nested-loop over the time predicate."""
+    from airflow_pipeline_text_processing_spark.streaming.windows import (
+        interval_join_streams,
+    )
+    from airflow_pipeline_text_processing_spark.plans.queries import _t
+
+    ev = _t(spark, SF_DIR, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts"), F.col("event_id").alias("view_id")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+    )
+    out = interval_join_streams(
+        views, clicks, "user_id", "view_ts", "click_ts", max_delay="4 hours"
+    )
+    plan = plan_of(out, mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "user_id" in plan  # key participates in the equi-join
+
+
+def test_repeated_spans_single_window_no_pair_join(spark):
+    """Sub-document span dedup plan shape: the repeated-shingle detection
+    is a groupBy (map-side combinable), hit marking is ONE equi-join of
+    positions against shingle groups (never shingle x shingle pair
+    expansion), and span assembly is a per-doc window -- no cartesian, no
+    self-join of the positional relation against itself on doc pairs."""
+    from airflow_pipeline_text_processing_spark.operators.dedup import (
+        repeated_spans,
+    )
+    from airflow_pipeline_text_processing_spark.plans.queries import _t
+
+    docs = _t(spark, SF_DIR, "documents").select("doc_id", "text")
+    out = repeated_spans(docs, n=8, min_count=2)
+    plan = plan_of(out, mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # exactly one join: positions -> repeated-shingle keys
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") + plan.count(
+        "BroadcastHashJoin"
+    ) == 1
+    # span assembly is the lag/sum window partitioned by doc
+    assert "Window" in plan

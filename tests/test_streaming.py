@@ -279,3 +279,87 @@ def test_stateful_totals_on_rocksdb_state_store(spark, tmp_path):
             )
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_stream_stream_left_outer_emits_on_watermark_advance(spark, tmp_path):
+    """Watermarked stream-stream LEFT OUTER interval join semantics, shown
+    with two real micro-batches: (a) matches emit as found; (b) an
+    unmatched left row emits its null-padded outer row only after a LATER
+    batch advances the right watermark past its match interval; (c) an
+    unmatched left row still inside the final watermark when input ends
+    stays unemitted (the documented Structured Streaming contract)."""
+    import time as _time
+
+    from airflow_pipeline_text_processing_spark.streaming.windows import (
+        interval_join_streams,
+    )
+
+    src = tmp_path / "events"
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "user_id long, ts string, kind string, eid string"
+        ).select(
+            "user_id",
+            F.to_timestamp("ts").alias("ts"),
+            "kind",
+            "eid",
+        )
+
+    # batch 1: one matched view, one match-less view (outer candidate)
+    mk([
+        (1, "2024-01-01 00:00:00", "view", "V1"),
+        (1, "2024-01-01 00:10:00", "click", "C1"),
+        (2, "2024-01-01 00:00:00", "view", "V2"),
+    ]).coalesce(1).write.mode("append").parquet(str(src))
+    _time.sleep(1.1)  # distinct mod-times => deterministic file order
+    # batch 2: ten hours later -- advances the watermark far past V2's
+    # interval end; V4 has no click and stays inside the final watermark
+    mk([
+        (3, "2024-01-01 10:00:00", "view", "V3"),
+        (3, "2024-01-01 10:05:00", "click", "C3"),
+        (4, "2024-01-01 10:00:00", "view", "V4"),
+    ]).coalesce(1).write.mode("append").parquet(str(src))
+
+    schema = spark.read.parquet(str(src)).schema
+
+    def stream(kind, ts_name, eid_name):
+        s = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        return s.filter(F.col("kind") == kind).select(
+            "user_id",
+            F.col("ts").alias(ts_name),
+            F.col("eid").alias(eid_name),
+        )
+
+    joined = interval_join_streams(
+        stream("view", "view_ts", "view_id"),
+        stream("click", "click_ts", "click_id"),
+        "user_id",
+        "view_ts",
+        "click_ts",
+        max_delay="30 minutes",
+        watermark="10 minutes",
+        how="left_outer",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_outer")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {
+        r.view_id: r.click_id for r in spark.table("ssj_outer").collect()
+    }
+    assert rows.get("V1") == "C1"
+    assert rows.get("V3") == "C3"
+    # V2's outer row flushed by batch 2's watermark advance
+    assert "V2" in rows and rows["V2"] is None
+    # V4 is still inside the final watermark: correctly NOT emitted
+    assert "V4" not in rows

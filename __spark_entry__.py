@@ -126,6 +126,7 @@ _ORDER = [
     "text_tfidf_top_terms",
     "text_chunk_windows",
     "sample_stratified_events",
+    "sketch_cms_heavy_hitters",
     "mm_feature_extract",
     "mm_frame_sample",
 ]

@@ -140,3 +140,84 @@ def sql_kmv_estimate(k: int, kth_hash_expr: str = "kth_hash") -> str:
         f"CAST({k - 1} AS DOUBLE) * CAST({1 << 52} AS DOUBLE)"
         f" / CAST(({digits}) AS DOUBLE)"
     )
+
+
+# ----------------------------------------------------------- count-min
+
+
+def cms_table(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    width: int = 64,
+    depth: int = 4,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) as a RELATION:
+    ``(group, d, bucket, cnt)`` -- ``depth`` rows of ``width`` counters
+    per group, bucket = md5(d || item) mod width.
+
+    Like the KMV sketch above, this is built from engine-portable
+    primitives (md5 + integer mod) instead of Spark's binary
+    ``count_min_sketch`` aggregate, so a DuckDB oracle reproduces every
+    counter bit-for-bit.  State per group is ``depth x width`` counters
+    regardless of item cardinality -- the property that makes frequency
+    estimation feasible where an exact per-item count would shuffle every
+    distinct item.  Plan: one narrow explode of ``depth`` hash rows per
+    input row, then ONE map-side-combinable groupBy; merging sketches
+    across partitions/days is counter addition, which the aggregation
+    performs implicitly.
+    """
+    rows = df.select(
+        F.col(group_col).alias("g"),
+        F.col(item_col).cast("string").alias("item"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
+    )
+    # 13 hex digits = 52 bits: exact BIGINT, same truncation rule as KMV
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("d").cast("string"), F.lit("|"), F.col("item"))),
+                1, 13,
+            ),
+            16, 10,
+        ).cast("long") % width
+    )
+    return (
+        rows.select("g", "d", bucket.alias("bucket"))
+        .groupBy("g", "d", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimates(
+    cms: DataFrame,
+    probes: DataFrame,
+    width: int = 64,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-frequency estimates from a ``cms_table`` relation: for each
+    ``(g, item)`` probe row, ``est = min over d of cnt[d][bucket(d,item)]``
+    (missing buckets read 0).  The classic CMS guarantee -- ``est >=
+    true`` always, ``est <= true + eps*N`` with high probability -- is what
+    callers should assert; the companion query emits both bounds as
+    booleans.  The sketch side is ``groups x depth x width`` rows (fixed,
+    tiny) and broadcasts onto the probes."""
+    p = probes.select(
+        F.col("g"), F.col("item").cast("string").alias("item"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("d").cast("string"), F.lit("|"), F.col("item"))),
+                1, 13,
+            ),
+            16, 10,
+        ).cast("long") % width
+    )
+    probed = p.select("g", "item", "d", bucket.alias("bucket"))
+    joined = probed.join(F.broadcast(cms), ["g", "d", "bucket"], "left")
+    return (
+        joined.groupBy("g", "item")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
+    )

@@ -1589,6 +1589,114 @@ ORDER BY o.o_orderpriority
 """
 
 
+CMS_WIDTH, CMS_DEPTH = 64, 4
+
+
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch (operators/sketches.py::cms_table):
+    per-event-type user-frequency sketches of 4x64 counters, probed for
+    user ids 0-9, alongside the exact counts and the two CMS guarantee
+    booleans (estimate never under-counts; over-count bounded by the
+    colliding mass).  The sketch is md5-bucketed, so DuckDB reproduces
+    every counter bit-for-bit -- the same engine-portability trick as the
+    KMV sketch, applied to frequency estimation."""
+    from ..operators.sketches import cms_estimates, cms_table
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("event_type").alias("g"),
+        F.col("user_id").cast("string").alias("item"),
+    )
+    cms = cms_table(base, "g", "item", width=CMS_WIDTH, depth=CMS_DEPTH)
+    probes = (
+        base.select("g").distinct()
+        .crossJoin(  # 5 x 10 constant probe grid, not a data cartesian
+            spark.range(10).select(F.col("id").cast("string").alias("item"))
+        )
+    )
+    est = cms_estimates(cms, probes, width=CMS_WIDTH, depth=CMS_DEPTH)
+    exact = base.groupBy("g", "item").agg(F.count("*").alias("_n"))
+    totals = base.groupBy("g").agg(F.count("*").alias("_ng"))
+    out = (
+        est.join(exact, ["g", "item"], "left")
+        .join(F.broadcast(totals), "g")
+        .select(
+            F.col("g").alias("event_type"),
+            F.col("item").cast("long").alias("user_id"),
+            F.coalesce("_n", F.lit(0)).alias("exact_n"),
+            "cms_est",
+            (F.col("cms_est") >= F.coalesce("_n", F.lit(0))).alias(
+                "never_undercounts"
+            ),
+            (
+                F.col("cms_est")
+                <= F.coalesce("_n", F.lit(0))
+                + F.floor(F.col("_ng") * 3 / CMS_WIDTH).cast("long")
+            ).alias("overcount_bounded"),
+        )
+    )
+    return out.orderBy("event_type", "user_id")
+
+
+def _sql_hex13_mod(expr: str, mod: int) -> str:
+    digits = " + ".join(
+        f"(strpos('0123456789abcdef', substr({expr}, {i}, 1)) - 1) "
+        f"* {16 ** (13 - i)}"
+        for i in range(1, 14)
+    )
+    return f"(({digits}) % {mod})"
+
+
+CMS_SQL = f"""
+WITH base AS (
+  SELECT event_type AS g, CAST(user_id AS VARCHAR) AS item FROM events
+),
+rows_d AS (
+  SELECT g, item, UNNEST(generate_series(0, {CMS_DEPTH - 1})) AS d FROM base
+),
+cms AS (
+  SELECT g, d,
+         {_sql_hex13_mod("substr(md5(CAST(d AS VARCHAR) || '|' || item), 1, 13)", CMS_WIDTH)}
+           AS bucket,
+         COUNT(*) AS cnt
+  FROM rows_d GROUP BY ALL
+),
+probes AS (
+  SELECT g, CAST(i AS VARCHAR) AS item
+  FROM (SELECT DISTINCT g FROM base), (SELECT UNNEST(generate_series(0, 9)) AS i)
+),
+probed AS (
+  SELECT g, item, UNNEST(generate_series(0, {CMS_DEPTH - 1})) AS d FROM probes
+),
+pb AS (
+  SELECT g, item, d,
+         {_sql_hex13_mod("substr(md5(CAST(d AS VARCHAR) || '|' || item), 1, 13)", CMS_WIDTH)}
+           AS bucket
+  FROM probed
+),
+est AS (
+  SELECT pb.g, pb.item,
+         CAST(MIN(COALESCE(cms.cnt, 0)) AS BIGINT) AS cms_est
+  FROM pb LEFT JOIN cms
+    ON cms.g = pb.g AND cms.d = pb.d AND cms.bucket = pb.bucket
+  GROUP BY pb.g, pb.item
+),
+exact AS (SELECT g, item, COUNT(*) AS n FROM base GROUP BY g, item),
+totals AS (SELECT g, COUNT(*) AS ng FROM base GROUP BY g)
+SELECT est.g AS event_type, CAST(est.item AS BIGINT) AS user_id,
+       CAST(COALESCE(exact.n, 0) AS BIGINT) AS exact_n,
+       est.cms_est,
+       est.cms_est >= COALESCE(exact.n, 0) AS never_undercounts,
+       est.cms_est <= COALESCE(exact.n, 0)
+         + CAST(FLOOR(totals.ng * 3.0 / {CMS_WIDTH}) AS BIGINT)
+         AS overcount_bounded
+FROM est
+LEFT JOIN exact ON exact.g = est.g AND exact.item = est.item
+JOIN totals ON totals.g = est.g
+ORDER BY event_type, user_id
+"""
+
+
 def sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate-quantile sketch: ``percentile_approx`` (Greenwald-Khanna
     variant, mergeable bounded state -- the 100 TB path where the exact
@@ -1741,6 +1849,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "json_roundtrip_events": (json_roundtrip_events, JSON_ROUNDTRIP_SQL),
     "sketch_hll_distinct": (sketch_hll_distinct, HLL_SQL),
     "sketch_quantiles": (sketch_quantiles, QUANTILE_SKETCH_SQL),
+    "sketch_cms_heavy_hitters": (sketch_cms_heavy_hitters, CMS_SQL),
     "events_sliding_windows": (events_sliding_windows, SLIDING_SQL),
     "map_scalar_showcase": (map_scalar_showcase, MAP_SCALAR_SQL),
     "profile_documents": (profile_documents, _profile_sql()),

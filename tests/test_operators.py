@@ -773,3 +773,40 @@ def test_remove_spans_excises_listed_occurrences_only(spark):
     # doc 2: the 10 passage tokens excised, the tail survives
     assert out[2] == "tail words here"
     assert out[3] == rows[2][1]
+
+
+def test_cms_never_undercounts_and_merges_by_addition(spark):
+    from airflow_pipeline_text_processing_spark.operators.sketches import (
+        cms_estimates,
+        cms_table,
+    )
+
+    rows = [(i, "g1", str(i % 7)) for i in range(1000)] + [
+        (1000 + i, "g2", "0") for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "rid long, g string, item string")
+    cms = cms_table(df, "g", "item", width=16, depth=4)
+    # sketch size is bounded: at most groups x depth x width counters
+    assert cms.count() <= 2 * 4 * 16
+    probes = spark.createDataFrame(
+        [("g1", str(i)) for i in range(7)] + [("g2", "0"), ("g2", "99")],
+        "g string, item string",
+    )
+    est = {(r.g, r.item): r.cms_est
+           for r in cms_estimates(cms, probes, width=16, depth=4).collect()}
+    exact = {("g1", str(i)): 1000 // 7 + (1 if i < 1000 % 7 else 0)
+             for i in range(7)}
+    exact[("g2", "0")] = 5
+    exact[("g2", "99")] = 0
+    for k, true_n in exact.items():
+        assert est[k] >= true_n, (k, est[k], true_n)
+    # counter addition across two half-sketches equals the full sketch
+    h1 = cms_table(df.filter(F.col("rid") < 500), "g", "item", width=16, depth=4)
+    h2 = cms_table(df.filter(F.col("rid") >= 500), "g", "item", width=16, depth=4)
+    merged = (
+        h1.unionByName(h2).groupBy("g", "d", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    full = {(r.g, r.d, r.bucket): r.cnt for r in cms.collect()}
+    got = {(r.g, r.d, r.bucket): r.cnt for r in merged.collect()}
+    assert got == full

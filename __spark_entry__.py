@@ -127,6 +127,7 @@ _ORDER = [
     "text_chunk_windows",
     "sample_stratified_events",
     "sketch_cms_heavy_hitters",
+    "stats_linear_trend",
     "mm_feature_extract",
     "mm_frame_sample",
 ]

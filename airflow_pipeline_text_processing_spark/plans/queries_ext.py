@@ -1589,6 +1589,78 @@ ORDER BY o.o_orderpriority
 """
 
 
+def stats_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-database statistics from EXACT integer moments: per order
+    priority, the least-squares trend (slope cents/day + intercept) of
+    daily revenue over the day number.  Spark's native ``regr_slope``/
+    ``covar_samp`` accumulate running float sums (order-dependent, not
+    oracle-portable); instead the five sufficient statistics (n, Sx, Sy,
+    Sxy, Sxx) are exact BIGINTs from one map-side-combinable aggregation,
+    and the closed-form slope/intercept are then two IEEE divisions that
+    every engine rounds identically.  This is also the 100 TB shape:
+    moments merge associatively across partitions, so a regression over
+    any corpus costs one groupBy."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            "o_orderpriority",
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1992-01-01").cast("date"),
+            ).cast("long").alias("d"),
+            _cents(F.col("o_totalprice")).alias("cents"),
+        )
+        .groupBy("o_orderpriority", "d")
+        .agg(F.sum("cents").alias("y"))
+    )
+    moms = daily.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_days"),
+        F.sum("d").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("d") * F.col("y")).alias("sxy"),
+        F.sum(F.col("d") * F.col("d")).alias("sxx"),
+    )
+    n, sx, sy = F.col("n_days"), F.col("sx"), F.col("sy")
+    num = (n * F.col("sxy") - sx * sy).cast("double")
+    den = (n * F.col("sxx") - sx * sx).cast("double")
+    slope = num / den
+    return moms.select(
+        "o_orderpriority",
+        "n_days",
+        slope.alias("slope_cents_per_day"),
+        ((sy.cast("double") - slope * sx.cast("double")) / n.cast("double")).alias(
+            "intercept_cents"
+        ),
+    ).orderBy("o_orderpriority")
+
+
+LINEAR_TREND_SQL = """
+WITH daily AS (
+  SELECT o_orderpriority,
+         date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS d,
+         SUM(CAST(FLOOR(o_totalprice*100) AS BIGINT)) AS y
+  FROM orders GROUP BY 1, 2
+),
+moms AS (
+  SELECT o_orderpriority,
+         COUNT(*) AS n_days,
+         CAST(SUM(d) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(d*y) AS BIGINT) AS sxy,
+         CAST(SUM(d*d) AS BIGINT) AS sxx
+  FROM daily GROUP BY 1
+)
+SELECT o_orderpriority, n_days,
+       CAST(n_days*sxy - sx*sy AS DOUBLE) / CAST(n_days*sxx - sx*sx AS DOUBLE)
+         AS slope_cents_per_day,
+       (CAST(sy AS DOUBLE)
+          - (CAST(n_days*sxy - sx*sy AS DOUBLE)
+             / CAST(n_days*sxx - sx*sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+         / CAST(n_days AS DOUBLE) AS intercept_cents
+FROM moms ORDER BY o_orderpriority
+"""
+
+
 CMS_WIDTH, CMS_DEPTH = 64, 4
 
 
@@ -1850,6 +1922,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "sketch_hll_distinct": (sketch_hll_distinct, HLL_SQL),
     "sketch_quantiles": (sketch_quantiles, QUANTILE_SKETCH_SQL),
     "sketch_cms_heavy_hitters": (sketch_cms_heavy_hitters, CMS_SQL),
+    "stats_linear_trend": (stats_linear_trend, LINEAR_TREND_SQL),
     "events_sliding_windows": (events_sliding_windows, SLIDING_SQL),
     "map_scalar_showcase": (map_scalar_showcase, MAP_SCALAR_SQL),
     "profile_documents": (profile_documents, _profile_sql()),

@@ -828,15 +828,23 @@ def repeated_spans(
     (lag + running flag-sum partitioned by doc_id), so no stage ever holds
     more than a document's positions in one task.  Overlapping or
     adjacent hits (gap <= n tokens) merge into one maximal span.
+
+    Shuffle-byte note: both wide stages key on a 64-bit md5 prefix of the
+    shingle, not the raw n-word string -- ~3x fewer shuffle bytes at
+    n=8, more at larger n.  Both engines compute the same hash, so the
+    oracle matches exactly even in the (2^-52-scale) collision case; a
+    collision could at worst merge two spans, never drop one.
     """
-    ps = positional_shingles(docs, text_col, n)
+    ps = positional_shingles(docs, text_col, n).select(
+        "doc_id", "pos", F.substring(F.md5("shingle"), 1, 16).alias("sh_h")
+    )
     rep = (
-        ps.groupBy("shingle")
+        ps.groupBy("sh_h")
         .agg(F.count("*").alias("_n_occ"))
         .filter(F.col("_n_occ") >= min_count)
-        .select("shingle")
+        .select("sh_h")
     )
-    hits = ps.join(rep, "shingle").select("doc_id", "pos")
+    hits = ps.join(rep, "sh_h").select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     prev = F.lag("pos").over(w)
     new_span = F.when(

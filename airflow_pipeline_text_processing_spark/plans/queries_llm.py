@@ -173,7 +173,7 @@ toks AS (SELECT doc_id, {TOKS_SQL} AS tk FROM corpus),
 ps AS (
   SELECT doc_id,
          UNNEST(generate_series(1, len(tk) - 7)) AS pos,
-         UNNEST([array_to_string(tk[i:i+7], ' ')
+         UNNEST([substr(md5(array_to_string(tk[i:i+7], ' ')), 1, 16)
                  FOR i IN generate_series(1, len(tk) - 7)]) AS shingle
   FROM toks
   WHERE len(tk) >= 8
@@ -226,7 +226,7 @@ toks AS (SELECT doc_id, {TOKS_SQL} AS tk FROM corpus),
 ps AS (
   SELECT doc_id,
          UNNEST(generate_series(1, len(tk) - 7)) AS pos,
-         UNNEST([array_to_string(tk[i:i+7], ' ')
+         UNNEST([substr(md5(array_to_string(tk[i:i+7], ' ')), 1, 16)
                  FOR i IN generate_series(1, len(tk) - 7)]) AS shingle
   FROM toks
   WHERE len(tk) >= 8

@@ -363,3 +363,10 @@ def test_stream_stream_left_outer_emits_on_watermark_advance(spark, tmp_path):
     assert "V2" in rows and rows["V2"] is None
     # V4 is still inside the final watermark: correctly NOT emitted
     assert "V4" not in rows
+    # the watermark BOUNDS join state: after the last batch the state
+    # store holds only rows still inside the watermark horizon (batch 1's
+    # six-row contribution was evicted when batch 2 advanced it) -- this
+    # is the property that keeps an unbounded stream's state finite
+    state = (q.lastProgress or {}).get("stateOperators") or []
+    assert state, "stream-stream join reported no state operator"
+    assert state[0]["numRowsTotal"] < 6, state[0]["numRowsTotal"]

@@ -247,3 +247,44 @@ def test_scale_smoke_five_million_rows(spark):
     )
     last = s.orderBy(FF.col("event_id").desc()).limit(1).collect()[0]
     assert last.running_sum == sum((i % 97) * 100 for i in range(n))
+
+
+def test_aqe_splits_skewed_join_partition_at_runtime(spark):
+    """The session's AQE skew-join config must actually fire: a join whose
+    shuffle has one dominant key gets its oversized partition SPLIT at
+    runtime (the executed plan marks the sort-merge join ``skew=true``).
+    This is the mechanism that rescues real skewed joins at scale without
+    manual salting; the salted operators remain for aggregation skew,
+    which AQE does not rewrite."""
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        # shrink thresholds so local-scale data can trip the detector
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        fact = spark.range(200_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))  # 90% on key 0
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        dim = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 7).alias("w")
+        )
+        joined = fact.join(dim, "k").groupBy().sum("w")
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)

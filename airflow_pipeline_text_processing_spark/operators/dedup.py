@@ -897,8 +897,10 @@ def remove_spans(
     kept = F.filter(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1))),
+            # try_element_at: the p=1 probe on a zero-token document must
+            # yield NULL (filtered next), not an ANSI out-of-bounds error
             lambda p: F.struct(
-                p.alias("p"), F.element_at(toks, p).alias("t")
+                p.alias("p"), F.try_element_at(toks, p).alias("t")
             ),
         ),
         lambda st: (st["p"] <= F.size(toks))

@@ -1599,7 +1599,12 @@ def stats_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the closed-form slope/intercept are then two IEEE divisions that
     every engine rounds identically.  This is also the 100 TB shape:
     moments merge associatively across partitions, so a regression over
-    any corpus costs one groupBy."""
+    any corpus costs one groupBy.
+
+    Magnitude headroom: n*Sxy stays under 2^63 through sf0.1 with ~100x
+    to spare; at corpus scales beyond that, shift the x origin per group
+    (min day) and/or aggregate dollars instead of cents before the
+    moment pass -- same closed form, smaller integers."""
     orders = _t(spark, sf_dir, "orders")
     daily = (
         orders.select(

@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     # repetition filters
     "stream_stream_join_pairs",
     "dedup_subdoc_spans",
+    "dedup_remove_repeated",
     "text_repetition_signals",
 ]
 

@@ -810,3 +810,21 @@ def test_cms_never_undercounts_and_merges_by_addition(spark):
     full = {(r.g, r.d, r.bucket): r.cnt for r in cms.collect()}
     got = {(r.g, r.d, r.bucket): r.cnt for r in merged.collect()}
     assert got == full
+
+
+def test_remove_spans_tolerates_empty_text(spark):
+    """A zero-token document with a (vacuous) listed span must pass
+    through as empty text, not raise ANSI INVALID_ARRAY_INDEX."""
+    from airflow_pipeline_text_processing_spark.operators.dedup import (
+        remove_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "a b c")], "doc_id long, text string"
+    )
+    spans = spark.createDataFrame(
+        [(1, 1, 1), (2, 1, 2)],
+        "doc_id long, span_start long, span_tokens long",
+    )
+    got = {r.doc_id: r.text for r in remove_spans(docs, spans).collect()}
+    assert got == {1: "", 2: "c"}

@@ -128,6 +128,7 @@ _ORDER = [
     "sample_stratified_events",
     "sketch_cms_heavy_hitters",
     "stats_linear_trend",
+    "curation_full_set",
     "mm_feature_extract",
     "mm_frame_sample",
 ]

@@ -148,3 +148,51 @@ def curate_and_pack(
         F.size(bpe_tokens(F.col(text_col))) >= min_tokens
     )
     return pack_sequences(kept, budget=pack_budget, text_col=text_col)
+
+
+def curate_full(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    span_n: int = 8,
+    min_tokens: int = 20,
+    pack_budget: int = 2048,
+    text_col: str = "text",
+) -> DataFrame:
+    """The round-4 curation composition -- every stage a real large-scale
+    training-data step, in the order production pipelines run them:
+
+    1. exact dedup (hash-agg, verbatim copies out)
+    2. sub-document boilerplate excision: ``repeated_spans`` finds every
+       maximal >= ``span_n``-token passage occurring twice anywhere in
+       the deduped corpus, ``remove_spans`` excises it from ALL carriers
+       (the remove-everywhere policy that kills corpus-wide boilerplate;
+       keep-one-copy is the same machinery with a filtered span list)
+    3. repetition gate: Gopher top-2-gram rule over the EXCISED text
+       (5 * top_gram <= n_grams) -- internally-degenerate docs out
+    4. benchmark decontamination (3-gram overlap >= 2 vs eval set)
+    5. token floor + ``pack_sequences`` into training bins
+
+    Each stage is individually oracle-verified by its own query; this
+    composition is itself oracle-verified end-to-end
+    (``curation_full_set``), so stage wiring -- not just stage logic --
+    is under the gate.
+    """
+    from ..operators.dedup import (
+        decontaminate,
+        exact_dedup,
+        remove_spans,
+        repeated_spans,
+    )
+    from ..operators.text import bpe_tokens, pack_sequences, repetition_signals
+
+    deduped = exact_dedup(docs.select("doc_id", text_col), text_col)
+    spans = repeated_spans(deduped, text_col, n=span_n, min_count=2)
+    excised = remove_spans(deduped, spans, text_col)
+    rep = repetition_signals(excised, text_col)
+    keep_ids = rep.filter(
+        F.col("top_gram_n") * 5 <= F.col("n_grams")
+    ).select("doc_id")
+    filtered = excised.join(keep_ids, "doc_id")
+    clean = decontaminate(filtered, eval_docs, text_col, min_overlap=2)
+    kept = clean.filter(F.size(bpe_tokens(F.col(text_col))) >= min_tokens)
+    return pack_sequences(kept, budget=pack_budget, text_col=text_col)

@@ -1152,6 +1152,191 @@ FROM c ORDER BY doc_id
 
 
 
+CURATION_BOILER = (
+    "shared boilerplate notice repeated verbatim across many corpus "
+    "documents here"
+)
+
+
+def curation_full_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 end-to-end curation (plans/curation.py::curate_full):
+    exact dedup -> sub-document boilerplate excision -> Gopher top-2-gram
+    gate -> decontamination -> token floor -> packing.  The planted
+    corpus carries all four defect classes: verbatim copies (exact-dedup
+    prey), a 10-token boilerplate sentence appended to every 5th document
+    (sub-document excision prey), a looping 'spam ham' document whose
+    unique spacer tokens defeat 8-gram excision but whose top 2-gram
+    dominates (repetition-gate prey -- the only stage that catches it),
+    and eval-set twins (decontamination prey)."""
+    from ..plans.curation import curate_full
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_docs = docs.filter(
+        (F.col("doc_id") >= 300) & (F.col("doc_id") < 340)
+    )
+    base = docs.filter(F.col("doc_id") < 300).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" " + CURATION_BOILER)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    train = base.unionAll(
+        docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 320))
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.expr(
+                "substring(text, 1, cast(floor(length(text)*0.8) as int))"
+            ).alias("text"),
+        )
+    ).unionAll(
+        base.filter(F.col("doc_id") < 20).select(
+            (F.col("doc_id") + 200000).alias("doc_id"), "text"
+        )
+    ).unionAll(
+        spark.range(1).select(
+            F.lit(900000).alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(30)),
+                    lambda i: F.concat(
+                        F.lit("spam ham u"), i.cast("string")
+                    ),
+                ),
+                " ",
+            ).alias("text"),
+        )
+    )
+    return curate_full(
+        train, eval_docs, span_n=8, min_tokens=20, pack_budget=PACK_BUDGET
+    ).orderBy("doc_id")
+
+
+def _curation_full_sql() -> str:
+    from ..operators.text import BPE_PATTERN
+
+    pat = BPE_PATTERN.replace("'", "''")
+    return f"""
+WITH eval_docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id >= 300 AND doc_id < 340
+),
+base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' {CURATION_BOILER}'
+              ELSE text END AS text
+  FROM documents WHERE doc_id < 300
+),
+train AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         substring(text, 1, CAST(FLOOR(LENGTH(text)*0.8) AS INT)) AS text
+  FROM documents WHERE doc_id >= 300 AND doc_id < 320
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text FROM base WHERE doc_id < 20
+  UNION ALL
+  SELECT 900000 AS doc_id,
+         array_to_string(['spam ham u' || CAST(i AS VARCHAR)
+                          FOR i IN generate_series(1, 30)], ' ') AS text
+),
+dedup AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM train
+  ) WHERE rn = 1
+),
+toks8 AS (SELECT doc_id, text, {_TOKS_SQL} AS tk FROM dedup),
+ps AS (
+  SELECT doc_id,
+         UNNEST(generate_series(1, len(tk) - 7)) AS pos,
+         UNNEST([substr(md5(array_to_string(tk[i:i+7], ' ')), 1, 16)
+                 FOR i IN generate_series(1, len(tk) - 7)]) AS shingle
+  FROM toks8 WHERE len(tk) >= 8
+),
+rep AS (SELECT shingle FROM ps GROUP BY shingle HAVING COUNT(*) >= 2),
+hits AS (SELECT doc_id, pos FROM ps WHERE shingle IN (SELECT shingle FROM rep)),
+lagged AS (
+  SELECT doc_id, pos,
+         LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM hits
+),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev IS NULL OR pos - prev > 8 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM lagged
+),
+spans AS (
+  SELECT doc_id, MIN(pos) AS s, MAX(pos) + 8 AS e
+  FROM isl GROUP BY doc_id, grp
+),
+span_lists AS (
+  SELECT doc_id, list({{'s': s, 'e': e}}) AS sp FROM spans GROUP BY doc_id
+),
+rebuilt AS (
+  SELECT t.doc_id,
+         CASE WHEN l.doc_id IS NULL THEN t.text
+              ELSE COALESCE(array_to_string(
+                [t.tk[p] FOR p IN generate_series(1, len(t.tk))
+                 IF len(list_filter(l.sp,
+                       x -> p >= x.s AND p < x.e)) = 0], ' '), '')
+         END AS text
+  FROM toks8 t LEFT JOIN span_lists l ON l.doc_id = t.doc_id
+),
+toks2 AS (SELECT doc_id, text, {_TOKS_SQL} AS tk FROM rebuilt),
+grams AS (
+  SELECT doc_id, UNNEST([array_to_string(tk[i:i+1], ' ')
+                         FOR i IN generate_series(1, len(tk) - 1)]) AS gram
+  FROM toks2
+),
+pg AS (SELECT doc_id, gram, COUNT(*) AS gn FROM grams GROUP BY ALL),
+rep2 AS (
+  SELECT doc_id, CAST(SUM(gn) AS BIGINT) AS n_grams,
+         CAST(MAX(gn) AS BIGINT) AS top FROM pg GROUP BY doc_id
+),
+keepers AS (
+  SELECT t.doc_id, t.text
+  FROM toks2 t LEFT JOIN rep2 r ON r.doc_id = t.doc_id
+  WHERE COALESCE(r.top, 0) * 5 <= COALESCE(r.n_grams, 0)
+),
+tr_sh AS ({_sql_shingle_rows('keepers')}),
+ev_sh AS ({_sql_shingle_rows('eval_docs', 'eval_id')}),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT t.doc_id, e.eval_id
+    FROM tr_sh t JOIN ev_sh e ON t.shingle = e.shingle
+    GROUP BY t.doc_id, e.eval_id
+    HAVING COUNT(*) >= 2
+  )
+),
+clean AS (
+  SELECT k.doc_id, k.text FROM keepers k
+  WHERE k.doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+kept AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{pat}')) AS n_bpe_tokens
+  FROM clean
+  WHERE len(regexp_extract_all(text, '{pat}')) >= 20
+),
+c AS (
+  SELECT doc_id, n_bpe_tokens,
+         CAST(SUM(n_bpe_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum
+  FROM kept
+)
+SELECT doc_id, n_bpe_tokens,
+       cum - n_bpe_tokens AS prefix_tokens,
+       (cum - n_bpe_tokens) // {PACK_BUDGET} AS bin_id,
+       (cum - n_bpe_tokens) % {PACK_BUDGET} AS offset_in_bin
+FROM c ORDER BY doc_id
+"""
+
+
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based session windows executed AS A STREAM with the native
     ``session_window`` stateful operator (streaming/windows.py::
@@ -1919,6 +2104,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "dedup_incremental_lsh": (dedup_incremental_lsh, INCREMENTAL_LSH_SQL),
     "text_pack_sequences": (text_pack_sequences, _pack_sql()),
     "curation_packed_set": (curation_packed_set, _curation_packed_sql()),
+    "curation_full_set": (curation_full_set, _curation_full_sql()),
     "stream_session_windows": (stream_session_windows, STREAM_SESSION_SQL),
     "stream_static_enrich": (stream_static_enrich, STREAM_ENRICH_SQL),
     "stream_stream_join_pairs": (stream_stream_join_pairs, STREAM_SSJOIN_SQL),

@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "dedup_subdoc_spans",
     "dedup_remove_repeated",
     "text_repetition_signals",
+    "curation_full_set",
 ]
 
 

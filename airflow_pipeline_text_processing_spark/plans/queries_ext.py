@@ -1152,6 +1152,87 @@ FROM c ORDER BY doc_id
 
 
 
+def events_resample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample with gap filling: a dense daily spine per
+    event type (built with ``sequence`` over the observed date range --
+    no data shuffle, the spine is generated), left-joined onto the
+    per-day aggregates; missing days read 0 events and carry the last
+    observed daily total forward (``last(..., ignorenulls)`` over an
+    ordered per-type window).  The standard resample/ffill primitive for
+    feature pipelines over irregular event streams; at scale the spine
+    is tiny (types x days) and the join broadcasts it."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type", F.to_date("ts").alias("day")
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.sum(_cents(F.col("value"))).alias("value_cents"),
+        )
+    )
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    spine = (
+        ev.select("event_type").distinct()
+        .crossJoin(F.broadcast(bounds))  # 5x1 constant carrier
+        .select(
+            "event_type",
+            F.explode(F.sequence("d0", "d1")).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            # ISO string, not DATE: duckdb DATE arrives in pandas as
+            # datetime64 and renders with a time part -- strings compare
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("value_cents", F.lit(0)).alias("value_cents"),
+            F.last("value_cents", ignorenulls=True)
+            .over(w)
+            .alias("last_seen_cents"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+RESAMPLE_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(FLOOR("value"*100) AS BIGINT)) AS BIGINT) AS value_cents
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1 FROM events
+),
+spine AS (
+  SELECT event_type, CAST(day_ts AS DATE) AS day FROM (
+    SELECT t.event_type,
+           UNNEST(generate_series(b.d0, b.d1, INTERVAL 1 DAY)) AS day_ts
+    FROM (SELECT DISTINCT event_type FROM events) t, bounds b
+  )
+)
+SELECT s.event_type, strftime(s.day, '%Y-%m-%d') AS day,
+       COALESCE(d.n_events, 0) AS n_events,
+       COALESCE(d.value_cents, 0) AS value_cents,
+       LAST_VALUE(d.value_cents IGNORE NULLS) OVER (
+         PARTITION BY s.event_type ORDER BY s.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS last_seen_cents
+FROM spine s LEFT JOIN daily d
+  ON d.event_type = s.event_type AND d.day = s.day
+ORDER BY s.event_type, s.day
+"""
+
+
 CURATION_BOILER = (
     "shared boilerplate notice repeated verbatim across many corpus "
     "documents here"
@@ -2114,6 +2195,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "sketch_quantiles": (sketch_quantiles, QUANTILE_SKETCH_SQL),
     "sketch_cms_heavy_hitters": (sketch_cms_heavy_hitters, CMS_SQL),
     "stats_linear_trend": (stats_linear_trend, LINEAR_TREND_SQL),
+    "events_resample_daily": (events_resample_daily, RESAMPLE_SQL),
     "events_sliding_windows": (events_sliding_windows, SLIDING_SQL),
     "map_scalar_showcase": (map_scalar_showcase, MAP_SCALAR_SQL),
     "profile_documents": (profile_documents, _profile_sql()),

@@ -93,8 +93,12 @@ _ORDER = [
     "curation_training_set",
     "curation_packed_set",
     # ==== driver window boundary (position 50) ===========================
-    # Everything below has a green driver row from r1-r3 (or an in-window
-    # sibling) and is exact-equality checked by tools/check_oracle.py.
+    # Everything below is exact-equality checked by tools/check_oracle.py;
+    # most have a green driver row from r1-r3 or an in-window category
+    # sibling.  New r4 overflow entries (dedup_remove_repeated,
+    # sketch_cms_heavy_hitters, stats_linear_trend, curation_full_set,
+    # events_resample_daily) are local-gate-only this round -- rotate them
+    # into the window in round 5 per the README contract.
     "q1_pricing_summary",
     "q3_shipping_priority",
     "join_semi_active_customers",

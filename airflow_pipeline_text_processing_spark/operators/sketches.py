@@ -201,7 +201,14 @@ def cms_estimates(
     true`` always, ``est <= true + eps*N`` with high probability -- is what
     callers should assert; the companion query emits both bounds as
     booleans.  The sketch side is ``groups x depth x width`` rows (fixed,
-    tiny) and broadcasts onto the probes."""
+    tiny) and broadcasts onto the probes.
+
+    ``width``/``depth`` MUST equal the ``cms_table`` call's parameters:
+    a larger ``depth`` or different ``width`` probes buckets the sketch
+    never wrote, which read 0 and silently BREAK the never-undercount
+    guarantee.  The sketch relation cannot carry its parameters (it is a
+    plain DataFrame), so this is the caller's contract -- share constants,
+    as ``sketch_cms_heavy_hitters`` does with CMS_WIDTH/CMS_DEPTH."""
     p = probes.select(
         F.col("g"), F.col("item").cast("string").alias("item"),
         F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),

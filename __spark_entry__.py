@@ -117,6 +117,7 @@ _ORDER = [
     "events_hourly_rollup",
     "events_resample_daily",
     "csv_roundtrip_nation_region",
+    "orc_xml_roundtrip_part",
     "codec_chunk_stats",
     "stream_hourly_watermarked",
     "stream_stateful_user_totals",

@@ -343,6 +343,60 @@ ORDER BY r.r_name
 """
 
 
+def orc_xml_roundtrip_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC + XML source/sink surface (sources/tabular.py): the part table
+    lands as ORC (Spark's second schema-carrying columnar built-in) and a
+    projection lands as rowTag-framed XML (built-in since Spark 4, read
+    back under an explicit schema -- inference would re-scan and can
+    widen types); the two round-tripped relations join on the part key
+    and aggregate per brand.  Integer/string columns only, so both
+    round trips are lossless and the oracle over the original parquet
+    agrees exactly."""
+    from ..sources.tabular import read_table, write_table
+
+    base = tempfile.mkdtemp(prefix="part_orc_xml_")
+    part = _t(spark, sf_dir, "part")
+    write_table(
+        part.select("p_partkey", "p_brand", "p_size"),
+        f"{base}/orc",
+        format="orc",
+    )
+    write_table(
+        part.select("p_partkey", "p_type"),
+        f"{base}/xml",
+        format="xml",
+        rowTag="part",
+    )
+    orc_back = read_table(spark, f"{base}/orc", format="orc")
+    xml_back = read_table(
+        spark,
+        f"{base}/xml",
+        format="xml",
+        schema="p_partkey long, p_type string",  # type: ignore[arg-type]
+        rowTag="part",
+    )
+    return (
+        orc_back.join(xml_back, "p_partkey")
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum(F.col("p_size").cast("long")).alias("total_size"),
+            F.count_distinct("p_type").alias("n_types"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+ORC_XML_SQL = """
+SELECT p_brand, COUNT(*) AS n_parts,
+       CAST(SUM(p_size) AS BIGINT) AS total_size,
+       COUNT(DISTINCT p_type) AS n_types
+FROM part
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
 # -------------------------------------------------------------- salted join
 
 
@@ -2196,6 +2250,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "sketch_cms_heavy_hitters": (sketch_cms_heavy_hitters, CMS_SQL),
     "stats_linear_trend": (stats_linear_trend, LINEAR_TREND_SQL),
     "events_resample_daily": (events_resample_daily, RESAMPLE_SQL),
+    "orc_xml_roundtrip_part": (orc_xml_roundtrip_part, ORC_XML_SQL),
     "events_sliding_windows": (events_sliding_windows, SLIDING_SQL),
     "map_scalar_showcase": (map_scalar_showcase, MAP_SCALAR_SQL),
     "profile_documents": (profile_documents, _profile_sql()),

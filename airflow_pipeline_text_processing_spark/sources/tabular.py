@@ -19,7 +19,10 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
-_READ_FORMATS = {"parquet", "csv", "json", "text"}
+# orc: Spark's second built-in columnar format (schema-carrying, predicate
+# pushdown); xml: built-in since Spark 4 (rowTag-framed; pass an explicit
+# schema on read -- inference re-scans and can widen types)
+_READ_FORMATS = {"parquet", "csv", "json", "text", "orc", "xml"}
 
 
 def read_table(

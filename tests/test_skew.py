@@ -94,11 +94,14 @@ def test_tabular_round_trip_all_formats(spark, tmp_path):
         "id long, s string, x double",
     )
     expected = {(r.id, r.s, r.x) for r in df.collect()}
-    for fmt in ("parquet", "csv", "json"):
+    for fmt in ("parquet", "csv", "json", "orc", "xml"):
         path = str(tmp_path / fmt)
-        write_table(df, path, format=fmt)
+        opts = {"rowTag": "row"} if fmt == "xml" else {}
+        write_table(df, path, format=fmt, **opts)
         back = read_table(
-            spark, path, format=fmt, schema=df.schema if fmt != "parquet" else None
+            spark, path, format=fmt,
+            schema=df.schema if fmt not in ("parquet", "orc") else None,
+            **opts,
         )
         assert {(r.id, r.s, r.x) for r in back.collect()} == expected, fmt
 

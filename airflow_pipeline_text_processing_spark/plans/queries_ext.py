@@ -315,7 +315,11 @@ def csv_roundtrip_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     an explicit schema, broadcast-join region, aggregate.  Values are
     integers/strings only, so the text round trip is lossless and the
     oracle (over the original parquet) must agree exactly."""
-    out = tempfile.mkdtemp(prefix="nation_csv_")
+    import hashlib
+    import os
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = os.path.join(tempfile.gettempdir(), f"nation_csv_{tag}")
     nation = _t(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name", "n_regionkey"
     )
@@ -352,9 +356,15 @@ def orc_xml_roundtrip_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     and aggregate per brand.  Integer/string columns only, so both
     round trips are lossless and the oracle over the original parquet
     agrees exactly."""
+    import hashlib
+    import os
+
     from ..sources.tabular import read_table, write_table
 
-    base = tempfile.mkdtemp(prefix="part_orc_xml_")
+    # stable per-sf_dir location (overwritten each call), not
+    # mkdtemp-per-call: repeated harness runs don't orphan directories
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"part_orc_xml_{tag}")
     part = _t(spark, sf_dir, "part")
     write_table(
         part.select("p_partkey", "p_brand", "p_size"),
@@ -1616,7 +1626,11 @@ def json_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate.  Timestamps round-trip as ISO strings; integers and event
     types are lossless, so the oracle over the original parquet must agree
     exactly."""
-    out = tempfile.mkdtemp(prefix="events_json_")
+    import hashlib
+    import os
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = os.path.join(tempfile.gettempdir(), f"events_json_{tag}")
     ev = _t(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type",
         _cents(F.col("value")).alias("value_cents"),

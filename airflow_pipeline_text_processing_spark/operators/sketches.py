@@ -145,6 +145,23 @@ def sql_kmv_estimate(k: int, kth_hash_expr: str = "kth_hash") -> str:
 # ----------------------------------------------------------- count-min
 
 
+def _cms_bucket(width: int):
+    """md5(d || '|' || item) truncated to 52 bits, mod width -- the shared
+    portable hash for sketch build and probe (13 hex digits = exact BIGINT,
+    same truncation rule as KMV)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.col("d").cast("string"), F.lit("|"), F.col("item"))
+                ),
+                1, 13,
+            ),
+            16, 10,
+        ).cast("long") % width
+    )
+
+
 def cms_table(
     df: DataFrame,
     group_col: str,
@@ -213,15 +230,7 @@ def cms_estimates(
         F.col("g"), F.col("item").cast("string").alias("item"),
         F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
     )
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("d").cast("string"), F.lit("|"), F.col("item"))),
-                1, 13,
-            ),
-            16, 10,
-        ).cast("long") % width
-    )
+    bucket = _cms_bucket(width)
     probed = p.select("g", "item", "d", bucket.alias("bucket"))
     joined = probed.join(F.broadcast(cms), ["g", "d", "bucket"], "left")
     return (

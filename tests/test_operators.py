@@ -828,3 +828,42 @@ def test_remove_spans_tolerates_empty_text(spark):
     )
     got = {r.doc_id: r.text for r in remove_spans(docs, spans).collect()}
     assert got == {1: "", 2: "c"}
+
+
+def test_resize_images_real_pnm_and_quarantine(spark):
+    """Nearest-neighbor PNM resize runs FOR REAL through the distributed
+    mapInPandas path: known 4x2 pixels land at the exact expected output
+    positions, the output is itself a valid PNM (so resize composes with
+    extract_features), and a non-PNM payload quarantines per-row via the
+    err column instead of failing the batch."""
+    from airflow_pipeline_text_processing_spark.operators.multimodal import (
+        decode_media,
+        resize_images,
+    )
+
+    # 4x2 P6: top row RGBW..., bottom row black/grey variants
+    px = bytes(
+        [255, 0, 0,  0, 255, 0,  0, 0, 255,  255, 255, 255,
+         0, 0, 0,    64, 64, 64, 128, 128, 128, 192, 192, 192]
+    )
+    ppm = b"P6\n4 2\n255\n" + px
+    media = spark.createDataFrame(
+        [(1, bytearray(ppm)), (2, bytearray(b"\x89PNG not a pnm"))],
+        "doc_id long, payload binary",
+    )
+    out = {r.doc_id: r for r in resize_images(media, 2, 1).collect()}
+
+    ok = out[1]
+    assert (ok.width, ok.height, ok.err) == (2, 1, None)
+    # rows = [0*2//1 -> 0], cols = [0*4//2, 1*4//2] = [0, 2]:
+    # expected pixels = (255,0,0) and (0,0,255)
+    assert bytes(ok.payload) == b"P6\n2 1\n255\n" + bytes(
+        [255, 0, 0, 0, 0, 255]
+    )
+    # composes: the resized payload decodes through the real PNM path
+    w, h, nch, mr, mg, mb = decode_media(bytes(ok.payload), "image")
+    assert (w, h, nch) == (2.0, 1.0, 3.0)
+    assert mr == 0.5 and mg == 0.0 and mb == 0.5
+
+    bad = out[2]
+    assert bad.payload is None and bad.err and "ValueError" in bad.err

@@ -88,6 +88,30 @@ def main() -> None:
     )
     warm = warm.withColumn("chunks", encode_chunks(F.col("id").cast("string")))
     warm.withColumn("r", decode_chunks("chunks")).select(F.count("r")).collect()
+    # warm the Structured Streaming machinery (micro-batch planner, state
+    # store provider, streaming Arrow path) with one one-row drain, so the
+    # stream queries' first timed run measures the stream, not engine
+    # cold start
+    import tempfile as _tf
+
+    _warm_src = _tf.mkdtemp(prefix="bench_warm_src_")
+    spark.range(1).selectExpr(
+        "timestamp_micros(id) AS ts", "id AS user_id"
+    ).write.mode("overwrite").parquet(_warm_src)
+    (
+        spark.readStream.schema("ts timestamp, user_id long")
+        .parquet(_warm_src)
+        .withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .count()
+        .writeStream.format("memory")
+        .queryName("bench_warm_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", _tf.mkdtemp(prefix="bench_warm_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

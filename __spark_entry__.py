@@ -127,6 +127,7 @@ _ORDER = [
     "sim_topk_bruteforce",
     "text_token_stats",
     "text_top_terms",
+    "text_bpe_train",
     "text_lang_id",
     "text_fingerprint",
     "text_tfidf_top_terms",

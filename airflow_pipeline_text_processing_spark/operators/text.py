@@ -418,3 +418,75 @@ def repetition_signals(
             <= F.coalesce("n_grams", F.lit(0))
         ).alias("pass_top_gram"),
     )
+
+
+def bpe_train_merges(
+    docs: DataFrame, k: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """Train the first ``k`` BPE merges on the corpus (Sennrich et al.
+    2016): iteratively count adjacent symbol pairs over the
+    frequency-weighted distinct-word relation, adopt the most frequent
+    pair (ties: lexicographic), rewrite, repeat.  Output: one row per
+    merge, ``(merge_rank, sym_left, sym_right, merged, n_occurrences)``.
+
+    Distributed shape: the working set is the DISTINCT-WORD relation
+    (orders of magnitude smaller than the corpus; built by one hash agg),
+    so each round is a narrow pair-explode plus one map-side-combinable
+    count, and the only driver traffic is k single-row top-pair collects
+    -- the same justified pattern as the IVF centroid seed.  At corpus
+    scale you would persist the word relation between rounds.
+
+    Engine portability: the per-round rewrite runs as TWO passes of
+    literal space-delimited ``replace`` over the symbol string (scanning
+    resumes after each replacement, so one pass misses boundary-sharing
+    runs; two passes merge exactly the left-to-right non-overlapping
+    occurrences, verified identical in Spark and DuckDB -- the oracle
+    unrolls the same k rounds as CTEs).
+    """
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("wcnt"))
+    )
+    cur = words.select(
+        F.array_join(F.split("word", ""), " ").alias("w"), "wcnt"
+    )
+    merges = []
+    for rank in range(1, k + 1):
+        s = F.split("w", " ")
+        pairs = (
+            cur.select(
+                "wcnt",
+                F.explode(
+                    F.when(
+                        F.size(s) >= 2,
+                        F.transform(
+                            F.sequence(F.lit(1), F.size(s) - 1),
+                            lambda i: F.struct(
+                                F.element_at(s, i).alias("l"),
+                                F.element_at(s, i + 1).alias("r"),
+                            ),
+                        ),
+                    ).otherwise(
+                        F.array().cast("array<struct<l:string,r:string>>")
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("wcnt").alias("cnt"))
+        )
+        top = pairs.orderBy(F.desc("cnt"), "l", "r").limit(1).collect()
+        if not top:
+            break
+        l, r, cnt = top[0].l, top[0].r, int(top[0].cnt)
+        merges.append((rank, l, r, l + r, cnt))
+        pat, rep = F.lit(f" {l} {r} "), F.lit(f" {l}{r} ")
+        wrapped = F.concat(F.lit(" "), F.col("w"), F.lit(" "))
+        rewritten = F.replace(F.replace(wrapped, pat, rep), pat, rep)
+        cur = cur.select(F.trim(rewritten).alias("w"), "wcnt")
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, sym_left string, sym_right string, "
+        "merged string, n_occurrences long",
+    )

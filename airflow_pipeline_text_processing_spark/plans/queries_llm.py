@@ -748,6 +748,68 @@ ORDER BY doc_id
 """
 
 
+BPE_K = 4
+
+
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-engine BPE merge training (operators/text.py::bpe_train_merges):
+    the first 4 byte-pair merges learned from the documents corpus --
+    iterative pair counting over the frequency-weighted distinct-word
+    relation with a deterministic (count desc, pair asc) adoption rule.
+    The oracle unrolls the same 4 rounds as chained CTEs, including the
+    two-pass space-delimited rewrite whose left-to-right non-overlap
+    semantics both engines share."""
+    return T.bpe_train_merges(
+        _t(spark, sf_dir, "documents"), k=BPE_K
+    ).orderBy("merge_rank")
+
+
+def _bpe_train_sql(k: int = BPE_K) -> str:
+    parts = [
+        f"""WITH w0 AS (
+  SELECT array_to_string(
+           [substr(word, i, 1) FOR i IN generate_series(1, length(word))],
+           ' ') AS w,
+         wcnt
+  FROM (
+    SELECT word, COUNT(*) AS wcnt
+    FROM (SELECT UNNEST({TOKS_SQL}) AS word FROM documents)
+    GROUP BY word
+  )
+)"""
+    ]
+    for i in range(k):
+        parts.append(f"""p{i} AS (
+  SELECT pr.l AS l, pr.r AS r, CAST(SUM(wcnt) AS BIGINT) AS cnt
+  FROM (
+    SELECT wcnt,
+           UNNEST([{{'l': s[j], 'r': s[j+1]}}
+                   FOR j IN generate_series(1, len(s) - 1)]) AS pr
+    FROM (SELECT string_split(w, ' ') AS s, wcnt FROM w{i})
+  )
+  GROUP BY pr.l, pr.r
+)""")
+        parts.append(
+            f"t{i} AS (SELECT l, r, cnt FROM p{i} "
+            f"ORDER BY cnt DESC, l, r LIMIT 1)"
+        )
+        if i < k - 1:
+            parts.append(f"""w{i + 1} AS (
+  SELECT trim(replace(replace(' ' || w.w || ' ',
+                ' ' || t.l || ' ' || t.r || ' ', ' ' || t.l || t.r || ' '),
+                ' ' || t.l || ' ' || t.r || ' ', ' ' || t.l || t.r || ' '))
+           AS w,
+         w.wcnt
+  FROM w{i} w, t{i} t
+)""")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {i + 1} AS merge_rank, l AS sym_left, r AS sym_right, "
+        f"l || r AS merged, cnt AS n_occurrences FROM t{i}"
+        for i in range(k)
+    )
+    return ",\n".join(parts) + f"\n{unions}\nORDER BY merge_rank"
+
+
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.lang_id(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
@@ -968,6 +1030,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "text_bm25_search": (text_bm25_search, _bm25_sql()),
     "text_quality_score": (text_quality_score, QUALITY_SQL),
     "text_repetition_signals": (text_repetition_signals, REPETITION_SQL),
+    "text_bpe_train": (text_bpe_train, _bpe_train_sql()),
     "text_lang_id": (text_lang_id, LANG_SQL),
     "text_fingerprint": (text_fingerprint, FINGERPRINT_SQL),
     "mm_binary_stats": (mm_binary_stats, MM_STATS_SQL),

@@ -867,3 +867,30 @@ def test_resize_images_real_pnm_and_quarantine(spark):
 
     bad = out[2]
     assert bad.payload is None and bad.err and "ValueError" in bad.err
+
+
+def test_bpe_train_merges_learns_classic_sequence(spark):
+    """The Sennrich toy corpus learns the expected merge sequence with
+    deterministic tiebreaks, and counts are frequency-weighted (word
+    occurrences, not distinct words)."""
+    from airflow_pipeline_text_processing_spark.operators.text import (
+        bpe_train_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low low"), (2, "newer newest new")],
+        "doc_id long, text string",
+    )
+    got = [
+        (r.merge_rank, r.sym_left, r.sym_right, r.merged, r.n_occurrences)
+        for r in bpe_train_merges(docs, k=4).collect()
+    ]
+    # 'lo' appears in low x3, lower, lowest -> 5 weighted occurrences;
+    # after (l,o) and (lo,w), 'ew' (newer, newest, new) wins over
+    # tie-broken alternatives, then merges with 'n'
+    assert got == [
+        (1, "l", "o", "lo", 5),
+        (2, "lo", "w", "low", 5),
+        (3, "e", "w", "ew", 3),
+        (4, "n", "ew", "new", 3),
+    ]

@@ -128,6 +128,7 @@ _ORDER = [
     "text_token_stats",
     "text_top_terms",
     "text_bpe_train",
+    "text_bpe_encode",
     "text_lang_id",
     "text_fingerprint",
     "text_tfidf_top_terms",

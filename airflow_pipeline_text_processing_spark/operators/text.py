@@ -490,3 +490,30 @@ def bpe_train_merges(
         "merge_rank int, sym_left string, sym_right string, "
         "merged string, n_occurrences long",
     )
+
+
+def bpe_segment_words(
+    words: DataFrame, merges: Sequence[tuple], word_col: str = "word"
+) -> DataFrame:
+    """Apply an ordered BPE merge list to a word relation: returns
+    ``(word_col, symbols, n_symbols)`` where ``symbols`` is the
+    space-joined segmentation after every merge is applied in rank order.
+
+    The merges are plan LITERALS (a trained tokenizer's vocab), so the
+    whole application is a chain of 2k literal ``replace`` passes inside
+    one narrow codegen stage -- encode-with-trained-vocab costs one
+    projection over the distinct-word relation, then a broadcast join
+    back onto the corpus.  Same two-pass-per-merge rewrite semantics as
+    training (see ``bpe_train_merges``)."""
+    w = F.concat(
+        F.lit(" "), F.array_join(F.split(F.col(word_col), ""), " "), F.lit(" ")
+    )
+    for l, r in merges:
+        pat, rep = F.lit(f" {l} {r} "), F.lit(f" {l}{r} ")
+        w = F.replace(F.replace(w, pat, rep), pat, rep)
+    sym = F.trim(w)
+    return words.select(
+        word_col,
+        sym.alias("symbols"),
+        F.size(F.split(sym, " ")).cast("long").alias("n_symbols"),
+    )

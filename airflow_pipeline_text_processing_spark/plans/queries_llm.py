@@ -764,10 +764,15 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("merge_rank")
 
 
-def _bpe_train_sql(k: int = BPE_K) -> str:
+def _bpe_chain_ctes(k: int, last_rewrite: bool = False) -> str:
+    """The shared k-round BPE CTE chain: w0..w{k}, p{i} pair counts, t{i}
+    adopted merges.  ``last_rewrite=True`` also materializes w{k} (the
+    fully-segmented vocabulary the encode query joins against; training
+    alone stops at t{k-1})."""
     parts = [
         f"""WITH w0 AS (
-  SELECT array_to_string(
+  SELECT word,
+         array_to_string(
            [substr(word, i, 1) FOR i IN generate_series(1, length(word))],
            ' ') AS w,
          wcnt
@@ -793,21 +798,64 @@ def _bpe_train_sql(k: int = BPE_K) -> str:
             f"t{i} AS (SELECT l, r, cnt FROM p{i} "
             f"ORDER BY cnt DESC, l, r LIMIT 1)"
         )
-        if i < k - 1:
+        if i < k - 1 or last_rewrite:
             parts.append(f"""w{i + 1} AS (
-  SELECT trim(replace(replace(' ' || w.w || ' ',
+  SELECT w.word,
+         trim(replace(replace(' ' || w.w || ' ',
                 ' ' || t.l || ' ' || t.r || ' ', ' ' || t.l || t.r || ' '),
                 ' ' || t.l || ' ' || t.r || ' ', ' ' || t.l || t.r || ' '))
            AS w,
          w.wcnt
   FROM w{i} w, t{i} t
 )""")
+    return ",\n".join(parts)
+
+
+def _bpe_train_sql(k: int = BPE_K) -> str:
     unions = "\nUNION ALL\n".join(
         f"SELECT {i + 1} AS merge_rank, l AS sym_left, r AS sym_right, "
         f"l || r AS merged, cnt AS n_occurrences FROM t{i}"
         for i in range(k)
     )
-    return ",\n".join(parts) + f"\n{unions}\nORDER BY merge_rank"
+    return _bpe_chain_ctes(k) + f"\n{unions}\nORDER BY merge_rank"
+
+
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode with the trained tokenizer (operators/text.py::
+    bpe_segment_words): train the 4 merges, apply them to the
+    distinct-word relation as literal rewrites, broadcast-join back onto
+    the corpus, and emit per-document BPE symbol counts.  Train + apply
+    is the full tokenizer loop a data pipeline runs before packing."""
+    docs = _t(spark, sf_dir, "documents")
+    merges = [
+        (r.sym_left, r.sym_right)
+        for r in T.bpe_train_merges(docs, k=BPE_K).collect()
+    ]
+    words = docs.select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("word")
+    )
+    vocab = T.bpe_segment_words(words.select("word").distinct(), merges)
+    return (
+        words.join(F.broadcast(vocab), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_symbols").alias("n_bpe_symbols"),
+            F.count("*").alias("n_words"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bpe_encode_sql(k: int = BPE_K) -> str:
+    return _bpe_chain_ctes(k, last_rewrite=True) + f""",
+docw AS (SELECT doc_id, UNNEST({TOKS_SQL}) AS word FROM documents)
+SELECT d.doc_id,
+       CAST(SUM(len(string_split(v.w, ' '))) AS BIGINT) AS n_bpe_symbols,
+       COUNT(*) AS n_words
+FROM docw d JOIN w{k} v ON v.word = d.word
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+"""
 
 
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1031,6 +1079,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "text_quality_score": (text_quality_score, QUALITY_SQL),
     "text_repetition_signals": (text_repetition_signals, REPETITION_SQL),
     "text_bpe_train": (text_bpe_train, _bpe_train_sql()),
+    "text_bpe_encode": (text_bpe_encode, _bpe_encode_sql()),
     "text_lang_id": (text_lang_id, LANG_SQL),
     "text_fingerprint": (text_fingerprint, FINGERPRINT_SQL),
     "mm_binary_stats": (mm_binary_stats, MM_STATS_SQL),

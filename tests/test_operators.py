@@ -894,3 +894,21 @@ def test_bpe_train_merges_learns_classic_sequence(spark):
         (3, "e", "w", "ew", 3),
         (4, "n", "ew", "new", 3),
     ]
+
+
+def test_bpe_segment_words_applies_merges_in_order(spark):
+    from airflow_pipeline_text_processing_spark.operators.text import (
+        bpe_segment_words,
+    )
+
+    words = spark.createDataFrame(
+        [("lowest",), ("low",), ("x",)], "word string"
+    )
+    merges = [("l", "o"), ("lo", "w"), ("e", "s")]
+    got = {
+        r.word: (r.symbols, r.n_symbols)
+        for r in bpe_segment_words(words, merges).collect()
+    }
+    assert got["low"] == ("low", 1)
+    assert got["lowest"] == ("low es t", 3)
+    assert got["x"] == ("x", 1)

@@ -107,6 +107,7 @@ _ORDER = [
     "agg_rollup_priority_year",
     "agg_supplier_part_stats",
     "percentile_value_by_type",
+    "agg_value_histogram",
     "window_running_customer_spend",
     "window_follow_stats",
     "sort_global_topk_orders",

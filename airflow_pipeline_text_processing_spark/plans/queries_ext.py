@@ -1216,6 +1216,53 @@ FROM c ORDER BY doc_id
 
 
 
+def agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width distribution histogram per group: event values bucketed
+    into 10 integer-cents-wide bins (floor division -- no width_bucket,
+    whose open-interval edge rules differ subtly across engines), plus
+    each bin's share in exact per-mille (integer cross-product, not a
+    rounded ratio).  One map-side-combinable aggregation; the profiling
+    companion to ``profile_table``."""
+    ev = _t(spark, sf_dir, "events")
+    cents = _cents(F.col("value"))
+    bucket = F.least(
+        F.greatest(F.floor(cents / 1000).cast("long"), F.lit(0)), F.lit(9)
+    )
+    hist = (
+        ev.groupBy(F.col("event_type"), bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"))
+    )
+    totals = hist.groupBy("event_type").agg(F.sum("n").alias("n_total"))
+    return (
+        hist.join(F.broadcast(totals), "event_type")
+        .select(
+            "event_type",
+            "bucket",
+            "n",
+            F.floor(F.col("n") * 1000 / F.col("n_total")).cast("long").alias(
+                "per_mille"
+            ),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+HISTOGRAM_SQL = """
+WITH h AS (
+  SELECT event_type,
+         LEAST(GREATEST(CAST(FLOOR(CAST(FLOOR("value"*100) AS BIGINT) / 1000.0)
+                        AS BIGINT), 0), 9) AS bucket,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+t AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_total FROM h GROUP BY 1)
+SELECT h.event_type, h.bucket, h.n,
+       CAST(FLOOR(h.n * 1000.0 / t.n_total) AS BIGINT) AS per_mille
+FROM h JOIN t ON t.event_type = h.event_type
+ORDER BY h.event_type, h.bucket
+"""
+
+
 def events_resample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series resample with gap filling: a dense daily spine per
     event type (built with ``sequence`` over the observed date range --
@@ -2264,6 +2311,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "sketch_cms_heavy_hitters": (sketch_cms_heavy_hitters, CMS_SQL),
     "stats_linear_trend": (stats_linear_trend, LINEAR_TREND_SQL),
     "events_resample_daily": (events_resample_daily, RESAMPLE_SQL),
+    "agg_value_histogram": (agg_value_histogram, HISTOGRAM_SQL),
     "orc_xml_roundtrip_part": (orc_xml_roundtrip_part, ORC_XML_SQL),
     "events_sliding_windows": (events_sliding_windows, SLIDING_SQL),
     "map_scalar_showcase": (map_scalar_showcase, MAP_SCALAR_SQL),

@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "dedup_remove_repeated",
     "text_repetition_signals",
     "curation_full_set",
+    "text_bpe_train",
+    "text_bpe_encode",
 ]
 
 

@@ -408,3 +408,45 @@ def test_repeated_spans_single_window_no_pair_join(spark):
     ) == 1
     # span assembly is the lag/sum window partitioned by doc
     assert "Window" in plan
+
+
+def test_resample_spine_is_generated_not_shuffled(spark):
+    """The daily spine must come from a generated sequence over a
+    broadcast one-row bounds relation -- never a shuffle of event data --
+    and the daily aggregates must broadcast onto it."""
+    from airflow_pipeline_text_processing_spark.plans.queries_ext import (
+        events_resample_daily,
+    )
+
+    plan = plan_of(events_resample_daily(spark, SF_DIR), mode="simple")
+    # the only joins: bounds constant-carrier + broadcast of the daily agg
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "Window" in plan  # the per-type carry-forward
+
+
+def test_stats_trend_is_two_level_aggregation(spark):
+    """Exact-moment regression: one partial+final agg to daily totals,
+    one to the moments -- no window, no join, no driver loop."""
+    from airflow_pipeline_text_processing_spark.plans.queries_ext import (
+        stats_linear_trend,
+    )
+
+    plan = plan_of(stats_linear_trend(spark, SF_DIR), mode="simple")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_cms_sketch_broadcasts_onto_probes(spark):
+    """The CMS probe path must broadcast the bounded sketch relation --
+    the probe join never shuffles at sketch size, which is what makes
+    point queries cheap against a sketch built over any corpus size."""
+    from airflow_pipeline_text_processing_spark.plans.queries_ext import (
+        sketch_cms_heavy_hitters,
+    )
+
+    plan = plan_of(sketch_cms_heavy_hitters(spark, SF_DIR), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

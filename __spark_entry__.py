@@ -26,79 +26,85 @@ _MERGED = {**_CORE, **_LLM, **_EXT}
 # fully declared: the local gate (tools/check_oracle.py) checks all of them.
 _ORDER = [
     # ============== DRIVER WINDOW (first 50 -- graded this round) =========
-    # Rotation contract (see README "Grading window"): r1-r3 driver-graded
-    # 50 distinct entries green; this round rotates every never-graded
-    # entry into the window.  Every displaced entry already has a green
-    # CORRECTNESS_r03 row and stays under tools/check_oracle.py locally.
-    # -- core relational (q1/q3, semi, full-outer graded r3) --------------
+    # Rotation contract (see README "Grading window"): rounds 1-4 have
+    # driver-graded 79 distinct entries green.  This round rotates the 12
+    # r4-built entries that have never earned a driver row into the window
+    # (completing "every query driver-graded at least once": 91/91), each
+    # displaced entry keeps an in-window sibling covering its category and
+    # a green CORRECTNESS_r03/r04 row, and stays under the exact-equality
+    # local gate (tools/check_oracle.py).
+    # -- core relational joins --------------------------------------------
     "q5_nation_volume",
     "join_anti_idle_customers",
     "join_asof_last_click",
     "join_range_error_window",
     "bucketed_join_order_totals",
-    # -- aggregation forms (rollup/percentile graded r3; cube new here) ---
+    # -- aggregation forms (pivot/grouping-sets graded r4; histogram new) -
     "agg_cube_priority_status",
-    "pivot_segment_year",
     "agg_salted_hot_keys",
-    "sql_grouping_sets",
     "sql_correlated_above_avg",
-    # -- windows ----------------------------------------------------------
+    "agg_value_histogram",
+    # -- windows (frames showcase graded r4) ------------------------------
     "window_top_orders_per_customer",
-    "window_frames_showcase",
-    # -- scalar families (str/json carried; date/array graded r3) ---------
+    "window_follow_stats",
+    # -- scalar families --------------------------------------------------
     "str_scalar_showcase",
     "map_scalar_showcase",
     "json_props_extract",
-    # -- event time / sources (sessionize/csv graded r3) ------------------
+    # -- event time / sampling (sessionize r3; sliding/json r4) -----------
     "events_sliding_windows",
     "json_roundtrip_events",
-    # -- codec (chunk_stats graded r3) ------------------------------------
+    "events_resample_daily",
+    "sample_stratified_events",
+    # -- sources (csv graded r3) ------------------------------------------
+    "orc_xml_roundtrip_part",
+    # -- codec ------------------------------------------------------------
     "reassembly_ordered_chunks",
     "codec_roundtrip_count",
     "codec_repair_stats",
-    # -- structured streaming (hourly/stateful graded r3) -----------------
-    "stream_static_enrich",
+    # -- structured streaming (enrich/dedup_users graded r4; hourly/
+    #    stateful r3; one dedup variant kept in-window) -------------------
     "stream_stream_join_pairs",
     "stream_session_windows",
-    "stream_dedup_users",
     "stream_dedup_watermarked",
-    # -- dedup family (ngram/simhash graded r3) ---------------------------
+    # -- dedup family (ngram/simhash graded r3; remove_repeated new) ------
     "dedup_exact_groups",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "dedup_clusters",
     "dedup_incremental_lsh",
     "dedup_subdoc_spans",
+    "dedup_remove_repeated",
     "text_decontaminate",
     "curation_snapshot_diff",
     # -- similarity / embeddings (brute-force graded r3) ------------------
     "sim_ivf_topk",
     "sim_lsh_bucketed",
     "embed_quantize_int8",
-    # -- sketches ---------------------------------------------------------
+    # -- sketches (hll/quantiles graded r4; cms new) ----------------------
     "sketch_kmv_distinct",
-    "sketch_hll_distinct",
-    "sketch_quantiles",
-    # -- text analysis (lang_id/fingerprint/tfidf graded r3) --------------
-    "text_bpe_token_stats",
-    "text_quality_score",
+    "sketch_cms_heavy_hitters",
+    # -- statistics (new) -------------------------------------------------
+    "stats_linear_trend",
+    # -- text analysis (token_stats/quality/pii graded r3-r4;
+    #    bpe train/encode + chunk_windows new) ----------------------------
     "text_repetition_signals",
     "text_bm25_search",
-    "text_pii_scrub",
     "text_pack_sequences",
-    # -- multimodal / curation / data quality -----------------------------
+    "text_bpe_train",
+    "text_bpe_encode",
+    "text_chunk_windows",
+    # -- multimodal / data quality / curation (training/packed graded r4;
+    #    full_set subsumes both and is new) -------------------------------
     "mm_binary_stats",
     "profile_documents",
     "dq_events_expectations",
-    "curation_training_set",
-    "curation_packed_set",
+    "curation_full_set",
     # ==== driver window boundary (position 50) ===========================
-    # Everything below is exact-equality checked by tools/check_oracle.py;
-    # most have a green driver row from r1-r3 or an in-window category
-    # sibling.  New r4 overflow entries (dedup_remove_repeated,
-    # sketch_cms_heavy_hitters, stats_linear_trend, curation_full_set,
-    # events_resample_daily) are local-gate-only this round -- rotate them
-    # into the window in round 5 per the README contract.
+    # Everything below is exact-equality checked by tools/check_oracle.py
+    # and has a green driver row from r1-r4 plus an in-window category
+    # sibling.  New r5 queries join here and rotate into the window next
+    # round if any never-graded entries remain.
     "q1_pricing_summary",
     "q3_shipping_priority",
     "join_semi_active_customers",
@@ -107,37 +113,38 @@ _ORDER = [
     "agg_rollup_priority_year",
     "agg_supplier_part_stats",
     "percentile_value_by_type",
-    "agg_value_histogram",
+    "pivot_segment_year",
+    "sql_grouping_sets",
     "window_running_customer_spend",
-    "window_follow_stats",
+    "window_frames_showcase",
     "sort_global_topk_orders",
     "set_ops_customer_cohorts",
     "date_scalar_showcase",
     "array_scalar_showcase",
     "events_sessionize",
     "events_hourly_rollup",
-    "events_resample_daily",
     "csv_roundtrip_nation_region",
-    "orc_xml_roundtrip_part",
     "codec_chunk_stats",
+    "stream_static_enrich",
+    "stream_dedup_users",
     "stream_hourly_watermarked",
     "stream_stateful_user_totals",
     "dedup_ngram_jaccard",
-    "dedup_remove_repeated",
     "dedup_simhash",
     "sim_topk_bruteforce",
+    "sim_lsh_multitable",
     "text_token_stats",
     "text_top_terms",
-    "text_bpe_train",
-    "text_bpe_encode",
+    "text_bpe_token_stats",
+    "text_quality_score",
+    "text_pii_scrub",
     "text_lang_id",
     "text_fingerprint",
     "text_tfidf_top_terms",
-    "text_chunk_windows",
-    "sample_stratified_events",
-    "sketch_cms_heavy_hitters",
-    "stats_linear_trend",
-    "curation_full_set",
+    "sketch_hll_distinct",
+    "sketch_quantiles",
+    "curation_training_set",
+    "curation_packed_set",
     "mm_feature_extract",
     "mm_frame_sample",
 ]

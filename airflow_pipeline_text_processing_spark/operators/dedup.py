@@ -785,8 +785,19 @@ def positional_shingles(
     dedup unit), this keeps duplicates and positions -- the inverted index
     for SUB-document dedup, where the question is *where* inside each
     document a repeated passage lives.  Narrow 1->N generation per row, no
-    shuffle."""
-    toks = tokens(F.col(text_col))
+    shuffle.
+
+    The token array is materialized behind a projection boundary BEFORE
+    any lambda references it: Catalyst inlines a referenced expression
+    into every higher-order-function iteration, so referencing
+    ``tokens(text)`` directly inside the per-shingle ``F.slice`` would
+    retokenize the document once per shingle -- O(tokens^2) per doc (the
+    trap measured at 6x on ``repetition_signals``; same fix as
+    ``text.py`` ``_toks`` pattern)."""
+    materialized = docs.select(
+        "doc_id", tokens(F.col(text_col)).alias("_toks")
+    )
+    toks = F.col("_toks")
     empty = F.array().cast("array<struct<pos:int,shingle:string>>")
     pos_sh = F.when(
         F.size(toks) >= n,
@@ -798,7 +809,7 @@ def positional_shingles(
             ),
         ),
     ).otherwise(empty)
-    return docs.select(
+    return materialized.select(
         "doc_id", F.explode(pos_sh).alias("_ps")
     ).select(
         "doc_id",
@@ -883,7 +894,14 @@ def remove_spans(
     to the corpus -- it only has rows for flagged docs), and the excision
     is a narrow per-row expression over the token array: keep token at
     position p iff no span covers p.  O(tokens x spans-per-doc) per row,
-    no extra shuffle beyond the one equi-join."""
+    no extra shuffle beyond the one equi-join.
+
+    The token array is materialized as a real column before the lambdas
+    reference it (projection boundary): otherwise Catalyst inlines the
+    ``tokens(text)`` expression into every ``F.try_element_at``/``F.size``
+    call inside the per-position lambda and retokenizes the document per
+    token -- O(tokens^2) per doc (same ``_toks`` fix as
+    ``repetition_signals``)."""
     span_arrays = spans.groupBy("doc_id").agg(
         F.collect_list(
             F.struct(
@@ -892,8 +910,10 @@ def remove_spans(
             )
         ).alias("_spans")
     )
-    toks = tokens(F.col(text_col))
-    joined = docs.join(span_arrays, "doc_id", "left")
+    toks = F.col("_toks")
+    joined = docs.withColumn("_toks", tokens(F.col(text_col))).join(
+        span_arrays, "doc_id", "left"
+    )
     kept = F.filter(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1))),

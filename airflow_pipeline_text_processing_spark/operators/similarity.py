@@ -201,6 +201,89 @@ def hyperplane_signatures(
     )
 
 
+def hyperplane_signatures_multi(
+    vectors: DataFrame,
+    num_planes: int = 8,
+    num_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``num_tables`` independent hyperplane signature families per vector:
+    ``(vid, table, bucket)`` -- the OR-amplification side of LSH.
+
+    A single signature table ANDs ``num_planes`` hyperplane bits, so pair
+    recall is ``p^b`` (p = per-plane collision probability, ``1 - theta/pi``)
+    -- measured on the near-uniform test embeddings this collapses from
+    0.305 at b=2 to 0.0 at b=8.  L independent tables recover it:
+    a true neighbor is found if ANY table collides, ``1 - (1 - p^b)^L``
+    (Indyk & Motwani 1998; the e2LSH / FAISS multi-table construction).
+
+    Table t's hyperplane family salts the weight hash with ``t{t}~`` (table
+    0 uses the empty salt, so its buckets are bit-identical to
+    ``hyperplane_signatures`` -- single-table callers and their oracles are
+    unaffected).  All L signatures compute in ONE pass: the component
+    explode adds a ``table`` axis (rows = dim x planes x tables per vector),
+    one map-side-combinable groupBy forms the bits, one more packs buckets.
+    """
+    comp = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(F.col(vec_col)).alias("d", "x"),
+    ).select(
+        "vid",
+        "d",
+        "x",
+        F.explode(F.sequence(F.lit(0), F.lit(num_planes - 1))).alias("plane"),
+    ).select(
+        "vid",
+        "d",
+        "x",
+        "plane",
+        F.explode(F.sequence(F.lit(0), F.lit(num_tables - 1))).alias("table"),
+    )
+    seed = F.when(F.col("table") == 0, F.lit("")).otherwise(
+        F.concat(F.lit("t"), F.col("table").cast("string"), F.lit("~"))
+    )
+    weight = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(
+                F.md5(
+                    F.concat(
+                        seed,
+                        F.col("plane").cast("string"),
+                        F.lit("_"),
+                        F.col("d").cast("string"),
+                    )
+                ),
+                1,
+                1,
+            ),
+        ).cast("double")
+        - 1
+        - 7.5
+    )
+    proj = comp.select(
+        "vid",
+        "table",
+        "plane",
+        F.floor(F.col("x").cast("double") * weight * F.lit(DOT_SCALE))
+        .cast("long")
+        .alias("contrib"),
+    )
+    bits = proj.groupBy("vid", "table", "plane").agg(
+        (F.sum("contrib") > 0).cast("int").alias("bit")
+    )
+    return bits.groupBy("vid", "table").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("plane", "bit"))),
+                lambda c: c["bit"].cast("string"),
+            ),
+            "",
+        ).alias("bucket")
+    )
+
+
 def ivf_centroids(
     candidates: DataFrame,
     num_centroids: int = 8,
@@ -361,16 +444,37 @@ def lsh_topk(
     candidates: DataFrame,
     k: int = 3,
     num_planes: int = 8,
+    num_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: exact cosine ranking within the query's LSH bucket.
+    """Approximate top-k: exact cosine ranking within the query's LSH
+    bucket(s).
 
     Query and candidate signatures are computed independently from the same
     deterministic hyperplane family, so buckets are comparable and a query
     vector need NOT be present in the candidate set to be ranked (round-1
     ADVICE: the earlier formulation joined queries onto candidate signatures
-    by id, silently dropping external queries)."""
+    by id, silently dropping external queries).
+
+    ``num_tables > 1`` switches on OR-amplification (see
+    ``hyperplane_signatures_multi``): candidates are ranked if they share a
+    bucket in ANY of the L tables, pair recall ``1 - (1 - p^b)^L``.
+    Measured recall@10 vs brute force on the 500-vector near-uniform test
+    embeddings at b=4 planes: L=1 -> 0.09, L=4 -> 0.39, L=8 -> 0.64,
+    L=16 -> 0.87 (see ``tests/test_operators.py::test_lsh_recall``) --
+    the recall/cost dial a real deployment turns, where single-table
+    recall silently collapses as b grows (0.305 at b=2 -> 0.0 at b=8).
+    Output schema swaps ``bucket`` for ``n_tables_hit`` (the collision
+    count, a per-pair confidence signal).  Plan shape at scale: the
+    (table, bucket) equi-join never materializes the all-pairs product,
+    and each pair is deduplicated by a map-side-combinable count BEFORE
+    the exact-cosine rerank, so a pair colliding in many tables is
+    scored once."""
+    if num_tables > 1:
+        return _lsh_topk_multi(
+            queries, candidates, k, num_planes, num_tables, id_col, vec_col
+        )
     dim = infer_dim(candidates, vec_col)
     cand_sigs = hyperplane_signatures(candidates, num_planes, id_col, vec_col)
     query_sigs = hyperplane_signatures(queries, num_planes, id_col, vec_col)
@@ -396,6 +500,70 @@ def lsh_topk(
             "query_id",
             "bucket",
             "neighbor_id",
+            cosine_from_norms(
+                F.col("qvec"), F.col("cvec"), F.col("qnorm"), F.col("cnorm"), dim
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def _lsh_topk_multi(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    num_planes: int,
+    num_tables: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Multi-table body of ``lsh_topk`` (``num_tables > 1``): collect the
+    distinct candidate set across L tables, then exact-rerank once."""
+    dim = infer_dim(candidates, vec_col)
+    cand_sigs = hyperplane_signatures_multi(
+        candidates, num_planes, num_tables, id_col, vec_col
+    )
+    query_sigs = hyperplane_signatures_multi(
+        queries, num_planes, num_tables, id_col, vec_col
+    )
+    pairs = (
+        query_sigs.select(
+            F.col("vid").alias("query_id"), "table", "bucket"
+        )
+        .join(
+            cand_sigs.select(
+                F.col("vid").alias("neighbor_id"), "table", "bucket"
+            ),
+            ["table", "bucket"],
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.count("*").alias("n_tables_hit"))
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        scaled_norm2(F.col(vec_col), dim).alias("qnorm"),
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        scaled_norm2(F.col(vec_col), dim).alias("cnorm"),
+    )
+    scored = (
+        pairs.join(q, "query_id")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "n_tables_hit",
             cosine_from_norms(
                 F.col("qvec"), F.col("cvec"), F.col("qnorm"), F.col("cnorm"), dim
             ).alias("cosine"),

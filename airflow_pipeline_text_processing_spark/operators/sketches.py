@@ -189,16 +189,10 @@ def cms_table(
         F.col(item_col).cast("string").alias("item"),
         F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
     )
-    # 13 hex digits = 52 bits: exact BIGINT, same truncation rule as KMV
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("d").cast("string"), F.lit("|"), F.col("item"))),
-                1, 13,
-            ),
-            16, 10,
-        ).cast("long") % width
-    )
+    # build and probe MUST hash identically -- _cms_bucket is the single
+    # definition both sides share (a drifted copy would write counters the
+    # probe never reads, silently breaking never-undercount)
+    bucket = _cms_bucket(width)
     return (
         rows.select("g", "d", bucket.alias("bucket"))
         .groupBy("g", "d", "bucket")

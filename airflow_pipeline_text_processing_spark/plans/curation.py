@@ -191,9 +191,17 @@ def curate_full(
     # persistence the whole upstream subtree re-executes per consumer --
     # measured 2.3x on this composition at sf0.1.  At cluster scale the
     # same boundaries would be checkpoints/tables between pipeline stages.
-    deduped = exact_dedup(docs.select("doc_id", text_col), text_col).persist()
+    # Lazy localCheckpoint, not persist(): this function returns a lazy
+    # DataFrame, so an explicit unpersist() has nowhere to live, and a
+    # registry session running many queries would otherwise carry these
+    # cached blocks for its lifetime.  localCheckpoint blocks are released
+    # by the ContextCleaner when the DataFrame is garbage-collected (same
+    # rationale as curate()'s persist_intermediate path above).
+    deduped = exact_dedup(
+        docs.select("doc_id", text_col), text_col
+    ).localCheckpoint(eager=False)
     spans = repeated_spans(deduped, text_col, n=span_n, min_count=2)
-    excised = remove_spans(deduped, spans, text_col).persist()
+    excised = remove_spans(deduped, spans, text_col).localCheckpoint(eager=False)
     rep = repetition_signals(excised, text_col)
     keep_ids = rep.filter(
         F.col("top_gram_n") * 5 <= F.col("n_grams")

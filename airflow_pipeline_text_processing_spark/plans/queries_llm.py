@@ -514,6 +514,74 @@ ORDER BY query_id, rank
 """
 
 
+def sim_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-amplified LSH top-k: 4 independent hyperplane families of 4
+    planes each; a candidate is ranked if it shares a bucket in ANY
+    table (recall 1-(1-p^b)^L vs the single-table p^b, measured
+    0.09 -> 0.39 recall@10 at these parameters -- see
+    ``operators/similarity.py::lsh_topk``).  ``n_tables_hit`` is the
+    per-pair collision count, a confidence signal."""
+    vecs = _t(spark, sf_dir, "embeddings")
+    return S.lsh_topk(
+        vecs.filter(F.col("vec_id") < 10), vecs, k=3, num_planes=4,
+        num_tables=4,
+    )
+
+
+SIM_LSH_MULTI_SQL = f"""
+WITH comp AS (
+  SELECT vec_id, g.i - 1 AS d, embedding[g.i] AS x
+  FROM embeddings,
+       LATERAL (SELECT UNNEST(generate_series(1, len(embedding))) AS i) g
+),
+proj AS (
+  SELECT vec_id, t.tbl AS tbl, p.plane AS plane,
+         CAST(FLOOR(CAST(x AS DOUBLE)
+              * (strpos('0123456789abcdef',
+                        substring(md5(
+                            (CASE WHEN t.tbl = 0 THEN ''
+                                  ELSE 't' || CAST(t.tbl AS VARCHAR) || '~'
+                             END)
+                            || CAST(p.plane AS VARCHAR) || '_'
+                            || CAST(d AS VARCHAR)), 1, 1)) - 1 - 7.5)
+              * 1000000.0) AS BIGINT) AS contrib
+  FROM comp,
+       LATERAL (SELECT UNNEST(generate_series(0, 3)) AS plane) p,
+       LATERAL (SELECT UNNEST(generate_series(0, 3)) AS tbl) t
+),
+bits AS (
+  SELECT vec_id, tbl, plane,
+         CASE WHEN SUM(contrib) > 0 THEN 1 ELSE 0 END AS bit
+  FROM proj GROUP BY vec_id, tbl, plane
+),
+sigs AS (
+  SELECT vec_id, tbl,
+         string_agg(CAST(bit AS VARCHAR), '' ORDER BY plane) AS bucket
+  FROM bits GROUP BY vec_id, tbl
+),
+pairs AS (
+  SELECT sq.vec_id AS query_id, sc.vec_id AS neighbor_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tables_hit
+  FROM sigs sq
+  JOIN sigs sc ON sc.tbl = sq.tbl AND sc.bucket = sq.bucket
+  WHERE sq.vec_id < 10 AND sc.vec_id != sq.vec_id
+  GROUP BY sq.vec_id, sc.vec_id
+)
+SELECT query_id, neighbor_id, n_tables_hit, cosine, rank FROM (
+  SELECT p.query_id, p.neighbor_id, p.n_tables_hit,
+         {_sql_cosine('q.embedding', 'c.embedding')} AS cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.query_id
+           ORDER BY {_sql_cosine('q.embedding', 'c.embedding')} DESC,
+                    p.neighbor_id) AS rank
+  FROM pairs p
+  JOIN embeddings q ON q.vec_id = p.query_id
+  JOIN embeddings c ON c.vec_id = p.neighbor_id
+) WHERE rank <= 3
+ORDER BY query_id, rank
+"""
+
+
 # =====================================================================
 # Text analysis
 # =====================================================================
@@ -723,9 +791,14 @@ lined AS (
   FROM ml
 ),
 stats AS (
+  -- filter empty strings like the Spark side (repetition_signals drops
+  -- trimmed-empty lines): a zero-token doc builds lines2 = ['',''] here,
+  -- which must count as 0 lines, not 2 lines with 1 dup
   SELECT doc_id,
-         CAST(len(lines2) AS BIGINT) AS n_lines,
-         CAST(len(lines2) - len(list_distinct(lines2)) AS BIGINT)
+         CAST(len(list_filter(lines2, x -> x <> '')) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(lines2, x -> x <> ''))
+              - len(list_distinct(list_filter(lines2, x -> x <> '')))
+              AS BIGINT)
            AS n_dup_lines,
          [array_to_string(tk2[i:i+1], ' ')
           FOR i IN generate_series(1, len(tk2) - 1)] AS grams
@@ -1072,6 +1145,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "sim_topk_bruteforce": (sim_topk_bruteforce, SIM_TOPK_SQL),
     "sim_ivf_topk": (sim_ivf_topk, SIM_IVF_SQL),
     "sim_lsh_bucketed": (sim_lsh_bucketed, SIM_LSH_SQL),
+    "sim_lsh_multitable": (sim_lsh_multitable, SIM_LSH_MULTI_SQL),
     "text_token_stats": (text_token_stats, TEXT_TOKENS_SQL),
     "text_bpe_token_stats": (text_bpe_token_stats, TEXT_BPE_SQL),
     "text_top_terms": (text_top_terms, TOP_TERMS_SQL),

@@ -131,6 +131,7 @@ _ORDER = [
     "stream_stateful_user_totals",
     "dedup_ngram_jaccard",
     "dedup_simhash",
+    "dedup_incremental_spans",
     "sim_topk_bruteforce",
     "sim_lsh_multitable",
     "text_token_stats",

@@ -856,6 +856,14 @@ def repeated_spans(
         .select("sh_h")
     )
     hits = ps.join(rep, "sh_h").select("doc_id", "pos")
+    return _spans_from_hits(hits, n)
+
+
+def _spans_from_hits(hits: DataFrame, n: int) -> DataFrame:
+    """Assemble ``(doc_id, pos)`` hit positions into maximal spans: the
+    per-document gaps-and-islands window shared by the batch and
+    incremental span finders (lag + running flag-sum partitioned by
+    doc_id; overlapping or adjacent hits -- gap <= n tokens -- merge)."""
     w = Window.partitionBy("doc_id").orderBy("pos")
     prev = F.lag("pos").over(w)
     new_span = F.when(
@@ -871,6 +879,58 @@ def repeated_spans(
         )
         .drop("_grp")
     )
+
+
+def incremental_repeated_spans(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    text_col: str = "text",
+    n: int = 8,
+    min_count: int = 2,
+    broadcast_new: bool = True,
+) -> DataFrame:
+    """Sub-document span dedup for an INCREMENTAL ingest batch: removal
+    lists ``(doc_id, span_start, span_tokens, n_hits)`` for NEW documents
+    only -- a span is flagged when each of its n-token shingles occurs
+    >= ``min_count`` times across the batch's own occurrences PLUS the
+    established corpus's (so a passage that appears once in the batch but
+    already lives anywhere in the corpus is excised from the new doc, and
+    a passage repeated twice within the batch is caught batch-internally).
+
+    Result-equivalence invariant (asserted in tests): identical to
+    ``repeated_spans(new ++ corpus)`` restricted to new doc_ids, because
+    per-shingle batch+corpus counts sum to the union's counts.  What the
+    incremental form buys at 100 TB is the plan: the corpus contributes
+    ONLY its per-shingle-hash count relation -- computed once when the
+    corpus is established and, in production, read back from parquet
+    (derived inline here so the driver query is self-contained, same
+    convention as ``incremental_minhash_dedup``) -- and with
+    ``broadcast_new`` the batch's distinct-shingle relation broadcasts
+    onto it, so the corpus side is a broadcast-probed scan: never
+    re-shuffled, never re-shingled per batch beyond that one count
+    relation.  Only the (small) batch shuffles per ingest.  Doc ids must
+    be globally unique across both sides."""
+    ps_new = positional_shingles(new_docs, text_col, n).select(
+        "doc_id", "pos", F.substring(F.md5("shingle"), 1, 16).alias("sh_h")
+    )
+    new_counts = ps_new.groupBy("sh_h").agg(F.count("*").alias("_n_new"))
+    corpus_counts = (
+        positional_shingles(corpus_docs, text_col, n)
+        .select(F.substring(F.md5("shingle"), 1, 16).alias("sh_h"))
+        .groupBy("sh_h")
+        .agg(F.count("*").alias("_n_corpus"))
+    )
+    probe = F.broadcast(new_counts) if broadcast_new else new_counts
+    rep = (
+        probe.join(corpus_counts, "sh_h", "left")
+        .filter(
+            F.col("_n_new") + F.coalesce(F.col("_n_corpus"), F.lit(0))
+            >= min_count
+        )
+        .select("sh_h")
+    )
+    hits = ps_new.join(rep, "sh_h").select("doc_id", "pos")
+    return _spans_from_hits(hits, n)
 
 
 def remove_spans(

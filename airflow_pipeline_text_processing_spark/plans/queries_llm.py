@@ -274,6 +274,58 @@ ORDER BY doc_id
 """
 
 
+def dedup_incremental_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental sub-document span dedup
+    (operators/dedup.py::incremental_repeated_spans): the twins
+    (doc_id >= 100000, each an 80% prefix of its source) arrive as the
+    ingest batch against the established original corpus; every twin's
+    prefix already lives in the corpus, so it surfaces as a removal span
+    for the NEW doc only -- the corpus contributes nothing but its
+    per-shingle count relation and is never re-emitted."""
+    from ..operators.dedup import incremental_repeated_spans
+
+    corpus = _planted_docs(spark, sf_dir).filter(F.col("doc_id") < 100000)
+    batch = _planted_docs(spark, sf_dir).filter(F.col("doc_id") >= 100000)
+    return incremental_repeated_spans(batch, corpus, n=8, min_count=2).orderBy(
+        "doc_id", "span_start"
+    )
+
+
+INCREMENTAL_SPANS_SQL = f"""
+WITH corpus AS ({_planted_sql()}),
+toks AS (SELECT doc_id, {TOKS_SQL} AS tk FROM corpus),
+ps AS (
+  SELECT doc_id,
+         UNNEST(generate_series(1, len(tk) - 7)) AS pos,
+         UNNEST([substr(md5(array_to_string(tk[i:i+7], ' ')), 1, 16)
+                 FOR i IN generate_series(1, len(tk) - 7)]) AS shingle
+  FROM toks
+  WHERE len(tk) >= 8
+),
+rep AS (SELECT shingle FROM ps GROUP BY shingle HAVING COUNT(*) >= 2),
+hits AS (
+  SELECT doc_id, pos FROM ps
+  WHERE shingle IN (SELECT shingle FROM rep) AND doc_id >= 100000
+),
+lagged AS (
+  SELECT doc_id, pos,
+         LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM hits
+),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev IS NULL OR pos - prev > 8 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM lagged
+)
+SELECT doc_id, MIN(pos) AS span_start,
+       MAX(pos) - MIN(pos) + 8 AS span_tokens,
+       COUNT(*) AS n_hits
+FROM isl GROUP BY doc_id, grp
+ORDER BY doc_id, span_start
+"""
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # max_df is the shipped scale configuration (posting-list cap); the
     # oracle below mirrors the cap in its candidate CTE so the gate
@@ -1138,6 +1190,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "dedup_exact_groups": (dedup_exact_groups, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_JACCARD_SQL),
     "dedup_subdoc_spans": (dedup_subdoc_spans, SUBDOC_SPANS_SQL),
+    "dedup_incremental_spans": (dedup_incremental_spans, INCREMENTAL_SPANS_SQL),
     "dedup_remove_repeated": (dedup_remove_repeated, REMOVE_SPANS_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),

@@ -781,6 +781,54 @@ def test_repeated_spans_finds_planted_passage(spark):
     assert not any(d == 3 for d, _ in spans)
 
 
+def test_incremental_repeated_spans_matches_batch_and_leaves_corpus(spark):
+    """The incremental span finder must (a) emit spans ONLY for the new
+    batch — the established corpus is never re-emitted — and (b) be
+    result-equivalent to running the batch form over new ++ corpus and
+    restricting to new doc_ids (per-shingle batch+corpus counts sum to
+    the union's counts).  Also: a passage present ONCE in the batch but
+    already in the corpus is excised from the new doc, and a batch-
+    internal repeat is caught without any corpus occurrence."""
+    from airflow_pipeline_text_processing_spark.operators.dedup import (
+        incremental_repeated_spans,
+        repeated_spans,
+    )
+
+    passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [
+            (1, "one two three four five six seven eight nine " + passage),
+            (2, "red orange yellow green blue indigo violet cyan magenta"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            # vs-corpus hit: passage appears once here, once in corpus doc 1
+            (101, passage + " ten eleven twelve thirteen fourteen fifteen"),
+            # batch-internal repeat, no corpus occurrence
+            (102, "lorem ipsum dolor sit amet consectetur adipiscing elit sed "
+                  "tail lorem ipsum dolor sit amet consectetur adipiscing elit sed"),
+            (103, "totally unique words appearing nowhere else at all today"),
+        ],
+        "doc_id long, text string",
+    )
+    inc = incremental_repeated_spans(batch, corpus, n=8, min_count=2)
+    got = {(r.doc_id, r.span_start): r for r in inc.collect()}
+    assert all(d >= 100 for d, _ in got), "corpus doc leaked into output"
+    assert (101, 1) in got and got[(101, 1)].span_tokens == 10
+    assert any(d == 102 for d, _ in got), "batch-internal repeat missed"
+    assert not any(d == 103 for d, _ in got)
+
+    full = repeated_spans(batch.unionAll(corpus), n=8, min_count=2).filter(
+        F.col("doc_id") >= 100
+    )
+    want = {(r.doc_id, r.span_start): (r.span_tokens, r.n_hits)
+            for r in full.collect()}
+    have = {k: (r.span_tokens, r.n_hits) for k, r in got.items()}
+    assert have == want
+
+
 def test_repetition_signals_gopher_rules(spark):
     from airflow_pipeline_text_processing_spark.operators.text import (
         repetition_signals,

@@ -125,14 +125,26 @@ ORDER BY window_start, event_type
 
 def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator executed for real
-    (streaming/windows.py::stateful_user_totals, applyInPandasWithState):
-    running per-user totals, update-mode memory sink.  availableNow drains
-    the source in one micro-batch, so the emitted rows are the final state
-    per user -- batch-checkable against a plain GROUP BY."""
-    from ..streaming.windows import stateful_user_totals
+    (streaming/windows.py): running per-user totals, update-mode memory
+    sink.  availableNow drains the source in one micro-batch, so the
+    emitted rows are the final state per user -- batch-checkable against
+    a plain GROUP BY.
 
+    Uses the Spark 4 ``transformWithStateInPandas`` port
+    (``stateful_user_totals_v2``) when the interpreter has protobuf (the
+    new API's state-server protocol needs it; any real Spark cluster
+    ships it), else the legacy ``applyInPandasWithState`` form -- both
+    are asserted against the same batch ground truth in pytest, so the
+    oracle contract is identical either way."""
+    from ..streaming.windows import (
+        HAS_TWS_PROTOBUF,
+        stateful_user_totals,
+        stateful_user_totals_v2,
+    )
+
+    op = stateful_user_totals_v2 if HAS_TWS_PROTOBUF else stateful_user_totals
     ev = _events_stream(spark, sf_dir)
-    name, _q = _run_to_memory(stateful_user_totals(ev), "update", "user_totals")
+    name, _q = _run_to_memory(op(ev), "update", "user_totals")
     return spark.table(name).orderBy("user_id")
 
 

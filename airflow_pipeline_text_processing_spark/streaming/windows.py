@@ -277,7 +277,12 @@ def stateful_user_totals_with_ttl(events: DataFrame) -> DataFrame:
     and go); a custom stateful operator MUST expire idle state or the
     store grows forever -- this is the ``GroupStateTimeout.
     ProcessingTimeTimeout`` pattern the built-in watermarked aggregations
-    get for free."""
+    get for free.
+
+    LEGACY-API ANCHOR: the ``applyInPandasWithState`` formulation, kept
+    as the correctness reference for the ``transformWithStateInPandas``
+    port below (``stateful_user_totals_with_ttl_v2``), which replaces the
+    hand-rolled timeout plumbing with first-class timers."""
     out = StructType(
         _TOTALS_OUTPUT.fields + [StructField("expired", BooleanType())]
     )
@@ -287,4 +292,176 @@ def stateful_user_totals_with_ttl(events: DataFrame) -> DataFrame:
         stateStructType=_TOTALS_STATE,
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+# ------------------------------------------------ transformWithState (v2)
+#
+# Spark 4's arbitrary-state API (transformWithStateInPandas) replaces the
+# single-tuple GroupState of applyInPandasWithState with named, typed
+# state variables (value/list/map), native per-entry TTL, and first-class
+# timers.  The operators below are the ports of the two custom-state
+# operators above; the legacy forms stay as labeled anchors and both are
+# asserted equal to the same batch ground truth in tests.
+#
+# CAPABILITY GATE: the new API's Python<->JVM state-server protocol is
+# protobuf-encoded (pyspark/sql/streaming/proto/StateMessage_pb2), so it
+# needs the `protobuf` package at RUNTIME -- present on any real Spark
+# cluster (it is a Spark distribution dependency) but not in this test
+# container.  Callers pick the API via HAS_TWS_PROTOBUF; the operators
+# themselves are real, not stubs, and run wherever protobuf exists.
+
+import importlib.util  # noqa: E402
+
+# find_spec on a dotted name raises if the parent package is absent
+HAS_TWS_PROTOBUF = (
+    importlib.util.find_spec("google") is not None
+    and importlib.util.find_spec("google.protobuf") is not None
+)
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    ExpiredTimerInfo,
+    StatefulProcessor,
+    StatefulProcessorHandle,
+    TimerValues,
+)
+
+
+def _accumulate_totals(prev, pdfs) -> tuple:
+    """Shared accumulator body: fold micro-batch rows into the
+    ``(n_events, total_cents, last_event_type)`` triple.  Money stays in
+    integer cents inside the state (order-independent and exact); it is
+    only rendered to double on emit."""
+    n, cents, last = prev
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        pdf = pdf.sort_values("ts")
+        n += len(pdf)
+        cents += int((pdf["value"] * 100 // 1).sum())
+        last = str(pdf["event_type"].iloc[-1])
+    return n, cents, last
+
+
+class _UserTotalsProcessor(StatefulProcessor):
+    """Running per-user totals on the transformWithState API: one named
+    ValueState holds the accumulator triple; every micro-batch emits the
+    updated row for each key seen (update mode)."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._totals = handle.getValueState("totals", _TOTALS_STATE)
+
+    def handleInputRows(
+        self, key: Tuple[Any, ...], rows, timer_values: TimerValues
+    ) -> Iterator[pd.DataFrame]:
+        prev = tuple(self._totals.get()) if self._totals.exists() else (0, 0, None)
+        n, cents, last = _accumulate_totals(prev, rows)
+        self._totals.update((n, cents, last))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [cents / 100.0],
+                "last_event_type": [last],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def stateful_user_totals_v2(events: DataFrame) -> DataFrame:
+    """``stateful_user_totals`` through Spark 4's
+    ``transformWithStateInPandas``: identical emission contract (the
+    update-mode row per user per micro-batch) and identical state content,
+    now held in a named typed ValueState.  Same scale shape as the legacy
+    form -- shuffles by user_id, O(distinct users) state rows -- but on
+    the API that also offers list/map state, native TTL, and timers for
+    richer operators."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        _UserTotalsProcessor(),
+        outputStructType=_TOTALS_OUTPUT,
+        outputMode="update",
+        timeMode="none",
+    )
+
+
+class _UserTotalsTTLProcessor(StatefulProcessor):
+    """TTL variant on the transformWithState API: first-class timers
+    replace the legacy ``setTimeoutDuration`` plumbing.  Each input batch
+    re-arms a processing-time timer (deleting the previous one, tracked in
+    a second ValueState); when the timer fires the final row is emitted
+    ``expired=True`` and both states are cleared -- the GC that keeps
+    custom state bounded under an unbounded key space."""
+
+    def __init__(self, ttl_ms: int) -> None:
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._totals = handle.getValueState("totals", _TOTALS_STATE)
+        self._timer_at = handle.getValueState("timer_at", "expiry_ms long")
+
+    def handleInputRows(
+        self, key: Tuple[Any, ...], rows, timer_values: TimerValues
+    ) -> Iterator[pd.DataFrame]:
+        prev = tuple(self._totals.get()) if self._totals.exists() else (0, 0, None)
+        n, cents, last = _accumulate_totals(prev, rows)
+        self._totals.update((n, cents, last))
+        if self._timer_at.exists():
+            self._handle.deleteTimer(self._timer_at.get()[0])
+        expiry = timer_values.getCurrentProcessingTimeInMs() + self._ttl_ms
+        self._handle.registerTimer(expiry)
+        self._timer_at.update((expiry,))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [cents / 100.0],
+                "last_event_type": [last],
+                "expired": [False],
+            }
+        )
+
+    def handleExpiredTimer(
+        self,
+        key: Tuple[Any, ...],
+        timer_values: TimerValues,
+        expired_timer_info: ExpiredTimerInfo,
+    ) -> Iterator[pd.DataFrame]:
+        if not self._totals.exists():
+            return
+        n, cents, last = tuple(self._totals.get())
+        self._totals.clear()
+        self._timer_at.clear()
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [cents / 100.0],
+                "last_event_type": [last],
+                "expired": [True],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def stateful_user_totals_with_ttl_v2(
+    events: DataFrame, ttl_ms: int = _TTL_MS
+) -> DataFrame:
+    """``stateful_user_totals_with_ttl`` through
+    ``transformWithStateInPandas`` with native timers: same emission
+    contract as the legacy form (update rows ``expired=False``, a final
+    ``expired=True`` row when a key idles past the TTL, state removed so
+    a reappearing key restarts from zero)."""
+    out = StructType(
+        _TOTALS_OUTPUT.fields + [StructField("expired", BooleanType())]
+    )
+    return events.groupBy("user_id").transformWithStateInPandas(
+        _UserTotalsTTLProcessor(ttl_ms),
+        outputStructType=out,
+        outputMode="update",
+        timeMode="processingTime",
     )

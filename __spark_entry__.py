@@ -142,6 +142,7 @@ _ORDER = [
     "text_lang_id",
     "text_fingerprint",
     "text_tfidf_top_terms",
+    "text_pack_bins_bfd",
     "sketch_hll_distinct",
     "sketch_quantiles",
     "curation_training_set",

@@ -1134,6 +1134,74 @@ FROM c ORDER BY doc_id
 
 
 
+def text_pack_bins_bfd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-straddle best-fit-decreasing packing (operators/text.py::
+    pack_bins_bfd): documents land whole in fixed-budget bins, shard-local
+    BFD over 8 doc_id-hash shards, with the per-bin fill efficiency
+    (tokens/budget) as an output column -- packing QUALITY is measured
+    in-query, not assumed.  The oracle replays the exact algorithm as a
+    lockstep recursive CTE (one recursion step per in-shard rank, all
+    shards advancing together), so both tie rules and the overflow rule
+    are under the gate."""
+    from ..operators.text import pack_bins_bfd
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_bins_bfd(docs, budget=PACK_BUDGET, num_shards=8).orderBy(
+        "doc_id"
+    )
+
+
+def _pack_bfd_sql(budget: int = PACK_BUDGET, num_shards: int = 8) -> str:
+    from ..operators.text import BPE_PATTERN
+
+    pat = BPE_PATTERN.replace("'", "''")
+    # inline these (no LATERAL aliases inside the recursive branch):
+    # fullest bin that still fits this doc, and its 1-based position
+    # (list_position returns the FIRST occurrence = lowest bin id, the
+    # same tie rule as the pandas kernel)
+    best = f"list_max(list_filter(b.loads, x -> x + o.n <= {budget}))"
+    pos = f"list_position(b.loads, {best})"
+    return f"""
+WITH RECURSIVE ord AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n,
+         CAST(doc_id % {num_shards} AS INT) AS shard,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id % {num_shards}
+           ORDER BY len(regexp_extract_all(text, '{pat}')) DESC, doc_id
+         ) AS rn
+  FROM documents
+),
+bfd AS (
+  SELECT shard, CAST(0 AS BIGINT) AS rn,
+         CAST([] AS BIGINT[]) AS loads,
+         CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n,
+         CAST(NULL AS INT) AS bin_in_shard,
+         CAST(NULL AS BIGINT) AS offset_in_bin
+  FROM (SELECT DISTINCT shard FROM ord)
+  UNION ALL
+  SELECT o.shard, b.rn + 1,
+         CASE WHEN {best} IS NULL THEN list_append(b.loads, o.n)
+              ELSE list_concat(
+                     list_concat(b.loads[1:{pos} - 1], [{best} + o.n]),
+                     b.loads[{pos} + 1:len(b.loads)])
+         END,
+         o.doc_id, o.n,
+         CAST(CASE WHEN {best} IS NULL THEN len(b.loads)
+                   ELSE {pos} - 1 END AS INT),
+         COALESCE({best}, 0)
+  FROM bfd b JOIN ord o ON o.shard = b.shard AND o.rn = b.rn + 1
+)
+SELECT doc_id, n AS n_bpe_tokens, shard, bin_in_shard, offset_in_bin,
+       CAST(SUM(n) OVER (PARTITION BY shard, bin_in_shard) AS BIGINT)
+         AS bin_tokens,
+       CAST(SUM(n) OVER (PARTITION BY shard, bin_in_shard) AS DOUBLE)
+         / {budget} AS fill_pct
+FROM bfd WHERE doc_id IS NOT NULL
+ORDER BY doc_id
+"""
+
+
 def curation_packed_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end round-2 curation (plans/curation.py::curate_and_pack):
     exact dedup (planted verbatim copies removed) -> benchmark
@@ -2311,6 +2379,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "stream_dedup_watermarked": (stream_dedup_watermarked, STREAM_DEDUP_SQL),
     "dedup_incremental_lsh": (dedup_incremental_lsh, INCREMENTAL_LSH_SQL),
     "text_pack_sequences": (text_pack_sequences, _pack_sql()),
+    "text_pack_bins_bfd": (text_pack_bins_bfd, _pack_bfd_sql()),
     "curation_packed_set": (curation_packed_set, _curation_packed_sql()),
     "curation_full_set": (curation_full_set, _curation_full_sql()),
     "stream_session_windows": (stream_session_windows, STREAM_SESSION_SQL),

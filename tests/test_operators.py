@@ -509,6 +509,72 @@ def test_pack_sequences_bins_and_offsets(spark):
     assert [r.prefix_tokens for r in rows] == [0, 30, 60, 90, 120, 150, 180]
 
 
+def test_pack_bins_bfd_efficiency_and_contract(spark):
+    """Shard-local best-fit-decreasing packing: (a) no bin exceeds the
+    budget except a singleton overflow doc, (b) on a planted mixed-length
+    corpus BFD uses no more bins than greedy first-fit in arrival order
+    (the baseline a naive packer ships), and (c) the assignment matches a
+    plain-Python reference implementation exactly — the determinism the
+    recursive-CTE oracle depends on."""
+    budget = 100
+    # one shard so the quality comparison is global; the classic
+    # first-fit-adversarial instance: the small items arrive first and
+    # greedy FF pairs them with each other (3 bins of 34+34), leaving
+    # every 51 alone (6 more bins) = 9 bins; BFD pairs 51+34 = 6 bins
+    sizes = [34] * 6 + [51] * 6
+    docs = spark.createDataFrame(
+        [(i, " ".join(["tok"] * n)) for i, n in enumerate(sizes)],
+        "doc_id long, text string",
+    )
+    rows = T.pack_bins_bfd(
+        docs, budget=budget, num_shards=1
+    ).collect()
+    by_doc = {r.doc_id: r for r in rows}
+
+    # (c) python reference: sort by (tokens desc, doc_id), best-fit
+    order = sorted(range(len(sizes)), key=lambda i: (-sizes[i], i))
+    loads: list = []
+    want = {}
+    for i in order:
+        n = sizes[i]
+        fits = [(l, j) for j, l in enumerate(loads) if l + n <= budget]
+        if fits:
+            best = max(l for l, _ in fits)
+            idx = next(j for j, l in enumerate(loads) if l == best)
+        else:
+            loads.append(0)
+            idx = len(loads) - 1
+        want[i] = (idx, loads[idx])
+        loads[idx] += n
+    for i, (bin_idx, off) in want.items():
+        assert (by_doc[i].bin_in_shard, by_doc[i].offset_in_bin) == (
+            bin_idx, off,
+        ), i
+
+    # (a) capacity respected
+    bins: dict = {}
+    for r in rows:
+        bins.setdefault(r.bin_in_shard, 0)
+        bins[r.bin_in_shard] += r.n_bpe_tokens
+        assert r.bin_tokens <= budget or r.n_bpe_tokens > budget
+        assert abs(r.fill_pct - r.bin_tokens / budget) < 1e-12
+
+    # (b) beats (or ties) arrival-order first-fit on bins used
+    ff_loads: list = []
+    for n in sizes:
+        placed = False
+        for j, l in enumerate(ff_loads):
+            if l + n <= budget:
+                ff_loads[j] += n
+                placed = True
+                break
+        if not placed:
+            ff_loads.append(n)
+    assert len(bins) <= len(ff_loads)
+    # and on this corpus it strictly wins (the planted fragmentation)
+    assert len(bins) < len(ff_loads)
+
+
 def test_ivf_recall_on_real_embeddings(spark):
     """ANN quality on the driver's embeddings table: IVF recall@10 versus
     brute force must clear a floor and increase with nprobe (the

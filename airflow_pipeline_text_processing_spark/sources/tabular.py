@@ -106,6 +106,83 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def zorder_key(col_a: str, col_b: str, bits: int = 12):
+    """Morton (Z-order) interleaved-bit sort key over two ALREADY
+    NORMALIZED non-negative integer columns (each in ``[0, 2^bits)``):
+    bit i of ``col_a`` lands at position 2i+1, of ``col_b`` at 2i.
+
+    Pure SQL higher-order aggregate over a bit-index sequence -- JVM-side,
+    codegen-resident, no Python.  Sorting by this key gives a layout where
+    ranges of BOTH columns are locally clustered, which is what makes
+    min/max row-group statistics selective for two-predicate scans (the
+    range-predicate complement to hash bucketing; same construction as
+    Delta/Iceberg OPTIMIZE ZORDER)."""
+    import pyspark.sql.functions as F
+
+    return F.expr(
+        f"aggregate(sequence(0, {bits - 1}), 0L, (acc, i) -> "
+        f"acc + shiftleft(shiftright({col_a}, i) & 1, 2*i + 1)"
+        f"    + shiftleft(shiftright({col_b}, i) & 1, 2*i))"
+    )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    bits: int = 12,
+    num_files: int = 8,
+    mode: str = "overwrite",
+    **options: str,
+) -> None:
+    """Write ``df`` as parquet laid out in Z-order over two numeric
+    columns -- the DATA-SKIPPING primitive for multi-column range
+    predicates.
+
+    A single-column sort makes min/max pruning perfect on that column and
+    useless on any other; interleaving the bits of both (rank-normalized)
+    columns into one Morton key and range-partitioning + sorting by it
+    keeps each file/row-group tight in BOTH dimensions, so a scan with
+    ``a BETWEEN .. AND b BETWEEN ..`` prunes most row groups from
+    footer statistics alone -- no data read.  This is bucketing's
+    complement: bucketing co-locates equality joins, Z-order localizes
+    range scans (the two layouts a 100 TB table chooses between per
+    access pattern).
+
+    Normalization is exact integer min-max scaling into ``[0, 2^bits)``
+    (floor division; DOUBLE never enters the key, so the layout is
+    deterministic).  The min/max bounds are one 1-row aggregate collect
+    -- bounded driver traffic, same justification as the IVF centroid
+    seed.  The key column is dropped before write; the layout is pure
+    physical organization, invisible to readers."""
+    import pyspark.sql.functions as F
+
+    lo_a, hi_a, lo_b, hi_b = df.agg(
+        F.min(col_a).cast("long"),
+        F.max(col_a).cast("long"),
+        F.min(col_b).cast("long"),
+        F.max(col_b).cast("long"),
+    ).first()
+
+    def norm(col: str, lo: int, hi: int) -> str:
+        span = max(int(hi) - int(lo), 0) + 1
+        return f"(({col} - {int(lo)}) * {1 << bits}L) div {span}"
+
+    keyed = df.withColumn(
+        "_zkey",
+        zorder_key(norm(col_a, lo_a, hi_a), norm(col_b, lo_b, hi_b), bits),
+    )
+    (
+        keyed.repartitionByRange(num_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode(mode)
+        .options(**options)
+        .parquet(path)
+    )
+
+
 def read_evolving_parquet(
     spark: SparkSession, *paths: str, **options: str
 ) -> DataFrame:

@@ -450,3 +450,93 @@ def test_cms_sketch_broadcasts_onto_probes(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_zorder_layout_prunes_two_predicate_scans(spark, tmp_path):
+    """Z-order IO audit: write orders once sorted by o_custkey alone and
+    once Z-ordered over (o_custkey, price_cents), then — from parquet
+    footer min/max statistics alone, the same metadata the scan's
+    row-group pruning reads — count which row groups a two-predicate
+    range scan must touch.  The Z-ordered layout must touch strictly
+    fewer groups than the single-column sort (whose stats are useless on
+    the second column), while returning identical rows."""
+    import pyarrow.parquet as pq
+    import glob
+
+    import pyspark.sql.functions as F
+    from airflow_pipeline_text_processing_spark.sources.tabular import (
+        write_zordered,
+    )
+
+    # sf0.1 (150k rows) with 64 KiB row groups -> ~57 groups across 4
+    # files: enough stat granularity that layout actually decides pruning
+    orders = (
+        spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("price_cents"),
+        )
+    )
+    lin, zed = str(tmp_path / "linear"), str(tmp_path / "zorder")
+    (
+        orders.repartitionByRange(4, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.option("parquet.block.size", 64 * 1024)
+        .parquet(lin)
+    )
+    write_zordered(
+        orders, zed, "o_custkey", "price_cents", bits=12, num_files=4,
+        **{"parquet.block.size": str(64 * 1024)},
+    )
+
+    lo_c, hi_c = orders.agg(
+        F.min("o_custkey"), F.max("o_custkey")
+    ).first()
+    lo_p, hi_p = orders.agg(
+        F.min("price_cents"), F.max("price_cents")
+    ).first()
+    # a selective-but-nonempty square in the middle of both domains
+    c_lo, c_hi = lo_c + (hi_c - lo_c) // 3, lo_c + (hi_c - lo_c) // 2
+    p_lo, p_hi = lo_p + (hi_p - lo_p) // 3, lo_p + (hi_p - lo_p) // 2
+
+    def surviving_row_groups(path):
+        total = survive = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = {
+                md.schema.column(i).name: i
+                for i in range(md.num_columns)
+            }
+            for g in range(md.num_row_groups):
+                total += 1
+                sc = md.row_group(g).column(idx["o_custkey"]).statistics
+                sp = md.row_group(g).column(idx["price_cents"]).statistics
+                if (
+                    sc.min <= c_hi and sc.max >= c_lo
+                    and sp.min <= p_hi and sp.max >= p_lo
+                ):
+                    survive += 1
+        return survive, total
+
+    z_surv, z_total = surviving_row_groups(zed)
+    l_surv, l_total = surviving_row_groups(lin)
+    assert z_total >= 20 and l_total >= 20  # enough granularity to prune
+    assert z_surv < l_surv, (z_surv, z_total, l_surv, l_total)
+
+    # identical query results regardless of layout
+    pred = (
+        (F.col("o_custkey").between(c_lo, c_hi))
+        & (F.col("price_cents").between(p_lo, p_hi))
+    )
+    a = sorted(
+        r.o_orderkey
+        for r in spark.read.parquet(zed).filter(pred).collect()
+    )
+    b = sorted(
+        r.o_orderkey
+        for r in spark.read.parquet(lin).filter(pred).collect()
+    )
+    assert a == b and len(a) > 0

@@ -149,6 +149,7 @@ _ORDER = [
     "curation_packed_set",
     "mm_feature_extract",
     "mm_frame_sample",
+    "mm_audio_resample",
 ]
 
 assert len(_ORDER) == len(set(_ORDER)), "duplicate names in _ORDER"

@@ -254,6 +254,99 @@ def _resize_pnm(payload: bytes, out_w: int, out_h: int) -> bytes:
     return header + out.tobytes()
 
 
+RESAMPLED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("err", StringType()),
+    ]
+)
+
+
+def _resample_wav(payload: bytes, out_rate: int) -> tuple:
+    """REAL sample-rate conversion for RIFF/WAVE PCM, stdlib + numpy:
+    nearest-neighbor frame pick at output sample instants (``src =
+    (i * in_rate) // out_rate`` -- pure integer index math, no
+    interpolation kernel, so the output bytes are a deterministic
+    function of the input on any platform).  Preserves channel count and
+    sample width; re-emits a valid WAV so resample stages compose with
+    ``decode_media``/``extract_features`` downstream.  Returns
+    ``(wav_bytes, n_out_frames)``."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        in_rate, nch, n, width = (
+            w.getframerate(),
+            w.getnchannels(),
+            w.getnframes(),
+            w.getsampwidth(),
+        )
+        raw = w.readframes(n)
+    if width not in (1, 2):
+        raise NotImplementedError(f"PCM sample width {width} not supported")
+    frame_bytes = nch * width
+    frames = np.frombuffer(raw, dtype=np.uint8, count=n * frame_bytes).reshape(
+        n, frame_bytes
+    )
+    out_n = (n * out_rate) // in_rate
+    idx = np.minimum((np.arange(out_n) * in_rate) // out_rate, max(n - 1, 0))
+    out = frames[idx] if n else frames[:0]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(width)
+        w.setframerate(out_rate)
+        w.writeframes(out.tobytes())
+    return buf.getvalue(), int(out_n)
+
+
+def resample_audio(media: DataFrame, out_rate: int) -> DataFrame:
+    """Distributed audio resample (``mapInPandas``), the DSP sibling of
+    ``resize_images``: uncompressed RIFF/WAVE PCM payloads resample FOR
+    REAL (nearest-neighbor frame pick, integer index math -- no audio
+    library needed); any other payload passes through with ``err`` set
+    instead of failing the batch (per-row quarantine, the DLQ pattern at
+    the operator level).  Same Arrow batch shape as every multimodal
+    kernel: narrow per-partition map, no shuffle, composes with
+    ``extract_features`` since outputs are valid WAV."""
+
+    def _resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs, rates, ns, errs = [], [], [], []
+            for payload in pdf["payload"]:
+                try:
+                    if payload is None:
+                        raise ValueError("null payload")
+                    wav, out_n = _resample_wav(bytes(payload), out_rate)
+                    outs.append(wav)
+                    rates.append(out_rate)
+                    ns.append(out_n)
+                    errs.append(None)
+                except Exception as exc:  # noqa: BLE001 - quarantined per row
+                    outs.append(None)
+                    rates.append(0)
+                    ns.append(0)
+                    errs.append(f"{type(exc).__name__}: {exc}")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pd.Series(outs, dtype="object"),
+                    "sample_rate": pd.Series(rates, dtype="int64"),
+                    "n_frames": pd.Series(ns, dtype="int64"),
+                    "err": pd.Series(errs, dtype="object"),
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        _resample, RESAMPLED_SCHEMA
+    )
+
+
 def resize_images(
     media: DataFrame, out_w: int, out_h: int
 ) -> DataFrame:

@@ -1119,6 +1119,65 @@ ORDER BY doc_id, frame_idx
 """
 
 
+def mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCM resample (operators/multimodal.py::resample_audio)
+    over WAVs BUILT IN-ENGINE: each document's UTF-8 bytes become an
+    8-bit mono 8000 Hz PCM payload (a real RIFF container via the stdlib
+    ``wave`` writer, 44-byte canonical header), then resample to 5000 Hz.
+    The oracle checks the resample arithmetic end-to-end -- output frame
+    count ``(n*5000) div 8000``, rate, and container size ``44 + frames``
+    -- while byte-level frame-pick correctness is pytest's (DuckDB cannot
+    build WAVs).  Same per-row quarantine contract as resize_images."""
+    import pandas as pd
+
+    from ..operators.multimodal import resample_audio
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def _to_wav(batches):
+        import io
+        import wave as _wave
+
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                raw = text.encode("utf-8")
+                buf = io.BytesIO()
+                with _wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(1)
+                    w.setframerate(8000)
+                    w.writeframes(raw)
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.select("doc_id", "text").mapInPandas(
+        _to_wav, "doc_id long, payload binary"
+    )
+    return (
+        resample_audio(media, 5000)
+        .select(
+            "doc_id",
+            "sample_rate",
+            "n_frames",
+            F.octet_length("payload").cast("long").alias("payload_bytes"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+MM_RESAMPLE_SQL = """
+SELECT doc_id,
+       CAST(5000 AS BIGINT) AS sample_rate,
+       (octet_length(encode(text)) * 5000) // 8000 AS n_frames,
+       44 + (octet_length(encode(text)) * 5000) // 8000 AS payload_bytes
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def curation_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation: dedup -> analytics -> filters -> token budget
     (plans/curation.py); the composed LLM-data-prep pipeline."""
@@ -1212,6 +1271,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "mm_binary_stats": (mm_binary_stats, MM_STATS_SQL),
     "mm_feature_extract": (mm_feature_extract, MM_FEATURES_SQL),
     "mm_frame_sample": (mm_frame_sample, MM_FRAMES_SQL),
+    "mm_audio_resample": (mm_audio_resample, MM_RESAMPLE_SQL),
     "curation_training_set": (curation_training_set, CURATION_SQL),
     "curation_snapshot_diff": (curation_snapshot_diff, SNAPSHOT_DIFF_SQL),
 }

@@ -749,6 +749,60 @@ def test_multimodal_real_decode_wav_and_ppm(spark):
         decode_media(b"\x89PNG\r\n\x1a\n....", "image", fake=False)
 
 
+def test_resample_audio_planted_tone_and_quarantine(spark):
+    """PCM WAV resample through the distributed mapInPandas path, checked
+    byte-level on planted tones: 2x downsample must keep exactly every
+    other frame, 2x upsample must duplicate each frame, outputs must be
+    valid WAV that re-decode through decode_media, and non-WAV payloads
+    quarantine per row with err set."""
+    import io
+    import struct
+    import wave
+
+    from airflow_pipeline_text_processing_spark.operators.multimodal import (
+        decode_media,
+        resample_audio,
+    )
+
+    # deterministic 16-bit mono "tone": sample i = (i * 1000) % 20000 - 10000
+    samples = [(i * 1000) % 20000 - 10000 for i in range(64)]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"".join(struct.pack("<h", s) for s in samples))
+    wav = buf.getvalue()
+    media = spark.createDataFrame(
+        [(1, wav), (2, b"not a wav at all")],
+        "doc_id long, payload binary",
+    )
+
+    def frames_of(payload):
+        with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+            assert w.getnchannels() == 1 and w.getsampwidth() == 2
+            raw = w.readframes(w.getnframes())
+            return list(struct.unpack(f"<{w.getnframes()}h", raw)), \
+                w.getframerate()
+
+    down = {r.doc_id: r for r in resample_audio(media, 4000).collect()}
+    assert down[2].err is not None and down[2].payload is None
+    got, rate = frames_of(down[1].payload)
+    assert rate == 4000 and down[1].n_frames == 32
+    assert got == samples[::2]  # src = (i*8000)//4000 = 2i
+
+    up = {r.doc_id: r for r in resample_audio(media, 16000).collect()}
+    got_up, rate_up = frames_of(up[1].payload)
+    assert rate_up == 16000 and up[1].n_frames == 128
+    assert got_up == [s for s in samples for _ in (0, 1)]  # each doubled
+
+    # output is a valid WAV for the rest of the engine
+    sr, nch, n, _rms, _peak = decode_media(
+        bytes(down[1].payload), "audio", fake=False
+    )
+    assert (sr, nch, n) == (4000.0, 1.0, 32.0)
+
+
 def test_snapshot_diff_null_text_presence(spark):
     """Presence comes from the join sides, not hash nullness: a doc present
     in BOTH snapshots with NULL text is 'unchanged' (NULL<=>NULL), and a

@@ -145,6 +145,7 @@ _ORDER = [
     "text_pack_bins_bfd",
     "sketch_hll_distinct",
     "sketch_quantiles",
+    "sketch_kmv_overlap",
     "curation_training_set",
     "curation_packed_set",
     "mm_feature_extract",

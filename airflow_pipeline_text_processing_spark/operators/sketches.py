@@ -142,6 +142,92 @@ def sql_kmv_estimate(k: int, kth_hash_expr: str = "kth_hash") -> str:
     )
 
 
+def kmv_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    k: int = 32,
+) -> DataFrame:
+    """Set-operation estimates between two value sets from their KMV
+    sketches alone -- distinct |A|, |B|, |A∪B|, Jaccard, and |A∩B| without
+    ever shuffling the raw values (Beyer et al. 2007, "On synopses for
+    distinct-value estimation under multiset operations").
+
+    The union of two KMV sketches is itself a KMV sketch (k smallest of
+    the pooled hashes), giving ``D(A∪B) ~ (k-1)/h_(k)``; the Jaccard
+    estimator is the match fraction ``|K ∩ S_A ∩ S_B| / |K|`` over the
+    union sketch's k minima, and intersection is their product -- the
+    mergeability that makes sketches the 100 TB answer to "how many users
+    do these two cohorts share?".  When the pooled sketch holds fewer
+    than k hashes BOTH sides are complete, so every output is exact.
+
+    Engine-portable like ``kmv_distinct``: md5 order statistics + one
+    IEEE division on 52-bit-exact operands, so a DuckDB oracle matches
+    bit-for-bit.  Each side runs the bounded two-phase minima plan; the
+    set algebra then touches <= 2k rows.  Output is ONE row:
+    ``(n_a_sketch, n_b_sketch, n_union_sketch, union_kth_hash,
+    n_common_in_k, est_distinct_union, est_jaccard,
+    est_distinct_intersection)``."""
+    sa = (
+        _partition_kmv_minima(a.select(F.lit(0).alias("_g"), value_col), "_g", value_col, k)
+        .select("h").distinct()
+        .withColumn("_rn", F.row_number().over(Window.orderBy("h")))
+        .filter(F.col("_rn") <= k)
+        .select(F.col("h").alias("ha"))
+    )
+    sb = (
+        _partition_kmv_minima(b.select(F.lit(0).alias("_g"), value_col), "_g", value_col, k)
+        .select("h").distinct()
+        .withColumn("_rn", F.row_number().over(Window.orderBy("h")))
+        .filter(F.col("_rn") <= k)
+        .select(F.col("h").alias("hb"))
+    )
+    pooled = (
+        sa.select(F.col("ha").alias("h"))
+        .unionAll(sb.select(F.col("hb").alias("h")))
+        .distinct()
+        .withColumn("_rn", F.row_number().over(Window.orderBy("h")))
+        .filter(F.col("_rn") <= k)
+    )
+    in_both = (
+        pooled.join(sa, pooled.h == sa.ha, "left")
+        .join(sb, pooled.h == sb.hb, "left")
+        .select(
+            "h",
+            (F.col("ha").isNotNull() & F.col("hb").isNotNull())
+            .cast("long")
+            .alias("common"),
+        )
+    )
+    counts = in_both.agg(
+        F.count("*").alias("n_union_sketch"),
+        F.max(F.substring("h", 1, 13)).alias("union_kth_hash"),
+        F.sum("common").alias("n_common_in_k"),
+    )
+    na = sa.agg(F.count("*").alias("n_a_sketch"))
+    nb = sb.agg(F.count("*").alias("n_b_sketch"))
+    row = na.crossJoin(nb).crossJoin(counts)  # three 1-row relations
+    kth_int = F.conv(F.col("union_kth_hash"), 16, 10).cast("long")
+    est_union = F.when(
+        F.col("n_union_sketch") < k, F.col("n_union_sketch").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(HEX13_SCALE) / kth_int.cast("double")
+    )
+    est_jac = F.col("n_common_in_k").cast("double") / F.col(
+        "n_union_sketch"
+    ).cast("double")
+    return row.select(
+        "n_a_sketch",
+        "n_b_sketch",
+        "n_union_sketch",
+        "union_kth_hash",
+        "n_common_in_k",
+        est_union.alias("est_distinct_union"),
+        est_jac.alias("est_jaccard"),
+        (est_union * est_jac).alias("est_distinct_intersection"),
+    )
+
+
 # ----------------------------------------------------------- count-min
 
 

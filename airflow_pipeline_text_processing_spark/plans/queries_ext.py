@@ -855,6 +855,113 @@ ORDER BY s.event_type
 """
 
 
+def sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-operation estimates (operators/sketches.py::kmv_overlap):
+    distinct-user union / Jaccard / intersection between the low-value
+    click cohort and the low-value purchase cohort, from the two bounded
+    sketches alone -- the mergeable-synopsis answer to cross-cohort
+    overlap at 100 TB.  k=32 < both cohort cardinalities, so the actual
+    estimator arithmetic (not the exact small-set path) is under the
+    gate; joined against the exact figures so the row carries its own
+    ground truth."""
+    from ..operators.sketches import kmv_overlap
+
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter((F.col("event_type") == "click") & (F.col("value") < 30))
+    b = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") < 30)
+    )
+    sk = kmv_overlap(a, b, "user_id", k=KMV_K)
+    exact = a.select("user_id").distinct().unionAll(
+        b.select("user_id").distinct()
+    ).groupBy("user_id").agg(F.count("*").alias("_sides"))
+    ex_row = exact.agg(
+        F.count("*").alias("n_exact_union"),
+        F.sum((F.col("_sides") == 2).cast("long")).alias(
+            "n_exact_intersection"
+        ),
+    )
+    return sk.crossJoin(ex_row).select(
+        "n_exact_union",
+        "n_exact_intersection",
+        "n_a_sketch",
+        "n_b_sketch",
+        "n_union_sketch",
+        "union_kth_hash",
+        "n_common_in_k",
+        "est_distinct_union",
+        "est_jaccard",
+        "est_distinct_intersection",
+    )
+
+
+def _kmv_overlap_sql() -> str:
+    from ..operators.sketches import sql_kmv_estimate
+
+    est = sql_kmv_estimate(KMV_K, "union_kth_hash")
+    return f"""
+WITH a AS (
+  SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS h FROM events
+  WHERE event_type = 'click' AND "value" < 30
+),
+b AS (
+  SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS h FROM events
+  WHERE event_type = 'purchase' AND "value" < 30
+),
+sa AS (SELECT h FROM a ORDER BY h LIMIT {KMV_K}),
+sb AS (SELECT h FROM b ORDER BY h LIMIT {KMV_K}),
+pooled AS (
+  SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb)
+  ORDER BY h LIMIT {KMV_K}
+),
+marks AS (
+  SELECT p.h,
+         CASE WHEN p.h IN (SELECT h FROM sa)
+               AND p.h IN (SELECT h FROM sb) THEN 1 ELSE 0 END AS common
+  FROM pooled p
+),
+cnt AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_union_sketch,
+         substr(MAX(h), 1, 13) AS union_kth_hash,
+         CAST(SUM(common) AS BIGINT) AS n_common_in_k
+  FROM marks
+),
+sides AS (
+  SELECT CAST((SELECT COUNT(*) FROM sa) AS BIGINT) AS n_a_sketch,
+         CAST((SELECT COUNT(*) FROM sb) AS BIGINT) AS n_b_sketch
+),
+ex AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_union,
+         CAST(SUM(CASE WHEN sides = 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_exact_intersection
+  FROM (
+    SELECT user_id, COUNT(*) AS sides FROM (
+      SELECT DISTINCT user_id FROM events
+      WHERE event_type = 'click' AND "value" < 30
+      UNION ALL
+      SELECT DISTINCT user_id FROM events
+      WHERE event_type = 'purchase' AND "value" < 30
+    ) GROUP BY user_id
+  )
+)
+SELECT ex.n_exact_union, ex.n_exact_intersection,
+       sides.n_a_sketch, sides.n_b_sketch,
+       cnt.n_union_sketch, cnt.union_kth_hash, cnt.n_common_in_k,
+       CASE WHEN cnt.n_union_sketch < {KMV_K}
+            THEN CAST(cnt.n_union_sketch AS DOUBLE)
+            ELSE {est} END AS est_distinct_union,
+       CAST(cnt.n_common_in_k AS DOUBLE) / CAST(cnt.n_union_sketch AS DOUBLE)
+         AS est_jaccard,
+       (CASE WHEN cnt.n_union_sketch < {KMV_K}
+             THEN CAST(cnt.n_union_sketch AS DOUBLE)
+             ELSE {est} END)
+         * (CAST(cnt.n_common_in_k AS DOUBLE)
+            / CAST(cnt.n_union_sketch AS DOUBLE))
+         AS est_distinct_intersection
+FROM cnt, sides, ex
+"""
+
+
 def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction (operators/text.py::pii_scrub) over a corpus with
     deterministically planted emails / phone numbers / IPv4s -- counts and
@@ -2373,6 +2480,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "text_chunk_windows": (text_chunk_windows, _chunk_windows_sql()),
     "text_decontaminate": (text_decontaminate, DECONTAMINATE_SQL),
     "sketch_kmv_distinct": (sketch_kmv_distinct, _kmv_sql()),
+    "sketch_kmv_overlap": (sketch_kmv_overlap, _kmv_overlap_sql()),
     "text_pii_scrub": (text_pii_scrub, _pii_sql()),
     "embed_quantize_int8": (embed_quantize_int8, QUANTIZE_SQL),
     "stream_dedup_users": (stream_dedup_users, STREAM_DEDUP_SQL),

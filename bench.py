@@ -58,6 +58,12 @@ BENCH_QUERIES = [
     "curation_full_set",
     "text_bpe_train",
     "text_bpe_encode",
+    # round-5 additions: OR-amplified LSH, incremental span dedup,
+    # no-straddle BFD packing, in-engine WAV resample
+    "sim_lsh_multitable",
+    "dedup_incremental_spans",
+    "text_pack_bins_bfd",
+    "mm_audio_resample",
 ]
 
 

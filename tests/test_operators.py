@@ -417,6 +417,37 @@ def test_kmv_exact_below_k_and_close_above(spark):
     assert 600 < est < 1600  # KMV with k=64: well within 2x of 1000
 
 
+def test_kmv_overlap_exact_small_and_close_large(spark):
+    """KMV set-operation estimates: when the pooled sketch holds every
+    hash (union < k) all outputs are exact; above k the union /
+    intersection / Jaccard estimates land within KMV's expected error of
+    planted ground truth."""
+    import pyspark.sql.functions as FF
+
+    from airflow_pipeline_text_processing_spark.operators.sketches import (
+        kmv_overlap,
+    )
+
+    # small: A = {0..19}, B = {10..29} -> union 30, intersection 10
+    a = spark.range(0, 20).select(FF.col("id").alias("v"))
+    b = spark.range(10, 30).select(FF.col("id").alias("v"))
+    row = kmv_overlap(a, b, "v", k=64).first()
+    assert row.n_union_sketch == 30 and row.n_common_in_k == 10
+    assert row.est_distinct_union == 30.0
+    assert row.est_jaccard == pytest.approx(10 / 30)
+    assert row.est_distinct_intersection == pytest.approx(10.0)
+
+    # large: A = {0..999}, B = {500..1999} -> union 2000, inter 500,
+    # jaccard 0.25; k=128 well below all of them
+    a = spark.range(0, 1000).select(FF.col("id").alias("v"))
+    b = spark.range(500, 2000).select(FF.col("id").alias("v"))
+    row = kmv_overlap(a, b, "v", k=128).first()
+    assert row.n_union_sketch == 128
+    assert 1400 < row.est_distinct_union < 2800
+    assert 0.12 < row.est_jaccard < 0.45
+    assert 250 < row.est_distinct_intersection < 1000
+
+
 def test_pii_scrub_counts_and_redacts(spark):
     from airflow_pipeline_text_processing_spark.operators.text import pii_scrub
 

@@ -148,6 +148,7 @@ _ORDER = [
     "sketch_kmv_overlap",
     "curation_training_set",
     "curation_packed_set",
+    "curation_incremental_set",
     "mm_feature_extract",
     "mm_frame_sample",
     "mm_audio_resample",

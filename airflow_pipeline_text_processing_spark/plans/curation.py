@@ -210,3 +210,84 @@ def curate_full(
     clean = decontaminate(filtered, eval_docs, text_col, min_overlap=2)
     kept = clean.filter(F.size(bpe_tokens(F.col(text_col))) >= min_tokens)
     return pack_sequences(kept, budget=pack_budget, text_col=text_col)
+
+
+def curate_incremental(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    eval_docs: DataFrame,
+    lsh_threshold: float = 0.5,
+    num_perm: int = 16,
+    band_size: int = 4,
+    span_n: int = 8,
+    min_tokens: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental-ingest curation: every batch-vs-corpus operator
+    composed in pipeline order -- how a GROWING corpus actually curates
+    an arriving batch, never re-processing the established corpus:
+
+    1. exact dedup: within-batch keep-one (min doc_id per content hash),
+       then anti-join against the corpus content-hash relation (one
+       column; materialized once in production)
+    2. near-dup: ``incremental_minhash_dedup`` -- the batch broadcast-
+       probes the corpus LSH band table; flagged new docs drop
+    3. sub-document excision: ``incremental_repeated_spans`` counts each
+       batch shingle's occurrences across batch + corpus; spans repeated
+       anywhere are excised FROM THE NEW DOCS ONLY
+    4. benchmark decontamination (3-gram overlap >= 2 vs the eval set,
+       broadcast eval index) over the EXCISED text
+    5. token floor on BPE-ish tokens
+
+    Output: one row per surviving new document ``(doc_id, n_bpe_tokens,
+    content_md5)`` -- the md5 is over the post-excision text, so stage-3
+    rewrites are value-checked, not just counted.  Per batch, the corpus
+    contributes only its hash relation, band table, and shingle counts
+    -- each a bounded derived relation a production pipeline keeps
+    materialized between ingests; the corpus text itself is scanned to
+    derive them (here inline, so the query is self-contained) but never
+    shuffled by batch size.
+    """
+    from ..operators.dedup import (
+        decontaminate,
+        incremental_minhash_dedup,
+        incremental_repeated_spans,
+        remove_spans,
+    )
+
+    w = Window.partitionBy("_h").orderBy("doc_id")
+    batch1 = (
+        new_docs.select("doc_id", text_col)
+        .withColumn("_h", F.md5(F.col(text_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .join(
+            corpus_docs.select(F.md5(F.col(text_col)).alias("_h")).distinct(),
+            "_h",
+            "left_anti",
+        )
+        .select("doc_id", text_col)
+    )
+    flagged = incremental_minhash_dedup(
+        batch1,
+        corpus_docs.select("doc_id", text_col),
+        threshold=lsh_threshold,
+        num_perm=num_perm,
+        band_size=band_size,
+        text_col=text_col,
+    ).select(F.col("new_id").alias("doc_id")).distinct()
+    batch2 = batch1.join(flagged, "doc_id", "left_anti")
+    spans = incremental_repeated_spans(
+        batch2, corpus_docs, text_col, n=span_n, min_count=2
+    )
+    excised = remove_spans(batch2, spans, text_col)
+    clean = decontaminate(excised, eval_docs, text_col, min_overlap=2)
+    n_tokens = F.size(bpe_tokens(F.col(text_col))).cast("long")
+    return (
+        clean.select(
+            "doc_id",
+            n_tokens.alias("n_bpe_tokens"),
+            F.md5(text_col).alias("content_md5"),
+        )
+        .filter(F.col("n_bpe_tokens") >= min_tokens)
+    )

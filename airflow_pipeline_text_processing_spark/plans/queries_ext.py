@@ -1716,6 +1716,240 @@ FROM c ORDER BY doc_id
 """
 
 
+def curation_incremental_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest curation end-to-end
+    (plans/curation.py::curate_incremental): an arriving batch planted
+    with five defect classes, each caught by exactly one batch-vs-corpus
+    stage -- verbatim corpus copies (exact anti-join), 80%-prefix twins
+    of corpus docs (incremental LSH), corpus-prefix + unique-filler docs
+    (incremental span excision: the borrowed prefix is cut, the doc
+    survives excised), eval-set twins (decontamination), and 30-char
+    stubs (token floor) -- plus wholly-novel docs that must pass
+    untouched.  The corpus itself is never re-emitted; the oracle
+    replays all five stages in pipeline order, and content_md5 is over
+    post-excision text so the stage-3 rewrite is value-checked."""
+    from ..plans.curation import curate_incremental
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") < 300)
+    eval_docs = docs.filter(
+        (F.col("doc_id") >= 300) & (F.col("doc_id") < 340)
+    )
+    prefix80 = F.expr(
+        "substring(text, 1, cast(floor(length(text)*0.8) as int))"
+    )
+
+    def filler(tag: str, shift: int, count: int):
+        return F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(count)),
+                lambda i: F.concat(
+                    F.lit(tag),
+                    (F.col("doc_id") + shift).cast("string"),
+                    F.lit("x"),
+                    i.cast("string"),
+                ),
+            ),
+            " ",
+        )
+
+    batch = (
+        docs.filter(F.col("doc_id") < 10)
+        .select((F.col("doc_id") + 200000).alias("doc_id"), "text")
+        .unionAll(
+            docs.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 25))
+            .select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                prefix80.alias("text"),
+            )
+        )
+        .unionAll(
+            # two-step select: a single select would resolve the
+            # filler's doc_id against the LATERAL alias (doc_id+300000)
+            # and double-shift the planted token ids
+            docs.filter((F.col("doc_id") >= 25) & (F.col("doc_id") < 35))
+            .select(
+                "doc_id",
+                F.concat(
+                    F.expr("substring(text, 1, 80)"),
+                    F.lit(" "),
+                    filler("u", 300000, 40),
+                ).alias("text"),
+            )
+            .select((F.col("doc_id") + 300000).alias("doc_id"), "text")
+        )
+        .unionAll(
+            docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 310))
+            .select(
+                (F.col("doc_id") + 400000).alias("doc_id"),
+                prefix80.alias("text"),
+            )
+        )
+        .unionAll(
+            docs.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 55))
+            .select(
+                (F.col("doc_id") + 500000).alias("doc_id"),
+                F.expr("substring(text, 1, 30)").alias("text"),
+            )
+        )
+        .unionAll(
+            docs.filter((F.col("doc_id") >= 60) & (F.col("doc_id") < 75))
+            .select("doc_id", filler("w", 600000, 60).alias("text"))
+            .select((F.col("doc_id") + 600000).alias("doc_id"), "text")
+        )
+    )
+    return curate_incremental(batch, corpus, eval_docs).orderBy("doc_id")
+
+
+def _curation_incremental_sql() -> str:
+    from ..operators.text import BPE_PATTERN
+
+    pat = BPE_PATTERN.replace("'", "''")
+    return f"""
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+eval_docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id >= 300 AND doc_id < 340
+),
+batch AS (
+  SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id < 10
+  UNION ALL
+  SELECT doc_id + 100000,
+         substring(text, 1, CAST(FLOOR(LENGTH(text)*0.8) AS INT))
+  FROM documents WHERE doc_id >= 10 AND doc_id < 25
+  UNION ALL
+  SELECT doc_id + 300000,
+         substring(text, 1, 80) || ' ' ||
+         array_to_string(
+           ['u' || CAST(doc_id + 300000 AS VARCHAR) || 'x'
+                || CAST(i AS VARCHAR) FOR i IN generate_series(1, 40)], ' ')
+  FROM documents WHERE doc_id >= 25 AND doc_id < 35
+  UNION ALL
+  SELECT doc_id + 400000,
+         substring(text, 1, CAST(FLOOR(LENGTH(text)*0.8) AS INT))
+  FROM documents WHERE doc_id >= 300 AND doc_id < 310
+  UNION ALL
+  SELECT doc_id + 500000, substring(text, 1, 30)
+  FROM documents WHERE doc_id >= 50 AND doc_id < 55
+  UNION ALL
+  SELECT doc_id + 600000,
+         array_to_string(
+           ['w' || CAST(doc_id + 600000 AS VARCHAR) || 'x'
+                || CAST(i AS VARCHAR) FOR i IN generate_series(1, 60)], ' ')
+  FROM documents WHERE doc_id >= 60 AND doc_id < 75
+),
+b1 AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text, md5(text) AS h,
+           ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM batch
+  ) WHERE rn = 1 AND h NOT IN (SELECT md5(text) FROM corpus)
+),
+comb AS (SELECT * FROM b1 UNION ALL SELECT * FROM corpus),
+toksj AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM comb),
+sets AS (
+  SELECT doc_id, list_distinct(
+    [array_to_string(tk[i:i+2], ' ')
+     FOR i IN generate_series(1, greatest(len(tk) - 2, 1))]) AS sh
+  FROM toksj
+),
+shrows AS (SELECT doc_id, UNNEST(sh) AS shingle FROM sets),
+sig AS (
+  SELECT doc_id, p.perm AS perm,
+         MIN(md5(CAST(p.perm AS VARCHAR) || '|' || shingle)) AS minhash
+  FROM shrows, LATERAL (SELECT UNNEST(generate_series(0, 15)) AS perm) p
+  GROUP BY doc_id, p.perm
+),
+bands AS (
+  SELECT doc_id, perm // 4 AS band,
+         string_agg(minhash, ',' ORDER BY perm) AS band_sig
+  FROM sig GROUP BY doc_id, perm // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS existing_id
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+  WHERE a.doc_id >= 100000 AND b.doc_id < 100000
+),
+flagged AS (
+  SELECT DISTINCT c.new_id AS doc_id
+  FROM cand c
+  JOIN sets sa ON sa.doc_id = c.new_id
+  JOIN sets sb ON sb.doc_id = c.existing_id
+  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+          / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+        >= 0.5
+),
+b2 AS (
+  SELECT doc_id, text FROM b1
+  WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+),
+sp_src AS (SELECT * FROM b2 UNION ALL SELECT * FROM corpus),
+toks8 AS (SELECT doc_id, text, {_TOKS_SQL} AS tk FROM sp_src),
+ps AS (
+  SELECT doc_id,
+         UNNEST(generate_series(1, len(tk) - 7)) AS pos,
+         UNNEST([substr(md5(array_to_string(tk[i:i+7], ' ')), 1, 16)
+                 FOR i IN generate_series(1, len(tk) - 7)]) AS shingle
+  FROM toks8 WHERE len(tk) >= 8
+),
+rep AS (SELECT shingle FROM ps GROUP BY shingle HAVING COUNT(*) >= 2),
+hits AS (
+  SELECT doc_id, pos FROM ps
+  WHERE shingle IN (SELECT shingle FROM rep) AND doc_id >= 100000
+),
+lagged AS (
+  SELECT doc_id, pos,
+         LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM hits
+),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev IS NULL OR pos - prev > 8 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM lagged
+),
+spans AS (
+  SELECT doc_id, MIN(pos) AS s, MAX(pos) + 8 AS e
+  FROM isl GROUP BY doc_id, grp
+),
+span_lists AS (
+  SELECT doc_id, list({{'s': s, 'e': e}}) AS sp FROM spans GROUP BY doc_id
+),
+rebuilt AS (
+  SELECT t.doc_id,
+         CASE WHEN l.doc_id IS NULL THEN t.text
+              ELSE COALESCE(array_to_string(
+                [t.tk[p] FOR p IN generate_series(1, len(t.tk))
+                 IF len(list_filter(l.sp,
+                       x -> p >= x.s AND p < x.e)) = 0], ' '), '')
+         END AS text
+  FROM toks8 t LEFT JOIN span_lists l ON l.doc_id = t.doc_id
+  WHERE t.doc_id >= 100000
+),
+tr_sh AS ({_sql_shingle_rows('rebuilt')}),
+ev_sh AS ({_sql_shingle_rows('eval_docs', 'eval_id')}),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT t.doc_id, e.eval_id
+    FROM tr_sh t JOIN ev_sh e ON t.shingle = e.shingle
+    GROUP BY t.doc_id, e.eval_id
+    HAVING COUNT(*) >= 2
+  )
+),
+clean AS (
+  SELECT doc_id, text FROM rebuilt
+  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT)
+         AS n_bpe_tokens,
+       md5(text) AS content_md5
+FROM clean
+WHERE len(regexp_extract_all(text, '{pat}')) >= 20
+ORDER BY doc_id
+"""
+
+
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based session windows executed AS A STREAM with the native
     ``session_window`` stateful operator (streaming/windows.py::
@@ -2490,6 +2724,10 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "text_pack_bins_bfd": (text_pack_bins_bfd, _pack_bfd_sql()),
     "curation_packed_set": (curation_packed_set, _curation_packed_sql()),
     "curation_full_set": (curation_full_set, _curation_full_sql()),
+    "curation_incremental_set": (
+        curation_incremental_set,
+        _curation_incremental_sql(),
+    ),
     "stream_session_windows": (stream_session_windows, STREAM_SESSION_SQL),
     "stream_static_enrich": (stream_static_enrich, STREAM_ENRICH_SQL),
     "stream_stream_join_pairs": (stream_stream_join_pairs, STREAM_SSJOIN_SQL),

@@ -1170,3 +1170,34 @@ def test_bpe_segment_words_applies_merges_in_order(spark):
     assert got["low"] == ("low", 1)
     assert got["lowest"] == ("low es t", 3)
     assert got["x"] == ("x", 1)
+
+
+def test_curate_incremental_stage_attribution(spark):
+    """Each planted defect class must be caught by exactly its stage:
+    exact copies and near-dup twins never surface, span-borrowers survive
+    EXCISED (their content hash changes, token count drops to roughly the
+    filler), eval twins and short stubs are gone, novel docs pass
+    untouched."""
+    from airflow_pipeline_text_processing_spark.plans.queries_ext import (
+        curation_incremental_set,
+    )
+
+    rows = {
+        r.doc_id: r
+        for r in curation_incremental_set(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    ranges = {d // 100000 for d in rows}
+    # survivors: only span-borrowers (3) and novel docs (6)
+    assert ranges == {3, 6}, ranges
+    # exact (2), near-dup (1), eval twins (4), stubs (5) all removed
+    assert not any(d // 100000 in (1, 2, 4, 5) for d in rows)
+    # novel docs pass untouched: 60 filler words x 4 BPE tokens each
+    novel = [r for d, r in rows.items() if d // 100000 == 6]
+    assert len(novel) == 15
+    assert all(r.n_bpe_tokens == 240 for r in novel)
+    # span-borrowers survive but excised: well under the untouched size
+    borrowed = [r for d, r in rows.items() if d // 100000 == 3]
+    assert len(borrowed) == 10
+    assert all(155 <= r.n_bpe_tokens <= 175 for r in borrowed)

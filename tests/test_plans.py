@@ -540,3 +540,43 @@ def test_zorder_layout_prunes_two_predicate_scans(spark, tmp_path):
         for r in spark.read.parquet(lin).filter(pred).collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_incremental_spans_plan_broadcasts_batch_probe(spark):
+    """Incremental span dedup: the batch's distinct-shingle relation must
+    broadcast onto the corpus count relation (the corpus side is never
+    re-shuffled per ingest), and no stage forms a cartesian product or a
+    data-sized single-partition window."""
+    from airflow_pipeline_text_processing_spark.plans.queries_llm import (
+        dedup_incremental_spans,
+    )
+
+    plan = plan_of(dedup_incremental_spans(spark, SF_DIR), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_curate_incremental_plan_shape(spark):
+    """Composed incremental curation: no cartesian product anywhere, the
+    decontamination stage's eval index broadcasts, and the exact-dedup
+    anti-join is a real anti join."""
+    from airflow_pipeline_text_processing_spark.plans.queries_ext import (
+        curation_incremental_set,
+    )
+
+    plan = plan_of(curation_incremental_set(spark, SF_DIR), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_lsh_multitable_no_allpairs(spark):
+    """Multi-table LSH: candidates come from the (table, bucket)
+    equi-join; the all-pairs product never materializes and the per-pair
+    dedup is an aggregation, not a distinct over exploded pairs."""
+    from airflow_pipeline_text_processing_spark.plans.queries_llm import (
+        sim_lsh_multitable,
+    )
+
+    plan = plan_of(sim_lsh_multitable(spark, SF_DIR), mode="simple")
+    assert "CartesianProduct" not in plan

@@ -152,6 +152,9 @@ _ORDER = [
     "mm_feature_extract",
     "mm_frame_sample",
     "mm_audio_resample",
+    # -- round-5 session-2 additions (rotate into the window next round) --
+    "text_lm_surprisal",
+    "text_nb_classify",
 ]
 
 assert len(_ORDER) == len(set(_ORDER)), "duplicate names in _ORDER"

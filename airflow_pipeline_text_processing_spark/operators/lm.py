@@ -1,0 +1,267 @@
+"""Statistical language-model scoring on-engine: unigram surprisal
+(CCNet-style perplexity quality filter) and a multinomial Naive Bayes
+classifier -- both built on an EXACT fixed-point log2 kernel so every
+distributed aggregate is a BIGINT sum, bit-reproducible in any partition
+order on any engine.
+
+Why fixed point: ``libm`` ``log``/``ln`` round differently across
+engines (the reason ``text.py::bm25_scores`` dropped the log wrap), and
+float sums are order-dependent across partitions -- a silent
+nondeterminism at 1000-executor scale.  The kernel below computes
+``floor-approx(log2(num/den) * 256)`` with integer shifts, integer
+division, and 8 mantissa-squaring rounds (the classic binary-logarithm
+algorithm): max abs error vs true log2 is < 2^-8 + 2^-16 (~0.004 bits),
+and the result is the SAME BIGINT in Spark and DuckDB because every step
+is exact integer arithmetic.
+
+Scale: the kernel is applied to the *model* relation (vocabulary-sized,
+not corpus-sized); the corpus-side work is one explode + one
+map-side-combined groupBy + one broadcast join -- no Python, no floats,
+no all-pairs.  Overflow bound: ``num < 2^47`` (the ``num << 16`` step),
+i.e. ~1.4e14 corpus tokens before the kernel needs DECIMAL -- documented
+here rather than silently wrong.
+
+Reference parity: the reference pipeline (dags/text_processing_dag.py)
+has no statistical scoring at all; this module is part of the
+LLM-training-data extension surface (SURVEY.md "beyond the reference").
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from .text import tokens
+
+FRAC_BITS = 8
+_Q = 16  # mantissa fixed-point fractional bits
+
+
+def fixed_log2(
+    df: DataFrame, num_col: str, den_col: str, out_col: str
+) -> DataFrame:
+    """Append ``out_col = floor-approx(log2(num/den) * 256)`` as BIGINT.
+
+    Requires ``num >= den >= 1`` (callers arrange ratios >= 1; for a
+    probability p <= 1, score the surprisal ``log2(1/p)``) and
+    ``num < 2^47``.  Algorithm: normalize ``t = (num << 16) div den`` to
+    a mantissa ``m`` in ``[2^16, 2^17)`` with exponent ``e``; then 8
+    rounds of mantissa squaring, emitting one fraction bit per round.
+    Every step is BIGINT arithmetic -- identical in Spark and DuckDB
+    (see ``fixed_log2_sql``, the same chain as SQL text).
+    """
+    df = df.withColumn(
+        "_fl_t",
+        F.expr(
+            f"shiftleft(CAST({num_col} AS BIGINT), {_Q})"
+            f" div CAST({den_col} AS BIGINT)"
+        ),
+    )
+    df = df.withColumn(
+        "_fl_e", F.expr(f"CAST(length(bin(_fl_t)) - {_Q + 1} AS BIGINT)")
+    )
+    df = df.withColumn(
+        "_fl_m0", F.expr("_fl_t div shiftleft(CAST(1 AS BIGINT), CAST(_fl_e AS INT))")
+    ).withColumn("_fl_f0", F.lit(0).cast("long"))
+    for i in range(1, FRAC_BITS + 1):
+        p = i - 1
+        sq = f"(_fl_m{p} * _fl_m{p}) div {1 << _Q}"
+        hi = f"({sq}) >= {1 << (_Q + 1)}"
+        df = df.withColumn(
+            f"_fl_m{i}",
+            F.expr(f"CASE WHEN {hi} THEN ({sq}) div 2 ELSE ({sq}) END"),
+        ).withColumn(
+            f"_fl_f{i}",
+            F.expr(f"_fl_f{p} * 2 + CASE WHEN {hi} THEN 1 ELSE 0 END"),
+        )
+    df = df.withColumn(
+        out_col, F.expr(f"_fl_e * {1 << FRAC_BITS} + _fl_f{FRAC_BITS}")
+    )
+    drop = (
+        ["_fl_t", "_fl_e"]
+        + [f"_fl_m{i}" for i in range(FRAC_BITS + 1)]
+        + [f"_fl_f{i}" for i in range(FRAC_BITS + 1)]
+    )
+    return df.drop(*drop)
+
+
+def fixed_log2_sql(
+    inner_sql: str, keep_cols: str, num_expr: str, den_expr: str, out_name: str
+) -> str:
+    """The DuckDB mirror of :func:`fixed_log2`: a generated subselect
+    chain computing the identical BIGINT result.  ``inner_sql`` is any
+    relation-producing SELECT; ``keep_cols`` the columns to carry
+    through; ``num_expr``/``den_expr`` expressions over it."""
+    sql = (
+        f"SELECT {keep_cols}, CAST({num_expr} AS BIGINT) AS _fl_num,"
+        f" CAST({den_expr} AS BIGINT) AS _fl_den FROM ({inner_sql})"
+    )
+    sql = (
+        f"SELECT {keep_cols}, ((_fl_num << {_Q}) // _fl_den) AS _fl_t"
+        f" FROM ({sql})"
+    )
+    sql = (
+        f"SELECT {keep_cols}, _fl_t,"
+        f" CAST(LENGTH(bin(_fl_t)) - {_Q + 1} AS BIGINT) AS _fl_e"
+        f" FROM ({sql})"
+    )
+    sql = (
+        f"SELECT {keep_cols}, _fl_e,"
+        f" (_fl_t // (CAST(1 AS BIGINT) << CAST(_fl_e AS INT))) AS _fl_m0,"
+        f" CAST(0 AS BIGINT) AS _fl_f0 FROM ({sql})"
+    )
+    for i in range(1, FRAC_BITS + 1):
+        p = i - 1
+        sq = f"((_fl_m{p} * _fl_m{p}) // {1 << _Q})"
+        hi = f"{sq} >= {1 << (_Q + 1)}"
+        sql = (
+            f"SELECT {keep_cols}, _fl_e,"
+            f" CASE WHEN {hi} THEN {sq} // 2 ELSE {sq} END AS _fl_m{i},"
+            f" _fl_f{p} * 2 + CASE WHEN {hi} THEN 1 ELSE 0 END AS _fl_f{i}"
+            f" FROM ({sql})"
+        )
+    return (
+        f"SELECT {keep_cols},"
+        f" (_fl_e * {1 << FRAC_BITS} + _fl_f{FRAC_BITS}) AS {out_name}"
+        f" FROM ({sql})"
+    )
+
+
+def unigram_surprisal(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document unigram cross-entropy (bits/token, milli-bit fixed
+    point) under an add-one-smoothed unigram LM trained on the corpus
+    itself -- the CCNet-style "LM perplexity" quality filter, exact.
+
+    ``p(t) = (c_t + 1) / (N + V)``; per-token surprisal
+    ``s_q8(t) = fixed_log2(N + V, c_t + 1)``; per-doc
+    ``bpt_milli = (sum s_q8 * 1000) div (256 * n_tokens)`` -- all BIGINT,
+    so the per-doc sum is order-independent across partitions.
+
+    Scale shape: the corpus is scanned twice (once for the model
+    groupBy, once for scoring) -- deliberately NOT materialized, because
+    the exploded token relation is corpus-sized and recomputing a narrow
+    explode is cheaper than caching it at 100 TB.  The model relation
+    (vocabulary-sized) is broadcast back.  Zero-token documents drop out
+    identically in both engines (inner join on exploded tokens).
+    """
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    model = toks.groupBy("token").agg(F.count("*").alias("c"))
+    scal = model.agg(
+        F.sum("c").alias("n_total"), F.count("*").alias("v_size")
+    )
+    grid = model.crossJoin(F.broadcast(scal)).select(
+        "token",
+        (F.col("n_total") + F.col("v_size")).alias("_num"),
+        (F.col("c") + F.lit(1)).alias("_den"),
+    )
+    vocab_scores = fixed_log2(grid, "_num", "_den", "s_q8").select(
+        "token", "s_q8"
+    )
+    per_doc = (
+        toks.join(F.broadcast(vocab_scores), "token")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("s_q8").alias("bits_q8"))
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "bits_q8",
+        F.expr("(bits_q8 * 1000) div (256 * n_tokens)").alias("bpt_milli"),
+    ).orderBy("doc_id")
+
+
+def nb_classify(
+    docs: DataFrame, label_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """Multinomial Naive Bayes trained AND applied on-engine, exact:
+    ``doc_id, label_actual, label_pred, correct, score_q8``.
+
+    Train: per-(label, token) counts with add-one smoothing over the
+    global vocabulary; class priors from document counts.  Score: for
+    each document and each label, total surprisal
+    ``prior_q8(l) + sum_t fixed_log2(N_l + V, c_{l,t} + 1)`` (BIGINT);
+    predict the argmin with a deterministic ``(score, label)`` tiebreak.
+
+    Scale shape: the (vocab x labels) conditional grid -- including
+    zero-count pairs, which smoothing requires -- is built once
+    (vocab-sized x small L) and broadcast into the corpus-side token
+    stream; one groupBy(doc, label) sum; one per-doc window for the
+    argmin.  The corpus never shuffles on anything wider than
+    (doc_id, label).  For vocabularies too large to broadcast, the same
+    plan works as a shuffle join on ``token`` -- the grid is still
+    O(V x L), never corpus-sized.
+    """
+    base = docs.select(
+        "doc_id", F.col(label_col).alias("label_actual"), F.col(text_col)
+    )
+    toks = base.select(
+        "doc_id",
+        "label_actual",
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    )
+    class_tok = toks.groupBy(F.col("label_actual").alias("label"), "token").agg(
+        F.count("*").alias("c_lt")
+    )
+    class_tot = class_tok.groupBy("label").agg(F.sum("c_lt").alias("n_l"))
+    vocab = class_tok.select("token").distinct()
+    vsize = vocab.agg(F.count("*").alias("v_size"))
+    grid = (
+        vocab.crossJoin(F.broadcast(class_tot))
+        .join(F.broadcast(class_tok), ["token", "label"], "left")
+        .select(
+            "token",
+            "label",
+            (F.col("n_l") + F.lit(0)).alias("n_l"),
+            F.coalesce(F.col("c_lt"), F.lit(0)).alias("c"),
+        )
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "token",
+            "label",
+            (F.col("n_l") + F.col("v_size")).alias("_num"),
+            (F.col("c") + F.lit(1)).alias("_den"),
+        )
+    )
+    cond_scores = fixed_log2(grid, "_num", "_den", "s_q8").select(
+        "token", "label", "s_q8"
+    )
+    n_docs = base.agg(F.count("*").alias("n_docs"))
+    priors = (
+        base.groupBy(F.col("label_actual").alias("label"))
+        .agg(F.count("*").alias("n_docs_l"))
+        .crossJoin(F.broadcast(n_docs))
+    )
+    prior_scores = fixed_log2(priors, "n_docs", "n_docs_l", "prior_q8").select(
+        "label", "prior_q8"
+    )
+    doc_label = (
+        toks.join(F.broadcast(cond_scores), "token")
+        .groupBy("doc_id", "label_actual", "label")
+        .agg(F.sum("s_q8").alias("cond_q8"))
+        .join(F.broadcast(prior_scores), "label")
+        .select(
+            "doc_id",
+            "label_actual",
+            "label",
+            (F.col("cond_q8") + F.col("prior_q8")).alias("score_q8"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_q8").asc(), F.col("label").asc()
+    )
+    return (
+        doc_label.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "doc_id",
+            "label_actual",
+            F.col("label").alias("label_pred"),
+            (F.col("label") == F.col("label_actual"))
+            .cast("int")
+            .alias("correct"),
+            "score_q8",
+        )
+        .orderBy("doc_id")
+    )

@@ -18,6 +18,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators import dedup as D
+from ..operators import lm as L
 from ..operators import multimodal as MM
 from ..operators import similarity as S
 from ..operators import text as T
@@ -1241,6 +1242,130 @@ ORDER BY quality DESC, doc_id
 """
 
 
+# ---------------------------------------------------------------------
+# statistical LM scoring on the exact fixed-point log2 kernel
+# (operators/lm.py -- no libm, BIGINT sums reproducible in any
+# partition order; see module docstring for the cross-engine rationale)
+# ---------------------------------------------------------------------
+
+
+def text_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram-LM quality score (operators/lm.py::
+    unigram_surprisal): add-one-smoothed unigram model trained on the
+    corpus, per-doc cross-entropy in exact Q8 fixed-point bits -- the
+    classic perplexity filter for training-data curation, with every
+    aggregate a BIGINT so the distributed sum is bit-reproducible."""
+    return L.unigram_surprisal(_t(spark, sf_dir, "documents"))
+
+
+def _lm_surprisal_sql() -> str:
+    vocab_chain = L.fixed_log2_sql(
+        "SELECT token, (n_total + v_size) AS _num, (c + 1) AS _den"
+        " FROM model CROSS JOIN scal",
+        "token",
+        "_num",
+        "_den",
+        "s_q8",
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKS_SQL}) AS token FROM documents
+),
+model AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY token
+),
+scal AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_total,
+         CAST(COUNT(*) AS BIGINT) AS v_size FROM model
+),
+vs AS ({vocab_chain}),
+per AS (
+  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(v.s_q8) AS BIGINT) AS bits_q8
+  FROM toks t JOIN vs v USING (token) GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens, bits_q8,
+       (bits_q8 * 1000) // (256 * n_tokens) AS bpt_milli
+FROM per ORDER BY doc_id
+"""
+
+
+def text_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier trained and applied
+    on-engine (operators/lm.py::nb_classify): add-one-smoothed
+    per-class token likelihoods + document priors, argmin total
+    surprisal in exact Q8 fixed point with a deterministic
+    (score, label) tiebreak."""
+    return L.nb_classify(_t(spark, sf_dir, "documents"), label_col="lang")
+
+
+def _nb_sql() -> str:
+    cond_chain = L.fixed_log2_sql(
+        "SELECT token, label, _num, _den FROM grid",
+        "token, label",
+        "_num",
+        "_den",
+        "s_q8",
+    )
+    prior_chain = L.fixed_log2_sql(
+        "SELECT label, n_docs, n_docs_l FROM pri2",
+        "label",
+        "n_docs",
+        "n_docs_l",
+        "prior_q8",
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang AS label_actual, text FROM documents
+),
+toks AS (
+  SELECT doc_id, label_actual, unnest({TOKS_SQL}) AS token FROM base
+),
+class_tok AS (
+  SELECT label_actual AS label, token, CAST(COUNT(*) AS BIGINT) AS c_lt
+  FROM toks GROUP BY 1, 2
+),
+class_tot AS (
+  SELECT label, CAST(SUM(c_lt) AS BIGINT) AS n_l FROM class_tok GROUP BY 1
+),
+vocab AS (SELECT DISTINCT token FROM class_tok),
+vsize AS (SELECT CAST(COUNT(*) AS BIGINT) AS v_size FROM vocab),
+grid AS (
+  SELECT v.token, ct.label, (ct.n_l + vs.v_size) AS _num,
+         (COALESCE(k.c_lt, 0) + 1) AS _den
+  FROM vocab v CROSS JOIN class_tot ct CROSS JOIN vsize vs
+  LEFT JOIN class_tok k ON k.token = v.token AND k.label = ct.label
+),
+cs AS ({cond_chain}),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM base),
+pri AS (
+  SELECT label_actual AS label, CAST(COUNT(*) AS BIGINT) AS n_docs_l
+  FROM base GROUP BY 1
+),
+pri2 AS (SELECT label, n_docs, n_docs_l FROM pri CROSS JOIN nd),
+ps AS ({prior_chain}),
+dl AS (
+  SELECT t.doc_id, t.label_actual, c.label,
+         CAST(SUM(c.s_q8) AS BIGINT) AS cond_q8
+  FROM toks t JOIN cs c USING (token) GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT dl.doc_id, dl.label_actual, dl.label,
+         dl.cond_q8 + ps.prior_q8 AS score_q8
+  FROM dl JOIN ps USING (label)
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY score_q8 ASC, label ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, label_actual, label AS label_pred,
+       CASE WHEN label = label_actual THEN 1 ELSE 0 END AS correct,
+       score_q8
+FROM ranked WHERE rn = 1 ORDER BY doc_id
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -1268,6 +1393,8 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "text_bpe_encode": (text_bpe_encode, _bpe_encode_sql()),
     "text_lang_id": (text_lang_id, LANG_SQL),
     "text_fingerprint": (text_fingerprint, FINGERPRINT_SQL),
+    "text_lm_surprisal": (text_lm_surprisal, _lm_surprisal_sql()),
+    "text_nb_classify": (text_nb_classify, _nb_sql()),
     "mm_binary_stats": (mm_binary_stats, MM_STATS_SQL),
     "mm_feature_extract": (mm_feature_extract, MM_FEATURES_SQL),
     "mm_frame_sample": (mm_frame_sample, MM_FRAMES_SQL),

@@ -155,6 +155,8 @@ _ORDER = [
     # -- round-5 session-2 additions (rotate into the window next round) --
     "text_lm_surprisal",
     "text_nb_classify",
+    "events_funnel_steps",
+    "events_retention_cohorts",
 ]
 
 assert len(_ORDER) == len(set(_ORDER)), "duplicate names in _ORDER"

@@ -1531,6 +1531,166 @@ ORDER BY s.event_type, s.day
 """
 
 
+def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase: users count
+    toward step k only if the step-k event happened strictly AFTER their
+    step-(k-1) entry time.  Each stage is one filtered min-aggregate on
+    user_id joined to the previous stage's user-level relation -- k
+    user-keyed shuffles for a k-step funnel, never an event-level
+    self-join, so the plan is the one you'd run on a 100 TB event log.
+    Conversion is exact integer milli-rate against step 1."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = (
+        s1.agg(F.count("*").alias("n_users"))
+        .select(F.lit(1).alias("step_idx"), F.lit("view").alias("step"), "n_users")
+        .unionAll(
+            s2.agg(F.count("*").alias("n_users")).select(
+                F.lit(2).alias("step_idx"),
+                F.lit("click").alias("step"),
+                "n_users",
+            )
+        )
+        .unionAll(
+            s3.agg(F.count("*").alias("n_users")).select(
+                F.lit(3).alias("step_idx"),
+                F.lit("purchase").alias("step"),
+                "n_users",
+            )
+        )
+    )
+    first = counts.filter(F.col("step_idx") == 1).select(
+        F.col("n_users").alias("n_first")
+    )
+    return (
+        counts.crossJoin(F.broadcast(first))  # 1-row constant carrier
+        .select(
+            "step_idx",
+            "step",
+            "n_users",
+            F.expr("(n_users * 1000) div nullif(n_first, 0)").alias(
+                "conv_milli"
+            ),
+        )
+        .orderBy("step_idx")
+    )
+
+
+FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1
+),
+c AS (
+  SELECT 1 AS step_idx, 'view' AS step,
+         CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+  UNION ALL
+  SELECT 2, 'click', CAST(COUNT(*) AS BIGINT) FROM s2
+  UNION ALL
+  SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3
+)
+SELECT step_idx, step, n_users,
+       (n_users * 1000) // NULLIF((SELECT n_users FROM c WHERE step_idx = 1), 0)
+         AS conv_milli
+FROM c ORDER BY step_idx
+"""
+
+
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users cohorted by first-seen date, then
+    for day offsets 0..7 the count of cohort members active that day and
+    the exact milli-rate against cohort size.  Shapes: one user-keyed
+    min-aggregate (cohort), one distinct on (user, day) -- both
+    map-side-combinable -- one user-keyed join, and a broadcast of the
+    tiny per-cohort size relation.  No event-level self-join, no window
+    over data."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    act = ev.distinct()
+    cohort_sizes = first.groupBy("cohort_day").agg(
+        F.count("*").alias("cohort_n")
+    )
+    joined = (
+        act.join(first, "user_id")
+        .withColumn(
+            "offset_days",
+            F.datediff(F.col("day"), F.col("cohort_day")).cast("long"),
+        )
+        .filter(F.col("offset_days") <= 7)
+    )
+    return (
+        joined.groupBy("cohort_day", "offset_days")
+        .agg(F.count("*").alias("n_active"))
+        .join(F.broadcast(cohort_sizes), "cohort_day")
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "offset_days",
+            "n_active",
+            "cohort_n",
+            F.expr("(n_active * 1000) div cohort_n").alias("retention_milli"),
+        )
+        .orderBy("cohort_day", "offset_days")
+    )
+
+
+RETENTION_SQL = """
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS day FROM events
+),
+first AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY 1
+),
+act AS (SELECT DISTINCT user_id, day FROM ev),
+sizes AS (
+  SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_n
+  FROM first GROUP BY 1
+),
+cells AS (
+  SELECT f.cohort_day,
+         CAST(date_diff('day', f.cohort_day, a.day) AS BIGINT) AS offset_days,
+         CAST(COUNT(*) AS BIGINT) AS n_active
+  FROM act a JOIN first f USING (user_id)
+  WHERE date_diff('day', f.cohort_day, a.day) <= 7
+  GROUP BY 1, 2
+)
+SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day, c.offset_days,
+       c.n_active, s.cohort_n,
+       (c.n_active * 1000) // s.cohort_n AS retention_milli
+FROM cells c JOIN sizes s USING (cohort_day)
+ORDER BY cohort_day, offset_days
+"""
+
+
 CURATION_BOILER = (
     "shared boilerplate notice repeated verbatim across many corpus "
     "documents here"
@@ -2738,6 +2898,8 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "sketch_cms_heavy_hitters": (sketch_cms_heavy_hitters, CMS_SQL),
     "stats_linear_trend": (stats_linear_trend, LINEAR_TREND_SQL),
     "events_resample_daily": (events_resample_daily, RESAMPLE_SQL),
+    "events_funnel_steps": (events_funnel_steps, FUNNEL_SQL),
+    "events_retention_cohorts": (events_retention_cohorts, RETENTION_SQL),
     "agg_value_histogram": (agg_value_histogram, HISTOGRAM_SQL),
     "orc_xml_roundtrip_part": (orc_xml_roundtrip_part, ORC_XML_SQL),
     "events_sliding_windows": (events_sliding_windows, SLIDING_SQL),

@@ -1,0 +1,87 @@
+"""Event-analytics semantics: ordered funnel sequencing and cohort
+retention (plans/queries_ext.py::events_funnel_steps /
+events_retention_cohorts).
+
+The hard parts under test: a user whose click precedes their first view
+must NOT advance in the funnel (ordering, not mere co-occurrence), and a
+user active only on their cohort day contributes only to offset 0.  The
+planted corpus is written to a tmp parquet dir shaped like a testdata
+sf_dir, so the queries run exactly as the driver runs them.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from airflow_pipeline_text_processing_spark.plans.queries_ext import (
+    events_funnel_steps,
+    events_retention_cohorts,
+)
+
+
+def _write_events(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_funnel_requires_strict_ordering(spark, tmp_path):
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # user 1: view -> click -> purchase (full conversion)
+        (1, t0, 1, "view", 1.0, "{}"),
+        (2, t0 + m, 1, "click", 1.0, "{}"),
+        (3, t0 + 2 * m, 1, "purchase", 1.0, "{}"),
+        # user 2: click BEFORE view -- must stop at step 1
+        (4, t0, 2, "click", 1.0, "{}"),
+        (5, t0 + m, 2, "view", 1.0, "{}"),
+        # user 3: view -> click, purchase before the click -- stops at 2
+        (6, t0, 3, "purchase", 1.0, "{}"),
+        (7, t0 + m, 3, "view", 1.0, "{}"),
+        (8, t0 + 2 * m, 3, "click", 1.0, "{}"),
+        # user 4: never views -- not even step 1
+        (9, t0, 4, "click", 1.0, "{}"),
+        (10, t0 + m, 4, "purchase", 1.0, "{}"),
+    ]
+    sf_dir = _write_events(spark, tmp_path, rows)
+    out = {r.step_idx: r for r in events_funnel_steps(spark, sf_dir).collect()}
+    assert out[1].n_users == 3  # users 1, 2, 3 viewed
+    assert out[2].n_users == 2  # users 1 and 3 clicked after viewing
+    assert out[3].n_users == 1  # only user 1 purchased after clicking
+    assert out[1].conv_milli == 1000
+    assert out[3].conv_milli == 333
+
+
+def test_retention_offsets_count_active_days(spark, tmp_path):
+    d = lambda day, hour=9: dt.datetime(2024, 1, day, hour, 0, 0)
+    rows = [
+        # user 1: cohort day 1, active days 1, 2, 4
+        (1, d(1), 1, "view", 1.0, "{}"),
+        (2, d(2), 1, "view", 1.0, "{}"),
+        (3, d(2, 15), 1, "click", 1.0, "{}"),  # same day: one active day
+        (4, d(4), 1, "view", 1.0, "{}"),
+        # user 2: cohort day 1, active day 1 only
+        (5, d(1), 2, "view", 1.0, "{}"),
+        # user 3: cohort day 2, active days 2 and 12 (offset 10 > 7: cut)
+        (6, d(2), 3, "view", 1.0, "{}"),
+        (7, d(12), 3, "view", 1.0, "{}"),
+    ]
+    sf_dir = _write_events(spark, tmp_path, rows)
+    out = {
+        (r.cohort_day, r.offset_days): r
+        for r in events_retention_cohorts(spark, sf_dir).collect()
+    }
+    assert out[("2024-01-01", 0)].n_active == 2
+    assert out[("2024-01-01", 0)].cohort_n == 2
+    assert out[("2024-01-01", 1)].n_active == 1  # user 1 on day 2, once
+    assert out[("2024-01-01", 3)].n_active == 1
+    assert ("2024-01-01", 2) not in out
+    assert out[("2024-01-02", 0)].n_active == 1
+    assert ("2024-01-02", 10) not in out  # offset beyond 7 excluded
+    assert out[("2024-01-01", 1)].retention_milli == 500

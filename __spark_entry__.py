@@ -157,6 +157,7 @@ _ORDER = [
     "text_nb_classify",
     "events_funnel_steps",
     "events_retention_cohorts",
+    "join_fuzzy_names",
 ]
 
 assert len(_ORDER) == len(set(_ORDER)), "duplicate names in _ORDER"

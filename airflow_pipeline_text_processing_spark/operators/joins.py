@@ -249,3 +249,60 @@ def range_join_bucketed(
         .filter(lower_ok & (F.col(right_ts) <= hi))
         .drop("_bucket")
     )
+
+
+def fuzzy_name_pairs(
+    df: DataFrame,
+    name_col: str,
+    max_dist: int = 2,
+    q: int = 3,
+    max_df: int = 50,
+) -> DataFrame:
+    """Fuzzy self-join: distinct-name pairs within ``max_dist`` edit
+    distance, via q-gram blocking -- ``name_a, name_b, dist``.
+
+    Scale shape (the reason this isn't a cross join): candidate pairs
+    come from a self-equi-join on shared q-grams, with two pruning
+    levers BEFORE the quadratic step -- the relation is the DISTINCT
+    name set (identical raw names never pairwise-expand; a hot name
+    repeated a million times contributes one row, the same pre-pass
+    exact dedup gives MinHash-LSH in dedup.py), and q-grams shared by
+    more than ``max_df`` names are dropped from blocking (posting-list
+    cap, same lever as ngram_jaccard_pairs).  Levenshtein -- identical
+    integer DP in Spark and DuckDB -- verifies survivors only.  A
+    length-difference filter (edit distance >= length delta) prunes
+    inside the gram join.  Capped blocking trades recall for the cap,
+    exactly like every banded near-dup path in this repo; pairs sharing
+    only ultra-common grams are the ones skipped.
+    """
+    names = df.select(F.col(name_col).alias("name")).distinct()
+    gram_expr = F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(length(name) - {q - 1}, 1)),"
+            f" i -> substring(name, i, {q}))"
+        )
+    )
+    grams = names.select("name", F.explode(gram_expr).alias("g"))
+    rare = grams.groupBy("g").agg(F.count("*").alias("gdf")).filter(
+        F.col("gdf") <= max_df
+    )
+    blocked = grams.join(F.broadcast(rare.select("g")), "g")
+    cand = (
+        blocked.alias("a")
+        .join(blocked.alias("b"), "g")
+        .filter(F.expr("a.name < b.name"))
+        .filter(
+            F.expr(f"abs(length(a.name) - length(b.name)) <= {max_dist}")
+        )
+        .select(
+            F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b")
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "dist", F.levenshtein(F.col("name_a"), F.col("name_b"))
+        )
+        .filter(F.col("dist") <= max_dist)
+        .orderBy("name_a", "name_b")
+    )

@@ -1531,6 +1531,60 @@ ORDER BY s.event_type, s.day
 """
 
 
+def join_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy self-join (operators/joins.py::fuzzy_name_pairs): distinct
+    part names plus a deterministically corrupted twin of each (chars
+    3-4 replaced with 'zq', edit distance <= 2), matched back via
+    q-gram blocking + Levenshtein verify.  Every planted twin must find
+    its original without any cross join."""
+    from ..operators.joins import fuzzy_name_pairs
+
+    names = (
+        _t(spark, sf_dir, "part")
+        .select(F.col("p_name").alias("name"))
+        .distinct()
+    )
+    corrupted = names.select(
+        F.concat(
+            F.expr("substring(name, 1, 2)"),
+            F.lit("zq"),
+            F.expr("substring(name, 5)"),
+        ).alias("name")
+    )
+    corpus = names.unionAll(corrupted).distinct()
+    return fuzzy_name_pairs(corpus, "name", max_dist=2, q=3, max_df=50)
+
+
+FUZZY_SQL = """
+WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+corpus AS (
+  SELECT name FROM names
+  UNION
+  SELECT (substr(name, 1, 2) || 'zq' || substr(name, 5)) FROM names
+),
+grams AS (
+  SELECT name, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(length(name) - 2, 1)),
+           i -> substr(name, i, 3)))) AS g
+  FROM corpus
+),
+rare AS (
+  SELECT g FROM (SELECT g, COUNT(*) AS gdf FROM grams GROUP BY 1)
+  WHERE gdf <= 50
+),
+blocked AS (SELECT gr.name, gr.g FROM grams gr JOIN rare USING (g)),
+cand AS (
+  SELECT DISTINCT a.name AS name_a, b.name AS name_b
+  FROM blocked a JOIN blocked b USING (g)
+  WHERE a.name < b.name
+    AND abs(length(a.name) - length(b.name)) <= 2
+)
+SELECT name_a, name_b, levenshtein(name_a, name_b) AS dist
+FROM cand WHERE levenshtein(name_a, name_b) <= 2
+ORDER BY name_a, name_b
+"""
+
+
 def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel view -> click -> purchase: users count
     toward step k only if the step-k event happened strictly AFTER their
@@ -2898,6 +2952,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "sketch_cms_heavy_hitters": (sketch_cms_heavy_hitters, CMS_SQL),
     "stats_linear_trend": (stats_linear_trend, LINEAR_TREND_SQL),
     "events_resample_daily": (events_resample_daily, RESAMPLE_SQL),
+    "join_fuzzy_names": (join_fuzzy_names, FUZZY_SQL),
     "events_funnel_steps": (events_funnel_steps, FUNNEL_SQL),
     "events_retention_cohorts": (events_retention_cohorts, RETENTION_SQL),
     "agg_value_histogram": (agg_value_histogram, HISTOGRAM_SQL),

@@ -239,3 +239,43 @@ def test_asof_join_tolerance_nulls_stale_matches(spark):
         if want is not None and (ts - max(cands)[0]).total_seconds() > 30:
             want = None
         assert got[eid] == want, (eid, got[eid], want)
+
+
+def test_fuzzy_name_pairs_finds_planted_twins_without_cross_join(spark):
+    from airflow_pipeline_text_processing_spark.operators.joins import (
+        fuzzy_name_pairs,
+    )
+    import pyspark.sql.functions as F
+
+    names = [
+        "small ring", "red widget", "blue bolt", "hot gear", "small gizmo",
+    ]
+    rows = [(n,) for n in names]
+    # one-char corruption of each (char 3 -> 'q'): dist 1 twins
+    rows += [(n[:2] + "q" + n[3:],) for n in names]
+    df = spark.createDataFrame(rows, "name string")
+    out = fuzzy_name_pairs(df, "name", max_dist=2)
+    pairs = {(r.name_a, r.name_b) for r in out.collect()}
+    for n in names:
+        twin = n[:2] + "q" + n[3:]
+        a, b = sorted([n, twin])
+        assert (a, b) in pairs, (a, b)
+    dists = {r.dist for r in out.collect()}
+    assert dists <= {1, 2}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fuzzy_name_pairs_identical_names_collapse(spark):
+    from airflow_pipeline_text_processing_spark.operators.joins import (
+        fuzzy_name_pairs,
+    )
+
+    # a "hot" name repeated 500x must not pairwise-expand: distinct-name
+    # relation means zero dist-0 pairs and one row per unique name
+    rows = [("popular name",)] * 500 + [("popular nqme",)]
+    df = spark.createDataFrame(rows, "name string")
+    out = fuzzy_name_pairs(df, "name", max_dist=2).collect()
+    assert len(out) == 1
+    assert out[0].dist == 1

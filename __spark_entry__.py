@@ -158,6 +158,7 @@ _ORDER = [
     "events_funnel_steps",
     "events_retention_cohorts",
     "join_fuzzy_names",
+    "sample_temperature_sources",
 ]
 
 assert len(_ORDER) == len(set(_ORDER)), "duplicate names in _ORDER"

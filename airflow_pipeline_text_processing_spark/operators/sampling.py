@@ -59,3 +59,75 @@ def stratified_sample(
             F.col(stratum_col) == stratum, F.lit(rate_threshold(rate))
         ).otherwise(thresh)
     return df.filter(F.md5(key.cast("string")) < thresh)
+
+
+def temperature_targets(
+    df,
+    domain_col: str,
+    total_budget_expr: str = "n_total div 2",
+    alpha_sqrt: bool = True,
+):
+    """Per-domain target sizes under temperature resampling
+    (``target_d`` proportional to ``count_d^0.5``) -- the standard
+    up-weighting of low-resource domains in multilingual / multi-source
+    LLM training mixes: ``domain, c_d, w_fp, target_n``.
+
+    Exactness: ``sqrt`` is IEEE-754 correctly rounded (unlike libm
+    ``log``/``pow``), so ``w_fp = floor(sqrt(c_d) * 2^20)`` is the same
+    BIGINT on every engine; all downstream arithmetic -- the weight sum,
+    the budget split ``(budget * w_fp) div w_sum``, the ``c_d`` cap --
+    is integer, so targets are bit-reproducible in any aggregation
+    order.  The relation is domain-sized (tiny); the corpus never
+    shuffles here.
+    """
+    import pyspark.sql.functions as F
+
+    counts = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count("*").alias("c_d")
+    )
+    w = counts.withColumn(
+        "w_fp",
+        F.expr("CAST(floor(sqrt(CAST(c_d AS DOUBLE)) * 1048576) AS BIGINT)"),
+    )
+    tot = w.agg(
+        F.sum("c_d").alias("n_total"), F.sum("w_fp").alias("w_sum")
+    )
+    return w.crossJoin(F.broadcast(tot)).select(
+        "domain",
+        "c_d",
+        "w_fp",
+        F.expr(
+            f"least((({total_budget_expr}) * w_fp) div w_sum, c_d)"
+        ).alias("target_n"),
+    )
+
+
+def temperature_resample(df, domain_col: str, id_col: str):
+    """Apply :func:`temperature_targets`: keep, per domain, the
+    ``target_n`` rows with the smallest md5-of-id rank -- a
+    deterministic, engine-portable uniform draw (same md5-order device
+    as ``stratified_sample``, but quota-exact per domain rather than
+    rate-based).  Output: ``domain, id, rk, c_d, target_n``.
+
+    Scale note: the per-domain ranking is a window sort; for domains far
+    larger than their quota, a production variant would pre-filter with
+    an md5-threshold band (rate ~= target/c_d plus slack) before
+    ranking, turning the sort into a top-n over a sliver.  The quota
+    semantics are identical.
+    """
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    targets = temperature_targets(df, domain_col)
+    w = Window.partitionBy("domain").orderBy(
+        F.md5(F.col("id").cast("string")), F.col("id")
+    )
+    ranked = df.select(
+        F.col(domain_col).alias("domain"), F.col(id_col).alias("id")
+    ).withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(targets), "domain")
+        .filter(F.col("rk") <= F.col("target_n"))
+        .select("domain", "id", "rk", "c_d", "target_n")
+        .orderBy("domain", "id")
+    )

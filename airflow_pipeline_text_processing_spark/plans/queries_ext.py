@@ -1531,6 +1531,53 @@ ORDER BY s.event_type, s.day
 """
 
 
+def sample_temperature_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain resampling (operators/sampling.py::
+    temperature_resample): per-source quotas proportional to
+    sqrt(count) -- the low-resource-domain up-weighting used in
+    multilingual training mixes -- filled by deterministic md5-rank
+    draw.  sqrt is IEEE-correctly-rounded and immediately floored to
+    Q20 fixed point, so quotas and the draw are bit-identical across
+    engines."""
+    from ..operators.sampling import temperature_resample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return temperature_resample(docs, "source", "doc_id")
+
+
+TEMPERATURE_SQL = """
+WITH counts AS (
+  SELECT source AS domain, CAST(COUNT(*) AS BIGINT) AS c_d
+  FROM documents GROUP BY 1
+),
+w AS (
+  SELECT domain, c_d,
+         CAST(FLOOR(sqrt(CAST(c_d AS DOUBLE)) * 1048576) AS BIGINT) AS w_fp
+  FROM counts
+),
+tot AS (
+  SELECT CAST(SUM(c_d) AS BIGINT) AS n_total,
+         CAST(SUM(w_fp) AS BIGINT) AS w_sum FROM w
+),
+targets AS (
+  SELECT domain, c_d, w_fp,
+         LEAST(((n_total // 2) * w_fp) // w_sum, c_d) AS target_n
+  FROM w CROSS JOIN tot
+),
+ranked AS (
+  SELECT source AS domain, doc_id AS id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+  FROM documents
+)
+SELECT r.domain, r.id, r.rk, t.c_d, t.target_n
+FROM ranked r JOIN targets t USING (domain)
+WHERE r.rk <= t.target_n
+ORDER BY r.domain, r.id
+"""
+
+
 def join_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy self-join (operators/joins.py::fuzzy_name_pairs): distinct
     part names plus a deterministically corrupted twin of each (chars
@@ -2953,6 +3000,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "stats_linear_trend": (stats_linear_trend, LINEAR_TREND_SQL),
     "events_resample_daily": (events_resample_daily, RESAMPLE_SQL),
     "join_fuzzy_names": (join_fuzzy_names, FUZZY_SQL),
+    "sample_temperature_sources": (sample_temperature_sources, TEMPERATURE_SQL),
     "events_funnel_steps": (events_funnel_steps, FUNNEL_SQL),
     "events_retention_cohorts": (events_retention_cohorts, RETENTION_SQL),
     "agg_value_histogram": (agg_value_histogram, HISTOGRAM_SQL),

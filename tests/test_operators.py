@@ -1201,3 +1201,40 @@ def test_curate_incremental_stage_attribution(spark):
     borrowed = [r for d, r in rows.items() if d // 100000 == 3]
     assert len(borrowed) == 10
     assert all(155 <= r.n_bpe_tokens <= 175 for r in borrowed)
+
+
+def test_temperature_resample_upweights_small_domains(spark):
+    from airflow_pipeline_text_processing_spark.operators.sampling import (
+        temperature_resample,
+        temperature_targets,
+    )
+
+    # 900 docs in a big domain, 100 in a small one: under sqrt
+    # temperature the small domain's share of the budget must exceed its
+    # corpus share (sqrt(100)/(sqrt(900)+sqrt(100)) = 25% vs 10%)
+    rows = [(i, "big") for i in range(900)] + [
+        (1000 + i, "small") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    targets = {
+        r.domain: r for r in temperature_targets(df, "source").collect()
+    }
+    budget = 500  # n_total div 2
+    assert targets["small"].target_n > budget * 100 // 1000  # > corpus share
+    # raw sqrt quota is 500 * 10/(30+10) = 125, capped at the 100 available
+    assert targets["small"].target_n == 100
+    assert targets["big"].target_n == budget * 30 // 40  # 375
+    assert targets["big"].target_n <= targets["big"].c_d
+
+    out = temperature_resample(df, "source", "doc_id").collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.domain, []).append(r)
+    for d, rws in per.items():
+        assert len(rws) == targets[d].target_n
+        assert all(r.rk <= r.target_n for r in rws)
+    # determinism: second run selects the identical ids
+    out2 = temperature_resample(df, "source", "doc_id").collect()
+    assert sorted((r.domain, r.id) for r in out) == sorted(
+        (r.domain, r.id) for r in out2
+    )

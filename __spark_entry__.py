@@ -159,6 +159,7 @@ _ORDER = [
     "events_retention_cohorts",
     "join_fuzzy_names",
     "sample_temperature_sources",
+    "graph_pagerank_events",
 ]
 
 assert len(_ORDER) == len(set(_ORDER)), "duplicate names in _ORDER"

@@ -1531,6 +1531,67 @@ ORDER BY s.event_type, s.day
 """
 
 
+def graph_pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank over the event-type transition graph
+    (operators/graph.py): edges from per-user consecutive transitions
+    (lag window, the log-to-graph aggregation that IS the heavy step at
+    100 TB), then 3 exact integer power iterations on the small graph.
+    rank_fp is in 10^12 units; see graph.py for the overflow headroom
+    argument."""
+    from ..operators.graph import pagerank_fixed, transition_edges
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    nodes = ev.select(F.col("event_type").alias("node")).distinct()
+    edges = transition_edges(ev)
+    return pagerank_fixed(nodes, edges, iterations=3)
+
+
+def _pagerank_sql(iterations: int = 3) -> str:
+    steps = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        steps.append(f"""
+f{i} AS (
+  SELECT ep.dst AS node,
+         CAST(SUM((r.rank_fp * ep.p_fp) // 1000000) AS BIGINT) AS inflow
+  FROM ep JOIN {prev} r ON ep.src = r.node GROUP BY 1
+),
+r{i} AS (
+  SELECT n.node,
+         ((1000000000000 * 15) // 100) // nd.n_nodes
+           + (85 * COALESCE(f.inflow, 0)) // 100 AS rank_fp
+  FROM nodes n LEFT JOIN f{i} f USING (node) CROSS JOIN nd
+)""")
+        prev = f"r{i}"
+    chain = ",".join(steps)
+    return f"""
+WITH lagged AS (
+  SELECT LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS src,
+         event_type AS dst
+  FROM events
+),
+edges AS (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+  FROM lagged WHERE src IS NOT NULL GROUP BY 1, 2
+),
+outt AS (SELECT src, CAST(SUM(w) AS BIGINT) AS out_w FROM edges GROUP BY 1),
+ep AS (
+  SELECT e.src, e.dst, (e.w * 1000000) // o.out_w AS p_fp
+  FROM edges e JOIN outt o USING (src)
+),
+nodes AS (SELECT DISTINCT event_type AS node FROM events),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM nodes),
+r0 AS (
+  SELECT node, (1000000000000 // n_nodes) AS rank_fp
+  FROM nodes CROSS JOIN nd
+),{chain}
+SELECT node, rank_fp FROM {prev} ORDER BY node
+"""
+
+
 def sample_temperature_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based domain resampling (operators/sampling.py::
     temperature_resample): per-source quotas proportional to
@@ -3001,6 +3062,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "events_resample_daily": (events_resample_daily, RESAMPLE_SQL),
     "join_fuzzy_names": (join_fuzzy_names, FUZZY_SQL),
     "sample_temperature_sources": (sample_temperature_sources, TEMPERATURE_SQL),
+    "graph_pagerank_events": (graph_pagerank_events, _pagerank_sql()),
     "events_funnel_steps": (events_funnel_steps, FUNNEL_SQL),
     "events_retention_cohorts": (events_retention_cohorts, RETENTION_SQL),
     "agg_value_histogram": (agg_value_histogram, HISTOGRAM_SQL),

@@ -85,3 +85,53 @@ def test_retention_offsets_count_active_days(spark, tmp_path):
     assert out[("2024-01-02", 0)].n_active == 1
     assert ("2024-01-02", 10) not in out  # offset beyond 7 excluded
     assert out[("2024-01-01", 1)].retention_milli == 500
+
+
+def test_pagerank_star_graph_ranks_hub_highest(spark):
+    from airflow_pipeline_text_processing_spark.operators.graph import (
+        SCALE,
+        pagerank_fixed,
+    )
+
+    # star digraph: a,b,c all point to hub; hub points back to a only
+    nodes = spark.createDataFrame(
+        [("hub",), ("a",), ("b",), ("c",)], "node string"
+    )
+    edges = spark.createDataFrame(
+        [("a", "hub", 10), ("b", "hub", 10), ("c", "hub", 10),
+         ("hub", "a", 5)],
+        "src string, dst string, w long",
+    )
+    out = {r.node: r.rank_fp for r in pagerank_fixed(nodes, edges, 3).collect()}
+    assert out["hub"] > out["a"] > out["b"]  # a gets hub's flow back
+    assert out["b"] == out["c"]              # symmetric leaves
+    # mass is bounded by SCALE (dangling simplification loses mass only)
+    assert sum(out.values()) <= SCALE
+
+
+def test_transition_edges_respects_per_user_order(spark):
+    import datetime as dt
+    from airflow_pipeline_text_processing_spark.operators.graph import (
+        transition_edges,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        # user 1: view -> click -> view
+        (1, t0, 1, "view"), (2, t0 + s, 1, "click"), (3, t0 + 2 * s, 1, "view"),
+        # user 2: click -> view; the cross-user boundary must NOT create
+        # a (view@u1, click@u2) edge
+        (4, t0 + 3 * s, 2, "click"), (5, t0 + 4 * s, 2, "view"),
+        # same-ts tie within user 3 broken by event_id
+        (6, t0, 3, "purchase"), (7, t0, 3, "error"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {(r.src, r.dst): r.w for r in transition_edges(ev).collect()}
+    assert got == {
+        ("view", "click"): 1,
+        ("click", "view"): 2,
+        ("purchase", "error"): 1,
+    }

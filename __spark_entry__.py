@@ -160,6 +160,7 @@ _ORDER = [
     "join_fuzzy_names",
     "sample_temperature_sources",
     "graph_pagerank_events",
+    "text_lm_bigram",
 ]
 
 assert len(_ORDER) == len(set(_ORDER)), "duplicate names in _ORDER"

@@ -265,3 +265,133 @@ def nb_classify(
         )
         .orderBy("doc_id")
     )
+
+
+# log2(1/0.4) * 256 = 338.44... truncated: the Stupid Backoff penalty
+# (Brants et al. 2007 use alpha = 0.4) as an exact Q8 constant, so the
+# backoff branch stays in integer arithmetic like everything else.
+BACKOFF_PENALTY_Q8 = 338
+
+
+def bigram_surprisal_backoff(
+    train: DataFrame, eval_docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Stupid-Backoff bigram LM (the web-scale scheme of Brants et al.
+    2007: score-based backoff instead of normalized interpolation --
+    chosen here ALSO because interpolating probabilities before the log
+    needs cross-products that overflow BIGINT at large N, while backoff
+    stays inside the fixed_log2 num < 2^47 bound) trained on ``train``
+    and scored over ``eval_docs``: ``doc_id, n_tokens, n_backoff,
+    total_q8, bpt_milli``.
+
+    Per position i >= 2: if the bigram was seen in training, surprisal
+    is ``fixed_log2(ctx(prev), c(prev, cur))`` with ``ctx`` the
+    context-occurrence total (so num >= den structurally); else
+    ``BACKOFF_PENALTY_Q8 + smoothed unigram``.  First tokens and OOV
+    always take the add-one unigram path.
+
+    Scale shape: bigram pairs come from an array zip inside each
+    document (no self-join on position); both model relations
+    (bigram-vocabulary and eval-token-vocabulary) are model-sized and
+    broadcast; the eval corpus shuffles only on doc_id for the final
+    sum.  The token array is materialized behind a projection boundary
+    before any lambda references it (the Catalyst re-inlining trap
+    documented at dedup.py::positional_shingles).
+    """
+    pair_expr = (
+        "CASE WHEN size(_tk) < 2 THEN array() ELSE"
+        " transform(sequence(2, size(_tk)),"
+        " i -> struct(element_at(_tk, i - 1) AS prev,"
+        " element_at(_tk, i) AS cur)) END"
+    )
+
+    def _pairs(docs: DataFrame) -> DataFrame:
+        base = docs.select(
+            "doc_id", tokens(F.col(text_col)).alias("_tk")
+        )
+        return base.select(
+            "doc_id", F.explode(F.expr(pair_expr)).alias("p")
+        ).select("doc_id", F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
+
+    def _firsts(docs: DataFrame) -> DataFrame:
+        base = docs.select(
+            "doc_id", tokens(F.col(text_col)).alias("_tk")
+        )
+        return base.filter(F.size("_tk") >= 1).select(
+            "doc_id", F.expr("element_at(_tk, 1)").alias("cur")
+        )
+
+    train_toks = train.select(
+        F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    uni = train_toks.groupBy("token").agg(F.count("*").alias("c"))
+    scal = uni.agg(F.sum("c").alias("n_total"), F.count("*").alias("v_size"))
+
+    bi = _pairs(train).groupBy("prev", "cur").agg(F.count("*").alias("c_bi"))
+    ctx = bi.groupBy("prev").agg(F.sum("c_bi").alias("ctx_n"))
+    bi_scores = fixed_log2(
+        bi.join(ctx, "prev").select(
+            "prev", "cur",
+            F.col("ctx_n").alias("_num"), F.col("c_bi").alias("_den"),
+        ),
+        "_num", "_den", "s_bi_q8",
+    ).select("prev", "cur", "s_bi_q8")
+
+    eval_pairs = _pairs(eval_docs)
+    eval_firsts = _firsts(eval_docs)
+    eval_vocab = (
+        eval_pairs.select(F.col("cur").alias("token"))
+        .unionAll(eval_firsts.select(F.col("cur").alias("token")))
+        .distinct()
+    )
+    uni_scores = fixed_log2(
+        eval_vocab.join(uni, "token", "left")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "token",
+            (F.col("n_total") + F.col("v_size")).alias("_num"),
+            (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1)).alias("_den"),
+        ),
+        "_num", "_den", "s_uni_q8",
+    ).select("token", "s_uni_q8")
+
+    first_scored = eval_firsts.join(
+        F.broadcast(uni_scores), eval_firsts.cur == uni_scores.token
+    ).select(
+        "doc_id",
+        F.col("s_uni_q8").alias("s_q8"),
+        F.lit(0).alias("is_backoff"),
+    )
+    pair_scored = (
+        eval_pairs.join(F.broadcast(bi_scores), ["prev", "cur"], "left")
+        .join(
+            F.broadcast(uni_scores),
+            eval_pairs.cur == uni_scores.token,
+        )
+        .select(
+            "doc_id",
+            F.coalesce(
+                F.col("s_bi_q8"),
+                F.lit(BACKOFF_PENALTY_Q8) + F.col("s_uni_q8"),
+            ).alias("s_q8"),
+            F.when(F.col("s_bi_q8").isNull(), 1).otherwise(0).alias(
+                "is_backoff"
+            ),
+        )
+    )
+    return (
+        first_scored.unionAll(pair_scored)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("is_backoff").alias("n_backoff"),
+            F.sum("s_q8").alias("total_q8"),
+        )
+        .select(
+            "doc_id", "n_tokens", "n_backoff", "total_q8",
+            F.expr("(total_q8 * 1000) div (256 * n_tokens)").alias(
+                "bpt_milli"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -1366,6 +1366,88 @@ FROM ranked WHERE rn = 1 ORDER BY doc_id
 """
 
 
+def text_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-Backoff bigram LM (operators/lm.py::
+    bigram_surprisal_backoff): trained on doc_id < 400, scored on
+    doc_id >= 400 -- a real train/eval split, so unseen-bigram backoff
+    genuinely fires (n_backoff > 0) rather than being dead code."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return L.bigram_surprisal_backoff(
+        docs.filter(F.col("doc_id") < 400),
+        docs.filter(F.col("doc_id") >= 400),
+    )
+
+
+def _lm_bigram_sql() -> str:
+    bi_chain = L.fixed_log2_sql(
+        "SELECT b.prev, b.cur, c.ctx_n AS _num, b.c_bi AS _den"
+        " FROM bi b JOIN ctx c USING (prev)",
+        "prev, cur",
+        "_num",
+        "_den",
+        "s_bi_q8",
+    )
+    uni_chain = L.fixed_log2_sql(
+        "SELECT ev2.token, (s.n_total + s.v_size) AS _num,"
+        " (COALESCE(u.c, 0) + 1) AS _den"
+        " FROM evocab ev2 LEFT JOIN uni u USING (token) CROSS JOIN scal s",
+        "token",
+        "_num",
+        "_den",
+        "s_uni_q8",
+    )
+    pen = L.BACKOFF_PENALTY_Q8
+    return f"""
+WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+ev AS (SELECT doc_id, text FROM documents WHERE doc_id >= 400),
+ttoks AS (SELECT unnest({TOKS_SQL}) AS token FROM train),
+uni AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM ttoks GROUP BY 1),
+scal AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_total,
+         CAST(COUNT(*) AS BIGINT) AS v_size FROM uni
+),
+tbase AS (SELECT doc_id, {TOKS_SQL} AS tk FROM train),
+tpairs AS (
+  SELECT doc_id, tk[i - 1] AS prev, tk[i] AS cur
+  FROM tbase, UNNEST(generate_series(2, len(tk))) AS u(i)
+),
+bi AS (
+  SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS c_bi
+  FROM tpairs GROUP BY 1, 2
+),
+ctx AS (SELECT prev, CAST(SUM(c_bi) AS BIGINT) AS ctx_n FROM bi GROUP BY 1),
+bs AS ({bi_chain}),
+ebase AS (SELECT doc_id, {TOKS_SQL} AS tk FROM ev),
+epairs AS (
+  SELECT doc_id, tk[i - 1] AS prev, tk[i] AS cur
+  FROM ebase, UNNEST(generate_series(2, len(tk))) AS u(i)
+),
+efirst AS (SELECT doc_id, tk[1] AS cur FROM ebase WHERE len(tk) >= 1),
+evocab AS (
+  SELECT DISTINCT cur AS token FROM (
+    SELECT cur FROM epairs UNION ALL SELECT cur FROM efirst
+  )
+),
+us AS ({uni_chain}),
+scored AS (
+  SELECT doc_id, us.s_uni_q8 AS s_q8, 0 AS is_backoff
+  FROM efirst JOIN us ON efirst.cur = us.token
+  UNION ALL
+  SELECT p.doc_id,
+         COALESCE(b.s_bi_q8, {pen} + us.s_uni_q8) AS s_q8,
+         CASE WHEN b.s_bi_q8 IS NULL THEN 1 ELSE 0 END AS is_backoff
+  FROM epairs p
+  LEFT JOIN bs b ON b.prev = p.prev AND b.cur = p.cur
+  JOIN us ON us.token = p.cur
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(is_backoff) AS BIGINT) AS n_backoff,
+       CAST(SUM(s_q8) AS BIGINT) AS total_q8,
+       (CAST(SUM(s_q8) AS BIGINT) * 1000) // (256 * COUNT(*)) AS bpt_milli
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -1394,6 +1476,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "text_lang_id": (text_lang_id, LANG_SQL),
     "text_fingerprint": (text_fingerprint, FINGERPRINT_SQL),
     "text_lm_surprisal": (text_lm_surprisal, _lm_surprisal_sql()),
+    "text_lm_bigram": (text_lm_bigram, _lm_bigram_sql()),
     "text_nb_classify": (text_nb_classify, _nb_sql()),
     "mm_binary_stats": (mm_binary_stats, MM_STATS_SQL),
     "mm_feature_extract": (mm_feature_extract, MM_FEATURES_SQL),

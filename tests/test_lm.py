@@ -97,3 +97,34 @@ def test_nb_plan_broadcasts_model_not_corpus(spark):
     plan = nb_classify(docs, label_col="lang")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bigram_backoff_fires_on_unseen_pairs(spark):
+    from airflow_pipeline_text_processing_spark.operators.lm import (
+        BACKOFF_PENALTY_Q8,
+        bigram_surprisal_backoff,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat ran"), (3, "the dog sat")],
+        "doc_id long, text string",
+    )
+    evald = spark.createDataFrame(
+        [
+            (10, "the cat sat"),   # every bigram seen: zero backoff
+            (11, "cat the"),       # 'cat the' unseen: one backoff
+            (12, "zzz"),           # single OOV token: unigram path only
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bigram_surprisal_backoff(train, evald).collect()}
+    assert out[10].n_backoff == 0
+    assert out[11].n_backoff == 1
+    assert out[12].n_backoff == 0 and out[12].n_tokens == 1
+    # a fully-seen doc must be cheaper per token than its backoff sibling
+    assert out[10].bpt_milli < out[11].bpt_milli
+    # OOV unigram surprisal: fixed_log2(N + V, 1); N=9 tokens, V=5
+    assert out[12].total_q8 == _ref_fixed_log2(9 + 5, 1)
+    # penalty constant is log2(2.5)*256 truncated
+    import math
+    assert BACKOFF_PENALTY_Q8 == int(math.log2(2.5) * 256)

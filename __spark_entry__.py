@@ -161,6 +161,8 @@ _ORDER = [
     "sample_temperature_sources",
     "graph_pagerank_events",
     "text_lm_bigram",
+    "events_anomaly_days",
+    "events_rolling_active_users",
 ]
 
 assert len(_ORDER) == len(set(_ORDER)), "duplicate names in _ORDER"

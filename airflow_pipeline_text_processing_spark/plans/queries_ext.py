@@ -1531,6 +1531,132 @@ ORDER BY s.event_type, s.day
 """
 
 
+def events_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly flags over the daily event-count series:
+    per (event_type, day), the trailing-7-day mean (excluding the
+    current day) in exact milli-units and a flag for days whose count
+    deviates from that mean by more than 50%.  One map-side-combined daily
+    pre-aggregate, one bounded rows-frame window per type -- the window
+    runs over the tiny daily series, never over raw events."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("n_events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    trailing = daily.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        F.sum("n_events").over(w).alias("trail_sum"),
+        F.count("n_events").over(w).alias("trail_n"),
+    )
+    return (
+        trailing.filter(F.col("trail_n") >= 3)
+        .select(
+            "event_type",
+            "day",
+            "n_events",
+            F.expr("(trail_sum * 1000) div trail_n").alias("trail_mean_milli"),
+            F.expr(
+                "CASE WHEN n_events * 1000 * trail_n > trail_sum * 1500"
+                " OR n_events * 1000 * trail_n * 2 < trail_sum * 1000"
+                " THEN 1 ELSE 0 END"
+            ).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+ANOMALY_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+trail AS (
+  SELECT event_type, day, n_events,
+         CAST(SUM(n_events) OVER w AS BIGINT) AS trail_sum,
+         CAST(COUNT(n_events) OVER w AS BIGINT) AS trail_n
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n_events,
+       (trail_sum * 1000) // trail_n AS trail_mean_milli,
+       CASE WHEN n_events * 1000 * trail_n > trail_sum * 1500
+              OR n_events * 1000 * trail_n * 2 < trail_sum * 1000
+            THEN 1 ELSE 0 END AS is_anomaly
+FROM trail WHERE trail_n >= 3
+ORDER BY event_type, day
+"""
+
+
+def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling distinct-user counts (DAU and exact 7-day WAU) per day.
+    Distinct counts do NOT sum across a sliding window, so WAU uses the
+    contribution expansion: each (user, active_day) pair is exploded
+    into the 7 report days it supports, then counted distinct per day --
+    linear in activity x window, exact, and fully map-side-partial.  The
+    day spine bounds report days to the observed range."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    act = ev.distinct()
+    dau = act.groupBy("day").agg(F.count("*").alias("dau"))
+    contrib = act.select(
+        "user_id",
+        F.explode(
+            F.expr("sequence(day, date_add(day, 6))")
+        ).alias("report_day"),
+    ).distinct()
+    bounds = ev.agg(F.max("day").alias("d_max"))
+    wau = (
+        contrib.crossJoin(F.broadcast(bounds))
+        .filter(F.col("report_day") <= F.col("d_max"))
+        .groupBy("report_day")
+        .agg(F.count("*").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau.day == wau.report_day)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            F.expr("(dau * 1000) div wau").alias("stickiness_milli"),
+        )
+        .orderBy("day")
+    )
+
+
+ROLLING_SQL = """
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS day FROM events
+),
+act AS (SELECT DISTINCT user_id, day FROM ev),
+dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM act GROUP BY 1),
+contrib AS (
+  SELECT DISTINCT a.user_id, CAST(u.rd AS DATE) AS report_day
+  FROM act a,
+       UNNEST(generate_series(a.day, a.day + INTERVAL 6 DAY,
+                              INTERVAL 1 DAY)) AS u(rd)
+),
+bounds AS (SELECT MAX(day) AS d_max FROM ev),
+wau AS (
+  SELECT report_day, CAST(COUNT(*) AS BIGINT) AS wau
+  FROM contrib CROSS JOIN bounds
+  WHERE report_day <= d_max GROUP BY 1
+)
+SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, w.wau,
+       (d.dau * 1000) // w.wau AS stickiness_milli
+FROM dau d JOIN wau w ON d.day = w.report_day
+ORDER BY day
+"""
+
+
 def graph_pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Damped PageRank over the event-type transition graph
     (operators/graph.py): edges from per-user consecutive transitions
@@ -3063,6 +3189,8 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "join_fuzzy_names": (join_fuzzy_names, FUZZY_SQL),
     "sample_temperature_sources": (sample_temperature_sources, TEMPERATURE_SQL),
     "graph_pagerank_events": (graph_pagerank_events, _pagerank_sql()),
+    "events_anomaly_days": (events_anomaly_days, ANOMALY_SQL),
+    "events_rolling_active_users": (events_rolling_active_users, ROLLING_SQL),
     "events_funnel_steps": (events_funnel_steps, FUNNEL_SQL),
     "events_retention_cohorts": (events_retention_cohorts, RETENTION_SQL),
     "agg_value_histogram": (agg_value_histogram, HISTOGRAM_SQL),

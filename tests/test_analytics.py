@@ -135,3 +135,55 @@ def test_transition_edges_respects_per_user_order(spark):
         ("click", "view"): 2,
         ("purchase", "error"): 1,
     }
+
+
+from airflow_pipeline_text_processing_spark.plans.queries_ext import (
+    events_anomaly_days,
+    events_rolling_active_users,
+)
+
+
+def test_anomaly_days_flags_planted_spike(spark, tmp_path):
+    import datetime as dt
+
+    rows = []
+    eid = 0
+    # 10 steady days of 10 events, then a 30-event spike, then steady
+    for day in range(1, 15):
+        n = 30 if day == 12 else 10
+        for k in range(n):
+            eid += 1
+            rows.append(
+                (eid, dt.datetime(2024, 1, day, 8, 0, k), 1, "view", 1.0, "{}")
+            )
+    sf_dir = _write_events(spark, tmp_path, rows)
+    out = {r.day: r for r in events_anomaly_days(spark, sf_dir).collect()}
+    assert out["2024-01-12"].is_anomaly == 1
+    assert out["2024-01-11"].is_anomaly == 0
+    # the spike inflates the NEXT day's trailing mean but 10 vs
+    # mean~12.8 is within 50%: not flagged
+    assert out["2024-01-13"].is_anomaly == 0
+    # first 3 days have trail_n < 3: excluded from output
+    assert "2024-01-02" not in out and "2024-01-03" not in out
+
+
+def test_rolling_active_users_exact_wau(spark, tmp_path):
+    import datetime as dt
+
+    rows = [
+        # user 1 active days 1 and 5; user 2 active day 3 only
+        (1, dt.datetime(2024, 1, 1), 1, "view", 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 5), 1, "view", 1.0, "{}"),
+        (3, dt.datetime(2024, 1, 3), 2, "view", 1.0, "{}"),
+    ]
+    sf_dir = _write_events(spark, tmp_path, rows)
+    out = {
+        r.day: r for r in events_rolling_active_users(spark, sf_dir).collect()
+    }
+    # report days limited to observed DAU days (inner join with dau)
+    assert out["2024-01-01"].dau == 1 and out["2024-01-01"].wau == 1
+    # day 3: users 1 (active day 1) and 2 (active day 3) in window
+    assert out["2024-01-03"].dau == 1 and out["2024-01-03"].wau == 2
+    # day 5: user 1 counted ONCE despite two active days in window
+    assert out["2024-01-05"].dau == 1 and out["2024-01-05"].wau == 2
+    assert out["2024-01-03"].stickiness_milli == 500

@@ -128,3 +128,71 @@ def test_bigram_backoff_fires_on_unseen_pairs(spark):
     # penalty constant is log2(2.5)*256 truncated
     import math
     assert BACKOFF_PENALTY_Q8 == int(math.log2(2.5) * 256)
+
+
+def test_bigram_plan_no_cartesian_and_broadcast_models(spark):
+    from airflow_pipeline_text_processing_spark.operators.lm import (
+        bigram_surprisal_backoff,
+    )
+
+    train = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon") for i in range(50)],
+        "doc_id long, text string",
+    )
+    evald = spark.createDataFrame(
+        [(100 + i, "alpha beta zeta") for i in range(50)],
+        "doc_id long, text string",
+    )
+    plan = (
+        bigram_surprisal_backoff(train, evald)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_lm_scale_smoke_200k_docs(spark):
+    """Unigram surprisal + NB classifier over 200k generated documents
+    with a skewed vocabulary (one hot token in every doc): the corpus
+    side must stay explode + groupBy + broadcast join, finishing within
+    a generous wall bound; spot values recomputed exactly in Python."""
+    import time
+
+    import pyspark.sql.functions as F
+    from airflow_pipeline_text_processing_spark.operators.lm import (
+        nb_classify,
+        unigram_surprisal,
+    )
+
+    n = 200_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("hot common"),
+            F.lit(" tok"), (F.col("id") % 1000).cast("string"),
+            F.lit(" tok"), ((F.col("id") + 7) % 1000).cast("string"),
+        ).alias("text"),
+        (F.col("id") % 4).cast("string").alias("lang"),
+    )
+    t0 = time.time()
+    out = unigram_surprisal(docs)
+    assert out.count() == n
+    nb = nb_classify(docs, label_col="lang")
+    assert nb.count() == n
+    wall = time.time() - t0
+    assert wall < 120, f"LM family too slow at 200k docs: {wall:.1f}s"
+
+    # exact spot check for doc 0: tokens hot, common, tok0, tok7
+    # counts: hot/common appear n times; tokN appears 400 times
+    # (200 as id%1000==N plus 200 as (id+7)%1000==N); N=4n tokens,
+    # V=1002 distinct
+    row = out.filter(F.col("doc_id") == 0).collect()[0]
+    N, V = 4 * n, 1002
+    exp = (
+        2 * _ref_fixed_log2(N + V, n + 1)
+        + 2 * _ref_fixed_log2(N + V, 400 + 1)
+    )
+    assert row.bits_q8 == exp
+    assert row.n_tokens == 4

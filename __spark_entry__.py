@@ -163,6 +163,7 @@ _ORDER = [
     "text_lm_bigram",
     "events_anomaly_days",
     "events_rolling_active_users",
+    "merge_upsert_part",
 ]
 
 assert len(_ORDER) == len(set(_ORDER)), "duplicate names in _ORDER"

@@ -1531,6 +1531,64 @@ ORDER BY s.event_type, s.day
 """
 
 
+def merge_upsert_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE on a manifest-backed parquet table
+    (sources/manifest.py): the part table lands as 8 range-partitioned
+    files + stats sidecar, an update batch overwrites keys < 100 and
+    appends 10 brand-new keys, and only the touched files are rewritten
+    (file-level property asserted in tests/test_manifest.py; this query
+    verifies the RELATIONAL contract -- upsert-then-read-back equals the
+    anti-join-union the oracle computes directly)."""
+    import hashlib
+    import os as _os
+
+    from ..sources.manifest import merge_upsert, write_manifest_table
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base_path = _os.path.join(tempfile.gettempdir(), f"part_merge_{tag}")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_name", "p_size")
+    write_manifest_table(part, base_path, "p_partkey", 8)
+    updates = (
+        part.filter(F.col("p_partkey") < 100)
+        .select(
+            "p_partkey",
+            F.concat(F.lit("upd "), F.col("p_name")).alias("p_name"),
+            (F.col("p_size") + F.lit(1000)).alias("p_size"),
+        )
+        .unionByName(
+            part.filter(F.col("p_partkey") < 10).select(
+                (F.col("p_partkey") + F.lit(1000000)).alias("p_partkey"),
+                "p_name",
+                "p_size",
+            )
+        )
+    )
+    merge_upsert(spark, base_path, updates, "p_partkey")
+    return (
+        spark.read.parquet(_os.path.join(base_path, "data"))
+        .select("p_partkey", "p_name", "p_size")
+        .orderBy("p_partkey")
+    )
+
+
+MERGE_SQL = """
+WITH base AS (SELECT p_partkey, p_name, p_size FROM part),
+upd AS (
+  SELECT p_partkey, 'upd ' || p_name AS p_name, p_size + 1000 AS p_size
+  FROM part WHERE p_partkey < 100
+  UNION ALL
+  SELECT p_partkey + 1000000, p_name, p_size FROM part WHERE p_partkey < 10
+),
+merged AS (
+  SELECT * FROM base
+  WHERE p_partkey NOT IN (SELECT p_partkey FROM upd)
+  UNION ALL
+  SELECT * FROM upd
+)
+SELECT p_partkey, p_name, p_size FROM merged ORDER BY p_partkey
+"""
+
+
 def events_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-window anomaly flags over the daily event-count series:
     per (event_type, day), the trailing-7-day mean (excluding the
@@ -3190,6 +3248,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "sample_temperature_sources": (sample_temperature_sources, TEMPERATURE_SQL),
     "graph_pagerank_events": (graph_pagerank_events, _pagerank_sql()),
     "events_anomaly_days": (events_anomaly_days, ANOMALY_SQL),
+    "merge_upsert_part": (merge_upsert_part, MERGE_SQL),
     "events_rolling_active_users": (events_rolling_active_users, ROLLING_SQL),
     "events_funnel_steps": (events_funnel_steps, FUNNEL_SQL),
     "events_retention_cohorts": (events_retention_cohorts, RETENTION_SQL),

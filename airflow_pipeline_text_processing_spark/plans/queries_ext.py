@@ -1542,7 +1542,11 @@ def merge_upsert_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     import os as _os
 
-    from ..sources.manifest import merge_upsert, write_manifest_table
+    from ..sources.manifest import (
+        merge_upsert,
+        read_live,
+        write_manifest_table,
+    )
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     base_path = _os.path.join(tempfile.gettempdir(), f"part_merge_{tag}")
@@ -1565,7 +1569,7 @@ def merge_upsert_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merge_upsert(spark, base_path, updates, "p_partkey")
     return (
-        spark.read.parquet(_os.path.join(base_path, "data"))
+        read_live(spark, base_path)  # manifest view: tombstones excluded
         .select("p_partkey", "p_name", "p_size")
         .orderBy("p_partkey")
     )

@@ -1,19 +1,22 @@
 """Manifest-backed parquet tables: per-file min/max statistics, file
-pruning, and copy-on-write MERGE (upsert) on plain parquet.
+pruning, copy-on-write MERGE (upsert), snapshot reads (time travel),
+and vacuum -- on plain parquet.
 
 This is the table-format layer (what Delta/Iceberg provide) rebuilt on
 primitives available in this container: a ``_manifest`` parquet sidecar
-records, for every data file, its row count and the min/max of the
-cluster key.  Reads prune at FILE granularity before Spark ever opens a
-footer; MERGE rewrites only the files whose key range overlaps the
-update batch, leaving every other file byte-identical -- the property
-that makes upserts affordable on a 100 TB table (rewrite O(touched
-files), not O(table)).
+records, for every data file, its row count, the min/max of the cluster
+key, and its [added_epoch, removed_epoch) lifetime.  Reads prune at
+FILE granularity before Spark ever opens a footer; MERGE rewrites only
+the files whose key range overlaps the update batch and TOMBSTONES the
+replaced files instead of deleting them, so every past epoch remains
+readable (``read_snapshot``) until ``vacuum`` reclaims it -- the
+rewrite is O(touched files), not O(table), which is what makes upserts
+affordable on a 100 TB table.
 
 Honest caveats, by design not omission:
 * No transaction log: concurrent writers are NOT coordinated (same
   single-writer assumption as the tracking table in tracking.py).  A
-  production deployment would wrap the swap step in a log commit.
+  production deployment would wrap the manifest swap in a log commit.
 * File moves use local-filesystem rename; on an object store the same
   sequence runs through the FileCommitProtocol.
 * The driver-side lists are FILE lists (manifest-sized, thousands of
@@ -36,51 +39,101 @@ from pyspark.sql import DataFrame, SparkSession
 
 _DATA = "data"
 _MANIFEST = "_manifest"
+LIVE = -1  # removed_epoch sentinel: file is current (parquet-friendly non-null)
 
 
-def _build_manifest(
-    spark: SparkSession, path: str, key_col: str, files: Optional[List[str]] = None
-) -> DataFrame:
+def _build_stats(
+    spark: SparkSession, files: List[str], key_col: str
+) -> List[dict]:
     """Per-file stats by scanning back with ``input_file_name`` -- the
     portable equivalent of collecting footer stats at write time.  Only
-    the key column is read (column pruning), so the stats pass is a
-    narrow scan."""
-    src = (
+    the key column is read (column pruning): a narrow scan."""
+    rows = (
         spark.read.parquet(*files)
-        if files
-        else spark.read.parquet(os.path.join(path, _DATA))
-    )
-    return (
-        src.select(
-            F.col(key_col).alias("_k"), F.input_file_name().alias("file")
-        )
+        .select(F.col(key_col).alias("_k"), F.input_file_name().alias("file"))
         .groupBy("file")
         .agg(
             F.count("*").alias("n_rows"),
             F.min("_k").alias("k_min"),
             F.max("_k").alias("k_max"),
         )
+        .collect()
     )
+    return [r.asDict() for r in rows]
+
+
+def _write_manifest(spark: SparkSession, path: str, rows: List[dict]) -> None:
+    man_dir = os.path.join(path, _MANIFEST)
+    tmp = os.path.join(path, "_manifest_next")
+    cols = ["file", "n_rows", "k_min", "k_max", "added_epoch", "removed_epoch"]
+    # schema inferred from values so non-integer cluster keys work too
+    spark.createDataFrame(
+        [tuple(r[c] for c in cols) for r in rows], cols
+    ).coalesce(1).write.parquet(tmp)
+    if os.path.exists(man_dir):
+        shutil.rmtree(man_dir)
+    os.rename(tmp, man_dir)
 
 
 def write_manifest_table(
     df: DataFrame, path: str, key_col: str, n_files: int
 ) -> None:
     """(Re)write ``df`` as ``n_files`` range-partitioned parquet files
-    under ``path/data`` plus the ``path/_manifest`` stats sidecar."""
+    under ``path/data`` plus the ``path/_manifest`` stats sidecar
+    (epoch 0)."""
     if os.path.exists(path):
         shutil.rmtree(path)
     spark = df.sparkSession
-    df.repartitionByRange(n_files, key_col).write.parquet(
-        os.path.join(path, _DATA)
-    )
-    _build_manifest(spark, path, key_col).write.mode("overwrite").parquet(
-        os.path.join(path, _MANIFEST)
-    )
+    data_dir = os.path.join(path, _DATA)
+    df.repartitionByRange(n_files, key_col).write.parquet(data_dir)
+    files = [
+        os.path.join(data_dir, f)
+        for f in sorted(os.listdir(data_dir))
+        if f.endswith(".parquet")
+    ]
+    rows = _build_stats(spark, files, key_col)
+    for r in rows:
+        r["added_epoch"] = 0
+        r["removed_epoch"] = LIVE
+    _write_manifest(spark, path, rows)
 
 
 def read_manifest(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(os.path.join(path, _MANIFEST))
+
+
+def current_epoch(spark: SparkSession, path: str) -> int:
+    return read_manifest(spark, path).agg(
+        F.max("added_epoch")
+    ).collect()[0][0]
+
+
+def _files_at(man_rows, epoch: Optional[int]) -> List[str]:
+    """Files visible at ``epoch`` (None = live view)."""
+    if epoch is None:
+        return [r.file for r in man_rows if r.removed_epoch == LIVE]
+    return [
+        r.file
+        for r in man_rows
+        if r.added_epoch <= epoch
+        and (r.removed_epoch == LIVE or r.removed_epoch > epoch)
+    ]
+
+
+def read_live(spark: SparkSession, path: str) -> DataFrame:
+    """The current table contents: the union of live manifest files
+    (NEVER a raw directory read -- tombstoned files still sit on disk
+    until vacuum)."""
+    man_rows = read_manifest(spark, path).collect()
+    return spark.read.parquet(*_files_at(man_rows, None))
+
+
+def read_snapshot(spark: SparkSession, path: str, epoch: int) -> DataFrame:
+    """Time travel: the table exactly as of ``epoch`` (0 = initial
+    write, k = after the k-th merge), reconstructed purely from file
+    lifetimes -- valid until ``vacuum`` reclaims the tombstones."""
+    man_rows = read_manifest(spark, path).collect()
+    return spark.read.parquet(*_files_at(man_rows, epoch))
 
 
 def read_pruned(
@@ -89,16 +142,22 @@ def read_pruned(
     key_col: str,
     lo,
     hi,
+    epoch: Optional[int] = None,
 ) -> Tuple[DataFrame, int, int]:
-    """Read only the files whose [k_min, k_max] overlaps [lo, hi], with
-    the residual row filter applied on top (pruning is file-level).
-    Returns ``(df, files_read, files_total)`` so callers -- and tests --
-    can see the skipping."""
-    man = read_manifest(spark, path).collect()  # file-count-sized
-    keep = [r.file for r in man if r.k_max >= lo and r.k_min <= hi]
-    total = len(man)
+    """Read only the files whose [k_min, k_max] overlaps [lo, hi] (in
+    the live view or a snapshot), with the residual row filter applied
+    on top (pruning is file-level).  Returns ``(df, files_read,
+    files_total)`` so callers -- and tests -- can see the skipping."""
+    man_rows = read_manifest(spark, path).collect()  # file-count-sized
+    visible = [
+        r
+        for r in man_rows
+        if r.file in set(_files_at(man_rows, epoch))
+    ]
+    keep = [r.file for r in visible if r.k_max >= lo and r.k_min <= hi]
+    total = len(visible)
     if not keep:
-        empty = spark.read.parquet(os.path.join(path, _DATA)).limit(0)
+        empty = read_live(spark, path).limit(0)
         return empty, 0, total
     df = spark.read.parquet(*keep).filter(
         (F.col(key_col) >= lo) & (F.col(key_col) <= hi)
@@ -110,9 +169,10 @@ def merge_upsert(
     spark: SparkSession, path: str, updates: DataFrame, key_col: str
 ) -> Tuple[int, int]:
     """Copy-on-write MERGE: rows in ``updates`` replace same-key rows;
-    new keys append.  Only data files whose key range overlaps the
-    update batch are rewritten.  Returns ``(files_rewritten,
-    files_total_before)``.
+    new keys append.  Only LIVE data files whose key range overlaps the
+    update batch are rewritten; replaced files are tombstoned (still
+    readable via ``read_snapshot``) rather than deleted.  Returns
+    ``(files_rewritten, live_files_before)``.
 
     Plan shape: the hit-file list comes from a broadcast join of the
     update keys against the manifest ranges (metadata-sized); survivors
@@ -121,18 +181,16 @@ def merge_upsert(
     volume); untouched files are never opened.
     """
     man_rows = read_manifest(spark, path).collect()
+    live = [r for r in man_rows if r.removed_epoch == LIVE]
     data_dir = os.path.join(path, _DATA)
 
     upd = updates.localCheckpoint(eager=True)  # stable across the two uses
-    bounds = upd.agg(
-        F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
-    ).collect()[0]
-    if bounds.lo is None:
-        return 0, len(man_rows)
+    if upd.limit(1).count() == 0:
+        return 0, len(live)
 
-    man_df = spark.createDataFrame(man_rows)
+    live_df = spark.createDataFrame(live)
     hit = (
-        man_df.join(
+        live_df.join(
             F.broadcast(upd.select(F.col(key_col).alias("_uk")).distinct()),
             (F.col("_uk") >= F.col("k_min")) & (F.col("_uk") <= F.col("k_max")),
         )
@@ -149,15 +207,7 @@ def merge_upsert(
         )
         new_parts = survivors.unionByName(upd)
 
-    # merge epoch for deterministic, collision-free new file names
-    epoch = 1 + max(
-        (
-            int(os.path.basename(r.file).split("-")[1])
-            for r in man_rows
-            if os.path.basename(r.file).startswith("merge-")
-        ),
-        default=0,
-    )
+    epoch = 1 + max(r.added_epoch for r in man_rows)
     staging = os.path.join(path, f"_staging_{epoch}")
     new_parts.write.parquet(staging)
 
@@ -166,20 +216,43 @@ def merge_upsert(
     for name in sorted(os.listdir(staging)):
         if not name.endswith(".parquet"):
             continue
-        dst = os.path.join(data_dir, f"merge-{epoch}-{seq:05d}.parquet")
+        dst = os.path.join(data_dir, f"merge-{epoch:05d}-{seq:05d}.parquet")
         os.rename(os.path.join(staging, name), dst)
         moved.append(dst)
         seq += 1
     shutil.rmtree(staging)
-    for f in hit_files:
-        os.remove(f.replace("file://", "") if f.startswith("file:") else f)
 
-    keep_rows = [r for r in man_rows if r.file not in set(hit_files)]
-    new_stats = _build_manifest(spark, path, key_col, files=moved).collect()
-    man_out = spark.createDataFrame(keep_rows + new_stats)
-    # two-phase manifest swap: write beside, then rename over
-    tmp_man = os.path.join(path, "_manifest_next")
-    man_out.coalesce(1).write.parquet(tmp_man)
-    shutil.rmtree(os.path.join(path, _MANIFEST))
-    os.rename(tmp_man, os.path.join(path, _MANIFEST))
-    return len(hit_files), len(man_rows)
+    hit_set = set(hit_files)
+    out_rows = []
+    for r in man_rows:
+        d = r.asDict()
+        if r.file in hit_set and r.removed_epoch == LIVE:
+            d["removed_epoch"] = epoch
+        out_rows.append(d)
+    new_stats = _build_stats(spark, moved, key_col)
+    for d in new_stats:
+        d["added_epoch"] = epoch
+        d["removed_epoch"] = LIVE
+    _write_manifest(spark, path, out_rows + new_stats)
+    return len(hit_files), len(live)
+
+
+def vacuum(spark: SparkSession, path: str, before_epoch: int) -> int:
+    """Physically delete files tombstoned strictly before
+    ``before_epoch`` and drop their manifest rows; snapshots older than
+    that epoch become unreadable (exactly Delta's VACUUM contract).
+    Returns the number of files deleted."""
+    man_rows = read_manifest(spark, path).collect()
+    gone, keep = [], []
+    for r in man_rows:
+        if r.removed_epoch != LIVE and r.removed_epoch < before_epoch:
+            gone.append(r)
+        else:
+            keep.append(r.asDict())
+    for r in gone:
+        f = r.file
+        local = f[len("file://"):] if f.startswith("file://") else f
+        if os.path.exists(local):
+            os.remove(local)
+    _write_manifest(spark, path, keep)
+    return len(gone)

@@ -1,11 +1,13 @@
 """Manifest-backed parquet tables (sources/manifest.py): file-level
-min/max pruning and copy-on-write MERGE.
+min/max pruning, copy-on-write MERGE with tombstones, snapshot reads
+(time travel), and vacuum.
 
 The properties under test are file-level, which no SQL oracle can see:
 a selective read must OPEN fewer files than the table has; a MERGE must
 rewrite only the files its keys touch, leaving every other data file
-byte-identical on disk (same path, same bytes); and the manifest must
-stay consistent through merges (pruned reads still correct after).
+byte-identical on disk; tombstoned files keep old epochs readable until
+vacuum physically reclaims them; and the manifest must stay consistent
+through merges (pruned reads still correct after).
 """
 
 from __future__ import annotations
@@ -15,9 +17,13 @@ import os
 import pyspark.sql.functions as F
 
 from airflow_pipeline_text_processing_spark.sources.manifest import (
+    current_epoch,
     merge_upsert,
+    read_live,
     read_manifest,
     read_pruned,
+    read_snapshot,
+    vacuum,
     write_manifest_table,
 )
 
@@ -60,41 +66,62 @@ def test_merge_rewrites_only_touched_files(spark, tmp_path):
     ).unionByName(
         spark.createDataFrame([(10_000, -2), (10_001, -2)], "k long, v long")
     )
-    rewritten, total = merge_upsert(spark, path, updates, "k")
-    assert total == 8
+    rewritten, live_before = merge_upsert(spark, path, updates, "k")
+    assert live_before == 8
     assert rewritten == 1  # keys [0,50) live in exactly one range file
 
+    # every ORIGINAL file still on disk (tombstone, not delete), and
+    # none of them was modified in place
     after = {
         f: os.path.getmtime(os.path.join(data_dir, f))
         for f in os.listdir(data_dir)
         if f.endswith(".parquet")
     }
-    untouched = set(before) & set(after)
-    assert len(untouched) == 7  # the other seven files survive in place
-    for f in untouched:
-        assert before[f] == after[f]  # not rewritten, not even touched
+    assert set(before) <= set(after)
+    for f in before:
+        assert before[f] == after[f]
 
-    full = spark.read.parquet(data_dir)
+    full = read_live(spark, path)
     assert full.count() == 800 + 2  # 50 replaced in place, 2 appended
     assert full.filter(F.col("v") == -1).count() == 50
     assert full.filter(F.col("k") >= 10_000).count() == 2
-    # no duplicate keys after the merge
+    # no duplicate keys in the live view despite the old file on disk
     assert full.select("k").distinct().count() == 802
 
 
-def test_merge_keeps_manifest_consistent_for_pruned_reads(spark, tmp_path):
+def test_snapshot_reads_and_vacuum(spark, tmp_path):
     path = _table(spark, tmp_path)
     updates = spark.createDataFrame([(700, -5), (10_000, -6)], "k long, v long")
     merge_upsert(spark, path, updates, "k")
+    assert current_epoch(spark, path) == 1
+
+    # time travel: epoch 0 is the pre-merge table, bit for bit
+    snap0 = read_snapshot(spark, path, 0)
+    assert snap0.count() == 800
+    assert snap0.filter(F.col("k") == 700).collect()[0].v == 700 * 7 % 1000
+    snap1 = read_snapshot(spark, path, 1)
+    assert snap1.count() == 801
+    assert snap1.filter(F.col("k") == 700).collect()[0].v == -5
+
     # pruned read over the merged region sees the new values
     df, files_read, files_total = read_pruned(spark, path, "k", 699, 701)
-    rows = {r.k: r.v for r in df.collect()}
-    assert rows[700] == -5
+    assert {r.v for r in df.filter(F.col("k") == 700).collect()} == {-5}
     assert files_read < files_total
-    df2, _, _ = read_pruned(spark, path, "k", 9_999, 10_001)
-    assert {r.v for r in df2.collect()} == {-6}
-    # second merge with the same batch is idempotent on contents
+    # pruned SNAPSHOT read sees the old value
+    df0, _, _ = read_pruned(spark, path, "k", 699, 701, epoch=0)
+    assert {r.v for r in df0.filter(F.col("k") == 700).collect()} == {
+        700 * 7 % 1000
+    }
+
+    # vacuum reclaims the tombstoned file; live view unaffected,
+    # epoch-0 snapshot now smaller (its rewritten slice is gone)
+    n_deleted = vacuum(spark, path, before_epoch=2)
+    assert n_deleted == 1
+    assert read_live(spark, path).count() == 801
+    assert read_snapshot(spark, path, 0).count() < 800
+
+    # second merge with the same batch is idempotent on live contents
     merge_upsert(spark, path, updates, "k")
-    full = spark.read.parquet(os.path.join(path, "data"))
+    full = read_live(spark, path)
     assert full.count() == 801
     assert full.filter(F.col("k") == 700).collect()[0].v == -5

@@ -125,3 +125,47 @@ def test_snapshot_reads_and_vacuum(spark, tmp_path):
     full = read_live(spark, path)
     assert full.count() == 801
     assert full.filter(F.col("k") == 700).collect()[0].v == -5
+
+
+def test_streaming_cdc_apply_upserts_batches(spark, tmp_path):
+    """CDC feed -> manifest table: two micro-batches (maxFilesPerTrigger=1)
+    each merge into the table; within-batch duplicate keys collapse
+    last-write-wins by the sequence column; final contents reflect the
+    highest sequence per key across the whole feed."""
+    from airflow_pipeline_text_processing_spark.sources.manifest import (
+        current_epoch,
+    )
+    from airflow_pipeline_text_processing_spark.streaming.cdc import (
+        apply_changes_to_table,
+    )
+
+    path = _table(spark, tmp_path, n=100, files=4)
+    src = tmp_path / "changes"
+    ckpt = tmp_path / "ckpt"
+    # batch 1: key 5 appears TWICE (seq 1 then seq 2 -> v=-20 must win),
+    # key 200 is brand new
+    spark.createDataFrame(
+        [(5, -10, 1), (5, -20, 2), (200, -30, 1)], "k long, v long, seq long"
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    # batch 2: key 5 updated again, key 7 updated
+    spark.createDataFrame(
+        [(5, -40, 3), (7, -50, 3)], "k long, v long, seq long"
+    ).coalesce(1).write.parquet(str(src / "b2"))
+
+    schema = "k long, v long, seq long"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = apply_changes_to_table(stream, path, "k", "seq", str(ckpt))
+    q.awaitTermination(120)
+
+    full = read_live(spark, path)
+    rows = {r.k: r.v for r in full.collect()}
+    assert full.count() == 101  # 100 original + 1 new key
+    assert rows[5] == -40       # last write across batches
+    assert rows[7] == -50
+    assert rows[200] == -30
+    assert rows[6] == 6 * 7 % 1000  # untouched key unchanged
+    assert current_epoch(spark, path) >= 2  # one merge epoch per batch

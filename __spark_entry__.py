@@ -164,6 +164,7 @@ _ORDER = [
     "events_anomaly_days",
     "events_rolling_active_users",
     "merge_upsert_part",
+    "sim_mine_triplets",
 ]
 
 assert len(_ORDER) == len(set(_ORDER)), "duplicate names in _ORDER"

@@ -632,3 +632,68 @@ def quantize_int8(
         ).alias("codes_hash"),
         err.alias("abs_err_fp"),
     )
+
+
+def mine_triplets(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k_neg: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive-training pair mining: per anchor, the top-1
+    same-label neighbor (the positive) and the ``k_neg`` most-similar
+    DIFFERENT-label neighbors (the hard negatives that actually teach a
+    contrastive model, vs random negatives that are trivially far).
+    Output: ``anchor_id, pair_id, pair_type, cosine, rank``.
+
+    This exact form scores anchors against all candidates (fine for a
+    bounded anchor set -- the usual mining loop scores a small anchor
+    batch per step); at full-corpus scale the scored relation drops in
+    via the IVF or multi-table LSH candidate generators above, with
+    identical downstream typing/ranking.  Cosine is the repo's
+    fixed-point deterministic form (scaled_cosine), so ranks are
+    engine-portable.
+    """
+    dim = infer_dim(candidates, vec_col)
+    q = queries.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("anchor_label"),
+        F.col(vec_col).alias("qvec"),
+        scaled_norm2(F.col(vec_col), dim).alias("qnorm"),
+    )
+    c = candidates.select(
+        F.col(id_col).alias("pair_id"),
+        F.col(label_col).alias("pair_label"),
+        F.col(vec_col).alias("cvec"),
+        scaled_norm2(F.col(vec_col), dim).alias("cnorm"),
+    )
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("anchor_id") != F.col("pair_id"))
+        .select(
+            "anchor_id",
+            F.when(
+                F.col("anchor_label") == F.col("pair_label"), F.lit("pos")
+            )
+            .otherwise(F.lit("neg"))
+            .alias("pair_type"),
+            "pair_id",
+            cosine_from_norms(
+                F.col("qvec"), F.col("cvec"), F.col("qnorm"), F.col("cnorm"), dim
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("anchor_id", "pair_type").orderBy(
+        F.col("cosine").desc(), F.col("pair_id")
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    return (
+        ranked.filter(
+            ((F.col("pair_type") == "pos") & (F.col("rank") <= 1))
+            | ((F.col("pair_type") == "neg") & (F.col("rank") <= k_neg))
+        )
+        .select("anchor_id", "pair_id", "pair_type", "cosine", "rank")
+        .orderBy("anchor_id", "pair_type", "rank")
+    )

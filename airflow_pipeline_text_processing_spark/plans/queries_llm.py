@@ -1366,6 +1366,36 @@ FROM ranked WHERE rn = 1 ORDER BY doc_id
 """
 
 
+def sim_mine_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive pair mining (operators/similarity.py::mine_triplets):
+    per anchor the top-1 same-label positive and the 3 most-similar
+    different-label hard negatives, over the real embeddings table with
+    its label column -- the batch-mining step of a contrastive
+    embedding-training pipeline."""
+    vecs = _t(spark, sf_dir, "embeddings")
+    return S.mine_triplets(
+        vecs.filter(F.col("vec_id") < 10), vecs, k_neg=3
+    )
+
+
+SIM_TRIPLETS_SQL = f"""
+SELECT anchor_id, pair_id, pair_type, cosine, rank FROM (
+  SELECT q.vec_id AS anchor_id, c.vec_id AS pair_id,
+         CASE WHEN q.label = c.label THEN 'pos' ELSE 'neg' END AS pair_type,
+         {_sql_cosine('q.embedding', 'c.embedding')} AS cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id,
+                        CASE WHEN q.label = c.label THEN 'pos' ELSE 'neg' END
+           ORDER BY {_sql_cosine('q.embedding', 'c.embedding')} DESC, c.vec_id)
+           AS rank
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
+)
+WHERE (pair_type = 'pos' AND rank <= 1) OR (pair_type = 'neg' AND rank <= 3)
+ORDER BY anchor_id, pair_type, rank
+"""
+
+
 def text_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stupid-Backoff bigram LM (operators/lm.py::
     bigram_surprisal_backoff): trained on doc_id < 400, scored on
@@ -1465,6 +1495,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "sim_ivf_topk": (sim_ivf_topk, SIM_IVF_SQL),
     "sim_lsh_bucketed": (sim_lsh_bucketed, SIM_LSH_SQL),
     "sim_lsh_multitable": (sim_lsh_multitable, SIM_LSH_MULTI_SQL),
+    "sim_mine_triplets": (sim_mine_triplets, SIM_TRIPLETS_SQL),
     "text_token_stats": (text_token_stats, TEXT_TOKENS_SQL),
     "text_bpe_token_stats": (text_bpe_token_stats, TEXT_BPE_SQL),
     "text_top_terms": (text_top_terms, TOP_TERMS_SQL),

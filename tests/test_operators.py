@@ -1238,3 +1238,33 @@ def test_temperature_resample_upweights_small_domains(spark):
     assert sorted((r.domain, r.id) for r in out) == sorted(
         (r.domain, r.id) for r in out2
     )
+
+
+def test_mine_triplets_positive_and_hard_negatives(spark):
+    import pyspark.sql.functions as F
+    from airflow_pipeline_text_processing_spark.operators.similarity import (
+        mine_triplets,
+    )
+
+    # 2D toy geometry: anchor (1,0) label A; same-label twin (0.9, 0.1);
+    # a HARD negative (0.95, 0.05) label B nearly colinear with the
+    # anchor; an easy negative (-1, 0) label B
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.9, 0.1], 0),
+        (2, [0.95, 0.05], 1),
+        (3, [-1.0, 0.0], 1),
+    ]
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = mine_triplets(
+        vecs.filter(F.col("vec_id") == 0), vecs, k_neg=1
+    ).collect()
+    by_type = {r.pair_type: r for r in out}
+    assert by_type["pos"].pair_id == 1
+    # the HARD negative (near-duplicate across the label boundary) wins,
+    # not the easy antipodal one
+    assert by_type["neg"].pair_id == 2
+    assert by_type["neg"].cosine > 0.9
+    assert len(out) == 2  # k_neg=1: exactly one pos + one neg

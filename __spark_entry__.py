@@ -165,6 +165,7 @@ _ORDER = [
     "events_rolling_active_users",
     "merge_upsert_part",
     "sim_mine_triplets",
+    "curation_lm_filtered",
 ]
 
 assert len(_ORDER) == len(set(_ORDER)), "duplicate names in _ORDER"

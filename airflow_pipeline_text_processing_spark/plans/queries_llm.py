@@ -1290,6 +1290,52 @@ FROM per ORDER BY doc_id
 """
 
 
+def curation_lm_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's actual selection rule on this engine: score every
+    document with the unigram-LM surprisal, rank by bits-per-token, and
+    keep the best (lowest-perplexity) 80% of the corpus -- the
+    percentile cut is integer arithmetic (``rk * 5 <= n * 4`` over a
+    (bpt, doc_id)-ordered row_number), so the kept set is deterministic
+    across engines, no float percentile involved.  The global ordering
+    runs over the doc-level score relation (one row per doc), not the
+    corpus."""
+    from ..operators.windows import ordered_running_sum
+
+    scored = L.unigram_surprisal(_t(spark, sf_dir, "documents"))
+    # global rank without a single-partition window: row_number over a
+    # total order == inclusive running count of ones, which
+    # ordered_running_sum computes two-level (range exchange + offsets)
+    ranked = ordered_running_sum(
+        scored.withColumn("_one", F.lit(1)),
+        [F.col("bpt_milli").asc(), F.col("doc_id").asc()],
+        "_one",
+        out_col="rk",
+    )
+    n_df = scored.agg(F.count("*").alias("n_docs"))
+    return (
+        ranked.crossJoin(F.broadcast(n_df))
+        .filter(F.expr("rk * 5 <= n_docs * 4"))
+        .select("doc_id", "n_tokens", "bpt_milli", "rk")
+        .orderBy("rk")
+    )
+
+
+def _lm_filtered_sql() -> str:
+    return f"""
+WITH scored AS ({_lm_surprisal_sql()}),
+ranked AS (
+  SELECT doc_id, n_tokens, bpt_milli,
+         CAST(ROW_NUMBER() OVER (ORDER BY bpt_milli ASC, doc_id ASC)
+              AS BIGINT) AS rk,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n_docs
+  FROM scored
+)
+SELECT doc_id, n_tokens, bpt_milli, rk
+FROM ranked WHERE rk * 5 <= n_docs * 4
+ORDER BY rk
+"""
+
+
 def text_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial Naive Bayes language classifier trained and applied
     on-engine (operators/lm.py::nb_classify): add-one-smoothed
@@ -1508,6 +1554,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "text_fingerprint": (text_fingerprint, FINGERPRINT_SQL),
     "text_lm_surprisal": (text_lm_surprisal, _lm_surprisal_sql()),
     "text_lm_bigram": (text_lm_bigram, _lm_bigram_sql()),
+    "curation_lm_filtered": (curation_lm_filtered, _lm_filtered_sql()),
     "text_nb_classify": (text_nb_classify, _nb_sql()),
     "mm_binary_stats": (mm_binary_stats, MM_STATS_SQL),
     "mm_feature_extract": (mm_feature_extract, MM_FEATURES_SQL),

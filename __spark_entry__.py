@@ -166,6 +166,7 @@ _ORDER = [
     "merge_upsert_part",
     "sim_mine_triplets",
     "curation_lm_filtered",
+    "mm_audio_vad",
 ]
 
 assert len(_ORDER) == len(set(_ORDER)), "duplicate names in _ORDER"

@@ -1524,6 +1524,83 @@ FROM scored GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def mm_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed voice-activity detection (operators/multimodal.py::
+    detect_voice_activity) over 8-bit mono WAVs built in-engine from a
+    SANITIZED byte source (lowercased [a-z0-9 ] only, so char == byte
+    and the oracle can recompute per-frame energies from the text
+    itself).  Active iff mean |s-128| >= 220/1000 of full scale per
+    160-sample frame; segments are maximal active runs (lag-based in
+    the oracle, run-scan in the kernel -- same integers)."""
+    import pandas as pd
+
+    from ..operators.multimodal import detect_voice_activity
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", "").alias(
+            "clean"
+        ),
+    ).filter(F.length("clean") >= 1)
+
+    def _to_wav(batches):
+        import io
+        import wave as _wave
+
+        for pdf in batches:
+            payloads = []
+            for text in pdf["clean"]:
+                buf = io.BytesIO()
+                with _wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(1)
+                    w.setframerate(8000)
+                    w.writeframes(text.encode("utf-8"))
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(_to_wav, "doc_id long, payload binary")
+    return (
+        detect_voice_activity(media, frame_len=160, thr_milli=220)
+        .select("doc_id", "n_frames", "n_active", "n_segments")
+        .orderBy("doc_id")
+    )
+
+
+MM_VAD_SQL = """
+WITH clean AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS t
+  FROM documents
+),
+bytes AS (
+  SELECT doc_id, (i - 1) // 160 AS frame,
+         abs(ord(substr(t, i, 1)) - 128) AS a
+  FROM clean, UNNEST(generate_series(1, length(t))) AS u(i)
+),
+frames AS (
+  SELECT doc_id, frame, CAST(SUM(a) AS BIGINT) AS sum_abs,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM bytes GROUP BY 1, 2
+),
+flags AS (
+  SELECT doc_id, frame,
+         CASE WHEN sum_abs * 1000 >= 220 * 128 * n THEN 1 ELSE 0 END AS act
+  FROM frames
+),
+seg AS (
+  SELECT doc_id, act,
+         act - COALESCE(
+           LAG(act) OVER (PARTITION BY doc_id ORDER BY frame), 0) AS rise
+  FROM flags
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(SUM(act) AS BIGINT) AS n_active,
+       CAST(SUM(CASE WHEN rise = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_segments
+FROM seg GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -1560,6 +1637,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "mm_feature_extract": (mm_feature_extract, MM_FEATURES_SQL),
     "mm_frame_sample": (mm_frame_sample, MM_FRAMES_SQL),
     "mm_audio_resample": (mm_audio_resample, MM_RESAMPLE_SQL),
+    "mm_audio_vad": (mm_audio_vad, MM_VAD_SQL),
     "curation_training_set": (curation_training_set, CURATION_SQL),
     "curation_snapshot_diff": (curation_snapshot_diff, SNAPSHOT_DIFF_SQL),
 }

@@ -1268,3 +1268,43 @@ def test_mine_triplets_positive_and_hard_negatives(spark):
     assert by_type["neg"].pair_id == 2
     assert by_type["neg"].cosine > 0.9
     assert len(out) == 2  # k_neg=1: exactly one pos + one neg
+
+
+def test_vad_planted_speech_segments(spark):
+    """Two loud tone bursts separated by near-silence must yield exactly
+    two segments with the right active-frame counts; an all-quiet
+    payload yields zero; a malformed payload quarantines per row."""
+    import io
+    import wave
+
+    import numpy as np
+    from airflow_pipeline_text_processing_spark.operators.multimodal import (
+        detect_voice_activity,
+    )
+
+    def wav8(samples):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(1)
+            w.setframerate(8000)
+            w.writeframes(np.asarray(samples, dtype=np.uint8).tobytes())
+        return buf.getvalue()
+
+    quiet = [128, 129, 127] * 160            # |s-128| <= 1: inactive
+    loud = [28, 228] * 240                   # |s-128| = 100: active
+    two_bursts = (
+        quiet[:320] + loud[:320] + quiet[:320] + loud[:320] + quiet[:320]
+    )
+    rows = [
+        (1, bytearray(wav8(two_bursts))),
+        (2, bytearray(wav8(quiet[:480]))),
+        (3, bytearray(b"not a wav")),
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in detect_voice_activity(media).collect()}
+    assert out[1].n_frames == 10            # 1600 samples / 160
+    assert out[1].n_active == 4             # two 320-sample bursts
+    assert out[1].n_segments == 2
+    assert out[2].n_active == 0 and out[2].n_segments == 0
+    assert out[3].err is not None and out[3].n_frames == 0

@@ -167,6 +167,7 @@ _ORDER = [
     "sim_mine_triplets",
     "curation_lm_filtered",
     "mm_audio_vad",
+    "agg_mode_per_type",
 ]
 
 assert len(_ORDER) == len(set(_ORDER)), "duplicate names in _ORDER"

@@ -1531,6 +1531,47 @@ ORDER BY s.event_type, s.day
 """
 
 
+def agg_mode_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact MODE per group (Spark has no mode aggregate): count the
+    integerized values per group -- map-side combinable -- then one
+    window over the (group, value) count relation with a deterministic
+    (count DESC, value ASC) tiebreak.  The window runs over the count
+    relation, never the raw events."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.floor("value").cast("long").alias("v")
+    )
+    counts = ev.groupBy("event_type", "v").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n").desc(), F.col("v").asc()
+    )
+    return (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "event_type",
+            F.col("v").alias("mode_value"),
+            F.col("n").alias("n_mode"),
+        )
+        .orderBy("event_type")
+    )
+
+
+MODE_SQL = """
+WITH counts AS (
+  SELECT event_type, CAST(FLOOR("value") AS BIGINT) AS v,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY event_type ORDER BY n DESC, v ASC) AS rn
+  FROM counts
+)
+SELECT event_type, v AS mode_value, n AS n_mode
+FROM ranked WHERE rn = 1 ORDER BY event_type
+"""
+
+
 def merge_upsert_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Copy-on-write MERGE on a manifest-backed parquet table
     (sources/manifest.py): the part table lands as 8 range-partitioned
@@ -3253,6 +3294,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "graph_pagerank_events": (graph_pagerank_events, _pagerank_sql()),
     "events_anomaly_days": (events_anomaly_days, ANOMALY_SQL),
     "merge_upsert_part": (merge_upsert_part, MERGE_SQL),
+    "agg_mode_per_type": (agg_mode_per_type, MODE_SQL),
     "events_rolling_active_users": (events_rolling_active_users, ROLLING_SQL),
     "events_funnel_steps": (events_funnel_steps, FUNNEL_SQL),
     "events_retention_cohorts": (events_retention_cohorts, RETENTION_SQL),

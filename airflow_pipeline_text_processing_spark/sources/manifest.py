@@ -256,3 +256,103 @@ def vacuum(spark: SparkSession, path: str, before_epoch: int) -> int:
             os.remove(local)
     _write_manifest(spark, path, keep)
     return len(gone)
+
+
+# ---------------------------------------------------------------------
+# Bloom-filter secondary index: point-lookup file pruning on a column
+# the table is NOT clustered by (min/max pruning only helps the cluster
+# key; a rare value of any other column still hits every file without
+# this).  md5 is the hash in both build and probe -- the repo's one
+# shared hash -- so the index is deterministic and engine-portable.
+# ---------------------------------------------------------------------
+
+_BLOOM = "_bloom"
+BLOOM_BITS = 1024  # 16 x 64-bit words per (file, column)
+
+
+def _bloom_positions(value: str) -> list:
+    """The two bit positions for a value: independent 32-bit slices of
+    md5 (same derivation as the SQL build expression below)."""
+    import hashlib
+
+    h = hashlib.md5(value.encode("utf-8")).hexdigest()
+    return [int(h[0:8], 16) % BLOOM_BITS, int(h[8:16], 16) % BLOOM_BITS]
+
+
+def build_bloom_index(
+    spark: SparkSession, path: str, col: str
+) -> None:
+    """Build ``path/_bloom/<col>``: per live data file, a 1024-bit bloom
+    bitmap over ``col`` stored as (file, word_idx, bits) rows.  The
+    build is one narrow scan (file + column), a per-row mask expression,
+    and a map-side-combinable ``bit_or`` groupBy -- no Python, no
+    shuffle wider than (file, word)."""
+    man_rows = read_manifest(spark, path).collect()
+    live = _files_at(man_rows, None)
+    src = spark.read.parquet(*live).select(
+        F.input_file_name().alias("file"), F.col(col).cast("string").alias("v")
+    )
+    # single-pass form: explode the two hash slices per row
+    hashed = src.select(
+        "file",
+        F.explode(
+            F.array(
+                F.conv(F.expr("substring(md5(v), 1, 8)"), 16, 10).cast("long")
+                % BLOOM_BITS,
+                F.conv(F.expr("substring(md5(v), 9, 8)"), 16, 10).cast("long")
+                % BLOOM_BITS,
+            )
+        ).alias("bit"),
+    )
+    index = (
+        hashed.select(
+            "file",
+            F.expr("bit div 64").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 64 AS INT))").alias(
+                "mask"
+            ),
+        )
+        .groupBy("file", "word_idx")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+    out = os.path.join(path, _BLOOM, col)
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    index.write.parquet(out)
+
+
+def read_by_value(
+    spark: SparkSession, path: str, col: str, value: str
+) -> Tuple[DataFrame, int, int]:
+    """Point lookup through the bloom index: load only files whose
+    bitmap has BOTH of the value's bits set (no false negatives; false
+    positives bounded by the bloom rate), then apply the exact filter.
+    Returns ``(df, files_read, files_total)``."""
+    man_rows = read_manifest(spark, path).collect()
+    live = set(_files_at(man_rows, None))
+    pos = _bloom_positions(value)
+    words = {p // 64: [] for p in pos}
+    for p in pos:
+        words[p // 64].append(p % 64)
+    idx = (
+        spark.read.parquet(os.path.join(path, _BLOOM, col))
+        .filter(F.col("word_idx").isin(list(words)))
+        .collect()
+    )
+    by_file = {}
+    for r in idx:
+        by_file.setdefault(r.file, {})[r.word_idx] = r.bits
+    keep = []
+    for f, wm in by_file.items():
+        if f not in live:
+            continue
+        if all(
+            (wm.get(w, 0) >> b) & 1
+            for w, bs in words.items()
+            for b in bs
+        ):
+            keep.append(f)
+    if not keep:
+        return read_live(spark, path).limit(0), 0, len(live)
+    df = spark.read.parquet(*keep).filter(F.col(col) == value)
+    return df, len(keep), len(live)

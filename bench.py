@@ -64,12 +64,16 @@ BENCH_QUERIES = [
     "dedup_incremental_spans",
     "text_pack_bins_bfd",
     "mm_audio_resample",
-    # round-5 session-2: fixed-point LM family, fuzzy join, pagerank
+    # round-5 session-2: fixed-point LM family, fuzzy join, pagerank,
+    # table-format merge, LM-filtered curation, audio VAD
     "text_lm_surprisal",
     "text_lm_bigram",
     "text_nb_classify",
     "join_fuzzy_names",
     "graph_pagerank_events",
+    "merge_upsert_part",
+    "curation_lm_filtered",
+    "mm_audio_vad",
 ]
 
 

@@ -169,3 +169,37 @@ def test_streaming_cdc_apply_upserts_batches(spark, tmp_path):
     assert rows[200] == -30
     assert rows[6] == 6 * 7 % 1000  # untouched key unchanged
     assert current_epoch(spark, path) >= 2  # one merge epoch per batch
+
+
+def test_bloom_index_point_lookup_prunes_files(spark, tmp_path):
+    """A rare value localized to one file must prune the lookup to (at
+    most a couple of bloom-false-positive) files with NO false
+    negatives; a value present everywhere honestly hits all files."""
+    from airflow_pipeline_text_processing_spark.sources.manifest import (
+        build_bloom_index,
+        read_by_value,
+        write_manifest_table,
+    )
+
+    # tag is 'common' everywhere except k=777 -> 'needle' (one file)
+    df = spark.range(800).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") == 777, "needle").otherwise("common").alias("tag"),
+    )
+    path = str(tmp_path / "btbl")
+    write_manifest_table(df, path, "k", 8)
+    build_bloom_index(spark, path, "tag")
+
+    hit, files_read, files_total = read_by_value(spark, path, "tag", "needle")
+    rows = hit.collect()
+    assert [r.k for r in rows] == [777]          # no false negatives
+    assert files_total == 8
+    assert files_read <= 2                        # bloom prunes the rest
+
+    allhit, all_read, _ = read_by_value(spark, path, "tag", "common")
+    assert all_read == 8                          # honest: present everywhere
+    assert allhit.count() == 799
+
+    miss, miss_read, _ = read_by_value(spark, path, "tag", "absent-value")
+    assert miss.count() == 0
+    assert miss_read <= 2                         # at most false positives

@@ -237,6 +237,68 @@ def merge_upsert(
     return len(hit_files), len(live)
 
 
+def optimize_compact(
+    spark: SparkSession, path: str, key_col: str, target_rows: int
+) -> Tuple[int, int]:
+    """Small-file compaction (Delta's OPTIMIZE / Iceberg's rewrite_data_files):
+    bin-pack LIVE files smaller than ``target_rows`` into as few
+    range-partitioned files as their total row count needs, tombstone
+    the originals at a new epoch.  Table contents are unchanged; every
+    pre-compaction snapshot stays readable until vacuum.
+
+    Scale shape: the packing decision runs on the MANIFEST (file-count
+    sized, driver-side metadata exactly like a real table format's
+    planner); the data pass reads only the selected small files and
+    range-partitions them so post-compaction min/max pruning is as
+    selective as a fresh write.  Files already at or above target are
+    never opened.  Returns ``(files_compacted, files_written)``.
+    """
+    man_rows = read_manifest(spark, path).collect()
+    live = [r for r in man_rows if r.removed_epoch == LIVE]
+    small = [r for r in live if r.n_rows < target_rows]
+    if len(small) < 2:
+        return 0, 0  # nothing to gain: 0 or 1 undersized file
+
+    total = sum(r.n_rows for r in small)
+    n_out = max(1, -(-total // target_rows))  # ceil-div bins
+    if n_out >= len(small):
+        return 0, 0  # packing would not reduce the file count
+
+    data_dir = os.path.join(path, _DATA)
+    epoch = 1 + max(r.added_epoch for r in man_rows)
+    staging = os.path.join(path, f"_staging_{epoch}")
+    (
+        spark.read.parquet(*[r.file for r in small])
+        .repartitionByRange(n_out, key_col)
+        .write.parquet(staging)
+    )
+
+    moved = []
+    seq = 0
+    for name in sorted(os.listdir(staging)):
+        if not name.endswith(".parquet"):
+            continue
+        dst = os.path.join(data_dir, f"compact-{epoch:05d}-{seq:05d}.parquet")
+        os.rename(os.path.join(staging, name), dst)
+        moved.append(dst)
+        seq += 1
+    shutil.rmtree(staging)
+
+    small_set = {r.file for r in small}
+    out_rows = []
+    for r in man_rows:
+        d = r.asDict()
+        if r.file in small_set and r.removed_epoch == LIVE:
+            d["removed_epoch"] = epoch
+        out_rows.append(d)
+    new_stats = _build_stats(spark, moved, key_col)
+    for d in new_stats:
+        d["added_epoch"] = epoch
+        d["removed_epoch"] = LIVE
+    _write_manifest(spark, path, out_rows + new_stats)
+    return len(small), len(moved)
+
+
 def vacuum(spark: SparkSession, path: str, before_epoch: int) -> int:
     """Physically delete files tombstoned strictly before
     ``before_epoch`` and drop their manifest rows; snapshots older than

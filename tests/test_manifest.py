@@ -203,3 +203,45 @@ def test_bloom_index_point_lookup_prunes_files(spark, tmp_path):
     miss, miss_read, _ = read_by_value(spark, path, "tag", "absent-value")
     assert miss.count() == 0
     assert miss_read <= 2                         # at most false positives
+
+
+def test_optimize_compact_binpacks_small_files(spark, tmp_path):
+    """OPTIMIZE must reduce the live file count without changing the
+    table's contents, keep min/max pruning working on the compacted
+    layout, and leave the pre-compaction snapshot readable (tombstone,
+    not delete) until vacuum."""
+    from airflow_pipeline_text_processing_spark.sources.manifest import (
+        optimize_compact,
+    )
+
+    # 16 files of ~50 rows each: far below a 400-row target
+    df = spark.range(800).select(
+        F.col("id").alias("k"), (F.col("id") * 7 % 1000).alias("v")
+    )
+    path = str(tmp_path / "ctbl")
+    write_manifest_table(df, path, "k", 16)
+    before = read_live(spark, path)
+    before_rows = sorted((r.k, r.v) for r in before.collect())
+
+    compacted, written = optimize_compact(spark, path, "k", target_rows=400)
+    assert compacted == 16
+    assert written == 2  # ceil(800 / 400)
+
+    man = read_manifest(spark, path)
+    live_files = man.filter(F.col("removed_epoch") == -1).count()
+    assert live_files == 2
+    # contents identical, no duplication from the tombstoned originals
+    after_rows = sorted((r.k, r.v) for r in read_live(spark, path).collect())
+    assert after_rows == before_rows
+
+    # pruning still selective on the new range-partitioned layout
+    _, files_read, files_total = read_pruned(spark, path, "k", 100, 150)
+    assert files_total == 2 and files_read == 1
+
+    # pre-compaction snapshot intact; vacuum reclaims the 16 originals
+    assert read_snapshot(spark, path, 0).count() == 800
+    assert vacuum(spark, path, before_epoch=2) == 16
+    assert read_live(spark, path).count() == 800
+
+    # already-compacted table: a second OPTIMIZE is a no-op
+    assert optimize_compact(spark, path, "k", target_rows=400) == (0, 0)

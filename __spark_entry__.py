@@ -168,6 +168,8 @@ _ORDER = [
     "curation_lm_filtered",
     "mm_audio_vad",
     "agg_mode_per_type",
+    "text_phrase_search",
+    "sample_hash_split",
 ]
 
 assert len(_ORDER) == len(set(_ORDER)), "duplicate names in _ORDER"

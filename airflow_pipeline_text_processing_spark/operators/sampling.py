@@ -131,3 +131,32 @@ def temperature_resample(df, domain_col: str, id_col: str):
         .select("domain", "id", "rk", "c_d", "target_n")
         .orderBy("domain", "id")
     )
+
+
+def hash_split(
+    df: DataFrame,
+    key: Column,
+    fractions: Mapping[str, float] = None,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the md5 digest of the row
+    key is compared against cumulative hex thresholds, so every row lands
+    in exactly one named split, the same one on every rerun, backfill, or
+    engine.  This is how holdout sets stay stable while a 100 TB corpus
+    is re-curated: membership depends only on the key, never on
+    partitioning, row order, or a seed.
+
+    ``fractions`` maps split name -> fraction (must sum to <= 1; any
+    remainder falls into the last split listed).  The assignment is a
+    pure narrow projection -- no shuffle, scan-stage cost only.
+    """
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    names = list(fractions)
+    digest = F.md5(key.cast("string"))
+    expr = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += fractions[name]
+        cond = digest < F.lit(rate_threshold(cum))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    split = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn("split", split)

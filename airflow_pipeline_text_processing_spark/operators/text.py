@@ -604,3 +604,54 @@ def bpe_segment_words(
         sym.alias("symbols"),
         F.size(F.split(sym, " ")).cast("long").alias("n_symbols"),
     )
+
+
+def phrase_search(
+    docs: DataFrame, phrase: Sequence[str], text_col: str = "text"
+) -> DataFrame:
+    """Exact-phrase search over a positional posting relation:
+    ``doc_id, n_hits`` for every document containing the m-token phrase
+    at least once (consecutive tokens, same tokenizer as everything
+    else here).
+
+    Plan shape -- the inverted-index formulation, NOT an m-way
+    self-join: posexplode yields (doc, pos, token); postings are
+    filtered to the phrase vocabulary immediately (selective, narrow);
+    each surviving posting expands to its indices within the phrase and
+    an ANCHOR ``pos - phrase_idx``; a phrase occurrence at an anchor
+    exists iff all m phrase indices appear there, which one map-side-
+    combinable (doc, anchor) aggregate decides.  One shuffle keyed by
+    (doc, anchor), no join at all, repeated-token phrases handled (a
+    posting maps to every index its token occupies).
+    """
+    terms = [t.lower() for t in phrase]
+    m = len(terms)
+    by_token: dict = {}
+    for i, t in enumerate(terms):
+        by_token.setdefault(t, []).append(i)
+
+    postings = docs.select(
+        "doc_id",
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "token"),
+    ).filter(F.col("token").isin(list(by_token)))
+    idx_expr = None
+    for t, idxs in sorted(by_token.items()):
+        arr = F.array(*[F.lit(i) for i in idxs])
+        idx_expr = (
+            F.when(F.col("token") == t, arr)
+            if idx_expr is None
+            else idx_expr.when(F.col("token") == t, arr)
+        )
+    anchored = postings.select(
+        "doc_id", "pos", F.explode(idx_expr).alias("pidx")
+    ).select(
+        "doc_id", "pidx", (F.col("pos") - F.col("pidx")).alias("anchor")
+    ).filter(F.col("anchor") >= 0)
+    occurrences = (
+        anchored.groupBy("doc_id", "anchor")
+        .agg(F.countDistinct("pidx").alias("k"))
+        .filter(F.col("k") == m)
+    )
+    return occurrences.groupBy("doc_id").agg(
+        F.count("*").alias("n_hits")
+    )

@@ -1601,11 +1601,64 @@ FROM seg GROUP BY doc_id ORDER BY doc_id
 """
 
 
+PHRASE = ("table", "scan")
+
+
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase search (operators/text.py::phrase_search): documents
+    containing the 2-token phrase consecutively, with occurrence counts,
+    via the positional-posting anchor aggregation (no m-way self-join)."""
+    hits = T.phrase_search(_t(spark, sf_dir, "documents"), PHRASE)
+    return hits.orderBy("doc_id")
+
+
+PHRASE_SQL = f"""
+WITH toks AS (SELECT doc_id, {TOKS_SQL} AS tk FROM documents),
+hits AS (
+  SELECT doc_id,
+         CAST(len(list_filter(range(1, len(tk)),
+           i -> tk[i] = '{PHRASE[0]}' AND tk[i+1] = '{PHRASE[1]}'))
+           AS BIGINT) AS n_hits
+  FROM toks
+)
+SELECT doc_id, n_hits FROM hits WHERE n_hits > 0 ORDER BY doc_id
+"""
+
+
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test holdout assignment
+    (operators/sampling.py::hash_split): every document mapped to
+    exactly one split by comparing md5(doc_id) against cumulative hex
+    thresholds -- membership is a pure narrow projection, stable across
+    reruns, partitionings, and engines."""
+    from ..operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_split(docs, F.col("doc_id")).select(
+        "doc_id", "lang", "split"
+    ).orderBy("doc_id")
+
+
+def _hash_split_sql() -> str:
+    from ..operators.sampling import rate_threshold
+
+    t80, t90 = rate_threshold(0.8), rate_threshold(0.9)
+    return f"""
+SELECT doc_id, lang,
+       CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '{t80}' THEN 'train'
+            WHEN md5(CAST(doc_id AS VARCHAR)) < '{t90}' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents ORDER BY doc_id
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
 
 REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
+    "text_phrase_search": (text_phrase_search, PHRASE_SQL),
+    "sample_hash_split": (sample_hash_split, _hash_split_sql()),
     "dedup_exact_groups": (dedup_exact_groups, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_JACCARD_SQL),
     "dedup_subdoc_spans": (dedup_subdoc_spans, SUBDOC_SPANS_SQL),

@@ -1308,3 +1308,51 @@ def test_vad_planted_speech_segments(spark):
     assert out[1].n_segments == 2
     assert out[2].n_active == 0 and out[2].n_segments == 0
     assert out[3].err is not None and out[3].n_frames == 0
+
+
+def test_phrase_search_counts_and_repeated_tokens(spark):
+    """Anchor aggregation must count overlapping occurrences of a
+    repeated-token phrase correctly (each posting maps to EVERY index
+    its token occupies in the phrase) and ignore non-consecutive hits."""
+    rows = [
+        (0, "alpha beta gamma alpha beta"),       # "alpha beta" x2
+        (1, "alpha gamma beta"),                  # tokens present, not adjacent
+        (2, "go go go"),                          # "go go" x2 (overlapping)
+        (3, "beta alpha"),                        # reversed: no hit
+        (4, ""),                                  # empty doc
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    hits = {r.doc_id: r.n_hits for r in T.phrase_search(docs, ["alpha", "beta"]).collect()}
+    assert hits == {0: 2}
+
+    rep = {r.doc_id: r.n_hits for r in T.phrase_search(docs, ["go", "go"]).collect()}
+    assert rep == {2: 2}
+
+    tri = {r.doc_id: r.n_hits for r in T.phrase_search(docs, ["go", "go", "go"]).collect()}
+    assert tri == {2: 1}
+
+
+def test_hash_split_deterministic_and_partition_independent(spark):
+    """Split membership depends only on the key: repartitioning must not
+    move any row, every row lands in exactly one split, and fractions
+    come out near-nominal on a uniform key space."""
+    from airflow_pipeline_text_processing_spark.operators.sampling import (
+        hash_split,
+    )
+
+    df = spark.range(2000).select(F.col("id").alias("k"))
+    a = {r.k: r.split for r in hash_split(df, F.col("k")).collect()}
+    b = {
+        r.k: r.split
+        for r in hash_split(df.repartition(17), F.col("k")).collect()
+    }
+    assert a == b
+    assert len(a) == 2000
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert set(c) == {"train", "val", "test"}
+    assert abs(c["train"] - 1600) < 100
+    assert abs(c["val"] - 200) < 60
+    assert abs(c["test"] - 200) < 60

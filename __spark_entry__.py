@@ -170,6 +170,7 @@ _ORDER = [
     "agg_mode_per_type",
     "text_phrase_search",
     "sample_hash_split",
+    "dedup_cdc_chunks",
 ]
 
 assert len(_ORDER) == len(set(_ORDER)), "duplicate names in _ORDER"

@@ -999,3 +999,83 @@ def remove_spans(
         .otherwise(rebuilt)
         .alias(text_col),
     )
+
+
+# ---------------------------------------------------------------------
+# Content-defined chunking (FastCDC/rsync-family): chunk boundaries are
+# decided by the CONTENT of a sliding window, not by fixed offsets, so
+# an insertion near the start of a document shifts only the chunks it
+# touches -- every downstream chunk re-aligns and still deduplicates.
+# This is the storage-layer dedup primitive (backup systems, artifact
+# stores, CAS) and the byte-level complement of the token-level span
+# dedup above.
+# ---------------------------------------------------------------------
+
+CDC_WINDOW = 8       # chars hashed per boundary decision
+CDC_THRESHOLD = "08" + "0" * 30  # md5-hex < this ~= 1/32 boundary rate
+
+
+def cdc_chunks(
+    docs: DataFrame, text_col: str = "text",
+    window: int = CDC_WINDOW, threshold: str = CDC_THRESHOLD,
+) -> DataFrame:
+    """Split each document at content-defined boundaries: a boundary
+    falls after position ``i`` iff the md5 of the ``window`` chars
+    ending at ``i`` compares below ``threshold`` (hex strings compare
+    lexicographically == numerically, the same device as
+    sampling.rate_threshold).  Output: one row per (doc, chunk) with
+    ``chunk_idx, chunk, chunk_hash, chunk_len``.
+
+    Purely per-row array expressions (boundary set -> start/end zips ->
+    substrings): narrow, codegen-resident, no Python, no shuffle -- at
+    100 TB this runs entirely inside the scan stage.  Documents shorter
+    than the window become one whole-document chunk.
+    """
+    t = text_col
+    bounds = (
+        f"CASE WHEN length({t}) < {window} THEN array() "
+        f"ELSE filter(sequence({window}, length({t})), "
+        f"i -> md5(substring({t}, i - {window - 1}, {window})) "
+        f"< '{threshold}') END"
+    )
+    expr = (
+        f"filter(zip_with("
+        f"  concat(array(0L), {bounds}),"
+        f"  concat({bounds}, array(CAST(length({t}) AS LONG))),"
+        f"  (s, e) -> struct(s AS s, substring({t}, CAST(s + 1 AS INT),"
+        f"                   CAST(e - s AS INT)) AS chunk)"
+        f"), st -> length(st.chunk) > 0)"
+    )
+    exploded = docs.select(
+        "doc_id", F.posexplode(F.expr(expr)).alias("chunk_idx", "_st"),
+        *[c for c in docs.columns if c not in ("doc_id", t)],
+    )
+    return exploded.select(
+        "doc_id", "chunk_idx",
+        F.col("_st.chunk").alias("chunk"),
+        F.md5("_st.chunk").alias("chunk_hash"),
+        F.length("_st.chunk").cast("long").alias("chunk_len"),
+        *[c for c in docs.columns if c not in ("doc_id", t)],
+    )
+
+
+def cdc_dedup_stats(docs: DataFrame, group_col: str = "source") -> DataFrame:
+    """Storage-dedup accounting over content-defined chunks, per group:
+    ``n_chunks, n_distinct_chunks, total_chars, dup_chars`` where
+    ``dup_chars`` is what a content-addressed store would NOT have to
+    keep (every copy after the first of each distinct chunk; chars ==
+    bytes on this ASCII corpus, and substring/length are char-based).
+
+    One map-side-combinable groupBy on the 128-bit chunk hash, then a
+    group-sized rollup -- the corpus shuffles once, keyed by hash.
+    """
+    chunks = cdc_chunks(docs.select("doc_id", "text", group_col))
+    per_hash = chunks.groupBy(group_col, "chunk_hash").agg(
+        F.count("*").alias("cnt"), F.max("chunk_len").alias("clen")
+    )
+    return per_hash.groupBy(group_col).agg(
+        F.sum("cnt").alias("n_chunks"),
+        F.count("*").alias("n_distinct_chunks"),
+        F.sum(F.col("cnt") * F.col("clen")).alias("total_chars"),
+        F.sum((F.col("cnt") - 1) * F.col("clen")).alias("dup_chars"),
+    )

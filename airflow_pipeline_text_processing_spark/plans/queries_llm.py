@@ -1652,12 +1652,55 @@ FROM documents ORDER BY doc_id
 """
 
 
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup accounting
+    (operators/dedup.py::cdc_chunks): documents split where the md5 of
+    an 8-char sliding window compares below a hex threshold (FastCDC's
+    boundary rule), then per-source storage-dedup stats over the
+    128-bit chunk hashes.  Insert-shift-proof chunking, pure narrow
+    array expressions, one hash-keyed shuffle."""
+    from ..operators.dedup import cdc_dedup_stats
+
+    return cdc_dedup_stats(_t(spark, sf_dir, "documents")).orderBy("source")
+
+
+CDC_SQL = """
+WITH b AS (
+  SELECT doc_id, source, text,
+         CASE WHEN length(text) < 8 THEN CAST([] AS BIGINT[])
+              ELSE list_filter(range(8, length(text) + 1),
+                     i -> md5(substr(text, i - 7, 8)) < '08000000000000000000000000000000')
+         END AS bnd
+  FROM documents
+), ch AS (
+  SELECT source,
+         UNNEST(list_filter(
+           list_transform(
+             list_zip(list_prepend(0, bnd), list_append(bnd, length(text))),
+             p -> substr(text, CAST(p[1] + 1 AS INT), CAST(p[2] - p[1] AS INT))),
+           c -> length(c) > 0)) AS chunk
+  FROM b
+), per_hash AS (
+  SELECT source, md5(chunk) AS h,
+         COUNT(*) AS cnt, MAX(length(chunk)) AS clen
+  FROM ch GROUP BY source, md5(chunk)
+)
+SELECT source,
+       CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_chunks,
+       CAST(SUM(cnt * clen) AS BIGINT) AS total_chars,
+       CAST(SUM((cnt - 1) * clen) AS BIGINT) AS dup_chars
+FROM per_hash GROUP BY source ORDER BY source
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
 
 REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "text_phrase_search": (text_phrase_search, PHRASE_SQL),
+    "dedup_cdc_chunks": (dedup_cdc_chunks, CDC_SQL),
     "sample_hash_split": (sample_hash_split, _hash_split_sql()),
     "dedup_exact_groups": (dedup_exact_groups, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_JACCARD_SQL),

@@ -1356,3 +1356,29 @@ def test_hash_split_deterministic_and_partition_independent(spark):
     assert abs(c["train"] - 1600) < 100
     assert abs(c["val"] - 200) < 60
     assert abs(c["test"] - 200) < 60
+
+
+def test_cdc_chunks_realign_after_insertion(spark):
+    """The content-defined property: inserting text near the start of a
+    document must leave most DOWNSTREAM chunks identical (they re-align
+    on content), where fixed-size chunking would shift every one."""
+    import random
+
+    rng = random.Random(7)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    base = " ".join(rng.choice(words) for _ in range(400))
+    edited = "INSERTED PREFIX " + base
+    docs = spark.createDataFrame(
+        [(0, base), (1, edited)], "doc_id long, text string"
+    )
+    ch = D.cdc_chunks(docs).select("doc_id", "chunk_hash").collect()
+    h0 = {r.chunk_hash for r in ch if r.doc_id == 0}
+    h1 = {r.chunk_hash for r in ch if r.doc_id == 1}
+    assert len(h0) > 10  # threshold actually splits a doc this size
+    shared = len(h0 & h1) / len(h0)
+    assert shared > 0.8  # all but the chunks at the edit site re-align
+
+    # chunks reassemble exactly into the original text
+    rows = D.cdc_chunks(docs).orderBy("doc_id", "chunk_idx").collect()
+    rebuilt = "".join(r.chunk for r in rows if r.doc_id == 1)
+    assert rebuilt == edited

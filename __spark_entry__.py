@@ -171,6 +171,8 @@ _ORDER = [
     "text_phrase_search",
     "sample_hash_split",
     "dedup_cdc_chunks",
+    "cluster_kmeans_embeddings",
+    "dedup_semantic_clusters",
 ]
 
 assert len(_ORDER) == len(set(_ORDER)), "duplicate names in _ORDER"

@@ -1694,6 +1694,127 @@ FROM per_hash GROUP BY source ORDER BY source
 """
 
 
+def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point Lloyd k-means (operators/clustering.py): 3 assign+
+    update rounds over micro-quantized embeddings, md5-seeded, integer
+    distances and floored-integer centroid updates so the oracle replays
+    the identical arithmetic.  Output: final per-vector assignment."""
+    from ..operators.clustering import kmeans_fixed_point, quantized
+
+    vecs = _t(spark, sf_dir, "embeddings")
+    q = vecs.select("vec_id", quantized(F.col("embedding")).alias("q"))
+    assigned, _cents = kmeans_fixed_point(q, k=8, iters=3)
+    return assigned.select("vec_id", "cid", "d2").orderBy("vec_id")
+
+
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/clustering.py::semantic_dedup) on the planted
+    corpus (30 scaled twins): unit-sphere k-means, then within-cluster
+    pairwise cosine with keep-lowest-id.  Every twin must flag as a
+    duplicate of its original; cluster-confined all-pairs, never a
+    corpus cartesian."""
+    from ..operators.clustering import semantic_dedup
+
+    return semantic_dedup(_planted_vecs(spark, sf_dir)).orderBy("vec_id")
+
+
+_KM_DIM = 64
+_KM_SEED_ORDER = "md5(CAST(vec_id AS VARCHAR)), vec_id"
+_KM_D2 = (
+    "CAST(list_sum(list_transform(list_zip(b.q, c.c),"
+    " p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)"
+)
+
+
+def _kmeans_ctes(src: str, k: int, iters: int) -> str:
+    """The Lloyd rounds unrolled as CTEs (same device as the BPE-train
+    oracle): src must provide (vec_id, q BIGINT[]).  Ends with ``aF``,
+    the final assignment (vec_id, q, cid, d2)."""
+    parts = [
+        f"""cent0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY {_KM_SEED_ORDER}) AS cid, q AS c
+  FROM {src} QUALIFY ROW_NUMBER() OVER (ORDER BY {_KM_SEED_ORDER}) <= {k})"""
+    ]
+    prev = "cent0"
+    for r in range(1, iters + 1):
+        parts.append(
+            f"""a{r} AS (
+  SELECT b.vec_id, b.q, c.cid, {_KM_D2} AS d2
+  FROM {src} b, {prev} c
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY d2, c.cid) = 1)"""
+        )
+        parts.append(
+            f"""s{r} AS (
+  SELECT cid, t.i AS dim, CAST(SUM(q[t.i]) AS BIGINT) AS s, COUNT(*) AS n
+  FROM a{r}, (SELECT UNNEST(range(1, {_KM_DIM + 1})) AS i) t
+  GROUP BY cid, t.i)"""
+        )
+        parts.append(
+            f"""cent{r} AS (
+  SELECT cid, list(cv ORDER BY dim) AS c FROM (
+    SELECT cid, dim, (s - ((s % n) + n) % n) // n AS cv FROM s{r})
+  GROUP BY cid)"""
+        )
+        prev = f"cent{r}"
+    parts.append(
+        f"""aF AS (
+  SELECT b.vec_id, b.q, c.cid, {_KM_D2} AS d2
+  FROM {src} b, {prev} c
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY d2, c.cid) = 1)"""
+    )
+    return ",\n".join(parts)
+
+
+def _kmeans_sql() -> str:
+    return f"""
+WITH qbase AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+  FROM embeddings),
+{_kmeans_ctes("qbase", 8, 3)}
+SELECT vec_id, cid, d2 FROM aF ORDER BY vec_id
+"""
+
+
+def _semantic_dedup_sql(tau_micro: int = 950_000) -> str:
+    return f"""
+WITH planted AS ({PLANTED_VECS_SQL}),
+n2 AS (
+  SELECT vec_id, embedding,
+         CAST(list_sum(list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000)
+                AS BIGINT))) AS BIGINT) AS n2
+  FROM planted),
+qbase AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE)
+                / sqrt(CAST(n2 AS DOUBLE) / 1000000.0)
+                * 1000000) AS BIGINT)) AS q
+  FROM n2),
+{_kmeans_ctes("qbase", 8, 3)},
+pn AS (
+  SELECT vec_id, cid, q,
+         CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2q
+  FROM aF),
+sim AS (
+  SELECT b.vec_id AS vec_id, COUNT(*) AS n_sim
+  FROM pn a JOIN pn b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE CAST(floor(
+          CAST(CAST(list_sum(list_transform(list_zip(a.q, b.q),
+               p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
+          / (sqrt(CAST(a.n2q AS DOUBLE)) * sqrt(CAST(b.n2q AS DOUBLE)))
+          * 1000000) AS BIGINT) >= {tau_micro}
+  GROUP BY b.vec_id)
+SELECT p.vec_id, p.cid,
+       CAST(COALESCE(s.n_sim, 0) AS BIGINT) AS n_sim_earlier,
+       COALESCE(s.n_sim, 0) > 0 AS is_dup
+FROM pn p LEFT JOIN sim s ON p.vec_id = s.vec_id
+ORDER BY p.vec_id
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -1701,6 +1822,8 @@ FROM per_hash GROUP BY source ORDER BY source
 REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "text_phrase_search": (text_phrase_search, PHRASE_SQL),
     "dedup_cdc_chunks": (dedup_cdc_chunks, CDC_SQL),
+    "cluster_kmeans_embeddings": (cluster_kmeans_embeddings, _kmeans_sql()),
+    "dedup_semantic_clusters": (dedup_semantic_clusters, _semantic_dedup_sql()),
     "sample_hash_split": (sample_hash_split, _hash_split_sql()),
     "dedup_exact_groups": (dedup_exact_groups, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_JACCARD_SQL),

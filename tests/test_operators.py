@@ -1382,3 +1382,56 @@ def test_cdc_chunks_realign_after_insertion(spark):
     rows = D.cdc_chunks(docs).orderBy("doc_id", "chunk_idx").collect()
     rebuilt = "".join(r.chunk for r in rows if r.doc_id == 1)
     assert rebuilt == edited
+
+
+def test_kmeans_assignment_is_argmin_and_partition_independent(spark):
+    """The final assignment must give every vector its true nearest
+    settled centroid (ties to the smaller cid), and the whole algorithm
+    must be invariant to input partitioning."""
+    import pyspark.sql.functions as F
+    from airflow_pipeline_text_processing_spark.operators.clustering import (
+        kmeans_fixed_point,
+        quantized,
+    )
+
+    vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = vecs.select("vec_id", quantized(F.col("embedding")).alias("q"))
+    assigned, cents = kmeans_fixed_point(q, k=8, iters=2)
+    got = {r.vec_id: (r.cid, r.d2) for r in assigned.collect()}
+    cent_rows = {r.cid: r.c for r in cents.collect()}
+
+    # spot-verify argmin for a sample of vectors, in plain python
+    qs = {r.vec_id: r.q for r in q.collect()}
+    for vid in list(qs)[:25]:
+        dists = sorted(
+            (sum((a - b) * (a - b) for a, b in zip(qs[vid], c)), cid)
+            for cid, c in cent_rows.items()
+        )
+        assert got[vid] == (dists[0][1], dists[0][0])
+
+    re_assigned, _ = kmeans_fixed_point(q.repartition(13), k=8, iters=2)
+    assert {r.vec_id: (r.cid, r.d2) for r in re_assigned.collect()} == got
+
+
+def test_semantic_dedup_flags_all_planted_twins(spark):
+    """Scaled copies of a vector share its direction: after unit-sphere
+    normalization every twin must land in its original's cluster and be
+    flagged; the untouched remainder must not produce false positives."""
+    import pyspark.sql.functions as F
+    from airflow_pipeline_text_processing_spark.operators.clustering import (
+        semantic_dedup,
+    )
+
+    vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    twins = vecs.filter(F.col("vec_id") < 40).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 3).alias("embedding"),
+        "label",
+    )
+    out = semantic_dedup(vecs.unionByName(twins)).collect()
+    dup_ids = {r.vec_id for r in out if r.is_dup}
+    assert {v for v in dup_ids if v >= 100000} == {
+        100000 + i for i in range(40)
+    }
+    # random 64-dim vectors essentially never reach cosine 0.95
+    assert all(v >= 100000 for v in dup_ids)

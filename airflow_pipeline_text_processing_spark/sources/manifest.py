@@ -125,7 +125,11 @@ def read_live(spark: SparkSession, path: str) -> DataFrame:
     (NEVER a raw directory read -- tombstoned files still sit on disk
     until vacuum)."""
     man_rows = read_manifest(spark, path).collect()
-    return spark.read.parquet(*_files_at(man_rows, None))
+    # mergeSchema: files written before a schema evolution lack the new
+    # columns; the union schema surfaces them as NULL
+    return spark.read.option("mergeSchema", "true").parquet(
+        *_files_at(man_rows, None)
+    )
 
 
 def read_snapshot(spark: SparkSession, path: str, epoch: int) -> DataFrame:
@@ -133,7 +137,9 @@ def read_snapshot(spark: SparkSession, path: str, epoch: int) -> DataFrame:
     write, k = after the k-th merge), reconstructed purely from file
     lifetimes -- valid until ``vacuum`` reclaims the tombstones."""
     man_rows = read_manifest(spark, path).collect()
-    return spark.read.parquet(*_files_at(man_rows, epoch))
+    return spark.read.option("mergeSchema", "true").parquet(
+        *_files_at(man_rows, epoch)
+    )
 
 
 def read_pruned(
@@ -159,7 +165,7 @@ def read_pruned(
     if not keep:
         empty = read_live(spark, path).limit(0)
         return empty, 0, total
-    df = spark.read.parquet(*keep).filter(
+    df = spark.read.option("mergeSchema", "true").parquet(*keep).filter(
         (F.col(key_col) >= lo) & (F.col(key_col) <= hi)
     )
     return df, len(keep), total
@@ -205,7 +211,10 @@ def merge_upsert(
         survivors = spark.read.parquet(*hit_files).join(
             F.broadcast(upd.select(key_col).distinct()), key_col, "left_anti"
         )
-        new_parts = survivors.unionByName(upd)
+        # schema evolution: an update batch may ADD columns (survivors
+        # take NULL) or OMIT columns the table has (updates take NULL) --
+        # Delta's mergeSchema semantics on plain parquet
+        new_parts = survivors.unionByName(upd, allowMissingColumns=True)
 
     epoch = 1 + max(r.added_epoch for r in man_rows)
     staging = os.path.join(path, f"_staging_{epoch}")

@@ -74,6 +74,10 @@ BENCH_QUERIES = [
     "merge_upsert_part",
     "curation_lm_filtered",
     "mm_audio_vad",
+    # round-5 session-3 additions: clustering + content-defined chunking
+    "cluster_kmeans_embeddings",
+    "dedup_semantic_clusters",
+    "dedup_cdc_chunks",
 ]
 
 

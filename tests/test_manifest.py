@@ -245,3 +245,32 @@ def test_optimize_compact_binpacks_small_files(spark, tmp_path):
 
     # already-compacted table: a second OPTIMIZE is a no-op
     assert optimize_compact(spark, path, "k", target_rows=400) == (0, 0)
+
+
+def test_merge_schema_evolution_adds_column(spark, tmp_path):
+    """An update batch may carry a column the table has never seen:
+    after the merge the live view surfaces it (NULL for untouched
+    rows), pre-evolution snapshots keep the old schema, and pruning
+    still works across mixed-schema files."""
+    path = _table(spark, tmp_path)
+    updates = spark.createDataFrame(
+        [(5, -1, "new"), (10_000, -2, "new")], "k long, v long, tag string"
+    )
+    merge_upsert(spark, path, updates, "k")
+
+    full = read_live(spark, path)
+    assert "tag" in full.columns
+    assert full.count() == 801
+    tags = {r.k: r.tag for r in full.filter(F.col("k").isin(5, 6, 10_000)).collect()}
+    assert tags == {5: "new", 10_000: "new", 6: None}
+
+    # pre-evolution snapshot: original schema, original values
+    snap0 = read_snapshot(spark, path, 0)
+    assert "tag" not in snap0.columns
+    assert snap0.count() == 800
+
+    # pruned read spanning evolved + original files
+    df, files_read, files_total = read_pruned(spark, path, "k", 0, 20)
+    assert files_read < files_total
+    got = {r.k: r.tag for r in df.collect()}
+    assert got[5] == "new" and got[6] is None and len(got) == 21

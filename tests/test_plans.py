@@ -580,3 +580,51 @@ def test_lsh_multitable_no_allpairs(spark):
 
     plan = plan_of(sim_lsh_multitable(spark, SF_DIR), mode="simple")
     assert "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """Spark injects a runtime bloom filter built from a selective
+    creation side into the probe-side scan of a shuffle join (the
+    row-level complement of partition pruning).  The default thresholds
+    (10 GB probe scan) are sized for cluster scale, so at test scale we
+    lower them to demonstrate the mechanism -- at 100 TB the defaults
+    themselves admit exactly this shape -- and assert the filtered plan
+    still returns the identical result."""
+    import pyspark.sql.functions as F
+
+    def q():
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        o = spark.read.parquet(
+            "/root/testdata/sf0.001/orders.parquet"
+        ).filter(F.col("o_orderpriority") == "1-URGENT")
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+
+    baseline = {(r.o_orderpriority, r.n) for r in q().collect()}
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    saved = {}
+    for k, v in overrides.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        df = q()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan  # bloom probe reached the scan side
+        assert {(r.o_orderpriority, r.n) for r in df.collect()} == baseline
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -173,6 +173,7 @@ _ORDER = [
     "dedup_cdc_chunks",
     "cluster_kmeans_embeddings",
     "dedup_semantic_clusters",
+    "events_concurrency_peaks",
 ]
 
 assert len(_ORDER) == len(set(_ORDER)), "duplicate names in _ORDER"

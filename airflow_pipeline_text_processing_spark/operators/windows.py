@@ -64,3 +64,57 @@ def ordered_running_sum(
         .withColumn(out_col, F.col("_local") + F.col("_offset"))
         .drop("_pid", "_local", "_offset")
     )
+
+
+def concurrency_peaks(
+    events: DataFrame,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    span_minutes: int = 10,
+) -> DataFrame:
+    """Sweep-line interval concurrency: each event opens a
+    ``span_minutes`` interval; the concurrency level is the running sum
+    of +1/-1 boundary deltas over the global (pt, delta, id) order, and
+    the per-day peak is the max level at any boundary in the day --
+    including the level carried in from the previous day's last
+    boundary.  Output: ``day, peak_concurrency, n_starts``.
+
+    Ties at an instant order ends (-1) before starts (+1), so touching
+    intervals never count as concurrent.  The global running sum runs
+    through :func:`ordered_running_sum` (range-partitioned two-level
+    prefix sum), NOT a single-partition window; the day-level carry
+    relation is days-sized.
+    """
+    starts = events.select(
+        F.col(ts_col).alias("pt"), F.lit(1).alias("delta"),
+        F.col(id_col).alias("bid"),
+    )
+    ends = events.select(
+        (F.col(ts_col) + F.expr(f"INTERVAL {span_minutes} MINUTES")).alias("pt"),
+        F.lit(-1).alias("delta"),
+        F.col(id_col).alias("bid"),
+    )
+    pts = starts.unionByName(ends)
+    run = ordered_running_sum(
+        pts, [F.col("pt"), F.col("delta"), F.col("bid")], "delta", "conc"
+    )
+    daily = run.groupBy(F.to_date("pt").alias("day")).agg(
+        F.max("conc").cast("long").alias("in_day_max"),
+        # conc at the day's LAST boundary = level carried into the next
+        # day (struct max: pt/delta/bid form a unique total order)
+        F.max(F.struct("pt", "delta", "bid", "conc"))["conc"]
+        .cast("long")
+        .alias("day_last"),
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_starts"),
+    )
+    w = Window.orderBy("day")  # days-sized relation, never raw events
+    return daily.select(
+        "day",
+        F.greatest(
+            F.col("in_day_max"),
+            F.coalesce(F.lag("day_last").over(w), F.lit(0)),
+        ).alias("peak_concurrency"),
+        "n_starts",
+    )

@@ -3235,7 +3235,56 @@ ORDER BY g_priority, g_status, o_orderpriority, o_orderstatus
 """
 
 
+def events_concurrency_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval concurrency
+    (operators/windows.py::concurrency_peaks): every event opens a
+    10-minute interval; per-day peak of the running +1/-1 boundary sum,
+    with the cross-midnight level carried via a days-sized lag.  The
+    global running sum is the range-partitioned two-level prefix sum --
+    never a single-partition window over the event stream."""
+    from ..operators.windows import concurrency_peaks
+
+    peaks = concurrency_peaks(_t(spark, sf_dir, "events"))
+    return peaks.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "peak_concurrency",
+        "n_starts",
+    ).orderBy("day")
+
+
+CONCURRENCY_SQL = """
+WITH pts AS (
+  SELECT ts AS pt, 1 AS delta, event_id AS bid FROM events
+  UNION ALL
+  SELECT ts + INTERVAL 10 MINUTE, -1, event_id FROM events
+), run AS (
+  SELECT pt, delta, bid,
+         CAST(SUM(delta) OVER (ORDER BY pt, delta, bid
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc
+  FROM pts
+), daily AS (
+  SELECT CAST(pt AS DATE) AS day,
+         CAST(MAX(conc) AS BIGINT) AS in_day_max,
+         CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_starts
+  FROM run GROUP BY day
+), dl AS (
+  SELECT CAST(pt AS DATE) AS day, CAST(conc AS BIGINT) AS day_last
+  FROM run
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY CAST(pt AS DATE)
+            ORDER BY pt DESC, delta DESC, bid DESC) = 1
+)
+SELECT strftime(d.day, '%Y-%m-%d') AS day,
+       GREATEST(d.in_day_max,
+                COALESCE(LAG(dl.day_last) OVER (ORDER BY d.day), 0))
+         AS peak_concurrency,
+       d.n_starts
+FROM daily d JOIN dl ON d.day = dl.day ORDER BY d.day
+"""
+
+
 REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
+    "events_concurrency_peaks": (events_concurrency_peaks, CONCURRENCY_SQL),
     "stream_hourly_watermarked": (stream_hourly_watermarked, STREAM_HOURLY_SQL),
     "stream_stateful_user_totals": (
         stream_stateful_user_totals,

@@ -187,3 +187,43 @@ def test_rolling_active_users_exact_wau(spark, tmp_path):
     # day 5: user 1 counted ONCE despite two active days in window
     assert out["2024-01-05"].dau == 1 and out["2024-01-05"].wau == 2
     assert out["2024-01-03"].stickiness_milli == 500
+
+
+def test_concurrency_peaks_known_intervals_and_midnight_carry(spark):
+    """Hand-built schedule: three overlapping 10-min intervals peak at
+    3; a burst that starts before midnight must carry its level into
+    the next day even if that day's own boundaries never reach it."""
+    import pyspark.sql.functions as F
+
+    from airflow_pipeline_text_processing_spark.operators.windows import (
+        concurrency_peaks,
+    )
+
+    rows = [
+        # day 1: a,b,c overlap (peak 3), d isolated
+        (0, "2024-03-01 10:00:00"),
+        (1, "2024-03-01 10:03:00"),
+        (2, "2024-03-01 10:06:00"),
+        (3, "2024-03-01 18:00:00"),
+        # burst straddling midnight: 4 intervals open at 00:00
+        (4, "2024-03-01 23:55:00"),
+        (5, "2024-03-01 23:56:00"),
+        (6, "2024-03-01 23:57:00"),
+        (7, "2024-03-01 23:58:00"),
+        # day 2: one lonely event
+        (8, "2024-03-02 12:00:00"),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts string").select(
+        "event_id", F.to_timestamp("ts").alias("ts")
+    )
+    out = {str(r.day): (r.peak_concurrency, r.n_starts)
+           for r in concurrency_peaks(ev).collect()}
+    assert out["2024-03-01"] == (4, 8)
+    # day 2 peak: the 4-deep burst is still open at midnight (carry);
+    # its own boundaries (ends at 00:05-00:08 + event 8) never exceed it
+    assert out["2024-03-02"] == (4, 1)
+
+    # partition-independence of the two-level prefix sum + carry
+    out2 = {str(r.day): (r.peak_concurrency, r.n_starts)
+            for r in concurrency_peaks(ev.repartition(7)).collect()}
+    assert out2 == out

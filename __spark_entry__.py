@@ -174,6 +174,7 @@ _ORDER = [
     "cluster_kmeans_embeddings",
     "dedup_semantic_clusters",
     "events_concurrency_peaks",
+    "stats_chi_square",
 ]
 
 assert len(_ORDER) == len(set(_ORDER)), "duplicate names in _ORDER"

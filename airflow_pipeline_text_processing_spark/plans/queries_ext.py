@@ -3235,6 +3235,65 @@ ORDER BY g_priority, g_status, o_orderpriority, o_orderstatus
 """
 
 
+def stats_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test of documents.lang vs source, in
+    exact integer arithmetic: the per-cell term (o - e)^2 / e rewrites
+    as (o*T - r*c)^2 / (T*r*c) over BIGINT contingency counts, floored
+    to micro-units per cell BEFORE the sum, so the statistic is the
+    identical BIGINT on every engine and in any aggregation order.
+    Zero cells (a lang x source combo with no documents) contribute
+    r*c/T and are materialized via the marginals grid -- a
+    constant-size cross join of the two tiny marginal relations, never
+    the corpus.  One map-side-combinable corpus aggregate; everything
+    after is marginal-sized."""
+    docs = _t(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    rows_m = cells.groupBy("lang").agg(F.sum("o").alias("r"))
+    cols_m = cells.groupBy("source").agg(F.sum("o").alias("c"))
+    tot = cells.agg(F.sum("o").alias("t"))
+    grid = (
+        rows_m.crossJoin(cols_m)  # marginals grid: |langs| x |sources|
+        .join(cells, ["lang", "source"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang", "source", "r", "c", "t",
+            F.coalesce(F.col("o"), F.lit(0)).cast("long").alias("o"),
+        )
+    )
+    term = F.expr("(1000000 * (o*t - r*c) * (o*t - r*c)) div (t * r * c)")
+    return grid.agg(
+        F.max("t").alias("n_docs"),
+        F.count("*").alias("n_cells"),
+        (
+            (F.countDistinct("lang") - 1) * (F.countDistinct("source") - 1)
+        ).alias("dof"),
+        F.sum(term).alias("chi2_micro"),
+    )
+
+
+CHI_SQUARE_SQL = """
+WITH cells AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+  FROM documents GROUP BY lang, source
+), rm AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY lang),
+cm AS (SELECT source, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY source),
+tt AS (SELECT CAST(SUM(o) AS BIGINT) AS t FROM cells),
+grid AS (
+  SELECT rm.lang, cm.source, rm.r, cm.c, tt.t,
+         CAST(COALESCE(cells.o, 0) AS BIGINT) AS o
+  FROM rm CROSS JOIN cm CROSS JOIN tt
+  LEFT JOIN cells ON cells.lang = rm.lang AND cells.source = cm.source
+)
+SELECT CAST(MAX(t) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST((COUNT(DISTINCT lang) - 1) * (COUNT(DISTINCT source) - 1)
+            AS BIGINT) AS dof,
+       CAST(SUM((1000000 * (o*t - r*c) * (o*t - r*c)) // (t * r * c))
+            AS BIGINT) AS chi2_micro
+FROM grid
+"""
+
+
 def events_concurrency_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sweep-line interval concurrency
     (operators/windows.py::concurrency_peaks): every event opens a
@@ -3285,6 +3344,7 @@ FROM daily d JOIN dl ON d.day = dl.day ORDER BY d.day
 
 REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "events_concurrency_peaks": (events_concurrency_peaks, CONCURRENCY_SQL),
+    "stats_chi_square": (stats_chi_square, CHI_SQUARE_SQL),
     "stream_hourly_watermarked": (stream_hourly_watermarked, STREAM_HOURLY_SQL),
     "stream_stateful_user_totals": (
         stream_stateful_user_totals,

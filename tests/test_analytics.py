@@ -227,3 +227,35 @@ def test_concurrency_peaks_known_intervals_and_midnight_carry(spark):
     out2 = {str(r.day): (r.peak_concurrency, r.n_starts)
             for r in concurrency_peaks(ev.repartition(7)).collect()}
     assert out2 == out
+
+
+def test_chi_square_zero_on_independent_table(spark, tmp_path):
+    """A contingency table whose cells exactly equal the product of its
+    marginals must score chi2 == 0; perturbing one cell must not."""
+    import pyspark.sql.functions as F
+
+    from airflow_pipeline_text_processing_spark.plans.queries_ext import (
+        stats_chi_square,
+    )
+
+    def write_docs(counts, name):
+        rows = []
+        i = 0
+        for (lang, src), n in counts.items():
+            for _ in range(n):
+                rows.append((i, "x", lang, src, 1))
+                i += 1
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        d = str(tmp_path / name)
+        df.write.parquet(d + "/documents.parquet")
+        return d
+
+    indep = {("en", "a"): 10, ("en", "b"): 20, ("fr", "a"): 30, ("fr", "b"): 60}
+    r = stats_chi_square(spark, write_docs(indep, "indep")).collect()[0]
+    assert (r.chi2_micro, r.dof, r.n_docs, r.n_cells) == (0, 1, 120, 4)
+
+    skew = {("en", "a"): 25, ("en", "b"): 5, ("fr", "a"): 15, ("fr", "b"): 75}
+    r2 = stats_chi_square(spark, write_docs(skew, "skew")).collect()[0]
+    assert r2.chi2_micro > 0

@@ -142,3 +142,51 @@ def test_ivf_topk_two_million_vectors_with_skewed_cell(spark):
     top = by_query[3][0]
     assert top.neighbor_id % 3 == 0 and top.cosine > 0.999999
     assert wall < 240, f"ivf scale smoke took {wall:.0f}s"
+
+
+def test_kmeans_200k_vectors_recovers_planted_clusters(spark):
+    """Fixed-point Lloyd at 200k vectors with three tight, well-
+    separated planted clusters: the algorithm must recover them exactly
+    (every vector's final centroid lies inside its own planted cluster;
+    the three groups map to three distinct cids), deterministically and
+    within a wall bound.  Values are scaled so every squared distance
+    stays far inside int64 (max |q| ~3e6 -> d2 <= 8 * (6e6)^2 ~ 3e14)."""
+    from airflow_pipeline_text_processing_spark.operators.clustering import (
+        kmeans_fixed_point,
+        quantized,
+    )
+
+    n = 200_000
+    dim = 8
+
+    # group g = id % 3 centers at 1.0 / 2.0 / 3.0 with 0..0.006 jitter
+    def vec(idcol):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: (
+                (idcol % 3 + 1).cast("double")
+                + ((idcol * 31 + j * 7) % 7).cast("double") * 0.001
+            ).cast("float"),
+        )
+
+    vecs = spark.range(n).select(
+        F.col("id").alias("vec_id"), vec(F.col("id")).alias("embedding")
+    )
+    q = vecs.select("vec_id", quantized(F.col("embedding")).alias("q"))
+
+    t0 = time.perf_counter()
+    assigned, cents = kmeans_fixed_point(q, k=3, iters=3)
+    stats = (
+        assigned.groupBy((F.col("vec_id") % 3).alias("grp"), "cid")
+        .agg(F.count("*").alias("n"), F.max("d2").alias("max_d2"))
+        .collect()
+    )
+    wall = time.perf_counter() - t0
+
+    # exactly one cid per planted group, all three distinct, no leakage
+    assert len(stats) == 3
+    assert len({r.cid for r in stats}) == 3
+    assert sum(r.n for r in stats) == n
+    # within-cluster d2 is jitter-sized; cross-cluster would be >= ~1e12
+    assert all(r.max_d2 < 10_000_000_000 for r in stats)
+    assert wall < 240, f"kmeans scale smoke took {wall:.0f}s"

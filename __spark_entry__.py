@@ -175,6 +175,7 @@ _ORDER = [
     "dedup_semantic_clusters",
     "events_concurrency_peaks",
     "stats_chi_square",
+    "text_cooccurrence_pmi",
 ]
 
 assert len(_ORDER) == len(set(_ORDER)), "duplicate names in _ORDER"

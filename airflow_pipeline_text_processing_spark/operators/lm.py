@@ -395,3 +395,64 @@ def bigram_surprisal_backoff(
         )
         .orderBy("doc_id")
     )
+
+
+def cooccurrence_pmi(
+    docs: DataFrame, text_col: str = "text", top_n: int = 20
+) -> DataFrame:
+    """Top positively-associated token pairs by document-level pointwise
+    mutual information: ``PMI(a,b) = log2(df_ab * N / (df_a * df_b))``
+    over document frequencies, in the exact Q8 fixed-point bits of
+    :func:`fixed_log2` (negatively- and un-associated pairs, ratio < 1,
+    are filtered BEFORE the log -- the kernel's domain, and the pairs a
+    collocation miner keeps anyway).
+
+    Scale shape: the pair relation comes from a per-document self-join
+    of the DISTINCT-token posting list -- quadratic only in unique
+    tokens per document (bounded by document length), linear in corpus
+    size; document frequencies are vocabulary-sized broadcasts.  All
+    counts and the PMI are BIGINTs: deterministic in any order.
+    """
+    post = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+    )
+    post = post.localCheckpoint(eager=False)  # both pair sides + df counts
+    dfreq = post.groupBy("tok").agg(F.count("*").alias("df"))
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    a, b = post.alias("a"), post.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.tok") < F.col("b.tok")),
+        )
+        .groupBy(
+            F.col("a.tok").alias("tok_a"), F.col("b.tok").alias("tok_b")
+        )
+        .agg(F.count("*").alias("df_ab"))
+    )
+    joined = (
+        pairs.join(
+            F.broadcast(dfreq.select(F.col("tok").alias("tok_a"), F.col("df").alias("df_a"))),
+            "tok_a",
+        )
+        .join(
+            F.broadcast(dfreq.select(F.col("tok").alias("tok_b"), F.col("df").alias("df_b"))),
+            "tok_b",
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df_ab") * F.col("n_docs") >= F.col("df_a") * F.col("df_b"))
+        .select(
+            "tok_a", "tok_b", "df_a", "df_b", "df_ab",
+            (F.col("df_ab") * F.col("n_docs")).alias("_num"),
+            (F.col("df_a") * F.col("df_b")).alias("_den"),
+        )
+    )
+    scored = fixed_log2(joined, "_num", "_den", "pmi_fp").drop("_num", "_den")
+    return scored.orderBy(
+        F.col("pmi_fp").desc(),
+        F.col("df_ab").desc(),
+        "tok_a",
+        "tok_b",
+    ).limit(top_n)

@@ -1815,6 +1815,46 @@ ORDER BY p.vec_id
 """
 
 
+def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (operators/lm.py::cooccurrence_pmi): top-20
+    token pairs by document-level pointwise mutual information in exact
+    Q8 fixed-point bits, positively-associated pairs only."""
+    return L.cooccurrence_pmi(_t(spark, sf_dir, "documents"))
+
+
+def _pmi_sql(top_n: int = 20) -> str:
+    inner = f"""
+WITH post AS (
+  SELECT DISTINCT doc_id, UNNEST({TOKS_SQL}) AS tok FROM documents
+), dfreq AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM post GROUP BY tok
+), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+pairs AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, CAST(COUNT(*) AS BIGINT) AS df_ab
+  FROM post a JOIN post b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY a.tok, b.tok
+)
+SELECT tok_a, tok_b, da.df AS df_a, db.df AS df_b, df_ab,
+       df_ab * n_docs AS _num, da.df * db.df AS _den
+FROM pairs
+JOIN dfreq da ON da.tok = pairs.tok_a
+JOIN dfreq db ON db.tok = pairs.tok_b
+CROSS JOIN nn
+WHERE df_ab * n_docs >= da.df * db.df
+"""
+    chain = L.fixed_log2_sql(
+        inner,
+        "tok_a, tok_b, df_a, df_b, df_ab",
+        "_num",
+        "_den",
+        "pmi_fp",
+    )
+    return (
+        f"SELECT * FROM ({chain}) "
+        f"ORDER BY pmi_fp DESC, df_ab DESC, tok_a, tok_b LIMIT {top_n}"
+    )
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -1824,6 +1864,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "dedup_cdc_chunks": (dedup_cdc_chunks, CDC_SQL),
     "cluster_kmeans_embeddings": (cluster_kmeans_embeddings, _kmeans_sql()),
     "dedup_semantic_clusters": (dedup_semantic_clusters, _semantic_dedup_sql()),
+    "text_cooccurrence_pmi": (text_cooccurrence_pmi, _pmi_sql()),
     "sample_hash_split": (sample_hash_split, _hash_split_sql()),
     "dedup_exact_groups": (dedup_exact_groups, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_JACCARD_SQL),

@@ -196,3 +196,24 @@ def test_lm_scale_smoke_200k_docs(spark):
     )
     assert row.bits_q8 == exp
     assert row.n_tokens == 4
+
+
+def test_cooccurrence_pmi_planted_collocation(spark):
+    """A pair that only ever appears together must outrank independent
+    pairs, with the exactly-representable PMI value: df_a = df_b =
+    df_ab = 4 over N = 16 docs -> PMI = log2(16/4) = 2.0 -> Q8 512."""
+    from airflow_pipeline_text_processing_spark.operators.lm import (
+        cooccurrence_pmi,
+    )
+
+    fillers = ["aa bb", "bb cc", "cc aa", "aa cc"]
+    rows = [(i, "xx yy " + fillers[i % 4]) for i in range(4)]
+    rows += [(4 + i, fillers[i % 4] + " " + fillers[(i + 1) % 4]) for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = cooccurrence_pmi(docs, top_n=5).collect()
+    top = out[0]
+    assert (top.tok_a, top.tok_b) == ("xx", "yy")
+    assert (top.df_a, top.df_b, top.df_ab) == (4, 4, 4)
+    assert top.pmi_fp == 2 * 256
+    # every other surviving pair is strictly less associated
+    assert all(r.pmi_fp < 512 for r in out[1:])

@@ -628,3 +628,35 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_phrase_search_plan_has_no_join(spark):
+    """phrase_search is the anchor-aggregation formulation: the plan
+    must contain NO join of any kind (the naive m-way positional
+    self-join would) -- just the posting filter and two hash
+    aggregates."""
+    from airflow_pipeline_text_processing_spark.operators.text import (
+        phrase_search,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = phrase_search(docs, ["table", "scan", "fast"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2  # (doc,anchor) then doc
+
+
+def test_cdc_dedup_stats_single_hash_shuffle(spark):
+    """cdc_dedup_stats: chunking is narrow (inside the scan stage); the
+    only wide operation is the (group, chunk_hash) aggregate -- one
+    Exchange before the hash rollup, no join, no cartesian."""
+    from airflow_pipeline_text_processing_spark.operators.dedup import (
+        cdc_dedup_stats,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = cdc_dedup_stats(docs)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Cartesian" not in plan
+    # two shuffles total: chunk-hash agg, then the per-group rollup
+    assert plan.count("Exchange") <= 2

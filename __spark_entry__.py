@@ -176,6 +176,8 @@ _ORDER = [
     "events_concurrency_peaks",
     "stats_chi_square",
     "text_cooccurrence_pmi",
+    "stats_trimmed_mean",
+    "cluster_assign_incremental",
 ]
 
 assert len(_ORDER) == len(set(_ORDER)), "duplicate names in _ORDER"

@@ -77,6 +77,24 @@ def _sqdist(a: Column, b: Column) -> Column:
     )
 
 
+def assign_to_centroids(qvecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment of a ``(vec_id, q)`` relation against
+    a ``(cid, c)`` centroid relation (ties to the smaller cid).  This is
+    the INCREMENTAL path: once a corpus has settled centroids, a new
+    ingest batch is assigned by broadcasting the k-row centroid relation
+    against the batch alone -- the corpus is never rescanned, the same
+    economics as the incremental LSH and span-dedup operators."""
+    scored = qvecs.select("vec_id", "q").crossJoin(F.broadcast(cents)).select(
+        "vec_id", "q", "cid", _sqdist(F.col("q"), F.col("c")).alias("d2")
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def kmeans_fixed_point(
     qvecs: DataFrame, k: int = 8, iters: int = 3
 ) -> Tuple[DataFrame, DataFrame]:
@@ -103,15 +121,7 @@ def kmeans_fixed_point(
     )
 
     def assign(cents_df: DataFrame) -> DataFrame:
-        scored = base.crossJoin(F.broadcast(cents_df)).select(
-            "vec_id", "q", "cid", _sqdist(F.col("q"), F.col("c")).alias("d2")
-        )
-        w = Window.partitionBy("vec_id").orderBy("d2", "cid")
-        return (
-            scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
+        return assign_to_centroids(base, cents_df)
 
     for _ in range(iters):
         assigned = assign(cents)

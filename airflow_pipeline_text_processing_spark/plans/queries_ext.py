@@ -3235,6 +3235,67 @@ ORDER BY g_priority, g_status, o_orderpriority, o_orderstatus
 """
 
 
+def stats_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group statistics: the 10%-trimmed mean of event value
+    per event_type -- drop the lowest and highest decile by a total
+    (cents, event_id) order, average the core in exact integer
+    micro-units.  The rank is a per-group window (partitioned, never
+    global); every aggregate is a BIGINT so the result is identical in
+    any order.  Trimming by rank rather than percentile value keeps the
+    cut deterministic under ties."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(FLOOR(value * 100) AS BIGINT)").alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    ranked = ev.withColumn("rk", F.row_number().over(w)).withColumn(
+        "cnt", F.count("*").over(Window.partitionBy("event_type"))
+    )
+    lo = F.expr("cnt div 10")
+    kept = ranked.filter((F.col("rk") > lo) & (F.col("rk") <= F.col("cnt") - lo))
+    return (
+        kept.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.min("cents").alias("cents_lo"),
+            F.max("cents").alias("cents_hi"),
+            # explicit floor-div (pmod form): Spark div truncates toward
+            # zero, DuckDB // floors -- they differ on negative sums, and
+            # testdata regenerates per round
+            F.expr(
+                "(SUM(cents) * 1000"
+                " - pmod(SUM(cents) * 1000, COUNT(*))) div COUNT(*)"
+            ).alias("trimmed_mean_milli"),
+        )
+        .orderBy("event_type")
+    )
+
+
+TRIMMED_MEAN_SQL = """
+WITH ev AS (
+  SELECT event_id, event_type,
+         CAST(FLOOR(value * 100) AS BIGINT) AS cents
+  FROM events
+), ranked AS (
+  SELECT event_type, cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY cents, event_id) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS cnt
+  FROM ev
+), kept AS (
+  SELECT event_type, cents FROM ranked
+  WHERE rk > cnt // 10 AND rk <= cnt - cnt // 10
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(MIN(cents) AS BIGINT) AS cents_lo,
+       CAST(MAX(cents) AS BIGINT) AS cents_hi,
+       CAST((SUM(cents) * 1000) // COUNT(*) AS BIGINT) AS trimmed_mean_milli
+FROM kept GROUP BY event_type ORDER BY event_type
+"""
+
+
 def stats_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square independence test of documents.lang vs source, in
     exact integer arithmetic: the per-cell term (o - e)^2 / e rewrites
@@ -3345,6 +3406,7 @@ FROM daily d JOIN dl ON d.day = dl.day ORDER BY d.day
 REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "events_concurrency_peaks": (events_concurrency_peaks, CONCURRENCY_SQL),
     "stats_chi_square": (stats_chi_square, CHI_SQUARE_SQL),
+    "stats_trimmed_mean": (stats_trimmed_mean, TRIMMED_MEAN_SQL),
     "stream_hourly_watermarked": (stream_hourly_watermarked, STREAM_HOURLY_SQL),
     "stream_stateful_user_totals": (
         stream_stateful_user_totals,

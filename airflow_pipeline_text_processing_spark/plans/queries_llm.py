@@ -1718,6 +1718,46 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(_planted_vecs(spark, sf_dir)).orderBy("vec_id")
 
 
+def cluster_assign_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental clustering ingest
+    (operators/clustering.py::assign_to_centroids): k-means settles on
+    the corpus once; a 50-vector new batch is then assigned by
+    broadcasting the k-row centroid relation against the batch alone --
+    the corpus is never rescanned per batch."""
+    from ..operators.clustering import (
+        assign_to_centroids,
+        kmeans_fixed_point,
+        quantized,
+    )
+
+    vecs = _t(spark, sf_dir, "embeddings")
+    q = vecs.select("vec_id", quantized(F.col("embedding")).alias("q"))
+    _assigned, cents = kmeans_fixed_point(q, k=8, iters=3)
+    batch = q.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "q"
+    )
+    return assign_to_centroids(batch, cents).select(
+        "vec_id", "cid", "d2"
+    ).orderBy("vec_id")
+
+
+def _assign_incremental_sql() -> str:
+    return f"""
+WITH qbase AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+  FROM embeddings),
+{_kmeans_ctes("qbase", 8, 3)},
+batch AS (
+  SELECT vec_id + 100000 AS vec_id, q FROM qbase WHERE vec_id < 50)
+SELECT b.vec_id, c.cid, {_KM_D2} AS d2
+FROM batch b, cent3 c
+QUALIFY ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY d2, c.cid) = 1
+ORDER BY b.vec_id
+"""
+
+
 _KM_DIM = 64
 _KM_SEED_ORDER = "md5(CAST(vec_id AS VARCHAR)), vec_id"
 _KM_D2 = (
@@ -1865,6 +1905,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "cluster_kmeans_embeddings": (cluster_kmeans_embeddings, _kmeans_sql()),
     "dedup_semantic_clusters": (dedup_semantic_clusters, _semantic_dedup_sql()),
     "text_cooccurrence_pmi": (text_cooccurrence_pmi, _pmi_sql()),
+    "cluster_assign_incremental": (cluster_assign_incremental, _assign_incremental_sql()),
     "sample_hash_split": (sample_hash_split, _hash_split_sql()),
     "dedup_exact_groups": (dedup_exact_groups, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_JACCARD_SQL),

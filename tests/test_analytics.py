@@ -259,3 +259,20 @@ def test_chi_square_zero_on_independent_table(spark, tmp_path):
     skew = {("en", "a"): 25, ("en", "b"): 5, ("fr", "a"): 15, ("fr", "b"): 75}
     r2 = stats_chi_square(spark, write_docs(skew, "skew")).collect()[0]
     assert r2.chi2_micro > 0
+
+
+def test_trimmed_mean_drops_exact_deciles(spark, tmp_path):
+    """10 rows of 1.00..10.00: a 10% trim drops exactly the min and max
+    row, and the core mean is exact in milli-units."""
+    from airflow_pipeline_text_processing_spark.plans.queries_ext import (
+        stats_trimmed_mean,
+    )
+
+    rows = [(i, "click", float(i + 1)) for i in range(10)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    d = str(tmp_path / "sf")
+    df.write.parquet(d + "/events.parquet")
+    r = stats_trimmed_mean(spark, d).collect()[0]
+    assert (r.event_type, r.n_kept) == ("click", 8)
+    assert (r.cents_lo, r.cents_hi) == (200, 900)
+    assert r.trimmed_mean_milli == 550_000

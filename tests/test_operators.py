@@ -1435,3 +1435,28 @@ def test_semantic_dedup_flags_all_planted_twins(spark):
     }
     # random 64-dim vectors essentially never reach cosine 0.95
     assert all(v >= 100000 for v in dup_ids)
+
+
+def test_incremental_assignment_matches_batch_clustering(spark):
+    """An identical vector ingested later must receive exactly the
+    cluster the full batch run gave it; the incremental path only sees
+    the k-row centroid relation, never the corpus."""
+    import pyspark.sql.functions as F
+    from airflow_pipeline_text_processing_spark.operators.clustering import (
+        assign_to_centroids,
+        kmeans_fixed_point,
+        quantized,
+    )
+
+    vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = vecs.select("vec_id", quantized(F.col("embedding")).alias("q"))
+    assigned, cents = kmeans_fixed_point(q, k=8, iters=2)
+    orig = {r.vec_id: (r.cid, r.d2) for r in assigned.collect()}
+
+    batch = q.filter(F.col("vec_id") < 30).select(
+        (F.col("vec_id") + 500000).alias("vec_id"), "q"
+    )
+    inc = assign_to_centroids(batch, cents).collect()
+    assert len(inc) == 30
+    for r in inc:
+        assert (r.cid, r.d2) == orig[r.vec_id - 500000]

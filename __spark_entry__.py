@@ -178,6 +178,7 @@ _ORDER = [
     "text_cooccurrence_pmi",
     "stats_trimmed_mean",
     "cluster_assign_incremental",
+    "sim_pooled_rerank",
 ]
 
 assert len(_ORDER) == len(set(_ORDER)), "duplicate names in _ORDER"

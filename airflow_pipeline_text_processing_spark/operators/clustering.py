@@ -215,3 +215,69 @@ def semantic_dedup(
         F.coalesce(F.col("n_sim"), F.lit(0)).cast("long").alias("n_sim_earlier"),
         (F.coalesce(F.col("n_sim"), F.lit(0)) > 0).alias("is_dup"),
     )
+
+
+def pooled_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    prefilter: int = 50,
+    block: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage exact-integer nearest neighbors: a COARSE pass on
+    block-sum-pooled vectors (dim/block components) keeps ``prefilter``
+    candidates per query; the EXACT squared-L2 rerank runs only on the
+    survivors.  The pattern is the product-quantization economics --
+    full-dimension distances on a prefiltered sliver instead of the
+    whole corpus -- with every distance a BIGINT and every tie broken
+    on (d2, id), so results replay identically on any engine.
+
+    Scale shape: the coarse pass is queries x corpus on vectors
+    ``block``x narrower (the stage you shard/bucket at 100 TB); the
+    expensive full-width distance touches ``prefilter`` rows per query.
+    The per-query top-n cuts are partitioned windows, never global.
+    """
+    def pooled(qcol):
+        n_blocks = None  # expression works for any dim divisible by block
+        return F.expr(
+            f"transform(sequence(0, CAST(size({qcol}) / {block} AS INT) - 1),"
+            f" b -> aggregate(slice({qcol}, b * {block} + 1, {block}),"
+            f" CAST(0 AS BIGINT), (acc, x) -> acc + x))"
+        )
+
+    def prep(df, prefix):
+        q = quantized(F.col(vec_col))
+        return df.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            q.alias(f"{prefix}_q"),
+        ).withColumn(f"{prefix}_p", pooled(f"{prefix}_q"))
+
+    qs = prep(queries, "query").localCheckpoint(eager=False)
+    cs = prep(corpus, "cand").localCheckpoint(eager=False)
+    coarse = (
+        qs.crossJoin(cs)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id", "cand_id", "query_q", "cand_q",
+            _sqdist(F.col("query_p"), F.col("cand_p")).alias("cd2"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy("cd2", "cand_id")
+    survivors = (
+        coarse.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= prefilter)
+        .drop("_rn", "cd2")
+    )
+    exact = survivors.select(
+        "query_id",
+        "cand_id",
+        _sqdist(F.col("query_q"), F.col("cand_q")).alias("d2"),
+    )
+    we = Window.partitionBy("query_id").orderBy("d2", "cand_id")
+    return (
+        exact.withColumn("_rn", F.row_number().over(we))
+        .filter(F.col("_rn") <= k)
+        .select("query_id", F.col("cand_id").alias("neighbor_id"), "d2", F.col("_rn").alias("rk"))
+    )

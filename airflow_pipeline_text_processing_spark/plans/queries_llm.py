@@ -1758,6 +1758,55 @@ ORDER BY b.vec_id
 """
 
 
+def sim_pooled_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage exact-integer kNN
+    (operators/clustering.py::pooled_topk): block-sum-pooled coarse
+    distances keep 50 candidates per query; the full-width squared-L2
+    rerank runs only on the survivors.  All BIGINT, ties on (d2, id)."""
+    from ..operators.clustering import pooled_topk
+
+    vecs = _t(spark, sf_dir, "embeddings")
+    queries = vecs.filter(F.col("vec_id").isin(3, 10, 42))
+    return pooled_topk(queries, vecs, k=5, prefilter=50).orderBy(
+        "query_id", "rk"
+    )
+
+
+_POOLED_SQL = """
+WITH qbase AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+  FROM embeddings),
+withp AS (
+  SELECT vec_id, q,
+         list_transform(range(0, len(q) // 4),
+           b -> CAST(list_sum(q[b*4+1 : b*4+4]) AS BIGINT)) AS p
+  FROM qbase),
+coarse AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS cand_id, a.q AS qq, b.q AS cq,
+         CAST(list_sum(list_transform(list_zip(a.p, b.p),
+           pr -> (pr[1]-pr[2])*(pr[1]-pr[2]))) AS BIGINT) AS cd2
+  FROM withp a JOIN withp b ON a.vec_id IN (3, 10, 42)
+   AND b.vec_id != a.vec_id),
+surv AS (
+  SELECT query_id, cand_id, qq, cq FROM coarse
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cd2, cand_id) <= 50),
+exact AS (
+  SELECT query_id, cand_id AS neighbor_id,
+         CAST(list_sum(list_transform(list_zip(qq, cq),
+           pr -> (pr[1]-pr[2])*(pr[1]-pr[2]))) AS BIGINT) AS d2
+  FROM surv)
+SELECT query_id, neighbor_id, d2,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY d2, neighbor_id) AS BIGINT) AS rk
+FROM exact
+QUALIFY rk <= 5
+ORDER BY query_id, rk
+"""
+
+
 _KM_DIM = 64
 _KM_SEED_ORDER = "md5(CAST(vec_id AS VARCHAR)), vec_id"
 _KM_D2 = (
@@ -1906,6 +1955,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "dedup_semantic_clusters": (dedup_semantic_clusters, _semantic_dedup_sql()),
     "text_cooccurrence_pmi": (text_cooccurrence_pmi, _pmi_sql()),
     "cluster_assign_incremental": (cluster_assign_incremental, _assign_incremental_sql()),
+    "sim_pooled_rerank": (sim_pooled_rerank, _POOLED_SQL),
     "sample_hash_split": (sample_hash_split, _hash_split_sql()),
     "dedup_exact_groups": (dedup_exact_groups, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_JACCARD_SQL),

@@ -1460,3 +1460,39 @@ def test_incremental_assignment_matches_batch_clustering(spark):
     assert len(inc) == 30
     for r in inc:
         assert (r.cid, r.d2) == orig[r.vec_id - 500000]
+
+
+def test_pooled_rerank_matches_exact_topk_with_margin(spark):
+    """With a prefilter margin covering the corpus, the two-stage path
+    must return exactly the brute-force integer top-k; with a planted
+    near-identical neighbor, rank 1 must find it even under a tight
+    prefilter (pooling preserves locality)."""
+    import pyspark.sql.functions as F
+    from airflow_pipeline_text_processing_spark.operators.clustering import (
+        pooled_topk,
+        quantized,
+    )
+
+    vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # plant a near-twin of vec 7 (tiny constant offset)
+    twin = vecs.filter(F.col("vec_id") == 7).select(
+        F.lit(900000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.001)).alias("embedding"),
+        "label",
+    )
+    corpus = vecs.unionByName(twin)
+    queries = corpus.filter(F.col("vec_id") == 7)
+
+    # wide margin == exhaustive: compare against python brute force
+    got = pooled_topk(queries, corpus, k=5, prefilter=10_000).collect()
+    qs = {r.vec_id: r.q for r in corpus.select(
+        "vec_id", quantized(F.col("embedding")).alias("q")).collect()}
+    exact = sorted(
+        (sum((a - b) * (a - b) for a, b in zip(qs[7], q)), vid)
+        for vid, q in qs.items() if vid != 7
+    )[:5]
+    assert [(r.d2, r.neighbor_id) for r in sorted(got, key=lambda r: r.rk)] == exact
+
+    # tight prefilter still finds the planted twin at rank 1
+    tight = pooled_topk(queries, corpus, k=1, prefilter=5).collect()
+    assert tight[0].neighbor_id == 900000

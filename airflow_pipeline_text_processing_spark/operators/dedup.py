@@ -1030,6 +1030,12 @@ def cdc_chunks(
     substrings): narrow, codegen-resident, no Python, no shuffle -- at
     100 TB this runs entirely inside the scan stage.  Documents shorter
     than the window become one whole-document chunk.
+
+    The boundary array is materialized behind a projection boundary
+    (``_bnd``) before the zip_with references it twice: inlined, the
+    per-position window hash would run twice per document (the
+    CollapseProject trap documented at ``repeated_spans``; the oracle's
+    ``bnd`` CTE computes it once too).
     """
     t = text_col
     bounds = (
@@ -1040,13 +1046,16 @@ def cdc_chunks(
     )
     expr = (
         f"filter(zip_with("
-        f"  concat(array(0L), {bounds}),"
-        f"  concat({bounds}, array(CAST(length({t}) AS LONG))),"
+        f"  concat(array(0L), _bnd),"
+        f"  concat(_bnd, array(CAST(length({t}) AS LONG))),"
         f"  (s, e) -> struct(s AS s, substring({t}, CAST(s + 1 AS INT),"
         f"                   CAST(e - s AS INT)) AS chunk)"
         f"), st -> length(st.chunk) > 0)"
     )
-    exploded = docs.select(
+    with_bnd = docs.select(
+        docs["*"], F.expr(bounds).alias("_bnd")
+    )
+    exploded = with_bnd.select(
         "doc_id", F.posexplode(F.expr(expr)).alias("chunk_idx", "_st"),
         *[c for c in docs.columns if c not in ("doc_id", t)],
     )

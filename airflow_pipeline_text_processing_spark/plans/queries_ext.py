@@ -3403,6 +3403,144 @@ FROM daily d JOIN dl ON d.day = dl.day ORDER BY d.day
 """
 
 
+def stats_spearman_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between day number and daily revenue,
+    per event_type: is the metric monotonically trending, robust to
+    outliers the Pearson slope (stats_linear_trend) is sensitive to.
+    Day ranks and value ranks are ``row_number`` over per-group TOTAL
+    orders (ties broken by day), so both rank vectors are exact integer
+    permutations and the classic closed form
+    ``rho = 1 - 6*sum(d^2) / (n^3 - n)`` is an exact rational --
+    emitted as ``rho_ppm`` via the pmod floor-division device (BOTH
+    engines' integer division truncates toward zero -- Spark ``div``
+    and DuckDB ``//`` alike -- so each side subtracts the non-negative
+    remainder first; rho can be negative).  No libm anywhere
+    (engine-conventions memo).
+
+    Scale shape: one map-side-combinable daily rollup, then per-group
+    (never global) windows over the days-sized relation, then one
+    group-sized aggregate.  Magnitude headroom: with n days per group,
+    the largest intermediate is ``6e6 * sum(d^2) <= 2e6 * n^3``; BIGINT
+    holds through n ~= 16k days (~45 years of dailies) with room to
+    spare -- beyond that, compute rho per year and Fisher-combine."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.expr("CAST(FLOOR(value * 100) AS BIGINT)").alias("cents"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.sum("cents").alias("y")
+    )
+    wx = Window.partitionBy("event_type").orderBy("day")
+    wy = Window.partitionBy("event_type").orderBy("y", "day")
+    ranked = daily.select(
+        "event_type",
+        F.row_number().over(wx).cast("long").alias("rx"),
+        F.row_number().over(wy).cast("long").alias("ry"),
+    )
+    d2 = (F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry"))
+    moms = ranked.groupBy("event_type").agg(
+        F.count("*").alias("n_days"), F.sum(d2).alias("sd2")
+    )
+    n = F.col("n_days")
+    den = n * n * n - n
+    num = F.lit(1000000) * den - F.lit(6000000) * F.col("sd2")
+    rho = ((num - F.pmod(num, den)) / den).cast("long")
+    return moms.select(
+        "event_type", "n_days", "sd2", rho.alias("rho_ppm")
+    ).orderBy("event_type")
+
+
+SPEARMAN_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS y
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT event_type,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                 ORDER BY day) AS BIGINT) AS rx,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                 ORDER BY y, day) AS BIGINT) AS ry
+  FROM daily
+), moms AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM((rx - ry) * (rx - ry)) AS BIGINT) AS sd2
+  FROM ranked GROUP BY 1
+)
+SELECT event_type, n_days, sd2,
+       -- explicit FLOOR division: DuckDB's integer // truncates toward
+       -- zero (negative rho would round the wrong way); subtract the
+       -- non-negative remainder first, same device as the Spark side
+       CAST((num - ((num % den) + den) % den) / den AS BIGINT) AS rho_ppm
+FROM (SELECT event_type, n_days, sd2,
+             1000000 * (n_days*n_days*n_days - n_days) - 6000000 * sd2
+               AS num,
+             n_days*n_days*n_days - n_days AS den
+      FROM moms)
+ORDER BY event_type
+"""
+
+
+def curation_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle + balanced sharding -- the last
+    stage of a training-data pipeline: place every document at a
+    pseudo-random but reproducible global position (order by
+    ``md5(doc_id)``), then cut the order into ``k`` near-equal shards
+    so training reads i.i.d.-looking data with no hot shard.
+
+    The naive form is ``ntile(k) OVER (ORDER BY md5(...))`` -- a
+    single-partition global window, the one plan shape that dies at
+    100 TB.  Here the global rank comes from
+    :func:`..operators.windows.ordered_running_sum` (range partition on
+    the shuffle key, per-partition window, O(parallelism)-row offset
+    relation broadcast back), and the shard cut is pure arithmetic on
+    the rank: ``shard = floor((rank-1) * k / n)``, ``pos`` relative to
+    the shard's first rank -- identical closed form in both engines, no
+    ntile edge-semantics dependence.  Shard sizes differ by at most 1.
+    """
+    from ..operators.windows import ordered_running_sum
+
+    k = 16
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("skey")
+    ).withColumn("one", F.lit(1).cast("long"))
+    ranked = ordered_running_sum(
+        docs, [F.col("skey"), F.col("doc_id")], "one", "rank"
+    )
+    n_total = docs.groupBy().agg(F.count("*").alias("n"))
+    # single-row broadcast carrier (the accepted constant-grid pattern)
+    out = ranked.crossJoin(F.broadcast(n_total))
+    r0 = F.col("rank") - 1
+    shard = (r0 * k - F.pmod(r0 * k, F.col("n"))) / F.col("n")
+    start = (
+        F.col("shard") * F.col("n") + k - 1
+        - F.pmod(F.col("shard") * F.col("n") + k - 1, F.lit(k))
+    ) / k
+    return (
+        out.withColumn("shard", shard.cast("long"))
+        .withColumn("pos", (r0 - start).cast("long"))
+        .select("doc_id", "skey", "shard", "pos")
+        .orderBy("shard", "pos")
+    )
+
+
+SHUFFLE_SHARDS_SQL = """
+WITH ranked AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS skey,
+         CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                 doc_id) - 1 AS BIGINT) AS r0,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM documents
+)
+SELECT doc_id, skey,
+       CAST((r0 * 16) // n AS BIGINT) AS shard,
+       CAST(r0 - (((r0 * 16) // n) * n + 15) // 16 AS BIGINT) AS pos
+FROM ranked ORDER BY shard, pos
+"""
+
+
 REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "events_concurrency_peaks": (events_concurrency_peaks, CONCURRENCY_SQL),
     "stats_chi_square": (stats_chi_square, CHI_SQUARE_SQL),
@@ -3459,6 +3597,8 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "sketch_quantiles": (sketch_quantiles, QUANTILE_SKETCH_SQL),
     "sketch_cms_heavy_hitters": (sketch_cms_heavy_hitters, CMS_SQL),
     "stats_linear_trend": (stats_linear_trend, LINEAR_TREND_SQL),
+    "stats_spearman_daily": (stats_spearman_daily, SPEARMAN_SQL),
+    "curation_shuffle_shards": (curation_shuffle_shards, SHUFFLE_SHARDS_SQL),
     "events_resample_daily": (events_resample_daily, RESAMPLE_SQL),
     "join_fuzzy_names": (join_fuzzy_names, FUZZY_SQL),
     "sample_temperature_sources": (sample_temperature_sources, TEMPERATURE_SQL),

@@ -83,6 +83,9 @@ BENCH_QUERIES = [
     "events_concurrency_peaks",
     "stats_trimmed_mean",
     "sim_pooled_rerank",
+    # round-5 session-4: rank-based trend, distributed shuffle-shard
+    "stats_spearman_daily",
+    "curation_shuffle_shards",
 ]
 
 

@@ -1526,3 +1526,41 @@ def test_pooled_rerank_recall_vs_margin_on_real_embeddings(spark):
         recalls.append(len(exact & got) / len(exact))
     assert recalls[0] >= 0.25 and recalls[1] >= 0.35 and recalls[2] >= 0.55
     assert recalls == sorted(recalls)  # more margin never hurts
+
+
+def test_spearman_daily_matches_exact_integer_recompute(spark):
+    """stats_spearman_daily: recompute Spearman's rho in plain Python
+    with the same total tiebreak order and exact integer floor -- the
+    query must match cell-for-cell (the closed form is an exact
+    rational, so any drift is a real bug, not rounding)."""
+    import math
+    from collections import defaultdict
+
+    from airflow_pipeline_text_processing_spark.plans.queries_ext import (
+        stats_spearman_daily,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.event_type: (r.n_days, r.sd2, r.rho_ppm)
+        for r in stats_spearman_daily(spark, sf).collect()
+    }
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").collect()
+    daily = defaultdict(int)
+    for r in ev:
+        daily[(r.event_type, r.ts.date())] += math.floor(r.value * 100)
+    groups = defaultdict(list)
+    for (et, day), y in daily.items():
+        groups[et].append((day, y))
+    for et, rows in groups.items():
+        by_day = sorted(rows)  # day order
+        rx = {day: i + 1 for i, (day, _y) in enumerate(by_day)}
+        by_val = sorted(rows, key=lambda t: (t[1], t[0]))  # (y, day)
+        ry = {day: i + 1 for i, (day, _y) in enumerate(by_val)}
+        n = len(rows)
+        sd2 = sum((rx[d] - ry[d]) ** 2 for d in rx)
+        den = n * n * n - n
+        rho = (1_000_000 * den - 6_000_000 * sd2) // den  # python // floors
+        assert got[et] == (n, sd2, rho), et
+    assert set(got) == set(groups)

@@ -654,12 +654,46 @@ def test_cdc_dedup_stats_single_hash_shuffle(spark):
         cdc_dedup_stats,
     )
 
+    from airflow_pipeline_text_processing_spark.operators.dedup import (
+        CDC_THRESHOLD,
+    )
+
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     df = cdc_dedup_stats(docs)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "Cartesian" not in plan
     # two shuffles total: chunk-hash agg, then the per-group rollup
     assert plan.count("Exchange") <= 2
+    # the per-position boundary hash is materialized ONCE behind a
+    # projection boundary -- inlined into the zip_with it would run
+    # twice per document (the CollapseProject trap)
+    assert plan.count(CDC_THRESHOLD) == 1
+
+
+def test_shuffle_shards_no_global_window_and_balanced(spark):
+    """curation_shuffle_shards: the global rank must come from the
+    range-partitioned two-level prefix sum -- the executed plan may not
+    contain a single-partition Exchange feeding a Window over the data
+    (the ntile shape).  Shards must be balanced to within one document
+    and positions dense from 0 within each shard."""
+    from airflow_pipeline_text_processing_spark.plans.queries_ext import (
+        curation_shuffle_shards,
+    )
+
+    df = curation_shuffle_shards(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # rangepartitioning on the shuffle key exists; the only
+    # SinglePartition exchange allowed is for the O(parallelism)
+    # offsets relation (feeds a Window over _pid rows, not data rows)
+    assert "rangepartitioning(skey" in plan
+    rows = df.collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    sizes = {s: len(p) for s, p in by_shard.items()}
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    for s, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss))), s
 
 
 def test_join_strategy_hints_are_honored(spark):

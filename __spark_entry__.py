@@ -182,6 +182,7 @@ _ORDER = [
     # -- round-5 session-4 additions --
     "stats_spearman_daily",
     "curation_shuffle_shards",
+    "text_token_entropy",
 ]
 
 assert len(_ORDER) == len(set(_ORDER)), "duplicate names in _ORDER"

@@ -456,3 +456,56 @@ def cooccurrence_pmi(
         "tok_a",
         "tok_b",
     ).limit(top_n)
+
+
+def token_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Shannon entropy of the document's OWN token
+    distribution (milli-bits/token) -- the lexical-diversity quality
+    signal: boilerplate and keyword-stuffed spam score low, natural
+    prose scores near the corpus ceiling.  Complements the Gopher
+    repetition signals (``text.py::repetition_signals``), which look at
+    n-gram structure; entropy summarizes the whole histogram.
+
+    Exact identity used: ``H = log2(n) - (1/n) * sum_t c_t*log2(c_t)``
+    so the kernel is only ever applied to ratios >= 1.  Scale shape:
+    the corpus-sized work is one explode + two map-side-combinable
+    groupBys; :func:`fixed_log2` is applied ONLY to the two value-sized
+    relations (distinct per-doc token counts ``c`` and distinct
+    document lengths ``n`` -- both tiny), each broadcast back.  Every
+    aggregate is a BIGINT; Spark ``div`` and DuckDB ``//`` both
+    truncate toward zero, and the numerator is provably >= 0 (the
+    kernel is monotone and c <= n), so plain integer division matches.
+    Zero-token documents drop out identically in both engines.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    cnt = toks.groupBy("doc_id", "token").agg(F.count("*").alias("c"))
+    perdoc = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("distinct_tokens"),
+    )
+    cvals = cnt.select("c").distinct().withColumn("_one", F.lit(1))
+    clog = fixed_log2(cvals, "c", "_one", "lc_q8").select("c", "lc_q8")
+    sdoc = (
+        cnt.join(F.broadcast(clog), "c")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.col("lc_q8")).alias("s_q8"))
+    )
+    nvals = (
+        perdoc.select(F.col("n_tokens").alias("nv"))
+        .distinct()
+        .withColumn("_one", F.lit(1))
+    )
+    nlog = fixed_log2(nvals, "nv", "_one", "ln_q8").select(
+        F.col("nv").alias("n_tokens"), "ln_q8"
+    )
+    out = perdoc.join(sdoc, "doc_id").join(F.broadcast(nlog), "n_tokens")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "distinct_tokens",
+        F.expr(
+            "((n_tokens * ln_q8 - s_q8) * 1000) div (256 * n_tokens)"
+        ).alias("entropy_milli"),
+    ).orderBy("doc_id")

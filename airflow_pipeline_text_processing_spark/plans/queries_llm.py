@@ -1944,6 +1944,49 @@ WHERE df_ab * n_docs >= da.df * db.df
     )
 
 
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity quality signal (operators/lm.py::token_entropy):
+    per-document Shannon entropy of the token histogram in exact Q8
+    fixed point, milli-bits/token."""
+    return L.token_entropy(_t(spark, sf_dir, "documents"))
+
+
+def _token_entropy_sql() -> str:
+    clog = L.fixed_log2_sql(
+        "SELECT DISTINCT c FROM cnt", "c", "c", "1", "lc_q8"
+    )
+    nlog = L.fixed_log2_sql(
+        "SELECT DISTINCT n_tokens FROM perdoc",
+        "n_tokens",
+        "n_tokens",
+        "1",
+        "ln_q8",
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST({TOKS_SQL}) AS token FROM documents
+), cnt AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks GROUP BY 1, 2
+), perdoc AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS distinct_tokens
+  FROM cnt GROUP BY 1
+), clog AS ({clog}),
+sdoc AS (
+  SELECT doc_id, CAST(SUM(c * lc_q8) AS BIGINT) AS s_q8
+  FROM cnt JOIN clog USING (c) GROUP BY 1
+), nlog AS ({nlog})
+SELECT p.doc_id, p.n_tokens, p.distinct_tokens,
+       CAST(((p.n_tokens * nlog.ln_q8 - sdoc.s_q8) * 1000)
+            // (256 * p.n_tokens) AS BIGINT) AS entropy_milli
+FROM perdoc p
+JOIN sdoc USING (doc_id)
+JOIN nlog ON nlog.n_tokens = p.n_tokens
+ORDER BY p.doc_id
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -1954,6 +1997,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "cluster_kmeans_embeddings": (cluster_kmeans_embeddings, _kmeans_sql()),
     "dedup_semantic_clusters": (dedup_semantic_clusters, _semantic_dedup_sql()),
     "text_cooccurrence_pmi": (text_cooccurrence_pmi, _pmi_sql()),
+    "text_token_entropy": (text_token_entropy, _token_entropy_sql()),
     "cluster_assign_incremental": (cluster_assign_incremental, _assign_incremental_sql()),
     "sim_pooled_rerank": (sim_pooled_rerank, _POOLED_SQL),
     "sample_hash_split": (sample_hash_split, _hash_split_sql()),

@@ -83,9 +83,11 @@ BENCH_QUERIES = [
     "events_concurrency_peaks",
     "stats_trimmed_mean",
     "sim_pooled_rerank",
-    # round-5 session-4: rank-based trend, distributed shuffle-shard
+    # round-5 session-4: rank-based trend, distributed shuffle-shard,
+    # fixed-point lexical entropy
     "stats_spearman_daily",
     "curation_shuffle_shards",
+    "text_token_entropy",
 ]
 
 

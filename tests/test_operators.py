@@ -1564,3 +1564,34 @@ def test_spearman_daily_matches_exact_integer_recompute(spark):
         rho = (1_000_000 * den - 6_000_000 * sd2) // den  # python // floors
         assert got[et] == (n, sd2, rho), et
     assert set(got) == set(groups)
+
+
+def test_token_entropy_planted_extremes(spark):
+    """token_entropy: a one-token-repeated document has exactly zero
+    entropy; a uniform all-distinct document scores log2(n) bits/token
+    to within the kernel's documented error (<0.004 bits); mixed
+    documents land strictly between."""
+    import math
+
+    from airflow_pipeline_text_processing_spark.operators.lm import (
+        token_entropy,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(["same"] * 64)),
+            (2, " ".join(f"w{i}" for i in range(64))),
+            (3, " ".join(["a"] * 32 + [f"w{i}" for i in range(32)])),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in token_entropy(docs).collect()}
+    assert got[1].entropy_milli == 0
+    assert got[1].n_tokens == 64 and got[1].distinct_tokens == 1
+    # uniform over 64 symbols: H = 6 bits/token exactly; the kernel is
+    # exact on powers of two
+    assert abs(got[2].entropy_milli - 6000) <= 8
+    assert 0 < got[3].entropy_milli < got[2].entropy_milli
+    # mixed doc closed form: 32*(1/64)*log2(64) distinct half plus the
+    # repeated half 0.5*log2(2) -- H = 0.5*6 + 0.5*1 = 3.5 bits
+    assert abs(got[3].entropy_milli - 3500) <= 8

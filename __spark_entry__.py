@@ -183,6 +183,7 @@ _ORDER = [
     "stats_spearman_daily",
     "curation_shuffle_shards",
     "text_token_entropy",
+    "mm_image_dhash_dedup",
 ]
 
 assert len(_ORDER) == len(set(_ORDER)), "duplicate names in _ORDER"

@@ -471,3 +471,162 @@ def detect_voice_activity(
             )
 
     return media.select("doc_id", "payload").mapInPandas(_vad, VAD_SCHEMA)
+
+
+# ---------------------------------------------------------------------
+# Perceptual image hashing (dHash) + near-duplicate detection: the
+# image-domain complement of the text dedup family.  The decode is the
+# REAL PNM path (no codec library needed); the hash is pure integer
+# arithmetic so an oracle can replay it exactly.
+# ---------------------------------------------------------------------
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("b0", LongType()),
+        StructField("b1", LongType()),
+        StructField("b2", LongType()),
+        StructField("b3", LongType()),
+        StructField("err", StringType()),
+    ]
+)
+
+
+def _dhash_pnm(payload: bytes) -> list:
+    """Difference hash of a binary PPM/PGM image, all-integer:
+
+    1. decode (real header parse, numpy);
+    2. P6 -> integer luma ``(299r + 587g + 114b) // 1000``;
+    3. box-average down to a 9x8 grid -- cell (r, c) is the integer
+       mean (floor) of the source box ``rows [r*h//8, (r+1)*h//8) x
+       cols [c*w//9, (c+1)*w//9)``;
+    4. 64 bits: ``bit[r*8+c] = g[r][c] > g[r][c+1]`` (horizontal
+       gradient sign, the classic dHash);
+    5. packed as four 16-bit bands ``b0..b3`` (band j holds bits
+       ``[16j, 16j+16)``) -- band equality is the pigeonhole blocking
+       key for the near-dup join, and keeping bands instead of one
+       64-bit value dodges BIGINT sign traps in both engines.
+
+    Deterministic: no floats, no filtering kernels.  Requires
+    ``w >= 9 and h >= 8``.
+    """
+    import re
+
+    import numpy as np
+
+    m = re.match(rb"(P[56])\s+(?:#[^\n]*\n\s*)*(\d+)\s+(\d+)\s+(\d+)\s", payload)
+    if not m:
+        raise ValueError("malformed PNM header")
+    magic, w, h, maxval = (
+        m.group(1), int(m.group(2)), int(m.group(3)), int(m.group(4)),
+    )
+    if maxval > 255:
+        raise NotImplementedError("16-bit PNM not supported")
+    if w < 9 or h < 8:
+        raise ValueError(f"image {w}x{h} too small for a 9x8 dHash grid")
+    nch = 3 if magic == b"P6" else 1
+    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * nch, offset=m.end())
+    img = px.reshape(h, w, nch).astype(np.int64)
+    if nch == 3:
+        gray = (299 * img[:, :, 0] + 587 * img[:, :, 1] + 114 * img[:, :, 2]) // 1000
+    else:
+        gray = img[:, :, 0]
+    grid = np.empty((8, 9), dtype=np.int64)
+    for r in range(8):
+        r0, r1 = r * h // 8, (r + 1) * h // 8
+        for c in range(9):
+            c0, c1 = c * w // 9, (c + 1) * w // 9
+            box = gray[r0:r1, c0:c1]
+            grid[r, c] = int(box.sum()) // box.size
+    bands = [0, 0, 0, 0]
+    for r in range(8):
+        for c in range(8):
+            if grid[r, c] > grid[r, c + 1]:
+                k = r * 8 + c
+                bands[k // 16] |= 1 << (k % 16)
+    return bands
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """Distributed perceptual hashing (``mapInPandas``): PNM payloads
+    hash for real; any other payload quarantines per-row via ``err``
+    (the operator-level DLQ pattern, same as ``resize_images``)."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {"b0": [], "b1": [], "b2": [], "b3": [], "err": []}
+            for payload in pdf["payload"]:
+                try:
+                    if payload is None:
+                        raise ValueError("null payload")
+                    b = _dhash_pnm(bytes(payload))
+                    for j in range(4):
+                        cols[f"b{j}"].append(b[j])
+                    cols["err"].append(None)
+                except Exception as exc:  # noqa: BLE001 - quarantined per row
+                    for j in range(4):
+                        cols[f"b{j}"].append(0)
+                    cols["err"].append(f"{type(exc).__name__}: {exc}")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    **{
+                        k: pd.Series(v, dtype="int64" if k != "err" else "object")
+                        for k, v in cols.items()
+                    },
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(_hash, DHASH_SCHEMA)
+
+
+def dhash_near_dups(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Image near-duplicate pairs by dHash hamming distance, EXACT for
+    ``max_hamming <= 3`` without an all-pairs join: a pair within
+    hamming 3 differs in at most 3 of the four 16-bit bands, so by
+    pigeonhole it agrees exactly on at least one band -- band equality
+    is a complete blocking key (the image-domain mirror of the SimHash
+    pigeonhole banding in ``dedup.py``).  Candidates from the
+    band-equality equi-join are then verified with
+    ``bit_count(b ^ b')`` summed across bands.
+
+    Scale: the join is keyed on (band_idx, band_value) -- shuffle-by-
+    key, never cartesian; a degenerate hot band (e.g. all-zero bands
+    from flat images) is a data-skew concern handled like any hot join
+    key (salt or AQE), not a plan defect.  Output:
+    ``doc_a, doc_b, hamming`` with ``doc_a < doc_b``, deduplicated
+    across bands.
+    """
+    if max_hamming > 3:
+        raise ValueError(
+            "band blocking guarantees completeness only for max_hamming <= 3"
+        )
+    hashes = image_dhash(media).filter(F.col("err").isNull()).select(
+        "doc_id", "b0", "b1", "b2", "b3"
+    )
+    bands = hashes.select(
+        "doc_id", "b0", "b1", "b2", "b3",
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("band_idx", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            sum(
+                F.bit_count(
+                    F.col(f"a.b{j}").bitwiseXOR(F.col(f"b.b{j}"))
+                )
+                for j in range(4)
+            ).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return cand

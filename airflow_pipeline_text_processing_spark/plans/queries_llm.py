@@ -1987,6 +1987,87 @@ ORDER BY p.doc_id
 """
 
 
+def mm_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs by perceptual dHash
+    (operators/multimodal.py::dhash_near_dups), exercised end-to-end
+    through the REAL binary PNM decode: each document's text is mapped
+    to a deterministic 18x16 grayscale P5 payload (pixel = codepoint %
+    191 + 32, text cycled to 288 chars), hashed via the integer
+    box-average + gradient-sign dHash inside ``mapInPandas``, and
+    paired by the pigeonhole band join at hamming <= 3.  The oracle
+    replays the identical integer pipeline from the codepoints and
+    checks ALL pairs -- the band join's completeness guarantee is
+    therefore itself under test."""
+    docs = _t(spark, sf_dir, "documents").filter(F.length("text") >= 1)
+    padded = (
+        "substring(repeat(text, CAST(ceil(288.0 / length(text)) AS INT)),"
+        " 1, 288)"
+    )
+    pixstr = (
+        f"array_join(transform(sequence(1, 288),"
+        f" i -> chr(ascii(substring(_pad, i, 1)) % 191 + 32)), '')"
+    )
+    media = (
+        docs.select("doc_id", F.expr(padded).alias("_pad"))
+        .select("doc_id", F.expr(pixstr).alias("_pix"))
+        .select(
+            "doc_id",
+            F.encode(
+                F.concat(F.lit("P5\n18 16\n255\n"), F.col("_pix")),
+                "ISO-8859-1",
+            ).alias("payload"),
+        )
+    )
+    from ..operators.multimodal import dhash_near_dups
+
+    return dhash_near_dups(media).orderBy("doc_a", "doc_b")
+
+
+def _dhash_sql() -> str:
+    # grid cell g (0..71): r = g//9, c = g%9; 2x2 source box over the
+    # 18-wide pixel list (1-based).  bit k (0..63): r = k//8, c = k%8,
+    # set iff grid[r*9+c] > grid[r*9+c+1] -- identical to _dhash_pnm.
+    box = (
+        "(v[(g//9)*36 + (g%9)*2 + 1] + v[(g//9)*36 + (g%9)*2 + 2]"
+        " + v[(g//9)*36 + 18 + (g%9)*2 + 1]"
+        " + v[(g//9)*36 + 18 + (g%9)*2 + 2]) // 4"
+    )
+    bit = (
+        "CASE WHEN g[(((j*16+t)//8)*9 + ((j*16+t)%8)) + 1]"
+        " > g[(((j*16+t)//8)*9 + ((j*16+t)%8)) + 2]"
+        " THEN 1 << t ELSE 0 END"
+    )
+    ham = " + ".join(
+        f"bit_count(xor(a.b[{j}], b.b[{j}]))" for j in (1, 2, 3, 4)
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         substr(repeat(text, CAST(ceil(288.0 / length(text)) AS INT)),
+                1, 288) AS p
+  FROM documents WHERE length(text) >= 1
+), px AS (
+  SELECT doc_id,
+         list_transform(range(1, 289),
+                        i -> ascii(substr(p, i, 1)) % 191 + 32) AS v
+  FROM d
+), grid AS (
+  SELECT doc_id, list_transform(range(0, 72), g -> {box}) AS g FROM px
+), bands AS (
+  SELECT doc_id,
+         list_transform(range(0, 4), j -> CAST(list_sum(
+           list_transform(range(0, 16), t -> {bit})) AS BIGINT)) AS b
+  FROM grid
+)
+SELECT doc_a, doc_b, hamming FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST({ham} AS BIGINT) AS hamming
+  FROM bands a JOIN bands b ON a.doc_id < b.doc_id
+) WHERE hamming <= 3
+ORDER BY doc_a, doc_b
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -1998,6 +2079,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "dedup_semantic_clusters": (dedup_semantic_clusters, _semantic_dedup_sql()),
     "text_cooccurrence_pmi": (text_cooccurrence_pmi, _pmi_sql()),
     "text_token_entropy": (text_token_entropy, _token_entropy_sql()),
+    "mm_image_dhash_dedup": (mm_image_dhash_dedup, _dhash_sql()),
     "cluster_assign_incremental": (cluster_assign_incremental, _assign_incremental_sql()),
     "sim_pooled_rerank": (sim_pooled_rerank, _POOLED_SQL),
     "sample_hash_split": (sample_hash_split, _hash_split_sql()),

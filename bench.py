@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "stats_spearman_daily",
     "curation_shuffle_shards",
     "text_token_entropy",
+    "mm_image_dhash_dedup",
 ]
 
 

@@ -1595,3 +1595,50 @@ def test_token_entropy_planted_extremes(spark):
     # mixed doc closed form: 32*(1/64)*log2(64) distinct half plus the
     # repeated half 0.5*log2(2) -- H = 0.5*6 + 0.5*1 = 3.5 bits
     assert abs(got[3].entropy_milli - 3500) <= 8
+
+
+def test_image_dhash_near_dups_planted(spark):
+    """dHash near-dup detection through the REAL PNM decode path: an
+    identical copy is at hamming 0, a one-pixel perturbation stays
+    within the hamming<=3 gate, an unrelated image is excluded, and a
+    non-PNM payload quarantines per-row.  Also: a P6 image whose
+    channels are all equal hashes identically to its P5 grayscale
+    (integer luma of (v,v,v) is v)."""
+    from airflow_pipeline_text_processing_spark.operators.multimodal import (
+        dhash_near_dups,
+        image_dhash,
+    )
+
+    w, h = 18, 16
+    base = bytes((i * 37) % 191 + 32 for i in range(w * h))
+    near = bytearray(base)
+    for i in (0, 1, 18, 19):  # saturate one 2x2 box -> flips bit 0 only
+        near[i] = 255
+    far = bytes((i * i * 53 + 7) % 191 + 32 for i in range(w * h))
+    hdr5 = b"P5\n18 16\n255\n"
+    rgb = bytes(v for v in base for _ in range(3))
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(hdr5 + base)),
+            (2, bytearray(hdr5 + base)),
+            (3, bytearray(hdr5 + bytes(near))),
+            (4, bytearray(hdr5 + far)),
+            (5, bytearray(b"P6\n18 16\n255\n" + rgb)),
+            (6, bytearray(b"\x89PNG nope")),
+        ],
+        "doc_id long, payload binary",
+    )
+    hashes = {r.doc_id: r for r in image_dhash(media).collect()}
+    assert hashes[6].err and all(hashes[i].err is None for i in range(1, 6))
+    sig = lambda r: (r.b0, r.b1, r.b2, r.b3)
+    assert sig(hashes[1]) == sig(hashes[2]) == sig(hashes[5])
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dhash_near_dups(media).collect()
+    }
+    assert pairs[(1, 2)] == 0 and pairs[(1, 5)] == 0 and pairs[(2, 5)] == 0
+    assert (1, 3) in pairs and 0 < pairs[(1, 3)] <= 3
+    assert not any(4 in p or 6 in p for p in pairs)
+    # the blocking join is keyed, never cartesian
+    plan = dhash_near_dups(media)._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan

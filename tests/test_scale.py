@@ -190,3 +190,56 @@ def test_kmeans_200k_vectors_recovers_planted_clusters(spark):
     # within-cluster d2 is jitter-sized; cross-cluster would be >= ~1e12
     assert all(r.max_d2 < 10_000_000_000 for r in stats)
     assert wall < 240, f"kmeans scale smoke took {wall:.0f}s"
+
+
+def test_dhash_100k_images_with_planted_twins(spark):
+    """Image dHash near-dup at 100k synthetic PNM payloads: 500 planted
+    twins (one saturated 2x2 box -- flips at most the one gradient bit
+    that box feeds) must ALL come back from the pigeonhole band join,
+    end to end through the real binary decode, under a wall bound.
+
+    Payload pixels derive from the row id via mixed-modulus integer
+    arithmetic (no rand()): the bilinear and quadratic terms make the
+    288-pixel pattern unique per id within 100k, so non-planted hash
+    collisions stay rare and the candidate set never explodes.
+    """
+    import time as _time
+
+    from airflow_pipeline_text_processing_spark.operators.multimodal import (
+        dhash_near_dups,
+    )
+
+    n, twins = 100_000, 500
+    pix = (
+        "CASE WHEN _twin AND i IN (1, 2, 19, 20) THEN chr(255) "
+        "ELSE chr(CAST((_base*31 + (i-1)*37 + pmod(_base*i, 97)*2"
+        " + pmod(_base*i*i, 101)) % 191 + 32 AS INT)) END"
+    )
+    media = (
+        spark.range(n + twins)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.expr(f"CASE WHEN id >= {n} THEN id - {n} ELSE id END").alias(
+                "_base"
+            ),
+            F.expr(f"id >= {n}").alias("_twin"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                f"encode(concat('P5\\n18 16\\n255\\n',"
+                f" array_join(transform(sequence(1, 288), i -> {pix}), '')),"
+                f" 'ISO-8859-1')"
+            ).alias("payload"),
+        )
+    )
+    t0 = _time.time()
+    pairs = dhash_near_dups(media).collect()
+    wall = _time.time() - t0
+    found = {(r.doc_a, r.doc_b) for r in pairs}
+    for b in range(twins):
+        assert (b, n + b) in found, f"planted twin {b} missed"
+    # chance collisions between unrelated patterns must stay rare: the
+    # candidate set is pairs-sized, not corpus-squared
+    assert len(found) < twins + 2_000, len(found)
+    assert wall < 150, f"100k-image dhash took {wall:.0f}s"

@@ -554,7 +554,7 @@ def image_dhash(media: DataFrame) -> DataFrame:
 
     def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            cols = {"b0": [], "b1": [], "b2": [], "b3": [], "err": []}
+            cols: dict = {"b0": [], "b1": [], "b2": [], "b3": [], "err": []}
             for payload in pdf["payload"]:
                 try:
                     if payload is None:
@@ -577,7 +577,16 @@ def image_dhash(media: DataFrame) -> DataFrame:
                 }
             )
 
-    return media.select("doc_id", "payload").mapInPandas(_hash, DHASH_SCHEMA)
+    src = media.select("doc_id", "payload")
+    # the Python kernel is the cost center: spread it across all cores
+    # even when the input arrives as a handful of small-file partitions
+    # (a row-level shuffle of the payload relation is noise next to the
+    # per-image decode; at cluster scale the input is already wide and
+    # this branch does not trigger)
+    spark = media.sparkSession
+    if src.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        src = src.repartition(spark.sparkContext.defaultParallelism)
+    return src.mapInPandas(_hash, DHASH_SCHEMA)
 
 
 def dhash_near_dups(media: DataFrame, max_hamming: int = 3) -> DataFrame:
@@ -604,6 +613,11 @@ def dhash_near_dups(media: DataFrame, max_hamming: int = 3) -> DataFrame:
     hashes = image_dhash(media).filter(F.col("err").isNull()).select(
         "doc_id", "b0", "b1", "b2", "b3"
     )
+    # both sides of the band self-join hang off this relation; without a
+    # materialization barrier Spark recomputes the per-image decode on
+    # EACH side (measured 2x wall on the sf0.1 corpus) -- the same
+    # lazy-localCheckpoint device as cooccurrence_pmi's posting list
+    hashes = hashes.localCheckpoint(eager=False)
     bands = hashes.select(
         "doc_id", "b0", "b1", "b2", "b3",
         F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("band_idx", "band_val"),

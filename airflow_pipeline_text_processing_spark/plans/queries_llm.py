@@ -2003,9 +2003,17 @@ def mm_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "substring(repeat(text, CAST(ceil(288.0 / length(text)) AS INT)),"
         " 1, 288)"
     )
+    # NB: split the padded string into its char array ONCE and lambda
+    # over the elements.  The tempting per-index form
+    # ``transform(sequence(1,288), i -> ...substring(_pad, i, 1)...)``
+    # references ``_pad`` inside the lambda; CollapseProject inlines a
+    # used-once alias regardless of cost, and Catalyst does not hoist
+    # loop-invariant subexpressions out of lambda bodies -- so the
+    # repeat()+substring() of the full document re-executed per element,
+    # 288x per row (measured ~10x wall on this query at sf0.1).
     pixstr = (
-        f"array_join(transform(sequence(1, 288),"
-        f" i -> chr(ascii(substring(_pad, i, 1)) % 191 + 32)), '')"
+        "array_join(transform(split(_pad, ''),"
+        " c -> chr(ascii(c) % 191 + 32)), '')"
     )
     media = (
         docs.select("doc_id", F.expr(padded).alias("_pad"))

@@ -719,3 +719,23 @@ def test_join_strategy_hints_are_honored(spark):
     assert "BroadcastHashJoin" in plan(bc)
     rows = {(r.o_orderpriority, r.n) for r in sh.collect()}
     assert {(r.o_orderpriority, r.n) for r in bc.collect()} == rows
+
+
+def test_dhash_query_payload_built_once(spark):
+    """mm_image_dhash_dedup: the payload-synthesis expression must
+    appear exactly ONCE per join side in the executed plan -- the
+    used-once-alias lambda-inlining trap would re-execute the padded
+    document expression per sequence element (288x/row, measured ~10x
+    wall), and a missing materialization barrier would decode every
+    image once per join side."""
+    from airflow_pipeline_text_processing_spark.plans.queries_llm import (
+        mm_image_dhash_dedup,
+    )
+
+    df = mm_image_dhash_dedup(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the repeat(text, ...) padding expression is the payload builder's
+    # fingerprint; localCheckpoint barriers it out of the join subtree
+    # entirely, so it may appear at most once (zero once materialized)
+    assert plan.count("repeat(text") <= 1
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan

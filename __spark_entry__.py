@@ -184,6 +184,7 @@ _ORDER = [
     "curation_shuffle_shards",
     "text_token_entropy",
     "mm_image_dhash_dedup",
+    "stats_sigma_outliers",
 ]
 
 assert len(_ORDER) == len(set(_ORDER)), "duplicate names in _ORDER"

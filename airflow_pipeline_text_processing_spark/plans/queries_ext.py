@@ -3483,6 +3483,78 @@ ORDER BY event_type
 """
 
 
+def stats_sigma_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-sigma outlier detection per event_type WITHOUT computing
+    a standard deviation: ``|x - mean| > 3*stddev`` squares to
+    ``(n*x - S)^2 > 9*(n*Q - S^2)`` with ``S = sum(x), Q = sum(x^2)`` --
+    every term a BIGINT, so the flag is bit-identical in any engine and
+    any partition order, with no sqrt, no division, no float anywhere
+    (the engine-conventions memo's no-libm rule taken to its limit).
+
+    Scale shape: one map-side-combinable moments pass, the tiny
+    per-group moment row broadcast back, then a narrow scan flags rows
+    -- two corpus scans total, the same shape every mean/std filter has
+    at 100 TB.  Magnitude headroom: the largest term is ``(n*x)^2``;
+    with x in integer dollars (<= ~1e3) it stays under 2^63 through
+    n ~= 3e6 rows per group (~5x the sf0.1 corpus).  Past that, shift
+    the moments to per-(group, day) or DECIMAL(38).
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(FLOOR(value) AS BIGINT)").alias("d"),
+    )
+    moms = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("d").alias("s"),
+        F.sum(F.col("d") * F.col("d")).alias("q"),
+    )
+    flagged = ev.join(F.broadcast(moms), "event_type").withColumn(
+        "is_out",
+        (
+            (F.col("n") * F.col("d") - F.col("s"))
+            * (F.col("n") * F.col("d") - F.col("s"))
+        )
+        > F.lit(9) * (F.col("n") * F.col("q") - F.col("s") * F.col("s")),
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n_events"),
+            F.sum(F.when(F.col("is_out"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers"),
+            F.min(F.when(F.col("is_out"), F.col("d"))).alias("min_outlier"),
+            F.max(F.when(F.col("is_out"), F.col("d"))).alias("max_outlier"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SIGMA_OUTLIERS_SQL = """
+WITH ev AS (
+  SELECT event_id, event_type, CAST(FLOOR(value) AS BIGINT) AS d
+  FROM events
+), moms AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(d) AS BIGINT) AS s,
+         CAST(SUM(d * d) AS BIGINT) AS q
+  FROM ev GROUP BY 1
+), flagged AS (
+  SELECT ev.event_type, d,
+         n,
+         (n*d - s)*(n*d - s) > 9 * (n*q - s*s) AS is_out
+  FROM ev JOIN moms ON ev.event_type = moms.event_type
+)
+SELECT event_type,
+       MAX(n) AS n_events,
+       CAST(SUM(CASE WHEN is_out THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       MIN(CASE WHEN is_out THEN d END) AS min_outlier,
+       MAX(CASE WHEN is_out THEN d END) AS max_outlier
+FROM flagged GROUP BY event_type ORDER BY event_type
+"""
+
+
 def curation_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic corpus shuffle + balanced sharding -- the last
     stage of a training-data pipeline: place every document at a
@@ -3598,6 +3670,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "sketch_cms_heavy_hitters": (sketch_cms_heavy_hitters, CMS_SQL),
     "stats_linear_trend": (stats_linear_trend, LINEAR_TREND_SQL),
     "stats_spearman_daily": (stats_spearman_daily, SPEARMAN_SQL),
+    "stats_sigma_outliers": (stats_sigma_outliers, SIGMA_OUTLIERS_SQL),
     "curation_shuffle_shards": (curation_shuffle_shards, SHUFFLE_SHARDS_SQL),
     "events_resample_daily": (events_resample_daily, RESAMPLE_SQL),
     "join_fuzzy_names": (join_fuzzy_names, FUZZY_SQL),

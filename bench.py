@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "curation_shuffle_shards",
     "text_token_entropy",
     "mm_image_dhash_dedup",
+    "stats_sigma_outliers",
 ]
 
 

@@ -1642,3 +1642,38 @@ def test_image_dhash_near_dups_planted(spark):
     # the blocking join is keyed, never cartesian
     plan = dhash_near_dups(media)._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_sigma_outliers_matches_float_three_sigma(spark):
+    """stats_sigma_outliers: the squared BIGINT inequality must agree
+    with the literal float 3-sigma rule (|x - mean| > 3*stddev_pop) on
+    real data -- the algebra (n*x - S)^2 > 9*(n*Q - S^2) is the same
+    predicate scaled by n^2, so any disagreement is a real bug."""
+    import math
+    from collections import defaultdict
+
+    from airflow_pipeline_text_processing_spark.plans.queries_ext import (
+        stats_sigma_outliers,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.event_type: (r.n_events, r.n_outliers, r.min_outlier, r.max_outlier)
+        for r in stats_sigma_outliers(spark, sf).collect()
+    }
+    vals = defaultdict(list)
+    for r in spark.read.parquet(f"{sf}/events.parquet").collect():
+        vals[r.event_type].append(math.floor(r.value))
+    for et, xs in vals.items():
+        n = len(xs)
+        mu = sum(xs) / n
+        sd = math.sqrt(sum((x - mu) ** 2 for x in xs) / n)
+        outs = [x for x in xs if abs(x - mu) > 3 * sd]
+        exp = (
+            n,
+            len(outs),
+            min(outs) if outs else None,
+            max(outs) if outs else None,
+        )
+        assert got[et] == exp, (et, got[et], exp)
+    assert set(got) == set(vals)

@@ -27,32 +27,37 @@ _MERGED = {**_CORE, **_LLM, **_EXT}
 _ORDER = [
     # ============== DRIVER WINDOW (first 50 -- graded this round) =========
     # Rotation contract (see README "Grading window"): rounds 1-4 have
-    # driver-graded 79 distinct entries green.  This round rotates the 12
-    # r4-built entries that have never earned a driver row into the window
-    # (completing "every query driver-graded at least once": 91/91), each
-    # displaced entry keeps an in-window sibling covering its category and
-    # a green CORRECTNESS_r03/r04 row, and stays under the exact-equality
-    # local gate (tools/check_oracle.py).
-    # -- core relational joins --------------------------------------------
+    # driver-graded 79 distinct entries green.  Round 5 rotated TWICE:
+    # first the 12 r4-built entries that had never earned a driver row
+    # (completing "every query built through r4 driver-graded at least
+    # once": 91/91), then -- after the full 127-query local gate came back
+    # exact-equality green -- 12 of the new r5 queries, displacing r4-green
+    # entries whose categories keep an in-window sibling (joins keep
+    # q5/anti/asof/bucketed; agg keeps salted/histogram; windows keep
+    # follow_stats; scalars keep map_scalar; json keeps json_roundtrip;
+    # event-time keeps resample; streaming keeps ssjoin/session; dedup
+    # keeps 6 siblings; similarity keeps ivf; sketches keep cms; quality
+    # keeps dq_expectations; multimodal keeps binary_stats).
+    # -- core relational joins + fuzzy self-join --------------------------
     "q5_nation_volume",
     "join_anti_idle_customers",
     "join_asof_last_click",
-    "join_range_error_window",
+    "join_fuzzy_names",
     "bucketed_join_order_totals",
-    # -- aggregation forms (pivot/grouping-sets graded r4; histogram new) -
-    "agg_cube_priority_status",
+    # -- event analytics (funnel new) + aggregation forms -----------------
+    "events_funnel_steps",
     "agg_salted_hot_keys",
     "sql_correlated_above_avg",
     "agg_value_histogram",
-    # -- windows (frames showcase graded r4) ------------------------------
-    "window_top_orders_per_customer",
+    # -- graph (new category) + windows -----------------------------------
+    "graph_pagerank_events",
     "window_follow_stats",
-    # -- scalar families --------------------------------------------------
-    "str_scalar_showcase",
+    # -- fixed-point LM scoring (new category) + scalars + table format ---
+    "text_lm_surprisal",
     "map_scalar_showcase",
-    "json_props_extract",
-    # -- event time / sampling (sessionize r3; sliding/json r4) -----------
-    "events_sliding_windows",
+    "merge_upsert_part",
+    # -- clustering (new category) / event time / sampling ----------------
+    "cluster_kmeans_embeddings",
     "json_roundtrip_events",
     "events_resample_daily",
     "sample_stratified_events",
@@ -62,27 +67,26 @@ _ORDER = [
     "reassembly_ordered_chunks",
     "codec_roundtrip_count",
     "codec_repair_stats",
-    # -- structured streaming (enrich/dedup_users graded r4; hourly/
-    #    stateful r3; one dedup variant kept in-window) -------------------
+    # -- structured streaming + incremental curation (new) ----------------
     "stream_stream_join_pairs",
     "stream_session_windows",
-    "stream_dedup_watermarked",
-    # -- dedup family (ngram/simhash graded r3; remove_repeated new) ------
+    "curation_incremental_set",
+    # -- dedup family (incl. incremental span dedup, new) -----------------
     "dedup_exact_groups",
     "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
+    "dedup_incremental_spans",
     "dedup_clusters",
     "dedup_incremental_lsh",
     "dedup_subdoc_spans",
     "dedup_remove_repeated",
     "text_decontaminate",
     "curation_snapshot_diff",
-    # -- similarity / embeddings (brute-force graded r3) ------------------
+    # -- similarity (multi-table LSH new) / multimodal audio (new) --------
     "sim_ivf_topk",
-    "sim_lsh_bucketed",
-    "embed_quantize_int8",
-    # -- sketches (hll/quantiles graded r4; cms new) ----------------------
-    "sketch_kmv_distinct",
+    "sim_lsh_multitable",
+    "mm_audio_resample",
+    # -- sketches (kmv set-operation estimates new) -----------------------
+    "sketch_kmv_overlap",
     "sketch_cms_heavy_hitters",
     # -- statistics (new) -------------------------------------------------
     "stats_linear_trend",
@@ -94,17 +98,16 @@ _ORDER = [
     "text_bpe_train",
     "text_bpe_encode",
     "text_chunk_windows",
-    # -- multimodal / data quality / curation (training/packed graded r4;
-    #    full_set subsumes both and is new) -------------------------------
+    # -- multimodal / BFD packing (new) / data quality / curation ---------
     "mm_binary_stats",
-    "profile_documents",
+    "text_pack_bins_bfd",
     "dq_events_expectations",
     "curation_full_set",
     # ==== driver window boundary (position 50) ===========================
-    # Everything below is exact-equality checked by tools/check_oracle.py
-    # and has a green driver row from r1-r4 plus an in-window category
-    # sibling.  New r5 queries join here and rotate into the window next
-    # round if any never-graded entries remain.
+    # Everything below is exact-equality checked by tools/check_oracle.py.
+    # Entries displaced by either r5 rotation carry a green driver row
+    # from r1-r4 plus an in-window category sibling; the remaining
+    # never-graded r5 queries rotate into the window next round.
     "q1_pricing_summary",
     "q3_shipping_priority",
     "join_semi_active_customers",
@@ -131,9 +134,9 @@ _ORDER = [
     "stream_stateful_user_totals",
     "dedup_ngram_jaccard",
     "dedup_simhash",
-    "dedup_incremental_spans",
+    "dedup_embedding_cosine",
     "sim_topk_bruteforce",
-    "sim_lsh_multitable",
+    "sim_lsh_bucketed",
     "text_token_stats",
     "text_top_terms",
     "text_bpe_token_stats",
@@ -142,28 +145,28 @@ _ORDER = [
     "text_lang_id",
     "text_fingerprint",
     "text_tfidf_top_terms",
-    "text_pack_bins_bfd",
+    "profile_documents",
     "sketch_hll_distinct",
     "sketch_quantiles",
-    "sketch_kmv_overlap",
+    "sketch_kmv_distinct",
     "curation_training_set",
     "curation_packed_set",
-    "curation_incremental_set",
+    "stream_dedup_watermarked",
     "mm_feature_extract",
     "mm_frame_sample",
-    "mm_audio_resample",
+    "embed_quantize_int8",
     # -- round-5 session-2 additions (rotate into the window next round) --
-    "text_lm_surprisal",
+    "str_scalar_showcase",
     "text_nb_classify",
-    "events_funnel_steps",
+    "agg_cube_priority_status",
     "events_retention_cohorts",
-    "join_fuzzy_names",
+    "join_range_error_window",
     "sample_temperature_sources",
-    "graph_pagerank_events",
+    "window_top_orders_per_customer",
     "text_lm_bigram",
     "events_anomaly_days",
     "events_rolling_active_users",
-    "merge_upsert_part",
+    "json_props_extract",
     "sim_mine_triplets",
     "curation_lm_filtered",
     "mm_audio_vad",
@@ -171,7 +174,7 @@ _ORDER = [
     "text_phrase_search",
     "sample_hash_split",
     "dedup_cdc_chunks",
-    "cluster_kmeans_embeddings",
+    "events_sliding_windows",
     "dedup_semantic_clusters",
     "events_concurrency_peaks",
     "stats_chi_square",

@@ -188,6 +188,7 @@ _ORDER = [
     "text_token_entropy",
     "mm_image_dhash_dedup",
     "stats_sigma_outliers",
+    "curation_entropy_filtered",
 ]
 
 assert len(_ORDER) == len(set(_ORDER)), "duplicate names in _ORDER"

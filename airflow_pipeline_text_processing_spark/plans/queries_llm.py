@@ -1336,6 +1336,54 @@ ORDER BY rk
 """
 
 
+def curation_entropy_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity curation gate: score every document with the
+    exact fixed-point token-histogram entropy (operators/lm.py::
+    token_entropy) and DROP the bottom decile -- the most repetitive /
+    boilerplate-like documents, the population the Gopher filters
+    target.  The decile cut is integer arithmetic (``rk * 10 > n``
+    over an (entropy, doc_id)-ordered row_number), deterministic on any
+    engine; the global rank runs two-level over the doc-level score
+    relation, never a single-partition window over data."""
+    from ..operators.windows import ordered_running_sum
+
+    # three consumers hang off the score relation (the range exchange,
+    # the per-partition totals, and the n_docs count) -- barrier it so
+    # the entropy pipeline computes once (the cooccurrence_pmi device)
+    scored = L.token_entropy(_t(spark, sf_dir, "documents")).localCheckpoint(
+        eager=False
+    )
+    ranked = ordered_running_sum(
+        scored.withColumn("_one", F.lit(1)),
+        [F.col("entropy_milli").asc(), F.col("doc_id").asc()],
+        "_one",
+        out_col="rk",
+    )
+    n_df = scored.agg(F.count("*").alias("n_docs"))
+    return (
+        ranked.crossJoin(F.broadcast(n_df))
+        .filter(F.expr("rk * 10 > n_docs"))
+        .select("doc_id", "n_tokens", "entropy_milli", "rk")
+        .orderBy("rk")
+    )
+
+
+def _entropy_filtered_sql() -> str:
+    return f"""
+WITH scored AS ({_token_entropy_sql().replace("ORDER BY p.doc_id", "")}),
+ranked AS (
+  SELECT doc_id, n_tokens, entropy_milli,
+         CAST(ROW_NUMBER() OVER (ORDER BY entropy_milli ASC, doc_id ASC)
+              AS BIGINT) AS rk,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n_docs
+  FROM scored
+)
+SELECT doc_id, n_tokens, entropy_milli, rk
+FROM ranked WHERE rk * 10 > n_docs
+ORDER BY rk
+"""
+
+
 def text_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial Naive Bayes language classifier trained and applied
     on-engine (operators/lm.py::nb_classify): add-one-smoothed
@@ -2088,6 +2136,10 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "text_cooccurrence_pmi": (text_cooccurrence_pmi, _pmi_sql()),
     "text_token_entropy": (text_token_entropy, _token_entropy_sql()),
     "mm_image_dhash_dedup": (mm_image_dhash_dedup, _dhash_sql()),
+    "curation_entropy_filtered": (
+        curation_entropy_filtered,
+        _entropy_filtered_sql(),
+    ),
     "cluster_assign_incremental": (cluster_assign_incremental, _assign_incremental_sql()),
     "sim_pooled_rerank": (sim_pooled_rerank, _POOLED_SQL),
     "sample_hash_split": (sample_hash_split, _hash_split_sql()),

@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "text_token_entropy",
     "mm_image_dhash_dedup",
     "stats_sigma_outliers",
+    "curation_entropy_filtered",
 ]
 
 

@@ -26,169 +26,157 @@ _MERGED = {**_CORE, **_LLM, **_EXT}
 # fully declared: the local gate (tools/check_oracle.py) checks all of them.
 _ORDER = [
     # ============== DRIVER WINDOW (first 50 -- graded this round) =========
-    # Rotation contract (see README "Grading window"): rounds 1-4 have
-    # driver-graded 79 distinct entries green.  Round 5 rotated TWICE:
-    # first the 12 r4-built entries that had never earned a driver row
-    # (completing "every query built through r4 driver-graded at least
-    # once": 91/91), then -- after the full 127-query local gate came back
-    # exact-equality green -- 12 of the new r5 queries, displacing r4-green
-    # entries whose categories keep an in-window sibling (joins keep
-    # q5/anti/asof/bucketed; agg keeps salted/histogram; windows keep
-    # follow_stats; scalars keep map_scalar; json keeps json_roundtrip;
-    # event-time keeps resample; streaming keeps ssjoin/session; dedup
-    # keeps 6 siblings; similarity keeps ivf; sketches keep cms; quality
-    # keeps dq_expectations; multimodal keeps binary_stats).
-    # -- core relational joins + fuzzy self-join --------------------------
+    # Rotation contract (see README "Grading window"): through round 5,
+    # 103 distinct entries have a green driver CORRECTNESS row.  Round 6
+    # rotates the 26 remaining never-driver-graded entries (all r5-built,
+    # all exact-equality green on the local gate) into the window, so that
+    # after this round every registry query has been driver-graded at
+    # least once.  The 24 carried entries keep every SURVEY §2 category
+    # and first-class LLM component represented: joins (q5/anti/asof/
+    # bucketed), agg (salted/correlated/histogram), windows, scalars,
+    # json, table format (merge), sources (orc/xml), codec (reassembly/
+    # repair), streaming (ssjoin/session), dedup (exact/minhash), sim
+    # (ivf), sketches (cms), graph, BPE, data quality, curation set.
+    # Displaced r5-green entries each keep >=1 in-window category sibling.
+    # -- never-driver-graded: fixed-point LM family -----------------------
+    "text_lm_bigram",
+    "text_nb_classify",
+    "text_cooccurrence_pmi",
+    "text_token_entropy",
+    "curation_lm_filtered",
+    # -- never-driver-graded: event analytics -----------------------------
+    "events_retention_cohorts",
+    "events_anomaly_days",
+    "events_rolling_active_users",
+    "events_concurrency_peaks",
+    # -- never-driver-graded: exact-integer statistics --------------------
+    "stats_chi_square",
+    "stats_trimmed_mean",
+    "stats_spearman_daily",
+    "stats_sigma_outliers",
+    # -- never-driver-graded: sampling / similarity / clustering ----------
+    "sample_temperature_sources",
+    "sample_hash_split",
+    "sim_mine_triplets",
+    "sim_pooled_rerank",
+    "cluster_assign_incremental",
+    # -- never-driver-graded: dedup / multimodal / text / agg / curation --
+    "dedup_cdc_chunks",
+    "dedup_semantic_clusters",
+    "mm_audio_vad",
+    "mm_image_dhash_dedup",
+    "text_phrase_search",
+    "agg_mode_per_type",
+    "curation_shuffle_shards",
+    "curation_entropy_filtered",
+    # -- carried category verifiers (all driver-green r5 or earlier) ------
     "q5_nation_volume",
     "join_anti_idle_customers",
     "join_asof_last_click",
-    "join_fuzzy_names",
     "bucketed_join_order_totals",
-    # -- event analytics (funnel new) + aggregation forms -----------------
-    "events_funnel_steps",
     "agg_salted_hot_keys",
     "sql_correlated_above_avg",
     "agg_value_histogram",
-    # -- graph (new category) + windows -----------------------------------
-    "graph_pagerank_events",
     "window_follow_stats",
-    # -- fixed-point LM scoring (new category) + scalars + table format ---
-    "text_lm_surprisal",
     "map_scalar_showcase",
     "merge_upsert_part",
-    # -- clustering (new category) / event time / sampling ----------------
-    "cluster_kmeans_embeddings",
     "json_roundtrip_events",
-    "events_resample_daily",
-    "sample_stratified_events",
-    # -- sources (csv graded r3) ------------------------------------------
     "orc_xml_roundtrip_part",
-    # -- codec ------------------------------------------------------------
     "reassembly_ordered_chunks",
-    "codec_roundtrip_count",
     "codec_repair_stats",
-    # -- structured streaming + incremental curation (new) ----------------
     "stream_stream_join_pairs",
     "stream_session_windows",
-    "curation_incremental_set",
-    # -- dedup family (incl. incremental span dedup, new) -----------------
     "dedup_exact_groups",
     "dedup_minhash_lsh",
-    "dedup_incremental_spans",
-    "dedup_clusters",
-    "dedup_incremental_lsh",
-    "dedup_subdoc_spans",
-    "dedup_remove_repeated",
-    "text_decontaminate",
-    "curation_snapshot_diff",
-    # -- similarity (multi-table LSH new) / multimodal audio (new) --------
     "sim_ivf_topk",
-    "sim_lsh_multitable",
-    "mm_audio_resample",
-    # -- sketches (kmv set-operation estimates new) -----------------------
-    "sketch_kmv_overlap",
     "sketch_cms_heavy_hitters",
-    # -- statistics (new) -------------------------------------------------
-    "stats_linear_trend",
-    # -- text analysis (token_stats/quality/pii graded r3-r4;
-    #    bpe train/encode + chunk_windows new) ----------------------------
-    "text_repetition_signals",
-    "text_bm25_search",
-    "text_pack_sequences",
+    "graph_pagerank_events",
     "text_bpe_train",
-    "text_bpe_encode",
-    "text_chunk_windows",
-    # -- multimodal / BFD packing (new) / data quality / curation ---------
-    "mm_binary_stats",
-    "text_pack_bins_bfd",
     "dq_events_expectations",
     "curation_full_set",
     # ==== driver window boundary (position 50) ===========================
-    # Everything below is exact-equality checked by tools/check_oracle.py.
-    # Entries displaced by either r5 rotation carry a green driver row
-    # from r1-r4 plus an in-window category sibling; the remaining
-    # never-graded r5 queries rotate into the window next round.
+    # Everything below is exact-equality checked by tools/check_oracle.py
+    # and carries a green driver CORRECTNESS row from an earlier round,
+    # plus an in-window category sibling above.
     "q1_pricing_summary",
     "q3_shipping_priority",
     "join_semi_active_customers",
     "join_full_outer_year_cohorts",
     "join_salted_lineitem_supplier",
+    "join_fuzzy_names",
+    "join_range_error_window",
     "agg_rollup_priority_year",
+    "agg_cube_priority_status",
     "agg_supplier_part_stats",
     "percentile_value_by_type",
     "pivot_segment_year",
     "sql_grouping_sets",
     "window_running_customer_spend",
     "window_frames_showcase",
+    "window_top_orders_per_customer",
     "sort_global_topk_orders",
     "set_ops_customer_cohorts",
+    "str_scalar_showcase",
     "date_scalar_showcase",
     "array_scalar_showcase",
+    "json_props_extract",
+    "events_funnel_steps",
+    "events_resample_daily",
     "events_sessionize",
     "events_hourly_rollup",
+    "events_sliding_windows",
+    "sample_stratified_events",
     "csv_roundtrip_nation_region",
+    "codec_roundtrip_count",
     "codec_chunk_stats",
     "stream_static_enrich",
     "stream_dedup_users",
     "stream_hourly_watermarked",
     "stream_stateful_user_totals",
+    "stream_dedup_watermarked",
+    "curation_incremental_set",
+    "curation_snapshot_diff",
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_embedding_cosine",
+    "dedup_incremental_spans",
+    "dedup_clusters",
+    "dedup_incremental_lsh",
+    "dedup_subdoc_spans",
+    "dedup_remove_repeated",
+    "text_decontaminate",
     "sim_topk_bruteforce",
     "sim_lsh_bucketed",
+    "sim_lsh_multitable",
     "text_token_stats",
     "text_top_terms",
     "text_bpe_token_stats",
+    "text_bpe_encode",
     "text_quality_score",
     "text_pii_scrub",
     "text_lang_id",
     "text_fingerprint",
     "text_tfidf_top_terms",
+    "text_repetition_signals",
+    "text_bm25_search",
+    "text_pack_sequences",
+    "text_chunk_windows",
+    "text_pack_bins_bfd",
+    "text_lm_surprisal",
     "profile_documents",
     "sketch_hll_distinct",
     "sketch_quantiles",
     "sketch_kmv_distinct",
+    "sketch_kmv_overlap",
     "curation_training_set",
     "curation_packed_set",
-    "stream_dedup_watermarked",
     "mm_feature_extract",
     "mm_frame_sample",
+    "mm_binary_stats",
+    "mm_audio_resample",
     "embed_quantize_int8",
-    # -- round-5 session-2 additions (rotate into the window next round) --
-    "str_scalar_showcase",
-    "text_nb_classify",
-    "agg_cube_priority_status",
-    "events_retention_cohorts",
-    "join_range_error_window",
-    "sample_temperature_sources",
-    "window_top_orders_per_customer",
-    "text_lm_bigram",
-    "events_anomaly_days",
-    "events_rolling_active_users",
-    "json_props_extract",
-    "sim_mine_triplets",
-    "curation_lm_filtered",
-    "mm_audio_vad",
-    "agg_mode_per_type",
-    "text_phrase_search",
-    "sample_hash_split",
-    "dedup_cdc_chunks",
-    "events_sliding_windows",
-    "dedup_semantic_clusters",
-    "events_concurrency_peaks",
-    "stats_chi_square",
-    "text_cooccurrence_pmi",
-    "stats_trimmed_mean",
-    "cluster_assign_incremental",
-    "sim_pooled_rerank",
-    # -- round-5 session-4 additions --
-    "stats_spearman_daily",
-    "curation_shuffle_shards",
-    "text_token_entropy",
-    "mm_image_dhash_dedup",
-    "stats_sigma_outliers",
-    "curation_entropy_filtered",
+    "cluster_kmeans_embeddings",
+    "stats_linear_trend",
 ]
 
 assert len(_ORDER) == len(set(_ORDER)), "duplicate names in _ORDER"

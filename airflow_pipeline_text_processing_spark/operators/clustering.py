@@ -77,21 +77,69 @@ def _sqdist(a: Column, b: Column) -> Column:
     )
 
 
+def _centroid_array(cents: DataFrame) -> DataFrame:
+    """Collapse a ``(cid, c)`` centroid relation into ONE row holding the
+    cid-sorted ``array<struct<cid, c>>`` -- the broadcastable carrier for
+    shuffle-free assignment.  k rows of metadata, never data."""
+    return cents.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("cid", "c"))).alias("_cents")
+    )
+
+
+def _scored_cells(q: Column) -> Column:
+    """Per-vector ``array<struct<d2, cid>>`` against the broadcast
+    ``_cents`` array: one distance per centroid, computed once.  Struct
+    ordering is lexicographic, so ``array_min``/``array_sort`` over this
+    give nearest-first with ties to the smaller cid."""
+    return F.transform(
+        F.col("_cents"),
+        lambda ct: F.struct(
+            _sqdist(q, ct["c"]).alias("d2"), ct["cid"].alias("cid")
+        ),
+    )
+
+
 def assign_to_centroids(qvecs: DataFrame, cents: DataFrame) -> DataFrame:
     """Nearest-centroid assignment of a ``(vec_id, q)`` relation against
     a ``(cid, c)`` centroid relation (ties to the smaller cid).  This is
     the INCREMENTAL path: once a corpus has settled centroids, a new
     ingest batch is assigned by broadcasting the k-row centroid relation
     against the batch alone -- the corpus is never rescanned, the same
-    economics as the incremental LSH and span-dedup operators."""
-    scored = qvecs.select("vec_id", "q").crossJoin(F.broadcast(cents)).select(
-        "vec_id", "q", "cid", _sqdist(F.col("q"), F.col("c")).alias("d2")
+    economics as the incremental LSH and span-dedup operators.
+
+    Plan shape: the centroids ride along as ONE broadcast array row and
+    the argmin is ``array_min`` over per-centroid (d2, cid) structs --
+    a narrow, shuffle-free map stage.  The previous formulation exploded
+    vecs x k rows and ranked them with a ``row_number`` window, which
+    shuffled the whole cross product on vec_id every call (k extra
+    corpus-sized shuffles per Lloyd run).  ``_best`` is referenced twice
+    below, which is exactly what keeps CollapseProject from inlining the
+    k-distance scan twice (the used-once trap documented at
+    ``dedup.repeated_spans``)."""
+    return _assign_arr(qvecs.select("vec_id", "q"), _centroid_array(cents))
+
+
+def _assign_arr(qvecs: DataFrame, cents_arr: DataFrame) -> DataFrame:
+    """Argmin assignment against a ONE-ROW ``_cents`` array relation."""
+    scored = qvecs.crossJoin(F.broadcast(cents_arr)).select(
+        "vec_id", "q", F.array_min(_scored_cells(F.col("q"))).alias("_best")
     )
-    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    return scored.select(
+        "vec_id",
+        "q",
+        F.col("_best.cid").alias("cid"),
+        F.col("_best.d2").alias("d2"),
+    )
+
+
+def _local_cents_arr(spark, cents_lit) -> DataFrame:
+    """Driver-held centroids -> one-row LocalRelation holding the
+    cid-sorted centroid array.  Broadcasting a LocalRelation builds the
+    broadcast table ON the driver -- no aggregation stage, no job -- so
+    a Lloyd iteration against it is a single compact job."""
+    return spark.createDataFrame(
+        [([(cid, c) for cid, c in cents_lit],)],
+        "_cents array<struct<cid:int,c:array<bigint>>>",
     )
 
 
@@ -107,11 +155,24 @@ def kmeans_fixed_point(
     A cluster that loses all members simply drops out of the next
     round's centroid relation -- both engines compute the identical
     arithmetic, so the oracle drops it too; no RNG re-seeding.
+
+    Per-iteration plan shape: the shuffle-free ``array_min`` argmin
+    assignment (broadcast centroid array, see ``assign_to_centroids``)
+    feeds one map-side-combinable (cid, dim) aggregate whose k x dim
+    result rows come back to the driver.  The earlier formulation ranked
+    a vecs x k exploded relation with a ``row_number`` window (a full
+    corpus-sized shuffle per iteration) and rebuilt centroid arrays with
+    a second sorted-collect aggregate plus a per-iteration checkpoint --
+    three exchanges per round where one suffices.  Wide-plan variants
+    (one SUM column per dimension; literal centroid arrays) measured
+    SLOWER here: 64-expression aggregates and 512-literal arrays cost
+    more in analysis/codegen than the exchanges they remove.
     """
+    spark = qvecs.sparkSession
     base = qvecs.select("vec_id", "q").localCheckpoint(eager=False)
     seed_order = [F.md5(F.col("vec_id").cast("string")), F.col("vec_id")]
     # k-row relation: the global row_number window is seed-sized, never data
-    cents = (
+    seed = (
         base.orderBy(*seed_order)
         .limit(k)
         .select(
@@ -119,35 +180,37 @@ def kmeans_fixed_point(
             F.col("q").alias("c"),
         )
     )
-
-    def assign(cents_df: DataFrame) -> DataFrame:
-        return assign_to_centroids(base, cents_df)
+    # The centroid state lives DRIVER-SIDE between iterations: k x dim
+    # BIGINTs of metadata (k rows), the same bounded-collect device as
+    # the BPE top-pair loop in text.py.  Each Lloyd round is then ONE
+    # compact job -- shuffle-free argmin assignment against a one-row
+    # LocalRelation centroid array (whose broadcast builds on the driver,
+    # no extra stage), then a posexploded (cid, dim) aggregate collected
+    # back.  No per-iteration checkpoint, lineage always one hop from
+    # ``base``.
+    cents_lit = sorted((r.cid, list(r.c)) for r in seed.collect())
 
     for _ in range(iters):
-        assigned = assign(cents)
-        sums = (
+        assigned = _assign_arr(base, _local_cents_arr(spark, cents_lit))
+        # explicit floor division: Spark div truncates, DuckDB // floors;
+        # (s - pmod(s,n)) is exactly divisible
+        new = (
             assigned.select("cid", F.posexplode("q").alias("dim", "v"))
             .groupBy("cid", "dim")
-            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .agg(F.expr("(sum(v) - pmod(sum(v), count(*))) div count(*)").alias("cv"))
+            .collect()
         )
-        cents = (
-            sums.select(
-                "cid",
-                "dim",
-                # explicit floor division: Spark div truncates, DuckDB
-                # // floors; (s - pmod(s,n)) is exactly divisible
-                F.expr("(s - pmod(s, n)) div n").alias("cv"),
-            )
-            .groupBy("cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "cv"))),
-                    lambda st: st["cv"],
-                ).alias("c")
-            )
-            .localCheckpoint(eager=False)  # k rows; keeps lineage flat
+        by_cid: dict = {}
+        for r in new:
+            by_cid.setdefault(r.cid, {})[r.dim] = r.cv
+        cents_lit = sorted(
+            (cid, [dims[i] for i in sorted(dims)]) for cid, dims in by_cid.items()
         )
-    return assign(cents), cents
+
+    cents = spark.createDataFrame(
+        [(cid, c) for cid, c in cents_lit], "cid int, c array<bigint>"
+    )
+    return _assign_arr(base, _local_cents_arr(spark, cents_lit)), cents
 
 
 def semantic_dedup(

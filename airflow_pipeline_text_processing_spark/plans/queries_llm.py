@@ -1807,10 +1807,12 @@ ORDER BY b.vec_id
 
 
 def sim_pooled_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-stage exact-integer kNN
-    (operators/clustering.py::pooled_topk): block-sum-pooled coarse
-    distances keep 50 candidates per query; the full-width squared-L2
-    rerank runs only on the survivors.  All BIGINT, ties on (d2, id)."""
+    """Cell-routed two-stage exact-integer kNN
+    (operators/clustering.py::pooled_topk): fixed-point k-means cells
+    over route-pooled vectors, corpus spilled to its 2 nearest cells,
+    queries probe 4; probed candidates rank on finer block-2 pooled
+    distances, 50 survive, full-width squared-L2 rerank.  All BIGINT,
+    ties on (d2, id); no nested-loop join over the corpus."""
     from ..operators.clustering import pooled_topk
 
     vecs = _t(spark, sf_dir, "embeddings")
@@ -1820,7 +1822,12 @@ def sim_pooled_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_POOLED_SQL = """
+def _pooled_sql() -> str:
+    d2_route = (
+        "CAST(list_sum(list_transform(list_zip(b.q, c.c),"
+        " p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)"
+    )
+    return f"""
 WITH qbase AS (
   SELECT vec_id,
          list_transform(embedding,
@@ -1828,24 +1835,43 @@ WITH qbase AS (
   FROM embeddings),
 withp AS (
   SELECT vec_id, q,
+         list_transform(range(0, len(q) // 2),
+           b -> CAST(list_sum(q[b*2+1 : b*2+2]) AS BIGINT)) AS p2,
          list_transform(range(0, len(q) // 4),
-           b -> CAST(list_sum(q[b*4+1 : b*4+4]) AS BIGINT)) AS p
+           b -> CAST(list_sum(q[b*4+1 : b*4+4]) AS BIGINT)) AS p4
   FROM qbase),
+psrc AS (SELECT vec_id, p4 AS q FROM withp),
+{_kmeans_ctes("psrc", 8, 2, dim=16)},
+cand_cells AS (
+  SELECT b.vec_id AS cand_id, c.cid, {d2_route} AS d2
+  FROM psrc b, cent2 c
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY d2, c.cid) <= 2),
+probe_cells AS (
+  SELECT b.vec_id AS query_id, c.cid, {d2_route} AS d2
+  FROM (SELECT * FROM psrc WHERE vec_id IN (3, 10, 42)) b, cent2 c
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY d2, c.cid) <= 4),
+pairs AS (
+  SELECT DISTINCT p.query_id, a.cand_id
+  FROM probe_cells p JOIN cand_cells a USING (cid)
+  WHERE a.cand_id != p.query_id),
 coarse AS (
-  SELECT a.vec_id AS query_id, b.vec_id AS cand_id, a.q AS qq, b.q AS cq,
-         CAST(list_sum(list_transform(list_zip(a.p, b.p),
-           pr -> (pr[1]-pr[2])*(pr[1]-pr[2]))) AS BIGINT) AS cd2
-  FROM withp a JOIN withp b ON a.vec_id IN (3, 10, 42)
-   AND b.vec_id != a.vec_id),
+  SELECT pr.query_id, pr.cand_id,
+         CAST(list_sum(list_transform(list_zip(qw.p2, cw.p2),
+           t -> (t[1]-t[2])*(t[1]-t[2]))) AS BIGINT) AS cd2
+  FROM pairs pr
+  JOIN withp qw ON qw.vec_id = pr.query_id
+  JOIN withp cw ON cw.vec_id = pr.cand_id),
 surv AS (
-  SELECT query_id, cand_id, qq, cq FROM coarse
+  SELECT query_id, cand_id FROM coarse
   QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
             ORDER BY cd2, cand_id) <= 50),
 exact AS (
-  SELECT query_id, cand_id AS neighbor_id,
-         CAST(list_sum(list_transform(list_zip(qq, cq),
-           pr -> (pr[1]-pr[2])*(pr[1]-pr[2]))) AS BIGINT) AS d2
-  FROM surv)
+  SELECT s.query_id, s.cand_id AS neighbor_id,
+         CAST(list_sum(list_transform(list_zip(qb.q, cb.q),
+           t -> (t[1]-t[2])*(t[1]-t[2]))) AS BIGINT) AS d2
+  FROM surv s
+  JOIN qbase qb ON qb.vec_id = s.query_id
+  JOIN qbase cb ON cb.vec_id = s.cand_id)
 SELECT query_id, neighbor_id, d2,
        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
               ORDER BY d2, neighbor_id) AS BIGINT) AS rk
@@ -1863,10 +1889,11 @@ _KM_D2 = (
 )
 
 
-def _kmeans_ctes(src: str, k: int, iters: int) -> str:
+def _kmeans_ctes(src: str, k: int, iters: int, dim: int = _KM_DIM) -> str:
     """The Lloyd rounds unrolled as CTEs (same device as the BPE-train
-    oracle): src must provide (vec_id, q BIGINT[]).  Ends with ``aF``,
-    the final assignment (vec_id, q, cid, d2)."""
+    oracle): src must provide (vec_id, q BIGINT[]) with ``dim``
+    components.  Ends with ``aF``, the final assignment
+    (vec_id, q, cid, d2)."""
     parts = [
         f"""cent0 AS (
   SELECT ROW_NUMBER() OVER (ORDER BY {_KM_SEED_ORDER}) AS cid, q AS c
@@ -1883,7 +1910,7 @@ def _kmeans_ctes(src: str, k: int, iters: int) -> str:
         parts.append(
             f"""s{r} AS (
   SELECT cid, t.i AS dim, CAST(SUM(q[t.i]) AS BIGINT) AS s, COUNT(*) AS n
-  FROM a{r}, (SELECT UNNEST(range(1, {_KM_DIM + 1})) AS i) t
+  FROM a{r}, (SELECT UNNEST(range(1, {dim + 1})) AS i) t
   GROUP BY cid, t.i)"""
         )
         parts.append(
@@ -2141,7 +2168,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
         _entropy_filtered_sql(),
     ),
     "cluster_assign_incremental": (cluster_assign_incremental, _assign_incremental_sql()),
-    "sim_pooled_rerank": (sim_pooled_rerank, _POOLED_SQL),
+    "sim_pooled_rerank": (sim_pooled_rerank, _pooled_sql()),
     "sample_hash_split": (sample_hash_split, _hash_split_sql()),
     "dedup_exact_groups": (dedup_exact_groups, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_JACCARD_SQL),

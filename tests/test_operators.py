@@ -1463,10 +1463,12 @@ def test_incremental_assignment_matches_batch_clustering(spark):
 
 
 def test_pooled_rerank_matches_exact_topk_with_margin(spark):
-    """With a prefilter margin covering the corpus, the two-stage path
+    """With every cell probed (nprobe == cells) and a prefilter margin
+    covering the corpus, the cell-routed path degrades to exhaustive and
     must return exactly the brute-force integer top-k; with a planted
-    near-identical neighbor, rank 1 must find it even under a tight
-    prefilter (pooling preserves locality)."""
+    near-identical neighbor, rank 1 must find it even under the DEFAULT
+    routing and a tight prefilter (the twin's route-pooled vector lands
+    in the same cells as the query's)."""
     import pyspark.sql.functions as F
     from airflow_pipeline_text_processing_spark.operators.clustering import (
         pooled_topk,
@@ -1483,8 +1485,8 @@ def test_pooled_rerank_matches_exact_topk_with_margin(spark):
     corpus = vecs.unionByName(twin)
     queries = corpus.filter(F.col("vec_id") == 7)
 
-    # wide margin == exhaustive: compare against python brute force
-    got = pooled_topk(queries, corpus, k=5, prefilter=10_000).collect()
+    # all cells probed + wide margin == exhaustive: vs python brute force
+    got = pooled_topk(queries, corpus, k=5, prefilter=10_000, nprobe=8).collect()
     qs = {r.vec_id: r.q for r in corpus.select(
         "vec_id", quantized(F.col("embedding")).alias("q")).collect()}
     exact = sorted(
@@ -1493,18 +1495,21 @@ def test_pooled_rerank_matches_exact_topk_with_margin(spark):
     )[:5]
     assert [(r.d2, r.neighbor_id) for r in sorted(got, key=lambda r: r.rk)] == exact
 
-    # tight prefilter still finds the planted twin at rank 1
+    # default routing + tight prefilter still finds the twin at rank 1
     tight = pooled_topk(queries, corpus, k=1, prefilter=5).collect()
     assert tight[0].neighbor_id == 900000
 
 
 def test_pooled_rerank_recall_vs_margin_on_real_embeddings(spark):
-    """The coarse pooled stage is approximate: measure its recall@5
-    against the exhaustive path on the real embeddings table and assert
-    floors + monotonicity in the prefilter margin.  Random 64-dim
-    vectors are the WORST case for 4:1 pooling (no structure for the
-    block sums to preserve -- measured 0.32/0.45/0.65 at margins
-    25/50/100 over a 500-vector corpus); clustered real-world
+    """The routed coarse stage is approximate: measure its recall@5
+    against the exhaustive path (nprobe == cells, unbounded prefilter)
+    on the real embeddings table and assert floors + monotonicity in
+    the prefilter margin.  Random 64-dim vectors are the WORST case for
+    both pooling and cell routing (no cluster structure to exploit);
+    even so, spill-to-2-cells + 4-probe + block-2 in-cell ranking
+    measures 0.60/0.80/0.87 at margins 25/50/100 over the 500-vector
+    corpus -- up from 0.32/0.45/0.65 for the old flat block-4 scan --
+    so the asserted floors are 0.50/0.60/0.75.  Clustered real-world
     embeddings sit far above this, cf. the planted-twin test."""
     import pyspark.sql.functions as F
     from airflow_pipeline_text_processing_spark.operators.clustering import (
@@ -1515,7 +1520,7 @@ def test_pooled_rerank_recall_vs_margin_on_real_embeddings(spark):
     qs = vecs.filter(F.col("vec_id") < 20)
     exact = {
         (r.query_id, r.neighbor_id)
-        for r in pooled_topk(qs, vecs, k=5, prefilter=10_000).collect()
+        for r in pooled_topk(qs, vecs, k=5, prefilter=10_000, nprobe=8).collect()
     }
     recalls = []
     for pf in (25, 50, 100):
@@ -1524,7 +1529,7 @@ def test_pooled_rerank_recall_vs_margin_on_real_embeddings(spark):
             for r in pooled_topk(qs, vecs, k=5, prefilter=pf).collect()
         }
         recalls.append(len(exact & got) / len(exact))
-    assert recalls[0] >= 0.25 and recalls[1] >= 0.35 and recalls[2] >= 0.55
+    assert recalls[0] >= 0.50 and recalls[1] >= 0.60 and recalls[2] >= 0.75
     assert recalls == sorted(recalls)  # more margin never hurts
 
 

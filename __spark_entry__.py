@@ -177,6 +177,8 @@ _ORDER = [
     "embed_quantize_int8",
     "cluster_kmeans_embeddings",
     "stats_linear_trend",
+    # -- round-6 additions (rotate into the window next round) ------------
+    "dedup_cdc_rolling",
 ]
 
 assert len(_ORDER) == len(set(_ORDER)), "duplicate names in _ORDER"

@@ -1044,6 +1044,19 @@ def cdc_chunks(
         f"i -> md5(substring({t}, i - {window - 1}, {window})) "
         f"< '{threshold}') END"
     )
+    with_bnd = docs.select(docs["*"], F.expr(bounds).alias("_bnd"))
+    return _chunks_from_bounds(with_bnd, docs.columns, t)
+
+
+def _chunks_from_bounds(
+    with_bnd: DataFrame, doc_cols, text_col: str
+) -> DataFrame:
+    """Shared CDC tail: turn a per-document boundary-position array
+    (``_bnd``, char positions after which a chunk ends) into one row per
+    (doc, chunk) with ``chunk_idx, chunk, chunk_hash, chunk_len``.
+    ``_bnd`` is referenced twice in the zip (starts and ends), which is
+    what keeps the boundary computation materialized."""
+    t = text_col
     expr = (
         f"filter(zip_with("
         f"  concat(array(0L), _bnd),"
@@ -1052,23 +1065,81 @@ def cdc_chunks(
         f"                   CAST(e - s AS INT)) AS chunk)"
         f"), st -> length(st.chunk) > 0)"
     )
-    with_bnd = docs.select(
-        docs["*"], F.expr(bounds).alias("_bnd")
-    )
     exploded = with_bnd.select(
         "doc_id", F.posexplode(F.expr(expr)).alias("chunk_idx", "_st"),
-        *[c for c in docs.columns if c not in ("doc_id", t)],
+        *[c for c in doc_cols if c not in ("doc_id", t)],
     )
     return exploded.select(
         "doc_id", "chunk_idx",
         F.col("_st.chunk").alias("chunk"),
         F.md5("_st.chunk").alias("chunk_hash"),
         F.length("_st.chunk").cast("long").alias("chunk_len"),
-        *[c for c in docs.columns if c not in ("doc_id", t)],
+        *[c for c in doc_cols if c not in ("doc_id", t)],
     )
 
 
-def cdc_dedup_stats(docs: DataFrame, group_col: str = "source") -> DataFrame:
+CDC_ROLL_BASE = 37    # polynomial base: small enough that an 8-char
+                      # window's Horner value stays far inside int64
+                      # (max codepoint 0x10FFFF * 37^7 * 37/36 ~ 1.1e17)
+CDC_ROLL_MOD = 997    # prime modulus for the boundary draw
+CDC_ROLL_KEEP = 31    # boundary iff h % 997 < 31 (~1/32.2, matching the
+                      # md5 rule's 1/32 expected chunk size)
+
+
+def cdc_chunks_rolling(
+    docs: DataFrame, text_col: str = "text", window: int = CDC_WINDOW,
+) -> DataFrame:
+    """Content-defined chunking with a POLYNOMIAL rolling-window hash in
+    place of ``cdc_chunks``'s per-position md5: a boundary falls after
+    position ``i`` iff the base-37 Horner value of the ``window`` chars
+    ending at ``i`` lands in the low ``CDC_ROLL_KEEP`` residues mod 997.
+    Same output contract and the same insert-shift realignment property
+    as the md5 rule (both are pure functions of the window's content) --
+    the md5 variant stays as the labeled cross-engine anchor; this one
+    is the cheap path: ~``window`` integer multiply-adds per boundary
+    decision instead of a full md5 over a fresh ``window``-char string
+    (measured >=2x cheaper end-to-end on the dedup-stats query, and the
+    gap is pure scan-stage CPU at 100 TB).
+
+    Everything is exact BIGINT: codepoints (<= 0x10FFFF) through 8
+    Horner steps peak at ~1.1e17, far inside int64, so Spark and the
+    DuckDB oracle (which evaluates the identical polynomial as a
+    power-weighted sum) agree bit for bit with no modular reduction
+    until the final residue test.
+
+    The codepoint array ``_cod`` and the boundary array ``_bnd`` are
+    each referenced twice in their consuming projections -- the
+    used-once CollapseProject inlining trap would otherwise re-split
+    the document once per character position."""
+    t = text_col
+    codes = (
+        f"transform(split({t}, ''), ch -> CAST(ascii(ch) AS BIGINT))"
+    )
+    # the window polynomial is unrolled to direct element_at terms
+    # (weight 37^(window-1-j)) rather than slice()+aggregate(): the
+    # higher-order-function fold runs interpreted and allocates a
+    # window-sized array PER POSITION -- measured ~2x slower end-to-end
+    # on the dedup-stats query than this flat arithmetic expression
+    poly = " + ".join(
+        f"element_at(_cod, i - {window - 1 - j}) * "
+        f"{CDC_ROLL_BASE ** (window - 1 - j)}L"
+        for j in range(window)
+    )
+    bounds = (
+        f"CASE WHEN size(_cod) < {window} THEN array() "
+        f"ELSE filter(sequence({window}, size(_cod)), "
+        f"i -> ({poly}) % {CDC_ROLL_MOD} < {CDC_ROLL_KEEP}) END"
+    )
+    with_cod = docs.select(docs["*"], F.expr(codes).alias("_cod"))
+    with_bnd = with_cod.select(
+        docs["*"], F.expr(bounds).alias("_bnd")
+    )
+    return _chunks_from_bounds(with_bnd, docs.columns, t)
+
+
+def cdc_dedup_stats(
+    docs: DataFrame, group_col: str = "source", chunker=None
+) -> DataFrame:
     """Storage-dedup accounting over content-defined chunks, per group:
     ``n_chunks, n_distinct_chunks, total_chars, dup_chars`` where
     ``dup_chars`` is what a content-addressed store would NOT have to
@@ -1077,8 +1148,11 @@ def cdc_dedup_stats(docs: DataFrame, group_col: str = "source") -> DataFrame:
 
     One map-side-combinable groupBy on the 128-bit chunk hash, then a
     group-sized rollup -- the corpus shuffles once, keyed by hash.
+    ``chunker`` selects the boundary rule (md5 anchor or rolling hash).
     """
-    chunks = cdc_chunks(docs.select("doc_id", "text", group_col))
+    if chunker is None:
+        chunker = cdc_chunks
+    chunks = chunker(docs.select("doc_id", "text", group_col))
     per_hash = chunks.groupBy(group_col, "chunk_hash").agg(
         F.count("*").alias("cnt"), F.max("chunk_len").alias("clen")
     )

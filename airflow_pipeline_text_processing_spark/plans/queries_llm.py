@@ -1742,6 +1742,63 @@ FROM per_hash GROUP BY source ORDER BY source
 """
 
 
+def dedup_cdc_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup accounting with the POLYNOMIAL
+    rolling-window boundary (operators/dedup.py::cdc_chunks_rolling):
+    base-37 Horner hash of the trailing 8 chars, boundary iff the value
+    mod 997 lands below 31 -- ~8 integer multiply-adds per position
+    instead of the md5 anchor's full hash per position, exact BIGINT on
+    both engines.  Same storage-dedup rollup as ``dedup_cdc_chunks``."""
+    from ..operators.dedup import cdc_chunks_rolling, cdc_dedup_stats
+
+    return cdc_dedup_stats(
+        _t(spark, sf_dir, "documents"), chunker=cdc_chunks_rolling
+    ).orderBy("source")
+
+
+# the oracle evaluates the identical polynomial as a power-weighted sum
+# (37^7..37^0); Horner and the weighted sum are the same integer, and the
+# 8-term peak ~1.1e17 stays far inside int64, so no modular reduction is
+# needed before the residue test
+CDC_ROLLING_SQL = """
+WITH c AS (
+  SELECT doc_id, source, text,
+         list_transform(string_split(text, ''),
+           ch -> CAST(ascii(ch) AS BIGINT)) AS cod
+  FROM documents
+), b AS (
+  SELECT doc_id, source, text,
+         CASE WHEN len(cod) < 8 THEN CAST([] AS BIGINT[])
+              ELSE list_filter(range(8, len(cod) + 1),
+                     i -> CAST(list_sum(list_transform(range(0, 8),
+                            j -> cod[i - 7 + j] *
+                                 [94931877133, 2565726409, 69343957,
+                                  1874161, 50653, 1369, 37, 1][j + 1]))
+                          AS BIGINT) % 997 < 31)
+         END AS bnd
+  FROM c
+), ch AS (
+  SELECT source,
+         UNNEST(list_filter(
+           list_transform(
+             list_zip(list_prepend(0, bnd), list_append(bnd, length(text))),
+             p -> substr(text, CAST(p[1] + 1 AS INT), CAST(p[2] - p[1] AS INT))),
+           k -> length(k) > 0)) AS chunk
+  FROM b
+), per_hash AS (
+  SELECT source, md5(chunk) AS h,
+         COUNT(*) AS cnt, MAX(length(chunk)) AS clen
+  FROM ch GROUP BY source, md5(chunk)
+)
+SELECT source,
+       CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_chunks,
+       CAST(SUM(cnt * clen) AS BIGINT) AS total_chars,
+       CAST(SUM((cnt - 1) * clen) AS BIGINT) AS dup_chars
+FROM per_hash GROUP BY source ORDER BY source
+"""
+
+
 def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-point Lloyd k-means (operators/clustering.py): 3 assign+
     update rounds over micro-quantized embeddings, md5-seeded, integer
@@ -2158,6 +2215,7 @@ ORDER BY doc_a, doc_b
 REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "text_phrase_search": (text_phrase_search, PHRASE_SQL),
     "dedup_cdc_chunks": (dedup_cdc_chunks, CDC_SQL),
+    "dedup_cdc_rolling": (dedup_cdc_rolling, CDC_ROLLING_SQL),
     "cluster_kmeans_embeddings": (cluster_kmeans_embeddings, _kmeans_sql()),
     "dedup_semantic_clusters": (dedup_semantic_clusters, _semantic_dedup_sql()),
     "text_cooccurrence_pmi": (text_cooccurrence_pmi, _pmi_sql()),

@@ -91,6 +91,8 @@ BENCH_QUERIES = [
     "mm_image_dhash_dedup",
     "stats_sigma_outliers",
     "curation_entropy_filtered",
+    # round-6: rolling-hash CDC boundary (the cheap path vs the md5 anchor)
+    "dedup_cdc_rolling",
 ]
 
 

@@ -1384,6 +1384,57 @@ def test_cdc_chunks_realign_after_insertion(spark):
     assert rebuilt == edited
 
 
+def test_cdc_rolling_valid_chunking_and_realign(spark):
+    """The rolling-hash boundary rule must (a) produce a VALID chunking
+    for both rules -- ordered chunks reassemble every document exactly
+    -- (b) keep the content-defined realignment property after an
+    insertion, and (c) match a plain-Python Horner recompute of the
+    boundary set (the arithmetic the DuckDB oracle replays)."""
+    import random
+    from functools import reduce
+
+    rng = random.Random(11)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    base = " ".join(rng.choice(words) for _ in range(400))
+    edited = "INSERTED PREFIX " + base
+    docs = spark.createDataFrame(
+        [(0, base), (1, edited), (2, "tiny")], "doc_id long, text string"
+    )
+
+    for chunker in (D.cdc_chunks, D.cdc_chunks_rolling):
+        rows = chunker(docs).orderBy("doc_id", "chunk_idx").collect()
+        for did, text in ((0, base), (1, edited), (2, "tiny")):
+            rebuilt = "".join(r.chunk for r in rows if r.doc_id == did)
+            assert rebuilt == text, chunker.__name__
+
+    ch = D.cdc_chunks_rolling(docs).select("doc_id", "chunk_hash").collect()
+    h0 = {r.chunk_hash for r in ch if r.doc_id == 0}
+    h1 = {r.chunk_hash for r in ch if r.doc_id == 1}
+    assert len(h0) > 10
+    assert len(h0 & h1) / len(h0) > 0.8
+
+    # boundary set == python Horner recompute
+    def py_bounds(s):
+        return [
+            i for i in range(8, len(s) + 1)
+            if reduce(lambda a, c: a * 37 + ord(c), s[i - 8:i], 0) % 997 < 31
+        ]
+
+    got = sorted(
+        (r.chunk_idx, r.chunk_len)
+        for r in D.cdc_chunks_rolling(docs).collect() if r.doc_id == 0
+    )
+    b = py_bounds(base)
+    edges = [0] + b + [len(base)]
+    want = sorted(
+        (i, e - s)
+        for i, (s, e) in enumerate(
+            (s, e) for s, e in zip(edges, edges[1:]) if e > s
+        )
+    )
+    assert got == want
+
+
 def test_kmeans_assignment_is_argmin_and_partition_independent(spark):
     """The final assignment must give every vector its true nearest
     settled centroid (ties to the smaller cid), and the whole algorithm

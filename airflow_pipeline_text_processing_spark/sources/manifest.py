@@ -43,23 +43,32 @@ LIVE = -1  # removed_epoch sentinel: file is current (parquet-friendly non-null)
 
 
 def _build_stats(
-    spark: SparkSession, files: List[str], key_col: str
+    spark: SparkSession,
+    files: List[str],
+    key_col: str,
+    key2_col: Optional[str] = None,
 ) -> List[dict]:
     """Per-file stats by scanning back with ``input_file_name`` -- the
     portable equivalent of collecting footer stats at write time.  Only
-    the key column is read (column pruning): a narrow scan."""
-    rows = (
-        spark.read.parquet(*files)
-        .select(F.col(key_col).alias("_k"), F.input_file_name().alias("file"))
-        .groupBy("file")
-        .agg(
-            F.count("*").alias("n_rows"),
-            F.min("_k").alias("k_min"),
-            F.max("_k").alias("k_max"),
-        )
-        .collect()
-    )
-    return [r.asDict() for r in rows]
+    the stat columns are read (column pruning): a narrow scan.  With
+    ``key2_col`` the manifest also records a SECOND column's min/max --
+    the stats a Z-ordered rewrite tightens (see ``optimize_zorder``)."""
+    df = spark.read.parquet(*files)
+    aggs = [
+        F.count("*").alias("n_rows"),
+        F.min("_k").alias("k_min"),
+        F.max("_k").alias("k_max"),
+    ]
+    sel = [F.col(key_col).alias("_k"), F.input_file_name().alias("file")]
+    if key2_col is not None:
+        sel.append(F.col(key2_col).alias("_k2"))
+        aggs += [F.min("_k2").alias("k2_min"), F.max("_k2").alias("k2_max")]
+    rows = df.select(*sel).groupBy("file").agg(*aggs).collect()
+    out = [r.asDict() for r in rows]
+    if key2_col is not None:
+        for d in out:
+            d["k2_col"] = key2_col
+    return out
 
 
 def _write_manifest(spark: SparkSession, path: str, rows: List[dict]) -> None:
@@ -78,9 +87,16 @@ def _write_manifest(spark: SparkSession, path: str, rows: List[dict]) -> None:
         "file", "n_rows", "k_min", "k_max",
         "added_epoch", "removed_epoch", "cols",
     ]
+    # optional secondary-column stats (written by optimize_zorder); rows
+    # from before the rewrite carry None and readers treat them as
+    # "no stats -> keep conservatively"
+    cols += [
+        c for c in ("k2_col", "k2_min", "k2_max")
+        if any(c in r and r[c] is not None for r in rows)
+    ]
     # column-wise dicts; pyarrow infers types from values, so
     # non-integer cluster keys work too
-    table = pa.table({c: [r[c] for r in rows] for c in cols})
+    table = pa.table({c: [r.get(c) for r in rows] for c in cols})
     os.makedirs(tmp)
     pq.write_table(table, os.path.join(tmp, "part-00000.parquet"))
     if os.path.exists(man_dir):
@@ -217,7 +233,12 @@ def merge_upsert(
     if upd.limit(1).count() == 0:
         return 0, len(live)
 
-    live_df = spark.createDataFrame(live)
+    # only the routing fields: manifest rows may carry optional columns
+    # (k2 stats) that are all-None on some subsets, which DataFrame type
+    # inference cannot handle
+    live_df = spark.createDataFrame(
+        [{"file": r.file, "k_min": r.k_min, "k_max": r.k_max} for r in live]
+    )
     hit = (
         live_df.join(
             F.broadcast(upd.select(F.col(key_col).alias("_uk")).distinct()),
@@ -330,6 +351,129 @@ def optimize_compact(
         d["cols"] = ",".join(compacted_df.columns)
     _write_manifest(spark, path, out_rows + new_stats)
     return len(small), len(moved)
+
+
+def optimize_zorder(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    col_b: str,
+    bits: int = 12,
+    n_files: int = 8,
+) -> Tuple[int, int]:
+    """OPTIMIZE ZORDER (Delta's ``OPTIMIZE ... ZORDER BY (a, b)``): rewrite
+    the LIVE files laid out along the Morton curve over ``(key_col,
+    col_b)`` (tabular.write_zordered's interleaved-bit key), tombstone
+    the originals at a new epoch, and record BOTH columns' min/max per
+    file in the manifest.  Contents are unchanged -- every
+    pre-optimization snapshot stays readable until vacuum -- but a
+    two-predicate scan through ``read_pruned2`` now skips at FILE
+    granularity on both dimensions, where the range-partitioned initial
+    layout is perfect on the key and useless on ``col_b``.
+
+    Scale shape: the rewrite is one pass over the live data (the same
+    cost class as optimize_compact); the planning inputs and the
+    manifest swap are file-count-sized driver metadata.  Returns
+    ``(files_rewritten, files_written)``.
+    """
+    from .tabular import zorder_key
+
+    man_rows = read_manifest(spark, path).collect()
+    live = [r for r in man_rows if r.removed_epoch == LIVE]
+    if not live:
+        return 0, 0
+    data_dir = os.path.join(path, _DATA)
+    epoch = 1 + max(r.added_epoch for r in man_rows)
+    staging = os.path.join(path, f"_staging_{epoch}")
+
+    df = _read_files(spark, man_rows, [r.file for r in live])
+    lo_a, hi_a, lo_b, hi_b = df.agg(
+        F.min(key_col).cast("long"),
+        F.max(key_col).cast("long"),
+        F.min(col_b).cast("long"),
+        F.max(col_b).cast("long"),
+    ).first()
+
+    def norm(col: str, lo: int, hi: int) -> str:
+        span = max(int(hi) - int(lo), 0) + 1
+        return f"(({col} - {int(lo)}) * {1 << bits}L) div {span}"
+
+    keyed = df.withColumn(
+        "_zkey",
+        zorder_key(norm(key_col, lo_a, hi_a), norm(col_b, lo_b, hi_b), bits),
+    )
+    (
+        keyed.repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.parquet(staging)
+    )
+
+    moved = []
+    seq = 0
+    for name in sorted(os.listdir(staging)):
+        if not name.endswith(".parquet"):
+            continue
+        dst = os.path.join(data_dir, f"zorder-{epoch:05d}-{seq:05d}.parquet")
+        os.rename(os.path.join(staging, name), dst)
+        moved.append(dst)
+        seq += 1
+    shutil.rmtree(staging)
+
+    live_set = {r.file for r in live}
+    out_rows = []
+    for r in man_rows:
+        d = r.asDict()
+        if r.file in live_set and r.removed_epoch == LIVE:
+            d["removed_epoch"] = epoch
+        out_rows.append(d)
+    new_stats = _build_stats(spark, moved, key_col, key2_col=col_b)
+    for d in new_stats:
+        d["added_epoch"] = epoch
+        d["removed_epoch"] = LIVE
+        d["cols"] = ",".join(df.columns)
+    _write_manifest(spark, path, out_rows + new_stats)
+    return len(live), len(moved)
+
+
+def read_pruned2(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    lo,
+    hi,
+    col_b: str,
+    lo2,
+    hi2,
+) -> Tuple[DataFrame, int, int]:
+    """Two-predicate pruned read: keep only LIVE files whose key range
+    overlaps [lo, hi] AND -- where the manifest carries matching
+    secondary stats (a Z-ordered rewrite) -- whose ``col_b`` range
+    overlaps [lo2, hi2]; files without secondary stats are kept
+    conservatively.  The residual row filter applies on top.  Returns
+    ``(df, files_read, files_total)``."""
+    man_rows = read_manifest(spark, path).collect()
+    visible = [r for r in man_rows if r.removed_epoch == LIVE]
+    keep = []
+    for r in visible:
+        if r.k_max < lo or r.k_min > hi:
+            continue
+        if (
+            getattr(r, "k2_col", None) == col_b
+            and getattr(r, "k2_min", None) is not None
+            and (r.k2_max < lo2 or r.k2_min > hi2)
+        ):
+            continue
+        keep.append(r.file)
+    total = len(visible)
+    if not keep:
+        empty = read_live(spark, path).limit(0)
+        return empty, 0, total
+    df = _read_files(spark, man_rows, keep).filter(
+        (F.col(key_col) >= lo) & (F.col(key_col) <= hi)
+        & (F.col(col_b) >= lo2) & (F.col(col_b) <= hi2)
+    )
+    return df, len(keep), total
 
 
 def vacuum(spark: SparkSession, path: str, before_epoch: int) -> int:

@@ -274,3 +274,55 @@ def test_merge_schema_evolution_adds_column(spark, tmp_path):
     assert files_read < files_total
     got = {r.k: r.tag for r in df.collect()}
     assert got[5] == "new" and got[6] is None and len(got) == 21
+
+
+def test_optimize_zorder_prunes_two_predicate_scans(spark, tmp_path):
+    """OPTIMIZE ZORDER: the initial range-partitioned layout is perfect
+    on the key and useless on a second column -- a two-predicate scan
+    must open every key-overlapping file.  After the Z-ordered rewrite
+    (with both columns' min/max recorded in the manifest) the same scan
+    opens strictly fewer files, contents are unchanged, and the
+    pre-optimization snapshot remains readable."""
+    from airflow_pipeline_text_processing_spark.sources.manifest import (
+        optimize_zorder,
+        read_pruned2,
+    )
+
+    # b is decorrelated from k, so every range-partitioned file spans
+    # (almost) the full b range
+    df = spark.range(4096).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2654435761 % 4096).alias("b"),
+    )
+    path = str(tmp_path / "ztbl")
+    write_manifest_table(df, path, "k", 8)
+
+    # whole key range, narrow b range: key pruning keeps everything
+    pre, pre_read, pre_total = read_pruned2(
+        spark, path, "k", 0, 4095, "b", 0, 511
+    )
+    assert (pre_read, pre_total) == (8, 8)
+    expect = sorted((r.k, r.b) for r in pre.collect())
+    assert len(expect) == 512
+
+    rewritten, written = optimize_zorder(spark, path, "k", "b", n_files=8)
+    assert rewritten == 8 and written == 8
+
+    post, post_read, post_total = read_pruned2(
+        spark, path, "k", 0, 4095, "b", 0, 511
+    )
+    assert post_total == 8
+    assert post_read <= 4  # Morton layout: files are tight in BOTH dims
+    assert sorted((r.k, r.b) for r in post.collect()) == expect
+
+    # a scan narrow in both dimensions prunes harder still
+    _, both_read, _ = read_pruned2(spark, path, "k", 0, 1023, "b", 0, 511)
+    assert both_read <= 2
+
+    # table contents unchanged; pre-optimize snapshot still readable
+    assert read_live(spark, path).count() == 4096
+    assert read_snapshot(spark, path, 0).count() == 4096
+
+    # single-predicate pruning still works through the old reader
+    _, files_read, files_total = read_pruned(spark, path, "k", 100, 150)
+    assert files_read < files_total

@@ -179,6 +179,9 @@ _ORDER = [
     "stats_linear_trend",
     # -- round-6 additions (rotate into the window next round) ------------
     "dedup_cdc_rolling",
+    "events_ewma_daily",
+    "stats_mann_whitney",
+    "text_topics_kmeans",
 ]
 
 assert len(_ORDER) == len(set(_ORDER)), "duplicate names in _ORDER"

@@ -3483,6 +3483,232 @@ ORDER BY event_type
 """
 
 
+def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of daily revenue per event
+    type, exact fixed point: over the trailing 8-row window (oldest
+    first, weights 1,2,4,...,2^(m-1) so the newest day carries half the
+    mass), ``ewma = floor(sum(v_j * 2^(j-1)) / (2^m - 1))`` -- pure
+    BIGINT shifts, no float alpha, identical on any engine; short
+    leading windows (m < 8) renormalize over the weights present.  The
+    trend-smoothing primitive feature pipelines layer on dailies.
+
+    Scale shape: one map-side-combinable daily rollup, then a per-type
+    (never global) ordered window over the days-sized relation; the
+    window list is at most 8 elements.  Magnitude headroom: daily cents
+    * 2^7 * 8 stays far inside int64 up to ~9e15 cents/day.  The frame
+    list ``_h`` is referenced three times in its consuming projection,
+    which keeps it materialized (the used-once CollapseProject trap)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(_cents(F.col("value"))).alias("value_cents"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, Window.currentRow)
+    )
+    hist = daily.select(
+        "event_type", "day", "value_cents",
+        F.collect_list("value_cents").over(w).alias("_h"),
+    )
+    num = F.expr(
+        "aggregate(zip_with(_h, sequence(0, size(_h) - 1),"
+        " (v, i) -> v * shiftleft(CAST(1 AS BIGINT), i)),"
+        " CAST(0 AS BIGINT), (a, x) -> a + x)"
+    )
+    den = F.expr("shiftleft(CAST(1 AS BIGINT), size(_h)) - 1")
+    scored = hist.select(
+        "event_type", "day", "value_cents",
+        num.alias("_num"), den.alias("_den"),
+    )
+    # explicit floor division (value_cents can be negative): subtract
+    # the non-negative remainder first, same device as stats_spearman
+    ewma = F.expr("(_num - pmod(_num, _den)) div _den")
+    return scored.select(
+        "event_type",
+        # ISO string, not DATE: duckdb DATE arrives in pandas as a
+        # midnight datetime (same device as events_resample_daily)
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "value_cents",
+        ewma.alias("ewma_cents"),
+    ).orderBy("event_type", "day")
+
+
+EWMA_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+           AS value_cents
+  FROM events GROUP BY 1, 2
+), win AS (
+  SELECT event_type, day, value_cents,
+         list(value_cents) OVER (PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS h
+  FROM daily
+), scored AS (
+  SELECT event_type, day, value_cents,
+         CAST(list_sum(list_transform(range(0, len(h)),
+           i -> h[i + 1] * (CAST(1 AS BIGINT) << i))) AS BIGINT) AS num,
+         (CAST(1 AS BIGINT) << len(h)) - 1 AS den
+  FROM win
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day, value_cents,
+       CAST((num - ((num % den) + den) % den) / den AS BIGINT) AS ewma_cents
+FROM scored
+ORDER BY event_type, day
+"""
+
+
+TOPIC_DIM = 32   # hashed bag-of-words feature width
+TOPIC_K = 5
+TOPIC_ITERS = 2
+
+
+def text_topics_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-free topic clustering -- the hashed bag-of-words
+    k-means a training-data pipeline uses for domain balancing when no
+    encoder is in the loop: tokens feature-hash into ``TOPIC_DIM``
+    buckets (the sketches' shared md5-hex13 device), each document
+    becomes an exact integer count vector, and fixed-point Lloyd k-means
+    (operators/clustering.py) assigns topics.  Output: one row per
+    tokenized document ``(doc_id, cid, d2)``.
+
+    Scale shape: tokenize + bucket is codegen-resident scan work; the
+    vector assembly is one (doc, bucket) aggregate and one map lookup
+    per dimension; clustering adds one aggregate exchange per Lloyd
+    round (see kmeans_fixed_point).  No stage touches doc x doc."""
+    from ..operators.clustering import kmeans_fixed_point
+    from ..operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("item")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("item")), 1, 13), 16, 10)
+        .cast("long") % TOPIC_DIM
+    )
+    counts = toks.groupBy("doc_id", bucket.alias("b")).agg(
+        F.count("*").alias("cnt")
+    )
+    vecs = (
+        counts.groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("b", "cnt"))
+            ).alias("_m")
+        )
+        .select(
+            F.col("doc_id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(TOPIC_DIM - 1)),
+                lambda b: F.coalesce(
+                    F.element_at("_m", b.cast("long")), F.lit(0).cast("long")
+                ),
+            ).alias("q"),
+        )
+    )
+    assigned, _cents = kmeans_fixed_point(vecs, k=TOPIC_K, iters=TOPIC_ITERS)
+    return assigned.select(
+        F.col("vec_id").alias("doc_id"), "cid", "d2"
+    ).orderBy("doc_id")
+
+
+def _topics_sql() -> str:
+    from .queries_llm import TOKS_SQL, _kmeans_ctes
+
+    bucket = _sql_hex13_mod("substr(md5(item), 1, 13)", TOPIC_DIM)
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS_SQL} AS tk FROM documents),
+items AS (SELECT doc_id, UNNEST(tk) AS item FROM toks),
+counts AS (
+  SELECT doc_id, {bucket} AS b, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM items GROUP BY 1, 2),
+grid AS (
+  SELECT d.doc_id, t.b
+  FROM (SELECT DISTINCT doc_id FROM counts) d,
+       (SELECT UNNEST(range(0, {TOPIC_DIM})) AS b) t),
+vsrc AS (
+  SELECT g.doc_id AS vec_id, list(COALESCE(c.cnt, 0) ORDER BY g.b) AS q
+  FROM grid g LEFT JOIN counts c ON c.doc_id = g.doc_id AND c.b = g.b
+  GROUP BY g.doc_id),
+{_kmeans_ctes("vsrc", TOPIC_K, TOPIC_ITERS, dim=TOPIC_DIM)}
+SELECT vec_id AS doc_id, cid, d2 FROM aF ORDER BY doc_id
+"""
+
+
+def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) of each event type's value
+    distribution against the rest of the corpus -- the distribution-
+    shift test a curation pipeline runs on a new ingest source.  Exact
+    midranks with ties: ranks double to stay integer (a tie group's
+    average rank is (lo + hi)/2, so ``2r = lo + hi`` exactly), giving
+    ``u_x2 = 2*R1 - n1*(n1+1)`` and ``u_other_x2 = 2*n1*n2 - u_x2``
+    with every term BIGINT -- bit-identical on any engine, no libm.
+
+    Scale shape: the pooled ranking needs ONE running count over the
+    DISTINCT cents values (ordered_running_sum's two-level prefix sums,
+    never a single-partition window over data), one equi-join back on
+    value, and a per-type aggregate.  Magnitude headroom: doubled rank
+    sums peak at ~2*N^2, inside int64 through N ~ 2e9 rows; shard the
+    test (per day/source) beyond that."""
+    from ..operators.windows import ordered_running_sum
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("t"), _cents(F.col("value")).alias("v")
+    )
+    byv = ev.groupBy("v").agg(F.count("*").alias("c"))
+    cum = ordered_running_sum(byv, [F.col("v")], "c", "hi")
+    # 2 * midrank of every row holding value v: lo + hi = 2*hi - c + 1
+    ranked = cum.select(
+        "v", (F.lit(2) * F.col("hi") - F.col("c") + F.lit(1)).alias("r2")
+    )
+    per_t = (
+        ev.join(ranked, "v")
+        .groupBy("t")
+        .agg(F.count("*").alias("n1"), F.sum("r2").alias("rsum2"))
+    )
+    totals = per_t.groupBy().agg(F.sum("n1").alias("_n"))
+    n1, N = F.col("n1"), F.col("_n")
+    u_x2 = F.col("rsum2") - n1 * (n1 + 1)
+    return (
+        per_t.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("t").alias("event_type"),
+            "n1",
+            (N - n1).alias("n2"),
+            u_x2.alias("u_x2"),
+            (F.lit(2) * n1 * (N - n1) - u_x2).alias("u_other_x2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+MANN_WHITNEY_SQL = """
+WITH ev AS (
+  SELECT event_type AS t, CAST(FLOOR(value * 100) AS BIGINT) AS v
+  FROM events
+), byv AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM ev GROUP BY v
+), cum AS (
+  SELECT v, c,
+         CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS hi
+  FROM byv
+), ranked AS (
+  SELECT v, 2 * hi - c + 1 AS r2 FROM cum
+), per_t AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS n1,
+         CAST(SUM(r2) AS BIGINT) AS rsum2
+  FROM ev JOIN ranked USING (v) GROUP BY t
+), totals AS (SELECT CAST(SUM(n1) AS BIGINT) AS n FROM per_t)
+SELECT t AS event_type, n1, n - n1 AS n2,
+       rsum2 - n1 * (n1 + 1) AS u_x2,
+       2 * n1 * (n - n1) - (rsum2 - n1 * (n1 + 1)) AS u_other_x2
+FROM per_t, totals
+ORDER BY event_type
+"""
+
+
 def stats_sigma_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-sigma outlier detection per event_type WITHOUT computing
     a standard deviation: ``|x - mean| > 3*stddev`` squares to
@@ -3671,6 +3897,9 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "stats_linear_trend": (stats_linear_trend, LINEAR_TREND_SQL),
     "stats_spearman_daily": (stats_spearman_daily, SPEARMAN_SQL),
     "stats_sigma_outliers": (stats_sigma_outliers, SIGMA_OUTLIERS_SQL),
+    "stats_mann_whitney": (stats_mann_whitney, MANN_WHITNEY_SQL),
+    "events_ewma_daily": (events_ewma_daily, EWMA_SQL),
+    "text_topics_kmeans": (text_topics_kmeans, _topics_sql()),
     "curation_shuffle_shards": (curation_shuffle_shards, SHUFFLE_SHARDS_SQL),
     "events_resample_daily": (events_resample_daily, RESAMPLE_SQL),
     "join_fuzzy_names": (join_fuzzy_names, FUZZY_SQL),

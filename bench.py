@@ -91,8 +91,12 @@ BENCH_QUERIES = [
     "mm_image_dhash_dedup",
     "stats_sigma_outliers",
     "curation_entropy_filtered",
-    # round-6: rolling-hash CDC boundary (the cheap path vs the md5 anchor)
+    # round-6: rolling-hash CDC boundary (the cheap path vs the md5 anchor),
+    # hashed-BoW topic clustering, rank-sum shift test, fixed-point EWMA
     "dedup_cdc_rolling",
+    "text_topics_kmeans",
+    "stats_mann_whitney",
+    "events_ewma_daily",
 ]
 
 

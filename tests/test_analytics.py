@@ -276,3 +276,92 @@ def test_trimmed_mean_drops_exact_deciles(spark, tmp_path):
     assert (r.event_type, r.n_kept) == ("click", 8)
     assert (r.cents_lo, r.cents_hi) == (200, 900)
     assert r.trimmed_mean_milli == 550_000
+
+
+def test_ewma_daily_exact_fixed_point_weights(spark, tmp_path):
+    """Planted 4-day series 10/20/30/40 cents: the power-of-two weight
+    ladder gives exactly floor((sum v_j * 2^(j-1)) / (2^m - 1)) --
+    10, 16, 24, 32 -- with short leading windows renormalized over the
+    weights present."""
+    from airflow_pipeline_text_processing_spark.plans.queries_ext import (
+        events_ewma_daily,
+    )
+
+    rows = [
+        (d, dt.datetime(2024, 1, d, 8, 0, 0), 1, "view", d * 0.10, "{}")
+        for d in range(1, 5)
+    ]
+    sf_dir = _write_events(spark, tmp_path, rows)
+    out = {r.day: r for r in events_ewma_daily(spark, sf_dir).collect()}
+    assert [out[f"2024-01-0{d}"].value_cents for d in range(1, 5)] == [
+        10, 20, 30, 40,
+    ]
+    # (10)/1, (10+40)/3, (10+40+120)/7, (10+40+120+320)/15 -- floored
+    assert [out[f"2024-01-0{d}"].ewma_cents for d in range(1, 5)] == [
+        10, 16, 24, 32,
+    ]
+
+
+def test_mann_whitney_hand_case_with_ties(spark, tmp_path):
+    """Hand-ranked pooled sample with a tie straddling the groups:
+    A = {1.00, 2.00, 3.00}, B = {2.00, 4.00}.  Midranks
+    1, 2.5, 2.5, 4, 5 give U_A = 1.5, U_B = 4.5 -- doubled to stay
+    integer: u_x2 = 3 and 9, and each row's u_other mirrors the other
+    group's U (U_A + U_B = n1*n2)."""
+    from airflow_pipeline_text_processing_spark.plans.queries_ext import (
+        stats_mann_whitney,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 8, 0, 0)
+    rows = [
+        (1, t0, 1, "a", 1.0, "{}"),
+        (2, t0, 1, "a", 2.0, "{}"),
+        (3, t0, 1, "a", 3.0, "{}"),
+        (4, t0, 2, "b", 2.0, "{}"),
+        (5, t0, 2, "b", 4.0, "{}"),
+    ]
+    sf_dir = _write_events(spark, tmp_path, rows)
+    out = {r.event_type: r for r in stats_mann_whitney(spark, sf_dir).collect()}
+    a, b = out["a"], out["b"]
+    assert (a.n1, a.n2, a.u_x2, a.u_other_x2) == (3, 2, 3, 9)
+    assert (b.n1, b.n2, b.u_x2, b.u_other_x2) == (2, 3, 9, 3)
+    # identity: u_x2 + u_other_x2 == 2 * n1 * n2
+    for r in (a, b):
+        assert r.u_x2 + r.u_other_x2 == 2 * r.n1 * r.n2
+
+
+def test_topics_kmeans_assigns_every_tokenized_doc_once(spark):
+    """Hashed-BoW topic clustering on the real sf0.001 corpus: every
+    document with at least one token is assigned exactly once, cluster
+    ids come from the seeded range, and documents with IDENTICAL text
+    (the corpus's planted exact dups) land in the same cluster at the
+    same distance (the vectorization is a pure function of text)."""
+    import pyspark.sql.functions as F
+
+    from airflow_pipeline_text_processing_spark.plans.queries_ext import (
+        text_topics_kmeans,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tokenized = docs.filter(
+        F.size(F.split(F.lower("text"), "[^a-z0-9]+")) > 0
+    )
+    out = text_topics_kmeans(spark, sf_dir).collect()
+    assert len(out) == len({r.doc_id for r in out})
+
+    by_doc = {r.doc_id: (r.cid, r.d2) for r in out}
+    assert all(1 <= cid <= 5 for cid, _ in by_doc.values())
+
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    assert set(by_doc) == {
+        did for did, t in texts.items()
+        if any(c.isalnum() for c in t.lower())
+    }
+    from collections import defaultdict
+    groups = defaultdict(list)
+    for did, t in texts.items():
+        groups[t].append(did)
+    for dids in groups.values():
+        if len(dids) > 1:
+            assert len({by_doc[d] for d in dids if d in by_doc}) <= 1

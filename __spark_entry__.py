@@ -182,6 +182,8 @@ _ORDER = [
     "events_ewma_daily",
     "stats_mann_whitney",
     "text_topics_kmeans",
+    "text_bpe_compression",
+    "sample_weighted_orders",
 ]
 
 assert len(_ORDER) == len(set(_ORDER)), "duplicate names in _ORDER"

@@ -160,3 +160,49 @@ def hash_split(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     split = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
     return df.withColumn("split", split)
+
+
+def weighted_bottom_k(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "wbk",
+) -> DataFrame:
+    """Deterministic weighted sample of ``k`` rows per group -- the
+    integer form of priority sampling (Duffield, Lund & Thorup 2007):
+    every row gets priority ``h div w`` where ``h`` is the first 13 hex
+    digits of ``md5(salt || '|' || key)`` (52 uniform bits, exact
+    BIGINT) and ``w`` its positive integer weight; the ``k`` SMALLEST
+    priorities per group win, ties broken on the key.  Heavier rows
+    draw proportionally smaller priorities, so inclusion probability
+    rises with weight, yet membership is a pure function of the key --
+    reruns, backfills, and other engines agree row for row (the same
+    property the threshold samplers above have, extended to weights).
+
+    Scale shape: one narrow projection computes priorities in the scan
+    stage; the per-group top-k is a partitioned window (never global).
+    Rows with non-positive weight are excluded.
+    """
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + "|"),
+                           F.col(key_col).cast("string"))),
+            1, 13,
+        ),
+        16, 10,
+    ).cast("long")
+    w = Window.partitionBy(group_col).orderBy("_pr", key_col)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_h", h)
+        # INTEGER division (not `/`, which is double division and can
+        # round a 52-bit numerator); both operands positive
+        .withColumn("_pr", F.expr(f"_h div {weight_col}"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .drop("_h", "_pr")
+    )

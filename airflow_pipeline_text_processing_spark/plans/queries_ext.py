@@ -3559,6 +3559,53 @@ ORDER BY event_type, day
 """
 
 
+def sample_weighted_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling
+    (operators/sampling.py::weighted_bottom_k): 20 orders per priority
+    class drawn with probability rising in order value -- integer
+    priority sampling (md5-hash div weight, bottom-k per group).  The
+    quality-weighted subsampling step of a curation pipeline, exactly
+    reproducible across engines and reruns."""
+    from ..operators.sampling import weighted_bottom_k
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey",
+        _cents(F.col("o_totalprice")).alias("weight_cents"),
+    )
+    return weighted_bottom_k(
+        orders, "o_orderpriority", "o_orderkey", "weight_cents", k=20
+    ).orderBy("o_orderpriority", "rk")
+
+
+def _weighted_sample_sql() -> str:
+    # 13 hex digits = 52 bits; mod 2^52 is the identity, so the shared
+    # digit-sum device doubles as a plain hex->BIGINT conversion
+    h = _sql_hex13_mod(
+        "substr(md5('wbk|' || CAST(o_orderkey AS VARCHAR)), 1, 13)", 1 << 52
+    )
+    return f"""
+WITH base AS (
+  SELECT o_orderpriority, o_orderkey,
+         CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS weight_cents,
+         {h} AS h
+  FROM orders
+  WHERE CAST(FLOOR(o_totalprice * 100) AS BIGINT) > 0
+), pr AS (
+  SELECT o_orderpriority, o_orderkey, weight_cents,
+         h // weight_cents AS p
+  FROM base
+)
+SELECT o_orderpriority, o_orderkey, weight_cents,
+       rk
+FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+              ORDER BY p, o_orderkey) AS BIGINT) AS rk
+  FROM pr)
+WHERE rk <= 20
+ORDER BY o_orderpriority, rk
+"""
+
+
 TOPIC_DIM = 32   # hashed bag-of-words feature width
 TOPIC_K = 5
 TOPIC_ITERS = 2
@@ -3900,6 +3947,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "stats_mann_whitney": (stats_mann_whitney, MANN_WHITNEY_SQL),
     "events_ewma_daily": (events_ewma_daily, EWMA_SQL),
     "text_topics_kmeans": (text_topics_kmeans, _topics_sql()),
+    "sample_weighted_orders": (sample_weighted_orders, _weighted_sample_sql()),
     "curation_shuffle_shards": (curation_shuffle_shards, SHUFFLE_SHARDS_SQL),
     "events_resample_daily": (events_resample_daily, RESAMPLE_SQL),
     "join_fuzzy_names": (join_fuzzy_names, FUZZY_SQL),

@@ -984,6 +984,61 @@ ORDER BY d.doc_id
 """
 
 
+def text_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-efficiency report per source -- the metric a data team
+    reads before committing to a tokenizer: train the BPE merges once on
+    the whole corpus, encode every source with them, and report
+    characters-per-symbol in milli units (higher = the tokenizer
+    compresses that domain better).  Integer throughout: the ratio is a
+    positive floor division, identical on both engines.
+
+    Scale shape: identical to text_bpe_encode (distinct-word rewrite +
+    broadcast join back) with a source-keyed aggregate instead of a
+    per-document one."""
+    docs = _t(spark, sf_dir, "documents")
+    merges = [
+        (r.sym_left, r.sym_right)
+        for r in T.bpe_train_merges(docs, k=BPE_K).collect()
+    ]
+    words = docs.select(
+        "source", F.explode(T.tokens(F.col("text"))).alias("word")
+    )
+    vocab = T.bpe_segment_words(words.select("word").distinct(), merges)
+    return (
+        words.join(F.broadcast(vocab), "word")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.length("word")).cast("long").alias("n_chars"),
+            F.sum("n_symbols").alias("n_bpe_symbols"),
+        )
+        .select(
+            "source", "n_words", "n_chars", "n_bpe_symbols",
+            # positive operands: truncation == floor on both engines
+            F.expr("(n_chars * 1000) div n_bpe_symbols")
+            .alias("chars_per_sym_milli"),
+        )
+        .orderBy("source")
+    )
+
+
+def _bpe_compression_sql(k: int = BPE_K) -> str:
+    return _bpe_chain_ctes(k, last_rewrite=True) + f""",
+docw AS (SELECT source, UNNEST({TOKS_SQL}) AS word FROM documents),
+per_source AS (
+  SELECT d.source,
+         CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(length(d.word)) AS BIGINT) AS n_chars,
+         CAST(SUM(len(string_split(v.w, ' '))) AS BIGINT) AS n_bpe_symbols
+  FROM docw d JOIN w{k} v ON v.word = d.word
+  GROUP BY d.source)
+SELECT source, n_words, n_chars, n_bpe_symbols,
+       (n_chars * 1000) // n_bpe_symbols AS chars_per_sym_milli
+FROM per_source
+ORDER BY source
+"""
+
+
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.lang_id(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
@@ -2249,6 +2304,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "text_repetition_signals": (text_repetition_signals, REPETITION_SQL),
     "text_bpe_train": (text_bpe_train, _bpe_train_sql()),
     "text_bpe_encode": (text_bpe_encode, _bpe_encode_sql()),
+    "text_bpe_compression": (text_bpe_compression, _bpe_compression_sql()),
     "text_lang_id": (text_lang_id, LANG_SQL),
     "text_fingerprint": (text_fingerprint, FINGERPRINT_SQL),
     "text_lm_surprisal": (text_lm_surprisal, _lm_surprisal_sql()),

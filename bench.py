@@ -97,6 +97,8 @@ BENCH_QUERIES = [
     "text_topics_kmeans",
     "stats_mann_whitney",
     "events_ewma_daily",
+    "text_bpe_compression",
+    "sample_weighted_orders",
 ]
 
 

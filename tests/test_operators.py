@@ -1733,3 +1733,71 @@ def test_sigma_outliers_matches_float_three_sigma(spark):
         )
         assert got[et] == exp, (et, got[et], exp)
     assert set(got) == set(vals)
+
+
+def test_weighted_bottom_k_exact_python_recompute(spark):
+    """weighted_bottom_k must match a plain-Python replay of the
+    priority-sampling arithmetic (md5 52-bit prefix div weight,
+    bottom-k, ties on key), and a row with overwhelming weight must
+    always be sampled while zero/negative weights never are."""
+    import hashlib
+
+    from airflow_pipeline_text_processing_spark.operators.sampling import (
+        weighted_bottom_k,
+    )
+
+    rows = [("g1", i, (i % 7) + 1) for i in range(1, 41)]
+    rows.append(("g1", 999, 10**9))   # overwhelming weight
+    rows.append(("g1", 1000, 0))      # excluded: non-positive weight
+    rows.append(("g2", 5000, 3))
+    df = spark.createDataFrame(rows, "g string, k long, w long")
+
+    got = weighted_bottom_k(df, "g", "k", "w", k=5).collect()
+
+    def prio(key, wgt):
+        h = int(hashlib.md5(f"wbk|{key}".encode()).hexdigest()[:13], 16)
+        return (h // wgt, key)
+
+    expect = {}
+    for g in ("g1", "g2"):
+        cand = sorted(prio(k, w) for gg, k, w in rows if gg == g and w > 0)
+        expect[g] = [k for _, k in cand[:5]]
+    by_g = {}
+    for r in sorted(got, key=lambda r: (r.g, r.rk)):
+        by_g.setdefault(r.g, []).append(r.k)
+    assert by_g == expect
+    assert 999 in by_g["g1"]      # heavy row always included
+    assert 1000 not in by_g["g1"]
+    assert by_g["g2"] == [5000]   # short group: fewer than k rows kept
+
+
+def test_bpe_compression_consistent_with_encode_totals(spark):
+    """Per-source symbol totals must reconcile with the per-document
+    encode query joined to each document's source, and the ratio
+    invariants n_chars >= n_bpe_symbols >= n_words must hold (a symbol
+    is at least one char; a word is at least one symbol)."""
+    import pyspark.sql.functions as F
+
+    from airflow_pipeline_text_processing_spark.plans.queries_llm import (
+        text_bpe_compression,
+        text_bpe_encode,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    comp = {r.source: r for r in text_bpe_compression(spark, sf_dir).collect()}
+    for r in comp.values():
+        assert r.n_chars >= r.n_bpe_symbols >= r.n_words
+        assert r.chars_per_sym_milli == r.n_chars * 1000 // r.n_bpe_symbols
+
+    enc = text_bpe_encode(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    per_source = {
+        r.source: r.total
+        for r in enc.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(F.sum("n_bpe_symbols").alias("total"))
+        .collect()
+    }
+    assert {s: r.n_bpe_symbols for s, r in comp.items()} == per_source

@@ -184,6 +184,7 @@ _ORDER = [
     "text_topics_kmeans",
     "text_bpe_compression",
     "sample_weighted_orders",
+    "mm_audio_fingerprint",
 ]
 
 assert len(_ORDER) == len(set(_ORDER)), "duplicate names in _ORDER"

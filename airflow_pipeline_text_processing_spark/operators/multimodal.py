@@ -644,3 +644,160 @@ def dhash_near_dups(media: DataFrame, max_hamming: int = 3) -> DataFrame:
         .distinct()
     )
     return cand
+
+
+# ---------------------------------------------------------------------
+# Audio spectral fingerprinting + offset-consistent matching: the
+# audio-domain complement of dHash near-dup.  A Shazam-shaped pipeline
+# (peak constellation -> hashed grams -> offset-vote matching) built on
+# an EXACT-INTEGER DFT so a SQL oracle can replay every bit: the
+# frequency basis is one literal Q15 table both engines index, powers
+# are int64 dot products, and the peak/tie rules are total orders.
+# ---------------------------------------------------------------------
+
+FP_FRAME = 32          # samples per analysis frame (non-overlapping)
+FP_BINS = (2, 3, 5, 7) # DFT bins fingerprinted, ascending (tie rule)
+FP_GRAM = 3            # consecutive peaks per signature
+FP_MIN_VOTES = 4       # same-offset signature matches to declare a pair
+
+# q15(cos(2*pi*j/64)) for j = 0..63, rounded half away from zero.  Every
+# basis value derives by index arithmetic -- cos(2*pi*k*n/32) sits at
+# index (2*k*n) % 64 and sin at (2*k*n + 48) % 64, exact identities of
+# the underlying real arguments -- so this one 64-literal table is the
+# whole spectral basis in BOTH engines (the Spark kernel builds its
+# numpy matrix from it; the DuckDB oracle indexes the literal list).
+COS64 = [
+    32768, 32610, 32138, 31357, 30274, 28899, 27246, 25330,
+    23170, 20788, 18205, 15447, 12540, 9512, 6393, 3212,
+    0, -3212, -6393, -9512, -12540, -15447, -18205, -20788,
+    -23170, -25330, -27246, -28899, -30274, -31357, -32138, -32610,
+    -32768, -32610, -32138, -31357, -30274, -28899, -27246, -25330,
+    -23170, -20788, -18205, -15447, -12540, -9512, -6393, -3212,
+    0, 3212, 6393, 9512, 12540, 15447, 18205, 20788,
+    23170, 25330, 27246, 28899, 30274, 31357, 32138, 32610,
+]
+
+
+def _fp_tables():
+    import numpy as np
+
+    cos_t = np.array(
+        [[COS64[(2 * k * n) % 64] for n in range(FP_FRAME)] for k in FP_BINS],
+        dtype=np.int64,
+    )
+    sin_t = np.array(
+        [[COS64[(2 * k * n + 48) % 64] for n in range(FP_FRAME)]
+         for k in FP_BINS],
+        dtype=np.int64,
+    )
+    return cos_t, sin_t
+
+
+def _fp_wav(payload: bytes, cos_t, sin_t) -> list:
+    """Per-frame fingerprint of an 8-bit mono WAV: the TOP-2 bins by
+    power (ties to the lower bin), packed ``b1 * 8 + b2`` -- 12 ordered
+    combinations per frame, enough entropy that coincidental matches
+    die at the vote threshold (a single peak bin measured ~200x more
+    false pairs).  Magnitude headroom: |re| <= 255 * 32768 * 32 ~
+    2.7e8, so re^2 + im^2 <= 1.5e17 -- exact int64.  The DC offset of
+    unsigned samples is irrelevant: each bin's rounded basis sums to
+    exactly zero over the frame (the table is antisymmetric), so a
+    constant frame scores 0 everywhere and ties resolve to the two
+    lowest bins."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 1 or w.getnchannels() != 1:
+            raise NotImplementedError("fingerprint expects 8-bit mono PCM")
+        raw = w.readframes(w.getnframes())
+    x = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+    nf = x.size // FP_FRAME
+    if nf == 0:
+        return []
+    fr = x[: nf * FP_FRAME].reshape(nf, FP_FRAME)
+    re = fr @ cos_t.T
+    im = fr @ sin_t.T
+    power = re * re + im * im
+    # stable sort on -power keeps ascending bin order within ties
+    order = np.argsort(-power, axis=1, kind="stable")
+    b1 = np.take(FP_BINS, order[:, 0])
+    b2 = np.take(FP_BINS, order[:, 1])
+    return [int(a) * 8 + int(b) for a, b in zip(b1, b2)]
+
+
+FP_SCHEMA = "doc_id long, frame_idx long, peak_code long"
+
+
+def spectral_fingerprints(media: DataFrame) -> DataFrame:
+    """Distributed fingerprint extraction (``mapInPandas``): one row per
+    (clip, frame) with the frame's packed top-2-bin code.  Same
+    Arrow batch shape as every multimodal kernel here; rows whose
+    payload fails to decode contribute no frames (quarantine-by-
+    omission -- the matcher can only ever under-claim)."""
+    import pandas as pd
+
+    def _fp(batches):
+        cos_t, sin_t = _fp_tables()
+        for pdf in batches:
+            ids, fidx, bins = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    peaks = _fp_wav(bytes(payload), cos_t, sin_t)
+                except Exception:  # noqa: BLE001 - quarantined per row
+                    peaks = []
+                for f, b in enumerate(peaks):
+                    ids.append(doc_id)
+                    fidx.append(f)
+                    bins.append(b)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(fidx, dtype="int64"),
+                    "peak_code": pd.Series(bins, dtype="int64"),
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(_fp, FP_SCHEMA)
+
+
+def fingerprint_matches(
+    probe_fps: DataFrame,
+    corpus_fps: DataFrame,
+    gram: int = FP_GRAM,
+    min_votes: int = FP_MIN_VOTES,
+) -> DataFrame:
+    """Offset-consistent fingerprint matching: ``gram`` consecutive
+    frame codes pack base-64 into one BIGINT signature (a posting key,
+    exactly the banded-LSH economics -- candidates meet only inside a
+    signature bucket, never corpus x corpus); a (probe, clip) pair is a
+    match when >= ``min_votes`` signatures agree at ONE frame offset,
+    the consistency test that kills coincidental bin collisions.
+    Output: ``probe_id, corpus_id, offset_frames, n_votes``."""
+    from pyspark.sql import Window
+
+    def sigs(fps: DataFrame, prefix: str) -> DataFrame:
+        w = Window.partitionBy("doc_id").orderBy("frame_idx")
+        sig = F.col("peak_code")
+        for i in range(1, gram):
+            sig = sig * 64 + F.lead("peak_code", i).over(w)  # null past end
+        return fps.select(
+            F.col("doc_id").alias(f"{prefix}_id"),
+            F.col("frame_idx").alias(f"{prefix}_f"),
+            sig.alias("sig"),
+        ).filter(F.col("sig").isNotNull())
+
+    p = sigs(probe_fps, "probe")
+    c = sigs(corpus_fps, "corpus")
+    return (
+        p.join(c, "sig")
+        .groupBy(
+            "probe_id",
+            "corpus_id",
+            (F.col("probe_f") - F.col("corpus_f")).alias("offset_frames"),
+        )
+        .agg(F.count("*").alias("n_votes"))
+        .filter(F.col("n_votes") >= min_votes)
+    )

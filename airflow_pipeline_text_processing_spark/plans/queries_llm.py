@@ -1704,6 +1704,118 @@ FROM seg GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def mm_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio duplicate detection by spectral fingerprint
+    (operators/multimodal.py::spectral_fingerprints /
+    fingerprint_matches): 8-bit mono WAVs built in-engine from the
+    sanitized byte source; per-frame TOP-2 DFT bins over an
+    exact-integer Q15 basis (one shared 64-literal cos table); 3-gram
+    peak-code signatures; a probe matches a corpus clip when >= 4 signatures
+    agree at one frame offset.  Probes are planted time-shifted copies
+    (3 silence frames + the original samples), so every probe must
+    report its original at offset_frames = 3 -- the Shazam-shaped
+    constellation pipeline with every stage a total-order integer rule
+    the oracle replays."""
+    import pandas as pd
+
+    from ..operators.multimodal import (
+        fingerprint_matches,
+        spectral_fingerprints,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", "").alias(
+            "clean"
+        ),
+    ).filter(F.length("clean") >= 256)
+    probes = docs.filter(F.col("doc_id") < 60).select(
+        (F.col("doc_id") + 700000).alias("doc_id"),
+        F.concat(F.lit(" " * 96), F.col("clean")).alias("clean"),
+    )
+
+    def _to_wav(batches):
+        import io
+        import wave as _wave
+
+        for pdf in batches:
+            payloads = []
+            for text in pdf["clean"]:
+                buf = io.BytesIO()
+                with _wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(1)
+                    w.setframerate(8000)
+                    w.writeframes(text.encode("utf-8"))
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    wav_schema = "doc_id long, payload binary"
+    return fingerprint_matches(
+        spectral_fingerprints(probes.mapInPandas(_to_wav, wav_schema)),
+        spectral_fingerprints(docs.mapInPandas(_to_wav, wav_schema)),
+    ).orderBy("probe_id", "corpus_id", "offset_frames")
+
+
+def _fp_match_sql() -> str:
+    c64 = "[" + ", ".join(str(v) for v in MM.COS64) + "]"
+    return f"""
+WITH tbl AS (SELECT {c64} AS c),
+clean AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS t
+  FROM documents),
+longdocs AS (SELECT doc_id, t FROM clean WHERE length(t) >= 256),
+clips AS (
+  SELECT 'o' AS side, doc_id, t FROM longdocs
+  UNION ALL
+  SELECT 'p', doc_id + 700000, repeat(' ', 96) || t
+  FROM longdocs WHERE doc_id < 60),
+codes AS (
+  SELECT side, doc_id,
+         list_transform(string_split(t, ''),
+           ch -> CAST(ascii(ch) AS BIGINT)) AS cod
+  FROM clips),
+grid AS (
+  SELECT side, doc_id, cod, uf.f, ub.b
+  FROM codes,
+       UNNEST(range(0, len(cod) // 32)) AS uf(f),
+       UNNEST([2, 3, 5, 7]) AS ub(b)),
+reim AS (
+  SELECT side, doc_id, f, b,
+         CAST(list_sum(list_transform(range(0, 32),
+           n -> cod[f*32 + n + 1] * c[((2*b*n) % 64) + 1])) AS BIGINT) AS re,
+         CAST(list_sum(list_transform(range(0, 32),
+           n -> cod[f*32 + n + 1] * c[((2*b*n + 48) % 64) + 1])) AS BIGINT)
+           AS im
+  FROM grid, tbl),
+peaks AS (
+  SELECT side, doc_id, f,
+         MAX(CASE WHEN rn = 1 THEN b END) * 8
+           + MAX(CASE WHEN rn = 2 THEN b END) AS p
+  FROM (
+    SELECT side, doc_id, f, b,
+           ROW_NUMBER() OVER (PARTITION BY side, doc_id, f
+             ORDER BY re*re + im*im DESC, b) AS rn
+    FROM reim)
+  WHERE rn <= 2 GROUP BY side, doc_id, f),
+sigs AS (
+  SELECT side, doc_id, f,
+         (p * 64 + LEAD(p, 1) OVER w) * 64 + LEAD(p, 2) OVER w AS sig
+  FROM peaks
+  WINDOW w AS (PARTITION BY side, doc_id ORDER BY f)
+  QUALIFY LEAD(p, 2) OVER w IS NOT NULL)
+SELECT pr.doc_id AS probe_id, co.doc_id AS corpus_id,
+       pr.f - co.f AS offset_frames, CAST(COUNT(*) AS BIGINT) AS n_votes
+FROM (SELECT * FROM sigs WHERE side = 'p') pr
+JOIN (SELECT * FROM sigs WHERE side = 'o') co USING (sig)
+GROUP BY 1, 2, 3
+HAVING COUNT(*) >= 4
+ORDER BY probe_id, corpus_id, offset_frames
+"""
+
+
 PHRASE = ("table", "scan")
 
 
@@ -2316,6 +2428,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "mm_frame_sample": (mm_frame_sample, MM_FRAMES_SQL),
     "mm_audio_resample": (mm_audio_resample, MM_RESAMPLE_SQL),
     "mm_audio_vad": (mm_audio_vad, MM_VAD_SQL),
+    "mm_audio_fingerprint": (mm_audio_fingerprint, _fp_match_sql()),
     "curation_training_set": (curation_training_set, CURATION_SQL),
     "curation_snapshot_diff": (curation_snapshot_diff, SNAPSHOT_DIFF_SQL),
 }

@@ -1801,3 +1801,40 @@ def test_bpe_compression_consistent_with_encode_totals(spark):
         .collect()
     }
     assert {s: r.n_bpe_symbols for s, r in comp.items()} == per_source
+
+
+def test_audio_fingerprint_recovers_time_shifted_copies(spark):
+    """Every planted probe (3 silence frames + an original clip's
+    samples) must report its original as its HIGHEST-VOTE match at
+    offset_frames = 3, and true-pair votes must dominate the
+    coincidental-collision floor (the offset-consistency test is what
+    kills collisions of the low-entropy per-frame codes)."""
+    from airflow_pipeline_text_processing_spark.plans.queries_llm import (
+        mm_audio_fingerprint,
+    )
+
+    import pyspark.sql.functions as F
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = mm_audio_fingerprint(spark, sf_dir).collect()
+    assert rows, "no matches at all"
+    # the corpus plants exact AND near duplicates (long shared
+    # prefixes), which the fingerprint legitimately also matches -- so
+    # the sharp claim is: the true pair row exists at offset 3 with
+    # dominant votes (nothing out-votes it; shared-prefix near-dups may
+    # tie)
+    true_rows = {
+        r.probe_id: r
+        for r in rows
+        if r.corpus_id == r.probe_id - 700000 and r.offset_frames == 3
+    }
+    max_votes = {}
+    for r in rows:
+        max_votes[r.probe_id] = max(max_votes.get(r.probe_id, 0), r.n_votes)
+    probes = sorted(max_votes)
+    assert len(probes) >= 20  # every qualifying doc_id < 60 planted a probe
+    for pid in probes:
+        assert pid in true_rows, f"probe {pid} never matched its original"
+        r = true_rows[pid]
+        assert r.n_votes >= 6  # >= (min frames - 2) sigs agree for a true pair
+        assert r.n_votes == max_votes[pid], (pid, r, max_votes[pid])

@@ -26,44 +26,39 @@ _MERGED = {**_CORE, **_LLM, **_EXT}
 # fully declared: the local gate (tools/check_oracle.py) checks all of them.
 _ORDER = [
     # ============== DRIVER WINDOW (first 50 -- graded this round) =========
-    # Rotation contract (see README "Grading window"): through round 5,
-    # 103 distinct entries have a green driver CORRECTNESS row.  Round 6
-    # rotates the 26 remaining never-driver-graded entries (all r5-built,
-    # all exact-equality green on the local gate) into the window, so that
-    # after this round every registry query has been driver-graded at
-    # least once.  The 24 carried entries keep every SURVEY §2 category
-    # and first-class LLM component represented: joins (q5/anti/asof/
-    # bucketed), agg (salted/correlated/histogram), windows, scalars,
-    # json, table format (merge), sources (orc/xml), codec (reassembly/
-    # repair), streaming (ssjoin/session), dedup (exact/minhash), sim
-    # (ivf), sketches (cms), graph, BPE, data quality, curation set.
-    # Displaced r5-green entries each keep >=1 in-window category sibling.
-    # -- never-driver-graded: fixed-point LM family -----------------------
+    # Rotation contract (see README "Grading window"): the driver grades
+    # only the first ~50 entries; each round the never-driver-graded
+    # entries rotate in, displacing green entries that keep an in-window
+    # category sibling.  Round 8 rotates in the 7 r6-built entries that
+    # r7 (a zero-commit round) failed to rotate -- after this round every
+    # registry query has a driver CORRECTNESS row at least once.
+    # Displaced (all r6/r7 driver-green, each with in-window siblings):
+    # events_anomaly_days, stats_chi_square, text_cooccurrence_pmi,
+    # sample_hash_split, mm_audio_vad, dedup_cdc_chunks,
+    # cluster_assign_incremental.
+    # -- never-driver-graded: rotated in for round 8 ----------------------
+    "dedup_cdc_rolling",
+    "events_ewma_daily",
+    "stats_mann_whitney",
+    "text_topics_kmeans",
+    "text_bpe_compression",
+    "sample_weighted_orders",
+    "mm_audio_fingerprint",
+    # -- r6-graded verifiers kept in-window -------------------------------
     "text_lm_bigram",
     "text_nb_classify",
-    "text_cooccurrence_pmi",
     "text_token_entropy",
     "curation_lm_filtered",
-    # -- never-driver-graded: event analytics -----------------------------
     "events_retention_cohorts",
-    "events_anomaly_days",
     "events_rolling_active_users",
     "events_concurrency_peaks",
-    # -- never-driver-graded: exact-integer statistics --------------------
-    "stats_chi_square",
     "stats_trimmed_mean",
     "stats_spearman_daily",
     "stats_sigma_outliers",
-    # -- never-driver-graded: sampling / similarity / clustering ----------
     "sample_temperature_sources",
-    "sample_hash_split",
     "sim_mine_triplets",
     "sim_pooled_rerank",
-    "cluster_assign_incremental",
-    # -- never-driver-graded: dedup / multimodal / text / agg / curation --
-    "dedup_cdc_chunks",
     "dedup_semantic_clusters",
-    "mm_audio_vad",
     "mm_image_dhash_dedup",
     "text_phrase_search",
     "agg_mode_per_type",
@@ -177,14 +172,14 @@ _ORDER = [
     "embed_quantize_int8",
     "cluster_kmeans_embeddings",
     "stats_linear_trend",
-    # -- round-6 additions (rotate into the window next round) ------------
-    "dedup_cdc_rolling",
-    "events_ewma_daily",
-    "stats_mann_whitney",
-    "text_topics_kmeans",
-    "text_bpe_compression",
-    "sample_weighted_orders",
-    "mm_audio_fingerprint",
+    # -- displaced by the round-8 rotation (driver-green r6/r7) -----------
+    "events_anomaly_days",
+    "stats_chi_square",
+    "text_cooccurrence_pmi",
+    "sample_hash_split",
+    "mm_audio_vad",
+    "dedup_cdc_chunks",
+    "cluster_assign_incremental",
 ]
 
 assert len(_ORDER) == len(set(_ORDER)), "duplicate names in _ORDER"

@@ -393,6 +393,17 @@ def optimize_zorder(
         F.min(col_b).cast("long"),
         F.max(col_b).cast("long"),
     ).first()
+    if lo_a is None or hi_a is None or lo_b is None or hi_b is None:
+        # An all-NULL (or non-castable) column has no min/max: there is no
+        # Z-order to lay out along, so surface a clear error instead of the
+        # TypeError that int(None) would raise mid-rewrite.
+        null_cols = [
+            c for c, v in ((key_col, lo_a), (col_b, lo_b)) if v is None
+        ]
+        raise ValueError(
+            "optimize_zorder: column(s) %s have no non-NULL long values; "
+            "cannot compute a Z-order layout" % ", ".join(sorted(set(null_cols)))
+        )
 
     def norm(col: str, lo: int, hi: int) -> str:
         span = max(int(hi) - int(lo), 0) + 1
@@ -402,22 +413,39 @@ def optimize_zorder(
         "_zkey",
         zorder_key(norm(key_col, lo_a, hi_a), norm(col_b, lo_b, hi_b), bits),
     )
+    # Deterministic file split: equal-width z-ranges, NOT the sampled
+    # boundaries of repartitionByRange (whose sampling made the file count
+    # per z-range run-order-dependent).  Each bucket is a contiguous slice
+    # of the Morton curve, so each file is tight in BOTH dimensions by
+    # construction; repartition-on-bucket puts a bucket's rows in exactly
+    # one task and partitionBy splits colliding buckets into separate
+    # files, so the layout is one pass and fully reproducible.
+    keyed = keyed.withColumn(
+        "_zbucket",
+        F.expr(f"CAST((_zkey * {n_files}) div {1 << (2 * bits)}L AS INT)"),
+    )
     (
-        keyed.repartitionByRange(n_files, "_zkey")
-        .sortWithinPartitions("_zkey")
+        keyed.repartition(n_files, "_zbucket")
+        .sortWithinPartitions("_zbucket", "_zkey")
         .drop("_zkey")
-        .write.parquet(staging)
+        .write.partitionBy("_zbucket")
+        .parquet(staging)
     )
 
     moved = []
     seq = 0
-    for name in sorted(os.listdir(staging)):
-        if not name.endswith(".parquet"):
-            continue
-        dst = os.path.join(data_dir, f"zorder-{epoch:05d}-{seq:05d}.parquet")
-        os.rename(os.path.join(staging, name), dst)
-        moved.append(dst)
-        seq += 1
+    bucket_dirs = sorted(
+        (d for d in os.listdir(staging) if d.startswith("_zbucket=")),
+        key=lambda d: int(d.split("=", 1)[1]),
+    )
+    for bdir in bucket_dirs:
+        for name in sorted(os.listdir(os.path.join(staging, bdir))):
+            if not name.endswith(".parquet"):
+                continue
+            dst = os.path.join(data_dir, f"zorder-{epoch:05d}-{seq:05d}.parquet")
+            os.rename(os.path.join(staging, bdir, name), dst)
+            moved.append(dst)
+            seq += 1
     shutil.rmtree(staging)
 
     live_set = {r.file for r in live}

@@ -326,3 +326,76 @@ def test_optimize_zorder_prunes_two_predicate_scans(spark, tmp_path):
     # single-predicate pruning still works through the old reader
     _, files_read, files_total = read_pruned(spark, path, "k", 100, 150)
     assert files_read < files_total
+
+
+def test_optimize_zorder_all_null_secondary_column_errors(spark, tmp_path):
+    """An all-NULL secondary column has no min/max: optimize_zorder must
+    raise a clear ValueError naming the column, not a TypeError from
+    int(None) mid-rewrite (and must leave the table untouched)."""
+    import pytest
+
+    from airflow_pipeline_text_processing_spark.sources.manifest import (
+        optimize_zorder,
+    )
+
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        F.lit(None).cast("long").alias("b"),
+    )
+    path = str(tmp_path / "nulltbl")
+    write_manifest_table(df, path, "k", 4)
+
+    with pytest.raises(ValueError, match="b"):
+        optimize_zorder(spark, path, "k", "b", n_files=4)
+    # table untouched: same epoch, same contents
+    assert current_epoch(spark, path) == 0
+    assert read_live(spark, path).count() == 100
+
+
+def test_optimize_zorder_anticorrelated_layout(spark, tmp_path):
+    """Adversarial layout: b is perfectly ANTI-correlated with k
+    (b = 4095 - k), so the initial range-partitioned files are tight on
+    both dims already -- but along the anti-diagonal.  A box predicate
+    (mid-range k AND mid-range b) intersects that diagonal in exactly
+    one file-range, while the Z-ordered rewrite keeps pruning
+    competitive: the pruned-file count after ZORDER must still beat the
+    linear (single-dim) layout for an off-diagonal box that the
+    diagonal layout cannot prune at all."""
+    from airflow_pipeline_text_processing_spark.sources.manifest import (
+        optimize_zorder,
+        read_pruned2,
+    )
+
+    df = spark.range(4096).select(
+        F.col("id").alias("k"),
+        (4095 - F.col("id")).alias("b"),
+    )
+    path = str(tmp_path / "antitbl")
+    write_manifest_table(df, path, "k", 8)
+
+    # pre-rewrite the manifest carries NO secondary stats, so a scan that
+    # spans the full k range cannot prune a single file on b
+    pre, pre_read, pre_total = read_pruned2(
+        spark, path, "k", 0, 4095, "b", 1024, 1535
+    )
+    assert pre_total == 8
+    assert pre_read == 8  # linear layout: useless for the b predicate
+
+    rewritten, written = optimize_zorder(spark, path, "k", "b", n_files=8)
+    assert rewritten == 8 and written >= 1
+
+    # after ZORDER every file records BOTH mins/maxes; even on this
+    # adversarial anti-correlated layout the same scan must strictly beat
+    # the linear layout, and contents must be identical
+    post, post_read, post_total = read_pruned2(
+        spark, path, "k", 0, 4095, "b", 1024, 1535
+    )
+    assert post_read < pre_read
+    assert post_read <= post_total // 2
+    assert sorted((r.k, r.b) for r in post.collect()) == sorted(
+        (r.k, r.b) for r in pre.collect()
+    )
+
+    # a box narrow in k as well prunes at least as hard as either alone
+    _, both_read, _ = read_pruned2(spark, path, "k", 2048, 3071, "b", 1024, 1535)
+    assert both_read <= post_read

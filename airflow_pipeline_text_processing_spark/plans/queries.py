@@ -71,6 +71,16 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     return df
 
 
+def _tspread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a testdata table with scan-parallelism protection: the driver's
+    sf0.01/sf0.1 tables are each ONE single-row-group parquet file, which
+    Spark cannot split -- so every downstream map-side stage (tokenize,
+    explode, Arrow UDF, lambda eval) would serialize onto one core.  The
+    ``_spread`` gate repartitions up to core count only in that case; at
+    real scale (many files) it is a no-op with zero added shuffle."""
+    return _spread(spark, _t(spark, sf_dir, name))
+
+
 def _cents(col):
     """Deterministic per-row canonicalization: value -> integer cents."""
     return F.floor(col * 100).cast("long")

@@ -24,7 +24,7 @@ from typing import Callable, Dict, Optional, Tuple
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from .queries import _cents, _money_sum, _sql_money_sum, _t
+from .queries import _cents, _money_sum, _sql_money_sum, _t, _tspread
 
 _MEM_SEQ = itertools.count()
 _DRAIN_LOCK = threading.Lock()
@@ -547,7 +547,7 @@ def array_scalar_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     element access, slicing, size, fixed-point array reductions (min/max of
     floored milli-units -- exact, order-free), zip_with pairing, plus
     coalesce/nullif.  Complements the string/date scalar showcases."""
-    vecs = _t(spark, sf_dir, "embeddings")
+    vecs = _tspread(spark, sf_dir, "embeddings")
     milli = F.transform(
         "embedding", lambda x: F.floor(x.cast("double") * 1000).cast("long")
     )
@@ -646,7 +646,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/text.py::tfidf_top_terms for why not log)."""
     from ..operators.text import tfidf_top_terms
 
-    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+    return tfidf_top_terms(_tspread(spark, sf_dir, "documents"), k=3)
 
 
 def _tfidf_sql() -> str:
@@ -711,7 +711,7 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow 1->N fan-out, chunk content fingerprinted by md5."""
     from ..operators.text import token_window_chunks
 
-    return token_window_chunks(_t(spark, sf_dir, "documents"), size=50, stride=40)
+    return token_window_chunks(_tspread(spark, sf_dir, "documents"), size=50, stride=40)
 
 
 def _chunk_windows_sql() -> str:
@@ -767,7 +767,7 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc is a planted contamination."""
     from ..operators.dedup import contamination_report
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _tspread(spark, sf_dir, "documents").select("doc_id", "text")
     eval_docs = docs.filter(F.col("doc_id") < 40)
     twins = docs.filter(F.col("doc_id") < 200).select(
         (F.col("doc_id") + 100000).alias("doc_id"),
@@ -968,7 +968,7 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scrubbed-content hash per document."""
     from ..operators.text import pii_scrub
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    docs = _tspread(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
     planted = docs.select(
         "doc_id",
         F.concat(
@@ -1039,7 +1039,7 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     code array, and the fixed-point reconstruction-error sum."""
     from ..operators.similarity import quantize_int8
 
-    vecs = _t(spark, sf_dir, "embeddings")
+    vecs = _tspread(spark, sf_dir, "embeddings")
     return quantize_int8(vecs).orderBy("vec_id")
 
 
@@ -1136,7 +1136,7 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact Jaccard verifies candidate pairs only."""
     from ..operators.dedup import incremental_minhash_dedup
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _tspread(spark, sf_dir, "documents").select("doc_id", "text")
     existing = docs.filter(F.col("doc_id") < 300)
     new_batch = docs.filter(F.col("doc_id") < 60).select(
         (F.col("doc_id") + 100000).alias("doc_id"),
@@ -1210,7 +1210,7 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition window."""
     from ..operators.text import pack_sequences
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tspread(spark, sf_dir, "documents")
     return pack_sequences(docs, budget=PACK_BUDGET)
 
 
@@ -1252,7 +1252,7 @@ def text_pack_bins_bfd(spark: SparkSession, sf_dir: str) -> DataFrame:
     are under the gate."""
     from ..operators.text import pack_bins_bfd
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tspread(spark, sf_dir, "documents")
     return pack_bins_bfd(docs, budget=PACK_BUDGET, num_shards=8).orderBy(
         "doc_id"
     )
@@ -1316,7 +1316,7 @@ def curation_packed_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     packing into 500-token training bins."""
     from ..plans.curation import curate_and_pack
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _tspread(spark, sf_dir, "documents").select("doc_id", "text")
     eval_docs = docs.filter(
         (F.col("doc_id") >= 300) & (F.col("doc_id") < 340)
     )
@@ -1831,7 +1831,7 @@ def sample_temperature_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines."""
     from ..operators.sampling import temperature_resample
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    docs = _tspread(spark, sf_dir, "documents").select("doc_id", "source")
     return temperature_resample(docs, "source", "doc_id")
 
 
@@ -2100,7 +2100,7 @@ def curation_full_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     and eval-set twins (decontamination prey)."""
     from ..plans.curation import curate_full
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _tspread(spark, sf_dir, "documents").select("doc_id", "text")
     eval_docs = docs.filter(
         (F.col("doc_id") >= 300) & (F.col("doc_id") < 340)
     )
@@ -2281,7 +2281,7 @@ def curation_incremental_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     post-excision text so the stage-3 rewrite is value-checked."""
     from ..plans.curation import curate_incremental
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _tspread(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = docs.filter(F.col("doc_id") < 300)
     eval_docs = docs.filter(
         (F.col("doc_id") >= 300) & (F.col("doc_id") < 340)
@@ -2722,7 +2722,7 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     not engine-portable."""
     from ..operators.quality import profile_table
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _tspread(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "n_chars"
     )
     return profile_table(docs, exact=True)
@@ -3307,7 +3307,7 @@ def stats_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant-size cross join of the two tiny marginal relations, never
     the corpus.  One map-side-combinable corpus aggregate; everything
     after is marginal-sized."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tspread(spark, sf_dir, "documents")
     cells = docs.groupBy("lang", "source").agg(F.count("*").alias("o"))
     rows_m = cells.groupBy("lang").agg(F.sum("o").alias("r"))
     cols_m = cells.groupBy("source").agg(F.sum("o").alias("c"))
@@ -3627,7 +3627,7 @@ def text_topics_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.clustering import kmeans_fixed_point
     from ..operators.text import tokens
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _tspread(spark, sf_dir, "documents").select("doc_id", "text")
     toks = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("item")
     )
@@ -3848,7 +3848,7 @@ def curation_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.windows import ordered_running_sum
 
     k = 16
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _tspread(spark, sf_dir, "documents").select(
         "doc_id", F.md5(F.col("doc_id").cast("string")).alias("skey")
     ).withColumn("one", F.lit(1).cast("long"))
     ranked = ordered_running_sum(

@@ -22,7 +22,7 @@ from ..operators import lm as L
 from ..operators import multimodal as MM
 from ..operators import similarity as S
 from ..operators import text as T
-from .queries import QueryFn, _t
+from .queries import QueryFn, _t, _tspread
 
 # ---------------------------------------------------------------------
 # planted corpora (identical derivations, both engines)
@@ -33,7 +33,7 @@ SIM_PLANT_LIMIT = 50
 
 
 def _doubled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _tspread(spark, sf_dir, "documents").select("doc_id", "text")
     return docs.unionAll(
         docs.select((F.col("doc_id") + 200000).alias("doc_id"), "text")
     )
@@ -48,7 +48,7 @@ DOUBLED_SQL = """
 
 def _planted_docs(spark: SparkSession, sf_dir: str, limit: int = PLANT_LIMIT) -> DataFrame:
     docs = (
-        _t(spark, sf_dir, "documents")
+        _tspread(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < limit)
         .select("doc_id", "text")
     )
@@ -72,7 +72,7 @@ def _planted_sql(limit: int = PLANT_LIMIT) -> str:
 
 
 def _planted_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    vecs = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    vecs = _tspread(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     twins = vecs.filter(F.col("vec_id") < SIM_PLANT_LIMIT).select(
         (F.col("vec_id") + 100000).alias("vec_id"),
         F.transform("embedding", lambda x: x * 2).alias("embedding"),
@@ -443,7 +443,7 @@ ORDER BY id_a, id_b
 
 
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    vecs = _t(spark, sf_dir, "embeddings")
+    vecs = _tspread(spark, sf_dir, "embeddings")
     return S.brute_force_topk(
         vecs.filter(F.col("vec_id") < 10), vecs, k=5
     )
@@ -467,7 +467,7 @@ ORDER BY query_id, rank
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate NN: 8 deterministic md5-sampled centroids, probe the
     2 nearest cells, exact fixed-point cosine rerank inside them."""
-    vecs = _t(spark, sf_dir, "embeddings")
+    vecs = _tspread(spark, sf_dir, "embeddings")
     return S.ivf_topk(
         vecs.filter(F.col("vec_id") < 10), vecs, k=3, num_centroids=8, nprobe=2
     )
@@ -519,7 +519,7 @@ ORDER BY query_id, rank
 
 
 def sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    vecs = _t(spark, sf_dir, "embeddings")
+    vecs = _tspread(spark, sf_dir, "embeddings")
     return S.lsh_topk(
         vecs.filter(F.col("vec_id") < 10), vecs, k=3, num_planes=8
     )
@@ -574,7 +574,7 @@ def sim_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.09 -> 0.39 recall@10 at these parameters -- see
     ``operators/similarity.py::lsh_topk``).  ``n_tables_hit`` is the
     per-pair collision count, a confidence signal."""
-    vecs = _t(spark, sf_dir, "embeddings")
+    vecs = _tspread(spark, sf_dir, "embeddings")
     return S.lsh_topk(
         vecs.filter(F.col("vec_id") < 10), vecs, k=3, num_planes=4,
         num_tables=4,
@@ -641,7 +641,7 @@ ORDER BY query_id, rank
 
 
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return T.token_stats(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+    return T.token_stats(_tspread(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
 TEXT_TOKENS_SQL = f"""
@@ -656,7 +656,7 @@ FROM toks ORDER BY doc_id
 
 def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish pre-token counts (the LLM token-count proxy)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tspread(spark, sf_dir, "documents")
     tk = T.bpe_tokens(F.col("text"))
     return docs.select(
         "doc_id",
@@ -678,7 +678,7 @@ FROM toks ORDER BY doc_id
 
 
 def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return T.top_terms(_t(spark, sf_dir, "documents"), k=20)
+    return T.top_terms(_tspread(spark, sf_dir, "documents"), k=20)
 
 
 TOP_TERMS_SQL = f"""
@@ -697,7 +697,7 @@ def curation_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints."""
     from ..operators.dedup import snapshot_diff
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _tspread(spark, sf_dir, "documents").select("doc_id", "text")
     old = docs.filter(F.col("doc_id") < 400)
     new = docs.filter(F.col("doc_id") >= 100).withColumn(
         "text",
@@ -741,7 +741,7 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-term integer micro-unit flooring so both engines sum exact
     BIGINTs.  Ordered by doc_id so near-tie score ordering can never
     diverge between engines."""
-    scored = T.bm25_scores(_t(spark, sf_dir, "documents"), BM25_TERMS)
+    scored = T.bm25_scores(_tspread(spark, sf_dir, "documents"), BM25_TERMS)
     return scored.select(
         "doc_id", "n_terms_hit", "bm25_micro"
     ).orderBy("doc_id")
@@ -777,7 +777,7 @@ ORDER BY tf.doc_id
 
 
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return T.quality_score(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+    return T.quality_score(_tspread(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
 QUALITY_SQL = f"""
@@ -808,7 +808,7 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     and top-2-gram counts plus the integer-exact Gopher pass flags."""
     # tokens materialized as an attribute BEFORE the line-building lambda
     # references them (expression inlining would retokenize per line)
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _tspread(spark, sf_dir, "documents").select(
         "doc_id", T.tokens(F.col("text")).alias("_tk")
     )
     toks = F.col("_tk")
@@ -886,7 +886,7 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-pass space-delimited rewrite whose left-to-right non-overlap
     semantics both engines share."""
     return T.bpe_train_merges(
-        _t(spark, sf_dir, "documents"), k=BPE_K
+        _tspread(spark, sf_dir, "documents"), k=BPE_K
     ).orderBy("merge_rank")
 
 
@@ -952,7 +952,7 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-word relation as literal rewrites, broadcast-join back onto
     the corpus, and emit per-document BPE symbol counts.  Train + apply
     is the full tokenizer loop a data pipeline runs before packing."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tspread(spark, sf_dir, "documents")
     merges = [
         (r.sym_left, r.sym_right)
         for r in T.bpe_train_merges(docs, k=BPE_K).collect()
@@ -995,7 +995,7 @@ def text_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical to text_bpe_encode (distinct-word rewrite +
     broadcast join back) with a source-keyed aggregate instead of a
     per-document one."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tspread(spark, sf_dir, "documents")
     merges = [
         (r.sym_left, r.sym_right)
         for r in T.bpe_train_merges(docs, k=BPE_K).collect()
@@ -1040,7 +1040,7 @@ ORDER BY source
 
 
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return T.lang_id(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+    return T.lang_id(_tspread(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
 _MARKER_SQL = {
@@ -1065,7 +1065,7 @@ FROM hits ORDER BY doc_id
 
 
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return T.fingerprint(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+    return T.fingerprint(_tspread(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
 FINGERPRINT_SQL = """
@@ -1084,7 +1084,7 @@ FROM documents ORDER BY doc_id
 
 
 def mm_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = MM.attach_payload(_t(spark, sf_dir, "documents"))
+    media = MM.attach_payload(_tspread(spark, sf_dir, "documents"))
     return (
         media.groupBy("kind")
         .agg(
@@ -1116,7 +1116,7 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashable by the driver's canonicalizer (round-1 post-mortem: a raw
     array<double> column crashes pandas sort_values), and -- bonus --
     the deterministic byte-histogram stub becomes fully oracle-checkable."""
-    media = MM.attach_payload(_t(spark, sf_dir, "documents"))
+    media = MM.attach_payload(_tspread(spark, sf_dir, "documents"))
     feats = MM.extract_features(media, fake=True)
     return feats.select(
         "doc_id",
@@ -1148,7 +1148,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1->N frame sampling over binary payloads; the oracle checks the
     sampling geometry (row fan-out, offsets, slice lengths) -- frame BYTES
     are covered by pytest since DuckDB cannot slice blobs."""
-    media = MM.attach_payload(_t(spark, sf_dir, "documents"))
+    media = MM.attach_payload(_tspread(spark, sf_dir, "documents"))
     return (
         MM.sample_frames(media, num_frames=4, frame_size=256)
         .select(
@@ -1188,7 +1188,7 @@ def mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.multimodal import resample_audio
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tspread(spark, sf_dir, "documents")
 
     def _to_wav(batches):
         import io
@@ -1240,7 +1240,7 @@ def curation_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .curation import curate_documents
 
     return curate_documents(
-        _t(spark, sf_dir, "documents"),
+        _tspread(spark, sf_dir, "documents"),
         min_tokens=20,
         min_quality=0.15,
         token_budget=10_000,
@@ -1310,7 +1310,7 @@ def text_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, per-doc cross-entropy in exact Q8 fixed-point bits -- the
     classic perplexity filter for training-data curation, with every
     aggregate a BIGINT so the distributed sum is bit-reproducible."""
-    return L.unigram_surprisal(_t(spark, sf_dir, "documents"))
+    return L.unigram_surprisal(_tspread(spark, sf_dir, "documents"))
 
 
 def _lm_surprisal_sql() -> str:
@@ -1356,7 +1356,7 @@ def curation_lm_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus."""
     from ..operators.windows import ordered_running_sum
 
-    scored = L.unigram_surprisal(_t(spark, sf_dir, "documents"))
+    scored = L.unigram_surprisal(_tspread(spark, sf_dir, "documents"))
     # global rank without a single-partition window: row_number over a
     # total order == inclusive running count of ones, which
     # ordered_running_sum computes two-level (range exchange + offsets)
@@ -1405,7 +1405,7 @@ def curation_entropy_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     # three consumers hang off the score relation (the range exchange,
     # the per-partition totals, and the n_docs count) -- barrier it so
     # the entropy pipeline computes once (the cooccurrence_pmi device)
-    scored = L.token_entropy(_t(spark, sf_dir, "documents")).localCheckpoint(
+    scored = L.token_entropy(_tspread(spark, sf_dir, "documents")).localCheckpoint(
         eager=False
     )
     ranked = ordered_running_sum(
@@ -1445,7 +1445,7 @@ def text_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-class token likelihoods + document priors, argmin total
     surprisal in exact Q8 fixed point with a deterministic
     (score, label) tiebreak."""
-    return L.nb_classify(_t(spark, sf_dir, "documents"), label_col="lang")
+    return L.nb_classify(_tspread(spark, sf_dir, "documents"), label_col="lang")
 
 
 def _nb_sql() -> str:
@@ -1521,7 +1521,7 @@ def sim_mine_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     different-label hard negatives, over the real embeddings table with
     its label column -- the batch-mining step of a contrastive
     embedding-training pipeline."""
-    vecs = _t(spark, sf_dir, "embeddings")
+    vecs = _tspread(spark, sf_dir, "embeddings")
     return S.mine_triplets(
         vecs.filter(F.col("vec_id") < 10), vecs, k_neg=3
     )
@@ -1550,7 +1550,7 @@ def text_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram_surprisal_backoff): trained on doc_id < 400, scored on
     doc_id >= 400 -- a real train/eval split, so unseen-bigram backoff
     genuinely fires (n_backoff > 0) rather than being dead code."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _tspread(spark, sf_dir, "documents").select("doc_id", "text")
     return L.bigram_surprisal_backoff(
         docs.filter(F.col("doc_id") < 400),
         docs.filter(F.col("doc_id") >= 400),
@@ -1639,7 +1639,7 @@ def mm_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.multimodal import detect_voice_activity
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _tspread(spark, sf_dir, "documents").select(
         "doc_id",
         F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", "").alias(
             "clean"
@@ -1723,7 +1723,7 @@ def mm_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         spectral_fingerprints,
     )
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _tspread(spark, sf_dir, "documents").select(
         "doc_id",
         F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", "").alias(
             "clean"
@@ -1823,7 +1823,7 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-phrase search (operators/text.py::phrase_search): documents
     containing the 2-token phrase consecutively, with occurrence counts,
     via the positional-posting anchor aggregation (no m-way self-join)."""
-    hits = T.phrase_search(_t(spark, sf_dir, "documents"), PHRASE)
+    hits = T.phrase_search(_tspread(spark, sf_dir, "documents"), PHRASE)
     return hits.orderBy("doc_id")
 
 
@@ -1848,7 +1848,7 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     reruns, partitionings, and engines."""
     from ..operators.sampling import hash_split
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tspread(spark, sf_dir, "documents")
     return hash_split(docs, F.col("doc_id")).select(
         "doc_id", "lang", "split"
     ).orderBy("doc_id")
@@ -1876,7 +1876,7 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     array expressions, one hash-keyed shuffle."""
     from ..operators.dedup import cdc_dedup_stats
 
-    return cdc_dedup_stats(_t(spark, sf_dir, "documents")).orderBy("source")
+    return cdc_dedup_stats(_tspread(spark, sf_dir, "documents")).orderBy("source")
 
 
 CDC_SQL = """
@@ -1919,7 +1919,7 @@ def dedup_cdc_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import cdc_chunks_rolling, cdc_dedup_stats
 
     return cdc_dedup_stats(
-        _t(spark, sf_dir, "documents"), chunker=cdc_chunks_rolling
+        _tspread(spark, sf_dir, "documents"), chunker=cdc_chunks_rolling
     ).orderBy("source")
 
 
@@ -1973,7 +1973,7 @@ def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical arithmetic.  Output: final per-vector assignment."""
     from ..operators.clustering import kmeans_fixed_point, quantized
 
-    vecs = _t(spark, sf_dir, "embeddings")
+    vecs = _tspread(spark, sf_dir, "embeddings")
     q = vecs.select("vec_id", quantized(F.col("embedding")).alias("q"))
     assigned, _cents = kmeans_fixed_point(q, k=8, iters=3)
     return assigned.select("vec_id", "cid", "d2").orderBy("vec_id")
@@ -2002,7 +2002,7 @@ def cluster_assign_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantized,
     )
 
-    vecs = _t(spark, sf_dir, "embeddings")
+    vecs = _tspread(spark, sf_dir, "embeddings")
     q = vecs.select("vec_id", quantized(F.col("embedding")).alias("q"))
     _assigned, cents = kmeans_fixed_point(q, k=8, iters=3)
     batch = q.filter(F.col("vec_id") < 50).select(
@@ -2039,7 +2039,7 @@ def sim_pooled_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties on (d2, id); no nested-loop join over the corpus."""
     from ..operators.clustering import pooled_topk
 
-    vecs = _t(spark, sf_dir, "embeddings")
+    vecs = _tspread(spark, sf_dir, "embeddings")
     queries = vecs.filter(F.col("vec_id").isin(3, 10, 42))
     return pooled_topk(queries, vecs, k=5, prefilter=50).orderBy(
         "query_id", "rk"
@@ -2207,7 +2207,7 @@ def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation mining (operators/lm.py::cooccurrence_pmi): top-20
     token pairs by document-level pointwise mutual information in exact
     Q8 fixed-point bits, positively-associated pairs only."""
-    return L.cooccurrence_pmi(_t(spark, sf_dir, "documents"))
+    return L.cooccurrence_pmi(_tspread(spark, sf_dir, "documents"))
 
 
 def _pmi_sql(top_n: int = 20) -> str:
@@ -2247,7 +2247,7 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical-diversity quality signal (operators/lm.py::token_entropy):
     per-document Shannon entropy of the token histogram in exact Q8
     fixed point, milli-bits/token."""
-    return L.token_entropy(_t(spark, sf_dir, "documents"))
+    return L.token_entropy(_tspread(spark, sf_dir, "documents"))
 
 
 def _token_entropy_sql() -> str:
@@ -2297,7 +2297,7 @@ def mm_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the identical integer pipeline from the codepoints and
     checks ALL pairs -- the band join's completeness guarantee is
     therefore itself under test."""
-    docs = _t(spark, sf_dir, "documents").filter(F.length("text") >= 1)
+    docs = _tspread(spark, sf_dir, "documents").filter(F.length("text") >= 1)
     padded = (
         "substring(repeat(text, CAST(ceil(288.0 / length(text)) AS INT)),"
         " 1, 288)"

@@ -80,8 +80,21 @@ def with_descriptor(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def documents_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The driver's synthetic ``documents`` parquet with descriptor columns
-    mapped onto the reference schema (doc_id stands in for the path)."""
+    mapped onto the reference schema (doc_id stands in for the path).
+
+    The testdata corpus is ONE single-row-group parquet file, which Spark
+    cannot split across input partitions -- without intervention every
+    downstream codec/tokenize stage would serialize onto one core.  When
+    the scan has fewer input files than cores, repartition up to core
+    count (a tiny one-time shuffle locally; a no-op at real scale where
+    the corpus has >= cores files)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    target = spark.sparkContext.defaultParallelism
+    try:
+        if len(docs.inputFiles()) < target:
+            docs = docs.repartition(target)
+    except Exception:
+        pass
     return docs.select(
         F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("path"),
         "text",

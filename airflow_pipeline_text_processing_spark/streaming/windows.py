@@ -311,13 +311,24 @@ def stateful_user_totals_with_ttl(events: DataFrame) -> DataFrame:
 # container.  Callers pick the API via HAS_TWS_PROTOBUF; the operators
 # themselves are real, not stubs, and run wherever protobuf exists.
 
-import importlib.util  # noqa: E402
+import importlib  # noqa: E402
 
-# find_spec on a dotted name raises if the parent package is absent
-HAS_TWS_PROTOBUF = (
-    importlib.util.find_spec("google") is not None
-    and importlib.util.find_spec("google.protobuf") is not None
-)
+# Probe the EXACT module the state-server protocol imports at runtime
+# (pyspark/sql/streaming/proto/StateMessage_pb2 -> google.protobuf), not a
+# proxy: the gate flips green automatically the moment protobuf appears in
+# the environment, and TWS_GATE_REASON records the precise failing import
+# for the pytest skip message.
+try:
+    importlib.import_module("pyspark.sql.streaming.proto.StateMessage_pb2")
+    HAS_TWS_PROTOBUF = True
+    TWS_GATE_REASON = ""
+except ImportError as _tws_err:
+    HAS_TWS_PROTOBUF = False
+    TWS_GATE_REASON = (
+        "transformWithStateInPandas unavailable: importing "
+        "pyspark.sql.streaming.proto.StateMessage_pb2 failed with "
+        f"{_tws_err!r}"
+    )
 
 from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
     ExpiredTimerInfo,

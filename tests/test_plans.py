@@ -739,3 +739,35 @@ def test_dhash_query_payload_built_once(spark):
     # entirely, so it may appear at most once (zero once materialized)
     assert plan.count("repeat(text") <= 1
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_single_file_scan_spreads_to_core_count(spark):
+    """The testdata tables are each ONE single-row-group parquet file,
+    which the parquet reader cannot split: without the _tspread gate
+    every map-side stage over documents/embeddings (tokenize, explode,
+    Arrow UDF, lambda eval) serializes onto one core.  The gate must
+    repartition such scans up to core count -- and must be a NO-OP when
+    the scan already has enough input files (the real-scale case)."""
+    import tempfile
+
+    from airflow_pipeline_text_processing_spark.plans.queries import (
+        _spread,
+        _t,
+        _tspread,
+    )
+
+    target = spark.sparkContext.defaultParallelism
+    raw = _t(spark, "/root/testdata/sf0.001", "documents")
+    assert raw.rdd.getNumPartitions() == 1  # the hazard being mitigated
+    spread = _tspread(spark, "/root/testdata/sf0.001", "documents")
+    assert spread.rdd.getNumPartitions() == target
+    # same rows, just redistributed
+    assert spread.count() == raw.count()
+
+    # no-op case: a many-file scan must NOT pick up an extra exchange
+    d = tempfile.mkdtemp(prefix="spread_noop_")
+    spark.range(1000).repartition(target).write.mode("overwrite").parquet(d)
+    reread = spark.read.parquet(d)
+    assert len(reread.inputFiles()) >= target
+    plan = _spread(spark, reread)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # no shuffle added at real scale

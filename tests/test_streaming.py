@@ -457,12 +457,16 @@ def test_stateful_ttl_expires_idle_keys(spark, tmp_path):
         q.stop()
 
 
+_tws = __import__(
+    "airflow_pipeline_text_processing_spark.streaming.windows",
+    fromlist=["HAS_TWS_PROTOBUF", "TWS_GATE_REASON"],
+)
+
+
 @pytest.mark.skipif(
-    not __import__(
-        "airflow_pipeline_text_processing_spark.streaming.windows",
-        fromlist=["HAS_TWS_PROTOBUF"],
-    ).HAS_TWS_PROTOBUF,
-    reason="transformWithStateInPandas needs protobuf (absent in container)",
+    not _tws.HAS_TWS_PROTOBUF,
+    reason=_tws.TWS_GATE_REASON
+    or "transformWithStateInPandas needs protobuf",
 )
 def test_stateful_user_totals_v2_matches_legacy(spark, tmp_path):
     """The transformWithStateInPandas port must emit the same final state
@@ -522,13 +526,19 @@ def test_tws_capability_gate_is_honest(spark):
 
     from airflow_pipeline_text_processing_spark.streaming.windows import (
         HAS_TWS_PROTOBUF,
+        TWS_GATE_REASON,
         stateful_user_totals_v2,
     )
 
-    assert HAS_TWS_PROTOBUF == (
+    has_protobuf = (
         importlib.util.find_spec("google") is not None
         and importlib.util.find_spec("google.protobuf") is not None
     )
+    assert HAS_TWS_PROTOBUF == has_protobuf
+    if not HAS_TWS_PROTOBUF:
+        # the gate must name the exact failing import, not a vague proxy
+        assert "StateMessage_pb2" in TWS_GATE_REASON
+        assert "google" in TWS_GATE_REASON
     events = spark.createDataFrame(
         [(1, "2024-01-01 00:00:00", 1, "view", 1.0)],
         "event_id long, ts string, user_id long, event_type string, "

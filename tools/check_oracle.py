@@ -85,11 +85,59 @@ def compare(name: str, spark_df, oracle_df) -> list[str]:
     return issues
 
 
+_CACHE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".oracle_cache.json")
+
+
+def _fingerprints(entrymod) -> dict:
+    """Per-query change fingerprint for ``--changed`` mode: md5 of the
+    query function's own source + its oracle SQL + a digest of every
+    package module OUTSIDE the three registry files.  Editing one query
+    function re-runs only that query (the iteration hot path); editing
+    any shared operator/source module conservatively re-runs everything."""
+    import hashlib
+    import inspect
+
+    pkg_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "airflow_pipeline_text_processing_spark",
+    )
+    registry_files = {"queries.py", "queries_ext.py", "queries_llm.py"}
+    shared = hashlib.md5()
+    for root, _dirs, files in os.walk(pkg_dir):
+        for f in sorted(files):
+            if f.endswith(".py") and f not in registry_files:
+                with open(os.path.join(root, f), "rb") as fh:
+                    shared.update(fh.read())
+    shared_hex = shared.hexdigest()
+
+    queries, oracles = entrymod.queries(), entrymod.oracle_sql()
+    out = {}
+    for name, fn in queries.items():
+        try:
+            src = inspect.getsource(fn)
+        except (OSError, TypeError):
+            src = repr(fn)
+        out[name] = hashlib.md5(
+            (shared_hex + src + oracles.get(name, "")).encode()
+        ).hexdigest()
+    return out
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    import json
+
+    args = [a for a in sys.argv[1:] if a != "--changed"]
+    changed_only = "--changed" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entrymod
+
+    fps = _fingerprints(entrymod)
+    cache = {}
+    if changed_only and os.path.exists(_CACHE_PATH):
+        with open(_CACHE_PATH) as fh:
+            cache = json.load(fh).get(sf_dir, {})
 
     # VANILLA session on purpose: the driver harness builds a bare
     # SparkSession with none of session.py's confs, so the local gate must
@@ -111,8 +159,12 @@ def main() -> int:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failed, passed, rows_only = [], [], []
+    skipped = 0
     for name, fn in queries.items():
         if only and name not in only:
+            continue
+        if changed_only and cache.get(name) == fps[name]:
+            skipped += 1
             continue
         sdf = fn(spark, sf_dir).toPandas()
         if name not in oracles:
@@ -129,7 +181,29 @@ def main() -> int:
         else:
             passed.append(name)
             print(f"✓ {name} ({len(sdf)} rows)")
-    print(f"\n{len(passed)} passed, {len(failed)} failed, {len(rows_only)} rows-only")
+    suffix = f", {skipped} unchanged-skipped" if changed_only else ""
+    print(
+        f"\n{len(passed)} passed, {len(failed)} failed, "
+        f"{len(rows_only)} rows-only{suffix}"
+    )
+    # record green fingerprints so --changed skips them until they change;
+    # a FULL run (no --changed, no name filter) still validates everything
+    # and must remain the end-of-round gate
+    if not failed:
+        all_green = dict(cache)
+        for name in passed + [n for n, _ in rows_only]:
+            all_green[name] = fps[name]
+        stored = {}
+        if os.path.exists(_CACHE_PATH):
+            import json
+
+            with open(_CACHE_PATH) as fh:
+                stored = json.load(fh)
+        stored[sf_dir] = all_green
+        import json
+
+        with open(_CACHE_PATH, "w") as fh:
+            json.dump(stored, fh)
     return 1 if failed else 0
 
 

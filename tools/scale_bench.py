@@ -48,9 +48,11 @@ def _curate_full_all_docs(spark, sf_dir):
 QUERIES = [
     ("dedup_semantic_clusters", None),
     ("dedup_cdc_chunks", None),
+    ("dedup_cdc_rolling", None),
     ("sim_lsh_multitable", None),
     ("curation_full[all-docs]", _curate_full_all_docs),
     ("stream_stream_join_pairs", None),
+    ("text_topics_kmeans", None),
 ]
 
 

@@ -1162,3 +1162,73 @@ def cdc_dedup_stats(
         F.sum(F.col("cnt") * F.col("clen")).alias("total_chars"),
         F.sum((F.col("cnt") - 1) * F.col("clen")).alias("dup_chars"),
     )
+
+
+# ---------------------------------------------------------------- sorted
+# neighborhood
+
+
+def sorted_neighborhood_pairs(
+    docs: DataFrame,
+    window: int = 8,
+    max_hamming: int = 6,
+    bits: int = 32,
+    text_col: str = "text",
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez-Stolfo): order the corpus
+    by its simhash key and compare each record ONLY to its ``window``
+    predecessors in that order -- near-duplicates hash to nearby keys, so
+    a fixed-width pass over the sorted corpus surfaces them with
+    ``window * N`` comparisons instead of ``N^2``.  The complement to the
+    pigeonhole-segment join in ``simhash_pairs``: no candidate explosion
+    on skewed segments, at the cost of missing pairs whose keys sort far
+    apart.
+
+    Scale shape: the global order comes from the two-level
+    ``ordered_running_sum`` rank (range-partitioned local ranks + an
+    O(parallelism) offsets window -- never a single-partition window over
+    data), and neighbor pairing is an EQUI-join on rank after exploding
+    the ``window`` offsets on one side.  Both stages shuffle on scalar
+    keys; nothing is quadratic in the corpus.
+
+    Output: ``(doc_a, doc_b, gap, hamming)`` where ``doc_a`` precedes
+    ``doc_b`` in simhash order and ``gap = rank(b) - rank(a)``.
+    """
+    from .windows import ordered_running_sum
+
+    sigs = simhash_signatures(docs, bits, text_col)
+    ranked = ordered_running_sum(
+        sigs.withColumn("_one", F.lit(1).cast("long")),
+        [F.col("simhash"), F.col("doc_id")],
+        "_one",
+        "rk",
+    ).drop("_one")
+    left = ranked.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("_sim_a"),
+        F.col("rk").alias("_rk_a"),
+    )
+    right = ranked.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("_sim_b"),
+        F.explode(F.sequence(F.lit(1), F.lit(window))).alias("_gap"),
+        F.col("rk").alias("_rk_b"),
+    ).withColumn("_rk_a", F.col("_rk_b") - F.col("_gap"))
+    hamming = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.lit(bits)),
+            lambda i: F.substring(F.col("_sim_a"), i, 1)
+            != F.substring(F.col("_sim_b"), i, 1),
+        )
+    )
+    return (
+        left.join(right, "_rk_a")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("_gap").cast("long").alias("gap"),
+            hamming.cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -697,3 +697,184 @@ def mine_triplets(
         .select("anchor_id", "pair_id", "pair_type", "cosine", "rank")
         .orderBy("anchor_id", "pair_type", "rank")
     )
+
+
+# ------------------------------------------------------------ product
+# quantization (PQ / ADC)
+
+
+def _pq_sqdist(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_subsplit(q: Column, m: int, sub_dim: int):
+    """array<long> of m*sub_dim -> exploded (sub, sq) subvector rows."""
+    return F.posexplode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: F.slice(q, s * sub_dim + 1, sub_dim),
+        )
+    )
+
+
+def _pq_cents_carrier(spark, cents_lit, m: int) -> DataFrame:
+    """Driver-held per-subspace codebooks -> ONE-ROW LocalRelation
+    ``_cb: map<sub, array<struct<cid, c>>>``, the broadcastable carrier
+    for shuffle-free per-subspace assignment (same device as k-means'
+    ``_local_cents_arr``: m*k*sub_dim BIGINTs of metadata, never data)."""
+    cb = {}
+    for (sub, cid), c in sorted(cents_lit.items()):
+        cb.setdefault(sub, []).append((cid, c))
+    return spark.createDataFrame(
+        [(cb,)], "_cb map<int,array<struct<cid:int,c:array<bigint>>>>"
+    )
+
+
+def _pq_assign(subs: DataFrame, carrier: DataFrame) -> DataFrame:
+    """Nearest sub-centroid per (vec_id, sub) against the broadcast
+    codebook map: argmin is array_min over (d2, cid) structs -- a
+    narrow, shuffle-free map stage."""
+    scored = subs.crossJoin(F.broadcast(carrier)).select(
+        "vec_id",
+        "sub",
+        "sq",
+        F.array_min(
+            F.transform(
+                F.col("_cb")[F.col("sub")],
+                lambda ct: F.struct(
+                    _pq_sqdist(F.col("sq"), ct["c"]).alias("d2"),
+                    ct["cid"].alias("cid"),
+                ),
+            )
+        ).alias("_best"),
+    )
+    return scored.select(
+        "vec_id",
+        "sub",
+        "sq",
+        F.col("_best.cid").alias("cid"),
+        F.col("_best.d2").alias("d2"),
+    )
+
+
+def pq_train_encode(
+    qvecs: DataFrame, dim: int, m: int = 8, k: int = 16, iters: int = 2
+):
+    """Product quantization (Jegou et al., PAMI'11): split each vector
+    into ``m`` subspaces, Lloyd-train a ``k``-entry codebook per subspace
+    (fixed-point, md5-seeded, identical floor-division arithmetic to
+    ``clustering.kmeans_fixed_point`` so a SQL oracle replays it), then
+    encode the corpus as ``m`` one-byte-ish codes per vector -- the
+    memory-bound representation that lets a 100 TB corpus' candidate scan
+    run over ``m``-code rows instead of full vectors.
+
+    ``qvecs`` is ``(vec_id, q array<long>)`` already quantized.  Returns
+    ``(codes, cents)``: codes ``(vec_id, sub, cid)``, cents
+    ``(sub, cid, c array<long>)``.
+
+    Per-iteration plan shape: ONE compact job -- shuffle-free argmin
+    against the broadcast codebook map (all m subspaces assigned in the
+    same stage), then a map-side-combinable (sub, cid, dim) aggregate
+    whose m*k*sub_dim rows come back to the driver.  All subspaces train
+    simultaneously; iteration count never multiplies corpus shuffles.
+    """
+    spark = qvecs.sparkSession
+    sub_dim = dim // m
+    base = qvecs.select("vec_id", "q").localCheckpoint(eager=False)
+    subs = base.select("vec_id", _pq_subsplit(F.col("q"), m, sub_dim).alias("sub", "sq"))
+
+    seed_order = [F.md5(F.col("vec_id").cast("string")), F.col("vec_id")]
+    seed_rows = (
+        base.orderBy(*seed_order)
+        .limit(k)
+        .select(
+            F.row_number().over(Window.orderBy(*seed_order)).alias("cid"), "q"
+        )
+        .collect()
+    )
+    cents_lit = {}
+    for r in seed_rows:
+        for s in range(m):
+            cents_lit[(s, r.cid)] = list(r.q[s * sub_dim : (s + 1) * sub_dim])
+
+    for _ in range(iters):
+        assigned = _pq_assign(subs, _pq_cents_carrier(spark, cents_lit, m))
+        # explicit floor division (Spark div truncates toward zero)
+        new = (
+            assigned.select("sub", "cid", F.posexplode("sq").alias("dim", "v"))
+            .groupBy("sub", "cid", "dim")
+            .agg(
+                F.expr(
+                    "(sum(v) - pmod(sum(v), count(*))) div count(*)"
+                ).alias("cv")
+            )
+            .collect()
+        )
+        by_key: dict = {}
+        for r in new:
+            by_key.setdefault((r.sub, r.cid), {})[r.dim] = r.cv
+        cents_lit = {
+            key: [dims[i] for i in sorted(dims)] for key, dims in by_key.items()
+        }
+
+    codes = _pq_assign(subs, _pq_cents_carrier(spark, cents_lit, m)).select(
+        "vec_id", "sub", "cid"
+    )
+    cents = spark.createDataFrame(
+        [(s, c, v) for (s, c), v in sorted(cents_lit.items())],
+        "sub int, cid int, c array<bigint>",
+    )
+    return codes, cents
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    cents: DataFrame,
+    dim: int,
+    m: int = 8,
+    k: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over a PQ-encoded corpus: each
+    query builds its m*|codebook| distance TABLE against the codebooks
+    (metadata-sized), and every corpus vector's approximate distance is
+    the sum of m table lookups on its codes -- never a full-vector
+    distance against the corpus.
+
+    Plan shape: the per-query tables broadcast (Q * m * k_codebook rows
+    of metadata); the ADC scan is one equi-join of the code relation on
+    (sub, cid) followed by a map-side-combinable (query, vec) sum.  At
+    100 TB the scan stays memory-bound over code rows; full vectors are
+    touched only if a caller reranks survivors (compose with
+    ``brute_force_topk`` on the top-k output).
+
+    ``queries`` is ``(vec_id, q array<long>)``.  Output:
+    ``(query_id, neighbor_id, d2, rk)``, ties on (d2, neighbor_id).
+    """
+    sub_dim = dim // m
+    qsubs = queries.select(
+        F.col("vec_id").alias("query_id"),
+        _pq_subsplit(F.col("q"), m, sub_dim).alias("sub", "sq"),
+    )
+    tables = qsubs.join(cents, "sub").select(
+        "query_id",
+        "sub",
+        "cid",
+        _pq_sqdist(F.col("sq"), F.col("c")).alias("pd2"),
+    )
+    scored = (
+        codes.join(F.broadcast(tables), ["sub", "cid"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("pd2").cast("long").alias("d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .orderBy("query_id", "rk")
+    )

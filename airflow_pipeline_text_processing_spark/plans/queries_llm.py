@@ -47,8 +47,10 @@ DOUBLED_SQL = """
 
 
 def _planted_docs(spark: SparkSession, sf_dir: str, limit: int = PLANT_LIMIT) -> DataFrame:
+    # cap=4: the filter below bounds this corpus to a few hundred docs
+    # regardless of scan size, so a wide spread only buys task overhead
     docs = (
-        _tspread(spark, sf_dir, "documents")
+        _tspread(spark, sf_dir, "documents", cap=4)
         .filter(F.col("doc_id") < limit)
         .select("doc_id", "text")
     )

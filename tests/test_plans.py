@@ -760,9 +760,13 @@ def test_single_file_scan_spreads_to_core_count(spark):
     raw = _t(spark, "/root/testdata/sf0.001", "documents")
     assert raw.rdd.getNumPartitions() == 1  # the hazard being mitigated
     spread = _tspread(spark, "/root/testdata/sf0.001", "documents")
-    assert spread.rdd.getNumPartitions() == target
+    # bytes-proportional target: >1 always (the point), never past cores
+    assert 1 < spread.rdd.getNumPartitions() <= target
     # same rows, just redistributed
     assert spread.count() == raw.count()
+    # a caller-declared tiny input caps below the size-derived target
+    capped = _tspread(spark, "/root/testdata/sf0.001", "documents", cap=2)
+    assert capped.rdd.getNumPartitions() == 2
 
     # no-op case: a many-file scan must NOT pick up an extra exchange
     d = tempfile.mkdtemp(prefix="spread_noop_")

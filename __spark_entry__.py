@@ -37,6 +37,12 @@ _ORDER = [
     # sample_hash_split, mm_audio_vad, dedup_cdc_chunks,
     # cluster_assign_incremental.
     # -- never-driver-graded: rotated in for round 8 ----------------------
+    # (plus the two NEW round-8 capabilities, sorted-neighborhood
+    # blocking and PQ/ADC ANN, which enter directly as sole verifiers;
+    # displaced to make room: events_rolling_active_users,
+    # stats_sigma_outliers -- both r6-graded with in-window siblings)
+    "dedup_sorted_neighborhood",
+    "sim_pq_adc_topk",
     "dedup_cdc_rolling",
     "events_ewma_daily",
     "stats_mann_whitney",
@@ -50,11 +56,9 @@ _ORDER = [
     "text_token_entropy",
     "curation_lm_filtered",
     "events_retention_cohorts",
-    "events_rolling_active_users",
     "events_concurrency_peaks",
     "stats_trimmed_mean",
     "stats_spearman_daily",
-    "stats_sigma_outliers",
     "sample_temperature_sources",
     "sim_mine_triplets",
     "sim_pooled_rerank",
@@ -173,6 +177,8 @@ _ORDER = [
     "cluster_kmeans_embeddings",
     "stats_linear_trend",
     # -- displaced by the round-8 rotation (driver-green r6/r7) -----------
+    "events_rolling_active_users",
+    "stats_sigma_outliers",
     "events_anomaly_days",
     "stats_chi_square",
     "text_cooccurrence_pmi",

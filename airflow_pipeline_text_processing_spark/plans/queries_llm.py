@@ -393,8 +393,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_SIMHASH_SQL = f"""
-WITH corpus AS ({_planted_sql(SIMHASH_LIMIT)}),
+# simhash signature CTEs over a ``corpus(doc_id, text)`` CTE -- shared by
+# the pigeonhole-segment join (dedup_simhash) and the sorted-neighborhood
+# pass (dedup_sorted_neighborhood)
+SIMHASH_SIGS_CTES = f"""
 toks AS (SELECT doc_id, {TOKS_SQL} AS tk FROM corpus),
 tok AS (SELECT doc_id, UNNEST(tk) AS token FROM toks),
 tb AS (
@@ -412,13 +414,53 @@ sigs AS (
          string_agg(CAST(CASE WHEN v > 0 THEN 1 ELSE 0 END AS VARCHAR), ''
                     ORDER BY bit) AS simhash
   FROM votes GROUP BY doc_id
-)
+)"""
+
+
+DEDUP_SIMHASH_SQL = f"""
+WITH corpus AS ({_planted_sql(SIMHASH_LIMIT)}),
+{SIMHASH_SIGS_CTES}
 SELECT doc_a, doc_b, hamming FROM (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          len([1 FOR i IN generate_series(1, 32)
               IF substring(a.simhash, i, 1) != substring(b.simhash, i, 1)])
            AS hamming
   FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+) WHERE hamming <= 6
+ORDER BY doc_a, doc_b
+"""
+
+
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking
+    (operators/dedup.py::sorted_neighborhood_pairs) on the planted
+    simhash corpus: order by simhash key, compare each doc only to its 8
+    predecessors, keep pairs within Hamming 6.  Global order via the
+    two-level rank (no single-partition window); pairing is an equi-join
+    on rank -- window x N comparisons, never N^2."""
+    return D.sorted_neighborhood_pairs(
+        _planted_docs(spark, sf_dir, limit=SIMHASH_LIMIT),
+        window=8,
+        max_hamming=6,
+    )
+
+
+SN_WINDOW = 8
+
+DEDUP_SORTED_NEIGHBORHOOD_SQL = f"""
+WITH corpus AS ({_planted_sql(SIMHASH_LIMIT)}),
+{SIMHASH_SIGS_CTES},
+ranked AS (
+  SELECT doc_id, simhash,
+         ROW_NUMBER() OVER (ORDER BY simhash, doc_id) AS rk
+  FROM sigs)
+SELECT doc_a, doc_b, gap, hamming FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(b.rk - a.rk AS BIGINT) AS gap,
+         CAST(len([1 FOR i IN generate_series(1, 32)
+              IF substring(a.simhash, i, 1) != substring(b.simhash, i, 1)])
+           AS BIGINT) AS hamming
+  FROM ranked a JOIN ranked b ON b.rk - a.rk BETWEEN 1 AND {SN_WINDOW}
 ) WHERE hamming <= 6
 ORDER BY doc_a, doc_b
 """
@@ -2107,6 +2149,109 @@ ORDER BY query_id, rk
 """
 
 
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.py::pq_train_encode
+    + pq_adc_topk): 8 subspaces x 16-entry fixed-point Lloyd codebooks
+    (2 rounds, md5-seeded, identical floor-division arithmetic to the
+    k-means oracle), corpus encoded to 8 codes/vector, then asymmetric-
+    distance top-5 for 3 query vectors via per-query lookup TABLES --
+    the memory-bound scan representation for a 100 TB corpus; the
+    candidate stage touches code rows, never full vectors."""
+    from ..operators.clustering import quantized
+    from ..operators.similarity import pq_adc_topk, pq_train_encode
+
+    vecs = _tspread(spark, sf_dir, "embeddings")
+    q = vecs.select("vec_id", quantized(F.col("embedding")).alias("q"))
+    codes, cents = pq_train_encode(q, dim=64, m=8, k=16, iters=2)
+    queries = q.filter(F.col("vec_id").isin(3, 10, 42))
+    return pq_adc_topk(queries, codes, cents, dim=64, m=8, k=5)
+
+
+def _pq_sql(m: int = 8, kc: int = 16, iters: int = 2, sub_dim: int = 8,
+            topk: int = 5) -> str:
+    """The PQ train/encode/ADC pipeline unrolled as CTEs (the per-
+    subspace generalization of ``_kmeans_ctes``: every centroid relation
+    carries ``sub`` in its key, so all subspaces train in the same
+    pass)."""
+    d2 = (
+        "CAST(list_sum(list_transform(list_zip(b.sq, c.c),"
+        " p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)"
+    )
+    parts = [
+        f"""subs AS (
+  SELECT vec_id, t.s AS sub,
+         q[t.s*{sub_dim}+1 : t.s*{sub_dim}+{sub_dim}] AS sq
+  FROM qbase, (SELECT UNNEST(range(0, {m})) AS s) t)""",
+        f"""seeds AS (
+  SELECT vec_id,
+         ROW_NUMBER() OVER (ORDER BY {_KM_SEED_ORDER}) AS cid
+  FROM qbase
+  QUALIFY ROW_NUMBER() OVER (ORDER BY {_KM_SEED_ORDER}) <= {kc})""",
+        """cent0 AS (
+  SELECT s.sub, sd.cid, s.sq AS c
+  FROM subs s JOIN seeds sd USING (vec_id))""",
+    ]
+    prev = "cent0"
+    for r in range(1, iters + 1):
+        parts.append(
+            f"""a{r} AS (
+  SELECT b.vec_id, b.sub, b.sq, c.cid, {d2} AS d2
+  FROM subs b JOIN {prev} c ON b.sub = c.sub
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY b.vec_id, b.sub
+            ORDER BY d2, c.cid) = 1)"""
+        )
+        parts.append(
+            f"""s{r} AS (
+  SELECT sub, cid, t.i AS dim, CAST(SUM(sq[t.i]) AS BIGINT) AS s,
+         COUNT(*) AS n
+  FROM a{r}, (SELECT UNNEST(range(1, {sub_dim + 1})) AS i) t
+  GROUP BY sub, cid, t.i)"""
+        )
+        parts.append(
+            f"""cent{r} AS (
+  SELECT sub, cid, list(cv ORDER BY dim) AS c FROM (
+    SELECT sub, cid, dim, (s - ((s % n) + n) % n) // n AS cv FROM s{r})
+  GROUP BY sub, cid)"""
+        )
+        prev = f"cent{r}"
+    joined = ",\n".join(parts)
+    return f"""
+WITH qbase AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+  FROM embeddings),
+{joined},
+codes AS (
+  SELECT b.vec_id, b.sub, c.cid, {d2} AS d2
+  FROM subs b JOIN {prev} c ON b.sub = c.sub
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY b.vec_id, b.sub
+            ORDER BY d2, c.cid) = 1),
+qsubs AS (
+  SELECT vec_id AS query_id, sub, sq FROM subs
+  WHERE vec_id IN (3, 10, 42)),
+tables AS (
+  SELECT b.query_id, c.sub, c.cid,
+         CAST(list_sum(list_transform(list_zip(b.sq, c.c),
+           p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS pd2
+  FROM (SELECT query_id, sub, sq FROM qsubs) b
+  JOIN {prev} c ON b.sub = c.sub),
+adc AS (
+  SELECT t.query_id, cd.vec_id AS neighbor_id,
+         CAST(SUM(t.pd2) AS BIGINT) AS d2
+  FROM codes cd
+  JOIN tables t ON cd.sub = t.sub AND cd.cid = t.cid
+  WHERE cd.vec_id != t.query_id
+  GROUP BY t.query_id, cd.vec_id)
+SELECT query_id, neighbor_id, d2,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY d2, neighbor_id) AS BIGINT) AS rk
+FROM adc
+QUALIFY rk <= {topk}
+ORDER BY query_id, rk
+"""
+
+
 _KM_DIM = 64
 _KM_SEED_ORDER = "md5(CAST(vec_id AS VARCHAR)), vec_id"
 _KM_D2 = (
@@ -2404,6 +2549,11 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "dedup_remove_repeated": (dedup_remove_repeated, REMOVE_SPANS_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
+    "dedup_sorted_neighborhood": (
+        dedup_sorted_neighborhood,
+        DEDUP_SORTED_NEIGHBORHOOD_SQL,
+    ),
+    "sim_pq_adc_topk": (sim_pq_adc_topk, _pq_sql()),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_SQL),
     "sim_topk_bruteforce": (sim_topk_bruteforce, SIM_TOPK_SQL),
     "sim_ivf_topk": (sim_ivf_topk, SIM_IVF_SQL),

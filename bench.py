@@ -100,6 +100,9 @@ BENCH_QUERIES = [
     "text_bpe_compression",
     "sample_weighted_orders",
     "mm_audio_fingerprint",
+    # round-8 additions: sorted-neighborhood blocking + PQ/ADC ANN
+    "dedup_sorted_neighborhood",
+    "sim_pq_adc_topk",
 ]
 
 

@@ -186,24 +186,23 @@ def main() -> int:
         f"\n{len(passed)} passed, {len(failed)} failed, "
         f"{len(rows_only)} rows-only{suffix}"
     )
-    # record green fingerprints so --changed skips them until they change;
-    # a FULL run (no --changed, no name filter) still validates everything
-    # and must remain the end-of-round gate
-    if not failed:
-        all_green = dict(cache)
-        for name in passed + [n for n, _ in rows_only]:
-            all_green[name] = fps[name]
-        stored = {}
-        if os.path.exists(_CACHE_PATH):
-            import json
-
-            with open(_CACHE_PATH) as fh:
-                stored = json.load(fh)
-        stored[sf_dir] = all_green
-        import json
-
-        with open(_CACHE_PATH, "w") as fh:
-            json.dump(stored, fh)
+    # record green fingerprints so --changed skips them until they change
+    # (MERGED into the stored map -- a name-filtered run must not clobber
+    # other queries' entries); failed names are evicted.  A FULL run (no
+    # --changed, no name filter) still validates everything and must
+    # remain the end-of-round gate.
+    stored = {}
+    if os.path.exists(_CACHE_PATH):
+        with open(_CACHE_PATH) as fh:
+            stored = json.load(fh)
+    merged = dict(stored.get(sf_dir, {}))
+    for name in passed + [n for n, _ in rows_only]:
+        merged[name] = fps[name]
+    for name in failed:
+        merged.pop(name, None)
+    stored[sf_dir] = merged
+    with open(_CACHE_PATH, "w") as fh:
+        json.dump(stored, fh)
     return 1 if failed else 0
 
 

@@ -107,39 +107,59 @@ def assign_to_centroids(qvecs: DataFrame, cents: DataFrame) -> DataFrame:
     against the batch alone -- the corpus is never rescanned, the same
     economics as the incremental LSH and span-dedup operators.
 
-    Plan shape: the centroids ride along as ONE broadcast array row and
-    the argmin is ``array_min`` over per-centroid (d2, cid) structs --
-    a narrow, shuffle-free map stage.  The previous formulation exploded
-    vecs x k rows and ranked them with a ``row_number`` window, which
-    shuffled the whole cross product on vec_id every call (k extra
-    corpus-sized shuffles per Lloyd run).  ``_best`` is referenced twice
-    below, which is exactly what keeps CollapseProject from inlining the
-    k-distance scan twice (the used-once trap documented at
-    ``dedup.repeated_spans``)."""
-    return _assign_arr(qvecs.select("vec_id", "q"), _centroid_array(cents))
+    Plan shape: the k-row centroid relation collects driver-side
+    (bounded metadata) and rides into the Arrow workers as a closure
+    literal; the argmin is one exact-int64 numpy block per batch
+    (``_assign_np``) -- a narrow, shuffle-free map stage.  Earlier
+    formulations ranked an exploded vecs x k relation with a window
+    (k corpus-sized shuffles per call), then an ``array_min`` over
+    per-centroid structs (shuffle-free but interpreted: higher-order
+    lambdas never enter codegen -- it dominated every Lloyd
+    iteration)."""
+    cents_lit = sorted((r.cid, list(r.c)) for r in cents.collect())
+    return _assign_np(qvecs.select("vec_id", "q"), cents_lit)
 
 
-def _assign_arr(qvecs: DataFrame, cents_arr: DataFrame) -> DataFrame:
-    """Argmin assignment against a ONE-ROW ``_cents`` array relation."""
-    scored = qvecs.crossJoin(F.broadcast(cents_arr)).select(
-        "vec_id", "q", F.array_min(_scored_cells(F.col("q"))).alias("_best")
-    )
-    return scored.select(
-        "vec_id",
-        "q",
-        F.col("_best.cid").alias("cid"),
-        F.col("_best.d2").alias("d2"),
-    )
+def _assign_np(qvecs: DataFrame, cents_lit) -> DataFrame:
+    """Argmin assignment against DRIVER-HELD centroids, numpy-vectorized:
+    the (n_batch x k x dim) squared-distance block is exact int64 array
+    arithmetic instead of n x k interpreted 64-element fold lambdas (the
+    ``array_min``/``aggregate`` form never enters codegen; it was the
+    dominant term of every Lloyd iteration).  Ties to the smaller cid:
+    the centroid matrix is cid-sorted and ``argmin`` takes the first
+    minimum.  The centroids ride into the Arrow workers as a closure
+    literal -- k x dim BIGINTs of metadata, the same driver-side state
+    the iteration loop already holds; the stage stays shuffle-free."""
+    import pandas as pd
 
+    ordered = sorted(cents_lit)
+    cids = [cid for cid, _ in ordered]
+    cmat = [list(c) for _, c in ordered]
 
-def _local_cents_arr(spark, cents_lit) -> DataFrame:
-    """Driver-held centroids -> one-row LocalRelation holding the
-    cid-sorted centroid array.  Broadcasting a LocalRelation builds the
-    broadcast table ON the driver -- no aggregation stage, no job -- so
-    a Lloyd iteration against it is a single compact job."""
-    return spark.createDataFrame(
-        [([(cid, c) for cid, c in cents_lit],)],
-        "_cents array<struct<cid:int,c:array<bigint>>>",
+    def assign(batches):
+        import numpy as np
+
+        C = np.asarray(cmat, dtype=np.int64)  # (k, dim)
+        cid_arr = np.asarray(cids, dtype=np.int32)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf["q"].to_numpy()).astype(np.int64)  # (n, dim)
+            # exact int64: |q|,|c| <= ~1e6 => diff^2 <= 4e12, x dim 64
+            # => d2 <= 2.6e14, far inside int64
+            d2 = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            best = d2.argmin(axis=1)  # first min = smallest cid on ties
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "q": pdf["q"],
+                    "cid": cid_arr[best],
+                    "d2": d2[np.arange(len(best)), best],
+                }
+            )
+
+    return qvecs.select("vec_id", "q").mapInPandas(
+        assign, "vec_id long, q array<bigint>, cid int, d2 long"
     )
 
 
@@ -156,17 +176,17 @@ def kmeans_fixed_point(
     round's centroid relation -- both engines compute the identical
     arithmetic, so the oracle drops it too; no RNG re-seeding.
 
-    Per-iteration plan shape: the shuffle-free ``array_min`` argmin
-    assignment (broadcast centroid array, see ``assign_to_centroids``)
-    feeds one map-side-combinable (cid, dim) aggregate whose k x dim
-    result rows come back to the driver.  The earlier formulation ranked
-    a vecs x k exploded relation with a ``row_number`` window (a full
-    corpus-sized shuffle per iteration) and rebuilt centroid arrays with
-    a second sorted-collect aggregate plus a per-iteration checkpoint --
-    three exchanges per round where one suffices.  Wide-plan variants
-    (one SUM column per dimension; literal centroid arrays) measured
-    SLOWER here: 64-expression aggregates and 512-literal arrays cost
-    more in analysis/codegen than the exchanges they remove.
+    Per-iteration plan shape: the shuffle-free numpy argmin assignment
+    (driver-held centroids as an Arrow-worker closure literal, see
+    ``_assign_np``) feeds one map-side-combinable (cid, dim) aggregate
+    whose k x dim result rows come back to the driver.  Earlier
+    formulations, in order of retirement: a vecs x k exploded relation
+    ranked with a ``row_number`` window (a full corpus-sized shuffle per
+    iteration); wide plans (one SUM column per dimension; literal
+    centroid arrays) that cost more in analysis/codegen than the
+    exchanges they removed; and the broadcast-array ``array_min`` form,
+    shuffle-free but interpreted (higher-order lambdas never enter
+    codegen) -- it dominated each iteration's wall.
     """
     spark = qvecs.sparkSession
     base = qvecs.select("vec_id", "q").localCheckpoint(eager=False)
@@ -191,7 +211,7 @@ def kmeans_fixed_point(
     cents_lit = sorted((r.cid, list(r.c)) for r in seed.collect())
 
     for _ in range(iters):
-        assigned = _assign_arr(base, _local_cents_arr(spark, cents_lit))
+        assigned = _assign_np(base, cents_lit)
         # explicit floor division: Spark div truncates, DuckDB // floors;
         # (s - pmod(s,n)) is exactly divisible
         new = (
@@ -210,7 +230,52 @@ def kmeans_fixed_point(
     cents = spark.createDataFrame(
         [(cid, c) for cid, c in cents_lit], "cid int, c array<bigint>"
     )
-    return _assign_arr(base, _local_cents_arr(spark, cents_lit)), cents
+    return _assign_np(base, cents_lit), cents
+
+
+def _cluster_pairwise_counts(pn: DataFrame, tau_micro: int) -> DataFrame:
+    """Per-cluster pairwise-cosine duplicate counts over
+    ``(vec_id, cid, q, n2q)``: for each vector, how many LOWER-id
+    vectors in its cluster reach ``tau_micro`` cosine micro-units.
+    Rows with zero matches are omitted (callers left-join + coalesce).
+
+    One Arrow exchange on cid, then numpy inside ``applyInPandas``: the
+    n_c x n_c dot-product block is one exact int64 GEMM instead of
+    ~n_c^2 interpreted 64-element fold lambdas (higher-order-function
+    expressions never enter codegen; measured ~3 s of the r7
+    semantic-dedup wall on 1.6 M pairs).  Arithmetic parity with the
+    SQL oracle is preserved operation-for-operation: int64 dots are
+    exact (|q| <= 1e6, dim 64 => dot <= 6.4e13 < 2^53), and the cosine
+    expression applies the identical IEEE sequence (divide by
+    sqrt*sqrt, multiply by 1e6, floor).
+
+    100 TB shape: the per-cluster quadratic is SemDeDup's algorithm,
+    not an artifact -- k scales as n / target_cluster_size, so each
+    task holds one bounded n_c x dim block; skewed clusters bound the
+    task, exactly as they bound the equi-join formulation this
+    replaces."""
+    import pandas as pd
+
+    def per_cluster(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        order = np.argsort(pdf["vec_id"].to_numpy())
+        ids = pdf["vec_id"].to_numpy()[order]
+        M = np.stack(pdf["q"].to_numpy()[order]).astype(np.int64)
+        n2 = pdf["n2q"].to_numpy()[order].astype(np.float64)
+        dots = M @ M.T
+        denom = np.sqrt(n2)[:, None] * np.sqrt(n2)[None, :]
+        cos_fp = np.floor(dots / denom * 1_000_000.0)
+        iu = np.triu_indices(len(ids), k=1)
+        hit = cos_fp[iu] >= tau_micro
+        counts = np.zeros(len(ids), dtype=np.int64)
+        np.add.at(counts, iu[1][hit], 1)
+        keep = counts > 0
+        return pd.DataFrame({"vec_id": ids[keep], "n_sim": counts[keep]})
+
+    return pn.select("vec_id", "cid", "q", "n2q").groupBy("cid").applyInPandas(
+        per_cluster, "vec_id long, n_sim long"
+    )
 
 
 def semantic_dedup(
@@ -247,31 +312,8 @@ def semantic_dedup(
         lambda acc, v: acc + v,
     )
     pn = assigned.select("vec_id", "cid", "q", n2q.alias("n2q"))
-    pn = pn.localCheckpoint(eager=False)  # both sides of the pair join
-    a, b = pn.alias("a"), pn.alias("b")
-    dot = F.aggregate(
-        F.zip_with("a.q", "b.q", lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    cos_fp = F.floor(
-        dot.cast("double")
-        / (
-            F.sqrt(F.col("a.n2q").cast("double"))
-            * F.sqrt(F.col("b.n2q").cast("double"))
-        )
-        * QUANT
-    ).cast("long")
-    sim = (
-        a.join(
-            b,
-            (F.col("a.cid") == F.col("b.cid"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .filter(cos_fp >= F.lit(tau_micro))
-        .groupBy(F.col("b.vec_id").alias("vec_id"))
-        .agg(F.count("*").alias("n_sim"))
-    )
+    pn = pn.localCheckpoint(eager=False)  # reused below the pairwise pass
+    sim = _cluster_pairwise_counts(pn, tau_micro)
     return pn.join(sim, "vec_id", "left").select(
         "vec_id",
         "cid",

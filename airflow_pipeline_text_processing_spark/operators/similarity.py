@@ -721,44 +721,109 @@ def _pq_subsplit(q: Column, m: int, sub_dim: int):
     )
 
 
-def _pq_cents_carrier(spark, cents_lit, m: int) -> DataFrame:
-    """Driver-held per-subspace codebooks -> ONE-ROW LocalRelation
-    ``_cb: map<sub, array<struct<cid, c>>>``, the broadcastable carrier
-    for shuffle-free per-subspace assignment (same device as k-means'
-    ``_local_cents_arr``: m*k*sub_dim BIGINTs of metadata, never data)."""
-    cb = {}
+def _pq_codebooks_np(cents_lit, m: int):
+    """Driver-held codebooks -> per-subspace cid-sorted (cids, matrix)
+    pairs for the numpy kernels (clusters can die independently per
+    subspace, so each subspace carries its own cid list)."""
+    import numpy as np
+
+    by_sub: dict = {}
     for (sub, cid), c in sorted(cents_lit.items()):
-        cb.setdefault(sub, []).append((cid, c))
-    return spark.createDataFrame(
-        [(cb,)], "_cb map<int,array<struct<cid:int,c:array<bigint>>>>"
-    )
+        by_sub.setdefault(sub, []).append((cid, list(c)))
+    out = {}
+    for sub in range(m):
+        entries = by_sub.get(sub, [])
+        out[sub] = (
+            np.asarray([cid for cid, _ in entries], dtype=np.int32),
+            np.asarray([c for _, c in entries], dtype=np.int64),
+        )
+    return out
 
 
-def _pq_assign(subs: DataFrame, carrier: DataFrame) -> DataFrame:
-    """Nearest sub-centroid per (vec_id, sub) against the broadcast
-    codebook map: argmin is array_min over (d2, cid) structs -- a
-    narrow, shuffle-free map stage."""
-    scored = subs.crossJoin(F.broadcast(carrier)).select(
-        "vec_id",
-        "sub",
-        "sq",
-        F.array_min(
-            F.transform(
-                F.col("_cb")[F.col("sub")],
-                lambda ct: F.struct(
-                    _pq_sqdist(F.col("sq"), ct["c"]).alias("d2"),
-                    ct["cid"].alias("cid"),
-                ),
-            )
-        ).alias("_best"),
-    )
-    return scored.select(
-        "vec_id",
-        "sub",
-        "sq",
-        F.col("_best.cid").alias("cid"),
-        F.col("_best.d2").alias("d2"),
-    )
+def _pq_assign_codes(base: DataFrame, cents_lit, m: int, sub_dim: int) -> DataFrame:
+    """Encode: nearest sub-centroid per (vec_id, subspace), numpy-exact
+    (int64 distances, argmin-first = smallest cid on ties), emitted as
+    ``(vec_id, sub, cid)`` code rows.  Shuffle-free map stage; the
+    codebooks ride in as a closure literal (m*k*sub_dim BIGINTs of
+    metadata, never data)."""
+    import pandas as pd
+
+    cb = {s: (cids.tolist(), cmat.tolist())
+          for s, (cids, cmat) in _pq_codebooks_np(cents_lit, m).items()}
+
+    def encode(batches):
+        import numpy as np
+
+        cbn = {s: (np.asarray(cids, dtype=np.int32),
+                   np.asarray(cmat, dtype=np.int64))
+               for s, (cids, cmat) in cb.items()}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            n = len(M)
+            Ms = M.reshape(n, m, sub_dim)
+            vec_ids = pdf["vec_id"].to_numpy()
+            frames = []
+            for s in range(m):
+                cids, C = cbn[s]
+                d2 = ((Ms[:, s, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                best = d2.argmin(axis=1)
+                frames.append(pd.DataFrame({
+                    "vec_id": vec_ids,
+                    "sub": np.full(n, s, dtype=np.int32),
+                    "cid": cids[best],
+                }))
+            yield pd.concat(frames, ignore_index=True)
+
+    return base.mapInPandas(encode, "vec_id long, sub int, cid int")
+
+
+def _pq_update_partials(base: DataFrame, cents_lit, m: int, sub_dim: int) -> DataFrame:
+    """One Lloyd round's update inputs as PER-BATCH PARTIAL SUMS: each
+    Arrow batch assigns its vectors and emits at most m*k*sub_dim rows
+    ``(sub, cid, dim, s, n)`` -- integer partials, order-independent, so
+    the downstream (sub, cid, dim) aggregate is metadata-sized instead
+    of an exploded corpus x dims relation."""
+    import pandas as pd
+
+    cb = {s: (cids.tolist(), cmat.tolist())
+          for s, (cids, cmat) in _pq_codebooks_np(cents_lit, m).items()}
+
+    def partials(batches):
+        import numpy as np
+
+        cbn = {s: (np.asarray(cids, dtype=np.int32),
+                   np.asarray(cmat, dtype=np.int64))
+               for s, (cids, cmat) in cb.items()}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            n = len(M)
+            Ms = M.reshape(n, m, sub_dim)
+            frames = []
+            for s in range(m):
+                cids, C = cbn[s]
+                k_s = len(cids)
+                d2 = ((Ms[:, s, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                best = d2.argmin(axis=1)
+                sums = np.zeros((k_s, sub_dim), dtype=np.int64)
+                np.add.at(sums, best, Ms[:, s, :])
+                counts = np.bincount(best, minlength=k_s).astype(np.int64)
+                live = counts > 0
+                idx, dim_idx = np.nonzero(live[:, None] & np.ones(
+                    (1, sub_dim), dtype=bool))
+                frames.append(pd.DataFrame({
+                    "sub": np.full(len(idx), s, dtype=np.int32),
+                    "cid": cids[idx],
+                    "dim": (dim_idx + 1).astype(np.int32),
+                    "s": sums[idx, dim_idx],
+                    "n": counts[idx],
+                }))
+            yield pd.concat(frames, ignore_index=True)
+
+    return base.mapInPandas(partials, "sub int, cid int, dim int, s long, n long")
 
 
 def pq_train_encode(
@@ -785,7 +850,6 @@ def pq_train_encode(
     spark = qvecs.sparkSession
     sub_dim = dim // m
     base = qvecs.select("vec_id", "q").localCheckpoint(eager=False)
-    subs = base.select("vec_id", _pq_subsplit(F.col("q"), m, sub_dim).alias("sub", "sq"))
 
     seed_order = [F.md5(F.col("vec_id").cast("string")), F.col("vec_id")]
     seed_rows = (
@@ -802,28 +866,22 @@ def pq_train_encode(
             cents_lit[(s, r.cid)] = list(r.q[s * sub_dim : (s + 1) * sub_dim])
 
     for _ in range(iters):
-        assigned = _pq_assign(subs, _pq_cents_carrier(spark, cents_lit, m))
-        # explicit floor division (Spark div truncates toward zero)
-        new = (
-            assigned.select("sub", "cid", F.posexplode("sq").alias("dim", "v"))
+        # per-batch integer partials -> metadata-sized final aggregate;
+        # Python's // floors, matching the oracle's explicit floor form
+        agg = (
+            _pq_update_partials(base, cents_lit, m, sub_dim)
             .groupBy("sub", "cid", "dim")
-            .agg(
-                F.expr(
-                    "(sum(v) - pmod(sum(v), count(*))) div count(*)"
-                ).alias("cv")
-            )
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
             .collect()
         )
         by_key: dict = {}
-        for r in new:
-            by_key.setdefault((r.sub, r.cid), {})[r.dim] = r.cv
+        for r in agg:
+            by_key.setdefault((r.sub, r.cid), {})[r.dim] = int(r.s) // int(r.n)
         cents_lit = {
             key: [dims[i] for i in sorted(dims)] for key, dims in by_key.items()
         }
 
-    codes = _pq_assign(subs, _pq_cents_carrier(spark, cents_lit, m)).select(
-        "vec_id", "sub", "cid"
-    )
+    codes = _pq_assign_codes(base, cents_lit, m, sub_dim)
     cents = spark.createDataFrame(
         [(s, c, v) for (s, c), v in sorted(cents_lit.items())],
         "sub int, cid int, c array<bigint>",

@@ -77,28 +77,6 @@ def _sqdist(a: Column, b: Column) -> Column:
     )
 
 
-def _centroid_array(cents: DataFrame) -> DataFrame:
-    """Collapse a ``(cid, c)`` centroid relation into ONE row holding the
-    cid-sorted ``array<struct<cid, c>>`` -- the broadcastable carrier for
-    shuffle-free assignment.  k rows of metadata, never data."""
-    return cents.groupBy().agg(
-        F.array_sort(F.collect_list(F.struct("cid", "c"))).alias("_cents")
-    )
-
-
-def _scored_cells(q: Column) -> Column:
-    """Per-vector ``array<struct<d2, cid>>`` against the broadcast
-    ``_cents`` array: one distance per centroid, computed once.  Struct
-    ordering is lexicographic, so ``array_min``/``array_sort`` over this
-    give nearest-first with ties to the smaller cid."""
-    return F.transform(
-        F.col("_cents"),
-        lambda ct: F.struct(
-            _sqdist(q, ct["c"]).alias("d2"), ct["cid"].alias("cid")
-        ),
-    )
-
-
 def assign_to_centroids(qvecs: DataFrame, cents: DataFrame) -> DataFrame:
     """Nearest-centroid assignment of a ``(vec_id, q)`` relation against
     a ``(cid, c)`` centroid relation (ties to the smaller cid).  This is
@@ -324,19 +302,39 @@ def semantic_dedup(
 
 def assign_top_cells(qvecs: DataFrame, cents: DataFrame, r: int) -> DataFrame:
     """Top-``r`` nearest-centroid memberships of a ``(vec_id, q)``
-    relation: one output row per (vec_id, cid), nearest cells first by
-    (d2, cid).  ``r=1`` is plain assignment; corpus-side ``r>1`` is the
-    IVF *spill* (a vector posts into its ``r`` closest cells so a query
-    probing any of them finds it); query-side ``r>1`` is multi-probe."""
-    scored = qvecs.select("vec_id", "q").crossJoin(
-        F.broadcast(_centroid_array(cents))
-    ).select(
-        "vec_id",
-        F.slice(F.array_sort(_scored_cells(F.col("q"))), 1, r).alias("_top"),
-    )
-    return scored.select(
-        "vec_id", F.explode(F.col("_top.cid")).alias("cid")
-    )
+    relation: one output row per (vec_id, cid), nearest by (d2, cid).
+    ``r=1`` is plain assignment; corpus-side ``r>1`` is the IVF *spill*
+    (a vector posts into its ``r`` closest cells so a query probing any
+    of them finds it); query-side ``r>1`` is multi-probe.
+
+    Numpy-exact like ``_assign_np`` (int64 distances; STABLE argsort
+    over the cid-sorted centroid matrix = ties to the smaller cid,
+    matching the oracle's ORDER BY d2, cid); shuffle-free map stage with
+    the k-row centroid relation as a closure literal."""
+    import pandas as pd
+
+    cents_lit = sorted((row.cid, list(row.c)) for row in cents.collect())
+    cids = [cid for cid, _ in cents_lit]
+    cmat = [c for _, c in cents_lit]
+
+    def top(batches):
+        import numpy as np
+
+        C = np.asarray(cmat, dtype=np.int64)
+        cid_arr = np.asarray(cids, dtype=np.int32)
+        rr = min(r, len(cid_arr))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            d2 = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            topidx = np.argsort(d2, axis=1, kind="stable")[:, :rr]
+            yield pd.DataFrame({
+                "vec_id": np.repeat(pdf["vec_id"].to_numpy(), rr),
+                "cid": cid_arr[topidx].ravel(),
+            })
+
+    return qvecs.select("vec_id", "q").mapInPandas(top, "vec_id long, cid int")
 
 
 def pooled_topk(

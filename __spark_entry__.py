@@ -43,6 +43,7 @@ _ORDER = [
     # stats_sigma_outliers -- both r6-graded with in-window siblings)
     "dedup_sorted_neighborhood",
     "sim_pq_adc_topk",
+    "sim_ivfpq_topk",
     "dedup_cdc_rolling",
     "events_ewma_daily",
     "stats_mann_whitney",
@@ -56,7 +57,6 @@ _ORDER = [
     "text_token_entropy",
     "curation_lm_filtered",
     "events_retention_cohorts",
-    "events_concurrency_peaks",
     "stats_trimmed_mean",
     "stats_spearman_daily",
     "sample_temperature_sources",
@@ -177,6 +177,7 @@ _ORDER = [
     "cluster_kmeans_embeddings",
     "stats_linear_trend",
     # -- displaced by the round-8 rotation (driver-green r6/r7) -----------
+    "events_concurrency_peaks",
     "events_rolling_active_users",
     "stats_sigma_outliers",
     "events_anomaly_days",

@@ -936,3 +936,108 @@ def pq_adc_topk(
         .filter(F.col("rk") <= k)
         .orderBy("query_id", "rk")
     )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    m: int = 8,
+    k_codebook: int = 16,
+    pq_iters: int = 2,
+    cells: int = 8,
+    cell_iters: int = 2,
+    nprobe: int = 4,
+    replicas: int = 2,
+    prefilter: int = 25,
+    k: int = 5,
+) -> DataFrame:
+    """IVF-PQ with exact rerank -- the canonical billion-scale ANN
+    pipeline (FAISS's IndexIVFPQ shape), composed from the engine's own
+    parts, every distance a BIGINT:
+
+    1. ROUTE (IVF): fixed-point k-means builds ``cells`` centroids over
+       the full-width vectors; each corpus vector posts into its
+       ``replicas`` nearest cells, each query probes ``nprobe``.
+    2. SHORTLIST (PQ/ADC): probed-cell candidates only, scored by
+       asymmetric distance over the corpus's m-code rows (per-query
+       lookup tables); ``prefilter`` survive per query, ties on
+       (ad2, cand_id).
+    3. EXACT: full-width rerank of the survivors, top ``k`` by (d2, id).
+
+    Scale shape: the corpus is touched by the Lloyd passes, one
+    shuffle-free membership map, the PQ encode, and an EQUI-join of its
+    code rows against the query probes -- no nested-loop join anywhere.
+    A query reads ~``replicas * nprobe / cells`` of the corpus at CODE
+    width (m BIGINTs/vector), full vectors only for ``prefilter`` rows.
+
+    ``queries``/``corpus`` are ``(vec_id, q array<long>)`` already
+    quantized.  Output: ``(query_id, neighbor_id, d2, rk)``.
+    """
+    from .clustering import assign_top_cells, kmeans_fixed_point
+
+    corpus = corpus.select("vec_id", "q").localCheckpoint(eager=False)
+    queries = queries.select("vec_id", "q").localCheckpoint(eager=False)
+
+    _, cents = kmeans_fixed_point(corpus, k=cells, iters=cell_iters)
+    cand_cells = assign_top_cells(corpus, cents, replicas).select(
+        F.col("vec_id").alias("cand_id"), "cid"
+    )
+    probe_cells = assign_top_cells(queries, cents, nprobe).select(
+        F.col("vec_id").alias("query_id"), "cid"
+    )
+    pairs = (
+        probe_cells.join(cand_cells, "cid")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id")
+        .distinct()
+    )
+
+    codes, pq_cents = pq_train_encode(
+        corpus, dim=dim, m=m, k=k_codebook, iters=pq_iters
+    )
+    sub_dim = dim // m
+    qsubs = queries.select(
+        F.col("vec_id").alias("query_id"),
+        _pq_subsplit(F.col("q"), m, sub_dim).alias("sub", "sq"),
+    )
+    tables = qsubs.join(pq_cents, "sub").select(
+        "query_id", "sub", "cid",
+        _pq_sqdist(F.col("sq"), F.col("c")).alias("pd2"),
+    )
+    adc = (
+        pairs.join(codes.withColumnRenamed("vec_id", "cand_id"), "cand_id")
+        .join(F.broadcast(tables), ["query_id", "sub", "cid"])
+        .groupBy("query_id", "cand_id")
+        .agg(F.sum("pd2").cast("long").alias("ad2"))
+    )
+    wa = Window.partitionBy("query_id").orderBy("ad2", "cand_id")
+    shortlist = adc.withColumn("srk", F.row_number().over(wa)).filter(
+        F.col("srk") <= prefilter
+    )
+
+    exact = (
+        shortlist.join(
+            queries.select(
+                F.col("vec_id").alias("query_id"), F.col("q").alias("_qq")
+            ),
+            "query_id",
+        )
+        .join(
+            corpus.select(
+                F.col("vec_id").alias("cand_id"), F.col("q").alias("_cq")
+            ),
+            "cand_id",
+        )
+        .select(
+            "query_id",
+            F.col("cand_id").alias("neighbor_id"),
+            _pq_sqdist(F.col("_qq"), F.col("_cq")).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    return (
+        exact.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .orderBy("query_id", "rk")
+    )

@@ -2167,86 +2167,166 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(queries, codes, cents, dim=64, m=8, k=5)
 
 
-def _pq_sql(m: int = 8, kc: int = 16, iters: int = 2, sub_dim: int = 8,
-            topk: int = 5) -> str:
-    """The PQ train/encode/ADC pipeline unrolled as CTEs (the per-
-    subspace generalization of ``_kmeans_ctes``: every centroid relation
-    carries ``sub`` in its key, so all subspaces train in the same
-    pass)."""
-    d2 = (
-        "CAST(list_sum(list_transform(list_zip(b.sq, c.c),"
-        " p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)"
-    )
+_PQ_D2 = (
+    "CAST(list_sum(list_transform(list_zip(b.sq, c.c),"
+    " p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)"
+)
+
+
+def _pq_ctes(pfx: str, m: int, kc: int, iters: int, sub_dim: int,
+             query_ids: str) -> tuple:
+    """PQ train/encode/table CTEs over a ``qbase(vec_id, q)`` CTE, all
+    names ``pfx``-prefixed so they compose with ``_kmeans_ctes`` in the
+    same statement (the per-subspace generalization: every centroid
+    relation carries ``sub`` in its key, so all subspaces train in one
+    pass).  Returns ``(cte_sql, codes_name, tables_name)`` where codes =
+    (vec_id, sub, cid) and tables = (query_id, sub, cid, pd2)."""
     parts = [
-        f"""subs AS (
+        f"""{pfx}subs AS (
   SELECT vec_id, t.s AS sub,
          q[t.s*{sub_dim}+1 : t.s*{sub_dim}+{sub_dim}] AS sq
   FROM qbase, (SELECT UNNEST(range(0, {m})) AS s) t)""",
-        f"""seeds AS (
+        f"""{pfx}seeds AS (
   SELECT vec_id,
          ROW_NUMBER() OVER (ORDER BY {_KM_SEED_ORDER}) AS cid
   FROM qbase
   QUALIFY ROW_NUMBER() OVER (ORDER BY {_KM_SEED_ORDER}) <= {kc})""",
-        """cent0 AS (
+        f"""{pfx}cent0 AS (
   SELECT s.sub, sd.cid, s.sq AS c
-  FROM subs s JOIN seeds sd USING (vec_id))""",
+  FROM {pfx}subs s JOIN {pfx}seeds sd USING (vec_id))""",
     ]
-    prev = "cent0"
+    prev = f"{pfx}cent0"
     for r in range(1, iters + 1):
         parts.append(
-            f"""a{r} AS (
-  SELECT b.vec_id, b.sub, b.sq, c.cid, {d2} AS d2
-  FROM subs b JOIN {prev} c ON b.sub = c.sub
+            f"""{pfx}a{r} AS (
+  SELECT b.vec_id, b.sub, b.sq, c.cid, {_PQ_D2} AS d2
+  FROM {pfx}subs b JOIN {prev} c ON b.sub = c.sub
   QUALIFY ROW_NUMBER() OVER (PARTITION BY b.vec_id, b.sub
             ORDER BY d2, c.cid) = 1)"""
         )
         parts.append(
-            f"""s{r} AS (
+            f"""{pfx}s{r} AS (
   SELECT sub, cid, t.i AS dim, CAST(SUM(sq[t.i]) AS BIGINT) AS s,
          COUNT(*) AS n
-  FROM a{r}, (SELECT UNNEST(range(1, {sub_dim + 1})) AS i) t
+  FROM {pfx}a{r}, (SELECT UNNEST(range(1, {sub_dim + 1})) AS i) t
   GROUP BY sub, cid, t.i)"""
         )
         parts.append(
-            f"""cent{r} AS (
+            f"""{pfx}cent{r} AS (
   SELECT sub, cid, list(cv ORDER BY dim) AS c FROM (
-    SELECT sub, cid, dim, (s - ((s % n) + n) % n) // n AS cv FROM s{r})
+    SELECT sub, cid, dim, (s - ((s % n) + n) % n) // n AS cv
+    FROM {pfx}s{r})
   GROUP BY sub, cid)"""
         )
-        prev = f"cent{r}"
-    joined = ",\n".join(parts)
-    return f"""
-WITH qbase AS (
-  SELECT vec_id,
-         list_transform(embedding,
-           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
-  FROM embeddings),
-{joined},
-codes AS (
-  SELECT b.vec_id, b.sub, c.cid, {d2} AS d2
-  FROM subs b JOIN {prev} c ON b.sub = c.sub
+        prev = f"{pfx}cent{r}"
+    parts.append(
+        f"""{pfx}codes AS (
+  SELECT b.vec_id, b.sub, c.cid, {_PQ_D2} AS d2
+  FROM {pfx}subs b JOIN {prev} c ON b.sub = c.sub
   QUALIFY ROW_NUMBER() OVER (PARTITION BY b.vec_id, b.sub
-            ORDER BY d2, c.cid) = 1),
-qsubs AS (
-  SELECT vec_id AS query_id, sub, sq FROM subs
-  WHERE vec_id IN (3, 10, 42)),
-tables AS (
+            ORDER BY d2, c.cid) = 1)"""
+    )
+    parts.append(
+        f"""{pfx}tables AS (
   SELECT b.query_id, c.sub, c.cid,
          CAST(list_sum(list_transform(list_zip(b.sq, c.c),
            p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS pd2
-  FROM (SELECT query_id, sub, sq FROM qsubs) b
-  JOIN {prev} c ON b.sub = c.sub),
+  FROM (SELECT vec_id AS query_id, sub, sq FROM {pfx}subs
+        WHERE vec_id IN ({query_ids})) b
+  JOIN {prev} c ON b.sub = c.sub)"""
+    )
+    return ",\n".join(parts), f"{pfx}codes", f"{pfx}tables"
+
+
+_QBASE_EMB = """qbase AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+  FROM embeddings)"""
+
+
+def _pq_sql(m: int = 8, kc: int = 16, iters: int = 2, sub_dim: int = 8,
+            topk: int = 5) -> str:
+    ctes, codes, tables = _pq_ctes("", m, kc, iters, sub_dim, "3, 10, 42")
+    return f"""
+WITH {_QBASE_EMB},
+{ctes},
 adc AS (
   SELECT t.query_id, cd.vec_id AS neighbor_id,
          CAST(SUM(t.pd2) AS BIGINT) AS d2
-  FROM codes cd
-  JOIN tables t ON cd.sub = t.sub AND cd.cid = t.cid
+  FROM {codes} cd
+  JOIN {tables} t ON cd.sub = t.sub AND cd.cid = t.cid
   WHERE cd.vec_id != t.query_id
   GROUP BY t.query_id, cd.vec_id)
 SELECT query_id, neighbor_id, d2,
        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
               ORDER BY d2, neighbor_id) AS BIGINT) AS rk
 FROM adc
+QUALIFY rk <= {topk}
+ORDER BY query_id, rk
+"""
+
+
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with exact rerank (operators/similarity.py::ivfpq_topk):
+    cell routing over full-width fixed-point k-means (corpus spills to
+    2 cells, queries probe 4), PQ/ADC shortlist of 25 over the probed
+    cells' CODE rows only, then full-width exact rerank to top-5 --
+    the canonical billion-scale ANN composition, every distance a
+    BIGINT."""
+    from ..operators.clustering import quantized
+    from ..operators.similarity import ivfpq_topk
+
+    vecs = _tspread(spark, sf_dir, "embeddings")
+    q = vecs.select("vec_id", quantized(F.col("embedding")).alias("q"))
+    queries = q.filter(F.col("vec_id").isin(3, 10, 42))
+    return ivfpq_topk(queries, q, dim=64)
+
+
+def _ivfpq_sql(cells: int = 8, cell_iters: int = 2, nprobe: int = 4,
+               replicas: int = 2, prefilter: int = 25, topk: int = 5) -> str:
+    pq_ctes, codes, tables = _pq_ctes("p", 8, 16, 2, 8, "3, 10, 42")
+    return f"""
+WITH {_QBASE_EMB},
+{_kmeans_ctes("qbase", cells, cell_iters)},
+spill AS (
+  SELECT b.vec_id AS cand_id, c.cid, {_KM_D2} AS d2
+  FROM qbase b, cent{cell_iters} c
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY b.vec_id
+            ORDER BY d2, c.cid) <= {replicas}),
+probes AS (
+  SELECT b.vec_id AS query_id, c.cid, {_KM_D2} AS d2
+  FROM (SELECT * FROM qbase WHERE vec_id IN (3, 10, 42)) b,
+       cent{cell_iters} c
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY b.vec_id
+            ORDER BY d2, c.cid) <= {nprobe}),
+cand AS (
+  SELECT DISTINCT p.query_id, sp.cand_id
+  FROM probes p JOIN spill sp USING (cid)
+  WHERE sp.cand_id != p.query_id),
+{pq_ctes},
+adc AS (
+  SELECT ca.query_id, ca.cand_id, CAST(SUM(t.pd2) AS BIGINT) AS ad2
+  FROM cand ca
+  JOIN {codes} cd ON cd.vec_id = ca.cand_id
+  JOIN {tables} t ON t.query_id = ca.query_id
+                 AND t.sub = cd.sub AND t.cid = cd.cid
+  GROUP BY ca.query_id, ca.cand_id),
+short AS (
+  SELECT query_id, cand_id FROM adc
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY ad2, cand_id) <= {prefilter}),
+exact AS (
+  SELECT sh.query_id, sh.cand_id AS neighbor_id,
+         CAST(list_sum(list_transform(list_zip(qb.q, cb.q),
+           p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS d2
+  FROM short sh
+  JOIN qbase qb ON qb.vec_id = sh.query_id
+  JOIN qbase cb ON cb.vec_id = sh.cand_id)
+SELECT query_id, neighbor_id, d2,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY d2, neighbor_id) AS BIGINT) AS rk
+FROM exact
 QUALIFY rk <= {topk}
 ORDER BY query_id, rk
 """
@@ -2554,6 +2634,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
         DEDUP_SORTED_NEIGHBORHOOD_SQL,
     ),
     "sim_pq_adc_topk": (sim_pq_adc_topk, _pq_sql()),
+    "sim_ivfpq_topk": (sim_ivfpq_topk, _ivfpq_sql()),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_SQL),
     "sim_topk_bruteforce": (sim_topk_bruteforce, SIM_TOPK_SQL),
     "sim_ivf_topk": (sim_ivf_topk, SIM_IVF_SQL),

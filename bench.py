@@ -100,9 +100,11 @@ BENCH_QUERIES = [
     "text_bpe_compression",
     "sample_weighted_orders",
     "mm_audio_fingerprint",
-    # round-8 additions: sorted-neighborhood blocking + PQ/ADC ANN
+    # round-8 additions: sorted-neighborhood blocking + PQ/ADC ANN +
+    # the composed IVF-PQ pipeline
     "dedup_sorted_neighborhood",
     "sim_pq_adc_topk",
+    "sim_ivfpq_topk",
 ]
 
 

@@ -37,10 +37,11 @@ _ORDER = [
     # sample_hash_split, mm_audio_vad, dedup_cdc_chunks,
     # cluster_assign_incremental.
     # -- never-driver-graded: rotated in for round 8 ----------------------
-    # (plus the two NEW round-8 capabilities, sorted-neighborhood
-    # blocking and PQ/ADC ANN, which enter directly as sole verifiers;
-    # displaced to make room: events_rolling_active_users,
-    # stats_sigma_outliers -- both r6-graded with in-window siblings)
+    # (plus the three NEW round-8 capabilities -- sorted-neighborhood
+    # blocking, PQ/ADC ANN, and the composed IVF-PQ pipeline -- which
+    # enter directly as sole verifiers; displaced to make room:
+    # events_rolling_active_users, stats_sigma_outliers,
+    # events_concurrency_peaks -- all r6-graded with in-window siblings)
     "dedup_sorted_neighborhood",
     "sim_pq_adc_topk",
     "sim_ivfpq_topk",

@@ -239,15 +239,21 @@ def _cluster_pairwise_counts(pn: DataFrame, tau_micro: int) -> DataFrame:
 
         order = np.argsort(pdf["vec_id"].to_numpy())
         ids = pdf["vec_id"].to_numpy()[order]
-        M = np.stack(pdf["q"].to_numpy()[order]).astype(np.int64)
+        # float64 GEMM on purpose: numpy integer matmul has no BLAS path
+        # (measured 4x wall at 6250-vector clusters), and the float64
+        # result is still EXACT -- per-element products <= 1.21e12 and
+        # running sums <= 7.8e13, both far inside 2^53, so every
+        # intermediate is an exactly-representable integer
+        M = np.stack(pdf["q"].to_numpy()[order]).astype(np.float64)
         n2 = pdf["n2q"].to_numpy()[order].astype(np.float64)
         dots = M @ M.T
         denom = np.sqrt(n2)[:, None] * np.sqrt(n2)[None, :]
         cos_fp = np.floor(dots / denom * 1_000_000.0)
-        iu = np.triu_indices(len(ids), k=1)
-        hit = cos_fp[iu] >= tau_micro
-        counts = np.zeros(len(ids), dtype=np.int64)
-        np.add.at(counts, iu[1][hit], 1)
+        # n_sim[j] = |{i < j : cos >= tau}|: a strict-upper-triangle mask
+        # summed per column (vectorized; the triu_indices + add.at scatter
+        # this replaces was the remaining hot spot at 6k-vector clusters)
+        hit = np.triu(cos_fp >= tau_micro, k=1)
+        counts = hit.sum(axis=0).astype(np.int64)
         keep = counts > 0
         return pd.DataFrame({"vec_id": ids[keep], "n_sim": counts[keep]})
 

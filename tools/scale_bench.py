@@ -45,14 +45,46 @@ def _curate_full_all_docs(spark, sf_dir):
     return curate_full(docs, eval_docs)
 
 
+def _sorted_neighborhood_all_docs(spark, sf_dir):
+    """dedup_sorted_neighborhood's registry form runs on a 240-doc
+    planted corpus by design (oracle determinism); the scale check
+    drives the operator over the WHOLE synthetic documents table."""
+    from airflow_pipeline_text_processing_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return sorted_neighborhood_pairs(docs, window=8, max_hamming=6)
+
+
+def _semantic_scaled_k(spark, sf_dir):
+    """SemDeDup at its DOCUMENTED operating point: k grows with the
+    corpus so per-cluster size (and so each task's pairwise block) stays
+    constant -- the fixed-k registry row above it shows what happens
+    when you hold k and let clusters grow quadratically instead."""
+    from airflow_pipeline_text_processing_spark.operators.clustering import (
+        semantic_dedup,
+    )
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    k = max(8, vecs.count() // 625)
+    return semantic_dedup(vecs.select("vec_id", "embedding"), k=k)
+
+
 QUERIES = [
     ("dedup_semantic_clusters", None),
+    ("semantic_dedup[k~n]", _semantic_scaled_k),
     ("dedup_cdc_chunks", None),
     ("dedup_cdc_rolling", None),
     ("sim_lsh_multitable", None),
     ("curation_full[all-docs]", _curate_full_all_docs),
     ("stream_stream_join_pairs", None),
     ("text_topics_kmeans", None),
+    ("sorted_neighborhood[all-docs]", _sorted_neighborhood_all_docs),
+    ("sim_pq_adc_topk", None),
+    ("sim_ivfpq_topk", None),
 ]
 
 

@@ -90,7 +90,7 @@ _ORDER = [
     "dedup_minhash_lsh",
     "sim_ivf_topk",
     "sketch_cms_heavy_hitters",
-    "graph_pagerank_events",
+    "graph_label_communities",
     "text_bpe_train",
     "dq_events_expectations",
     "curation_full_set",
@@ -177,6 +177,7 @@ _ORDER = [
     "embed_quantize_int8",
     "cluster_kmeans_embeddings",
     "stats_linear_trend",
+    "graph_pagerank_events",
     # -- displaced by the round-8 rotation (driver-green r6/r7) -----------
     "events_concurrency_peaks",
     "events_rolling_active_users",

@@ -95,3 +95,58 @@ def pagerank_fixed(
             )
         )
     return ranks.orderBy("node")
+
+
+def label_propagation(
+    nodes: DataFrame, edges: DataFrame, iterations: int = 3
+) -> DataFrame:
+    """Synchronous majority-label propagation (community detection) over
+    ``nodes(node)`` and weighted ``edges(src, dst, w)``, treated as
+    undirected: each round EVERY node simultaneously adopts the label
+    with the greatest total incident edge weight among its neighbors'
+    current labels (ties to the lexicographically smaller label;
+    isolated nodes keep their own).  Labels initialize to the node ids,
+    so the fixed-point is deterministic -- no RNG, no visit order, and a
+    SQL oracle replays it exactly.
+
+    Complements the min-label connected components in dedup.py (which
+    finds REACHABILITY classes): majority voting respects edge weight
+    density, so weakly-bridged clusters keep separate communities where
+    CC would merge them.
+
+    Scale shape: same aggregate-big/iterate-small split as
+    ``pagerank_fixed`` -- the heavy step is the one-time edge
+    extraction; each round here is one graph-sized join + one
+    map-side-combinable (node, label) weight sum + one per-node argmax
+    window over its incident-label counts.  Returns ``node, label``.
+    """
+    und = (
+        edges.select("src", "dst", "w")
+        .unionAll(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(iterations):
+        votes = (
+            und.join(labels, und.dst == labels.node)
+            .groupBy("src", "label")
+            .agg(F.sum("w").alias("vw"))
+        )
+        win = Window.partitionBy("src").orderBy(
+            F.col("vw").desc(), F.col("label")
+        )
+        new = (
+            votes.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") == 1)
+            .select(F.col("src").alias("node"), F.col("label").alias("_new"))
+        )
+        labels = (
+            labels.join(new, "node", "left")
+            .select("node", F.coalesce("_new", "label").alias("label"))
+        )
+    return labels

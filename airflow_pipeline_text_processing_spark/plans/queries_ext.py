@@ -1821,6 +1821,81 @@ SELECT node, rank_fp FROM {prev} ORDER BY node
 """
 
 
+def graph_label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-label propagation communities
+    (operators/graph.py::label_propagation) over the event-type
+    transition graph, symmetrized: 3 synchronous rounds, labels init to
+    node ids, ties to the smaller label -- fully deterministic, no RNG.
+    Complements PageRank (centrality) and the dedup connected
+    components (reachability): weight-majority voting keeps
+    weakly-bridged clusters apart."""
+    from ..operators.graph import label_propagation, transition_edges
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    nodes = ev.select(F.col("event_type").alias("node")).distinct()
+    edges = transition_edges(ev)
+    labels = label_propagation(nodes, edges, iterations=3)
+    sizes = labels.groupBy("label").agg(
+        F.count("*").cast("long").alias("csize")
+    )
+    return labels.join(sizes, "label").select(
+        "node", "label", "csize"
+    ).orderBy("node")
+
+
+def _label_prop_sql(iterations: int = 3) -> str:
+    steps = []
+    prev = "l0"
+    for i in range(1, iterations + 1):
+        steps.append(f"""
+v{i} AS (
+  SELECT u.src, l.label, CAST(SUM(u.w) AS BIGINT) AS vw
+  FROM und u JOIN {prev} l ON u.dst = l.node GROUP BY 1, 2
+),
+n{i} AS (
+  SELECT src AS node, label FROM v{i}
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY src
+            ORDER BY vw DESC, label) = 1
+),
+l{i} AS (
+  SELECT o.node, COALESCE(n.label, o.label) AS label
+  FROM {prev} o LEFT JOIN n{i} n USING (node)
+)"""
+        )
+        prev = f"l{i}"
+    chain = ",".join(steps)
+    return f"""
+WITH lagged AS (
+  SELECT LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS src,
+         event_type AS dst
+  FROM events
+),
+edges AS (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+  FROM lagged WHERE src IS NOT NULL GROUP BY 1, 2
+),
+und AS (
+  SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM (
+    SELECT src, dst, w FROM edges
+    UNION ALL
+    SELECT dst AS src, src AS dst, w FROM edges
+  ) GROUP BY 1, 2
+),
+nodes AS (SELECT DISTINCT event_type AS node FROM events),
+l0 AS (SELECT node, node AS label FROM nodes),{chain},
+sizes AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS csize
+  FROM {prev} GROUP BY 1
+)
+SELECT l.node, l.label, s.csize
+FROM {prev} l JOIN sizes s USING (label)
+ORDER BY l.node
+"""
+
+
 def sample_temperature_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based domain resampling (operators/sampling.py::
     temperature_resample): per-source quotas proportional to
@@ -3953,6 +4028,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "join_fuzzy_names": (join_fuzzy_names, FUZZY_SQL),
     "sample_temperature_sources": (sample_temperature_sources, TEMPERATURE_SQL),
     "graph_pagerank_events": (graph_pagerank_events, _pagerank_sql()),
+    "graph_label_communities": (graph_label_communities, _label_prop_sql()),
     "events_anomaly_days": (events_anomaly_days, ANOMALY_SQL),
     "merge_upsert_part": (merge_upsert_part, MERGE_SQL),
     "agg_mode_per_type": (agg_mode_per_type, MODE_SQL),

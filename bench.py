@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "dedup_sorted_neighborhood",
     "sim_pq_adc_topk",
     "sim_ivfpq_topk",
+    "graph_label_communities",
 ]
 
 

@@ -2000,3 +2000,29 @@ def test_ivfpq_finds_planted_twins_and_respects_routing(spark):
             cid for (vid, cid) in spill if vid == r.neighbor_id
         } & probes[r.query_id]
         assert shared, f"{r.neighbor_id} not in any probed cell of {r.query_id}"
+
+
+def test_label_propagation_separates_weakly_bridged_communities(spark):
+    """Two dense triangles joined by one weak bridge edge: majority-label
+    voting must keep them as two communities (the bridge is outvoted),
+    while min-label connected components would merge them.  Also pins
+    the deterministic fixed point: labels are the lexicographically
+    smallest id that wins each side's majority."""
+    from airflow_pipeline_text_processing_spark.operators.graph import (
+        label_propagation,
+    )
+
+    nodes = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("x",), ("y",), ("z",)], "node string"
+    )
+    tri = [
+        ("a", "b", 10), ("b", "c", 10), ("a", "c", 10),
+        ("x", "y", 10), ("y", "z", 10), ("x", "z", 10),
+        ("c", "x", 1),  # the weak bridge
+    ]
+    edges = spark.createDataFrame(tri, "src string, dst string, w long")
+    got = {r.node: r.label for r in label_propagation(nodes, edges, 3).collect()}
+    left = {got["a"], got["b"], got["c"]}
+    right = {got["x"], got["y"], got["z"]}
+    assert len(left) == 1 and len(right) == 1, got
+    assert left != right, f"bridge merged the communities: {got}"

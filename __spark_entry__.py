@@ -67,7 +67,7 @@ _ORDER = [
     "mm_image_dhash_dedup",
     "text_phrase_search",
     "agg_mode_per_type",
-    "curation_shuffle_shards",
+    "curation_dsir_select",
     "curation_entropy_filtered",
     # -- carried category verifiers (all driver-green r5 or earlier) ------
     "q5_nation_volume",
@@ -179,6 +179,7 @@ _ORDER = [
     "stats_linear_trend",
     "graph_pagerank_events",
     # -- displaced by the round-8 rotation (driver-green r6/r7) -----------
+    "curation_shuffle_shards",
     "events_concurrency_peaks",
     "events_rolling_active_users",
     "stats_sigma_outliers",

@@ -509,3 +509,81 @@ def token_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
             "((n_tokens * ln_q8 - s_q8) * 1000) div (256 * n_tokens)"
         ).alias("entropy_milli"),
     ).orderBy("doc_id")
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw
+    document by how much more likely its hashed-token profile is under
+    a TARGET corpus than under the raw corpus, in exact Q8 fixed point:
+
+        weight_q8(doc) = sum_b c_doc(b) * (s_raw(b) - s_target(b))
+        s_X(b) = fixed_log2(N_X + n_buckets, c_X(b) + 1)
+
+    where ``b`` is the md5-hex13 feature hash of a token, ``c_X(b)``
+    the bucket count in corpus X, and ``s_X(b)`` the Q8 surprisal of
+    the add-one-smoothed bucket probability -- so the weight is the
+    hashed-n-gram log-likelihood ratio of the DSIR paper, replayable
+    bit-for-bit by a SQL oracle (no libm).
+
+    Scale shape: both bucket tables are O(n_buckets) and broadcast; the
+    corpus is touched by tokenize + one map-side-combined (doc, bucket)
+    aggregate + one broadcast join + one per-doc sum.  ``fixed_log2``'s
+    ``num < 2^47`` bound holds through ~1.4e14 raw tokens; shard the
+    distribution estimate beyond that.
+    """
+    from .text import tokens
+
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("item")), 1, 13), 16, 10).cast("long")
+        % n_buckets
+    )
+
+    def bucket_counts(df: DataFrame) -> DataFrame:
+        return (
+            df.select(F.explode(tokens(F.col(text_col))).alias("item"))
+            .select(bucket.alias("b"))
+            .groupBy("b")
+            .agg(F.count("*").alias("c"))
+        )
+
+    raw_b = bucket_counts(docs)
+    tgt_b = bucket_counts(target)
+    raw_tot = raw_b.agg(F.sum("c").alias("n_raw"))
+    tgt_tot = tgt_b.agg(F.sum("c").alias("n_tgt"))
+    grid = (
+        raw_b.select("b", F.col("c").alias("c_raw"))
+        .join(tgt_b.select("b", F.col("c").alias("c_tgt")), "b", "left")
+        .select("b", "c_raw", F.coalesce("c_tgt", F.lit(0)).alias("c_tgt"))
+        .crossJoin(F.broadcast(raw_tot))
+        .crossJoin(F.broadcast(tgt_tot))
+        .select(
+            "b",
+            (F.col("n_raw") + F.lit(n_buckets)).alias("_nr"),
+            (F.col("c_raw") + F.lit(1)).alias("_dr"),
+            (F.col("n_tgt") + F.lit(n_buckets)).alias("_nt"),
+            (F.col("c_tgt") + F.lit(1)).alias("_dt"),
+        )
+    )
+    grid = fixed_log2(grid, "_nr", "_dr", "s_raw")
+    grid = fixed_log2(grid, "_nt", "_dt", "s_tgt")
+    scores = grid.select(
+        "b", (F.col("s_raw") - F.col("s_tgt")).alias("w_b")
+    )
+    doc_b = (
+        docs.select(id_col, F.explode(tokens(F.col(text_col))).alias("item"))
+        .select(id_col, bucket.alias("b"))
+        .groupBy(id_col, "b")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        doc_b.join(F.broadcast(scores), "b")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("c") * F.col("w_b")).cast("long").alias("weight_q8"))
+    )

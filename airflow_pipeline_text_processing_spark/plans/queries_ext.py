@@ -1821,6 +1821,73 @@ SELECT node, rank_fp FROM {prev} ORDER BY node
 """
 
 
+DSIR_BUCKETS = 256
+DSIR_TOPK = 100
+
+
+def curation_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance selection (operators/lm.py::dsir_weights): score
+    every document by the hashed-token Q8 log-likelihood ratio of the
+    English subset (the target distribution) vs the whole corpus, and
+    keep the top 100 by (weight, doc_id) -- the published
+    importance-resampling recipe for LLM pretraining data selection.
+    Distributed top-k via orderBy+limit (TakeOrdered); the bounded
+    result then gets a rank column."""
+    from ..operators import lm as L
+
+    docs = _tspread(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    target = docs.filter(F.col("lang") == "en").select("doc_id", "text")
+    w = L.dsir_weights(
+        docs.select("doc_id", "text"), target, n_buckets=DSIR_BUCKETS
+    )
+    top = w.orderBy(F.col("weight_q8").desc(), "doc_id").limit(DSIR_TOPK)
+    rk = Window.orderBy(F.col("weight_q8").desc(), "doc_id")
+    return top.withColumn(
+        "rk", F.row_number().over(rk).cast("long")
+    ).orderBy("rk")
+
+
+def _dsir_sql() -> str:
+    from ..operators.lm import fixed_log2_sql
+    from .queries_llm import TOKS_SQL
+
+    bucket = _sql_hex13_mod("substr(md5(item), 1, 13)", DSIR_BUCKETS)
+    grid_inner = f"""
+SELECT b, _nr, _dr, _nt, _dt FROM (
+  SELECT rb.b,
+         (SELECT SUM(c) FROM raw_b) + {DSIR_BUCKETS} AS _nr,
+         rb.c + 1 AS _dr,
+         COALESCE((SELECT SUM(c) FROM tgt_b), 0) + {DSIR_BUCKETS} AS _nt,
+         COALESCE(tb.c, 0) + 1 AS _dt
+  FROM raw_b rb LEFT JOIN tgt_b tb USING (b))"""
+    chain = fixed_log2_sql(grid_inner, "b, _nt, _dt", "_nr", "_dr", "s_raw")
+    chain = fixed_log2_sql(chain, "b, s_raw", "_nt", "_dt", "s_tgt")
+    return f"""
+WITH toks AS (SELECT doc_id, lang, {TOKS_SQL} AS tk FROM documents),
+items AS (SELECT doc_id, lang, UNNEST(tk) AS item FROM toks),
+ib AS (SELECT doc_id, lang, {bucket} AS b FROM items),
+raw_b AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM ib GROUP BY 1),
+tgt_b AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM ib
+          WHERE lang = 'en' GROUP BY 1),
+scores AS (SELECT b, s_raw - s_tgt AS w_b FROM ({chain})),
+doc_b AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c
+          FROM ib GROUP BY 1, 2),
+weights AS (
+  SELECT d.doc_id, CAST(SUM(d.c * s.w_b) AS BIGINT) AS weight_q8
+  FROM doc_b d JOIN scores s USING (b) GROUP BY 1),
+top AS (
+  SELECT doc_id, weight_q8 FROM weights
+  ORDER BY weight_q8 DESC, doc_id LIMIT {DSIR_TOPK})
+SELECT doc_id, weight_q8,
+       CAST(ROW_NUMBER() OVER (ORDER BY weight_q8 DESC, doc_id)
+            AS BIGINT) AS rk
+FROM top
+ORDER BY rk
+"""
+
+
 def graph_label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Majority-label propagation communities
     (operators/graph.py::label_propagation) over the event-type
@@ -4029,6 +4096,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "sample_temperature_sources": (sample_temperature_sources, TEMPERATURE_SQL),
     "graph_pagerank_events": (graph_pagerank_events, _pagerank_sql()),
     "graph_label_communities": (graph_label_communities, _label_prop_sql()),
+    "curation_dsir_select": (curation_dsir_select, _dsir_sql()),
     "events_anomaly_days": (events_anomaly_days, ANOMALY_SQL),
     "merge_upsert_part": (merge_upsert_part, MERGE_SQL),
     "agg_mode_per_type": (agg_mode_per_type, MODE_SQL),

@@ -85,14 +85,24 @@ def documents_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     The testdata corpus is ONE single-row-group parquet file, which Spark
     cannot split across input partitions -- without intervention every
     downstream codec/tokenize stage would serialize onto one core.  When
-    the scan has fewer input files than cores, repartition up to core
-    count (a tiny one-time shuffle locally; a no-op at real scale where
-    the corpus has >= cores files)."""
+    the scan has fewer input files than cores, repartition to a
+    bytes-proportional target (same rule as ``plans.queries._spread``:
+    ~96 KB of parquet per task, floor 4, cap core count -- measured to
+    beat both the 1-partition and the full-core-count splits at small
+    scale; a no-op at real scale where the corpus has >= cores files)."""
+    import os
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    target = spark.sparkContext.defaultParallelism
+    para = spark.sparkContext.defaultParallelism
     try:
-        if len(docs.inputFiles()) < target:
-            docs = docs.repartition(target)
+        files = docs.inputFiles()
+        if len(files) < para:
+            size = sum(
+                os.path.getsize(p.removeprefix("file:")) for p in files
+            )
+            target = max(4, min(para, size // (96 * 1024) + 1))
+            if len(files) < target:
+                docs = docs.repartition(int(target))
     except Exception:
         pass
     return docs.select(

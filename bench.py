@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "sim_pq_adc_topk",
     "sim_ivfpq_topk",
     "graph_label_communities",
+    "curation_dsir_select",
 ]
 
 

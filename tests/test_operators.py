@@ -2026,3 +2026,30 @@ def test_label_propagation_separates_weakly_bridged_communities(spark):
     right = {got["x"], got["y"], got["z"]}
     assert len(left) == 1 and len(right) == 1, got
     assert left != right, f"bridge merged the communities: {got}"
+
+
+def test_dsir_weights_favor_target_distribution(spark):
+    """DSIR importance weights: with the English subset as the target
+    distribution, English documents must score higher on average than
+    non-English ones (the log-likelihood-ratio sign property), and the
+    weight of every document must be a finite BIGINT."""
+    import pyspark.sql.functions as F
+
+    from airflow_pipeline_text_processing_spark.operators.lm import (
+        dsir_weights,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "lang", "text")
+    )
+    target = docs.filter(F.col("lang") == "en").select("doc_id", "text")
+    w = dsir_weights(docs.select("doc_id", "text"), target)
+    joined = w.join(docs.select("doc_id", "lang"), "doc_id")
+    means = {
+        r.grp: r.m
+        for r in joined.groupBy(
+            (F.col("lang") == "en").alias("grp")
+        ).agg(F.avg("weight_q8").alias("m")).collect()
+    }
+    assert means[True] > means[False], means

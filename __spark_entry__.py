@@ -60,7 +60,7 @@ _ORDER = [
     "events_retention_cohorts",
     "stats_trimmed_mean",
     "stats_spearman_daily",
-    "sample_temperature_sources",
+    "sample_surprisal_strata",
     "sim_mine_triplets",
     "sim_pooled_rerank",
     "dedup_semantic_clusters",
@@ -180,6 +180,7 @@ _ORDER = [
     "graph_pagerank_events",
     # -- displaced by the round-8 rotation (driver-green r6/r7) -----------
     "curation_shuffle_shards",
+    "sample_temperature_sources",
     "events_concurrency_peaks",
     "events_rolling_active_users",
     "stats_sigma_outliers",

@@ -1821,6 +1821,94 @@ SELECT node, rank_fp FROM {prev} ORDER BY node
 """
 
 
+SURPRISAL_STRATA_RATES = {0: 0.10, 1: 0.20, 2: 0.20, 3: 0.40}
+
+
+def sample_surprisal_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-stratified sampling -- the curation practice of
+    drawing training data across DIFFICULTY strata instead of uniformly:
+    per-doc unigram surprisal (operators/lm.py, exact Q8), exact
+    quartile strata via the scale-safe two-level global rank (never a
+    single-partition window over data), then a deterministic md5-rate
+    draw per stratum (operators/sampling.py::stratified_sample) that
+    up-weights the high-surprisal tail.  Map-only selection -- no
+    per-stratum top-k window whose 4 partitions would bottleneck a
+    100 TB corpus."""
+    from ..operators import lm as L
+    from ..operators.sampling import stratified_sample
+    from ..operators.windows import ordered_running_sum
+
+    docs = _tspread(spark, sf_dir, "documents").select("doc_id", "text")
+    sc = L.unigram_surprisal(docs).select("doc_id", "bpt_milli")
+    n_df = sc.agg(F.count("*").alias("_n"))
+    ranked = ordered_running_sum(
+        sc.withColumn("_one", F.lit(1).cast("long")),
+        [F.col("bpt_milli"), F.col("doc_id")],
+        "_one",
+        "rk",
+    ).drop("_one")
+    with_stratum = ranked.crossJoin(F.broadcast(n_df)).select(
+        "doc_id",
+        "bpt_milli",
+        F.expr("CAST(((rk - 1) * 4) div _n AS INT)").alias("stratum"),
+    )
+    picked = stratified_sample(
+        with_stratum,
+        "stratum",
+        SURPRISAL_STRATA_RATES,
+        key=F.col("doc_id"),
+    )
+    return picked.select("doc_id", "stratum", "bpt_milli").orderBy("doc_id")
+
+
+def _surprisal_strata_sql() -> str:
+    from ..operators.lm import fixed_log2_sql
+    from ..operators.sampling import rate_threshold
+    from .queries_llm import TOKS_SQL
+
+    vocab_chain = fixed_log2_sql(
+        """
+SELECT token, n_total + v_size AS _num, c + 1 AS _den FROM model
+CROSS JOIN (SELECT CAST(SUM(c) AS BIGINT) AS n_total,
+                   CAST(COUNT(*) AS BIGINT) AS v_size FROM model)""",
+        "token",
+        "_num",
+        "_den",
+        "s_q8",
+    )
+    cases = " ".join(
+        f"WHEN stratum = {s} THEN '{rate_threshold(r)}'"
+        for s, r in sorted(SURPRISAL_STRATA_RATES.items())
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS_SQL} AS tk FROM documents),
+items AS (SELECT doc_id, UNNEST(tk) AS token FROM toks),
+model AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+          FROM items GROUP BY 1),
+vscores AS ({vocab_chain}),
+per_doc AS (
+  SELECT i.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(v.s_q8) AS BIGINT) AS bits_q8
+  FROM items i JOIN vscores v USING (token) GROUP BY 1),
+sc AS (
+  SELECT doc_id, (bits_q8 * 1000) // (256 * n_tokens) AS bpt_milli
+  FROM per_doc),
+ranked AS (
+  SELECT doc_id, bpt_milli,
+         ROW_NUMBER() OVER (ORDER BY bpt_milli, doc_id) AS rk,
+         COUNT(*) OVER () AS _n
+  FROM sc),
+strat AS (
+  SELECT doc_id, bpt_milli,
+         CAST(((rk - 1) * 4) // _n AS INT) AS stratum
+  FROM ranked)
+SELECT doc_id, stratum, bpt_milli FROM strat
+WHERE md5(CAST(doc_id AS VARCHAR)) <
+      (CASE {cases} ELSE '{rate_threshold(0.0)}' END)
+ORDER BY doc_id
+"""
+
+
 DSIR_BUCKETS = 256
 DSIR_TOPK = 100
 
@@ -4097,6 +4185,10 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "graph_pagerank_events": (graph_pagerank_events, _pagerank_sql()),
     "graph_label_communities": (graph_label_communities, _label_prop_sql()),
     "curation_dsir_select": (curation_dsir_select, _dsir_sql()),
+    "sample_surprisal_strata": (
+        sample_surprisal_strata,
+        _surprisal_strata_sql(),
+    ),
     "events_anomaly_days": (events_anomaly_days, ANOMALY_SQL),
     "merge_upsert_part": (merge_upsert_part, MERGE_SQL),
     "agg_mode_per_type": (agg_mode_per_type, MODE_SQL),

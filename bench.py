@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "sim_ivfpq_topk",
     "graph_label_communities",
     "curation_dsir_select",
+    "sample_surprisal_strata",
 ]
 
 

@@ -64,7 +64,7 @@ _ORDER = [
     "sim_mine_triplets",
     "sim_pooled_rerank",
     "dedup_semantic_clusters",
-    "mm_image_dhash_dedup",
+    "sketch_overlap_matrix",
     "text_phrase_search",
     "agg_mode_per_type",
     "curation_dsir_select",
@@ -180,6 +180,7 @@ _ORDER = [
     "graph_pagerank_events",
     # -- displaced by the round-8 rotation (driver-green r6/r7) -----------
     "curation_shuffle_shards",
+    "mm_image_dhash_dedup",
     "sample_temperature_sources",
     "events_concurrency_peaks",
     "events_rolling_active_users",

@@ -317,3 +317,92 @@ def cms_estimates(
         joined.groupBy("g", "item")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
     )
+
+
+def kmv_overlap_matrix(
+    df: DataFrame, group_col: str, value_col: str, k: int = 32
+) -> DataFrame:
+    """Pairwise set-overlap estimates between EVERY pair of groups from
+    their KMV sketches -- the S x S contamination/overlap matrix a
+    curation pipeline wants across sources, built from ONE pass over the
+    data (``kmv_overlap`` generalized from 2 fixed sides to all pairs).
+
+    Phase 1/2 are ``kmv_distinct``'s bounded sketch build (one sketch of
+    k hashes per group); the pair algebra then runs entirely on the
+    S*k-row sketch relation: for each unordered pair (ga < gb), pool the
+    two sketches, keep the k smallest, and read off union size, match
+    fraction (Jaccard), and intersection -- Beyer et al.'s multiset
+    estimators.  When the pooled sketch holds < k hashes both sides are
+    complete and every figure is exact.  Nothing in the pair stage is
+    corpus-sized: S^2 pairs x <= 2k rows, a metadata relation at any
+    corpus scale.
+
+    Output: one row per (ga, gb) pair, ga < gb:
+    ``(ga, gb, n_union_sketch, n_common_in_k, est_distinct_union,
+    est_jaccard, est_distinct_intersection)``.
+    """
+    partial = _partition_kmv_minima(df, group_col, value_col, k)
+    w = Window.partitionBy("g").orderBy("h")
+    sk = (
+        partial.distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("g", "h")
+    )
+    sk = sk.localCheckpoint(eager=False)  # reused three times below
+    groups = sk.select("g").distinct()
+    pairs = (
+        groups.select(F.col("g").alias("ga"))
+        .crossJoin(groups.select(F.col("g").alias("gb")))
+        .filter(F.col("ga") < F.col("gb"))
+    )
+    pooled = (
+        pairs.join(sk, pairs.ga == sk.g)
+        .select("ga", "gb", "h")
+        .unionAll(
+            pairs.join(sk, pairs.gb == sk.g).select("ga", "gb", "h")
+        )
+        .distinct()
+    )
+    wp = Window.partitionBy("ga", "gb").orderBy("h")
+    topk = pooled.withColumn("_rn", F.row_number().over(wp)).filter(
+        F.col("_rn") <= k
+    )
+    mark_a = sk.select(
+        F.col("g").alias("ga"), "h", F.lit(1).alias("_in_a")
+    )
+    mark_b = sk.select(
+        F.col("g").alias("gb"), "h", F.lit(1).alias("_in_b")
+    )
+    per_pair = (
+        topk.join(mark_a, ["ga", "h"], "left")
+        .join(mark_b, ["gb", "h"], "left")
+        .groupBy("ga", "gb")
+        .agg(
+            F.count("*").alias("n_union_sketch"),
+            F.max(F.substring("h", 1, 13)).alias("_kth13"),
+            F.sum(
+                (
+                    F.col("_in_a").isNotNull() & F.col("_in_b").isNotNull()
+                ).cast("long")
+            ).alias("n_common_in_k"),
+        )
+    )
+    kth_int = F.conv(F.col("_kth13"), 16, 10).cast("long")
+    est_union = F.when(
+        F.col("n_union_sketch") < k, F.col("n_union_sketch").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(HEX13_SCALE) / kth_int.cast("double")
+    )
+    est_jac = F.col("n_common_in_k").cast("double") / F.col(
+        "n_union_sketch"
+    ).cast("double")
+    return per_pair.select(
+        "ga",
+        "gb",
+        "n_union_sketch",
+        "n_common_in_k",
+        est_union.alias("est_distinct_union"),
+        est_jac.alias("est_jaccard"),
+        (est_union * est_jac).alias("est_distinct_intersection"),
+    )

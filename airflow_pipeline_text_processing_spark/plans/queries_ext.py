@@ -1821,6 +1821,74 @@ SELECT node, rank_fp FROM {prev} ORDER BY node
 """
 
 
+def sketch_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise KMV set-overlap matrix
+    (operators/sketches.py::kmv_overlap_matrix): shared-user estimates
+    between EVERY pair of event types, from one bounded sketch per type
+    built in a single pass -- the S x S cross-source overlap /
+    contamination report at sketch cost.  The pair algebra runs on the
+    S*k-row sketch relation only; nothing pairwise is corpus-sized."""
+    from ..operators.sketches import kmv_overlap_matrix
+
+    ev = _t(spark, sf_dir, "events")
+    return kmv_overlap_matrix(ev, "event_type", "user_id", k=KMV_K).orderBy(
+        "ga", "gb"
+    )
+
+
+def _kmv_matrix_sql() -> str:
+    from ..operators.sketches import sql_kmv_estimate
+
+    est = sql_kmv_estimate(KMV_K, "_kth13")
+    return f"""
+WITH hashed AS (
+  SELECT DISTINCT event_type AS g, md5(CAST(user_id AS VARCHAR)) AS h
+  FROM events WHERE user_id IS NOT NULL
+),
+sk AS (
+  SELECT g, h FROM hashed
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) <= {KMV_K}
+),
+pairs AS (
+  SELECT a.g AS ga, b.g AS gb
+  FROM (SELECT DISTINCT g FROM sk) a, (SELECT DISTINCT g FROM sk) b
+  WHERE a.g < b.g
+),
+pooled AS (
+  SELECT DISTINCT p.ga, p.gb, s.h
+  FROM pairs p JOIN sk s ON s.g = p.ga OR s.g = p.gb
+),
+topk AS (
+  SELECT ga, gb, h FROM pooled
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY ga, gb ORDER BY h) <= {KMV_K}
+),
+per_pair AS (
+  SELECT t.ga, t.gb,
+         CAST(COUNT(*) AS BIGINT) AS n_union_sketch,
+         substr(MAX(t.h), 1, 13) AS _kth13,
+         CAST(SUM(CASE WHEN ma.h IS NOT NULL AND mb.h IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_common_in_k
+  FROM topk t
+  LEFT JOIN sk ma ON ma.g = t.ga AND ma.h = t.h
+  LEFT JOIN sk mb ON mb.g = t.gb AND mb.h = t.h
+  GROUP BY t.ga, t.gb
+)
+SELECT ga, gb, n_union_sketch, n_common_in_k,
+       CASE WHEN n_union_sketch < {KMV_K}
+            THEN CAST(n_union_sketch AS DOUBLE) ELSE {est} END
+         AS est_distinct_union,
+       CAST(n_common_in_k AS DOUBLE) / CAST(n_union_sketch AS DOUBLE)
+         AS est_jaccard,
+       (CASE WHEN n_union_sketch < {KMV_K}
+             THEN CAST(n_union_sketch AS DOUBLE) ELSE {est} END)
+         * (CAST(n_common_in_k AS DOUBLE)
+            / CAST(n_union_sketch AS DOUBLE))
+         AS est_distinct_intersection
+FROM per_pair
+ORDER BY ga, gb
+"""
+
+
 SURPRISAL_STRATA_RATES = {0: 0.10, 1: 0.20, 2: 0.20, 3: 0.40}
 
 
@@ -4189,6 +4257,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
         sample_surprisal_strata,
         _surprisal_strata_sql(),
     ),
+    "sketch_overlap_matrix": (sketch_overlap_matrix, _kmv_matrix_sql()),
     "events_anomaly_days": (events_anomaly_days, ANOMALY_SQL),
     "merge_upsert_part": (merge_upsert_part, MERGE_SQL),
     "agg_mode_per_type": (agg_mode_per_type, MODE_SQL),

@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "graph_label_communities",
     "curation_dsir_select",
     "sample_surprisal_strata",
+    "sketch_overlap_matrix",
 ]
 
 

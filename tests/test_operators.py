@@ -2053,3 +2053,36 @@ def test_dsir_weights_favor_target_distribution(spark):
         ).agg(F.avg("weight_q8").alias("m")).collect()
     }
     assert means[True] > means[False], means
+
+
+def test_kmv_overlap_matrix_exact_on_small_sets(spark):
+    """With every group holding fewer than k distinct values, each
+    pooled pair sketch is complete, so union / intersection / Jaccard
+    must be EXACT -- pinned against a Python set recompute over planted
+    overlapping groups."""
+    from itertools import combinations
+
+    from airflow_pipeline_text_processing_spark.operators.sketches import (
+        kmv_overlap_matrix,
+    )
+
+    groups = {
+        "a": set(range(0, 10)),
+        "b": set(range(5, 15)),       # overlaps a by 5
+        "c": set(range(100, 108)),    # disjoint from a and b
+    }
+    rows = [(g, v) for g, vs in groups.items() for v in vs for _ in (0, 1)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {
+        (r.ga, r.gb): r
+        for r in kmv_overlap_matrix(df, "g", "v", k=32).collect()
+    }
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+    for ga, gb in combinations(sorted(groups), 2):
+        u = groups[ga] | groups[gb]
+        i = groups[ga] & groups[gb]
+        r = got[(ga, gb)]
+        assert r.n_union_sketch == len(u)
+        assert r.n_common_in_k == len(i)
+        assert r.est_distinct_union == float(len(u))
+        assert abs(r.est_distinct_intersection - len(i)) < 1e-9

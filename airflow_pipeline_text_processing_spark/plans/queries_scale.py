@@ -1,0 +1,155 @@
+"""Scale-technique query surface: runtime filters, fingerprint
+winnowing, hybrid-retrieval fusion, time-series gap repair.
+
+Same contract as ``queries.py``: each entry is a named DataFrame plan
+plus an ANSI-SQL DuckDB oracle, deterministic down to the value hash
+(BIGINT aggregates, md5-only shared hashing, total tie orders — see
+README "Determinism conventions").
+
+The theme of this module is techniques whose *point* is the 100 TB
+plan shape — each docstring states the scale story the small-SF oracle
+equality is certifying.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from .queries import _money_sum, _sql_money_sum, _t, _tspread
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+# =====================================================================
+# Broadcast Bloom-filter runtime prefilter (semi-join reduction)
+# =====================================================================
+#
+# The classic shuffle-avoidance move for fact-dim semi joins at 100 TB:
+# the dim side's qualifying KEYS may be millions of rows (too big to
+# love broadcasting raw), but an m-bit Bloom filter over them is a few
+# hundred KB.  Build the bitmap in ONE distributed aggregate over the
+# dim side (never a driver-side loop over keys), broadcast it, and
+# drop ~99% of fact rows BEFORE the exchange; the surviving sliver
+# then pays the exact join.  Spark's own runtime row-group filtering
+# (spark.sql.optimizer.runtime.bloomFilter.enabled) makes the same
+# trade inside the optimizer; this query demonstrates the explicit
+# DataFrame-level form with a measured false-positive bound, and the
+# oracle certifies that prefilter + exact confirm == plain semi join.
+
+_BLOOM_K = 3  # hash probes per key
+_BLOOM_BITS_PER_KEY = 16  # m ~= 16n -> FP rate ~ 0.4% at k=3
+_BLOOM_MIN_BITS = 1 << 14
+_BLOOM_MAX_BITS = 1 << 22  # 512 KiB bitmap cap -- broadcast-safe
+
+
+def bloom_bitmap(keys: DataFrame, key_col: str, m_bits: int) -> DataFrame:
+    """One-row DataFrame carrying an ``array<long>`` Bloom bitmap of the
+    (distinct) keys: positions -> 64-bit words via a distributed
+    ``bit_or`` aggregate.  The only driver-side materialization is the
+    word list (m/64 longs, bounded by the _BLOOM_MAX_BITS cap — never
+    data-sized)."""
+    spark = keys.sparkSession
+    n_words = m_bits // 64
+    pos_cols = [
+        F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(m_bits))
+        for i in range(_BLOOM_K)
+    ]
+    words = (
+        keys.select(F.explode(F.array(*pos_cols)).alias("pos"))
+        .select(
+            (F.col("pos") / 64).cast("int").alias("w"),
+            F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("word"))
+        .collect()
+    )
+    dense = [0] * n_words
+    for r in words:
+        dense[r["w"]] = r["word"]
+    return spark.createDataFrame([(dense,)], "bloom array<long>")
+
+
+def bloom_might_contain(key: str, m_bits: int, bitmap_col: str = "bloom"):
+    """Predicate: all _BLOOM_K probe bits set in the broadcast bitmap.
+    ``key`` is a column name (the probe is a pure SQL expression so the
+    whole test stays inside whole-stage codegen)."""
+    tests = []
+    for i in range(_BLOOM_K):
+        pos = f"pmod(xxhash64({key}, {i}), {m_bits}L)"
+        word = f"element_at({bitmap_col}, cast({pos} div 64 as int) + 1)"
+        bit = f"shiftleft(1L, cast({pos} % 64 as int))"
+        tests.append(f"(({word} & {bit}) != 0)")
+    return F.expr(" AND ".join(tests))
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p <<= 1
+    return p
+
+
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order revenue by priority for BUILDING-segment customers, with the
+    fact side prefiltered by a broadcast Bloom filter built from the
+    qualifying customer keys.
+
+    Plan shape (the 100 TB story): one bounded aggregate over the dim
+    side builds the bitmap (m sized 16 bits/key from a cheap distinct
+    count, capped at 512 KiB); the fact scan applies the bitmap as a
+    map-side predicate BEFORE any exchange, so only ~segment-fraction
+    of orders ever shuffles; the exact semi join then removes Bloom
+    false positives.  Oracle = plain IN-subquery semi join — equality
+    certifies the prefilter is transparent."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+
+    keys = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey"
+    )
+    n_keys = keys.count()  # cheap dim-side job; at scale: approx_count_distinct
+    m_bits = min(
+        _BLOOM_MAX_BITS,
+        max(_BLOOM_MIN_BITS, _next_pow2(n_keys * _BLOOM_BITS_PER_KEY)),
+    )
+    carrier = bloom_bitmap(keys, "c_custkey", m_bits)
+
+    prefiltered = (
+        orders.join(F.broadcast(carrier))
+        .filter(bloom_might_contain("o_custkey", m_bits))
+        .drop("bloom")
+    )
+    confirmed = prefiltered.join(
+        F.broadcast(keys),
+        prefiltered.o_custkey == keys.c_custkey,
+        "left_semi",
+    )
+    return (
+        confirmed.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _money_sum(F.col("o_totalprice"), "revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+BLOOM_PREFILTER_SQL = f"""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {_sql_money_sum('o_totalprice', 'revenue')}
+FROM orders
+WHERE o_custkey IN (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
+    "join_bloom_prefilter": (join_bloom_prefilter, BLOOM_PREFILTER_SQL),
+}

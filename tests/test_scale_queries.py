@@ -1,0 +1,90 @@
+"""Tests for the scale-technique query surface (plans/queries_scale.py).
+
+Each query's oracle equality is covered by tools/check_oracle.py and
+the driver gate; these tests pin the *mechanism* claims — selectivity,
+false-positive bounds, and plan shape — that the oracle can't see.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from airflow_pipeline_text_processing_spark.plans import queries_scale as QS
+from airflow_pipeline_text_processing_spark.plans.queries import _t
+
+
+class TestBloomPrefilter:
+    def test_bitmap_no_false_negatives(self, spark):
+        keys = spark.range(0, 500).select(F.col("id").alias("k"))
+        m = 1 << 14
+        carrier = QS.bloom_bitmap(keys, "k", m)
+        probe = (
+            spark.range(0, 500)
+            .select(F.col("id").alias("k"))
+            .join(F.broadcast(carrier))
+            .filter(QS.bloom_might_contain("k", m))
+        )
+        # Bloom filters never drop a member
+        assert probe.count() == 500
+
+    def test_false_positive_rate_bounded(self, spark):
+        keys = spark.range(0, 500).select(F.col("id").alias("k"))
+        m = 1 << 14  # 16384 bits for 500 keys, k=3 -> expected FP << 1%
+        carrier = QS.bloom_bitmap(keys, "k", m)
+        non_members = spark.range(100_000, 110_000).select(F.col("id").alias("k"))
+        fp = (
+            non_members.join(F.broadcast(carrier))
+            .filter(QS.bloom_might_contain("k", m))
+            .count()
+        )
+        assert fp / 10_000 < 0.02, f"FP rate {fp/10_000} too high"
+
+    def test_prefilter_is_map_side(self, spark, sf_dir):
+        """The bloom probe must sit BEFORE any exchange in the plan: the
+        whole point is dropping fact rows pre-shuffle.  The predicate is
+        pure SQL (xxhash64/element_at/bit ops), so the filtered scan
+        stage must not contain a Python eval or an exchange upstream of
+        the filter."""
+        orders = _t(spark, sf_dir, "orders")
+        keys = (
+            _t(spark, sf_dir, "customer")
+            .filter(F.col("c_mktsegment") == "BUILDING")
+            .select("c_custkey")
+        )
+        m = 1 << 14
+        carrier = QS.bloom_bitmap(keys, "c_custkey", m)
+        pre = (
+            orders.join(F.broadcast(carrier))
+            .filter(QS.bloom_might_contain("o_custkey", m))
+        )
+        plan = pre._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        # broadcast carrier join only -- no shuffle exchange anywhere in
+        # the prefilter subplan
+        assert "Exchange hashpartitioning" not in plan
+
+    def test_prefilter_selectivity(self, spark, sf_dir):
+        """At sf0.001 the BUILDING segment is ~1/5 of customers; the
+        bloom-surviving order count must be close to the exact semi-join
+        count (FPs only), i.e. far below the full fact row count."""
+        orders = _t(spark, sf_dir, "orders")
+        keys = (
+            _t(spark, sf_dir, "customer")
+            .filter(F.col("c_mktsegment") == "BUILDING")
+            .select("c_custkey")
+        )
+        n_orders = orders.count()
+        exact = orders.join(
+            F.broadcast(keys), orders.o_custkey == keys.c_custkey, "left_semi"
+        ).count()
+        m = 1 << 14
+        carrier = QS.bloom_bitmap(keys, "c_custkey", m)
+        survived = (
+            orders.join(F.broadcast(carrier))
+            .filter(QS.bloom_might_contain("o_custkey", m))
+            .count()
+        )
+        assert exact <= survived  # no false negatives
+        # FPs bounded: surviving set is within 5% of exact, and the
+        # prefilter actually filtered (not a pass-through)
+        assert survived <= exact + max(10, int(0.05 * n_orders))
+        assert survived < n_orders

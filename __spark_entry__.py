@@ -52,6 +52,7 @@ _ORDER = [
     # enter directly as sole verifiers; greens with in-window siblings
     # are displaced from the tail of the window to make room.
     "join_bloom_prefilter",
+    "dedup_winnow_overlap",
     "dedup_cdc_rolling",
     "events_ewma_daily",
     "stats_mann_whitney",

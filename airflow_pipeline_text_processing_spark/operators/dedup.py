@@ -1232,3 +1232,114 @@ def sorted_neighborhood_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ----------------------------------------------------- winnowing (MOSS)
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 4,
+) -> DataFrame:
+    """Robust-winnowing document fingerprints (Schleimer, Wilkerson &
+    Aiken, "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD'03 -- the MOSS algorithm): hash every ``k``-token gram, then
+    from each window of ``w`` consecutive gram hashes keep the minimum,
+    ties broken by the RIGHTMOST position.  Guarantees every shared
+    token run of length >= k + w - 1 yields at least one shared
+    fingerprint, while storing only ~2/(w+1) of the gram hashes -- the
+    storage/recall dial for corpus-scale plagiarism and near-dup
+    detection.
+
+    Emits distinct ``(doc_id, fp)`` with ``fp`` the selected 40-bit gram
+    hash.  All work is per-document: a narrow gram explosion plus a
+    doc-partitioned window min -- no corpus-wide shuffle beyond the
+    final distinct.
+
+    Cross-engine determinism: gram hash = first 10 md5 hex digits
+    (40 bits); the rightmost-min tie rule is encoded arithmetically as
+    ``min(h * 65536 + (65536 - pos))`` so a single integer MIN resolves
+    both orderings identically in Spark and DuckDB (positions are
+    capped at 65535 tokens -- longer documents should be chunked
+    upstream, see ``text.chunk_windows``)."""
+    grams = positional_shingles(docs, text_col=text_col, n=k).filter(
+        F.col("pos") <= 65535
+    )
+    h = F.conv(F.substring(F.md5("shingle"), 1, 10), 16, 10).cast("long")
+    grams = grams.select(
+        "doc_id",
+        "pos",
+        (h * 65536 + (F.lit(65536) - F.col("pos"))).alias("enc"),
+        F.max("pos").over(Window.partitionBy("doc_id")).alias("n_grams"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    selected = (
+        grams.select(
+            "doc_id",
+            "pos",
+            "n_grams",
+            F.min("enc").over(win).alias("min_enc"),
+        )
+        .filter(F.col("pos") <= F.col("n_grams") - (w - 1))
+        .select("doc_id", F.expr("min_enc div 65536").alias("fp"))
+        .distinct()
+    )
+    return selected
+
+
+def winnow_overlap_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 5,
+    df_cap: int = 50,
+) -> DataFrame:
+    """Document pairs ranked by shared winnowing fingerprints: the
+    MOSS-style overlap report.  Pair generation is an equi-join on the
+    fingerprint inverted index -- only docs sharing a fingerprint ever
+    meet, never all pairs -- and fingerprints appearing in more than
+    ``df_cap`` documents (boilerplate) are dropped before the join,
+    bounding any single join key's fan-out (same guard as the LSH
+    band-bucket cap).
+
+    ``overlap_ppm`` = shared / min(|A|, |B|) in parts-per-million
+    (integer floor -- containment-style normalization, so a short doc
+    fully covered by a long one still scores ~1e6)."""
+    fps = winnow_fingerprints(docs, text_col=text_col, k=k, w=w)
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= df_cap)
+        .select("fp")
+    )
+    fps = fps.join(rare, "fp")
+    sizes = fps.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("n_fp_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("n_fp_b"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            "n_fp_a",
+            "n_fp_b",
+            F.expr(
+                "(n_shared * 1000000L) div least(n_fp_a, n_fp_b)"
+            ).alias("overlap_ppm"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

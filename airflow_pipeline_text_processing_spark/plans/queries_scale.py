@@ -150,6 +150,83 @@ ORDER BY o_orderpriority
 """
 
 
+# =====================================================================
+# Winnowing fingerprints (MOSS) -- local fingerprint overlap
+# =====================================================================
+
+
+def _sql_hex40(expr: str) -> str:
+    """DuckDB mirror of Spark ``conv(substr(md5(x),1,10), 16, 10)``:
+    digit-wise hex decode of the first 10 md5 hex chars into a 40-bit
+    BIGINT (pure integer literals, same idiom as sketches.py)."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({expr}, {i}, 1)) - 1) "
+        f"* {16 ** (10 - i)}"
+        for i in range(1, 11)
+    )
+
+
+def dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing overlap over the planted near-dup corpus
+    (operators/dedup.py::winnow_overlap_pairs): every doc < 200 plus an
+    80%-prefix twin; each twin pair must surface with high containment
+    overlap, found via the fingerprint inverted index -- never an
+    all-pairs comparison.  See the operator docstring for the w-vs-
+    storage guarantee that makes this the corpus-scale plagiarism
+    detector."""
+    from ..operators.dedup import winnow_overlap_pairs
+    from .queries_llm import _planted_docs
+
+    return winnow_overlap_pairs(_planted_docs(spark, sf_dir))
+
+
+def _winnow_sql() -> str:
+    from .queries_llm import TOKS_SQL, _planted_sql
+
+    hex40 = _sql_hex40("substr(md5(array_to_string(tk[pos:pos+3], ' ')), 1, 10)")
+    return f"""
+WITH corpus AS ({_planted_sql()}),
+toks AS (SELECT doc_id, {TOKS_SQL} AS tk FROM corpus),
+grams AS (
+  SELECT doc_id, pos,
+         ({hex40}) * 65536 + (65536 - pos) AS enc,
+         len(tk) - 3 AS n_grams
+  FROM toks, UNNEST(generate_series(1, greatest(len(tk) - 3, 0))) AS t(pos)
+  WHERE pos <= 65535
+),
+wins AS (
+  SELECT doc_id, pos, n_grams,
+         MIN(enc) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS min_enc
+  FROM grams
+),
+fps AS (
+  SELECT DISTINCT doc_id, min_enc // 65536 AS fp
+  FROM wins WHERE pos <= n_grams - 3
+),
+rare AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 50),
+kept AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare USING (fp)),
+sizes AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp FROM kept GROUP BY doc_id
+),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= 5
+)
+SELECT doc_a, doc_b, n_shared,
+       sa.n_fp AS n_fp_a, sb.n_fp AS n_fp_b,
+       CAST((n_shared * 1000000) // least(sa.n_fp, sb.n_fp) AS BIGINT)
+         AS overlap_ppm
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+ORDER BY doc_a, doc_b
+"""
+
+
 REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "join_bloom_prefilter": (join_bloom_prefilter, BLOOM_PREFILTER_SQL),
+    "dedup_winnow_overlap": (dedup_winnow_overlap, _winnow_sql()),
 }

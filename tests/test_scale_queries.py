@@ -88,3 +88,44 @@ class TestBloomPrefilter:
         # prefilter actually filtered (not a pass-through)
         assert survived <= exact + max(10, int(0.05 * n_orders))
         assert survived < n_orders
+
+
+class TestWinnowing:
+    def test_twin_recall_and_guarantee(self, spark, sf_dir):
+        """Every planted 80%-prefix twin pair with enough tokens must
+        surface (the winnowing guarantee: any shared run of >= k+w-1
+        tokens yields a shared fingerprint; twins share ~80% of the
+        doc), and fingerprint storage must be well below the full gram
+        count (the whole point of winnowing vs storing every gram)."""
+        from airflow_pipeline_text_processing_spark.operators.dedup import (
+            positional_shingles,
+            winnow_fingerprints,
+            winnow_overlap_pairs,
+        )
+        from airflow_pipeline_text_processing_spark.plans.queries_llm import (
+            _planted_docs,
+        )
+
+        corpus = _planted_docs(spark, sf_dir)
+        pairs = winnow_overlap_pairs(corpus).collect()
+        twin_pairs = {
+            (r.doc_a, r.doc_b) for r in pairs if r.doc_b == r.doc_a + 100000
+        }
+        # docs with >= ~20 tokens must all recall their twin
+        import pyspark.sql.functions as F2
+        from airflow_pipeline_text_processing_spark.operators.text import tokens
+
+        eligible = {
+            r.doc_id
+            for r in corpus.select(
+                "doc_id", F2.size(tokens(F2.col("text"))).alias("n")
+            ).collect()
+            if r.doc_id < 100000 and r.n >= 25
+        }
+        missing = {d for d in eligible if (d, d + 100000) not in twin_pairs}
+        assert not missing, f"twins not recalled: {sorted(missing)[:5]}"
+        # storage bound: selected fingerprints ~2/(w+1) of grams, never more
+        # than ~1/2 at w=4 (plus distinct-collapse effects)
+        n_grams = positional_shingles(corpus, n=4).count()
+        n_fps = winnow_fingerprints(corpus).count()
+        assert n_fps < 0.6 * n_grams

@@ -49,10 +49,14 @@ _ORDER = [
     "sim_pq_adc_topk",
     "sim_ivfpq_topk",
     # -- NEW this session (scale-technique surface, queries_scale.py):
-    # enter directly as sole verifiers; greens with in-window siblings
-    # are displaced from the tail of the window to make room.
+    # enter directly as sole verifiers; displaced to make room (each
+    # driver-green with in-window siblings): agg_value_histogram
+    # (~ agg_mode_per_type / agg_salted_hot_keys), json_roundtrip_events
+    # (~ map_scalar_showcase / orc_xml_roundtrip_part), sim_ivf_topk
+    # (~ sim_ivfpq_topk / sim_pq_adc_topk / sim_pooled_rerank).
     "join_bloom_prefilter",
     "dedup_winnow_overlap",
+    "search_rrf_fusion",
     "dedup_cdc_rolling",
     "events_ewma_daily",
     "stats_mann_whitney",
@@ -84,11 +88,9 @@ _ORDER = [
     "bucketed_join_order_totals",
     "agg_salted_hot_keys",
     "sql_correlated_above_avg",
-    "agg_value_histogram",
     "window_follow_stats",
     "map_scalar_showcase",
     "merge_upsert_part",
-    "json_roundtrip_events",
     "orc_xml_roundtrip_part",
     "reassembly_ordered_chunks",
     "codec_repair_stats",
@@ -96,7 +98,6 @@ _ORDER = [
     "stream_session_windows",
     "dedup_exact_groups",
     "dedup_minhash_lsh",
-    "sim_ivf_topk",
     "sketch_cms_heavy_hitters",
     "graph_label_communities",
     "text_bpe_train",
@@ -107,6 +108,10 @@ _ORDER = [
     # and carries a green driver CORRECTNESS row from an earlier round,
     # plus an in-window category sibling above.
     "q1_pricing_summary",
+    # -- displaced by the in-session scale-surface rotation ---------------
+    "agg_value_histogram",
+    "json_roundtrip_events",
+    "sim_ivf_topk",
     "q3_shipping_priority",
     "join_semi_active_customers",
     "join_full_outer_year_cohorts",

@@ -226,7 +226,140 @@ ORDER BY doc_a, doc_b
 """
 
 
+# =====================================================================
+# Hybrid retrieval: reciprocal-rank fusion of BM25 and dense cosine
+# =====================================================================
+
+_RRF_K = 60  # the standard RRF damping constant (Cormack et al., SIGIR'09)
+_RRF_LIST = 50  # per-retriever candidate list length
+_RRF_TOP = 20
+
+
+def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: fuse the sparse (BM25) and dense (embedding
+    cosine) rankings for one query with reciprocal-rank fusion --
+    ``score = sum over lists of 1/(k + rank)`` in integer ppm.
+
+    The 100 TB shape: each retriever produces its candidate list via
+    ``orderBy().limit(n)`` -- Spark plans that as TakeOrderedAndProject
+    (per-partition top-n, then a constant-size merge on one reducer),
+    NEVER a global single-partition row_number window over the corpus.
+    The rank assignment and the fusion join then run on two
+    ``_RRF_LIST``-row relations -- bounded, irrelevant at any scale.
+    The dense side broadcasts the single query vector as a one-row
+    relation (LocalRelation carrier, no job)."""
+    from ..operators.similarity import (
+        cosine_from_norms,
+        infer_dim,
+        scaled_norm2,
+    )
+    from ..operators.text import bm25_scores
+    from .queries_llm import BM25_TERMS
+
+    docs = _tspread(spark, sf_dir, "documents")
+    vecs = _tspread(spark, sf_dir, "embeddings")
+
+    bm_top = (
+        bm25_scores(docs, BM25_TERMS)
+        .orderBy(F.desc("bm25_micro"), F.asc("doc_id"))
+        .limit(_RRF_LIST)
+    )
+    bm_rank = bm_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25_micro"), F.asc("doc_id")))
+        .alias("rank_bm25"),
+    )
+
+    dim = infer_dim(vecs)
+    qv = vecs.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec"),
+        scaled_norm2(F.col("embedding"), dim).alias("qnorm"),
+    )
+    cos = (
+        vecs.select(
+            F.col("vec_id").alias("doc_id"),
+            F.col("embedding").alias("cvec"),
+            scaled_norm2(F.col("embedding"), dim).alias("cnorm"),
+        )
+        .join(F.broadcast(qv))
+        .select(
+            "doc_id",
+            cosine_from_norms(
+                F.col("qvec"),
+                F.col("cvec"),
+                F.col("qnorm"),
+                F.col("cnorm"),
+                dim,
+            ).alias("cosine"),
+        )
+    )
+    cos_top = cos.orderBy(F.desc("cosine"), F.asc("doc_id")).limit(_RRF_LIST)
+    cos_rank = cos_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cosine"), F.asc("doc_id")))
+        .alias("rank_cos"),
+    )
+
+    fused = (
+        bm_rank.join(cos_rank, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("rank_bm25", F.lit(0)).cast("long").alias("rank_bm25"),
+            F.coalesce("rank_cos", F.lit(0)).cast("long").alias("rank_cos"),
+        )
+        .withColumn(
+            "rrf_ppm",
+            F.expr(
+                f"CASE WHEN rank_bm25 > 0"
+                f" THEN 1000000L div ({_RRF_K} + rank_bm25) ELSE 0L END"
+                f" + CASE WHEN rank_cos > 0"
+                f" THEN 1000000L div ({_RRF_K} + rank_cos) ELSE 0L END"
+            ),
+        )
+    )
+    return fused.orderBy(F.desc("rrf_ppm"), F.asc("doc_id")).limit(_RRF_TOP)
+
+
+def _rrf_sql() -> str:
+    from .queries_llm import _bm25_sql, _sql_cosine
+
+    return f"""
+WITH bmq AS ({_bm25_sql()}),
+br AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY bm25_micro DESC, doc_id) AS rank_bm25
+  FROM (SELECT doc_id, bm25_micro FROM bmq
+        ORDER BY bm25_micro DESC, doc_id LIMIT {_RRF_LIST})
+),
+qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+cos AS (
+  SELECT e.vec_id AS doc_id,
+         {_sql_cosine('e.embedding', 'qv.qe')} AS cosine
+  FROM embeddings e, qv
+),
+cr AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS rank_cos
+  FROM (SELECT doc_id, cosine FROM cos
+        ORDER BY cosine DESC, doc_id LIMIT {_RRF_LIST})
+)
+SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+       CAST(COALESCE(b.rank_bm25, 0) AS BIGINT) AS rank_bm25,
+       CAST(COALESCE(c.rank_cos, 0) AS BIGINT) AS rank_cos,
+       CAST(CASE WHEN b.rank_bm25 IS NOT NULL
+                 THEN 1000000 // ({_RRF_K} + b.rank_bm25) ELSE 0 END
+          + CASE WHEN c.rank_cos IS NOT NULL
+                 THEN 1000000 // ({_RRF_K} + c.rank_cos) ELSE 0 END
+            AS BIGINT) AS rrf_ppm
+FROM br b FULL OUTER JOIN cr c ON b.doc_id = c.doc_id
+ORDER BY rrf_ppm DESC, COALESCE(b.doc_id, c.doc_id) LIMIT {_RRF_TOP}
+"""
+
+
 REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "join_bloom_prefilter": (join_bloom_prefilter, BLOOM_PREFILTER_SQL),
     "dedup_winnow_overlap": (dedup_winnow_overlap, _winnow_sql()),
+    "search_rrf_fusion": (search_rrf_fusion, _rrf_sql()),
 }

@@ -109,6 +109,10 @@ BENCH_QUERIES = [
     "curation_dsir_select",
     "sample_surprisal_strata",
     "sketch_overlap_matrix",
+    # scale-technique surface (queries_scale.py)
+    "join_bloom_prefilter",
+    "dedup_winnow_overlap",
+    "search_rrf_fusion",
 ]
 
 

@@ -57,6 +57,7 @@ _ORDER = [
     "join_bloom_prefilter",
     "dedup_winnow_overlap",
     "search_rrf_fusion",
+    "events_interpolate_gaps",
     "dedup_cdc_rolling",
     "events_ewma_daily",
     "stats_mann_whitney",
@@ -69,7 +70,6 @@ _ORDER = [
     "text_nb_classify",
     "text_token_entropy",
     "curation_lm_filtered",
-    "events_retention_cohorts",
     "stats_trimmed_mean",
     "stats_spearman_daily",
     "sample_surprisal_strata",
@@ -109,6 +109,7 @@ _ORDER = [
     # plus an in-window category sibling above.
     "q1_pricing_summary",
     # -- displaced by the in-session scale-surface rotation ---------------
+    "events_retention_cohorts",
     "agg_value_histogram",
     "json_roundtrip_events",
     "sim_ivf_topk",

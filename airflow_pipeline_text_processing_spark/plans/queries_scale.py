@@ -358,8 +358,150 @@ ORDER BY rrf_ppm DESC, COALESCE(b.doc_id, c.doc_id) LIMIT {_RRF_TOP}
 """
 
 
+# =====================================================================
+# Time-series gap repair: exact integer linear interpolation
+# =====================================================================
+
+_GAP_SAMPLE = "05"  # md5-prefix sample (~2%) -> sparse daily series with gaps
+
+
+def events_interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repair missing days in a sparse daily series by linear
+    interpolation between the surrounding observations -- the standard
+    time-series regularization step before any rolling/EWMA model.
+
+    A ~2% deterministic md5 sample of events makes the per-type daily
+    sums genuinely sparse (~2/3 of days observed); the spine is each
+    type's min..max day range, so edge days are always observed and the
+    interpolation denominator is never zero.  All arithmetic is BIGINT
+    cents with the signed floor-division written in floor-mod form on
+    both engines (DuckDB ``//`` truncates toward zero -- the r5
+    Spearman lesson).  Scale shape: per-key windows only (two
+    ignore-nulls passes), a bounded per-key day spine, no global
+    ordering anywhere."""
+    from .queries import _cents
+
+    ev = _t(spark, sf_dir, "events")
+    obs = (
+        ev.filter(F.md5(F.col("event_id").cast("string")) < _GAP_SAMPLE)
+        .select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            _cents(F.col("value")).alias("c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("c").alias("v"))
+    )
+    spine = (
+        obs.groupBy("event_type")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("d0", "d1")).alias("day"),
+        )
+    )
+    j = spine.join(obs, ["event_type", "day"], "left")
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    marked = j.select(
+        "event_type",
+        "day",
+        "v",
+        F.last(
+            F.when(F.col("v").isNotNull(), F.struct("day", "v")),
+            ignorenulls=True,
+        )
+        .over(wp)
+        .alias("p"),
+        F.first(
+            F.when(F.col("v").isNotNull(), F.struct("day", "v")),
+            ignorenulls=True,
+        )
+        .over(wn)
+        .alias("n"),
+    ).select(
+        "event_type",
+        "day",
+        "v",
+        ((F.col("n.v") - F.col("p.v")) * F.datediff("day", "p.day")).alias(
+            "num"
+        ),
+        F.datediff("n.day", "p.day").alias("den"),
+        F.col("p.v").alias("pv"),
+    )
+    return marked.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .otherwise(F.expr("pv + (num - pmod(num, den)) div den"))
+        .cast("long")
+        .alias("value_cents"),
+        F.col("v").isNull().alias("interpolated"),
+    ).orderBy("event_type", "day")
+
+
+GAP_INTERP_SQL = f"""
+WITH src AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(FLOOR(value * 100) AS BIGINT) AS c
+  FROM events
+  WHERE md5(CAST(event_id AS VARCHAR)) < '{_GAP_SAMPLE}'
+),
+obs AS (
+  SELECT event_type, day, CAST(SUM(c) AS BIGINT) AS v
+  FROM src GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, MIN(day) AS d0, MAX(day) AS d1 FROM obs GROUP BY 1
+),
+spine AS (
+  SELECT event_type, CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))
+                          AS DATE) AS day
+  FROM bounds
+),
+j AS (
+  SELECT s.event_type, s.day, o.v
+  FROM spine s LEFT JOIN obs o
+    ON o.event_type = s.event_type AND o.day = s.day
+),
+f AS (
+  SELECT event_type, day, v,
+         LAST_VALUE(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+           OVER wp AS pd,
+         LAST_VALUE(v IGNORE NULLS) OVER wp AS pv,
+         FIRST_VALUE(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+           OVER wn AS nd,
+         FIRST_VALUE(v IGNORE NULLS) OVER wn AS nv
+  FROM j
+  WINDOW wp AS (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+       CAST(CASE WHEN v IS NOT NULL THEN v
+            ELSE pv + ((((nv - pv) * (day - pd))
+                        - (((((nv - pv) * (day - pd)) % (nd - pd))
+                            + (nd - pd)) % (nd - pd)))
+                       // (nd - pd))
+            END AS BIGINT) AS value_cents,
+       (v IS NULL) AS interpolated
+FROM f
+ORDER BY event_type, day
+"""
+
+
 REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "join_bloom_prefilter": (join_bloom_prefilter, BLOOM_PREFILTER_SQL),
     "dedup_winnow_overlap": (dedup_winnow_overlap, _winnow_sql()),
     "search_rrf_fusion": (search_rrf_fusion, _rrf_sql()),
+    "events_interpolate_gaps": (events_interpolate_gaps, GAP_INTERP_SQL),
 }

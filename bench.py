@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "join_bloom_prefilter",
     "dedup_winnow_overlap",
     "search_rrf_fusion",
+    "events_interpolate_gaps",
 ]
 
 

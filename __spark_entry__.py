@@ -58,6 +58,8 @@ _ORDER = [
     "dedup_winnow_overlap",
     "search_rrf_fusion",
     "events_interpolate_gaps",
+    "stats_quantile_normalize",
+    "stats_source_kl",
     "dedup_cdc_rolling",
     "events_ewma_daily",
     "stats_mann_whitney",
@@ -70,7 +72,6 @@ _ORDER = [
     "text_nb_classify",
     "text_token_entropy",
     "curation_lm_filtered",
-    "stats_trimmed_mean",
     "stats_spearman_daily",
     "sample_surprisal_strata",
     "sim_mine_triplets",
@@ -91,7 +92,6 @@ _ORDER = [
     "window_follow_stats",
     "map_scalar_showcase",
     "merge_upsert_part",
-    "orc_xml_roundtrip_part",
     "reassembly_ordered_chunks",
     "codec_repair_stats",
     "stream_stream_join_pairs",
@@ -109,6 +109,8 @@ _ORDER = [
     # plus an in-window category sibling above.
     "q1_pricing_summary",
     # -- displaced by the in-session scale-surface rotation ---------------
+    "stats_trimmed_mean",
+    "orc_xml_roundtrip_part",
     "events_retention_cohorts",
     "agg_value_histogram",
     "json_roundtrip_events",

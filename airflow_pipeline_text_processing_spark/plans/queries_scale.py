@@ -499,9 +499,206 @@ ORDER BY event_type, day
 """
 
 
+# =====================================================================
+# Cross-source score calibration: group-wise quantile normalization
+# =====================================================================
+
+
+def stats_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-normalize each source's quality-score distribution onto
+    the GLOBAL distribution -- the calibration step before mixing
+    heterogeneously-scored sources into one curation threshold (a
+    source whose scorer runs hot no longer floods the top decile).
+
+    Each doc's within-source rank maps to the global value at the same
+    relative position: ``p = ((2r - 1) * N) div (2 * n_s) + 1`` (the
+    midpoint-quantile plotting position, pure positive-integer floor
+    division).  Scale shape: within-source ranks are per-key windows;
+    the GLOBAL rank relation uses the two-level
+    ``ordered_running_sum`` (range-partitioned local ranks + an
+    O(parallelism) offsets join), never a single-partition window; the
+    value-at-position lookup is an equi-join on rank."""
+    from ..operators.text import quality_score
+    from ..operators.windows import ordered_running_sum
+
+    docs = _tspread(spark, sf_dir, "documents")
+    scored = quality_score(docs).select("doc_id", "quality")
+    src = docs.select("doc_id", "source").join(scored, "doc_id")
+
+    ws = Window.partitionBy("source").orderBy("quality", "doc_id")
+    n_total = src.agg(F.count("*").alias("n_total"))
+    ranked = (
+        src.withColumn("rank_in_source", F.row_number().over(ws).cast("long"))
+        .withColumn("n_s", F.count("*").over(Window.partitionBy("source")))
+        .join(F.broadcast(n_total))
+    )
+    glob = ordered_running_sum(
+        src.withColumn("_one", F.lit(1)),
+        [F.col("quality"), F.col("doc_id")],
+        "_one",
+        "g",
+    ).select(F.col("quality").alias("q_norm"), "g")
+    sel = ranked.withColumn(
+        "p",
+        F.expr("((2 * rank_in_source - 1) * n_total) div (2 * n_s) + 1"),
+    )
+    return (
+        sel.join(glob, sel.p == glob.g)
+        .select("doc_id", "source", "rank_in_source", "quality", "q_norm")
+        .orderBy("doc_id")
+    )
+
+
+def _qnorm_sql() -> str:
+    from .queries_llm import QUALITY_SQL
+
+    return f"""
+WITH q AS (SELECT doc_id, quality FROM ({QUALITY_SQL})),
+src AS (
+  SELECT d.doc_id, d.source, q.quality
+  FROM documents d JOIN q USING (doc_id)
+),
+r AS (
+  SELECT doc_id, source, quality,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                 ORDER BY quality, doc_id) AS BIGINT)
+           AS rank_in_source,
+         COUNT(*) OVER (PARTITION BY source) AS n_s,
+         COUNT(*) OVER () AS n_total
+  FROM src
+),
+gq AS (
+  SELECT quality AS q_norm,
+         ROW_NUMBER() OVER (ORDER BY quality, doc_id) AS g
+  FROM src
+),
+sel AS (
+  SELECT doc_id, source, quality, rank_in_source,
+         ((2 * rank_in_source - 1) * n_total) // (2 * n_s) + 1 AS p
+  FROM r
+)
+SELECT s.doc_id, s.source, s.rank_in_source, s.quality, gl.q_norm
+FROM sel s JOIN gq gl ON gl.g = s.p
+ORDER BY s.doc_id
+"""
+
+
+# =====================================================================
+# Per-source distribution drift: KL divergence over hashed buckets
+# =====================================================================
+
+_KL_BUCKETS = 256
+
+
+def stats_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL(source || corpus) over hashed-token buckets -- the
+    "which source is most off-distribution" report that complements
+    DSIR's per-document importance weights with a per-SOURCE drift
+    number (same hashed-vocabulary trick, Xie et al. 2023).
+
+    Exact fixed-point arithmetic end to end: per-bucket log-ratio via
+    the Q8 ``fixed_log2`` kernel on the cross-multiplied integer ratio
+    ``(c_sb * tot_c) / (tot_s * c_cb)`` (sign split because the kernel
+    needs ratio >= 1), token-count weighting, then one signed
+    floor-division (floor-mod form on both engines).  The relation the
+    kernel runs over is sources x buckets -- bounded, never
+    corpus-sized.  At 100 TB the cross-multiplied form would overflow
+    int64 (tot_c ~ 1e12); switch num/den to Q20 bucket probabilities
+    there -- same kernel, two extra floors."""
+    from ..operators.lm import fixed_log2
+    from ..operators.text import tokens
+
+    docs = _tspread(spark, sf_dir, "documents")
+    items = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("item")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("item"), 1, 13), 16, 10).cast("long")
+        % _KL_BUCKETS
+    )
+    ib = items.select("source", bucket.alias("b"))
+    sb = ib.groupBy("source", "b").agg(F.count("*").alias("c_sb"))
+    cb = ib.groupBy("b").agg(F.count("*").alias("c_cb"))
+    tots = sb.groupBy("source").agg(F.sum("c_sb").alias("tot_s"))
+    totc = cb.agg(F.sum("c_cb").alias("tot_c"))
+    g = (
+        sb.join(cb, "b")
+        .join(F.broadcast(tots), "source")
+        .join(F.broadcast(totc))
+        .withColumn("a_", F.expr("c_sb * tot_c"))
+        .withColumn("b_", F.expr("tot_s * c_cb"))
+    )
+    g = g.select(
+        "source",
+        "c_sb",
+        "tot_s",
+        F.expr("CASE WHEN a_ >= b_ THEN 1L ELSE -1L END").alias("sgn"),
+        F.greatest("a_", "b_").alias("_num"),
+        F.least("a_", "b_").alias("_den"),
+    )
+    g = fixed_log2(g, "_num", "_den", "lg_q8")
+    agg = g.groupBy("source").agg(
+        F.min("tot_s").alias("n_tokens"),
+        F.count("*").alias("n_buckets"),
+        F.sum(F.expr("c_sb * sgn * lg_q8")).alias("s_"),
+    )
+    return agg.select(
+        "source",
+        "n_tokens",
+        "n_buckets",
+        F.expr("(s_ - pmod(s_, n_tokens)) div n_tokens").alias("kl_q8"),
+    ).orderBy("source")
+
+
+def _source_kl_sql() -> str:
+    from ..operators.lm import fixed_log2_sql
+    from .queries_llm import TOKS_SQL
+
+    from .queries_ext import _sql_hex13_mod
+
+    bucket = _sql_hex13_mod("substr(md5(item), 1, 13)", _KL_BUCKETS)
+    grid_inner = """
+SELECT source, c_sb, tot_s,
+       CASE WHEN a_ >= b_ THEN 1 ELSE -1 END AS sgn,
+       greatest(a_, b_) AS _num, least(a_, b_) AS _den
+FROM (
+  SELECT sb.source, sb.b, sb.c_sb, t.tot_s,
+         sb.c_sb * (SELECT tot_c FROM totc) AS a_,
+         t.tot_s * cb.c_cb AS b_
+  FROM sb JOIN cb USING (b) JOIN tots t USING (source))"""
+    chain = fixed_log2_sql(
+        grid_inner, "source, c_sb, tot_s, sgn", "_num", "_den", "lg_q8"
+    )
+    return f"""
+WITH toks AS (SELECT source, {TOKS_SQL} AS tk FROM documents),
+items AS (SELECT source, UNNEST(tk) AS item FROM toks),
+ib AS (SELECT source, {bucket} AS b FROM items),
+sb AS (SELECT source, b, CAST(COUNT(*) AS BIGINT) AS c_sb
+       FROM ib GROUP BY 1, 2),
+cb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c_cb FROM ib GROUP BY 1),
+tots AS (SELECT source, CAST(SUM(c_sb) AS BIGINT) AS tot_s
+         FROM sb GROUP BY 1),
+totc AS (SELECT CAST(SUM(c_cb) AS BIGINT) AS tot_c FROM cb),
+scored AS ({chain}),
+agg AS (
+  SELECT source, MIN(tot_s) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         CAST(SUM(c_sb * sgn * lg_q8) AS BIGINT) AS s_
+  FROM scored GROUP BY 1
+)
+SELECT source, n_tokens, n_buckets,
+       CAST((s_ - (((s_ % n_tokens) + n_tokens) % n_tokens)) // n_tokens
+            AS BIGINT) AS kl_q8
+FROM agg
+ORDER BY source
+"""
+
+
 REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "join_bloom_prefilter": (join_bloom_prefilter, BLOOM_PREFILTER_SQL),
     "dedup_winnow_overlap": (dedup_winnow_overlap, _winnow_sql()),
     "search_rrf_fusion": (search_rrf_fusion, _rrf_sql()),
     "events_interpolate_gaps": (events_interpolate_gaps, GAP_INTERP_SQL),
+    "stats_quantile_normalize": (stats_quantile_normalize, _qnorm_sql()),
+    "stats_source_kl": (stats_source_kl, _source_kl_sql()),
 }

@@ -114,6 +114,8 @@ BENCH_QUERIES = [
     "dedup_winnow_overlap",
     "search_rrf_fusion",
     "events_interpolate_gaps",
+    "stats_quantile_normalize",
+    "stats_source_kl",
 ]
 
 

@@ -60,6 +60,9 @@ _ORDER = [
     "events_interpolate_gaps",
     "stats_quantile_normalize",
     "stats_source_kl",
+    "stats_ks_two_sample",
+    "stats_selection_quantiles",
+    "sample_allocate_budget",
     "dedup_cdc_rolling",
     "events_ewma_daily",
     "stats_mann_whitney",
@@ -70,11 +73,8 @@ _ORDER = [
     # -- r6-graded verifiers kept in-window -------------------------------
     "text_lm_bigram",
     "text_nb_classify",
-    "text_token_entropy",
     "curation_lm_filtered",
-    "stats_spearman_daily",
     "sample_surprisal_strata",
-    "sim_mine_triplets",
     "sim_pooled_rerank",
     "dedup_semantic_clusters",
     "sketch_overlap_matrix",
@@ -110,6 +110,9 @@ _ORDER = [
     "q1_pricing_summary",
     # -- displaced by the in-session scale-surface rotation ---------------
     "stats_trimmed_mean",
+    "stats_spearman_daily",
+    "text_token_entropy",
+    "sim_mine_triplets",
     "orc_xml_roundtrip_part",
     "events_retention_cohorts",
     "agg_value_histogram",

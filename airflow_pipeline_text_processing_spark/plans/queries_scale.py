@@ -694,6 +694,311 @@ ORDER BY source
 """
 
 
+# =====================================================================
+# Two-sample Kolmogorov-Smirnov drift test, exact integer form
+# =====================================================================
+
+
+def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift as a two-sample KS statistic:
+    D_s = max_v |F_in(v) - F_out(v)| between source s's quality ECDF
+    and the rest-of-corpus ECDF -- the rank-free complement to
+    ``stats_mann_whitney`` (KS sees shape/location differences U misses)
+    and the distributional complement to ``stats_source_kl``.
+
+    Exact integers end to end: the ECDF difference is cross-multiplied,
+    ``|cum_in * n_out - cum_out * n_in|``, so the max is over BIGINTs
+    (no float ECDF division), and the reported statistic is one
+    positive floor division to ppm.  Scale shape: per-value counts are
+    two hash aggregates; the evaluation grid is distinct-values x
+    sources with the sources side broadcast (bounded metadata, never
+    data x data); cumulative counts are per-source windows (parallel
+    across sources).  At 100 TB: counts ~1e12 would overflow the
+    cross-multiplied product -- pre-quantize values to ~1e6 buckets
+    (the KS of the quantized distribution is exact for the quantized
+    grid) and the window stays bounded too."""
+    from ..operators.text import quality_score
+
+    docs = _tspread(spark, sf_dir, "documents")
+    scored = quality_score(docs).select("doc_id", "quality")
+    src = docs.select("doc_id", "source").join(scored, "doc_id")
+
+    sv = src.groupBy("source", "quality").agg(F.count("*").alias("c_sv"))
+    v = src.groupBy("quality").agg(F.count("*").alias("c_v"))
+    ns = src.groupBy("source").agg(F.count("*").alias("n_in"))
+    nt = src.agg(F.count("*").alias("n_total"))
+
+    grid = (
+        v.crossJoin(F.broadcast(ns))
+        .join(F.broadcast(nt))
+        .join(sv, ["source", "quality"], "left")
+        .select(
+            "source",
+            "quality",
+            "n_in",
+            "n_total",
+            "c_v",
+            F.coalesce(F.col("c_sv"), F.lit(0)).alias("c_sv"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy("quality")
+    cum = grid.withColumn("cum_in", F.sum("c_sv").over(w)).withColumn(
+        "cum_all", F.sum("c_v").over(w)
+    )
+    d = cum.withColumn(
+        "diff",
+        F.abs(
+            F.col("cum_in") * (F.col("n_total") - F.col("n_in"))
+            - (F.col("cum_all") - F.col("cum_in")) * F.col("n_in")
+        ),
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.min("n_in").alias("n_in"),
+            F.min(F.col("n_total") - F.col("n_in")).alias("n_out"),
+            F.max("diff").alias("ks_num"),
+        )
+        .withColumn("ks_ppm", F.expr("(ks_num * 1000000) div (n_in * n_out)"))
+        .orderBy("source")
+    )
+
+
+def _ks_sql() -> str:
+    from .queries_llm import QUALITY_SQL
+
+    return f"""
+WITH q AS (SELECT doc_id, quality FROM ({QUALITY_SQL})),
+src AS (
+  SELECT d.doc_id, d.source, q.quality
+  FROM documents d JOIN q USING (doc_id)
+),
+sv AS (SELECT source, quality, CAST(COUNT(*) AS BIGINT) AS c_sv
+       FROM src GROUP BY 1, 2),
+v AS (SELECT quality, CAST(COUNT(*) AS BIGINT) AS c_v FROM src GROUP BY 1),
+ns AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_in FROM src GROUP BY 1),
+nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM src),
+grid AS (
+  SELECT ns.source, v.quality, ns.n_in, nt.n_total, v.c_v,
+         COALESCE(sv.c_sv, 0) AS c_sv
+  FROM v CROSS JOIN ns CROSS JOIN nt
+  LEFT JOIN sv ON sv.source = ns.source AND sv.quality = v.quality
+),
+cum AS (
+  SELECT source, n_in, n_total,
+         SUM(c_sv) OVER (PARTITION BY source ORDER BY quality) AS cum_in,
+         SUM(c_v) OVER (PARTITION BY source ORDER BY quality) AS cum_all
+  FROM grid
+),
+d AS (
+  SELECT source, n_in, n_total,
+         ABS(cum_in * (n_total - n_in) - (cum_all - cum_in) * n_in) AS diff
+  FROM cum
+)
+SELECT source, CAST(MIN(n_in) AS BIGINT) AS n_in,
+       CAST(MIN(n_total - n_in) AS BIGINT) AS n_out,
+       CAST(MAX(diff) AS BIGINT) AS ks_num,
+       CAST((MAX(diff) * 1000000) // (MIN(n_in) * MIN(n_total - n_in))
+            AS BIGINT) AS ks_ppm
+FROM d GROUP BY source
+ORDER BY source
+"""
+
+
+# =====================================================================
+# Exact quantiles by iterative distributed selection (no global sort)
+# =====================================================================
+
+_SEL_BUCKETS = 256
+_SEL_RANGE_CAP = 4096
+_SEL_QS = (25, 50, 75)
+
+
+def _kth_smallest(cents: DataFrame, k: int, lo: int, hi: int) -> int:
+    """Exact k-th smallest of column ``v`` by iterative histogram
+    narrowing: each pass is ONE filtered hash aggregate that map-side
+    combines to <= _SEL_BUCKETS rows (bucket -> count/min/max); the
+    driver walks the bounded histogram to find the bucket containing
+    rank k, re-anchors [lo, hi] to that bucket's ACTUAL min/max (so the
+    range provably shrinks ~_SEL_BUCKETS x per pass), and rebases k.
+    Terminates in O(log_B(range)) passes; the final pass collects the
+    per-value counts of a <= _SEL_RANGE_CAP-wide value range (bounded
+    by range WIDTH, not row count -- safe under any tie mass).
+
+    This is the 100 TB shape for exact order statistics: never a global
+    sort, never a single-partition window; every driver-side collect is
+    histogram- or range-width-bounded."""
+    while hi - lo > _SEL_RANGE_CAP:
+        width = hi - lo + 1
+        bucket = F.expr(f"((v - {lo}L) * {_SEL_BUCKETS}L) div {width}L")
+        hist = (
+            cents.filter(F.col("v").between(lo, hi))
+            .groupBy(bucket.alias("b"))
+            .agg(
+                F.count("*").alias("c"),
+                F.min("v").alias("bmin"),
+                F.max("v").alias("bmax"),
+            )
+            .orderBy("b")
+            .collect()
+        )
+        for row in hist:
+            if k <= row["c"]:
+                lo, hi = row["bmin"], row["bmax"]
+                break
+            k -= row["c"]
+    vals = (
+        cents.filter(F.col("v").between(lo, hi))
+        .groupBy("v")
+        .agg(F.count("*").alias("c"))
+        .orderBy("v")
+        .collect()
+    )
+    for row in vals:
+        if k <= row["c"]:
+            return row["v"]
+        k -= row["c"]
+    raise ValueError("rank exceeded range mass")  # unreachable by invariant
+
+
+def stats_selection_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p25/p50/p75 of ``l_extendedprice`` (in cents) over the
+    fact table via distributed selection -- the scale-correct exact
+    alternative to both ``ORDER BY`` (global sort) and
+    ``percentile_approx`` (approximate): see :func:`_kth_smallest`.
+    Rank definition: ``k_q = (n*q + 99) div 100`` (ceil of n*q/100),
+    mirrored verbatim in the oracle's ROW_NUMBER lookup."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = li.select(
+        F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").alias("v")
+    ).localCheckpoint()  # sf-local convenience; at scale rescan + min/max pruning
+    n, lo, hi = cents.agg(
+        F.count("*"), F.min("v"), F.max("v")
+    ).collect()[0]
+    rows = []
+    for q in _SEL_QS:
+        k = (n * q + 99) // 100
+        rows.append((q, k, _kth_smallest(cents, k, lo, hi)))
+    return spark.createDataFrame(
+        rows, "q bigint, k bigint, value_cents bigint"
+    ).orderBy("q")
+
+
+SELECTION_QUANTILES_SQL = f"""
+WITH c AS (
+  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM c),
+r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM c),
+ks AS (
+  SELECT CAST(q AS BIGINT) AS q,
+         (SELECT (n_rows * q + 99) // 100 FROM n) AS k
+  FROM (VALUES {", ".join(f"({q})" for q in _SEL_QS)}) t(q)
+)
+SELECT ks.q, CAST(ks.k AS BIGINT) AS k, CAST(r.v AS BIGINT) AS value_cents
+FROM ks JOIN r ON r.rn = ks.k
+ORDER BY ks.q
+"""
+
+
+# =====================================================================
+# Exact proportional budget allocation (largest-remainder method)
+# =====================================================================
+
+_ALLOC_BUDGET = 120
+
+
+def sample_allocate_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split a global sampling budget of B=120 docs across
+    sources in EXACT proportion to each source's character mass, using
+    the largest-remainder (Hare-quota) method -- the integer-exact
+    rounding rule train-mix builders need (floors alone under-spend the
+    budget; naive per-source rounding over- or under-shoots it).
+    ``quota_s = (B * mass_s) div total``; the ``B - sum(quota)``
+    leftover units go to the largest remainders (ties by source name).
+    The realized sample is each source's bottom-``alloc`` docs by
+    ``md5(doc_id)`` (the deterministic-draw convention).
+
+    Scale shape: the allocation relation is sources-sized (bounded
+    metadata) -- its rank window and broadcast join back are O(sources);
+    the realization is one per-source bottom-k window over the corpus.
+    Sum(alloc) == B exactly, certified by the oracle."""
+    docs = _tspread(spark, sf_dir, "documents")
+    m = docs.groupBy("source").agg(F.sum("n_chars").alias("mass"))
+    tot = m.agg(F.sum("mass").alias("tot"))
+    a = (
+        m.join(F.broadcast(tot))
+        .withColumn("quota", F.expr(f"({_ALLOC_BUDGET}L * mass) div tot"))
+        .withColumn("rem", F.expr(f"({_ALLOC_BUDGET}L * mass) % tot"))
+    )
+    leftover = a.agg(
+        (F.lit(_ALLOC_BUDGET) - F.sum("quota")).alias("leftover")
+    )
+    # sources-sized relation: the unpartitioned rank window is over
+    # bounded metadata, never corpus rows
+    wr = Window.orderBy(F.col("rem").desc(), F.col("source"))
+    alloc = (
+        a.join(F.broadcast(leftover))
+        .withColumn("rk", F.row_number().over(wr))
+        .withColumn(
+            "alloc",
+            (
+                F.col("quota")
+                + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+            ).cast("long"),
+        )
+        .select("source", "alloc")
+    )
+    ws = Window.partitionBy("source").orderBy("dk", "doc_id")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.md5(F.col("doc_id").cast("string")).alias("dk"),
+        )
+        .withColumn("draw_rank", F.row_number().over(ws).cast("long"))
+        .join(F.broadcast(alloc), "source")
+        .filter(F.col("draw_rank") <= F.col("alloc"))
+        .select("doc_id", "source", "draw_rank", "alloc")
+        .orderBy("doc_id")
+    )
+
+
+ALLOCATE_BUDGET_SQL = f"""
+WITH m AS (
+  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS mass
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(mass) AS BIGINT) AS tot FROM m),
+a AS (
+  SELECT source, ({_ALLOC_BUDGET} * mass) // tot AS quota,
+         ({_ALLOC_BUDGET} * mass) % tot AS rem
+  FROM m CROSS JOIN tot
+),
+l AS (SELECT {_ALLOC_BUDGET} - CAST(SUM(quota) AS BIGINT) AS leftover FROM a),
+alloc AS (
+  SELECT source,
+         CAST(quota + CASE WHEN ROW_NUMBER()
+                             OVER (ORDER BY rem DESC, source)
+                           <= (SELECT leftover FROM l)
+                      THEN 1 ELSE 0 END AS BIGINT) AS alloc
+  FROM a
+),
+draw AS (
+  SELECT doc_id, source,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+           AS draw_rank
+  FROM documents
+)
+SELECT d.doc_id, d.source, d.draw_rank, al.alloc
+FROM draw d JOIN alloc al USING (source)
+WHERE d.draw_rank <= al.alloc
+ORDER BY d.doc_id
+"""
+
+
 REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "join_bloom_prefilter": (join_bloom_prefilter, BLOOM_PREFILTER_SQL),
     "dedup_winnow_overlap": (dedup_winnow_overlap, _winnow_sql()),
@@ -701,4 +1006,10 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "events_interpolate_gaps": (events_interpolate_gaps, GAP_INTERP_SQL),
     "stats_quantile_normalize": (stats_quantile_normalize, _qnorm_sql()),
     "stats_source_kl": (stats_source_kl, _source_kl_sql()),
+    "stats_ks_two_sample": (stats_ks_two_sample, _ks_sql()),
+    "stats_selection_quantiles": (
+        stats_selection_quantiles,
+        SELECTION_QUANTILES_SQL,
+    ),
+    "sample_allocate_budget": (sample_allocate_budget, ALLOCATE_BUDGET_SQL),
 }

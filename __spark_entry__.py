@@ -48,6 +48,8 @@ _ORDER = [
     "dedup_sorted_neighborhood",
     "sim_pq_adc_topk",
     "sim_ivfpq_topk",
+    # -- NEW round 9: persisted IVF-PQ index (build/MERGE-add/serve) ------
+    "sim_ivfpq_persisted",
     # -- NEW this session (scale-technique surface, queries_scale.py):
     # enter directly as sole verifiers; displaced to make room (each
     # driver-green with in-window siblings): agg_value_histogram
@@ -102,8 +104,11 @@ _ORDER = [
     "graph_label_communities",
     "text_bpe_train",
     "dq_events_expectations",
-    "curation_full_set",
     # ==== driver window boundary (position 50) ===========================
+    # curation_full_set displaced below the boundary (r8 driver-green;
+    # in-window siblings curation_lm_filtered / curation_entropy_filtered /
+    # curation_dsir_select) to make room for sim_ivfpq_persisted.
+    "curation_full_set",
     # Everything below is exact-equality checked by tools/check_oracle.py
     # and carries a green driver CORRECTNESS row from an earlier round,
     # plus an in-window category sibling above.

@@ -1,0 +1,285 @@
+"""Persisted IVF-PQ index: built once, queried forever.
+
+``sim_ivfpq_topk`` (operators/similarity.py::ivfpq_topk) trains its IVF
+centroids and PQ codebooks inside the query -- fine for an oracle-graded
+one-shot, wrong for the 100 TB story where the index is a long-lived
+artifact that absorbs incremental vector batches and serves many query
+batches.  This module composes the engine's two existing subsystems into
+that artifact:
+
+* the **manifest table format** (sources/manifest.py) stores the big,
+  mutable part -- one row per vector: its ``replicas`` IVF cell
+  memberships and its ``m`` PQ codes -- with copy-on-write MERGE for
+  incremental adds, time travel, and file-level pruning;
+* the **frozen routing structures** (IVF centroids, PQ codebooks, index
+  meta) are written once at build time as driver-side parquet/JSON
+  sidecars -- metadata-sized (cells x dim + m x k x sub_dim BIGINTs),
+  exactly what a FAISS IndexIVFPQ persists.
+
+Incremental adds assign new vectors against the FROZEN structures (one
+shuffle-free numpy map stage each for cells and codes, then a MERGE that
+rewrites only overlapping files); they never retrain.  The staleness
+metric (vectors added since training / trained corpus size) tells the
+operator when a rebuild is due -- the standard drift dial for a
+frozen-quantizer index.
+
+Scale shape of ``search``: queries route against broadcast centroids;
+candidates come from an EQUI-join of exploded cell memberships; ADC
+scores touch only the m-code rows of probed cells; full-width vectors
+are read (from the caller's base table) only for the ``prefilter``
+rerank survivors.  Every distance is a BIGINT (fixed-point), so a SQL
+oracle replays the whole pipeline exactly.
+
+Reference parity note: the reference has no ANN surface at all; this is
+part of the LLM-data-pipeline extension mandated by BASELINE.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Tuple
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..sources.manifest import merge_upsert, read_live, write_manifest_table
+from .clustering import assign_top_cells, kmeans_fixed_point
+from .similarity import (
+    _pq_assign_codes,
+    _pq_sqdist,
+    _pq_subsplit,
+    pq_train_encode,
+)
+
+_ROWS = "rows"
+_FROZEN = "_frozen"
+
+
+def _write_frozen(path: str, cents_rows, codebook_rows, meta: dict) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fz = os.path.join(path, _FROZEN)
+    os.makedirs(fz, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "cid": [c for c, _ in cents_rows],
+                "c": [v for _, v in cents_rows],
+            }
+        ),
+        os.path.join(fz, "centroids.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "sub": [s for s, _, _ in codebook_rows],
+                "cid": [c for _, c, _ in codebook_rows],
+                "c": [v for _, _, v in codebook_rows],
+            }
+        ),
+        os.path.join(fz, "codebooks.parquet"),
+    )
+    with open(os.path.join(fz, "meta.json"), "w") as fh:
+        json.dump(meta, fh)
+
+
+def _load_frozen(path: str):
+    import pyarrow.parquet as pq
+
+    fz = os.path.join(path, _FROZEN)
+    cents = pq.read_table(os.path.join(fz, "centroids.parquet")).to_pylist()
+    books = pq.read_table(os.path.join(fz, "codebooks.parquet")).to_pylist()
+    with open(os.path.join(fz, "meta.json")) as fh:
+        meta = json.load(fh)
+    cents_rows = [(r["cid"], list(r["c"])) for r in cents]
+    cents_lit = {(r["sub"], r["cid"]): list(r["c"]) for r in books}
+    return cents_rows, cents_lit, meta
+
+
+def _index_rows(cells: DataFrame, codes: DataFrame) -> DataFrame:
+    """One row per vector: sorted cell-membership array (set semantics --
+    search only tests membership) + the code array indexed by subspace."""
+    cell_arr = cells.groupBy("vec_id").agg(
+        F.array_sort(F.collect_list("cid")).alias("cells")
+    )
+    code_arr = codes.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "cid"))),
+            lambda x: x["cid"],
+        ).alias("codes")
+    )
+    return cell_arr.join(code_arr, "vec_id")
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    dim: int,
+    m: int = 8,
+    k_codebook: int = 16,
+    pq_iters: int = 2,
+    cells: int = 8,
+    cell_iters: int = 2,
+    replicas: int = 2,
+    n_files: int = 8,
+) -> None:
+    """Train IVF centroids + PQ codebooks on ``corpus`` ``(vec_id,
+    q array<long>)`` and persist the index at ``path``: the per-vector
+    rows as a manifest table (MERGE-able), the routing structures as
+    frozen sidecars.  Training cost is paid here ONCE."""
+    spark = corpus.sparkSession
+    corpus = corpus.select("vec_id", "q").localCheckpoint(eager=False)
+
+    _, cents = kmeans_fixed_point(corpus, k=cells, iters=cell_iters)
+    cell_rows = assign_top_cells(corpus, cents, replicas)
+    codes, pq_cents = pq_train_encode(
+        corpus, dim=dim, m=m, k=k_codebook, iters=pq_iters
+    )
+    rows = _index_rows(cell_rows, codes)
+    trained_n = rows.count()
+    write_manifest_table(rows, os.path.join(path, _ROWS), "vec_id", n_files)
+    _write_frozen(
+        path,
+        sorted((r.cid, list(r.c)) for r in cents.collect()),
+        sorted((r.sub, r.cid, list(r.c)) for r in pq_cents.collect()),
+        {
+            "dim": dim,
+            "m": m,
+            "k_codebook": k_codebook,
+            "cells": cells,
+            "replicas": replicas,
+            "trained_n": trained_n,
+        },
+    )
+
+
+def ivfpq_index_add(
+    spark: SparkSession, path: str, batch: DataFrame
+) -> Tuple[int, int]:
+    """Incrementally add ``batch`` ``(vec_id, q)`` to a built index:
+    assign cells and codes against the FROZEN structures (no retraining,
+    two shuffle-free numpy map stages) and MERGE into the rows table --
+    same-key rows are replaced (re-adding a vector updates it), new keys
+    append, and only overlapping files rewrite.  Returns merge_upsert's
+    ``(files_rewritten, live_files_before)``."""
+    cents_rows, cents_lit, meta = _load_frozen(path)
+    batch = batch.select("vec_id", "q").localCheckpoint(eager=False)
+    cents = spark.createDataFrame(
+        [(c, v) for c, v in cents_rows], "cid int, c array<bigint>"
+    )
+    cell_rows = assign_top_cells(batch, cents, meta["replicas"])
+    codes = _pq_assign_codes(
+        batch, cents_lit, meta["m"], meta["dim"] // meta["m"]
+    )
+    rows = _index_rows(cell_rows, codes)
+    return merge_upsert(spark, os.path.join(path, _ROWS), rows, "vec_id")
+
+
+def ivfpq_index_staleness(spark: SparkSession, path: str) -> dict:
+    """Drift dial: how far the live index has grown past its training
+    corpus.  ``added_frac_ppm`` = (live - trained) / trained in ppm;
+    rebuild when it crosses the operator's threshold (the frozen
+    quantizers were fit to the training distribution)."""
+    _, _, meta = _load_frozen(path)
+    live_n = read_live(spark, os.path.join(path, _ROWS)).count()
+    trained_n = meta["trained_n"]
+    return {
+        "trained_n": trained_n,
+        "live_n": live_n,
+        "added_frac_ppm": max(0, live_n - trained_n) * 1_000_000 // trained_n,
+    }
+
+
+def ivfpq_index_search(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    vectors: DataFrame,
+    nprobe: int = 4,
+    prefilter: int = 25,
+    k: int = 5,
+) -> DataFrame:
+    """Serve top-``k`` from the persisted index: route ``queries``
+    ``(vec_id, q)`` against the frozen centroids, shortlist by ADC over
+    the index's code rows (probed cells only), exact-rerank the
+    survivors against ``vectors`` (the caller's full-width base table --
+    the index itself never stores full vectors).  Output
+    ``(query_id, neighbor_id, d2, rk)``, ties on (d2, id) -- identical
+    semantics to ``similarity.ivfpq_topk`` given the same training set.
+    """
+    cents_rows, cents_lit, meta = _load_frozen(path)
+    m, dim = meta["m"], meta["dim"]
+    sub_dim = dim // m
+    queries = queries.select("vec_id", "q").localCheckpoint(eager=False)
+
+    cents = spark.createDataFrame(
+        [(c, v) for c, v in cents_rows], "cid int, c array<bigint>"
+    )
+    probe_cells = assign_top_cells(queries, cents, nprobe).select(
+        F.col("vec_id").alias("query_id"), "cid"
+    )
+    rows = read_live(spark, os.path.join(path, _ROWS))
+    cand_cells = rows.select(
+        F.col("vec_id").alias("cand_id"), F.explode("cells").alias("cid")
+    )
+    pairs = (
+        probe_cells.join(cand_cells, "cid")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id")
+        .distinct()
+    )
+
+    code_rows = rows.select(
+        F.col("vec_id").alias("cand_id"),
+        F.posexplode("codes").alias("sub", "cid"),
+    )
+    books = spark.createDataFrame(
+        [(s, c, v) for (s, c), v in sorted(cents_lit.items())],
+        "sub int, cid int, c array<bigint>",
+    )
+    qsubs = queries.select(
+        F.col("vec_id").alias("query_id"),
+        _pq_subsplit(F.col("q"), m, sub_dim).alias("sub", "sq"),
+    )
+    tables = qsubs.join(books, "sub").select(
+        "query_id", "sub", "cid",
+        _pq_sqdist(F.col("sq"), F.col("c")).alias("pd2"),
+    )
+    adc = (
+        pairs.join(code_rows, "cand_id")
+        .join(F.broadcast(tables), ["query_id", "sub", "cid"])
+        .groupBy("query_id", "cand_id")
+        .agg(F.sum("pd2").cast("long").alias("ad2"))
+    )
+    wa = Window.partitionBy("query_id").orderBy("ad2", "cand_id")
+    shortlist = adc.withColumn("srk", F.row_number().over(wa)).filter(
+        F.col("srk") <= prefilter
+    )
+
+    exact = (
+        shortlist.join(
+            queries.select(
+                F.col("vec_id").alias("query_id"), F.col("q").alias("_qq")
+            ),
+            "query_id",
+        )
+        .join(
+            vectors.select(
+                F.col("vec_id").alias("cand_id"), F.col("q").alias("_cq")
+            ),
+            "cand_id",
+        )
+        .select(
+            "query_id",
+            F.col("cand_id").alias("neighbor_id"),
+            _pq_sqdist(F.col("_qq"), F.col("_cq")).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    return (
+        exact.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .orderBy("query_id", "rk")
+    )

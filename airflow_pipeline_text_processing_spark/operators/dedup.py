@@ -1242,6 +1242,7 @@ def winnow_fingerprints(
     text_col: str = "text",
     k: int = 4,
     w: int = 4,
+    pos_cap: int = 65535,
 ) -> DataFrame:
     """Robust-winnowing document fingerprints (Schleimer, Wilkerson &
     Aiken, "Winnowing: Local Algorithms for Document Fingerprinting",
@@ -1262,10 +1263,14 @@ def winnow_fingerprints(
     (40 bits); the rightmost-min tie rule is encoded arithmetically as
     ``min(h * 65536 + (65536 - pos))`` so a single integer MIN resolves
     both orderings identically in Spark and DuckDB (positions are
-    capped at 65535 tokens -- longer documents should be chunked
-    upstream, see ``text.chunk_windows``)."""
+    capped at ``pos_cap`` <= 65535 tokens -- longer documents should be
+    chunked upstream, see ``text.chunk_windows``; the gram count used
+    by the trailing-window rule is capped IDENTICALLY on both engines,
+    ``least(total_grams, pos_cap)``, because Spark computes it post-cap
+    as max(pos) -- ADVICE r8 regression)."""
+    assert pos_cap <= 65535, "enc radix is 65536; positions must fit"
     grams = positional_shingles(docs, text_col=text_col, n=k).filter(
-        F.col("pos") <= 65535
+        F.col("pos") <= pos_cap
     )
     h = F.conv(F.substring(F.md5("shingle"), 1, 10), 16, 10).cast("long")
     grams = grams.select(

@@ -54,57 +54,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-# Partition sizing for un-splittable small scans: aim for at least this
-# much parquet per task -- below it, per-task scheduling overhead exceeds
-# the per-row work it buys back (measured 3x-solo at sf0.1: 32-way spread
-# of the 0.6 MB documents corpus LOST 0.3-0.9 s/query to task overhead vs
-# the ~8-way bytes-proportional split, while 8-way beat the 1-partition
-# layout by 1.7x on CDC chunking and 2-4x on BPE/repetition kernels).
-_SPREAD_BYTES_PER_TASK = 96 * 1024
-_SPREAD_MIN = 4
-
-
-def _spread(spark: SparkSession, df: DataFrame, cap: Optional[int] = None) -> DataFrame:
-    """Repartition an un-splittable small scan so map-side work (tokenize,
-    explode, Arrow UDF, lambda eval) parallelizes: the driver's testdata
-    tables are each ONE single-row-group parquet file, which the parquet
-    reader cannot split, so without this every downstream stage would
-    serialize onto one core.  The target is bytes-proportional (see
-    ``_SPREAD_BYTES_PER_TASK``), never more than core count; callers that
-    bound their input far below the scan size (e.g. the planted corpora,
-    which filter to a few hundred docs the file-size heuristic cannot
-    see) pass ``cap``.  At real scale the scan has >= cores files and
-    this is a no-op -- no shuffle.  File count/size (driver-side
-    metadata) stand in for partition count: ``df.rdd`` would answer it
-    exactly but forces a Python-RDD conversion boundary."""
-    import os as _os
-
-    para = spark.sparkContext.defaultParallelism
-    try:
-        files = df.inputFiles()
-    except Exception:
-        return df
-    if len(files) >= para:
-        return df
-    size = 0
-    local = True
-    for p in files:
-        lp = p.removeprefix("file:")
-        try:
-            size += _os.path.getsize(lp)
-        except OSError:
-            local = False
-            break
-    if local:
-        target = max(_SPREAD_MIN, min(para, size // _SPREAD_BYTES_PER_TASK + 1))
-    else:
-        # non-local few-file scan: no cheap size; use core count
-        target = para
-    if cap:
-        target = min(target, cap)
-    if len(files) < target:
-        return df.repartition(int(target))
-    return df
+# Partition sizing for un-splittable small scans: shared with the document
+# source (sources/spread.py holds the tuned constants and the measurement
+# notes); `_spread` stays the registry-local name used throughout.
+from ..sources.spread import spread_small_scan as _spread  # noqa: E402
 
 
 def _tspread(

@@ -83,28 +83,14 @@ def documents_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapped onto the reference schema (doc_id stands in for the path).
 
     The testdata corpus is ONE single-row-group parquet file, which Spark
-    cannot split across input partitions -- without intervention every
-    downstream codec/tokenize stage would serialize onto one core.  When
-    the scan has fewer input files than cores, repartition to a
-    bytes-proportional target (same rule as ``plans.queries._spread``:
-    ~96 KB of parquet per task, floor 4, cap core count -- measured to
-    beat both the 1-partition and the full-core-count splits at small
-    scale; a no-op at real scale where the corpus has >= cores files)."""
-    import os
+    cannot split across input partitions -- repartition to the shared
+    bytes-proportional target (``sources/spread.py``; a no-op at real
+    scale where the corpus has >= cores files)."""
+    from .spread import spread_small_scan
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    para = spark.sparkContext.defaultParallelism
-    try:
-        files = docs.inputFiles()
-        if len(files) < para:
-            size = sum(
-                os.path.getsize(p.removeprefix("file:")) for p in files
-            )
-            target = max(4, min(para, size // (96 * 1024) + 1))
-            if len(files) < target:
-                docs = docs.repartition(int(target))
-    except Exception:
-        pass
+    docs = spread_small_scan(
+        spark, spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
     return docs.select(
         F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("path"),
         "text",

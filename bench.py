@@ -176,6 +176,13 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn, _oracle = REGISTRY[name]
+        # One UNTIMED warm execution per query (added r9): a first-ever run
+        # pays JIT/codegen-cache/classloading costs that best-of-2 does not
+        # filter -- r8's debut sample_weighted_orders posted 2.04 s cold vs
+        # ~0.7 s steady (adjudicated in VERDICT r8).  Warming every query
+        # makes the reported number the steady state, which is the honest
+        # at-scale quantity; methodology change recorded in PROFILE_r09.
+        fn(spark, SF_DIR).collect()
         best = float("inf")
         # two fresh-lineage runs, keep the best: filters out CPU-neighbor
         # noise without letting Spark reuse the first run's shuffle output

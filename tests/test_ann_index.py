@@ -1,0 +1,116 @@
+"""Persisted IVF-PQ index (operators/ann_index.py): the build-once /
+incrementally-grow / serve lifecycle.  Oracle equality of the end-to-end
+search is covered by ``sim_ivfpq_persisted`` in the registry; these pin
+the lifecycle mechanics the oracle can't see -- frozen structures stay
+frozen across adds, MERGE locality, staleness accounting, and persisted
+search matching the inline (train-inside-the-query) operator when the
+training sets coincide.
+"""
+
+import json
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+
+@pytest.fixture(scope="module")
+def qvecs(spark, sf_dir):
+    from airflow_pipeline_text_processing_spark.operators.clustering import (
+        quantized,
+    )
+
+    return (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", quantized(F.col("embedding")).alias("q"))
+        .localCheckpoint(eager=True)
+    )
+
+
+def _frozen_blobs(path):
+    fz = os.path.join(path, "_frozen")
+    out = {}
+    for name in ("centroids.parquet", "codebooks.parquet"):
+        with open(os.path.join(fz, name), "rb") as fh:
+            out[name] = fh.read()
+    return out
+
+
+def test_add_does_not_retrain_and_staleness_counts(spark, qvecs, tmp_path):
+    from airflow_pipeline_text_processing_spark.operators.ann_index import (
+        build_ivfpq_index,
+        ivfpq_index_add,
+        ivfpq_index_staleness,
+    )
+
+    path = str(tmp_path / "idx")
+    train = qvecs.filter(F.col("vec_id") % 10 != 0)
+    build_ivfpq_index(train, path, dim=64)
+    before = _frozen_blobs(path)
+    st0 = ivfpq_index_staleness(spark, path)
+    assert st0["live_n"] == st0["trained_n"] == train.count()
+    assert st0["added_frac_ppm"] == 0
+
+    ivfpq_index_add(spark, path, qvecs.filter(F.col("vec_id") % 10 == 0))
+    # frozen quantizers byte-identical after the add: no retraining
+    assert _frozen_blobs(path) == before
+    st1 = ivfpq_index_staleness(spark, path)
+    assert st1["live_n"] == qvecs.count()
+    added = st1["live_n"] - st1["trained_n"]
+    assert st1["added_frac_ppm"] == added * 1_000_000 // st1["trained_n"]
+
+
+def test_merge_rewrites_only_overlapping_files(spark, qvecs, tmp_path):
+    """A key-local batch (fresh ids past the table's key range) must
+    touch at most the boundary file -- the manifest MERGE's O(touched
+    files) guarantee is what makes incremental adds affordable."""
+    from airflow_pipeline_text_processing_spark.operators.ann_index import (
+        build_ivfpq_index,
+        ivfpq_index_add,
+    )
+
+    path = str(tmp_path / "idx")
+    build_ivfpq_index(qvecs, path, dim=64, n_files=8)
+    batch = qvecs.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "q"
+    )
+    rewritten, live_before = ivfpq_index_add(spark, path, batch)
+    assert live_before == 8
+    assert rewritten <= 1, (
+        "appending past the key range must not rewrite interior files"
+    )
+
+
+def test_persisted_search_matches_inline_operator(spark, qvecs, tmp_path):
+    """Same training set => the persisted index must serve EXACTLY what
+    the inline ivfpq_topk computes (same routing, ADC, rerank, ties)."""
+    from airflow_pipeline_text_processing_spark.operators.ann_index import (
+        build_ivfpq_index,
+        ivfpq_index_search,
+    )
+    from airflow_pipeline_text_processing_spark.operators.similarity import (
+        ivfpq_topk,
+    )
+
+    path = str(tmp_path / "idx")
+    build_ivfpq_index(qvecs, path, dim=64)
+    queries = qvecs.filter(F.col("vec_id").isin(3, 10, 42))
+    got = [
+        tuple(r)
+        for r in ivfpq_index_search(spark, path, queries, qvecs).collect()
+    ]
+    want = [tuple(r) for r in ivfpq_topk(queries, qvecs, dim=64).collect()]
+    assert got == want
+
+
+def test_meta_records_training_shape(qvecs, tmp_path):
+    from airflow_pipeline_text_processing_spark.operators.ann_index import (
+        build_ivfpq_index,
+    )
+
+    path = str(tmp_path / "idx")
+    build_ivfpq_index(qvecs, path, dim=64, m=8, k_codebook=16, cells=8)
+    with open(os.path.join(path, "_frozen", "meta.json")) as fh:
+        meta = json.load(fh)
+    assert meta["dim"] == 64 and meta["m"] == 8
+    assert meta["trained_n"] == qvecs.count()

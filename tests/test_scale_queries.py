@@ -129,3 +129,54 @@ class TestWinnowing:
         n_grams = positional_shingles(corpus, n=4).count()
         n_fps = winnow_fingerprints(corpus).count()
         assert n_fps < 0.6 * n_grams
+
+    def test_long_doc_position_cap_matches_oracle(self, spark):
+        """ADVICE r8 regression: for documents with more grams than the
+        position cap the Spark side computes n_grams AFTER the cap while
+        the oracle used the uncapped gram count, so the two engines
+        disagreed on which trailing windows to keep.  Both now cap
+        identically (oracle: least(len(tk)-3, cap)); pin exact
+        fingerprint-set equality on a past-the-cap document, exercised
+        at a small cap (same code path as the production 65535)."""
+        import duckdb
+
+        from airflow_pipeline_text_processing_spark.operators.dedup import (
+            winnow_fingerprints,
+        )
+        from airflow_pipeline_text_processing_spark.plans.queries_llm import (
+            TOKS_SQL,
+        )
+
+        cap = 500
+        text = " ".join(f"w{i % 97}" for i in range(600))  # 597 grams > cap
+        corpus = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        spark_fps = sorted(
+            r.fp for r in winnow_fingerprints(corpus, pos_cap=cap).collect()
+        )
+        hex40 = QS._sql_hex40(
+            "substr(md5(array_to_string(tk[pos:pos+3], ' ')), 1, 10)"
+        )
+        sql = f"""
+WITH corpus AS (SELECT 0 AS doc_id, ? AS text),
+toks AS (SELECT doc_id, {TOKS_SQL} AS tk FROM corpus),
+grams AS (
+  SELECT doc_id, pos,
+         ({hex40}) * 65536 + (65536 - pos) AS enc,
+         least(len(tk) - 3, {cap}) AS n_grams
+  FROM toks, UNNEST(generate_series(1, greatest(len(tk) - 3, 0))) AS t(pos)
+  WHERE pos <= {cap}
+),
+wins AS (
+  SELECT doc_id, pos, n_grams,
+         MIN(enc) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS min_enc
+  FROM grams
+),
+fps AS (
+  SELECT DISTINCT doc_id, min_enc // 65536 AS fp
+  FROM wins WHERE pos <= n_grams - 3
+)
+SELECT fp FROM fps ORDER BY fp
+"""
+        oracle_fps = [r[0] for r in duckdb.execute(sql, [text]).fetchall()]
+        assert spark_fps == oracle_fps

@@ -522,7 +522,7 @@ def test_tws_capability_gate_is_honest(spark):
     protobuf is importable; in this container that must be False AND the
     v2 operators must still construct their plans (the gate is a runtime
     protocol dependency, not an import error)."""
-    import importlib.util
+    import importlib
 
     from airflow_pipeline_text_processing_spark.streaming.windows import (
         HAS_TWS_PROTOBUF,
@@ -530,11 +530,17 @@ def test_tws_capability_gate_is_honest(spark):
         stateful_user_totals_v2,
     )
 
-    has_protobuf = (
-        importlib.util.find_spec("google") is not None
-        and importlib.util.find_spec("google.protobuf") is not None
-    )
-    assert HAS_TWS_PROTOBUF == has_protobuf
+    # Compare against the SAME import the gate probes (ADVICE r8): a
+    # find_spec('google.protobuf') proxy can be True while the generated
+    # StateMessage_pb2 still fails on a version-incompatible protobuf,
+    # in which case the gate is correctly False and the proxy would make
+    # this test fail on the honest answer.
+    try:
+        importlib.import_module("pyspark.sql.streaming.proto.StateMessage_pb2")
+        probe_ok = True
+    except ImportError:
+        probe_ok = False
+    assert HAS_TWS_PROTOBUF == probe_ok
     if not HAS_TWS_PROTOBUF:
         # the gate must name the exact failing import, not a vague proxy
         assert "StateMessage_pb2" in TWS_GATE_REASON

@@ -90,10 +90,13 @@ _CACHE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".oracle_
 
 def _fingerprints(entrymod) -> dict:
     """Per-query change fingerprint for ``--changed`` mode: md5 of the
-    query function's own source + its oracle SQL + a digest of every
-    package module OUTSIDE the three registry files.  Editing one query
-    function re-runs only that query (the iteration hot path); editing
-    any shared operator/source module conservatively re-runs everything."""
+    query's DEFINING registry-module file + its oracle SQL + a digest of
+    every package module outside the registry files.  Hashing the whole
+    defining module (not just the query fn's source) means an edit to a
+    shared DataFrame-side helper in that file (_planted_docs, _spread, ...)
+    re-runs every query in the file -- ADVICE r8 found the fn-source-only
+    variant silently kept stale green cache entries.  Editing any
+    operator/source module still conservatively re-runs everything."""
     import hashlib
     import inspect
 
@@ -101,24 +104,37 @@ def _fingerprints(entrymod) -> dict:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "airflow_pipeline_text_processing_spark",
     )
-    registry_files = {"queries.py", "queries_ext.py", "queries_llm.py"}
+    queries, oracles = entrymod.queries(), entrymod.oracle_sql()
+
+    registry_files = set()
+    for fn in queries.values():
+        try:
+            registry_files.add(os.path.abspath(inspect.getfile(fn)))
+        except TypeError:
+            pass
     shared = hashlib.md5()
+    file_digest = {}
     for root, _dirs, files in os.walk(pkg_dir):
         for f in sorted(files):
-            if f.endswith(".py") and f not in registry_files:
-                with open(os.path.join(root, f), "rb") as fh:
-                    shared.update(fh.read())
+            if not f.endswith(".py"):
+                continue
+            path = os.path.join(root, f)
+            with open(path, "rb") as fh:
+                data = fh.read()
+            if os.path.abspath(path) in registry_files:
+                file_digest[os.path.abspath(path)] = hashlib.md5(data).hexdigest()
+            else:
+                shared.update(data)
     shared_hex = shared.hexdigest()
 
-    queries, oracles = entrymod.queries(), entrymod.oracle_sql()
     out = {}
     for name, fn in queries.items():
         try:
-            src = inspect.getsource(fn)
-        except (OSError, TypeError):
-            src = repr(fn)
+            mod_hex = file_digest.get(os.path.abspath(inspect.getfile(fn)), "")
+        except TypeError:
+            mod_hex = repr(fn)
         out[name] = hashlib.md5(
-            (shared_hex + src + oracles.get(name, "")).encode()
+            (shared_hex + mod_hex + oracles.get(name, "")).encode()
         ).hexdigest()
     return out
 

@@ -48,8 +48,12 @@ _ORDER = [
     "dedup_sorted_neighborhood",
     "sim_pq_adc_topk",
     "sim_ivfpq_topk",
-    # -- NEW round 9: persisted IVF-PQ index (build/MERGE-add/serve) ------
+    # -- NEW round 9: persisted IVF-PQ index (build/MERGE-add/serve),
+    # degree-oriented triangle counting, RAKE keywords, n-gram novelty --
     "sim_ivfpq_persisted",
+    "graph_triangle_count",
+    "text_rake_keywords",
+    "text_ngram_novelty",
     # -- NEW this session (scale-technique surface, queries_scale.py):
     # enter directly as sole verifiers; displaced to make room (each
     # driver-green with in-window siblings): agg_value_histogram
@@ -98,17 +102,20 @@ _ORDER = [
     "codec_repair_stats",
     "stream_stream_join_pairs",
     "stream_session_windows",
-    "dedup_exact_groups",
     "dedup_minhash_lsh",
-    "sketch_cms_heavy_hitters",
     "graph_label_communities",
-    "text_bpe_train",
     "dq_events_expectations",
     # ==== driver window boundary (position 50) ===========================
-    # curation_full_set displaced below the boundary (r8 driver-green;
-    # in-window siblings curation_lm_filtered / curation_entropy_filtered /
-    # curation_dsir_select) to make room for sim_ivfpq_persisted.
+    # Displaced below the boundary for the four round-9 debuts (each
+    # r8 driver-green with in-window category siblings):
+    # curation_full_set (~ curation_lm_filtered/_entropy/_dsir),
+    # dedup_exact_groups (~ dedup_minhash_lsh/_sorted_neighborhood/
+    # _winnow_overlap), text_bpe_train (~ text_bpe_compression),
+    # sketch_cms_heavy_hitters (~ sketch_overlap_matrix).
     "curation_full_set",
+    "dedup_exact_groups",
+    "text_bpe_train",
+    "sketch_cms_heavy_hitters",
     # Everything below is exact-equality checked by tools/check_oracle.py
     # and carries a green driver CORRECTNESS row from an earlier round,
     # plus an in-window category sibling above.

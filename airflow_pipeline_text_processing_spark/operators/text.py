@@ -655,3 +655,89 @@ def phrase_search(
     return occurrences.groupBy("doc_id").agg(
         F.count("*").alias("n_hits")
     )
+
+
+def rake_keywords(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_len: int = 4,
+    topn: int = 25,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose, Engel, Cramer & Cowley, "Automatic
+    Keyword Extraction from Individual Documents", 2010): candidate
+    phrases are maximal stopword-free token runs; each word scores
+    ``degree/frequency`` where ``frequency`` counts the word's phrase
+    occurrences and ``degree`` sums the lengths of the phrases it
+    appears in (co-occurrence degree including self); a phrase scores
+    the sum of its member-word scores.  Scores are integer ppm
+    (``(degree * 10^6) div frequency``) so both engines agree
+    bit-for-bit.
+
+    Candidates are capped at ``max_len`` tokens -- bounds the phrase
+    explode on pathological stopword-free documents (RAKE's usual
+    practical cap).
+
+    Scale shape: one per-doc window (stopword-prefix-sum segmenting,
+    shuffle on doc_id only), one corpus hash-agg per word, one over
+    distinct phrase texts; the final top-``topn`` is a
+    TakeOrderedAndProject, never a global sort.  Output:
+    ``(phrase, n_occur, score_ppm)``, ties (score desc, phrase).
+    """
+    toked = docs.select("doc_id", tokens(F.col(text_col)).alias("_toks"))
+    pos = toked.select(
+        "doc_id", F.posexplode("_toks").alias("pos", "tok")
+    )
+    is_stop = F.col("tok").isin(STOPWORDS)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    seg = pos.select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.sum(F.when(is_stop, 1).otherwise(0)).over(w).alias("seg"),
+        is_stop.alias("_stop"),
+    ).filter(~F.col("_stop"))
+    phrases = (
+        seg.groupBy("doc_id", "seg")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count("*").cast("long").alias("plen"),
+        )
+        .filter(F.col("plen") <= max_len)
+    )
+    occ = phrases.select(
+        "plen", F.explode(F.split("phrase", " ")).alias("word")
+    )
+    wscore = (
+        occ.groupBy("word")
+        .agg(
+            F.sum("plen").alias("wdeg"),
+            F.count("*").alias("wfreq"),
+        )
+        .select(
+            "word",
+            F.expr("(wdeg * 1000000) div wfreq").alias("wscore_ppm"),
+        )
+    )
+    counts = phrases.groupBy("phrase").agg(
+        F.count("*").cast("long").alias("n_occur")
+    )
+    members = counts.select(
+        "phrase", F.explode(F.split("phrase", " ")).alias("word")
+    )
+    scored = (
+        members.join(wscore, "word")
+        .groupBy("phrase")
+        .agg(F.sum("wscore_ppm").cast("long").alias("score_ppm"))
+    )
+    return (
+        counts.join(scored, "phrase")
+        .orderBy(F.desc("score_ppm"), "phrase")
+        .limit(topn)
+        .select("phrase", "n_occur", "score_ppm")
+    )

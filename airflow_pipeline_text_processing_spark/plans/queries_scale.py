@@ -1175,8 +1175,207 @@ ORDER BY query_id, rk
 """
 
 
+# =====================================================================
+# Triangle counting: degree-oriented wedge join over a co-occurrence
+# projection
+# =====================================================================
+
+
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 users by triangle participation in the co-interaction
+    graph (operators/graph.py::triangle_counts): users are adjacent
+    when they act in the same (event_type, hour) group; groups above
+    the fan-out cap are dropped before the pair self-join
+    (cooccurrence_edges).  Triangles enumerate via the degree-ordered
+    wedge join -- orientation bounds every out-degree by O(sqrt(m)),
+    so the one super-linear stage is O(m^1.5) whatever the skew; the
+    canonical web-scale triangle/clustering-coefficient plan."""
+    from ..operators.graph import cooccurrence_edges, triangle_counts
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.date_trunc("hour", "ts").alias("h")
+    )
+    edges = cooccurrence_edges(
+        ev, ["event_type", "h"], "user_id", min_group=2, max_group=20
+    )
+    tri = triangle_counts(edges)
+    return (
+        tri.orderBy(F.desc("n_tri"), "node")
+        .limit(20)
+        .select(F.col("node").alias("user_id"), "n_tri")
+    )
+
+
+TRIANGLE_SQL = """
+WITH g AS (
+  SELECT DISTINCT event_type, date_trunc('hour', ts) AS h, user_id
+  FROM events),
+ok AS (
+  SELECT event_type, h FROM g
+  GROUP BY 1, 2 HAVING COUNT(*) BETWEEN 2 AND 20),
+gg AS (SELECT g.* FROM g JOIN ok USING (event_type, h)),
+edges AS (
+  SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+  FROM gg a JOIN gg b USING (event_type, h)
+  WHERE a.user_id < b.user_id),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT src AS node FROM edges
+    UNION ALL SELECT dst AS node FROM edges)
+  GROUP BY node),
+oriented AS (
+  SELECT CASE WHEN (ds.deg < dd.deg)
+                OR (ds.deg = dd.deg AND e.src < e.dst)
+              THEN e.src ELSE e.dst END AS a,
+         CASE WHEN (ds.deg < dd.deg)
+                OR (ds.deg = dd.deg AND e.src < e.dst)
+              THEN e.dst ELSE e.src END AS b,
+         CASE WHEN (ds.deg < dd.deg)
+                OR (ds.deg = dd.deg AND e.src < e.dst)
+              THEN dd.deg ELSE ds.deg END AS deg_b
+  FROM edges e
+  JOIN deg ds ON ds.node = e.src
+  JOIN deg dd ON dd.node = e.dst),
+wedges AS (
+  SELECT o1.a, o1.b, o2.b AS c
+  FROM oriented o1 JOIN oriented o2 ON o1.a = o2.a
+  WHERE (o1.deg_b < o2.deg_b)
+     OR (o1.deg_b = o2.deg_b AND o1.b < o2.b)),
+tris AS (
+  SELECT w.a, w.b, w.c
+  FROM wedges w JOIN oriented o ON o.a = w.b AND o.b = w.c),
+members AS (
+  SELECT a AS node FROM tris
+  UNION ALL SELECT b AS node FROM tris
+  UNION ALL SELECT c AS node FROM tris)
+SELECT node AS user_id, CAST(COUNT(*) AS BIGINT) AS n_tri
+FROM members GROUP BY node
+ORDER BY n_tri DESC, user_id
+LIMIT 20
+"""
+
+
+# =====================================================================
+# RAKE keyword extraction
+# =====================================================================
+
+
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level RAKE keywords (operators/text.py::rake_keywords):
+    stopword-delimited candidate phrases, word score = co-occurrence
+    degree / frequency in integer ppm, phrase score = member-word sum;
+    top-25 by (score desc, phrase).  One per-doc segmenting window +
+    two corpus hash-aggs + a TakeOrderedAndProject -- no global sort,
+    no all-pairs anything."""
+    from ..operators.text import rake_keywords
+
+    docs = _tspread(spark, sf_dir, "documents").select("doc_id", "text")
+    return rake_keywords(docs, max_len=4, topn=25)
+
+
+def _rake_sql(max_len: int = 4, topn: int = 25) -> str:
+    from ..operators.text import STOPWORDS
+    from .queries_llm import TOKS_SQL
+
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS_SQL} AS tk FROM documents),
+pos AS (
+  SELECT doc_id, t.pos, tk[t.pos] AS tok,
+         tk[t.pos] IN ({stop_list}) AS is_stop
+  FROM toks, UNNEST(generate_series(1, len(tk))) AS t(pos)),
+seg AS (
+  SELECT doc_id, pos, tok,
+         SUM(CASE WHEN is_stop THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS seg
+  FROM pos
+  QUALIFY NOT is_stop),
+phrases AS (
+  SELECT doc_id, seg,
+         string_agg(tok, ' ' ORDER BY pos) AS phrase,
+         CAST(COUNT(*) AS BIGINT) AS plen
+  FROM seg GROUP BY doc_id, seg
+  HAVING COUNT(*) <= {max_len}),
+occ AS (
+  SELECT plen, UNNEST(string_split(phrase, ' ')) AS word FROM phrases),
+wscore AS (
+  SELECT word,
+         CAST((CAST(SUM(plen) AS BIGINT) * 1000000) // COUNT(*) AS BIGINT)
+           AS wscore_ppm
+  FROM occ GROUP BY word),
+counts AS (
+  SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occur
+  FROM phrases GROUP BY phrase),
+members AS (
+  SELECT phrase, UNNEST(string_split(phrase, ' ')) AS word FROM counts),
+scored AS (
+  SELECT m.phrase, CAST(SUM(w.wscore_ppm) AS BIGINT) AS score_ppm
+  FROM members m JOIN wscore w USING (word) GROUP BY m.phrase)
+SELECT c.phrase, c.n_occur, s.score_ppm
+FROM counts c JOIN scored s USING (phrase)
+ORDER BY s.score_ppm DESC, c.phrase
+LIMIT {topn}
+"""
+
+
+# =====================================================================
+# N-gram novelty: the memorization/duplication curation signal
+# =====================================================================
+
+
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 8-gram novelty: the fraction (ppm) of a document's
+    distinct 8-grams that appear in NO other document -- the standard
+    curation dial for memorization risk and cross-document boilerplate
+    (the doc-level complement of the sub-doc span excision and the
+    winnowing overlap report).  One gram explode + one corpus hash-agg
+    on the gram (the document-frequency join is the only shuffle);
+    docs shorter than 8 tokens have no grams and emit no row on either
+    engine."""
+    from ..operators.dedup import positional_shingles
+
+    docs = _tspread(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = positional_shingles(docs, n=8).select("doc_id", "shingle").distinct()
+    gdf = grams.groupBy("shingle").agg(F.count("*").alias("gdf"))
+    return (
+        grams.join(gdf, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_distinct"),
+            F.sum(F.when(F.col("gdf") == 1, 1).otherwise(0)).alias("_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_distinct",
+            F.expr("(_novel * 1000000) div n_distinct").alias("novel_ppm"),
+        )
+    )
+
+
+def _novelty_sql() -> str:
+    from .queries_llm import TOKS_SQL
+
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS_SQL} AS tk FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(tk[pos:pos+7], ' ') AS g
+  FROM toks, UNNEST(generate_series(1, greatest(len(tk) - 7, 0))) AS t(pos)),
+gdf AS (SELECT g, COUNT(*) AS c FROM grams GROUP BY g)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST((CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             * 1000000) // COUNT(*) AS BIGINT) AS novel_ppm
+FROM grams JOIN gdf USING (g)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "sim_ivfpq_persisted": (sim_ivfpq_persisted, _ivfpq_persisted_sql()),
+    "graph_triangle_count": (graph_triangle_count, TRIANGLE_SQL),
+    "text_rake_keywords": (text_rake_keywords, _rake_sql()),
+    "text_ngram_novelty": (text_ngram_novelty, _novelty_sql()),
     "join_bloom_prefilter": (join_bloom_prefilter, BLOOM_PREFILTER_SQL),
     "dedup_winnow_overlap": (dedup_winnow_overlap, _winnow_sql()),
     "search_rrf_fusion": (search_rrf_fusion, _rrf_sql()),

@@ -139,6 +139,12 @@ def build_ivfpq_index(
     )
     rows = _index_rows(cell_rows, codes)
     trained_n = rows.count()
+    if trained_n == 0:
+        raise ValueError(
+            "build_ivfpq_index: empty training corpus -- an index trained "
+            "on zero vectors has undefined quantizers and a zero staleness "
+            "denominator"
+        )
     write_manifest_table(rows, os.path.join(path, _ROWS), "vec_id", n_files)
     _write_frozen(
         path,
@@ -188,7 +194,13 @@ def ivfpq_index_staleness(spark: SparkSession, path: str) -> dict:
     return {
         "trained_n": trained_n,
         "live_n": live_n,
-        "added_frac_ppm": max(0, live_n - trained_n) * 1_000_000 // trained_n,
+        # trained_n == 0 can only appear in a hand-written sidecar (build
+        # raises on an empty training corpus); report fully stale.
+        "added_frac_ppm": (
+            max(0, live_n - trained_n) * 1_000_000 // trained_n
+            if trained_n
+            else (1_000_000 if live_n else 0)
+        ),
     }
 
 

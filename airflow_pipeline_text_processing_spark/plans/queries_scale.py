@@ -1017,7 +1017,9 @@ def sim_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     certified equal to the fresh computation with the same training
     set.  At 100 TB the build cost amortizes over every later batch
     and query; ``ivfpq_index_staleness`` is the rebuild dial."""
+    import hashlib
     import os
+    import shutil
     import tempfile
 
     from ..operators.ann_index import (
@@ -1029,10 +1031,14 @@ def sim_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     vecs = _tspread(spark, sf_dir, "embeddings")
     q = vecs.select("vec_id", quantized(F.col("embedding")).alias("q"))
+    # Deterministic md5-based path (hash() is PYTHONHASHSEED-randomized --
+    # ADVICE r9 found each run leaving a fresh orphan /tmp dir); wiped
+    # before rebuild so repeat runs reuse one slot instead of accreting.
     path = os.path.join(
         tempfile.gettempdir(),
-        f"ivfpq_index_{os.getpid()}_{abs(hash(sf_dir)) % 10**8}",
+        f"ivfpq_index_{hashlib.md5(sf_dir.encode()).hexdigest()[:16]}",
     )
+    shutil.rmtree(path, ignore_errors=True)
     build_ivfpq_index(q.filter(F.col("vec_id") % 10 != 0), path, dim=64)
     ivfpq_index_add(spark, path, q.filter(F.col("vec_id") % 10 == 0))
     queries = q.filter(F.col("vec_id").isin(3, 10, 42))

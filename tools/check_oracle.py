@@ -90,20 +90,23 @@ _CACHE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".oracle_
 
 def _fingerprints(entrymod) -> dict:
     """Per-query change fingerprint for ``--changed`` mode: md5 of the
-    query's DEFINING registry-module file + its oracle SQL + a digest of
-    every package module outside the registry files.  Hashing the whole
-    defining module (not just the query fn's source) means an edit to a
-    shared DataFrame-side helper in that file (_planted_docs, _spread, ...)
-    re-runs every query in the file -- ADVICE r8 found the fn-source-only
-    variant silently kept stale green cache entries.  Editing any
-    operator/source module still conservatively re-runs everything."""
+    query's DEFINING registry-module file PLUS every registry file in its
+    transitive import closure + its oracle SQL + a digest of every package
+    module outside the registry files.  The import closure (shared with
+    tools/ledger.py) closes the ADVICE r9 hole: queries_scale.py imports
+    DataFrame helpers (_t, _tspread, _money_sum) from queries.py, so an
+    edit to queries.py must also invalidate the cached green results of
+    every registry module that imports it, not just queries.py's own
+    entries.  Editing any operator/source module still conservatively
+    re-runs everything (the non-registry digest covers those)."""
     import hashlib
     import inspect
 
-    pkg_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "airflow_pipeline_text_processing_spark",
-    )
+    repo_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg_dir = os.path.join(repo_dir, "airflow_pipeline_text_processing_spark")
+    sys.path.insert(0, os.path.join(repo_dir, "tools"))
+    import ledger
+
     queries, oracles = entrymod.queries(), entrymod.oracle_sql()
 
     registry_files = set()
@@ -127,10 +130,21 @@ def _fingerprints(entrymod) -> dict:
                 shared.update(data)
     shared_hex = shared.hexdigest()
 
+    # registry-relpath -> transitive import closure (registry relpaths incl.
+    # itself); non-registry imports are already in the shared digest.
+    closure = ledger.registry_module_imports()
+
+    def _closure_hex(abspath: str) -> str:
+        rel = os.path.relpath(abspath, repo_dir)
+        deps = sorted(closure.get(rel, {rel}))
+        return "|".join(
+            file_digest.get(os.path.join(repo_dir, d), "") for d in deps
+        )
+
     out = {}
     for name, fn in queries.items():
         try:
-            mod_hex = file_digest.get(os.path.abspath(inspect.getfile(fn)), "")
+            mod_hex = _closure_hex(os.path.abspath(inspect.getfile(fn)))
         except TypeError:
             mod_hex = repr(fn)
         out[name] = hashlib.md5(

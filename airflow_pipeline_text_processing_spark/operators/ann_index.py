@@ -157,6 +157,10 @@ def build_ivfpq_index(
             "cells": cells,
             "replicas": replicas,
             "trained_n": trained_n,
+            # full build recipe, so rebuild_if_stale retrains identically
+            "pq_iters": pq_iters,
+            "cell_iters": cell_iters,
+            "n_files": n_files,
         },
     )
 
@@ -202,6 +206,46 @@ def ivfpq_index_staleness(spark: SparkSession, path: str) -> dict:
             else (1_000_000 if live_n else 0)
         ),
     }
+
+
+def ivfpq_index_rebuild_if_stale(
+    spark: SparkSession,
+    path: str,
+    base: DataFrame,
+    threshold_ppm: int = 200_000,
+) -> bool:
+    """Turn the staleness dial into a loop: when ``added_frac_ppm``
+    crosses ``threshold_ppm``, retrain the index from ``base`` (the
+    caller's CURRENT full corpus, ``(vec_id, q)``) in place, with the
+    same build recipe the original index recorded in its meta sidecar.
+
+    The rebuild is a fresh ``build_ivfpq_index`` -- training is
+    deterministic (fixed-seed kmeans / PQ), so a rebuilt index is
+    bit-identical to one freshly built on the same corpus: that is the
+    equivalence ``tests/test_ann_index.py`` pins.  Returns True when a
+    rebuild happened.  At 100 TB this is the scheduled maintenance job:
+    the threshold trades quantizer drift (recall loss on vectors the
+    frozen centroids never saw) against the one-pass retrain cost."""
+    import shutil
+
+    stale = ivfpq_index_staleness(spark, path)
+    if stale["added_frac_ppm"] < threshold_ppm:
+        return False
+    _, _, meta = _load_frozen(path)
+    shutil.rmtree(path)
+    build_ivfpq_index(
+        base,
+        path,
+        dim=meta["dim"],
+        m=meta["m"],
+        k_codebook=meta["k_codebook"],
+        pq_iters=meta.get("pq_iters", 2),
+        cells=meta["cells"],
+        cell_iters=meta.get("cell_iters", 2),
+        replicas=meta["replicas"],
+        n_files=meta.get("n_files", 8),
+    )
+    return True
 
 
 def ivfpq_index_search(

@@ -116,6 +116,13 @@ BENCH_QUERIES = [
     "events_interpolate_gaps",
     "stats_quantile_normalize",
     "stats_source_kl",
+    # round-9 debuts (benched from round 10 on): persisted IVF-PQ index
+    # lifecycle, degree-oriented triangle counting, RAKE keywords,
+    # 8-gram novelty
+    "sim_ivfpq_persisted",
+    "graph_triangle_count",
+    "text_rake_keywords",
+    "text_ngram_novelty",
 ]
 
 

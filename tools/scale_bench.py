@@ -28,6 +28,9 @@ SF01 = "/root/testdata/sf0.1"
 # sf0.1 row counts the ratios are anchored to
 N_DOCS = 5_000
 N_VECS = 5_000
+N_CUST = 15_000
+N_ORDERS = 150_000
+N_LINE = 600_000
 
 def _curate_full_all_docs(spark, sf_dir):
     """curation_full_set's registry form runs on a PLANTED 320-doc
@@ -73,6 +76,51 @@ def _semantic_scaled_k(spark, sf_dir):
     return semantic_dedup(vecs.select("vec_id", "embedding"), k=k)
 
 
+def _winnow_all_docs(spark, sf_dir):
+    """dedup_winnow_overlap's registry form runs on planted docs (oracle
+    determinism); the scale check drives winnow_overlap_pairs over the
+    WHOLE synthetic documents table (VERDICT r8 ask #8 / r9 ask #9)."""
+    from airflow_pipeline_text_processing_spark.operators.dedup import (
+        winnow_overlap_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return winnow_overlap_pairs(docs)
+
+
+def _triangle_rep_groups(spark, sf_dir):
+    """graph_triangle_count on the replicated events table.  The scaled
+    events replicas share timestamps (same time density, by design for
+    the watermark-state checks), so the registry grouping would merge
+    all replicas into one (event_type, hour) group and the fan-out cap
+    would DROP the merged groups -- measuring the cap, not the triangle
+    algorithm.  Grouping additionally on the replica id (user ranges
+    are disjoint per replica: user_id // 1_000_000) replicates the 1x
+    group structure exactly, so the edge set m grows linearly with the
+    multiplier and the wedge stage's O(m^1.5) bound is what's timed."""
+    from airflow_pipeline_text_processing_spark.operators.graph import (
+        cooccurrence_edges,
+        triangle_counts,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        "event_type",
+        F.date_trunc("hour", "ts").alias("h"),
+        (F.col("user_id") / 1_000_000).cast("long").alias("rep"),
+    )
+    edges = cooccurrence_edges(
+        ev, ["event_type", "h", "rep"], "user_id", min_group=2, max_group=20
+    )
+    return (
+        triangle_counts(edges)
+        .orderBy(F.desc("n_tri"), "node")
+        .limit(20)
+    )
+
+
 QUERIES = [
     ("dedup_semantic_clusters", None),
     ("semantic_dedup[k~n]", _semantic_scaled_k),
@@ -85,6 +133,14 @@ QUERIES = [
     ("sorted_neighborhood[all-docs]", _sorted_neighborhood_all_docs),
     ("sim_pq_adc_topk", None),
     ("sim_ivfpq_topk", None),
+    # r10 additions (VERDICT r9 ask #5): the r8+r9 scale surface
+    ("join_bloom_prefilter", None),
+    ("winnow_overlap[all-docs]", _winnow_all_docs),
+    ("stats_selection_quantiles", None),
+    ("stats_ks_two_sample", None),
+    ("triangle_count[rep-groups]", _triangle_rep_groups),
+    ("text_rake_keywords", None),
+    ("text_ngram_novelty", None),
 ]
 
 
@@ -146,6 +202,45 @@ def synth_embeddings(spark, n):
     )
 
 
+def synth_customer(spark, n):
+    """Minimal TPC-H-shaped customer dim: key + 5-way market segment."""
+    segs = ["BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD", "FURNITURE"]
+    seg = F.element_at(
+        F.array(*[F.lit(s) for s in segs]), (F.col("id") % 5 + 1).cast("int")
+    )
+    return spark.range(n).select(
+        F.col("id").alias("c_custkey"), seg.alias("c_mktsegment")
+    )
+
+
+def synth_orders(spark, n, n_cust):
+    """Minimal orders fact for the bloom-prefilter join: hash-spread
+    custkeys (every segment ~20% of the fact side), 5 priorities,
+    2-decimal totalprice."""
+    prio = F.concat(
+        (F.pmod(F.hash(F.col("id")), 5) + 1).cast("string"), F.lit("-P")
+    )
+    return spark.range(n).select(
+        F.col("id").alias("o_orderkey"),
+        F.pmod(F.hash(F.col("id") * 7 + 3), F.lit(n_cust)).alias("o_custkey"),
+        prio.alias("o_orderpriority"),
+        ((F.pmod(F.hash(F.col("id") + 17), 1_000_000)) / 100.0).alias(
+            "o_totalprice"
+        ),
+    )
+
+
+def synth_lineitem(spark, n):
+    """Minimal lineitem for the selection-quantile scan: one price column
+    with a long-tailed integer-cents distribution."""
+    return spark.range(n).select(
+        F.col("id").alias("l_orderkey"),
+        ((F.pmod(F.hash(F.col("id")), 10_000_000)) / 100.0).alias(
+            "l_extendedprice"
+        ),
+    )
+
+
 def scaled_events(spark, mult):
     """The real sf0.1 events table replicated ``mult``x with disjoint
     event_id/user_id ranges: same time density, mult-x users and rows,
@@ -174,6 +269,13 @@ def build_dir(spark, tag, mult):
         .write.parquet(os.path.join(d, "documents.parquet"))
     synth_embeddings(spark, N_VECS * mult).repartition(max(4, 4 * mult)) \
         .write.parquet(os.path.join(d, "embeddings.parquet"))
+    synth_customer(spark, N_CUST * mult).repartition(max(2, 2 * mult)) \
+        .write.parquet(os.path.join(d, "customer.parquet"))
+    synth_orders(spark, N_ORDERS * mult, N_CUST * mult) \
+        .repartition(max(4, 4 * mult)) \
+        .write.parquet(os.path.join(d, "orders.parquet"))
+    synth_lineitem(spark, N_LINE * mult).repartition(max(4, 4 * mult)) \
+        .write.parquet(os.path.join(d, "lineitem.parquet"))
     # events must be a single FILE named events.parquet: the streaming
     # source (_events_stream) symlinks it into its watch directory, the
     # same layout the driver's testdata uses
@@ -207,7 +309,161 @@ def main() -> None:
             f"{name:34s} {walls['x1']:6.2f}s {walls['x10']:7.2f}s "
             f"{walls['x10'] / walls['x1']:5.1f}x"
         )
+
+    structural_checks(spark, d1, d10)
+    ivfpq_lifecycle(spark, d1, d10)
     spark.stop()
+
+
+def _winnow_candidate_count(spark, sf_dir, df_cap=50):
+    """Inverted-index candidate pairs the winnowing join generates:
+    sum over kept fingerprints of C(df, 2).  The guarantee under test
+    (VERDICT r9 ask #9): candidates grow ~linearly with the corpus --
+    NEVER ~N^2 -- because fingerprints over the df_cap are dropped."""
+    from airflow_pipeline_text_processing_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n_docs = docs.count()
+    dfc = (
+        winnow_fingerprints(docs)
+        .groupBy("fp")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") <= df_cap)
+    )
+    cand = dfc.agg(
+        F.sum(F.expr("c * (c - 1) / 2")).cast("long")
+    ).collect()[0][0]
+    return n_docs, int(cand or 0)
+
+
+def _wedge_stats(spark, sf_dir):
+    """Edge count m and wedge count sum(C(outdeg, 2)) of the degree-
+    oriented graph from _triangle_rep_groups's edge projection -- the
+    empirical Suri-Vassilvitskii check: wedges <= m^1.5 regardless of
+    skew, because orientation bounds every out-degree by O(sqrt(m))."""
+    from airflow_pipeline_text_processing_spark.operators.graph import (
+        cooccurrence_edges,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        "event_type",
+        F.date_trunc("hour", "ts").alias("h"),
+        (F.col("user_id") / 1_000_000).cast("long").alias("rep"),
+    )
+    edges = cooccurrence_edges(
+        ev, ["event_type", "h", "rep"], "user_id", min_group=2, max_group=20
+    ).localCheckpoint()
+    m = edges.count()
+    deg = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    withd = edges.join(
+        deg.select(F.col("node").alias("src"), F.col("deg").alias("ds")), "src"
+    ).join(
+        deg.select(F.col("node").alias("dst"), F.col("deg").alias("dd")), "dst"
+    )
+    lower_is_src = (F.col("ds") < F.col("dd")) | (
+        (F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))
+    )
+    outdeg = (
+        withd.select(
+            F.when(lower_is_src, F.col("src")).otherwise(F.col("dst")).alias("a")
+        )
+        .groupBy("a")
+        .agg(F.count("*").alias("od"))
+    )
+    wedges = outdeg.agg(
+        F.sum(F.expr("od * (od - 1) / 2")).cast("long")
+    ).collect()[0][0]
+    return m, int(wedges or 0)
+
+
+def structural_checks(spark, d1, d10) -> None:
+    """Growth-shape assertions behind the scale claims: winnowing
+    candidates ~linear (<< N^2), triangle wedges <= m^1.5."""
+    print("\nstructural growth checks")
+    rows = []
+    for tag, d in (("x1", d1), ("x10", d10)):
+        n_docs, cand = _winnow_candidate_count(spark, d)
+        rows.append((tag, n_docs, cand))
+        allpairs = n_docs * (n_docs - 1) // 2
+        print(
+            f"  winnow[{tag}]: {n_docs} docs, {cand} candidate pairs "
+            f"({cand / max(allpairs, 1):.2e} of all-pairs)"
+        )
+        assert cand < allpairs / 100, (
+            f"winnow candidates {cand} not << all-pairs {allpairs}"
+        )
+    (t1, n1, c1), (t10, n10, c10) = rows
+    growth = c10 / max(c1, 1)
+    print(f"  winnow candidate growth at 10x docs: {growth:.1f}x")
+    assert growth < 30, f"winnow candidates grew {growth:.1f}x at 10x (super-linear)"
+
+    for tag, d in (("x1", d1), ("x10", d10)):
+        m, w = _wedge_stats(spark, d)
+        bound = m**1.5
+        print(f"  triangles[{tag}]: m={m} wedges={w} m^1.5={bound:.0f}")
+        assert w <= bound, f"wedges {w} exceed m^1.5 {bound:.0f}"
+
+
+def ivfpq_lifecycle(spark, d1, d10) -> None:
+    """Persisted-index lifecycle costs vs index size (VERDICT r9 ask #5):
+    build at 1x/10x corpus, then time a FIXED 500-vector incremental add
+    and a 3-query search against each.  The at-scale claim under test:
+    add cost is batch-bound (two shuffle-free map stages + a MERGE that
+    rewrites only overlapping files), search cost is probed-cells-bound
+    -- neither re-pays the build."""
+    from airflow_pipeline_text_processing_spark.operators.ann_index import (
+        build_ivfpq_index,
+        ivfpq_index_add,
+        ivfpq_index_search,
+    )
+    from airflow_pipeline_text_processing_spark.operators.clustering import (
+        quantized,
+    )
+
+    print("\nivf-pq index lifecycle")
+    for tag, d in (("x1", d1), ("x10", d10)):
+        vecs = spark.read.parquet(f"{d}/embeddings.parquet").select(
+            "vec_id", quantized(F.col("embedding")).alias("q")
+        )
+        n = vecs.count()
+        path = os.path.join(BASE, f"ivfpq_{tag}")
+        shutil.rmtree(path, ignore_errors=True)
+        t0 = time.perf_counter()
+        build_ivfpq_index(vecs, path, dim=64)
+        t_build = time.perf_counter() - t0
+        batch = (
+            spark.range(500)
+            .select((F.col("id") + 10_000_000).alias("vec_id"))
+            .select(
+                "vec_id",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(63)),
+                    lambda j: (F.col("vec_id") * 37 + j * 101) % 2000 - 1000,
+                ).alias("q"),
+            )
+        )
+        t0 = time.perf_counter()
+        rewritten, live_before = ivfpq_index_add(spark, path, batch)
+        t_add = time.perf_counter() - t0
+        queries = vecs.filter(F.col("vec_id").isin(3, 10, 42))
+        t0 = time.perf_counter()
+        ivfpq_index_search(spark, path, queries, vecs).collect()
+        t_search = time.perf_counter() - t0
+        print(
+            f"  {tag}: n={n} build={t_build:.2f}s add(500)={t_add:.2f}s "
+            f"(rewrote {rewritten}/{live_before} files) "
+            f"search(3q)={t_search:.2f}s"
+        )
 
 
 if __name__ == "__main__":

@@ -50,6 +50,8 @@ from .similarity import (
     _pq_sqdist,
     _pq_subsplit,
     pq_train_encode,
+    residual_adc_tables,
+    residual_vectors,
 )
 
 _ROWS = "rows"
@@ -133,11 +135,20 @@ def build_ivfpq_index(
     corpus = corpus.select("vec_id", "q").localCheckpoint(eager=False)
 
     _, cents = kmeans_fixed_point(corpus, k=cells, iters=cell_iters)
+    cents = cents.localCheckpoint(eager=False)
     cell_rows = assign_top_cells(corpus, cents, replicas)
-    codes, pq_cents = pq_train_encode(
-        corpus, dim=dim, m=m, k=k_codebook, iters=pq_iters
+    # RESIDUAL encoding (FAISS IndexIVFPQ): codebooks train on and codes
+    # quantize q - centroid(primary cell), so the k_codebook entries only
+    # span the within-cell spread -- see similarity.ivfpq_topk's docstring
+    # for the measured recall cliff of raw-vector codes on clustered data.
+    pcells = assign_top_cells(corpus, cents, 1).select(
+        "vec_id", F.col("cid").alias("pcell")
     )
-    rows = _index_rows(cell_rows, codes)
+    codes, pq_cents = pq_train_encode(
+        residual_vectors(corpus, pcells, cents),
+        dim=dim, m=m, k=k_codebook, iters=pq_iters,
+    )
+    rows = _index_rows(cell_rows, codes).join(pcells, "vec_id")
     trained_n = rows.count()
     if trained_n == 0:
         raise ValueError(
@@ -161,6 +172,7 @@ def build_ivfpq_index(
             "pq_iters": pq_iters,
             "cell_iters": cell_iters,
             "n_files": n_files,
+            "encoding": "residual",
         },
     )
 
@@ -180,10 +192,14 @@ def ivfpq_index_add(
         [(c, v) for c, v in cents_rows], "cid int, c array<bigint>"
     )
     cell_rows = assign_top_cells(batch, cents, meta["replicas"])
-    codes = _pq_assign_codes(
-        batch, cents_lit, meta["m"], meta["dim"] // meta["m"]
+    pcells = assign_top_cells(batch, cents, 1).select(
+        "vec_id", F.col("cid").alias("pcell")
     )
-    rows = _index_rows(cell_rows, codes)
+    codes = _pq_assign_codes(
+        residual_vectors(batch, pcells, cents),
+        cents_lit, meta["m"], meta["dim"] // meta["m"],
+    )
+    rows = _index_rows(cell_rows, codes).join(pcells, "vec_id")
     return merge_upsert(spark, os.path.join(path, _ROWS), rows, "vec_id")
 
 
@@ -289,23 +305,19 @@ def ivfpq_index_search(
 
     code_rows = rows.select(
         F.col("vec_id").alias("cand_id"),
+        "pcell",
         F.posexplode("codes").alias("sub", "cid"),
     )
     books = spark.createDataFrame(
         [(s, c, v) for (s, c), v in sorted(cents_lit.items())],
         "sub int, cid int, c array<bigint>",
     )
-    qsubs = queries.select(
-        F.col("vec_id").alias("query_id"),
-        _pq_subsplit(F.col("q"), m, sub_dim).alias("sub", "sq"),
-    )
-    tables = qsubs.join(books, "sub").select(
-        "query_id", "sub", "cid",
-        _pq_sqdist(F.col("sq"), F.col("c")).alias("pd2"),
-    )
+    # residual ADC: the lookup table is per-(query, candidate's primary
+    # cell), matching the residual the candidate's codes quantized
+    tables = residual_adc_tables(queries, cents, books, m, sub_dim)
     adc = (
         pairs.join(code_rows, "cand_id")
-        .join(F.broadcast(tables), ["query_id", "sub", "cid"])
+        .join(F.broadcast(tables), ["query_id", "pcell", "sub", "cid"])
         .groupBy("query_id", "cand_id")
         .agg(F.sum("pd2").cast("long").alias("ad2"))
     )

@@ -938,6 +938,54 @@ def pq_adc_topk(
     )
 
 
+def residual_vectors(
+    vecs: DataFrame, pcells: DataFrame, cents: DataFrame
+) -> DataFrame:
+    """``(vec_id, q - centroid(pcell))`` -- the residuals PQ codebooks
+    train on and codes encode (FAISS IndexIVFPQ's encoding).  One
+    broadcast join on the cell id + a zip_with map; BIGINT-exact."""
+    cent_cols = cents.select(
+        F.col("cid").alias("pcell"), F.col("c").alias("_cent")
+    )
+    return (
+        vecs.join(pcells, "vec_id")
+        .join(F.broadcast(cent_cols), "pcell")
+        .select(
+            "vec_id",
+            F.zip_with("q", "_cent", lambda a, b: a - b).alias("q"),
+        )
+    )
+
+
+def residual_adc_tables(
+    queries: DataFrame, cents: DataFrame, pq_cents: DataFrame, m: int, sub_dim: int
+) -> DataFrame:
+    """Per-(query, cell) ADC lookup tables for residual-encoded codes:
+    ``pd2(query, pcell, sub, cid) = ||(q - cent(pcell))_sub -
+    book_sub(cid)||^2``.  Q x cells x m x k_codebook rows -- broadcast
+    metadata, never data."""
+    qres = (
+        queries.select(F.col("vec_id").alias("query_id"), "q")
+        .crossJoin(
+            F.broadcast(
+                cents.select(F.col("cid").alias("pcell"), F.col("c").alias("_cent"))
+            )
+        )
+        .select(
+            "query_id",
+            "pcell",
+            F.zip_with("q", "_cent", lambda a, b: a - b).alias("rq"),
+        )
+    )
+    qsubs = qres.select(
+        "query_id", "pcell", _pq_subsplit(F.col("rq"), m, sub_dim).alias("sub", "sq")
+    )
+    return qsubs.join(pq_cents, "sub").select(
+        "query_id", "pcell", "sub", "cid",
+        _pq_sqdist(F.col("sq"), F.col("c")).alias("pd2"),
+    )
+
+
 def ivfpq_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -965,6 +1013,23 @@ def ivfpq_topk(
        (ad2, cand_id).
     3. EXACT: full-width rerank of the survivors, top ``k`` by (d2, id).
 
+    RESIDUAL encoding (FAISS IndexIVFPQ's layout): codes quantize
+    ``q - centroid(primary cell)``, not ``q``, so the codebook spans
+    the within-cell spread instead of the whole corpus spread.  The ADC
+    lookup table becomes per-(query, cell): ``||q_sub - cent_sub(pcell)
+    - book(cid)||^2`` -- still Q x cells x m x k_codebook rows of
+    broadcast metadata.
+
+    Measured on a 25-cluster corpus (tools/recall_bench.py): cell
+    ROUTING recall is 1.0 and ADC separates clusters cleanly, but
+    ranking WITHIN a 200-member cluster is below any m=8 code's
+    resolution -- so recall@10 is governed by the rerank depth:
+    prefilter 25 -> 0.12, 100 -> 0.53, 200 (the cluster size) -> 1.00
+    (k_codebook 16 -> 256 at prefilter 25 only reaches 0.54).  At scale
+    the rule is FAISS practice verbatim: set ``prefilter`` to a small
+    multiple of the expected same-cell candidate density per query;
+    rerank cost stays prefilter x dim per query.
+
     Scale shape: the corpus is touched by the Lloyd passes, one
     shuffle-free membership map, the PQ encode, and an EQUI-join of its
     code rows against the query probes -- no nested-loop join anywhere.
@@ -980,6 +1045,7 @@ def ivfpq_topk(
     queries = queries.select("vec_id", "q").localCheckpoint(eager=False)
 
     _, cents = kmeans_fixed_point(corpus, k=cells, iters=cell_iters)
+    cents = cents.localCheckpoint(eager=False)
     cand_cells = assign_top_cells(corpus, cents, replicas).select(
         F.col("vec_id").alias("cand_id"), "cid"
     )
@@ -993,21 +1059,21 @@ def ivfpq_topk(
         .distinct()
     )
 
-    codes, pq_cents = pq_train_encode(
-        corpus, dim=dim, m=m, k=k_codebook, iters=pq_iters
-    )
     sub_dim = dim // m
-    qsubs = queries.select(
-        F.col("vec_id").alias("query_id"),
-        _pq_subsplit(F.col("q"), m, sub_dim).alias("sub", "sq"),
+    pcells = assign_top_cells(corpus, cents, 1).select(
+        "vec_id", F.col("cid").alias("pcell")
     )
-    tables = qsubs.join(pq_cents, "sub").select(
-        "query_id", "sub", "cid",
-        _pq_sqdist(F.col("sq"), F.col("c")).alias("pd2"),
+    rcorpus = residual_vectors(corpus, pcells, cents)
+    codes, pq_cents = pq_train_encode(
+        rcorpus, dim=dim, m=m, k=k_codebook, iters=pq_iters
     )
+    tables = residual_adc_tables(queries, cents, pq_cents, m, sub_dim)
     adc = (
         pairs.join(codes.withColumnRenamed("vec_id", "cand_id"), "cand_id")
-        .join(F.broadcast(tables), ["query_id", "sub", "cid"])
+        .join(
+            pcells.withColumnRenamed("vec_id", "cand_id"), "cand_id"
+        )
+        .join(F.broadcast(tables), ["query_id", "pcell", "sub", "cid"])
         .groupBy("query_id", "cand_id")
         .agg(F.sum("pd2").cast("long").alias("ad2"))
     )

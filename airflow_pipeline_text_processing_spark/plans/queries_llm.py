@@ -2174,22 +2174,24 @@ _PQ_D2 = (
 
 
 def _pq_ctes(pfx: str, m: int, kc: int, iters: int, sub_dim: int,
-             query_ids: str) -> tuple:
-    """PQ train/encode/table CTEs over a ``qbase(vec_id, q)`` CTE, all
+             query_ids: str, base: str = "qbase") -> tuple:
+    """PQ train/encode/table CTEs over a ``{base}(vec_id, q)`` CTE, all
     names ``pfx``-prefixed so they compose with ``_kmeans_ctes`` in the
     same statement (the per-subspace generalization: every centroid
     relation carries ``sub`` in its key, so all subspaces train in one
     pass).  Returns ``(cte_sql, codes_name, tables_name)`` where codes =
-    (vec_id, sub, cid) and tables = (query_id, sub, cid, pd2)."""
+    (vec_id, sub, cid) and tables = (query_id, sub, cid, pd2).  The
+    residual IVF-PQ oracles pass ``base`` = a residual CTE and build
+    their own per-cell tables instead of the returned one."""
     parts = [
         f"""{pfx}subs AS (
   SELECT vec_id, t.s AS sub,
          q[t.s*{sub_dim}+1 : t.s*{sub_dim}+{sub_dim}] AS sq
-  FROM qbase, (SELECT UNNEST(range(0, {m})) AS s) t)""",
+  FROM {base}, (SELECT UNNEST(range(0, {m})) AS s) t)""",
         f"""{pfx}seeds AS (
   SELECT vec_id,
          ROW_NUMBER() OVER (ORDER BY {_KM_SEED_ORDER}) AS cid
-  FROM qbase
+  FROM {base}
   QUALIFY ROW_NUMBER() OVER (ORDER BY {_KM_SEED_ORDER}) <= {kc})""",
         f"""{pfx}cent0 AS (
   SELECT s.sub, sd.cid, s.sq AS c
@@ -2238,6 +2240,28 @@ def _pq_ctes(pfx: str, m: int, kc: int, iters: int, sub_dim: int,
     return ",\n".join(parts), f"{pfx}codes", f"{pfx}tables"
 
 
+def _residual_tables_cte(name: str, book_cte: str, cell_iters: int,
+                         m: int, sub_dim: int, query_ids: str,
+                         qsrc: str = "qbase",
+                         cent_cte: str | None = None) -> str:
+    """Per-(query, cell) ADC table CTE for residual-encoded codes --
+    the SQL mirror of similarity.residual_adc_tables: the query's
+    residual against EVERY cell centroid, subsplit, scored against the
+    codebooks.  ``(query_id, pcell, sub, cid, pd2)``."""
+    cent = cent_cte or f"cent{cell_iters}"
+    return f"""{name} AS (
+  SELECT b.query_id, b.pcell, c.sub, c.cid,
+         CAST(list_sum(list_transform(list_zip(b.sq, c.c),
+           p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS pd2
+  FROM (
+    SELECT q.vec_id AS query_id, ce.cid AS pcell, t.s AS sub,
+           (list_transform(list_zip(q.q, ce.c), p -> p[1]-p[2]))
+             [t.s*{sub_dim}+1 : t.s*{sub_dim}+{sub_dim}] AS sq
+    FROM (SELECT * FROM {qsrc} WHERE vec_id IN ({query_ids})) q,
+         {cent} ce, (SELECT UNNEST(range(0, {m})) AS s) t) b
+  JOIN {book_cte} c ON b.sub = c.sub)"""
+
+
 _QBASE_EMB = """qbase AS (
   SELECT vec_id,
          list_transform(embedding,
@@ -2284,8 +2308,10 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivfpq_sql(cells: int = 8, cell_iters: int = 2, nprobe: int = 4,
-               replicas: int = 2, prefilter: int = 25, topk: int = 5) -> str:
-    pq_ctes, codes, tables = _pq_ctes("p", 8, 16, 2, 8, "3, 10, 42")
+               replicas: int = 2, prefilter: int = 25, topk: int = 5,
+               m: int = 8, sub_dim: int = 8) -> str:
+    pq_ctes, codes, _tables = _pq_ctes("p", m, 16, 2, sub_dim, "3, 10, 42",
+                                       base="rbase")
     return f"""
 WITH {_QBASE_EMB},
 {_kmeans_ctes("qbase", cells, cell_iters)},
@@ -2304,13 +2330,27 @@ cand AS (
   SELECT DISTINCT p.query_id, sp.cand_id
   FROM probes p JOIN spill sp USING (cid)
   WHERE sp.cand_id != p.query_id),
+pcell AS (
+  SELECT b.vec_id, c.cid, {_KM_D2} AS d2
+  FROM qbase b, cent{cell_iters} c
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY b.vec_id
+            ORDER BY d2, c.cid) = 1),
+rbase AS (
+  SELECT b.vec_id,
+         list_transform(list_zip(b.q, c.c), p -> p[1]-p[2]) AS q
+  FROM qbase b
+  JOIN pcell pc ON pc.vec_id = b.vec_id
+  JOIN cent{cell_iters} c ON c.cid = pc.cid),
 {pq_ctes},
+{_residual_tables_cte("ptab", "pcent2", cell_iters, m, sub_dim,
+                      "3, 10, 42")},
 adc AS (
   SELECT ca.query_id, ca.cand_id, CAST(SUM(t.pd2) AS BIGINT) AS ad2
   FROM cand ca
+  JOIN pcell pc ON pc.vec_id = ca.cand_id
   JOIN {codes} cd ON cd.vec_id = ca.cand_id
-  JOIN {tables} t ON t.query_id = ca.query_id
-                 AND t.sub = cd.sub AND t.cid = cd.cid
+  JOIN ptab t ON t.query_id = ca.query_id AND t.pcell = pc.cid
+             AND t.sub = cd.sub AND t.cid = cd.cid
   GROUP BY ca.query_id, ca.cand_id),
 short AS (
   SELECT query_id, cand_id FROM adc

@@ -1129,10 +1129,15 @@ def _ivfpq_persisted_sql(
     prefilter: int = 25,
     topk: int = 5,
 ) -> str:
-    from .queries_llm import _KM_D2, _QBASE_EMB, _kmeans_ctes
+    from .queries_llm import (
+        _KM_D2,
+        _QBASE_EMB,
+        _kmeans_ctes,
+        _residual_tables_cte,
+    )
 
-    pq_ctes, codes, tables = _pq_ctes_split(
-        "p", 8, 16, 2, 8, "3, 10, 42", "tbase", "qbase"
+    pq_ctes, codes, _tables = _pq_ctes_split(
+        "p", 8, 16, 2, 8, "3, 10, 42", "tbase", "rbase"
     )
     return f"""
 WITH {_QBASE_EMB},
@@ -1153,13 +1158,26 @@ cand AS (
   SELECT DISTINCT p.query_id, sp.cand_id
   FROM probes p JOIN spill sp USING (cid)
   WHERE sp.cand_id != p.query_id),
+pcell AS (
+  SELECT b.vec_id, c.cid, {_KM_D2} AS d2
+  FROM qbase b, cent{cell_iters} c
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY b.vec_id
+            ORDER BY d2, c.cid) = 1),
+rbase AS (
+  SELECT b.vec_id,
+         list_transform(list_zip(b.q, c.c), p -> p[1]-p[2]) AS q
+  FROM qbase b
+  JOIN pcell pc ON pc.vec_id = b.vec_id
+  JOIN cent{cell_iters} c ON c.cid = pc.cid),
 {pq_ctes},
+{_residual_tables_cte("ptab", "pcent2", cell_iters, 8, 8, "3, 10, 42")},
 adc AS (
   SELECT ca.query_id, ca.cand_id, CAST(SUM(t.pd2) AS BIGINT) AS ad2
   FROM cand ca
+  JOIN pcell pc ON pc.vec_id = ca.cand_id
   JOIN {codes} cd ON cd.vec_id = ca.cand_id
-  JOIN {tables} t ON t.query_id = ca.query_id
-                 AND t.sub = cd.sub AND t.cid = cd.cid
+  JOIN ptab t ON t.query_id = ca.query_id AND t.pcell = pc.cid
+             AND t.sub = cd.sub AND t.cid = cd.cid
   GROUP BY ca.query_id, ca.cand_id),
 short AS (
   SELECT query_id, cand_id FROM adc

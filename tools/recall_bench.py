@@ -152,22 +152,34 @@ def main() -> None:
     got = _pairs(pq_adc_topk(queries_q, codes, cents, dim=64, m=8, k=K))
     results["pq-adc (m=8, k_cb=16)"] = (_recall(got, l2_truth), time.perf_counter() - t0)
 
-    t0 = time.perf_counter()
-    got = _pairs(
-        ivfpq_topk(queries_q, corpus_q, dim=64, nprobe=4, prefilter=50, k=K)
-    )
-    results["ivf-pq + rerank (nprobe=4)"] = (_recall(got, l2_truth), time.perf_counter() - t0)
+    # the rerank-depth dial: within-cluster ranking sits below any m=8
+    # code's resolution, so recall@10 tracks prefilter vs the ~200-member
+    # cluster size (routing recall is 1.0; see ivfpq_topk's docstring)
+    for pf in (25, 100, 200):
+        t0 = time.perf_counter()
+        got = _pairs(
+            ivfpq_topk(queries_q, corpus_q, dim=64, nprobe=4, prefilter=pf, k=K)
+        )
+        results[f"ivf-pq + rerank (prefilter={pf})"] = (
+            _recall(got, l2_truth), time.perf_counter() - t0,
+        )
 
     path = os.path.join(BASE, "index")
     shutil.rmtree(path, ignore_errors=True)
     t0 = time.perf_counter()
     build_ivfpq_index(corpus_q, path, dim=64)
-    got = _pairs(
-        ivfpq_index_search(
-            spark, path, queries_q, corpus_q, nprobe=4, prefilter=50, k=K
+    t_build = time.perf_counter() - t0
+    for pf in (25, 200):
+        t0 = time.perf_counter()
+        got = _pairs(
+            ivfpq_index_search(
+                spark, path, queries_q, corpus_q, nprobe=4, prefilter=pf, k=K
+            )
         )
-    )
-    results["persisted ivf-pq index"] = (_recall(got, l2_truth), time.perf_counter() - t0)
+        results[f"persisted index (prefilter={pf})"] = (
+            _recall(got, l2_truth), time.perf_counter() - t0,
+        )
+    print(f"(index build: {t_build:.1f}s, paid once)")
 
     print(f"\n{'method':30s} {'recall@10':>9s} {'wall':>7s}")
     for name, (rec, wall) in results.items():

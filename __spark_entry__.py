@@ -54,6 +54,17 @@ _ORDER = [
     "graph_triangle_count",
     "text_rake_keywords",
     "text_ngram_novelty",
+    # -- NEW round 10: exact-complete radius search (triangle-inequality
+    # cell pruning, oracle = brute force), k-core peeling (unrolled-CTE
+    # bounded iteration), per-token chi-square feature selection.
+    # Displaced to make room (each r9 driver-green with in-window
+    # category siblings): stats_quantile_normalize (~ stats_ks_two_sample
+    # / stats_source_kl / stats_mann_whitney), events_ewma_daily
+    # (~ events_interpolate_gaps), sample_weighted_orders
+    # (~ sample_allocate_budget / sample_surprisal_strata).
+    "sim_range_search",
+    "graph_kcore",
+    "text_chi2_tokens",
     # -- NEW this session (scale-technique surface, queries_scale.py):
     # enter directly as sole verifiers; displaced to make room (each
     # driver-green with in-window siblings): agg_value_histogram
@@ -64,17 +75,14 @@ _ORDER = [
     "dedup_winnow_overlap",
     "search_rrf_fusion",
     "events_interpolate_gaps",
-    "stats_quantile_normalize",
     "stats_source_kl",
     "stats_ks_two_sample",
     "stats_selection_quantiles",
     "sample_allocate_budget",
     "dedup_cdc_rolling",
-    "events_ewma_daily",
     "stats_mann_whitney",
     "text_topics_kmeans",
     "text_bpe_compression",
-    "sample_weighted_orders",
     "mm_audio_fingerprint",
     # -- r6-graded verifiers kept in-window -------------------------------
     "text_lm_bigram",
@@ -112,6 +120,11 @@ _ORDER = [
     # dedup_exact_groups (~ dedup_minhash_lsh/_sorted_neighborhood/
     # _winnow_overlap), text_bpe_train (~ text_bpe_compression),
     # sketch_cms_heavy_hitters (~ sketch_overlap_matrix).
+    # Displaced below the boundary for the three round-10 debuts
+    # (each r9 driver-green with in-window category siblings):
+    "stats_quantile_normalize",
+    "events_ewma_daily",
+    "sample_weighted_orders",
     "curation_full_set",
     "dedup_exact_groups",
     "text_bpe_train",

@@ -245,3 +245,45 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     return members.groupBy("node").agg(
         F.count("*").cast("long").alias("n_tri")
     )
+
+
+def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """Iterative k-core peeling over an undirected simple graph
+    ``(src, dst)`` with ``src < dst``: each round drops every node whose
+    degree in the SURVIVING subgraph is below ``k``, for a FIXED number
+    of ``rounds`` -- the bounded-iteration form whose unrolled-CTE SQL
+    replay certifies it (same device as the Lloyd/BPE oracles).  Run to
+    a fixed point it is Matula-Beck k-core decomposition; a fixed small
+    ``rounds`` is the scale-practical form (each round strictly shrinks
+    the graph, and real graphs converge in a handful of rounds).
+
+    Scale shape per round: one degree hash-agg over the surviving edge
+    list + two semi joins to restrict the edges -- all equi-joins on
+    node ids, nothing quadratic; the edge list only ever SHRINKS, so
+    round cost is monotonically decreasing.  The aggregate-big/
+    iterate-small loop runs on DataFrames with a localCheckpoint per
+    round to keep the lineage flat (same device as pagerank above).
+
+    Returns ``(node, deg)`` -- survivors of the last round with their
+    surviving-subgraph degree, the candidate k-core membership."""
+    live = edges.select("src", "dst").localCheckpoint(eager=False)
+    for _ in range(rounds):
+        deg = (
+            live.select(F.col("src").alias("node"))
+            .unionAll(live.select(F.col("dst").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").cast("long").alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("node")
+        live = (
+            live.join(keep.withColumnRenamed("node", "src"), "src", "left_semi")
+            .join(keep.withColumnRenamed("node", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        live.select(F.col("src").alias("node"))
+        .unionAll(live.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )

@@ -986,6 +986,89 @@ def residual_adc_tables(
     )
 
 
+def range_search(
+    queries: DataFrame,
+    corpus: DataFrame,
+    r2: int,
+    cells: int = 8,
+    cell_iters: int = 2,
+) -> DataFrame:
+    """EXACT-COMPLETE radius search: every corpus vector within squared
+    quantized-L2 distance ``r2`` of each query -- the radius complement
+    of the top-k family (near-duplicate sweeps, epsilon-neighborhood
+    graph construction, recall-guaranteed candidate generation).
+
+    Unlike the ANN paths this is not approximate: cells prune by the
+    triangle inequality -- a cell can hold a neighbor only if
+    ``dist(q, centroid) <= r + cell_radius`` -- and the survivors get
+    the exact distance filter, so the result equals brute force (the
+    oracle replays brute force).  Pruning SOUNDNESS needs only a
+    conservative bound, so the square roots may run in double with a
+    +1 slack on the integer sqrt scale; exactness of the OUTPUT never
+    depends on them.
+
+    Scale shape: one k-means pass + one bounded per-cell max for the
+    radii; per query the probe list is a broadcast filter over the
+    cells-sized relation; candidates come from an equi-join on cell id.
+    Worst case (r spanning everything) degenerates to brute force --
+    that is inherent to exact radius search, and the cell radii make
+    the common tight-radius case touch only nearby cells.
+    ``queries``/``corpus`` are ``(vec_id, q array<long>)``.  Output:
+    ``(query_id, neighbor_id, d2)``, self excluded, ordered."""
+    from .clustering import assign_top_cells, kmeans_fixed_point
+
+    corpus = corpus.select("vec_id", "q").localCheckpoint(eager=False)
+    queries = queries.select("vec_id", "q").localCheckpoint(eager=False)
+
+    _, cents = kmeans_fixed_point(corpus, k=cells, iters=cell_iters)
+    cents = cents.localCheckpoint(eager=False)
+    members = assign_top_cells(corpus, cents, 1)
+    with_d2 = (
+        members.join(corpus, "vec_id")
+        .join(F.broadcast(cents), "cid")
+        .select(
+            "vec_id", "cid", _pq_sqdist(F.col("q"), F.col("c")).alias("_md2")
+        )
+    )
+    radii = with_d2.groupBy("cid").agg(F.max("_md2").alias("rad2"))
+
+    # conservative probe bound: sqrt(d2(q, cent)) <= r + sqrt(rad2) + 1
+    probe = (
+        queries.select(F.col("vec_id").alias("query_id"), "q")
+        .crossJoin(F.broadcast(cents.join(radii, "cid")))
+        .select(
+            "query_id",
+            "cid",
+            _pq_sqdist(F.col("q"), F.col("c")).alias("_qd2"),
+            "rad2",
+        )
+        .filter(
+            F.sqrt(F.col("_qd2").cast("double"))
+            <= F.lit(float(r2) ** 0.5) + F.sqrt(F.col("rad2").cast("double")) + 1.0
+        )
+        .select("query_id", "cid")
+    )
+    exact = (
+        probe.join(members.select(F.col("vec_id").alias("neighbor_id"), "cid"), "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(
+            queries.select(F.col("vec_id").alias("query_id"), F.col("q").alias("_qq")),
+            "query_id",
+        )
+        .join(
+            corpus.select(F.col("vec_id").alias("neighbor_id"), F.col("q").alias("_cq")),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            _pq_sqdist(F.col("_qq"), F.col("_cq")).alias("d2"),
+        )
+        .filter(F.col("d2") <= r2)
+    )
+    return exact.orderBy("query_id", "d2", "neighbor_id")
+
+
 def ivfpq_topk(
     queries: DataFrame,
     corpus: DataFrame,

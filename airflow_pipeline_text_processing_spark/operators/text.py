@@ -741,3 +741,72 @@ def rake_keywords(
         .limit(topn)
         .select("phrase", "n_occur", "score_ppm")
     )
+
+
+def token_class_chi2(
+    docs: DataFrame,
+    class_expr: Column,
+    text_col: str = "text",
+    min_df: int = 5,
+    topn: int = 25,
+) -> DataFrame:
+    """Per-token chi-square association with a boolean document class --
+    the exact feature-selection sweep (Manning/Schuetze-style chi2 term
+    selection) a curation pipeline runs to find class-indicative
+    vocabulary (domain terms, language markers, contamination tells).
+
+    For each token with document frequency ``nt`` (presence, not counts)
+    and ``a`` = class docs containing it, the 2x2 chi-square statistic
+    ``N*(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d))`` is computed ENTIRELY in
+    BIGINT: the numerator ``N*(ad-bc)^2 <= N^5/16`` and the two-stage
+    floor division ``(num div den)*1000 + ((num mod den)*1000) div den``
+    = floor(1000*num/den) exactly, so both engines agree bit-for-bit.
+    Headroom: N <= ~1e4 documents before the numerator nears 2^63 -- at
+    corpus scale run it per-shard on bounded samples or lift the
+    arithmetic to DECIMAL(38,0) (both engines are 128-bit exact there);
+    the statistic is count-based, so a uniform sample preserves ranking.
+
+    Tokens with ``nt < min_df`` or ``nt > N - min_df`` are dropped
+    (hapax noise / near-universal tokens -- the latter also guards the
+    ``(N - nt)`` denominator factor).  Scale shape: one distinct
+    (doc, token) explode, one token hash-agg joined with the broadcast
+    1-row corpus totals, TakeOrderedAndProject top-``topn``.  Output:
+    ``(token, n_docs, chi2_milli)``, ties (chi2 desc, token)."""
+    pres = (
+        docs.select("doc_id", F.explode(tokens(F.col(text_col))).alias("token"))
+        .distinct()
+    )
+    cls = docs.select(
+        "doc_id", F.when(class_expr, 1).otherwise(0).cast("long").alias("y")
+    )
+    totals = cls.agg(
+        F.count("*").cast("long").alias("n"), F.sum("y").cast("long").alias("cp")
+    )
+    tok = (
+        pres.join(cls, "doc_id")
+        .groupBy("token")
+        .agg(
+            F.count("*").cast("long").alias("nt"),
+            F.sum("y").cast("long").alias("a"),
+        )
+    )
+    det = "(a * ((n - cp) - (nt - a)) - (nt - a) * (cp - a))"
+    scored = (
+        tok.crossJoin(F.broadcast(totals))
+        .filter((F.col("nt") >= min_df) & (F.col("nt") <= F.col("n") - min_df))
+        .select(
+            "token",
+            F.col("nt").alias("n_docs"),
+            F.expr(f"n * {det} * {det}").alias("num"),
+            F.expr("nt * (n - nt) * cp * (n - cp)").alias("denom"),
+        )
+        .select(
+            "token",
+            "n_docs",
+            F.expr(
+                "CAST((num div denom) * 1000 + ((num % denom) * 1000) div denom"
+                " AS BIGINT)"
+            ).alias("chi2_milli"),
+        )
+    )
+    return scored.orderBy(F.desc("chi2_milli"), "token").limit(topn)

@@ -53,8 +53,13 @@ def bloom_bitmap(keys: DataFrame, key_col: str, m_bits: int) -> DataFrame:
     data-sized)."""
     spark = keys.sparkSession
     n_words = m_bits // 64
+    # keys hash as BIGINT on BOTH build and probe: Spark's hash family is
+    # type-sensitive (hash(33) != hash(33L)), so an int-vs-bigint schema
+    # mismatch between dim and fact key columns would otherwise silently
+    # drop true matches at the probe (found via tools/bloom_compare.py on
+    # a mixed-width synthetic schema)
     pos_cols = [
-        F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(m_bits))
+        F.pmod(F.xxhash64(F.col(key_col).cast("long"), F.lit(i)), F.lit(m_bits))
         for i in range(_BLOOM_K)
     ]
     words = (
@@ -79,7 +84,7 @@ def bloom_might_contain(key: str, m_bits: int, bitmap_col: str = "bloom"):
     whole test stays inside whole-stage codegen)."""
     tests = []
     for i in range(_BLOOM_K):
-        pos = f"pmod(xxhash64({key}, {i}), {m_bits}L)"
+        pos = f"pmod(xxhash64(cast({key} as bigint), {i}), {m_bits}L)"
         word = f"element_at({bitmap_col}, cast({pos} div 64 as int) + 1)"
         bit = f"shiftleft(1L, cast({pos} % 64 as int))"
         tests.append(f"(({word} & {bit}) != 0)")
@@ -1395,7 +1400,181 @@ ORDER BY doc_id
 """
 
 
+# =====================================================================
+# Exact radius search (range query) over embeddings
+# =====================================================================
+
+_RANGE_R2 = 1_450_000_000_000  # ~p1 of the sf0.01 pairwise-d2 distribution
+
+
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-complete radius search
+    (operators/similarity.py::range_search): all corpus vectors within
+    quantized-L2 distance sqrt(r2) of each query, found via
+    triangle-inequality cell pruning + exact verification -- the
+    radius complement of the top-k ANN family (epsilon-neighborhood
+    graphs, recall-guaranteed candidate generation).  The oracle is
+    BRUTE FORCE: equality certifies the pruning is lossless."""
+    from ..operators.clustering import quantized
+    from ..operators.similarity import range_search
+
+    vecs = _tspread(spark, sf_dir, "embeddings")
+    q = vecs.select("vec_id", quantized(F.col("embedding")).alias("q"))
+    queries = q.filter(F.col("vec_id").isin(3, 10, 42))
+    return range_search(queries, q, r2=_RANGE_R2)
+
+
+_RANGE_SQL = f"""
+WITH qb AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+  FROM embeddings),
+d AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(list_zip(a.q, b.q),
+           p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS d2
+  FROM qb a JOIN qb b ON a.vec_id != b.vec_id
+  WHERE a.vec_id IN (3, 10, 42))
+SELECT query_id, neighbor_id, d2 FROM d
+WHERE d2 <= {_RANGE_R2}
+ORDER BY query_id, d2, neighbor_id
+"""
+
+
+# =====================================================================
+# k-core peeling over the co-interaction graph
+# =====================================================================
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 3
+_KCORE_TOP = 30
+
+# the same co-occurrence projection TRIANGLE_SQL uses
+_COOC_EDGES_CTES = """g AS (
+  SELECT DISTINCT event_type, date_trunc('hour', ts) AS h, user_id
+  FROM events),
+ok AS (
+  SELECT event_type, h FROM g
+  GROUP BY 1, 2 HAVING COUNT(*) BETWEEN 2 AND 20),
+gg AS (SELECT g.* FROM g JOIN ok USING (event_type, h)),
+edges AS (
+  SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+  FROM gg a JOIN gg b USING (event_type, h)
+  WHERE a.user_id < b.user_id)"""
+
+
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 users of the (candidate) 3-core of the co-interaction
+    graph (operators/graph.py::kcore_peel over the same
+    cooccurrence_edges projection as graph_triangle_count): 3 rounds
+    of drop-degree-below-k peeling, surviving nodes with their
+    surviving-subgraph degree.  The oracle unrolls the rounds as CTEs
+    (the Lloyd/BPE bounded-iteration device)."""
+    from ..operators.graph import cooccurrence_edges, kcore_peel
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.date_trunc("hour", "ts").alias("h")
+    )
+    edges = cooccurrence_edges(
+        ev, ["event_type", "h"], "user_id", min_group=2, max_group=20
+    )
+    core = kcore_peel(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+    return (
+        core.orderBy(F.desc("deg"), "node")
+        .limit(_KCORE_TOP)
+        .select(F.col("node").alias("user_id"), "deg")
+    )
+
+
+def _kcore_sql() -> str:
+    parts = [_COOC_EDGES_CTES]
+    prev = "edges"
+    for r in range(1, _KCORE_ROUNDS + 1):
+        parts.append(f"""d{r} AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT src AS node FROM {prev}
+    UNION ALL SELECT dst AS node FROM {prev})
+  GROUP BY node)""")
+        parts.append(f"""k{r} AS (SELECT node FROM d{r} WHERE deg >= {_KCORE_K})""")
+        parts.append(f"""e{r} AS (
+  SELECT e.src, e.dst FROM {prev} e
+  JOIN k{r} a ON a.node = e.src
+  JOIN k{r} b ON b.node = e.dst)""")
+        prev = f"e{r}"
+    joined = ",\n".join(parts)
+    return f"""
+WITH {joined}
+SELECT node AS user_id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+  SELECT src AS node FROM {prev}
+  UNION ALL SELECT dst AS node FROM {prev})
+GROUP BY node
+ORDER BY deg DESC, node
+LIMIT {_KCORE_TOP}
+"""
+
+
+# =====================================================================
+# Per-token chi-square class association (feature selection)
+# =====================================================================
+
+_CHI2_MIN_DF = 5
+_CHI2_TOP = 25
+
+
+def text_chi2_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 tokens by chi-square association with the lang='en'
+    class (operators/text.py::token_class_chi2) -- the classic exact
+    feature-selection sweep a curation pipeline runs to find
+    domain-indicative vocabulary.  BIGINT-exact via the two-stage
+    floor division (see the operator docstring for the ~1e4-doc
+    headroom bound and its escape hatch)."""
+    from ..operators.text import token_class_chi2
+
+    docs = _tspread(spark, sf_dir, "documents")
+    return token_class_chi2(
+        docs, F.col("lang") == "en", min_df=_CHI2_MIN_DF, topn=_CHI2_TOP
+    )
+
+
+def _chi2_tokens_sql() -> str:
+    from .queries_llm import TOKS_SQL
+
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS_SQL} AS tk FROM documents),
+pres AS (SELECT DISTINCT doc_id, t.token FROM toks, UNNEST(tk) AS t(token)),
+cls AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents),
+nn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS cp
+  FROM cls),
+tok AS (
+  SELECT p.token, CAST(COUNT(*) AS BIGINT) AS nt, CAST(SUM(c.y) AS BIGINT) AS a
+  FROM pres p JOIN cls c USING (doc_id)
+  GROUP BY p.token),
+sc AS (
+  SELECT token, nt, a,
+         nn.n * (a * ((nn.n - nn.cp) - (nt - a)) - (nt - a) * (nn.cp - a))
+              * (a * ((nn.n - nn.cp) - (nt - a)) - (nt - a) * (nn.cp - a))
+           AS num,
+         nt * (nn.n - nt) * nn.cp * (nn.n - nn.cp) AS denom
+  FROM tok, nn
+  WHERE nt >= {_CHI2_MIN_DF} AND nt <= nn.n - {_CHI2_MIN_DF})
+SELECT token,
+       CAST(nt AS BIGINT) AS n_docs,
+       CAST((num // denom) * 1000 + ((num % denom) * 1000) // denom
+            AS BIGINT) AS chi2_milli
+FROM sc
+ORDER BY chi2_milli DESC, token
+LIMIT {_CHI2_TOP}
+"""
+
+
 REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
+    "sim_range_search": (sim_range_search, _RANGE_SQL),
+    "graph_kcore": (graph_kcore, _kcore_sql()),
+    "text_chi2_tokens": (text_chi2_tokens, _chi2_tokens_sql()),
     "sim_ivfpq_persisted": (sim_ivfpq_persisted, _ivfpq_persisted_sql()),
     "graph_triangle_count": (graph_triangle_count, TRIANGLE_SQL),
     "text_rake_keywords": (text_rake_keywords, _rake_sql()),

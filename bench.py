@@ -123,6 +123,11 @@ BENCH_QUERIES = [
     "graph_triangle_count",
     "text_rake_keywords",
     "text_ngram_novelty",
+    # round-10 debuts: exact radius search, k-core peeling, per-token
+    # chi-square feature selection
+    "sim_range_search",
+    "graph_kcore",
+    "text_chi2_tokens",
 ]
 
 

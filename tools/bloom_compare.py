@@ -115,10 +115,33 @@ def main() -> None:
 
     results["explicit"] = timed(explicit)
 
+    # the at-scale lever neither wall clock shows at bench size: how many
+    # fact rows reach the shuffle.  selectivity = keys fraction; the
+    # bitmap passes ~selectivity + FP-rate of the fact side.
+    n_orders = orders.count()
+    n_keys = keys.count()
+    m_bits = min(
+        _BLOOM_MAX_BITS,
+        max(_BLOOM_MIN_BITS, _next_pow2(n_keys * _BLOOM_BITS_PER_KEY)),
+    )
+    carrier = bloom_bitmap(keys, "c_custkey", m_bits)
+    n_pass = (
+        orders.join(F.broadcast(carrier))
+        .filter(bloom_might_contain("o_custkey", m_bits))
+        .count()
+    )
+    n_true = _shape(orders, keys).agg(F.sum("n_orders")).collect()[0][0]
+
     print(f"\nsf_dir={SF_DIR} (autoBroadcast OFF -- shuffle-join regime)")
     print(f"native runtime bloom fired in plan: {fired}")
     for name, wall in results.items():
         print(f"  {name:12s} {wall:6.2f}s")
+    print(
+        f"shuffle-row reduction: {n_orders} fact rows -> {n_pass} past the "
+        f"bitmap ({n_true} true matches; FP overhead "
+        f"{(n_pass - n_true) / max(n_true, 1):.1%}); without a prefilter "
+        f"all {n_orders} rows shuffle"
+    )
     spark.stop()
 
 

@@ -222,7 +222,12 @@ def synth_orders(spark, n, n_cust):
     )
     return spark.range(n).select(
         F.col("id").alias("o_orderkey"),
-        F.pmod(F.hash(F.col("id") * 7 + 3), F.lit(n_cust)).alias("o_custkey"),
+        # cast to long: customer.c_custkey is BIGINT and Spark's hash()
+        # is type-sensitive (hash(33) != hash(33L)), so an INT fact key
+        # would probe the wrong bitmap bits
+        F.pmod(F.hash(F.col("id") * 7 + 3), F.lit(n_cust))
+        .cast("long")
+        .alias("o_custkey"),
         prio.alias("o_orderpriority"),
         ((F.pmod(F.hash(F.col("id") + 17), 1_000_000)) / 100.0).alias(
             "o_totalprice"

@@ -62,8 +62,11 @@ _ORDER = [
     # / stats_source_kl / stats_mann_whitney), events_ewma_daily
     # (~ events_interpolate_gaps), sample_weighted_orders
     # (~ sample_allocate_budget / sample_surprisal_strata).
+    # (graph_clustering_coeff displaces stats_mann_whitney -- r9 green,
+    # in-window siblings stats_ks_two_sample / stats_source_kl)
     "sim_range_search",
     "graph_kcore",
+    "graph_clustering_coeff",
     "text_chi2_tokens",
     # -- NEW this session (scale-technique surface, queries_scale.py):
     # enter directly as sole verifiers; displaced to make room (each
@@ -80,7 +83,6 @@ _ORDER = [
     "stats_selection_quantiles",
     "sample_allocate_budget",
     "dedup_cdc_rolling",
-    "stats_mann_whitney",
     "text_topics_kmeans",
     "text_bpe_compression",
     "mm_audio_fingerprint",
@@ -122,6 +124,7 @@ _ORDER = [
     # sketch_cms_heavy_hitters (~ sketch_overlap_matrix).
     # Displaced below the boundary for the three round-10 debuts
     # (each r9 driver-green with in-window category siblings):
+    "stats_mann_whitney",
     "stats_quantile_normalize",
     "events_ewma_daily",
     "sample_weighted_orders",

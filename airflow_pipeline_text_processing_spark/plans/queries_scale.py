@@ -1515,6 +1515,77 @@ LIMIT {_KCORE_TOP}
 
 
 # =====================================================================
+# Local clustering coefficient (triangles over wedges, ppm)
+# =====================================================================
+
+_CC_TOP = 25
+
+
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 users by LOCAL clustering coefficient over the
+    co-interaction graph: ``cc_ppm = 2 * triangles(v) * 1e6 div
+    (deg(v) * (deg(v) - 1))`` -- the closure-density complement of
+    ``graph_triangle_count`` (same degree-oriented wedge join for the
+    triangle side, one degree hash-agg for the denominator; both
+    integer, so the oracle matches bit-for-bit).  Nodes need deg >= 2
+    (wedge exists) and >= 1 triangle to appear; ties (cc desc, deg
+    desc, node).  Scale shape: identical to triangle counting -- the
+    O(m^1.5) wedge stage dominates; the ratio is a metadata-cheap
+    join."""
+    from ..operators.graph import cooccurrence_edges, triangle_counts
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.date_trunc("hour", "ts").alias("h")
+    )
+    edges = cooccurrence_edges(
+        ev, ["event_type", "h"], "user_id", min_group=2, max_group=20
+    ).localCheckpoint(eager=False)
+    deg = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    tri = triangle_counts(edges)
+    return (
+        tri.join(deg, "node")
+        .filter(F.col("deg") >= 2)
+        .select(
+            F.col("node").alias("user_id"),
+            "deg",
+            "n_tri",
+            F.expr("(2 * n_tri * 1000000) div (deg * (deg - 1))").alias(
+                "cc_ppm"
+            ),
+        )
+        .orderBy(F.desc("cc_ppm"), F.desc("deg"), "user_id")
+        .limit(_CC_TOP)
+    )
+
+
+def _clustering_coeff_sql() -> str:
+    # TRIANGLE_SQL's pipeline minus the final top-k, plus the degree join
+    body = TRIANGLE_SQL.split("SELECT node AS user_id")[0].rstrip()
+    return f"""{body},
+tri AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+  FROM members GROUP BY node),
+degf AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT src AS node FROM edges
+    UNION ALL SELECT dst AS node FROM edges)
+  GROUP BY node)
+SELECT t.node AS user_id, d.deg, t.n_tri,
+       CAST((2 * t.n_tri * 1000000) // (d.deg * (d.deg - 1)) AS BIGINT)
+         AS cc_ppm
+FROM tri t JOIN degf d ON d.node = t.node
+WHERE d.deg >= 2
+ORDER BY cc_ppm DESC, d.deg DESC, user_id
+LIMIT {_CC_TOP}
+"""
+
+
+# =====================================================================
 # Per-token chi-square class association (feature selection)
 # =====================================================================
 
@@ -1574,6 +1645,7 @@ LIMIT {_CHI2_TOP}
 REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "sim_range_search": (sim_range_search, _RANGE_SQL),
     "graph_kcore": (graph_kcore, _kcore_sql()),
+    "graph_clustering_coeff": (graph_clustering_coeff, _clustering_coeff_sql()),
     "text_chi2_tokens": (text_chi2_tokens, _chi2_tokens_sql()),
     "sim_ivfpq_persisted": (sim_ivfpq_persisted, _ivfpq_persisted_sql()),
     "graph_triangle_count": (graph_triangle_count, TRIANGLE_SQL),

@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     # chi-square feature selection
     "sim_range_search",
     "graph_kcore",
+    "graph_clustering_coeff",
     "text_chi2_tokens",
 ]
 

@@ -1313,14 +1313,19 @@ def winnow_overlap_pairs(
     ``overlap_ppm`` = shared / min(|A|, |B|) in parts-per-million
     (integer floor -- containment-style normalization, so a short doc
     fully covered by a long one still scores ~1e6)."""
-    fps = winnow_fingerprints(docs, text_col=text_col, k=k, w=w)
+    # one materialization of the window-heavy fingerprint pipeline: fps
+    # feeds the rarity agg and then (joined) three more consumers --
+    # without the cut the per-doc window recomputes per consumer (same
+    # class of waste as triangle_counts' measured 2x)
+    fps = winnow_fingerprints(docs, text_col=text_col, k=k, w=w) \
+        .localCheckpoint(eager=False)
     rare = (
         fps.groupBy("fp")
         .agg(F.count("*").alias("_df"))
         .filter(F.col("_df") <= df_cap)
         .select("fp")
     )
-    fps = fps.join(rare, "fp")
+    fps = fps.join(rare, "fp").localCheckpoint(eager=False)
     sizes = fps.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
     a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
     b = fps.select(F.col("doc_id").alias("doc_b"), "fp")

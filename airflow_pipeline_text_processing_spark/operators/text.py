@@ -709,6 +709,10 @@ def rake_keywords(
             F.count("*").cast("long").alias("plen"),
         )
         .filter(F.col("plen") <= max_len)
+        # phrases feeds three consumers (word stats, phrase counts,
+        # membership); cut the lineage so the per-doc segmenting window
+        # runs once (triangle_counts' measured-2x waste class)
+        .localCheckpoint(eager=False)
     )
     occ = phrases.select(
         "plen", F.explode(F.split("phrase", " ")).alias("word")

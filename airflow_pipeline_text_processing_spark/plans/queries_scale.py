@@ -1364,7 +1364,12 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import positional_shingles
 
     docs = _tspread(spark, sf_dir, "documents").select("doc_id", "text")
-    grams = positional_shingles(docs, n=8).select("doc_id", "shingle").distinct()
+    grams = (
+        positional_shingles(docs, n=8)
+        .select("doc_id", "shingle")
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds gdf AND the join below
+    )
     gdf = grams.groupBy("shingle").agg(F.count("*").alias("gdf"))
     return (
         grams.join(gdf, "shingle")

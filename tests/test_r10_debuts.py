@@ -141,3 +141,38 @@ def test_token_chi2_hand_scored(spark):
     assert got["pos"] == (3, 6000)
     assert got["neg"] == (3, 6000)
     assert got["only1"] == (1, 1200)
+
+
+def test_clustering_coeff_planted_groups(spark, tmp_path):
+    """Planted co-occurrence events -> known clustering coefficients.
+    Group A (one event_type+hour): users 1-4 -> K4, every node cc = 1.0
+    (3 triangles, deg 3).  Group B: users 10-12 plus user 1 -> K4 too,
+    but user 1 now has deg 6 across both groups with 6 triangles:
+    cc = 2*6/(6*5) = 0.4 -> 400_000 ppm.  Runs the registry query
+    end-to-end off a planted events.parquet."""
+    import datetime
+    import os
+
+    from airflow_pipeline_text_processing_spark.plans.queries_scale import (
+        graph_clustering_coeff,
+    )
+
+    ts_a = datetime.datetime(2024, 1, 1, 10, 5)
+    ts_b = datetime.datetime(2024, 1, 1, 12, 5)
+    rows = [(i, ts_a, u, "click", 1.0, "{}") for i, u in enumerate([1, 2, 3, 4])]
+    rows += [
+        (10 + i, ts_b, u, "click", 1.0, "{}")
+        for i, u in enumerate([1, 10, 11, 12])
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(os.path.join(str(tmp_path), "events.parquet"))
+    got = {
+        r["user_id"]: (r["deg"], r["n_tri"], r["cc_ppm"])
+        for r in graph_clustering_coeff(spark, str(tmp_path)).collect()
+    }
+    assert got[1] == (6, 6, 400_000)
+    for u in (2, 3, 4, 10, 11, 12):
+        assert got[u] == (3, 3, 1_000_000)

@@ -762,13 +762,17 @@ def token_class_chi2(
     For each token with document frequency ``nt`` (presence, not counts)
     and ``a`` = class docs containing it, the 2x2 chi-square statistic
     ``N*(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d))`` is computed ENTIRELY in
-    BIGINT: the numerator ``N*(ad-bc)^2 <= N^5/16`` and the two-stage
-    floor division ``(num div den)*1000 + ((num mod den)*1000) div den``
-    = floor(1000*num/den) exactly, so both engines agree bit-for-bit.
-    Headroom: N <= ~1e4 documents before the numerator nears 2^63 -- at
-    corpus scale run it per-shard on bounded samples or lift the
-    arithmetic to DECIMAL(38,0) (both engines are 128-bit exact there);
-    the statistic is count-based, so a uniform sample preserves ranking.
+    exact integers: the 2x2 determinant and the two denominator halves
+    fit BIGINT (each <= N^2/4), and the numerator/denominator products
+    are lifted to DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) -- both
+    128-bit exact -- before the two-stage floor division
+    ``(num div den)*1000 + ((num mod den)*1000) div den`` =
+    floor(1000*num/den) exactly, so both engines agree bit-for-bit.
+    Headroom: numerator*1000 <= N^5/16 * 1e3 < 10^38 holds to
+    N ~ 5e6 documents; beyond that, shard and merge (count-based, so a
+    uniform sample preserves ranking).  The r10 scale bench drives the
+    full pipeline at 50k docs -- past the old BIGINT ceiling that
+    ANSI-overflowed there.
 
     Tokens with ``nt < min_df`` or ``nt > N - min_df`` are dropped
     (hapax noise / near-universal tokens -- the latter also guards the
@@ -797,12 +801,21 @@ def token_class_chi2(
     det = "(a * ((n - cp) - (nt - a)) - (nt - a) * (cp - a))"
     scored = (
         tok.crossJoin(F.broadcast(totals))
+        # a degenerate class (cp = 0 or cp = N) zeroes the denominator --
+        # no association is computable; emit no rows instead of NULL chi2
+        .filter((F.col("cp") > 0) & (F.col("cp") < F.col("n")))
         .filter((F.col("nt") >= min_df) & (F.col("nt") <= F.col("n") - min_df))
         .select(
             "token",
             F.col("nt").alias("n_docs"),
-            F.expr(f"n * {det} * {det}").alias("num"),
-            F.expr("nt * (n - nt) * cp * (n - cp)").alias("denom"),
+            F.expr(
+                f"CAST(n AS DECIMAL(38,0)) * CAST({det} AS DECIMAL(38,0))"
+                f" * CAST({det} AS DECIMAL(38,0))"
+            ).alias("num"),
+            F.expr(
+                "CAST(nt * (n - nt) AS DECIMAL(38,0))"
+                " * CAST(cp * (n - cp) AS DECIMAL(38,0))"
+            ).alias("denom"),
         )
         .select(
             "token",

@@ -1631,12 +1631,14 @@ tok AS (
   GROUP BY p.token),
 sc AS (
   SELECT token, nt, a,
-         nn.n * (a * ((nn.n - nn.cp) - (nt - a)) - (nt - a) * (nn.cp - a))
-              * (a * ((nn.n - nn.cp) - (nt - a)) - (nt - a) * (nn.cp - a))
+         CAST(nn.n AS HUGEINT)
+           * (a * ((nn.n - nn.cp) - (nt - a)) - (nt - a) * (nn.cp - a))
+           * (a * ((nn.n - nn.cp) - (nt - a)) - (nt - a) * (nn.cp - a))
            AS num,
-         nt * (nn.n - nt) * nn.cp * (nn.n - nn.cp) AS denom
+         CAST(nt * (nn.n - nt) AS HUGEINT) * (nn.cp * (nn.n - nn.cp)) AS denom
   FROM tok, nn
-  WHERE nt >= {_CHI2_MIN_DF} AND nt <= nn.n - {_CHI2_MIN_DF})
+  WHERE nn.cp > 0 AND nn.cp < nn.n
+    AND nt >= {_CHI2_MIN_DF} AND nt <= nn.n - {_CHI2_MIN_DF})
 SELECT token,
        CAST(nt AS BIGINT) AS n_docs,
        CAST((num // denom) * 1000 + ((num % denom) * 1000) // denom

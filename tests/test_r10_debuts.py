@@ -176,3 +176,14 @@ def test_clustering_coeff_planted_groups(spark, tmp_path):
     assert got[1] == (6, 6, 400_000)
     for u in (2, 3, 4, 10, 11, 12):
         assert got[u] == (3, 3, 1_000_000)
+
+
+def test_token_chi2_degenerate_class_is_empty(spark):
+    """cp = 0 (no doc in class) or cp = N (all docs): the 2x2 table
+    degenerates and the denominator zeroes -- the operator must emit NO
+    rows, never NULL statistics."""
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "alpha gamma")], "doc_id long, text string"
+    )
+    assert token_class_chi2(docs, F.lit(False), min_df=1).count() == 0
+    assert token_class_chi2(docs, F.lit(True), min_df=1).count() == 0

@@ -121,6 +121,56 @@ def _triangle_rep_groups(spark, sf_dir):
     )
 
 
+def _rep_edges(spark, sf_dir):
+    from airflow_pipeline_text_processing_spark.operators.graph import (
+        cooccurrence_edges,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        "event_type",
+        F.date_trunc("hour", "ts").alias("h"),
+        (F.col("user_id") / 1_000_000).cast("long").alias("rep"),
+    )
+    return cooccurrence_edges(
+        ev, ["event_type", "h", "rep"], "user_id", min_group=2, max_group=20
+    )
+
+
+def _kcore_rep_groups(spark, sf_dir):
+    """graph_kcore on replica-disjoint groups (see _triangle_rep_groups
+    for why the registry grouping would measure the fan-out cap)."""
+    from airflow_pipeline_text_processing_spark.operators.graph import kcore_peel
+
+    core = kcore_peel(_rep_edges(spark, sf_dir), k=3, rounds=3)
+    return core.orderBy(F.desc("deg"), "node").limit(30)
+
+
+def _clustering_coeff_rep_groups(spark, sf_dir):
+    from airflow_pipeline_text_processing_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    edges = _rep_edges(spark, sf_dir).localCheckpoint()
+    deg = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    return (
+        triangle_counts(edges)
+        .join(deg, "node")
+        .filter(F.col("deg") >= 2)
+        .select(
+            "node",
+            F.expr("(2 * n_tri * 1000000) div (deg * (deg - 1))").alias("cc"),
+        )
+        .orderBy(F.desc("cc"), "node")
+        .limit(25)
+    )
+
+
 QUERIES = [
     ("dedup_semantic_clusters", None),
     ("semantic_dedup[k~n]", _semantic_scaled_k),
@@ -141,6 +191,11 @@ QUERIES = [
     ("triangle_count[rep-groups]", _triangle_rep_groups),
     ("text_rake_keywords", None),
     ("text_ngram_novelty", None),
+    # r10 debuts
+    ("sim_range_search", None),
+    ("kcore[rep-groups]", _kcore_rep_groups),
+    ("clustering_coeff[rep-groups]", _clustering_coeff_rep_groups),
+    ("text_chi2_tokens", None),
 ]
 
 
@@ -179,10 +234,14 @@ def synth_documents(spark, n):
         F.concat(words(eff, 0, 29), F.lit(" "), boiler, F.lit(" "),
                  words(eff, 30, 59)),
     ).otherwise(words(eff, 0, 59))
+    langs = F.element_at(
+        F.array(*[F.lit(x) for x in ("en", "en", "de", "es", "zh")]),
+        (F.col("id") % 5 + 1).cast("int"),
+    )  # 40% en -- a non-degenerate class for the chi2 scale row
     return spark.range(n).select(
         F.col("id").alias("doc_id"),
         body.alias("text"),
-        F.lit("en").alias("lang"),
+        langs.alias("lang"),
         F.concat(F.lit("src"), (F.col("id") % 20).cast("string")).alias("source"),
         F.length(body).cast("long").alias("n_chars"),
     )

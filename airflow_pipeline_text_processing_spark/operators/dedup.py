@@ -1197,12 +1197,15 @@ def sorted_neighborhood_pairs(
     from .windows import ordered_running_sum
 
     sigs = simhash_signatures(docs, bits, text_col)
+    # ranked feeds BOTH join sides; cut the lineage so the signature
+    # pass + two-level global rank run once (triangle_counts' measured
+    # waste class)
     ranked = ordered_running_sum(
         sigs.withColumn("_one", F.lit(1).cast("long")),
         [F.col("simhash"), F.col("doc_id")],
         "_one",
         "rk",
-    ).drop("_one")
+    ).drop("_one").localCheckpoint(eager=False)
     left = ranked.select(
         F.col("doc_id").alias("doc_a"),
         F.col("simhash").alias("_sim_a"),

@@ -2086,3 +2086,57 @@ def test_kmv_overlap_matrix_exact_on_small_sets(spark):
         assert r.n_common_in_k == len(i)
         assert r.est_distinct_union == float(len(u))
         assert abs(r.est_distinct_intersection - len(i)) < 1e-9
+
+
+def test_ivfpq_degenerate_config_equals_brute_force(spark):
+    """Exactness anchor for the RESIDUAL rewrite (r10): with every cell
+    probed, full replication, and prefilter >= corpus, IVF-PQ's ADC
+    shortlist cannot drop anything and the exact rerank must reproduce
+    brute-force quantized-L2 top-k verbatim -- whatever the codes say.
+    This pins the residual ADC join shape (per-(query, pcell) tables):
+    a wrong pcell key would silently drop candidates and break equality
+    here."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from airflow_pipeline_text_processing_spark.operators.clustering import (
+        quantized,
+    )
+    from airflow_pipeline_text_processing_spark.operators.similarity import (
+        ivfpq_topk,
+    )
+
+    vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = vecs.select("vec_id", quantized(F.col("embedding")).alias("q"))
+    n = q.count()
+    queries = q.filter(F.col("vec_id").isin(3, 10, 42))
+
+    got = [
+        (r.query_id, r.neighbor_id, r.d2, r.rk)
+        for r in ivfpq_topk(
+            queries, q, dim=64, cells=4, nprobe=4, replicas=4,
+            prefilter=n, k=5,
+        ).collect()
+    ]
+
+    d2 = F.aggregate(
+        F.zip_with("q", "cq", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        queries.select(F.col("vec_id").alias("query_id"), "q")
+        .crossJoin(
+            q.select(F.col("vec_id").alias("neighbor_id"), F.col("q").alias("cq"))
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", d2.alias("d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    want = [
+        (r.query_id, r.neighbor_id, r.d2, r.rk)
+        for r in scored.withColumn(
+            "rk", F.row_number().over(w).cast("long")
+        ).filter(F.col("rk") <= 5).orderBy("query_id", "rk").collect()
+    ]
+    assert got == want

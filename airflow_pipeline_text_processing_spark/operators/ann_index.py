@@ -97,6 +97,16 @@ def _load_frozen(path: str):
         meta = json.load(fh)
     cents_rows = [(r["cid"], list(r["c"])) for r in cents]
     cents_lit = {(r["sub"], r["cid"]): list(r["c"]) for r in books}
+    if meta.get("encoding") != "residual":
+        # fail FAST and clearly: a pre-residual index has no pcell column
+        # in its rows table and raw-vector codes -- serving it with the
+        # residual ADC path would die on an opaque missing-column error
+        # (or worse, an add would merge mixed-schema rows first)
+        raise ValueError(
+            f"index at {path} predates residual encoding "
+            f"(meta.encoding={meta.get('encoding')!r}); rebuild it with "
+            "build_ivfpq_index / ivfpq_index_rebuild_if_stale"
+        )
     return cents_rows, cents_lit, meta
 
 
@@ -136,12 +146,15 @@ def build_ivfpq_index(
 
     _, cents = kmeans_fixed_point(corpus, k=cells, iters=cell_iters)
     cents = cents.localCheckpoint(eager=False)
-    cell_rows = assign_top_cells(corpus, cents, replicas)
+    cell_rows = assign_top_cells(corpus, cents, replicas).localCheckpoint(
+        eager=False
+    )
     # RESIDUAL encoding (FAISS IndexIVFPQ): codebooks train on and codes
     # quantize q - centroid(primary cell), so the k_codebook entries only
     # span the within-cell spread -- see similarity.ivfpq_topk's docstring
     # for the measured recall cliff of raw-vector codes on clustered data.
-    pcells = assign_top_cells(corpus, cents, 1).select(
+    # The primary cell is rank 1 of the SAME assignment pass.
+    pcells = cell_rows.filter(F.col("rank") == 1).select(
         "vec_id", F.col("cid").alias("pcell")
     )
     codes, pq_cents = pq_train_encode(
@@ -191,8 +204,10 @@ def ivfpq_index_add(
     cents = spark.createDataFrame(
         [(c, v) for c, v in cents_rows], "cid int, c array<bigint>"
     )
-    cell_rows = assign_top_cells(batch, cents, meta["replicas"])
-    pcells = assign_top_cells(batch, cents, 1).select(
+    cell_rows = assign_top_cells(batch, cents, meta["replicas"]).localCheckpoint(
+        eager=False
+    )
+    pcells = cell_rows.filter(F.col("rank") == 1).select(
         "vec_id", F.col("cid").alias("pcell")
     )
     codes = _pq_assign_codes(
@@ -248,10 +263,14 @@ def ivfpq_index_rebuild_if_stale(
     if stale["added_frac_ppm"] < threshold_ppm:
         return False
     _, _, meta = _load_frozen(path)
-    shutil.rmtree(path)
+    # build the replacement BESIDE the live index, then swap: deleting
+    # first would destroy the only copy if the retrain fails midway
+    # (empty base, transient executor/FS error) -- r10 review finding
+    tmp = path.rstrip("/") + ".rebuild"
+    shutil.rmtree(tmp, ignore_errors=True)
     build_ivfpq_index(
         base,
-        path,
+        tmp,
         dim=meta["dim"],
         m=meta["m"],
         k_codebook=meta["k_codebook"],
@@ -261,7 +280,35 @@ def ivfpq_index_rebuild_if_stale(
         replicas=meta["replicas"],
         n_files=meta.get("n_files", 8),
     )
+    old = path.rstrip("/") + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    # the manifest records absolute file paths; repoint them from the
+    # staging prefix to the final location (file-count-sized rewrite)
+    _repoint_manifest(os.path.join(path, _ROWS), tmp, path)
+    shutil.rmtree(old)
     return True
+
+
+def _repoint_manifest(rows_path: str, old_prefix: str, new_prefix: str) -> None:
+    """Rewrite the ``file`` column of a manifest sidecar after its table
+    directory moved: sources/manifest.py stores absolute paths (like
+    pre-relative-path Delta), so a directory rename must repoint them."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    man = os.path.join(rows_path, "_manifest")
+    part = os.path.join(man, "part-00000.parquet")
+    t = pq.read_table(part)
+    # entries may carry a URI scheme (input_file_name() emits file://...)
+    files = [
+        f.replace(old_prefix, new_prefix, 1)
+        for f in t.column("file").to_pylist()
+    ]
+    cols = {name: t.column(name) for name in t.column_names}
+    cols["file"] = pa.array(files)
+    pq.write_table(pa.table(cols), part)
 
 
 def ivfpq_index_search(

@@ -316,7 +316,12 @@ def assign_top_cells(qvecs: DataFrame, cents: DataFrame, r: int) -> DataFrame:
     Numpy-exact like ``_assign_np`` (int64 distances; STABLE argsort
     over the cid-sorted centroid matrix = ties to the smaller cid,
     matching the oracle's ORDER BY d2, cid); shuffle-free map stage with
-    the k-row centroid relation as a closure literal."""
+    the k-row centroid relation as a closure literal.  Also emits the
+    1-based ``rank`` of each membership so the PRIMARY cell (rank 1 --
+    what residual PQ encodes against) comes from the SAME pass instead
+    of a second full distance kernel over the corpus (r10 review
+    finding: the pcell-only second pass doubled the assignment cost in
+    ivfpq_topk / index build / index add)."""
     import pandas as pd
 
     cents_lit = sorted((row.cid, list(row.c)) for row in cents.collect())
@@ -333,14 +338,18 @@ def assign_top_cells(qvecs: DataFrame, cents: DataFrame, r: int) -> DataFrame:
             if not len(pdf):
                 continue
             M = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            n = len(M)
             d2 = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
             topidx = np.argsort(d2, axis=1, kind="stable")[:, :rr]
             yield pd.DataFrame({
                 "vec_id": np.repeat(pdf["vec_id"].to_numpy(), rr),
                 "cid": cid_arr[topidx].ravel(),
+                "rank": np.tile(np.arange(1, rr + 1, dtype=np.int32), n),
             })
 
-    return qvecs.select("vec_id", "q").mapInPandas(top, "vec_id long, cid int")
+    return qvecs.select("vec_id", "q").mapInPandas(
+        top, "vec_id long, cid int, rank int"
+    )
 
 
 def pooled_topk(

@@ -185,7 +185,9 @@ def cooccurrence_edges(
     )
 
 
-def triangle_counts(edges: DataFrame) -> DataFrame:
+def triangle_counts(
+    edges: DataFrame, checkpoint_input: bool = True
+) -> DataFrame:
     """Per-node triangle counts over an undirected simple graph given as
     distinct ``(src, dst)`` with ``src < dst`` -- the degree-ordered
     wedge join (Suri & Vassilvitskii, WWW'11; Cohen's MapReduce

@@ -1129,9 +1129,13 @@ def ivfpq_topk(
 
     _, cents = kmeans_fixed_point(corpus, k=cells, iters=cell_iters)
     cents = cents.localCheckpoint(eager=False)
-    cand_cells = assign_top_cells(corpus, cents, replicas).select(
-        F.col("vec_id").alias("cand_id"), "cid"
+    # ONE assignment pass serves both the replica memberships and the
+    # primary cell (rank 1) -- checkpointed because the two derivations
+    # would otherwise re-run the distance kernel per consumer
+    memberships = assign_top_cells(corpus, cents, replicas).localCheckpoint(
+        eager=False
     )
+    cand_cells = memberships.select(F.col("vec_id").alias("cand_id"), "cid")
     probe_cells = assign_top_cells(queries, cents, nprobe).select(
         F.col("vec_id").alias("query_id"), "cid"
     )
@@ -1143,7 +1147,7 @@ def ivfpq_topk(
     )
 
     sub_dim = dim // m
-    pcells = assign_top_cells(corpus, cents, 1).select(
+    pcells = memberships.filter(F.col("rank") == 1).select(
         "vec_id", F.col("cid").alias("pcell")
     )
     rcorpus = residual_vectors(corpus, pcells, cents)

@@ -1036,13 +1036,22 @@ def sim_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     vecs = _tspread(spark, sf_dir, "embeddings")
     q = vecs.select("vec_id", quantized(F.col("embedding")).alias("q"))
-    # Deterministic md5-based path (hash() is PYTHONHASHSEED-randomized --
-    # ADVICE r9 found each run leaving a fresh orphan /tmp dir); wiped
-    # before rebuild so repeat runs reuse one slot instead of accreting.
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"ivfpq_index_{hashlib.md5(sf_dir.encode()).hexdigest()[:16]}",
-    )
+    # Deterministic md5(sf_dir) slot + pid suffix: deterministic so
+    # repeat runs in one process reuse a single slot (the ADVICE r9
+    # orphan-accretion fix), pid-suffixed so a concurrent process (the
+    # driver grading while a local bench runs) can't rmtree an index
+    # another process is mid-build/mid-collect on (r10 review finding).
+    # Slots whose owning pid is gone are garbage-collected here.
+    slot = f"ivfpq_index_{hashlib.md5(sf_dir.encode()).hexdigest()[:16]}"
+    tmp = tempfile.gettempdir()
+    for entry in os.listdir(tmp):
+        if entry.startswith(slot + "_"):
+            try:
+                if not os.path.exists(f"/proc/{int(entry.rsplit('_', 1)[1])}"):
+                    shutil.rmtree(os.path.join(tmp, entry), ignore_errors=True)
+            except ValueError:
+                pass
+    path = os.path.join(tmp, f"{slot}_{os.getpid()}")
     shutil.rmtree(path, ignore_errors=True)
     build_ivfpq_index(q.filter(F.col("vec_id") % 10 != 0), path, dim=64)
     ivfpq_index_add(spark, path, q.filter(F.col("vec_id") % 10 == 0))
@@ -1235,8 +1244,8 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-TRIANGLE_SQL = """
-WITH g AS (
+# the co-occurrence projection CTEs shared by the graph oracles
+_COOC_EDGES_CTES = """g AS (
   SELECT DISTINCT event_type, date_trunc('hour', ts) AS h, user_id
   FROM events),
 ok AS (
@@ -1246,8 +1255,11 @@ gg AS (SELECT g.* FROM g JOIN ok USING (event_type, h)),
 edges AS (
   SELECT DISTINCT a.user_id AS src, b.user_id AS dst
   FROM gg a JOIN gg b USING (event_type, h)
-  WHERE a.user_id < b.user_id),
-deg AS (
+  WHERE a.user_id < b.user_id)"""
+
+# the degree-oriented triangle pipeline over the `edges` CTE, shared by
+# TRIANGLE_SQL and the clustering-coefficient oracle
+_TRI_BODY_CTES = """deg AS (
   SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
     SELECT src AS node FROM edges
     UNION ALL SELECT dst AS node FROM edges)
@@ -1276,7 +1288,11 @@ tris AS (
 members AS (
   SELECT a AS node FROM tris
   UNION ALL SELECT b AS node FROM tris
-  UNION ALL SELECT c AS node FROM tris)
+  UNION ALL SELECT c AS node FROM tris)"""
+
+TRIANGLE_SQL = f"""
+WITH {_COOC_EDGES_CTES},
+{_TRI_BODY_CTES}
 SELECT node AS user_id, CAST(COUNT(*) AS BIGINT) AS n_tri
 FROM members GROUP BY node
 ORDER BY n_tri DESC, user_id
@@ -1455,20 +1471,6 @@ _KCORE_K = 3
 _KCORE_ROUNDS = 3
 _KCORE_TOP = 30
 
-# the same co-occurrence projection TRIANGLE_SQL uses
-_COOC_EDGES_CTES = """g AS (
-  SELECT DISTINCT event_type, date_trunc('hour', ts) AS h, user_id
-  FROM events),
-ok AS (
-  SELECT event_type, h FROM g
-  GROUP BY 1, 2 HAVING COUNT(*) BETWEEN 2 AND 20),
-gg AS (SELECT g.* FROM g JOIN ok USING (event_type, h)),
-edges AS (
-  SELECT DISTINCT a.user_id AS src, b.user_id AS dst
-  FROM gg a JOIN gg b USING (event_type, h)
-  WHERE a.user_id < b.user_id)"""
-
-
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-30 users of the (candidate) 3-core of the co-interaction
     graph (operators/graph.py::kcore_peel over the same
@@ -1551,7 +1553,7 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count("*").cast("long").alias("deg"))
     )
-    tri = triangle_counts(edges)
+    tri = triangle_counts(edges, checkpoint_input=False)
     return (
         tri.join(deg, "node")
         .filter(F.col("deg") >= 2)
@@ -1569,9 +1571,12 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _clustering_coeff_sql() -> str:
-    # TRIANGLE_SQL's pipeline minus the final top-k, plus the degree join
-    body = TRIANGLE_SQL.split("SELECT node AS user_id")[0].rstrip()
-    return f"""{body},
+    """Composed from the SAME shared CTE constants as TRIANGLE_SQL (no
+    string surgery on the sibling oracle -- r10 review finding): the
+    full triangle pipeline, then the degree join and the integer ratio."""
+    return f"""
+WITH {_COOC_EDGES_CTES},
+{_TRI_BODY_CTES},
 tri AS (
   SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
   FROM members GROUP BY node),
@@ -1602,9 +1607,9 @@ def text_chi2_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-25 tokens by chi-square association with the lang='en'
     class (operators/text.py::token_class_chi2) -- the classic exact
     feature-selection sweep a curation pipeline runs to find
-    domain-indicative vocabulary.  BIGINT-exact via the two-stage
-    floor division (see the operator docstring for the ~1e4-doc
-    headroom bound and its escape hatch)."""
+    domain-indicative vocabulary.  128-bit exact (DECIMAL(38,0) /
+    HUGEINT) via the two-stage floor division; headroom ~5e6 docs
+    (see the operator docstring)."""
     from ..operators.text import token_class_chi2
 
     docs = _tspread(spark, sf_dir, "documents")

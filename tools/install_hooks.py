@@ -23,9 +23,19 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 HOOK = """#!/bin/sh
 # Auto-installed by tools/install_hooks.py -- keeps doc counts derived.
 # Self-fixing: corrects the doc count strings and stages them, then runs
-# the fast (non-Spark) ledger invariants.  Never blocks on doc drift.
+# the fast (non-Spark) ledger invariants.  If the fixer itself FAILS
+# (count string missing, registry import error) the commit is BLOCKED --
+# silently skipping the fix is exactly the r6/r8/r9 drift this guards.
+# Note: `git add` stages the WHOLE doc files; keep unrelated README/
+# SURVEY edits out of the worktree when committing other changes.
 cd "$(git rev-parse --show-toplevel)" || exit 0
-python tools/sync_docs.py --fix >/dev/null 2>&1 && git add README.md SURVEY.md
+if python tools/sync_docs.py --fix >/dev/null 2>&1; then
+    git add README.md SURVEY.md
+else
+    echo "pre-commit: tools/sync_docs.py --fix FAILED" >&2
+    python tools/sync_docs.py --fix >&2
+    exit 1
+fi
 python tools/ledger.py >/dev/null 2>&1 || {
     echo "pre-commit: grading-ledger invariants FAILED (tools/ledger.py)" >&2
     python tools/ledger.py >&2

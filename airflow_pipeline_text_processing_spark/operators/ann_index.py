@@ -398,3 +398,30 @@ def ivfpq_index_search(
         .filter(F.col("rk") <= k)
         .orderBy("query_id", "rk")
     )
+
+
+def ivfpq_index_stream_add(
+    vectors: DataFrame, path: str, checkpoint_dir: str
+):
+    """Keep a persisted index fresh from a STREAM of vector batches:
+    ``foreachBatch`` -> :func:`ivfpq_index_add` (the same
+    at-least-once + idempotent-MERGE story as streaming/cdc.py --
+    replaying a batch re-upserts the same keys, so recovery is safe).
+    ``vectors`` is a streaming ``(vec_id, q)`` DataFrame; returns the
+    StreamingQuery (caller awaits/stops).  The frozen quantizers are
+    NOT retrained by the stream; ``ivfpq_index_staleness`` /
+    ``ivfpq_index_rebuild_if_stale`` remain the rebuild dial, typically
+    run between micro-batch windows by a maintenance job."""
+
+    def _apply(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        ivfpq_index_add(batch.sparkSession, path, batch)
+
+    return (
+        vectors.writeStream.foreachBatch(_apply)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

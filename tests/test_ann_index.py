@@ -175,3 +175,54 @@ def test_build_raises_on_empty_training_corpus(spark, qvecs, tmp_path):
         build_ivfpq_index(
             qvecs.filter(F.col("vec_id") < 0), str(tmp_path / "idx"), dim=64
         )
+
+
+def test_streaming_ingest_into_index(spark, qvecs, tmp_path):
+    """The index as a STREAMING sink (r10): build on a base corpus,
+    then drain a 2-batch vector stream through
+    ivfpq_index_stream_add's foreachBatch -> MERGE path.  The streamed
+    vectors must be live (staleness counts them) and searchable -- a
+    planted near-twin arriving via the stream must come back rank 1
+    for its query."""
+    import os
+
+    from airflow_pipeline_text_processing_spark.operators.ann_index import (
+        build_ivfpq_index,
+        ivfpq_index_search,
+        ivfpq_index_staleness,
+        ivfpq_index_stream_add,
+    )
+
+    path = str(tmp_path / "idx")
+    build_ivfpq_index(qvecs, path, dim=64)
+    n0 = qvecs.count()
+
+    # two parquet batch files: fresh ids, incl. a near-twin of vec 3
+    src = str(tmp_path / "stream_src")
+    twin = qvecs.filter(F.col("vec_id") == 3).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("q", lambda x: x + F.lit(500)).alias("q"),
+    )
+    twin.coalesce(1).write.parquet(os.path.join(src, "b0"))
+    others = qvecs.filter(F.col("vec_id").isin(7, 9)).select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"), "q"
+    )
+    others.coalesce(1).write.parquet(os.path.join(src, "b1"))
+
+    stream = (
+        spark.readStream.schema("vec_id long, q array<bigint>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    q = ivfpq_index_stream_add(
+        stream, path, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    st = ivfpq_index_staleness(spark, path)
+    assert st["live_n"] == n0 + 3 and st["trained_n"] == n0
+
+    base = qvecs.unionAll(twin).unionAll(others)
+    queries = qvecs.filter(F.col("vec_id") == 3)
+    got = ivfpq_index_search(spark, path, queries, base).collect()
+    assert got[0].neighbor_id == 1_000_003  # the streamed twin at rank 1

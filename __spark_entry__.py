@@ -68,6 +68,17 @@ _ORDER = [
     "graph_kcore",
     "graph_clustering_coeff",
     "text_chi2_tokens",
+    # -- NEW round 10 (second wave): directed shingle-containment dedup,
+    # quality-canonical survivor pick per near-dup cluster, MMR
+    # diversified re-ranking.  Displaced to make room (each r9
+    # driver-green with in-window category siblings): stats_source_kl
+    # (~ stats_ks_two_sample / stats_selection_quantiles),
+    # sample_allocate_budget (~ sample_surprisal_strata),
+    # curation_entropy_filtered (~ curation_lm_filtered /
+    # curation_dsir_select).
+    "dedup_containment",
+    "dedup_canonical_pick",
+    "search_mmr_rerank",
     # -- NEW this session (scale-technique surface, queries_scale.py):
     # enter directly as sole verifiers; displaced to make room (each
     # driver-green with in-window siblings): agg_value_histogram
@@ -78,10 +89,8 @@ _ORDER = [
     "dedup_winnow_overlap",
     "search_rrf_fusion",
     "events_interpolate_gaps",
-    "stats_source_kl",
     "stats_ks_two_sample",
     "stats_selection_quantiles",
-    "sample_allocate_budget",
     "dedup_cdc_rolling",
     "text_topics_kmeans",
     "text_bpe_compression",
@@ -97,7 +106,6 @@ _ORDER = [
     "text_phrase_search",
     "agg_mode_per_type",
     "curation_dsir_select",
-    "curation_entropy_filtered",
     # -- carried category verifiers (all driver-green r5 or earlier) ------
     "q5_nation_volume",
     "join_anti_idle_customers",
@@ -124,6 +132,12 @@ _ORDER = [
     # sketch_cms_heavy_hitters (~ sketch_overlap_matrix).
     # Displaced below the boundary for the three round-10 debuts
     # (each r9 driver-green with in-window category siblings):
+    # Displaced below the boundary for the second-wave round-10 debuts
+    # (containment, canonical pick, MMR -- each r9 driver-green with
+    # in-window category siblings, see window comment above):
+    "stats_source_kl",
+    "sample_allocate_budget",
+    "curation_entropy_filtered",
     "stats_mann_whitney",
     "stats_quantile_normalize",
     "events_ewma_daily",

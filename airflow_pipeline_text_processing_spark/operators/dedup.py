@@ -258,6 +258,55 @@ def jaccard_for_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    threshold_ppm: int = 700_000,
+    text_col: str = "text",
+    n: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Directed shingle CONTAINMENT (Broder 1997's c(A,B); the asymmetric
+    companion to Jaccard): ``cont_a_in_b_ppm = floor(1e6 * |S(A) cap S(B)|
+    / |S(A)|)``.  Jaccard misses subset relationships -- a short document
+    quoted whole inside a much longer one scores low Jaccard (the union is
+    dominated by the long side) but containment ~1.0 for the short side.
+    That is the shape real corpus dedup hits constantly (quote expansion,
+    boilerplate wrappers, truncated re-crawls), which is why production
+    pipelines (e.g. RefinedWeb-style curation) filter on containment next
+    to Jaccard.
+
+    Emits every candidate pair (a < b) whose LARGER direction reaches
+    ``threshold_ppm``, with both directions reported.  ppm values are
+    exact nonnegative BIGINT floor-divisions -- no float crosses the
+    engine boundary.
+
+    Plan shape is identical to :func:`jaccard_pairs` and inherits its
+    scale story verbatim: candidate generation from the shingle inverted
+    index (optionally ``max_df``-capped posting lists -- same recall
+    caveat), then exact intersection over full shingle sets for candidate
+    pairs only.  No new shuffle class."""
+    cands = jaccard_candidate_pairs(docs, text_col, n, max_df)
+    ex = jaccard_for_pairs(docs, cands, text_col, n)
+    cont_a = F.expr("(n_common * 1000000) div size_a")
+    cont_b = F.expr("(n_common * 1000000) div size_b")
+    return (
+        ex.select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "size_a",
+            "size_b",
+            cont_a.alias("cont_a_in_b_ppm"),
+            cont_b.alias("cont_b_in_a_ppm"),
+        )
+        .filter(
+            F.greatest(F.col("cont_a_in_b_ppm"), F.col("cont_b_in_a_ppm"))
+            >= F.lit(threshold_ppm)
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def minhash_dedup_pairs(
     docs: DataFrame,
     threshold: float = 0.5,
@@ -525,6 +574,71 @@ def connected_components(
         "cluster_id", F.col("doc_id")
     )
     return members.union(roots).distinct()
+
+
+def canonical_pick(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """The curation DECISION on top of near-dup clustering: one survivor
+    per duplicate cluster, chosen by quality.  ``pairs`` is any near-dup
+    edge list (Jaccard, MinHash, containment...); clusters come from
+    :func:`connected_components`; documents in no pair are singleton
+    clusters of themselves and always survive.
+
+    Survivor = argmax over the cluster of ``(quality_ppm DESC, doc_id
+    ASC)`` where ``quality_ppm = floor(1e6 * quality_score)`` -- the
+    integer projection of the shared heuristic in
+    ``operators/text.py::quality_score``, so the pick and its tiebreak are
+    bit-identical across engines.  This is what pair/cluster output is
+    FOR: ``dedup_clusters`` says who is whose duplicate; this operator
+    says which copy the training set keeps (keep-best-quality is the
+    standard choice over keep-first in corpus curation, since truncated or
+    boilerplate-padded twins should lose to the clean original).
+
+    Per-doc output: ``(doc_id, cluster_id, n_members, quality_ppm,
+    is_kept)``.  Scale shape: CC's star-contraction rounds (the existing
+    O(log n) story) + one hash-agg for cluster sizes + one
+    cluster-partitioned window -- nothing quadratic, no new shuffle
+    class."""
+    from .text import quality_score
+
+    cc = connected_components(pairs)
+    membership = (
+        docs.select("doc_id")
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    q = quality_score(docs, text_col).select(
+        "doc_id",
+        F.floor(F.col("quality") * F.lit(1_000_000.0))
+        .cast("long")
+        .alias("quality_ppm"),
+    )
+    sizes = membership.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_ppm").desc(), F.col("doc_id")
+    )
+    return (
+        membership.join(q, "doc_id")
+        .join(sizes, "cluster_id")
+        .withColumn(
+            "is_kept",
+            F.when(F.row_number().over(w) == 1, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+        .select(
+            "doc_id", "cluster_id", "n_members", "quality_ppm", "is_kept"
+        )
+        .orderBy("doc_id")
+    )
 
 
 # -------------------------------------------------- embedding near-dup

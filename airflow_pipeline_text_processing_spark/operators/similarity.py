@@ -140,6 +140,188 @@ def brute_force_topk(
     )
 
 
+def mmr_rerank(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    pool: int = 20,
+    lam_num: int = 7,
+    lam_den: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR'98): greedily pick ``k`` results per query maximizing
+    ``lam*rel(d) - (1-lam)*max_{s in selected} sim(d, s)`` -- relevance
+    minus redundancy.  The retrieval-side answer to near-duplicate
+    corpora: a pure top-k returns every copy of a duplicated document in
+    adjacent ranks; MMR admits the first copy and demotes its twins, so
+    downstream consumers (RAG context windows, few-shot example pickers,
+    eval-set builders) get coverage instead of repetition.
+
+    Exact integer arithmetic end to end: relevance and pairwise
+    similarity are ``floor(1e6 * cosine)`` BIGINTs (the cosine itself is
+    the deterministic fixed-point form -- see :func:`scaled_dot`), lambda
+    is the rational ``lam_num/lam_den``, and the greedy objective is the
+    integer ``lam_num*rel_ppm - (lam_den-lam_num)*penalty_ppm`` with
+    ``(score DESC, cand_id ASC)`` tiebreaks, so every pick is
+    bit-reproducible across engines.  Pool membership also ranks by the
+    FLOORED ppm (not the raw double), keeping both engines' shortlists
+    identical even when two cosines differ only past the 1e-6 digit.
+
+    Scale shape: one scored pass bounds each query to its top-``pool``
+    candidates; the pairwise-sim table is ``pool^2`` rows per query and
+    every greedy step is an anti-join + equi-join + window over those
+    bounded frames -- cost O(q * pool^2 * k) TOTAL past retrieval,
+    independent of corpus size.  ``pool_df``/``psim`` feed every one of
+    the k steps (different derivations each time), so both are
+    lineage-cut once; at 1000-executor scale the retrieval stage is the
+    only corpus-sized job, and it is the same plan as
+    :func:`brute_force_topk` (swap in an ANN route for the scored pass
+    when the corpus demands it)."""
+    dim = infer_dim(candidates, vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        scaled_norm2(F.col(vec_col), dim).alias("qnorm"),
+    )
+    c = candidates.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cvec"),
+        scaled_norm2(F.col(vec_col), dim).alias("cnorm"),
+    )
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.floor(
+                cosine_from_norms(
+                    F.col("qvec"),
+                    F.col("cvec"),
+                    F.col("qnorm"),
+                    F.col("cnorm"),
+                    dim,
+                )
+                * F.lit(1_000_000.0)
+            )
+            .cast("long")
+            .alias("rel_ppm"),
+        )
+    )
+    w_pool = Window.partitionBy("query_id").orderBy(
+        F.col("rel_ppm").desc(), F.col("cand_id")
+    )
+    pool_df = (
+        scored.withColumn("rn", F.row_number().over(w_pool))
+        .filter(F.col("rn") <= pool)
+        .localCheckpoint()
+    )
+    pa = pool_df.select("query_id", F.col("cand_id").alias("a")).join(
+        c.select(
+            F.col("cand_id").alias("a"),
+            F.col("cvec").alias("va"),
+            F.col("cnorm").alias("na"),
+        ),
+        "a",
+    )
+    pb = pool_df.select("query_id", F.col("cand_id").alias("b")).join(
+        c.select(
+            F.col("cand_id").alias("b"),
+            F.col("cvec").alias("vb"),
+            F.col("cnorm").alias("nb"),
+        ),
+        "b",
+    )
+    psim = (
+        pa.join(pb, "query_id")
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            "query_id",
+            "a",
+            "b",
+            F.floor(
+                cosine_from_norms(
+                    F.col("va"), F.col("vb"), F.col("na"), F.col("nb"), dim
+                )
+                * F.lit(1_000_000.0)
+            )
+            .cast("long")
+            .alias("sim_ppm"),
+        )
+        .localCheckpoint()
+    )
+    w_pick = Window.partitionBy("query_id").orderBy(
+        (
+            F.lit(lam_num) * F.col("rel_ppm")
+            - F.lit(lam_den - lam_num) * F.col("penalty_ppm")
+        ).desc(),
+        F.col("cand_id"),
+    )
+    selected = (
+        pool_df.filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "cand_id",
+            "rel_ppm",
+            F.lit(0).cast("long").alias("penalty_ppm"),
+            F.lit(1).cast("long").alias("pick_order"),
+        )
+    )
+    ps = psim.select(
+        F.col("query_id").alias("pq"),
+        F.col("a").alias("pa"),
+        F.col("b").alias("pb"),
+        "sim_ppm",
+    )
+    for step in range(2, k + 1):
+        remaining = pool_df.join(
+            selected.select("query_id", "cand_id"),
+            ["query_id", "cand_id"],
+            "left_anti",
+        )
+        cand = (
+            remaining.join(
+                selected.select(
+                    "query_id", F.col("cand_id").alias("sel_id")
+                ),
+                "query_id",
+            )
+            .join(
+                ps,
+                (F.col("pq") == F.col("query_id"))
+                & (F.col("pa") == F.col("cand_id"))
+                & (F.col("pb") == F.col("sel_id")),
+            )
+            .groupBy("query_id", "cand_id", "rel_ppm")
+            .agg(F.max("sim_ppm").alias("penalty_ppm"))
+        )
+        pick = (
+            cand.withColumn("prn", F.row_number().over(w_pick))
+            .filter(F.col("prn") == 1)
+            .select(
+                "query_id",
+                "cand_id",
+                "rel_ppm",
+                "penalty_ppm",
+                F.lit(step).cast("long").alias("pick_order"),
+            )
+        )
+        selected = selected.unionAll(pick)
+    return selected.select(
+        "query_id",
+        "cand_id",
+        "pick_order",
+        "rel_ppm",
+        "penalty_ppm",
+        (
+            F.lit(lam_num) * F.col("rel_ppm")
+            - F.lit(lam_den - lam_num) * F.col("penalty_ppm")
+        ).alias("mmr_score"),
+    ).orderBy("query_id", "pick_order")
+
+
 def hyperplane_signatures(
     vectors: DataFrame,
     num_planes: int = 8,

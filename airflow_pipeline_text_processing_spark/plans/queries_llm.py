@@ -2643,10 +2643,205 @@ ORDER BY doc_a, doc_b
 
 
 # =====================================================================
+# Round-10 additions: containment dedup, canonical survivor pick,
+# MMR diversified re-ranking
+# =====================================================================
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shingle-containment pairs
+    (operators/dedup.py::containment_pairs) over the planted corpus: each
+    80%-prefix twin is nearly a SUBSET of its original, so containment of
+    twin-in-original approaches 1e6 ppm while Jaccard sits near 0.8 --
+    exactly the asymmetric signal Jaccard thresholds under-report."""
+    return D.containment_pairs(
+        _planted_docs(spark, sf_dir), threshold_ppm=700_000
+    )
+
+
+CONTAINMENT_SQL = f"""
+WITH corpus AS ({_planted_sql()}),
+{SHINGLES_CTE}
+SELECT doc_a, doc_b, n_common, size_a, size_b,
+       CAST((n_common * 1000000) // size_a AS BIGINT) AS cont_a_in_b_ppm,
+       CAST((n_common * 1000000) // size_b AS BIGINT) AS cont_b_in_a_ppm
+FROM jaccards
+WHERE GREATEST((n_common * 1000000) // size_a,
+               (n_common * 1000000) // size_b) >= 700000
+ORDER BY doc_a, doc_b
+"""
+
+
+def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection per near-dup cluster
+    (operators/dedup.py::canonical_pick): Jaccard pairs -> connected
+    components -> keep the best-quality member (quality_ppm DESC, doc_id
+    ASC); singletons survive as their own cluster.  The oracle replays the
+    transitive closure with a recursive CTE and the identical integer
+    quality projection."""
+    pairs = D.jaccard_pairs(
+        _planted_docs(spark, sf_dir), threshold=0.6
+    ).select("doc_a", "doc_b")
+    return D.canonical_pick(_planted_docs(spark, sf_dir), pairs)
+
+
+def _canonical_pick_sql() -> str:
+    quality = f"""
+  SELECT doc_id,
+         CAST(FLOOR((
+           (CAST(stop_hits AS DOUBLE) / n_tokens) * 0.4
+           + (CAST(n_unique AS DOUBLE) / n_tokens) * 0.4
+           - (CAST(punct_count AS DOUBLE) / n_chars) * 0.2
+         ) * 1000000.0) AS BIGINT) AS quality_ppm
+  FROM (
+    SELECT doc_id, LENGTH(text) AS n_chars, len({TOKS_SQL}) AS n_tokens,
+           LENGTH(text) - LENGTH(regexp_replace(text, '[.,;:!?]', '', 'g'))
+             AS punct_count,
+           len(list_filter({TOKS_SQL},
+               t -> list_contains(['the','a','and','of','to','in','is','for','on','with'], t)))
+             AS stop_hits,
+           len(list_distinct({TOKS_SQL})) AS n_unique
+    FROM corpus
+  )"""
+    return f"""
+WITH RECURSIVE corpus AS ({_planted_sql()}),
+{SHINGLES_CTE},
+pairs AS (SELECT doc_a, doc_b FROM jaccards WHERE jaccard >= 0.6),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(src, dst) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+cc AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+membership AS (
+  SELECT c.doc_id, COALESCE(cc.cluster_id, c.doc_id) AS cluster_id
+  FROM corpus c LEFT JOIN cc ON cc.doc_id = c.doc_id
+),
+qual AS ({quality}
+),
+csizes AS (
+  SELECT cluster_id, COUNT(*) AS n_members FROM membership GROUP BY 1
+)
+SELECT m.doc_id, m.cluster_id, s.n_members, q.quality_ppm,
+       CAST(CASE WHEN ROW_NUMBER() OVER (
+              PARTITION BY m.cluster_id
+              ORDER BY q.quality_ppm DESC, m.doc_id) = 1
+            THEN 1 ELSE 0 END AS BIGINT) AS is_kept
+FROM membership m
+JOIN qual q ON q.doc_id = m.doc_id
+JOIN csizes s ON s.cluster_id = m.cluster_id
+ORDER BY m.doc_id
+"""
+
+
+MMR_K, MMR_POOL, MMR_LAM_NUM, MMR_LAM_DEN = 5, 20, 7, 10
+
+
+def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k
+    (operators/similarity.py::mmr_rerank) over the planted-vector corpus:
+    scaled twins give every query a redundant near-identical pair in its
+    relevance shortlist, which pure top-k ranks adjacently and MMR
+    demotes.  The oracle replays the greedy selection as k-1 chained CTE
+    steps with the identical integer objective and tiebreaks."""
+    queries = _tspread(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 3
+    )
+    return S.mmr_rerank(
+        queries,
+        _planted_vecs(spark, sf_dir),
+        k=MMR_K,
+        pool=MMR_POOL,
+        lam_num=MMR_LAM_NUM,
+        lam_den=MMR_LAM_DEN,
+    )
+
+
+def _mmr_sql(
+    k: int = MMR_K,
+    pool: int = MMR_POOL,
+    lam_num: int = MMR_LAM_NUM,
+    lam_den: int = MMR_LAM_DEN,
+) -> str:
+    mu = lam_den - lam_num
+    cos_q = _sql_cosine("q.qv", "c.embedding")
+    cos_p = _sql_cosine("x.embedding", "y.embedding")
+    steps = []
+    for i in range(2, k + 1):
+        steps.append(f""",
+cand{i} AS (
+  SELECT p.query_id, p.cand_id, p.rel_ppm, MAX(ps.sim_ppm) AS penalty_ppm
+  FROM pool p
+  JOIN sel{i - 1} s ON s.query_id = p.query_id
+  JOIN psim ps ON ps.query_id = p.query_id AND ps.a = p.cand_id
+              AND ps.b = s.cand_id
+  WHERE NOT EXISTS (SELECT 1 FROM sel{i - 1} x
+                    WHERE x.query_id = p.query_id
+                      AND x.cand_id = p.cand_id)
+  GROUP BY 1, 2, 3
+),
+pick{i} AS (
+  SELECT query_id, cand_id, rel_ppm, penalty_ppm,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY {lam_num}*rel_ppm - {mu}*penalty_ppm DESC,
+                    cand_id) AS prn
+  FROM cand{i}
+),
+sel{i} AS (
+  SELECT query_id, cand_id, rel_ppm, penalty_ppm, pick_order FROM sel{i - 1}
+  UNION ALL
+  SELECT query_id, cand_id, rel_ppm, penalty_ppm,
+         CAST({i} AS BIGINT) AS pick_order
+  FROM pick{i} WHERE prn = 1
+)""")
+    return f"""
+WITH corpus AS ({PLANTED_VECS_SQL}),
+qs AS (SELECT vec_id AS query_id, embedding AS qv
+       FROM embeddings WHERE vec_id < 3),
+scored AS (
+  SELECT q.query_id, c.vec_id AS cand_id,
+         CAST(FLOOR(({cos_q}) * 1000000.0) AS BIGINT) AS rel_ppm
+  FROM qs q JOIN corpus c ON c.vec_id <> q.query_id
+),
+pool AS (
+  SELECT query_id, cand_id, rel_ppm FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY rel_ppm DESC, cand_id) AS rn
+    FROM scored) WHERE rn <= {pool}
+),
+psim AS (
+  SELECT p1.query_id, p1.cand_id AS a, p2.cand_id AS b,
+         CAST(FLOOR(({cos_p}) * 1000000.0) AS BIGINT) AS sim_ppm
+  FROM pool p1
+  JOIN pool p2 ON p2.query_id = p1.query_id AND p2.cand_id <> p1.cand_id
+  JOIN corpus x ON x.vec_id = p1.cand_id
+  JOIN corpus y ON y.vec_id = p2.cand_id
+),
+sel1 AS (
+  SELECT query_id, cand_id, rel_ppm, CAST(0 AS BIGINT) AS penalty_ppm,
+         CAST(1 AS BIGINT) AS pick_order
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY rel_ppm DESC, cand_id) AS rn FROM pool) WHERE rn = 1
+){"".join(steps)}
+SELECT query_id, cand_id, pick_order, rel_ppm, penalty_ppm,
+       {lam_num}*rel_ppm - {mu}*penalty_ppm AS mmr_score
+FROM sel{k} ORDER BY query_id, pick_order
+"""
+
+
+# =====================================================================
 # Registry
 # =====================================================================
 
 REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
+    "dedup_containment": (dedup_containment, CONTAINMENT_SQL),
+    "dedup_canonical_pick": (dedup_canonical_pick, _canonical_pick_sql()),
+    "search_mmr_rerank": (search_mmr_rerank, _mmr_sql()),
     "text_phrase_search": (text_phrase_search, PHRASE_SQL),
     "dedup_cdc_chunks": (dedup_cdc_chunks, CDC_SQL),
     "dedup_cdc_rolling": (dedup_cdc_rolling, CDC_ROLLING_SQL),

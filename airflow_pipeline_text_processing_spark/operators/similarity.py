@@ -218,8 +218,18 @@ def mmr_rerank(
         .filter(F.col("rn") <= pool)
         .localCheckpoint()
     )
+    # one more corpus scan TOTAL for the pairwise stage: the distinct pool
+    # ids (<= q*pool rows, broadcastable) semi-join the candidate frame
+    # once, and the bounded result is lineage-cut; both pairwise sides
+    # then derive from it without touching the corpus again.
+    pool_vecs = (
+        pool_df.select("cand_id")
+        .distinct()
+        .join(c, "cand_id")
+        .localCheckpoint()
+    )
     pa = pool_df.select("query_id", F.col("cand_id").alias("a")).join(
-        c.select(
+        pool_vecs.select(
             F.col("cand_id").alias("a"),
             F.col("cvec").alias("va"),
             F.col("cnorm").alias("na"),
@@ -227,7 +237,7 @@ def mmr_rerank(
         "a",
     )
     pb = pool_df.select("query_id", F.col("cand_id").alias("b")).join(
-        c.select(
+        pool_vecs.select(
             F.col("cand_id").alias("b"),
             F.col("cvec").alias("vb"),
             F.col("cnorm").alias("nb"),
@@ -308,7 +318,11 @@ def mmr_rerank(
                 F.lit(step).cast("long").alias("pick_order"),
             )
         )
-        selected = selected.unionAll(pick)
+        # selected_i feeds THREE different derivations next round (the
+        # anti-join, the penalty join, and the union) -- without a cut the
+        # step-i subplan re-executes inside every later step, compounding
+        # per iteration.  The frame is <= q*k rows, so the cut is free.
+        selected = selected.unionAll(pick).localCheckpoint()
     return selected.select(
         "query_id",
         "cand_id",

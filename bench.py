@@ -129,6 +129,11 @@ BENCH_QUERIES = [
     "graph_kcore",
     "graph_clustering_coeff",
     "text_chi2_tokens",
+    # round-10 second wave: containment dedup, canonical survivor pick,
+    # MMR diversified re-ranking
+    "dedup_containment",
+    "dedup_canonical_pick",
+    "search_mmr_rerank",
 ]
 
 

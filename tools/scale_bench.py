@@ -171,6 +171,56 @@ def _clustering_coeff_rep_groups(spark, sf_dir):
     )
 
 
+def _containment_all_docs(spark, sf_dir):
+    """dedup_containment's registry form runs on a 400-doc planted
+    corpus (oracle determinism); the scale check drives the operator
+    over the WHOLE synthetic documents table with the capped inverted
+    index (max_df=50, the winnowing-style posting-list bound)."""
+    from airflow_pipeline_text_processing_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return containment_pairs(docs, threshold_ppm=700_000, max_df=50)
+
+
+def _canonical_pick_all_docs(spark, sf_dir):
+    """canonical_pick over the whole synthetic corpus: the every-37th
+    exact copies give connected components real merge work; pairs come
+    from the capped inverted index like the registry form."""
+    from airflow_pipeline_text_processing_spark.operators.dedup import (
+        canonical_pick,
+        jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    pairs = jaccard_pairs(docs, threshold=0.6, max_df=50).select(
+        "doc_a", "doc_b"
+    )
+    return canonical_pick(docs, pairs)
+
+
+def _mmr_all_vecs(spark, sf_dir):
+    """mmr_rerank with the WHOLE synthetic embeddings table as the
+    candidate corpus (10 queries): the retrieval scan is the only
+    corpus-sized stage, so wall must grow ~linearly; the greedy stages
+    are pool-bounded and flat."""
+    from airflow_pipeline_text_processing_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    return mmr_rerank(
+        vecs.filter(F.col("vec_id") < 10), vecs, k=5, pool=20
+    )
+
+
 QUERIES = [
     ("dedup_semantic_clusters", None),
     ("semantic_dedup[k~n]", _semantic_scaled_k),
@@ -196,6 +246,10 @@ QUERIES = [
     ("kcore[rep-groups]", _kcore_rep_groups),
     ("clustering_coeff[rep-groups]", _clustering_coeff_rep_groups),
     ("text_chi2_tokens", None),
+    # r10 second wave
+    ("containment[all-docs]", _containment_all_docs),
+    ("canonical_pick[all-docs]", _canonical_pick_all_docs),
+    ("mmr[all-vecs]", _mmr_all_vecs),
 ]
 
 
@@ -360,8 +414,11 @@ def main() -> None:
     d1 = build_dir(spark, "x1", 1)
     d10 = build_dir(spark, "x10", 10)
 
+    only = set(sys.argv[1:])  # optional name filter: rerun a subset
     print(f"{'query':34s} {'x1':>7s} {'x10':>8s} {'ratio':>6s}")
     for name, override in QUERIES:
+        if only and name not in only:
+            continue
         fn = override if override is not None else REGISTRY[name][0]
         fn(spark, d1).count()  # warm plans/codegen on the small input
         walls = {}
@@ -374,8 +431,9 @@ def main() -> None:
             f"{walls['x10'] / walls['x1']:5.1f}x"
         )
 
-    structural_checks(spark, d1, d10)
-    ivfpq_lifecycle(spark, d1, d10)
+    if not only:
+        structural_checks(spark, d1, d10)
+        ivfpq_lifecycle(spark, d1, d10)
     spark.stop()
 
 

@@ -1063,7 +1063,7 @@ def sim_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cost, which is the whole point of the persisted variant.  The
     # first call per process (and the driver's one grading call) still
     # pays the honest build+add; cross-process slots are never reused.
-    if path not in _IVFPQ_BUILT_SLOTS:
+    if path not in _IVFPQ_BUILT_SLOTS or not os.path.exists(path):
         shutil.rmtree(path, ignore_errors=True)
         build_ivfpq_index(q.filter(F.col("vec_id") % 10 != 0), path, dim=64)
         ivfpq_index_add(spark, path, q.filter(F.col("vec_id") % 10 == 0))

@@ -181,6 +181,35 @@ def main() -> None:
         )
     print(f"(index build: {t_build:.1f}s, paid once)")
 
+    # recall-after-adds (VERDICT r9 ask #6 tail): quantizers train on a
+    # 90% split, the held-out 10% arrives via MERGE-add AFTER the freeze
+    # -- the structures never saw those vectors.  Recall vs the same
+    # full-corpus truth tells whether incremental ingest degrades search
+    # on clustered data, relative to the built-on-everything rows above.
+    from airflow_pipeline_text_processing_spark.operators.ann_index import (
+        ivfpq_index_add,
+    )
+
+    path_adds = os.path.join(BASE, "index_adds")
+    shutil.rmtree(path_adds, ignore_errors=True)
+    build_ivfpq_index(
+        corpus_q.filter(F.col("vec_id") % 10 != 0), path_adds, dim=64
+    )
+    ivfpq_index_add(
+        spark, path_adds, corpus_q.filter(F.col("vec_id") % 10 == 0)
+    )
+    for pf in (25, 200):
+        t0 = time.perf_counter()
+        got = _pairs(
+            ivfpq_index_search(
+                spark, path_adds, queries_q, corpus_q,
+                nprobe=4, prefilter=pf, k=K,
+            )
+        )
+        results[f"index 90%-built +10% adds (pf={pf})"] = (
+            _recall(got, l2_truth), time.perf_counter() - t0,
+        )
+
     print(f"\n{'method':30s} {'recall@10':>9s} {'wall':>7s}")
     for name, (rec, wall) in results.items():
         print(f"{name:30s} {rec:9.2f} {wall:6.1f}s")

@@ -180,3 +180,48 @@ SELECT fp FROM fps ORDER BY fp
 """
         oracle_fps = [r[0] for r in duckdb.execute(sql, [text]).fetchall()]
         assert spark_fps == oracle_fps
+
+
+class TestPersistedSlotReuse:
+    def test_second_call_serves_without_rebuild(self, spark, sf_dir):
+        """sim_ivfpq_persisted's within-process slot reuse: the second
+        call for the same sf_dir must NOT rebuild (bench timed runs
+        measure amortized serve) and must return the identical rows;
+        a vanished slot directory forces an honest rebuild."""
+        import shutil
+
+        from airflow_pipeline_text_processing_spark.operators import (
+            ann_index,
+        )
+        from airflow_pipeline_text_processing_spark.plans import (
+            queries_scale as QS,
+        )
+
+        QS._IVFPQ_BUILT_SLOTS.clear()
+        calls = {"n": 0}
+        orig = ann_index.build_ivfpq_index
+
+        def counting(*a, **kw):
+            calls["n"] += 1
+            return orig(*a, **kw)
+
+        ann_index.build_ivfpq_index = counting
+        try:
+            first = [
+                tuple(r) for r in QS.sim_ivfpq_persisted(spark, sf_dir).collect()
+            ]
+            assert calls["n"] == 1
+            second = [
+                tuple(r) for r in QS.sim_ivfpq_persisted(spark, sf_dir).collect()
+            ]
+            assert calls["n"] == 1  # reused, no rebuild
+            assert first == second
+            # vanished slot => rebuild, not a crash on a missing path
+            path = next(iter(QS._IVFPQ_BUILT_SLOTS))
+            shutil.rmtree(path, ignore_errors=True)
+            third = [
+                tuple(r) for r in QS.sim_ivfpq_persisted(spark, sf_dir).collect()
+            ]
+            assert calls["n"] == 2 and third == first
+        finally:
+            ann_index.build_ivfpq_index = orig

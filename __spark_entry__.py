@@ -79,6 +79,11 @@ _ORDER = [
     "dedup_containment",
     "dedup_canonical_pick",
     "search_mmr_rerank",
+    # -- NEW round 10 (third wave): CCNet-style corpus-wide boilerplate
+    # line stripping.  Displaced: text_lm_bigram (r9 driver-green; LM
+    # category keeps text_nb_classify / curation_lm_filtered /
+    # curation_dsir_select in-window).
+    "text_boilerplate_strip",
     # -- NEW this session (scale-technique surface, queries_scale.py):
     # enter directly as sole verifiers; displaced to make room (each
     # driver-green with in-window siblings): agg_value_histogram
@@ -96,7 +101,6 @@ _ORDER = [
     "text_bpe_compression",
     "mm_audio_fingerprint",
     # -- r6-graded verifiers kept in-window -------------------------------
-    "text_lm_bigram",
     "text_nb_classify",
     "curation_lm_filtered",
     "sample_surprisal_strata",
@@ -138,6 +142,7 @@ _ORDER = [
     "stats_source_kl",
     "sample_allocate_budget",
     "curation_entropy_filtered",
+    "text_lm_bigram",
     "stats_mann_whitney",
     "stats_quantile_normalize",
     "events_ewma_daily",

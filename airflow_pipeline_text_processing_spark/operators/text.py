@@ -425,6 +425,84 @@ def pack_bins_bfd(
     )
 
 
+def line_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """``(doc_id, line_no, line)`` for every non-blank line: the
+    line-granular inverted-index substrate (0-based ``line_no`` preserves
+    reassembly order)."""
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), "\n")).alias(
+            "line_no", "line"
+        ),
+    ).filter(F.length(F.trim(F.col("line"))) > 0)
+
+
+def strip_boilerplate(
+    docs: DataFrame, text_col: str = "text", min_df: int = 3
+) -> DataFrame:
+    """Corpus-wide boilerplate-line removal (the CCNet-style cleaning
+    stage, Wenzek et al. 2020: lines repeated across many documents --
+    navigation chrome, cookie banners, footers -- are template, not
+    content): a line whose document frequency reaches ``min_df`` distinct
+    documents is stripped from EVERY document; surviving lines reassemble
+    in original order.
+
+    Distinct from ``dedup.remove_repeated`` (within-doc excision of
+    corpus-frequent token SPANS): this is line-granular, exact-string,
+    and removes the line everywhere rather than keeping one occurrence.
+
+    Per doc: ``n_lines`` / ``n_removed_lines`` (non-blank lines seen /
+    stripped) and ``kept_text`` (empty string when everything was
+    boilerplate).  Documents with no non-blank line at all still emit a
+    row (0/0/'').
+
+    Scale shape: one explode -> line-df hash agg (map-side combinable)
+    -> broadcast-or-shuffle semi-flag join back -> one per-doc
+    reassembly agg.  Same two-hash-agg class as the n-gram novelty
+    operator; no all-pairs, no Python."""
+    lines = line_table(docs, text_col)
+    dfc = lines.groupBy("line").agg(
+        F.count_distinct("doc_id").alias("line_df")
+    )
+    flagged = lines.join(dfc, "line").select(
+        "doc_id",
+        "line_no",
+        "line",
+        (F.col("line_df") >= F.lit(min_df)).alias("_bp"),
+    )
+    agg = flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("_bp").cast("long")).alias("n_removed_lines"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("_bp"),
+                            F.struct("line_no", "line"),
+                        )
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("kept_text"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.coalesce("n_removed_lines", F.lit(0)).alias(
+                "n_removed_lines"
+            ),
+            F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def repetition_signals(
     docs: DataFrame, text_col: str = "text", gram_n: int = 2
 ) -> DataFrame:

@@ -2739,6 +2739,69 @@ ORDER BY m.doc_id
 """
 
 
+_BP_FOOTER = "all rights reserved - example corp"
+_BP_NEWSLETTER = "subscribe to our newsletter"
+
+
+def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-wide boilerplate-line removal
+    (operators/text.py::strip_boilerplate) over a planted multiline
+    corpus: every even doc carries a shared footer line, every fifth doc
+    a newsletter line -- both cross the min_df=3 document-frequency bar
+    and are stripped everywhere, while each document's own content line
+    (df 1) survives and reassembles."""
+    docs = _tspread(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit("\n" + _BP_FOOTER)
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0, F.lit("\n" + _BP_NEWSLETTER)
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return T.strip_boilerplate(docs, min_df=3)
+
+
+BOILERPLATE_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 2 = 0
+                 THEN chr(10) || '{_BP_FOOTER}' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN chr(10) || '{_BP_NEWSLETTER}' ELSE '' END AS text
+  FROM documents
+),
+ls AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM corpus),
+lines AS (
+  SELECT doc_id, pos AS line_no, l[pos] AS line
+  FROM ls, UNNEST(generate_series(1, len(l))) AS t(pos)
+  WHERE length(trim(l[pos])) > 0
+),
+dfc AS (SELECT line, COUNT(DISTINCT doc_id) AS line_df FROM lines GROUP BY 1),
+flagged AS (
+  SELECT li.doc_id, li.line_no, li.line, dfc.line_df >= 3 AS bp
+  FROM lines li JOIN dfc USING (line)
+),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(CASE WHEN bp THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_removed_lines,
+         COALESCE(string_agg(CASE WHEN NOT bp THEN line END, chr(10)
+                             ORDER BY line_no), '') AS kept_text
+  FROM flagged GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(COALESCE(a.n_lines, 0) AS BIGINT) AS n_lines,
+       CAST(COALESCE(a.n_removed_lines, 0) AS BIGINT) AS n_removed_lines,
+       COALESCE(a.kept_text, '') AS kept_text
+FROM corpus d LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 MMR_K, MMR_POOL, MMR_LAM_NUM, MMR_LAM_DEN = 5, 20, 7, 10
 
 
@@ -2840,6 +2903,7 @@ FROM sel{k} ORDER BY query_id, pick_order
 
 REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "dedup_containment": (dedup_containment, CONTAINMENT_SQL),
+    "text_boilerplate_strip": (text_boilerplate_strip, BOILERPLATE_SQL),
     "dedup_canonical_pick": (dedup_canonical_pick, _canonical_pick_sql()),
     "search_mmr_rerank": (search_mmr_rerank, _mmr_sql()),
     "text_phrase_search": (text_phrase_search, PHRASE_SQL),

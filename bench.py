@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "dedup_containment",
     "dedup_canonical_pick",
     "search_mmr_rerank",
+    "text_boilerplate_strip",
 ]
 
 

@@ -149,3 +149,40 @@ def test_mmr_pick_one_is_pure_relevance_argmax(spark):
     out = mmr_rerank(q, cands, k=1, pool=3).collect()
     assert len(out) == 1
     assert out[0].cand_id == 7 and out[0].pick_order == 1
+
+
+def test_strip_boilerplate_removes_corpus_frequent_lines(spark):
+    """Three docs share a footer line (df=3 = min_df -> stripped
+    everywhere); each doc's own content line (df=1) survives in order;
+    blank lines never count; a doc that is ONLY boilerplate keeps an
+    empty string; a doc with no non-blank lines still emits (0, 0, '')."""
+    from airflow_pipeline_text_processing_spark.operators.text import (
+        strip_boilerplate,
+    )
+
+    footer = "all rights reserved"
+    docs = _docs(
+        spark,
+        [
+            f"alpha content\n\n{footer}",
+            f"beta first\nbeta second\n{footer}",
+            footer,
+            "gamma only unique",
+            "\n\n",
+        ],
+    )
+    rows = {r.doc_id: r for r in strip_boilerplate(docs, min_df=3).collect()}
+    assert rows[0].kept_text == "alpha content"
+    assert (rows[0].n_lines, rows[0].n_removed_lines) == (2, 1)  # blank skipped
+    assert rows[1].kept_text == "beta first\nbeta second"
+    assert (rows[1].n_lines, rows[1].n_removed_lines) == (3, 1)
+    assert rows[2].kept_text == "" and rows[2].n_removed_lines == 1
+    assert rows[3].kept_text == "gamma only unique"
+    assert rows[3].n_removed_lines == 0
+    assert (rows[4].n_lines, rows[4].n_removed_lines, rows[4].kept_text) == (
+        0, 0, "",
+    )
+    # df=2 stays below the bar: nothing stripped
+    two = _docs(spark, [f"x\n{footer}", f"y\n{footer}"])
+    out2 = {r.doc_id: r for r in strip_boilerplate(two, min_df=3).collect()}
+    assert out2[0].n_removed_lines == 0 and footer in out2[0].kept_text

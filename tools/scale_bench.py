@@ -248,6 +248,9 @@ QUERIES = [
     ("text_chi2_tokens", None),
     # r10 second wave
     ("containment[all-docs]", _containment_all_docs),
+    # registry form already runs the WHOLE documents table (planted
+    # footers are appended per row), so no all-docs wrapper needed
+    ("text_boilerplate_strip", None),
     ("canonical_pick[all-docs]", _canonical_pick_all_docs),
     ("mmr[all-vecs]", _mmr_all_vecs),
 ]

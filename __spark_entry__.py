@@ -134,11 +134,14 @@ _ORDER = [
     # dedup_exact_groups (~ dedup_minhash_lsh/_sorted_neighborhood/
     # _winnow_overlap), text_bpe_train (~ text_bpe_compression),
     # sketch_cms_heavy_hitters (~ sketch_overlap_matrix).
-    # Displaced below the boundary for the three round-10 debuts
-    # (each r9 driver-green with in-window category siblings):
-    # Displaced below the boundary for the second-wave round-10 debuts
-    # (containment, canonical pick, MMR -- each r9 driver-green with
-    # in-window category siblings, see window comment above):
+    # Displaced below the boundary for the round-10 debuts (each r9
+    # driver-green with in-window category siblings, per-wave
+    # attribution in the window comments above): first wave displaced
+    # stats_mann_whitney / stats_quantile_normalize / events_ewma_daily
+    # / sample_weighted_orders; second wave (containment, canonical
+    # pick, MMR) displaced stats_source_kl / sample_allocate_budget /
+    # curation_entropy_filtered; third wave (boilerplate strip)
+    # displaced text_lm_bigram.
     "stats_source_kl",
     "sample_allocate_budget",
     "curation_entropy_filtered",

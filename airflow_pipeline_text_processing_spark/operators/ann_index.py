@@ -401,22 +401,44 @@ def ivfpq_index_search(
 
 
 def ivfpq_index_stream_add(
-    vectors: DataFrame, path: str, checkpoint_dir: str
+    vectors: DataFrame, path: str, checkpoint_dir: str,
+    seq_col: str | None = None,
 ):
     """Keep a persisted index fresh from a STREAM of vector batches:
     ``foreachBatch`` -> :func:`ivfpq_index_add` (the same
     at-least-once + idempotent-MERGE story as streaming/cdc.py --
     replaying a batch re-upserts the same keys, so recovery is safe).
     ``vectors`` is a streaming ``(vec_id, q)`` DataFrame; returns the
-    StreamingQuery (caller awaits/stops).  The frozen quantizers are
-    NOT retrained by the stream; ``ivfpq_index_staleness`` /
-    ``ivfpq_index_rebuild_if_stale`` remain the rebuild dial, typically
-    run between micro-batch windows by a maintenance job."""
+    StreamingQuery (caller awaits/stops).
+
+    Like cdc.py's ``latest_per_key``, each micro-batch is collapsed to
+    ONE row per ``vec_id`` before the MERGE -- without this, two updates
+    to one key drained in the same availableNow batch would BOTH append
+    (merge_upsert anti-joins old rows, not rows within the batch),
+    leaving duplicate live rows that double that candidate's summed ADC
+    distance.  Pass ``seq_col`` to keep the highest-sequence row;
+    without one, the deterministic max-``q`` row wins (arrays compare
+    lexicographically -- any total order works, it only breaks ties
+    between conflicting same-key updates).
+
+    The frozen quantizers are NOT retrained by the stream;
+    ``ivfpq_index_staleness`` / ``ivfpq_index_rebuild_if_stale`` remain
+    the rebuild dial, typically run between micro-batch windows by a
+    maintenance job."""
 
     def _apply(batch: DataFrame, _batch_id: int) -> None:
         if batch.isEmpty():
             return
-        ivfpq_index_add(batch.sparkSession, path, batch)
+        order = (
+            F.col(seq_col).desc() if seq_col else F.col("q").desc()
+        )
+        w = Window.partitionBy("vec_id").orderBy(order)
+        latest = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("vec_id", "q")
+        )
+        ivfpq_index_add(batch.sparkSession, path, latest)
 
     return (
         vectors.writeStream.foreachBatch(_apply)

@@ -287,8 +287,11 @@ def containment_pairs(
     pairs only.  No new shuffle class."""
     cands = jaccard_candidate_pairs(docs, text_col, n, max_df)
     ex = jaccard_for_pairs(docs, cands, text_col, n)
-    cont_a = F.expr("(n_common * 1000000) div size_a")
-    cont_b = F.expr("(n_common * 1000000) div size_b")
+    # F.size() yields 32-bit ints: the multiply must widen FIRST or it
+    # wraps at n_common >= 2148 (long-document near-dups, exactly this
+    # operator's quarry) while DuckDB's BIGINT count does not
+    cont_a = F.expr("(cast(n_common as bigint) * 1000000) div size_a")
+    cont_b = F.expr("(cast(n_common as bigint) * 1000000) div size_b")
     return (
         ex.select(
             "doc_a",

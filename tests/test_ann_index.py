@@ -204,10 +204,19 @@ def test_streaming_ingest_into_index(spark, qvecs, tmp_path):
         F.transform("q", lambda x: x + F.lit(500)).alias("q"),
     )
     twin.coalesce(1).write.parquet(os.path.join(src, "b0"))
+    # batch b1 carries a DUPLICATE key: two conflicting rows for
+    # 2_000_007 in one micro-batch -- the sink must collapse to one
+    # live row (deterministic max-q winner), not append both
     others = qvecs.filter(F.col("vec_id").isin(7, 9)).select(
         (F.col("vec_id") + 2_000_000).alias("vec_id"), "q"
     )
-    others.coalesce(1).write.parquet(os.path.join(src, "b1"))
+    dup_loser = qvecs.filter(F.col("vec_id") == 7).select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"),
+        F.transform("q", lambda x: x - F.lit(1)).alias("q"),
+    )
+    others.unionAll(dup_loser).coalesce(1).write.parquet(
+        os.path.join(src, "b1")
+    )
 
     stream = (
         spark.readStream.schema("vec_id long, q array<bigint>")

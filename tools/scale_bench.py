@@ -418,6 +418,9 @@ def main() -> None:
     d10 = build_dir(spark, "x10", 10)
 
     only = set(sys.argv[1:])  # optional name filter: rerun a subset
+    unknown = only - {n for n, _ in QUERIES}
+    if unknown:
+        raise SystemExit(f"unknown query names: {sorted(unknown)}")
     print(f"{'query':34s} {'x1':>7s} {'x10':>8s} {'ratio':>6s}")
     for name, override in QUERIES:
         if only and name not in only:

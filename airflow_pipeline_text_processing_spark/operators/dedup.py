@@ -579,6 +579,41 @@ def connected_components(
     return members.union(roots).distinct()
 
 
+def ngram_novelty(
+    docs: DataFrame, text_col: str = "text", n: int = 8
+) -> DataFrame:
+    """Per-document ``n``-gram novelty: the ppm fraction of a document's
+    DISTINCT token ``n``-grams that appear in no other document -- the
+    curation dial for memorization risk and cross-document boilerplate
+    (the doc-level complement of span excision and winnowing overlap).
+    Docs shorter than ``n`` tokens have no grams and emit no row.
+
+    One gram explode + one corpus hash-agg on the gram (the
+    document-frequency join is the only shuffle); the distinct gram
+    table feeds both the df aggregate and the join back, so it is
+    lineage-cut once."""
+    grams = (
+        positional_shingles(docs, text_col, n)
+        .select("doc_id", "shingle")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    gdf = grams.groupBy("shingle").agg(F.count("*").alias("gdf"))
+    return (
+        grams.join(gdf, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_distinct"),
+            F.sum(F.when(F.col("gdf") == 1, 1).otherwise(0)).alias("_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_distinct",
+            F.expr("(_novel * 1000000) div n_distinct").alias("novel_ppm"),
+        )
+    )
+
+
 def canonical_pick(
     docs: DataFrame,
     pairs: DataFrame,

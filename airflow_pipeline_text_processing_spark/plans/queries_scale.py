@@ -1390,29 +1390,10 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the gram (the document-frequency join is the only shuffle);
     docs shorter than 8 tokens have no grams and emit no row on either
     engine."""
-    from ..operators.dedup import positional_shingles
+    from ..operators.dedup import ngram_novelty
 
     docs = _tspread(spark, sf_dir, "documents").select("doc_id", "text")
-    grams = (
-        positional_shingles(docs, n=8)
-        .select("doc_id", "shingle")
-        .distinct()
-        .localCheckpoint(eager=False)  # feeds gdf AND the join below
-    )
-    gdf = grams.groupBy("shingle").agg(F.count("*").alias("gdf"))
-    return (
-        grams.join(gdf, "shingle")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_distinct"),
-            F.sum(F.when(F.col("gdf") == 1, 1).otherwise(0)).alias("_novel"),
-        )
-        .select(
-            "doc_id",
-            "n_distinct",
-            F.expr("(_novel * 1000000) div n_distinct").alias("novel_ppm"),
-        )
-    )
+    return ngram_novelty(docs, n=8)
 
 
 def _novelty_sql() -> str:

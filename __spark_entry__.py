@@ -84,6 +84,20 @@ _ORDER = [
     # category keeps text_nb_classify / curation_lm_filtered /
     # curation_dsir_select in-window).
     "text_boilerplate_strip",
+    # -- NEW round 10 (fourth wave): Resource-Allocation link
+    # prediction, Markov next-event transition matrix, Gopher §A1
+    # document-quality rules, Kendall tau-a daily trend.  Displaced to
+    # make room (each driver-green with in-window category siblings):
+    # events_interpolate_gaps (~ events_markov_transitions),
+    # stats_selection_quantiles (~ stats_ks_two_sample /
+    # stats_kendall_daily), dedup_cdc_rolling (~ dedup_minhash_lsh /
+    # dedup_winnow_overlap / dedup_containment / dedup_canonical_pick),
+    # graph_label_communities (~ graph_triangle_count / graph_kcore /
+    # graph_clustering_coeff / graph_link_predict).
+    "graph_link_predict",
+    "events_markov_transitions",
+    "text_gopher_quality",
+    "stats_kendall_daily",
     # -- NEW this session (scale-technique surface, queries_scale.py):
     # enter directly as sole verifiers; displaced to make room (each
     # driver-green with in-window siblings): agg_value_histogram
@@ -93,10 +107,7 @@ _ORDER = [
     "join_bloom_prefilter",
     "dedup_winnow_overlap",
     "search_rrf_fusion",
-    "events_interpolate_gaps",
     "stats_ks_two_sample",
-    "stats_selection_quantiles",
-    "dedup_cdc_rolling",
     "text_topics_kmeans",
     "text_bpe_compression",
     "mm_audio_fingerprint",
@@ -125,7 +136,6 @@ _ORDER = [
     "stream_stream_join_pairs",
     "stream_session_windows",
     "dedup_minhash_lsh",
-    "graph_label_communities",
     "dq_events_expectations",
     # ==== driver window boundary (position 50) ===========================
     # Displaced below the boundary for the four round-9 debuts (each
@@ -146,6 +156,10 @@ _ORDER = [
     "sample_allocate_budget",
     "curation_entropy_filtered",
     "text_lm_bigram",
+    "events_interpolate_gaps",
+    "stats_selection_quantiles",
+    "dedup_cdc_rolling",
+    "graph_label_communities",
     "stats_mann_whitney",
     "stats_quantile_normalize",
     "events_ewma_daily",

@@ -297,3 +297,63 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
         .groupBy("node")
         .agg(F.count("*").cast("long").alias("deg"))
     )
+
+
+RA_SCALE = 10**12
+
+
+def link_prediction_ra(
+    edges: DataFrame, max_center_deg: int = 64
+) -> DataFrame:
+    """Resource-Allocation link prediction (Zhou, Lu & Zhang, EPJ B
+    2009) over an undirected simple graph given as distinct
+    ``(src, dst)`` with ``src < dst``: for every NON-adjacent pair
+    (u, w) sharing at least one neighbor, score the missing edge by
+    ``ra_fp = sum over common neighbors v of RA_SCALE div deg(v)``
+    (plus the plain common-neighbor count ``cn``).  Exact BIGINT
+    everywhere: RA's 1/deg weights become one integer division per
+    wedge -- no libm, bit-identical across engines and partition
+    orders (engine-conventions memo).
+
+    Scale shape: wedges here must be centered at EVERY common
+    neighbor, so degree orientation (the triangle trick) cannot apply
+    -- instead the fan-out guard is ``max_center_deg``: centers above
+    the cap are dropped before the neighbor-pair self-join, bounding
+    wedge rows by ``cap * m`` (linear in edges, whatever the skew).
+    The cap is principled for RA specifically: a center of degree d
+    contributes weight RA_SCALE/d per pair, so the dropped super-hub
+    evidence is exactly the signal RA already discounts toward zero
+    ("shared a mega-hub neighbor" predicts nothing).  Same device as
+    ``cooccurrence_edges``' ``max_group`` and the LSH band cap.
+
+    The edge list is localCheckpointed: it feeds the adjacency
+    explosion, the degree agg, and the final anti-join -- three
+    different derivations that defeat exchange reuse (the measured
+    lineage-cut rule from PROFILE_r10 §6).
+
+    Returns ``(src, dst, cn, ra_fp)`` with ``src < dst``, candidates
+    only (existing edges anti-joined away).
+    """
+    edges = edges.localCheckpoint(eager=False)
+    adj = edges.select(
+        F.col("src").alias("v"), F.col("dst").alias("n")
+    ).unionAll(edges.select(F.col("dst").alias("v"), F.col("src").alias("n")))
+    deg = adj.groupBy("v").agg(F.count("*").cast("long").alias("deg"))
+    cadj = adj.join(
+        deg.filter(F.col("deg") <= max_center_deg), "v"
+    )
+    b = cadj.select("v", F.col("n").alias("w"))
+    wedges = (
+        cadj.select("v", "deg", F.col("n").alias("u"))
+        .join(b, "v")
+        .filter(F.col("u") < F.col("w"))
+    )
+    scored = wedges.groupBy(
+        F.col("u").alias("src"), F.col("w").alias("dst")
+    ).agg(
+        F.count("*").cast("long").alias("cn"),
+        F.sum(F.expr(f"CAST({RA_SCALE} DIV deg AS BIGINT)"))
+        .cast("long")
+        .alias("ra_fp"),
+    )
+    return scored.join(edges, ["src", "dst"], "left_anti")

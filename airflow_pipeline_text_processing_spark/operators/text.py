@@ -579,6 +579,129 @@ def repetition_signals(
     )
 
 
+GOPHER_REQ_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_rules(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher document-quality filter rules (Rae et al. 2021 §A1) --
+    the published heuristic gate real curation runs apply before any
+    model-based scoring; complements ``repetition_signals`` (§A1.1)
+    which covers the repetition half of the same appendix.
+
+    Per document, the six §A1 rules, each as a BIGINT 0/1 flag decided
+    on INTEGER cross-products (never a rounded ratio -- the same exact
+    device as the §A1.1 flags):
+
+    - ``r_word_count``:   ``min_words <= n_words <= max_words``
+    - ``r_mean_word_len``: mean word length in [3, 10] characters,
+      i.e. ``3*n_words <= word_chars <= 10*n_words``
+    - ``r_symbol_ratio``: (# of ``#`` chars + ``...``/ellipsis runs)
+      to words < 0.1, i.e. ``10*n_symbols < n_words``
+    - ``r_bullet_lines``: <= 90% of non-empty lines start with a
+      bullet (``-``/``*``/the unicode bullet)
+    - ``r_ellipsis_lines``: <= 30% of non-empty lines end with an
+      ellipsis
+    - ``r_alpha_words``:  >= 80% of words contain an alphabetic char,
+      i.e. ``5*n_alpha_words >= 4*n_words``
+    - ``r_stopwords``:    >= 2 distinct words from Gopher's required
+      stopword set {the, be, to, of, and, that, have, with}
+
+    plus ``passes_gopher`` = the conjunction.  Empty-line documents
+    pass the line-ratio rules vacuously (0 <= bound of 0).
+
+    Plan shape: a single narrow projection -- tokenization and line
+    splits are per-row array expressions, no explode, no shuffle, no
+    Python; at 100 TB this is a map-only scan whose cost is the
+    tokenizer regex.  The token and line arrays are materialized as
+    attributes behind a projection boundary before any lambda
+    references them (the CollapseProject O(n^2) retokenize trap
+    documented on ``repetition_signals``)."""
+    materialized = docs.select(
+        "doc_id",
+        F.col(text_col).alias("_txt"),
+        tokens(F.col(text_col)).alias("_toks"),
+        F.filter(
+            F.transform(
+                F.split(F.col(text_col), "\n"), lambda s: F.trim(s)
+            ),
+            lambda s: s != F.lit(""),
+        ).alias("_lines"),
+    )
+    toks = F.col("_toks")
+    n_words = F.size(toks).cast("long")
+    word_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+    )
+    n_hash = (
+        F.length("_txt") - F.length(F.regexp_replace("_txt", "#", ""))
+    ).cast("long")
+    # non-overlapping '...' runs + unicode ellipsis chars
+    n_ell = (
+        (
+            F.length("_txt")
+            - F.length(F.regexp_replace("_txt", r"\.\.\.", ""))
+        )
+        / 3
+        + F.length("_txt")
+        - F.length(F.regexp_replace("_txt", "…", ""))
+    ).cast("long")
+    n_lines = F.size("_lines").cast("long")
+    n_bullet = F.size(
+        F.filter(F.col("_lines"), lambda s: s.rlike("^[-*•]"))
+    ).cast("long")
+    n_ell_lines = F.size(
+        F.filter(
+            F.col("_lines"), lambda s: s.rlike("(\\.\\.\\.|…)$")
+        )
+    ).cast("long")
+    n_alpha = F.size(
+        F.filter(toks, lambda t: t.rlike("[a-z]"))
+    ).cast("long")
+    n_stops = F.size(
+        F.filter(
+            F.array_distinct(toks), lambda t: t.isin(GOPHER_REQ_STOPS)
+        )
+    ).cast("long")
+    counted = materialized.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        word_chars.alias("word_chars"),
+        (n_hash + n_ell).alias("n_symbols"),
+        n_lines.alias("n_lines"),
+        n_bullet.alias("n_bullet_lines"),
+        n_ell_lines.alias("n_ellipsis_lines"),
+        n_alpha.alias("n_alpha_words"),
+        n_stops.alias("n_req_stopwords"),
+    )
+    flags = {
+        "r_word_count": (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words),
+        "r_mean_word_len": (F.col("word_chars") >= 3 * F.col("n_words"))
+        & (F.col("word_chars") <= 10 * F.col("n_words")),
+        "r_symbol_ratio": F.col("n_symbols") * 10 < F.col("n_words"),
+        "r_bullet_lines": F.col("n_bullet_lines") * 10
+        <= F.col("n_lines") * 9,
+        "r_ellipsis_lines": F.col("n_ellipsis_lines") * 10
+        <= F.col("n_lines") * 3,
+        "r_alpha_words": F.col("n_alpha_words") * 5
+        >= F.col("n_words") * 4,
+        "r_stopwords": F.col("n_req_stopwords") >= 2,
+    }
+    out = counted.select(
+        "*", *[c.cast("long").alias(n) for n, c in flags.items()]
+    )
+    passes = None
+    for name in flags:
+        cond = F.col(name) == 1
+        passes = cond if passes is None else (passes & cond)
+    return out.select("*", passes.cast("long").alias("passes_gopher"))
+
+
 def bpe_train_merges(
     docs: DataFrame, k: int = 4, text_col: str = "text"
 ) -> DataFrame:

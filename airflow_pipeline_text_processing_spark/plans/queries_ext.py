@@ -3781,6 +3781,95 @@ ORDER BY event_type
 """
 
 
+def stats_kendall_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-a trend test between day order and daily revenue,
+    per event_type -- the pairwise-concordance complement to
+    stats_spearman_daily (rank-difference) and stats_linear_trend
+    (Pearson slope): tau counts, over all day pairs (i < j), whether
+    the later day's revenue is higher (concordant), lower (discordant)
+    or tied, and ``tau = (C - D) / (n*(n-1)/2)`` -- emitted as exact
+    ``tau_ppm`` via the pmod floor-division device (tau can be
+    negative; both engines' integer division truncates toward zero,
+    so the non-negative remainder is subtracted first -- engine-
+    conventions memo).  Ties count as neither (the tau-a form); the
+    tie count is emitted so a tau-b re-normalization is one extra
+    division away.
+
+    Scale shape: one map-side-combinable daily rollup, then a
+    PER-TYPE day-pair self-join -- an equi-join on event_type whose
+    fan-out is bounded by days^2 per group (a decade of dailies is
+    ~6.7M pairs per type: a worker-local nested loop, never a global
+    product).  Magnitude: |C - D| * 1e6 <= 1e6 * n^2 holds inside
+    BIGINT through n ~= 3e6 days.  Beyond centuries of dailies,
+    switch to the merge-sort inversion-count formulation; pair
+    counting is the honest bounded-group form."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.expr("CAST(FLOOR(value * 100) AS BIGINT)").alias("cents"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.sum("cents").alias("y")
+    )
+    a = daily.select(
+        "event_type", F.col("day").alias("da"), F.col("y").alias("ya")
+    )
+    b = daily.select(
+        "event_type", F.col("day").alias("db"), F.col("y").alias("yb")
+    )
+    pairs = a.join(b, "event_type").filter(F.col("da") < F.col("db"))
+    moms = pairs.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum((F.col("yb") > F.col("ya")).cast("long"))
+        .cast("long")
+        .alias("n_conc"),
+        F.sum((F.col("yb") < F.col("ya")).cast("long"))
+        .cast("long")
+        .alias("n_disc"),
+    )
+    num = (F.col("n_conc") - F.col("n_disc")) * F.lit(1000000)
+    den = F.col("n_pairs")
+    tau = ((num - F.pmod(num, den)) / den).cast("long")
+    return moms.select(
+        "event_type",
+        "n_pairs",
+        "n_conc",
+        "n_disc",
+        (F.col("n_pairs") - F.col("n_conc") - F.col("n_disc")).alias(
+            "n_ties"
+        ),
+        tau.alias("tau_ppm"),
+    ).orderBy("event_type")
+
+
+KENDALL_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS y
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT a.event_type,
+         CASE WHEN b.y > a.y THEN 1 ELSE 0 END AS c,
+         CASE WHEN b.y < a.y THEN 1 ELSE 0 END AS d
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day
+), moms AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(c) AS BIGINT) AS n_conc,
+         CAST(SUM(d) AS BIGINT) AS n_disc
+  FROM pairs GROUP BY 1
+)
+SELECT event_type, n_pairs, n_conc, n_disc,
+       CAST(n_pairs - n_conc - n_disc AS BIGINT) AS n_ties,
+       -- floor division via the non-negative-remainder device (tau can
+       -- be negative; both engines' / on BIGINTs truncates toward zero)
+       CAST((num - ((num % den) + den) % den) / den AS BIGINT) AS tau_ppm
+FROM (SELECT *, (n_conc - n_disc) * 1000000 AS num, n_pairs AS den
+      FROM moms)
+ORDER BY event_type
+"""
+
+
 def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially weighted moving average of daily revenue per event
     type, exact fixed point: over the trailing 8-row window (oldest
@@ -4241,6 +4330,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "sketch_cms_heavy_hitters": (sketch_cms_heavy_hitters, CMS_SQL),
     "stats_linear_trend": (stats_linear_trend, LINEAR_TREND_SQL),
     "stats_spearman_daily": (stats_spearman_daily, SPEARMAN_SQL),
+    "stats_kendall_daily": (stats_kendall_daily, KENDALL_SQL),
     "stats_sigma_outliers": (stats_sigma_outliers, SIGMA_OUTLIERS_SQL),
     "stats_mann_whitney": (stats_mann_whitney, MANN_WHITNEY_SQL),
     "events_ewma_daily": (events_ewma_daily, EWMA_SQL),

@@ -918,6 +918,111 @@ ORDER BY doc_id
 """
 
 
+_GOPHER_JUNK = (
+    "\n- bullet one\n- bullet two\n- bullet three"
+    "\nto be continued...\n# # ###"
+)
+
+
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021 §A1;
+    operators/text.py::gopher_quality_rules) over a planted corpus
+    that exercises both branches of every rule: every 3rd document is
+    word-repeated 25x (crossing the 50-word floor), every 7th gets a
+    bullet-list + ellipsis-line + symbol-run tail (tripping the
+    bullet/ellipsis/symbol-ratio rules).  All six §A1 flags plus the
+    conjunction, decided on integer cross-products -- the published
+    pre-model curation gate, complementing text_repetition_signals
+    (§A1.1).  Map-only narrow projection: no shuffle, no Python."""
+    docs = _tspread(spark, sf_dir, "documents").select("doc_id", "text")
+    base = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.repeat(F.concat(F.col("text"), F.lit(" ")), 25),
+    ).otherwise(F.col("text"))
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(base, F.lit(_GOPHER_JUNK))
+        )
+        .otherwise(base)
+        .alias("text"),
+    )
+    return T.gopher_quality_rules(planted).orderBy("doc_id")
+
+
+_GOPHER_LINES_SQL = (
+    "list_filter(list_transform(string_split(text, chr(10)), "
+    "s -> trim(s)), s -> s != '')"
+)
+
+GOPHER_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN b || chr(10) || '- bullet one' || chr(10) ||
+                   '- bullet two' || chr(10) || '- bullet three' ||
+                   chr(10) || 'to be continued...' || chr(10) || '# # ###'
+              ELSE b END AS text
+  FROM (SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0
+                    THEN repeat(text || ' ', 25) ELSE text END AS b
+        FROM documents)
+),
+counted AS (
+  SELECT doc_id,
+         CAST(len({TOKS_SQL}) AS BIGINT) AS n_words,
+         CAST(COALESCE(list_sum(list_transform({TOKS_SQL},
+              t -> length(t))), 0) AS BIGINT) AS word_chars,
+         CAST(length(text) - length(replace(text, '#', ''))
+              + (length(text) - length(replace(text, '...', ''))) // 3
+              + length(text) - length(replace(text, '…', ''))
+              AS BIGINT) AS n_symbols,
+         CAST(len({_GOPHER_LINES_SQL}) AS BIGINT) AS n_lines,
+         CAST(len(list_filter({_GOPHER_LINES_SQL},
+              s -> regexp_matches(s, '^[-*•]'))) AS BIGINT)
+           AS n_bullet_lines,
+         CAST(len(list_filter({_GOPHER_LINES_SQL},
+              s -> regexp_matches(s, '(\\.\\.\\.|…)$'))) AS BIGINT)
+           AS n_ellipsis_lines,
+         CAST(len(list_filter({TOKS_SQL},
+              t -> regexp_matches(t, '[a-z]'))) AS BIGINT)
+           AS n_alpha_words,
+         CAST(len(list_filter(list_distinct({TOKS_SQL}),
+              t -> list_contains(['the','be','to','of','and','that',
+                                  'have','with'], t))) AS BIGINT)
+           AS n_req_stopwords
+  FROM corpus
+)
+SELECT *,
+       CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+            THEN 1 ELSE 0 END AS BIGINT) AS r_word_count,
+       CAST(CASE WHEN word_chars >= 3 * n_words
+                  AND word_chars <= 10 * n_words
+            THEN 1 ELSE 0 END AS BIGINT) AS r_mean_word_len,
+       CAST(CASE WHEN n_symbols * 10 < n_words
+            THEN 1 ELSE 0 END AS BIGINT) AS r_symbol_ratio,
+       CAST(CASE WHEN n_bullet_lines * 10 <= n_lines * 9
+            THEN 1 ELSE 0 END AS BIGINT) AS r_bullet_lines,
+       CAST(CASE WHEN n_ellipsis_lines * 10 <= n_lines * 3
+            THEN 1 ELSE 0 END AS BIGINT) AS r_ellipsis_lines,
+       CAST(CASE WHEN n_alpha_words * 5 >= n_words * 4
+            THEN 1 ELSE 0 END AS BIGINT) AS r_alpha_words,
+       CAST(CASE WHEN n_req_stopwords >= 2
+            THEN 1 ELSE 0 END AS BIGINT) AS r_stopwords,
+       CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+                  AND word_chars >= 3 * n_words
+                  AND word_chars <= 10 * n_words
+                  AND n_symbols * 10 < n_words
+                  AND n_bullet_lines * 10 <= n_lines * 9
+                  AND n_ellipsis_lines * 10 <= n_lines * 3
+                  AND n_alpha_words * 5 >= n_words * 4
+                  AND n_req_stopwords >= 2
+            THEN 1 ELSE 0 END AS BIGINT) AS passes_gopher
+FROM counted
+ORDER BY doc_id
+"""
+
+
 BPE_K = 4
 
 
@@ -2902,6 +3007,7 @@ FROM sel{k} ORDER BY query_id, pick_order
 # =====================================================================
 
 REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
+    "text_gopher_quality": (text_gopher_quality, GOPHER_SQL),
     "dedup_containment": (dedup_containment, CONTAINMENT_SQL),
     "text_boilerplate_strip": (text_boilerplate_strip, BOILERPLATE_SQL),
     "dedup_canonical_pick": (dedup_canonical_pick, _canonical_pick_sql()),

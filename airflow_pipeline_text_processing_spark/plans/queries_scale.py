@@ -1314,6 +1314,130 @@ LIMIT 20
 
 
 # =====================================================================
+# Resource-Allocation link prediction over the co-occurrence graph
+# =====================================================================
+
+# 128 keeps every sf0.01 center (max degree 123 there -- the gate corpus
+# exercises the full wedge pipeline) while pruning real hubs at sf0.1+
+# (max degree 190: 3.89M -> 3.33M wedge rows at the cap).
+_LP_MAX_CENTER_DEG = 128
+
+
+def graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 predicted missing edges in the co-interaction graph by
+    Resource-Allocation index (operators/graph.py::link_prediction_ra;
+    Zhou-Lu-Zhang 2009): non-adjacent user pairs scored by
+    ``sum(RA_SCALE div deg(v))`` over common neighbors v, plus the raw
+    common-neighbor count -- the classic "people you may know" /
+    record-linkage candidate generator.  Same co-occurrence projection
+    as graph_triangle_count; wedges here center on every common
+    neighbor, so the scale guard is the center-degree cap (dropped
+    super-hub centers carry RA weight <= RA_SCALE/cap each -- the
+    evidence RA already discounts to nothing), bounding the pair
+    fan-out by cap*m: linear in edges regardless of skew."""
+    from ..operators.graph import cooccurrence_edges, link_prediction_ra
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.date_trunc("hour", "ts").alias("h")
+    )
+    edges = cooccurrence_edges(
+        ev, ["event_type", "h"], "user_id", min_group=2, max_group=20
+    )
+    cand = link_prediction_ra(edges, max_center_deg=_LP_MAX_CENTER_DEG)
+    return (
+        cand.orderBy(F.desc("ra_fp"), "src", "dst")
+        .limit(20)
+        .select(
+            F.col("src").alias("user_a"),
+            F.col("dst").alias("user_b"),
+            "cn",
+            "ra_fp",
+        )
+    )
+
+
+LINK_PREDICT_SQL = f"""
+WITH {_COOC_EDGES_CTES},
+adj AS (
+  SELECT src AS v, dst AS n FROM edges
+  UNION ALL SELECT dst AS v, src AS n FROM edges),
+deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY v),
+cadj AS (
+  SELECT a.v, d.deg, a.n
+  FROM adj a JOIN deg d USING (v)
+  WHERE d.deg <= {_LP_MAX_CENTER_DEG}),
+wedges AS (
+  SELECT a.v, a.deg, a.n AS u, b.n AS w
+  FROM cadj a JOIN cadj b ON a.v = b.v AND a.n < b.n),
+scored AS (
+  SELECT u AS src, w AS dst, CAST(COUNT(*) AS BIGINT) AS cn,
+         CAST(SUM(1000000000000 // deg) AS BIGINT) AS ra_fp
+  FROM wedges GROUP BY 1, 2),
+cand AS (
+  SELECT s.* FROM scored s
+  WHERE NOT EXISTS (
+    SELECT 1 FROM edges e WHERE e.src = s.src AND e.dst = s.dst))
+SELECT src AS user_a, dst AS user_b, cn, ra_fp
+FROM cand
+ORDER BY ra_fp DESC, src, dst
+LIMIT 20
+"""
+
+
+# =====================================================================
+# Markov next-event transition matrix (conditional probabilities)
+# =====================================================================
+
+
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the event stream: for
+    every (src, dst) consecutive event-type pair within a user's
+    time-ordered history, the transition count and the conditional
+    probability ``P(dst | src)`` in exact integer ppm -- the
+    session-model / synthetic-trace primitive on top of the same
+    per-user lag window PageRank's edge extraction uses
+    (operators/graph.py::transition_edges).
+
+    Scale shape: the one heavy stage is the per-user lag window
+    (shuffle on user_id, never global); it aggregates the full log
+    into a transition matrix bounded by |event_type|^2 rows, and the
+    out-weight normalization is a window over that tiny relation.
+    ppm = (w * 10^6) div out_w: BIGINT throughout, w <= out_w so no
+    overflow below 9.2e12 transitions per source type."""
+    from ..operators.graph import transition_edges
+
+    ev = _t(spark, sf_dir, "events")
+    e = transition_edges(ev)
+    out = e.withColumn(
+        "out_w", F.sum("w").over(Window.partitionBy("src"))
+    )
+    return out.select(
+        "src",
+        "dst",
+        F.col("w").cast("long").alias("w"),
+        F.col("out_w").cast("long").alias("out_w"),
+        F.expr("CAST((w * 1000000) DIV out_w AS BIGINT)").alias("p_ppm"),
+    ).orderBy("src", "dst")
+
+
+MARKOV_SQL = """
+WITH seq AS (
+  SELECT event_type AS dst,
+         LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS src
+  FROM events),
+e AS (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+  FROM seq WHERE src IS NOT NULL GROUP BY 1, 2),
+o AS (SELECT src, CAST(SUM(w) AS BIGINT) AS out_w FROM e GROUP BY 1)
+SELECT e.src, e.dst, e.w, o.out_w,
+       CAST((e.w * 1000000) // o.out_w AS BIGINT) AS p_ppm
+FROM e JOIN o USING (src)
+ORDER BY src, dst
+"""
+
+
+# =====================================================================
 # RAKE keyword extraction
 # =====================================================================
 
@@ -1649,6 +1773,8 @@ LIMIT {_CHI2_TOP}
 
 
 REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
+    "graph_link_predict": (graph_link_predict, LINK_PREDICT_SQL),
+    "events_markov_transitions": (events_markov_transitions, MARKOV_SQL),
     "sim_range_search": (sim_range_search, _RANGE_SQL),
     "graph_kcore": (graph_kcore, _kcore_sql()),
     "graph_clustering_coeff": (graph_clustering_coeff, _clustering_coeff_sql()),

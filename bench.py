@@ -135,6 +135,12 @@ BENCH_QUERIES = [
     "dedup_canonical_pick",
     "search_mmr_rerank",
     "text_boilerplate_strip",
+    # round-10 fourth wave: RA link prediction, Markov transitions,
+    # Gopher quality rules, Kendall tau-a
+    "graph_link_predict",
+    "events_markov_transitions",
+    "text_gopher_quality",
+    "stats_kendall_daily",
 ]
 
 

@@ -221,6 +221,19 @@ def _mmr_all_vecs(spark, sf_dir):
     )
 
 
+def _link_predict_rep_groups(spark, sf_dir):
+    """graph_link_predict on replica-disjoint groups (see
+    _triangle_rep_groups for why the registry grouping would measure
+    the fan-out cap, not the algorithm): edge set m grows linearly
+    with the multiplier, so the cap*m wedge bound is what's timed."""
+    from airflow_pipeline_text_processing_spark.operators.graph import (
+        link_prediction_ra,
+    )
+
+    cand = link_prediction_ra(_rep_edges(spark, sf_dir), max_center_deg=128)
+    return cand.orderBy(F.desc("ra_fp"), "src", "dst").limit(20)
+
+
 QUERIES = [
     ("dedup_semantic_clusters", None),
     ("semantic_dedup[k~n]", _semantic_scaled_k),
@@ -253,6 +266,15 @@ QUERIES = [
     ("text_boilerplate_strip", None),
     ("canonical_pick[all-docs]", _canonical_pick_all_docs),
     ("mmr[all-vecs]", _mmr_all_vecs),
+    # r10 fourth wave: RA link prediction (rep-grouped like the other
+    # graph rows); the other three run their registry forms directly --
+    # markov's lag window shuffles per user (disjoint per replica),
+    # gopher is map-only, kendall's day-pair join is days-bounded (the
+    # replicas share the calendar, so only the rollup input grows)
+    ("link_predict[rep-groups]", _link_predict_rep_groups),
+    ("events_markov_transitions", None),
+    ("text_gopher_quality", None),
+    ("stats_kendall_daily", None),
 ]
 
 

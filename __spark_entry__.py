@@ -81,8 +81,8 @@ _ORDER = [
     "search_mmr_rerank",
     # -- NEW round 10 (third wave): CCNet-style corpus-wide boilerplate
     # line stripping.  Displaced: text_lm_bigram (r9 driver-green; LM
-    # category keeps text_nb_classify / curation_lm_filtered /
-    # curation_dsir_select in-window).
+    # category keeps curation_lm_filtered / curation_dsir_select
+    # in-window).
     "text_boilerplate_strip",
     # -- NEW round 10 (fourth wave): Resource-Allocation link
     # prediction, Markov next-event transition matrix, Gopher §A1
@@ -98,6 +98,11 @@ _ORDER = [
     "events_markov_transitions",
     "text_gopher_quality",
     "stats_kendall_daily",
+    # -- NEW round 10 (fifth wave): distributed exact covariance + top
+    # principal component (integer power iteration).  Displaced:
+    # text_nb_classify (r6 driver-green; LM/classifier family keeps
+    # curation_lm_filtered / curation_dsir_select in-window).
+    "embed_top_pc",
     # -- NEW this session (scale-technique surface, queries_scale.py):
     # enter directly as sole verifiers; displaced to make room (each
     # driver-green with in-window siblings): agg_value_histogram
@@ -112,7 +117,6 @@ _ORDER = [
     "text_bpe_compression",
     "mm_audio_fingerprint",
     # -- r6-graded verifiers kept in-window -------------------------------
-    "text_nb_classify",
     "curation_lm_filtered",
     "sample_surprisal_strata",
     "sim_pooled_rerank",
@@ -156,6 +160,7 @@ _ORDER = [
     "sample_allocate_budget",
     "curation_entropy_filtered",
     "text_lm_bigram",
+    "text_nb_classify",
     "events_interpolate_gaps",
     "stats_selection_quantiles",
     "dedup_cdc_rolling",

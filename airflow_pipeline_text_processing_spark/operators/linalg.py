@@ -1,0 +1,145 @@
+"""Distributed exact linear algebra over embedding columns: integer
+second-moment (Gram / covariance) accumulation and fixed-point power
+iteration for the top principal component.
+
+The 100 TB shape: the ONLY corpus-sized stage is the moment
+accumulation -- one ``mapInPandas`` pass that turns each Arrow batch
+into a single (n, sum-vector, Gram-matrix) row via an exact int64
+numpy GEMM, so the driver collects #batches rows of dim^2 BIGINTs (a
+few KB each), never data.  This is the classic one-pass distributed
+covariance: ``Cov * n^2 = n * sum(q q^T) - (sum q)(sum q)^T`` needs
+only additive moments, so partial aggregation is free and the
+combination happens once, driver-side, in arbitrary-precision Python
+ints (no overflow at any corpus size).  The power iteration then runs
+on the dim x dim matrix -- driver-tiny, the same
+aggregate-big/iterate-small split as PageRank and Lloyd k-means.
+
+Exactness (engine-conventions memo): components quantize to BIGINT
+milli-units (``floor(x * 1000)``, products bounded so per-batch int64
+GEMMs cannot overflow); the centered moment matrix and every
+iteration step are integer ops; the per-step renormalization is
+``v_i = floor(w_i * 10^6 / max|w|)`` -- Python's ``//`` floors, and
+the SQL oracle spells the identical floor via the non-negative-
+remainder device.  No libm, no float accumulation, bit-identical on
+any engine and any partition order.
+
+Headroom: with |x| <= ~1.1 the quantized |q| <= ~1100; per-batch GEMM
+entries <= 1.2e6 * batch_rows (int64-safe through ~7e12-row batches);
+cross-batch sums are Python ints (unbounded); the SQL oracle carries
+the centered matrix in HUGEINT.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Tuple
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+QSCALE = 1000  # embedding component -> milli-units
+VSCALE = 1_000_000  # iteration vector renormalization scale
+
+
+def quantized_milli(vec_col):
+    """array<float> -> array<long> milli-units; the float->double
+    widening is value-preserving and *1000/floor are deterministic
+    IEEE ops, so Spark, numpy (via float64), and DuckDB agree."""
+    return F.transform(
+        vec_col, lambda x: F.floor(x.cast("double") * QSCALE).cast("long")
+    )
+
+
+def gram_moments(
+    vecs: DataFrame, dim: int, vec_col: str = "embedding"
+) -> Tuple[int, List[int], List[List[int]]]:
+    """One distributed pass -> exact integer moments: ``(n, s, G)``
+    with ``s[i] = sum_v q_i`` and ``G[i][j] = sum_v q_i * q_j`` over
+    the milli-quantized vectors.  Each Arrow batch contributes one
+    row (its own int64 GEMM); the driver sums #batches rows with
+    Python ints."""
+    import numpy as np
+    import pandas as pd
+
+    def _moments(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Q = np.floor(X * QSCALE).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "n": [np.int64(len(Q))],
+                    "s": [Q.sum(axis=0)],
+                    "g": [(Q.T @ Q).ravel()],
+                }
+            )
+
+    parts = vecs.select(vec_col).mapInPandas(
+        _moments, "n long, s array<long>, g array<long>"
+    )
+    n = 0
+    s = [0] * dim
+    g = [0] * (dim * dim)
+    for row in parts.collect():
+        n += int(row.n)
+        for i, x in enumerate(row.s):
+            s[i] += int(x)
+        for i, x in enumerate(row.g):
+            g[i] += int(x)
+    G = [g[i * dim : (i + 1) * dim] for i in range(dim)]
+    return n, s, G
+
+
+def centered_moment_matrix(
+    n: int, s: List[int], G: List[List[int]]
+) -> List[List[int]]:
+    """``M = n * G - s s^T`` -- the covariance matrix scaled by n^2
+    (positive scaling leaves eigenvectors untouched), exact ints."""
+    dim = len(s)
+    return [
+        [n * G[i][j] - s[i] * s[j] for j in range(dim)]
+        for i in range(dim)
+    ]
+
+
+def power_iteration(
+    M: List[List[int]], iters: int = 3
+) -> List[int]:
+    """``iters`` steps of ``v <- floor(M v * 10^6 / max|M v|)`` from
+    the all-ones start -- the dominant-eigenvector workhorse, kept in
+    exact integers so the SQL oracle replays it as unrolled CTEs.
+    Components end in [-10^6, 10^6]; an all-zero product (degenerate
+    M) returns the zero vector."""
+    dim = len(M)
+    v = [1] * dim
+    for _ in range(iters):
+        w = [sum(M[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        mx = max(abs(x) for x in w)
+        if mx == 0:
+            return [0] * dim
+        v = [(x * VSCALE) // mx for x in w]
+    return v
+
+
+def top_pc_projections(
+    vecs: DataFrame,
+    dim: int,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-principal-component scores: accumulate exact moments, run
+    the fixed-point power iteration driver-side, then one broadcast-
+    literal projection pass over the corpus.  Returns
+    ``(vec_id, proj_fp)`` -- the signed fixed-point projection
+    ``sum_i q_i * v_i`` (|proj| <= dim * 1100 * 10^6, int64-safe)."""
+    n, s, G = gram_moments(vecs, dim, vec_col)
+    v = power_iteration(centered_moment_matrix(n, s, G), iters)
+    vlit = F.array(*[F.lit(int(x)).cast("long") for x in v])
+    q = quantized_milli(F.col(vec_col))
+    proj = F.aggregate(
+        F.zip_with(q, vlit, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return vecs.select(F.col(id_col), proj.alias("proj_fp"))

@@ -1076,6 +1076,80 @@ ORDER BY vec_id
 """
 
 
+_PC_DIM, _PC_ITERS = 64, 3
+
+
+def embed_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-principal-component projection scores for every embedding
+    (operators/linalg.py::top_pc_projections): one distributed
+    mapInPandas pass turns each Arrow batch into an exact int64 Gram
+    GEMM row, the driver combines moments in arbitrary-precision ints
+    (``n*G - s s^T``, the covariance scaled by n^2), a 3-step
+    fixed-point power iteration finds the dominant direction on the
+    64x64 matrix, and one broadcast-literal projection pass scores
+    the corpus -- the aggregate-big/iterate-small split PageRank and
+    Lloyd use, applied to distributed covariance/PCA.  The oracle
+    unrolls the identical iteration as HUGEINT CTEs."""
+    from ..operators.linalg import top_pc_projections
+
+    vecs = _tspread(spark, sf_dir, "embeddings")
+    return top_pc_projections(
+        vecs, dim=_PC_DIM, iters=_PC_ITERS
+    ).orderBy("vec_id")
+
+
+def _pc_iteration_ctes(iters: int) -> str:
+    """w{t}/m{t}/v{t} CTEs: one matrix-vector multiply + max-abs
+    renormalization per step, floor division via the non-negative-
+    remainder device (`//` truncates toward zero on both engines)."""
+    out = []
+    for t in range(1, iters + 1):
+        prev = "v0" if t == 1 else f"v{t - 1}"
+        out.append(
+            f"""w{t} AS (
+  SELECT c.i, CAST(SUM(c.m * v.v) AS HUGEINT) AS w
+  FROM cmat c JOIN {prev} v ON v.i = c.j GROUP BY c.i),
+m{t} AS (SELECT MAX(ABS(w)) AS mx FROM w{t}),
+v{t} AS (
+  SELECT i, CASE WHEN mx = 0 THEN CAST(0 AS HUGEINT)
+                 ELSE (num - ((num % mx) + mx) % mx) // mx END AS v
+  FROM (SELECT i, w * CAST(1000000 AS HUGEINT) AS num FROM w{t})
+  CROSS JOIN m{t})"""
+        )
+    return ",\n".join(out)
+
+
+TOP_PC_SQL = f"""
+WITH qv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+  FROM embeddings),
+ex AS (
+  SELECT vec_id, i, q[i] AS qi
+  FROM qv, UNNEST(generate_series(1, {_PC_DIM})) AS t(i)),
+nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM qv),
+ssum AS (SELECT i, CAST(SUM(qi) AS HUGEINT) AS s FROM ex GROUP BY i),
+gmat AS (
+  SELECT a.i AS i, b.i AS j, CAST(SUM(a.qi * b.qi) AS HUGEINT) AS g
+  FROM ex a JOIN ex b USING (vec_id) GROUP BY 1, 2),
+cmat AS (
+  SELECT g.i, g.j, nn.n * g.g - sa.s * sb.s AS m
+  FROM gmat g
+  CROSS JOIN nn
+  JOIN ssum sa ON sa.i = g.i
+  JOIN ssum sb ON sb.i = g.j),
+v0 AS (
+  SELECT i, CAST(1 AS HUGEINT) AS v
+  FROM UNNEST(generate_series(1, {_PC_DIM})) AS t(i)),
+{_pc_iteration_ctes(_PC_ITERS)}
+SELECT e.vec_id, CAST(SUM(e.qi * v.v) AS BIGINT) AS proj_fp
+FROM ex e JOIN v{_PC_ITERS} v ON v.i = e.i
+GROUP BY e.vec_id
+ORDER BY e.vec_id
+"""
+
+
 def stream_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact deduplication: ``dropDuplicates`` on
     (user_id, event_type) executed AS A STREAM (append-mode memory sink,
@@ -4309,6 +4383,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "sketch_kmv_overlap": (sketch_kmv_overlap, _kmv_overlap_sql()),
     "text_pii_scrub": (text_pii_scrub, _pii_sql()),
     "embed_quantize_int8": (embed_quantize_int8, QUANTIZE_SQL),
+    "embed_top_pc": (embed_top_pc, TOP_PC_SQL),
     "stream_dedup_users": (stream_dedup_users, STREAM_DEDUP_SQL),
     "stream_dedup_watermarked": (stream_dedup_watermarked, STREAM_DEDUP_SQL),
     "dedup_incremental_lsh": (dedup_incremental_lsh, INCREMENTAL_LSH_SQL),

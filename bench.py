@@ -141,6 +141,9 @@ BENCH_QUERIES = [
     "events_markov_transitions",
     "text_gopher_quality",
     "stats_kendall_daily",
+    # round-10 fifth wave: distributed covariance + top principal
+    # component (integer power iteration)
+    "embed_top_pc",
 ]
 
 

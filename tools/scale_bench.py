@@ -275,6 +275,8 @@ QUERIES = [
     ("events_markov_transitions", None),
     ("text_gopher_quality", None),
     ("stats_kendall_daily", None),
+    # r10 fifth wave: the moments pass is the only corpus-sized stage
+    ("embed_top_pc", None),
 ]
 
 

@@ -103,6 +103,14 @@ _ORDER = [
     # text_nb_classify (r6 driver-green; LM/classifier family keeps
     # curation_lm_filtered / curation_dsir_select in-window).
     "embed_top_pc",
+    # -- NEW round 10 (sixth wave): one-way ANOVA F (exact 128-bit
+    # cents arithmetic) and the Zipf rank-frequency slope on the
+    # fixed-point log2 kernel.  Displaced: text_phrase_search (text
+    # family keeps rake/novelty/gopher/boilerplate/chi2 in-window),
+    # agg_mode_per_type (agg family keeps agg_salted_hot_keys /
+    # sql_correlated_above_avg in-window).
+    "stats_anova_f",
+    "text_zipf_slope",
     # -- NEW this session (scale-technique surface, queries_scale.py):
     # enter directly as sole verifiers; displaced to make room (each
     # driver-green with in-window siblings): agg_value_histogram
@@ -122,8 +130,6 @@ _ORDER = [
     "sim_pooled_rerank",
     "dedup_semantic_clusters",
     "sketch_overlap_matrix",
-    "text_phrase_search",
-    "agg_mode_per_type",
     "curation_dsir_select",
     # -- carried category verifiers (all driver-green r5 or earlier) ------
     "q5_nation_volume",
@@ -161,6 +167,8 @@ _ORDER = [
     "curation_entropy_filtered",
     "text_lm_bigram",
     "text_nb_classify",
+    "text_phrase_search",
+    "agg_mode_per_type",
     "events_interpolate_gaps",
     "stats_selection_quantiles",
     "dedup_cdc_rolling",

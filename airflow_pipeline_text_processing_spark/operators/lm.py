@@ -587,3 +587,61 @@ def dsir_weights(
         .groupBy(id_col)
         .agg(F.sum(F.col("c") * F.col("w_b")).cast("long").alias("weight_q8"))
     )
+
+
+def zipf_loglog_slope(
+    docs: DataFrame, text_col: str = "text", topn: int = 100
+) -> DataFrame:
+    """Zipf exponent of the corpus: the OLS slope of ``log2(freq)`` on
+    ``log2(rank)`` over the top-``topn`` terms -- the classic
+    power-law diagnostic (natural prose reads ~ -1; templated or
+    synthetic corpora drift toward 0 or below -1.5), computed entirely
+    on the exact fixed-point log2 kernel above so both engines agree
+    bit-for-bit.
+
+    ``x = fixed_log2(rank, 1)``, ``y = fixed_log2(cnt, 1)`` (Q8), then
+    ``slope_ppm = floor((n*Sxy - Sx*Sy) * 10^6 / (n*Sxx - Sx^2))`` via
+    the non-negative-remainder device (the slope is negative; both
+    engines' integer division truncates toward zero).  Magnitude: with
+    topn <= 10^4 and counts < 2^47, |x| <= 256*14, |y| <= 256*47, so
+    the scaled numerator stays under ~10^18 -- int64-safe.
+
+    Scale shape: one explode + token hash-agg (map-side combinable)
+    over the corpus, a TakeOrderedAndProject for the top-``topn``
+    relation, then a single aggregate over <= topn rows.  Returns one
+    row: ``(n_terms, slope_ppm)``; fewer than 2 distinct terms yields
+    ``slope_ppm = 0``."""
+    tf = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    top = (
+        tf.orderBy(F.desc("cnt"), "token")
+        .limit(topn)
+        .select(
+            "cnt",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cnt"), "token"))
+            .cast("long")
+            .alias("rank"),
+            F.lit(1).cast("long").alias("one"),
+        )
+    )
+    top = fixed_log2(top, "rank", "one", "x_q8")
+    top = fixed_log2(top, "cnt", "one", "y_q8")
+    moms = top.agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.sum("x_q8").cast("long").alias("sx"),
+        F.sum("y_q8").cast("long").alias("sy"),
+        F.sum(F.col("x_q8") * F.col("y_q8")).cast("long").alias("sxy"),
+        F.sum(F.col("x_q8") * F.col("x_q8")).cast("long").alias("sxx"),
+    )
+    num = (
+        F.col("n_terms") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) * F.lit(1000000)
+    den = F.col("n_terms") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(F.col("n_terms") < 2, F.lit(0).cast("long")).otherwise(
+        ((num - F.pmod(num, den)) / den).cast("long")
+    )
+    return moms.select("n_terms", slope.alias("slope_ppm"))

@@ -3916,6 +3916,147 @@ def stats_kendall_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def stats_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic of daily revenue across event types --
+    the classical "do the group means differ" test completing the
+    trend/shift family (Kendall/Spearman: within-group trend;
+    Mann-Whitney: two-group shift; this: k-group means).  Everything
+    is exact integer cents lifted to DECIMAL(38,0) (Spark) / HUGEINT
+    (DuckDB):
+
+    - per group ``t_g = S_g^2`` and ``sb_g = floor(t_g / n_g)``, the
+      floor spelled as ``(t_g - t_g % n_g) / n_g`` so the division is
+      of an exact multiple (both engines agree; all terms
+      non-negative);
+    - ``SSB = max(0, sum(sb_g) - floor(S^2/n))`` (Cauchy-Schwarz makes
+      the true value >= 0; the clamp absorbs sub-unit floor jitter),
+      ``SSW = Q - sum(sb_g)`` with ``Q = sum(y^2)``;
+    - ``F_milli = floor(1000 * (SSB*(n-k)) / (SSW*(k-1)))`` via the
+      chi2-style two-stage floor division, so the big products stay in
+      128-bit while the quotient lands in BIGINT.
+
+    Headroom: daily cents S <= ~1e13 gives S^2*(n-k) <= ~1e30 < 1e38.
+    Degenerate inputs (k < 2, n <= k, or SSW = 0) emit F_milli = 0.
+
+    Scale shape: one map-side-combinable daily rollup, one k-row group
+    aggregate, one 1-row total -- nothing beyond the rollup touches
+    data."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.expr("CAST(FLOOR(value * 100) AS BIGINT)").alias("cents"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.sum("cents").alias("y")
+    )
+    g = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_g"),
+        F.sum("y").cast("long").alias("s_g"),
+        F.sum(
+            F.expr("CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))")
+        ).alias("q_g"),
+    )
+    per = g.select(
+        "n_g",
+        "s_g",
+        "q_g",
+        F.expr(
+            "CAST((CAST(s_g AS DECIMAL(38,0)) * CAST(s_g AS DECIMAL(38,0))"
+            " - CAST(s_g AS DECIMAL(38,0)) * CAST(s_g AS DECIMAL(38,0))"
+            "   % CAST(n_g AS DECIMAL(38,0)))"
+            " / CAST(n_g AS DECIMAL(38,0)) AS DECIMAL(38,0))"
+        ).alias("sb_g"),
+    )
+    tot = per.agg(
+        F.count("*").cast("long").alias("k_groups"),
+        F.sum("n_g").cast("long").alias("n_days"),
+        F.sum("s_g").cast("long").alias("s_all"),
+        F.sum("q_g").alias("q_all"),
+        F.sum("sb_g").alias("sb_all"),
+    )
+    expr = """
+      CAST(s_all AS DECIMAL(38,0)) * CAST(s_all AS DECIMAL(38,0))
+    """
+    out = tot.select(
+        "k_groups",
+        "n_days",
+        F.expr(
+            f"CAST(GREATEST(CAST(0 AS DECIMAL(38,0)), sb_all -"
+            f" CAST(({expr} - {expr} % CAST(n_days AS DECIMAL(38,0)))"
+            f" / CAST(n_days AS DECIMAL(38,0)) AS DECIMAL(38,0)))"
+            f" AS DECIMAL(38,0))"
+        ).alias("ssb"),
+        F.expr("CAST(q_all - sb_all AS DECIMAL(38,0))").alias("ssw"),
+    ).select(
+        "k_groups",
+        "n_days",
+        "ssb",
+        "ssw",
+        F.expr(
+            "ssb * CAST(n_days - k_groups AS DECIMAL(38,0))"
+        ).alias("num"),
+        F.expr(
+            "ssw * CAST(k_groups - 1 AS DECIMAL(38,0))"
+        ).alias("den"),
+    )
+    return out.select(
+        "k_groups",
+        "n_days",
+        F.expr("CAST(ssb AS BIGINT)").alias("ssb_cents2"),
+        F.expr("CAST(ssw AS BIGINT)").alias("ssw_cents2"),
+        F.expr(
+            "CASE WHEN k_groups < 2 OR n_days <= k_groups OR ssw = 0"
+            " THEN CAST(0 AS BIGINT)"
+            " ELSE CAST((num div den) * 1000 + ((num % den) * 1000) div den"
+            "      AS BIGINT) END"
+        ).alias("f_milli"),
+    )
+
+
+ANOVA_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS y
+  FROM events GROUP BY 1, 2
+), g AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(y) AS BIGINT) AS s_g,
+         CAST(SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT)
+           AS q_g
+  FROM daily GROUP BY 1
+), per AS (
+  SELECT n_g, s_g, q_g,
+         (CAST(s_g AS HUGEINT) * CAST(s_g AS HUGEINT))
+           // CAST(n_g AS HUGEINT) AS sb_g
+  FROM g
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
+         CAST(SUM(n_g) AS BIGINT) AS n_days,
+         CAST(SUM(s_g) AS HUGEINT) AS s_all,
+         CAST(SUM(q_g) AS HUGEINT) AS q_all,
+         CAST(SUM(sb_g) AS HUGEINT) AS sb_all
+  FROM per
+), fin AS (
+  SELECT k_groups, n_days,
+         GREATEST(CAST(0 AS HUGEINT),
+                  sb_all - (s_all * s_all) // CAST(n_days AS HUGEINT))
+           AS ssb,
+         q_all - sb_all AS ssw
+  FROM tot
+)
+SELECT k_groups, n_days,
+       CAST(ssb AS BIGINT) AS ssb_cents2,
+       CAST(ssw AS BIGINT) AS ssw_cents2,
+       CASE WHEN k_groups < 2 OR n_days <= k_groups OR ssw = 0
+            THEN CAST(0 AS BIGINT)
+            ELSE CAST((num // den) * 1000 + ((num % den) * 1000) // den
+                 AS BIGINT) END AS f_milli
+FROM (SELECT *, ssb * CAST(n_days - k_groups AS HUGEINT) AS num,
+             ssw * CAST(k_groups - 1 AS HUGEINT) AS den
+      FROM fin)
+"""
+
+
 KENDALL_SQL = """
 WITH daily AS (
   SELECT event_type, CAST(ts AS DATE) AS day,
@@ -4406,6 +4547,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "stats_linear_trend": (stats_linear_trend, LINEAR_TREND_SQL),
     "stats_spearman_daily": (stats_spearman_daily, SPEARMAN_SQL),
     "stats_kendall_daily": (stats_kendall_daily, KENDALL_SQL),
+    "stats_anova_f": (stats_anova_f, ANOVA_SQL),
     "stats_sigma_outliers": (stats_sigma_outliers, SIGMA_OUTLIERS_SQL),
     "stats_mann_whitney": (stats_mann_whitney, MANN_WHITNEY_SQL),
     "events_ewma_daily": (events_ewma_daily, EWMA_SQL),

@@ -918,6 +918,52 @@ ORDER BY doc_id
 """
 
 
+_ZIPF_TOPN = 100
+
+
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law exponent of the documents corpus
+    (operators/lm.py::zipf_loglog_slope): OLS slope of Q8
+    ``log2(freq)`` on ``log2(rank)`` over the top-100 terms -- the
+    corpus-health diagnostic (natural prose ~ -1; templated/synthetic
+    text drifts away), on the exact fixed-point log2 kernel with the
+    pmod floor device for the negative slope.  One token hash-agg +
+    TakeOrderedAndProject + a 100-row aggregate; no libm anywhere."""
+    docs = _tspread(spark, sf_dir, "documents").select("doc_id", "text")
+    return L.zipf_loglog_slope(docs, topn=_ZIPF_TOPN)
+
+
+def _zipf_sql() -> str:
+    top = f"""
+SELECT cnt,
+       CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rank
+FROM (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT UNNEST({TOKS_SQL}) AS token FROM documents)
+  GROUP BY token)
+ORDER BY cnt DESC, token
+LIMIT {_ZIPF_TOPN}"""
+    xchain = L.fixed_log2_sql(top, "cnt, rank", "rank", "1", "x_q8")
+    ychain = L.fixed_log2_sql(xchain, "x_q8", "cnt", "1", "y_q8")
+    return f"""
+WITH moms AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+         CAST(SUM(x_q8) AS BIGINT) AS sx,
+         CAST(SUM(y_q8) AS BIGINT) AS sy,
+         CAST(SUM(x_q8 * y_q8) AS BIGINT) AS sxy,
+         CAST(SUM(x_q8 * x_q8) AS BIGINT) AS sxx
+  FROM ({ychain}))
+SELECT n_terms,
+       CASE WHEN n_terms < 2 THEN CAST(0 AS BIGINT)
+            ELSE CAST((num - ((num % den) + den) % den) / den AS BIGINT)
+       END AS slope_ppm
+FROM (SELECT *,
+             (n_terms * sxy - sx * sy) * 1000000 AS num,
+             n_terms * sxx - sx * sx AS den
+      FROM moms)
+"""
+
+
 _GOPHER_JUNK = (
     "\n- bullet one\n- bullet two\n- bullet three"
     "\nto be continued...\n# # ###"
@@ -3008,6 +3054,7 @@ FROM sel{k} ORDER BY query_id, pick_order
 
 REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "text_gopher_quality": (text_gopher_quality, GOPHER_SQL),
+    "text_zipf_slope": (text_zipf_slope, _zipf_sql()),
     "dedup_containment": (dedup_containment, CONTAINMENT_SQL),
     "text_boilerplate_strip": (text_boilerplate_strip, BOILERPLATE_SQL),
     "dedup_canonical_pick": (dedup_canonical_pick, _canonical_pick_sql()),

@@ -144,6 +144,9 @@ BENCH_QUERIES = [
     # round-10 fifth wave: distributed covariance + top principal
     # component (integer power iteration)
     "embed_top_pc",
+    # round-10 sixth wave: one-way ANOVA F, Zipf rank-frequency slope
+    "stats_anova_f",
+    "text_zipf_slope",
 ]
 
 

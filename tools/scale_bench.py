@@ -277,6 +277,9 @@ QUERIES = [
     ("stats_kendall_daily", None),
     # r10 fifth wave: the moments pass is the only corpus-sized stage
     ("embed_top_pc", None),
+    # r10 sixth wave: both reduce to one rollup/hash-agg over the corpus
+    ("stats_anova_f", None),
+    ("text_zipf_slope", None),
 ]
 
 

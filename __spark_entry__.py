@@ -111,6 +111,16 @@ _ORDER = [
     # sql_correlated_above_avg in-window).
     "stats_anova_f",
     "text_zipf_slope",
+    # -- NEW round 10 (seventh wave): frequent 3-step path mining and
+    # binary-segmentation change-point detection over the event log.
+    # Displaced: dedup_minhash_lsh (driver-green r3 + every local
+    # gate; dedup keeps sorted_neighborhood / containment /
+    # canonical_pick / winnow_overlap / semantic_clusters in-window),
+    # sim_pooled_rerank (r9 driver-green; similarity keeps
+    # sim_pq_adc_topk / sim_ivfpq_topk / sim_ivfpq_persisted /
+    # sim_range_search / search_mmr_rerank in-window).
+    "events_path_ngrams",
+    "events_changepoint",
     # -- NEW this session (scale-technique surface, queries_scale.py):
     # enter directly as sole verifiers; displaced to make room (each
     # driver-green with in-window siblings): agg_value_histogram
@@ -127,7 +137,6 @@ _ORDER = [
     # -- r6-graded verifiers kept in-window -------------------------------
     "curation_lm_filtered",
     "sample_surprisal_strata",
-    "sim_pooled_rerank",
     "dedup_semantic_clusters",
     "sketch_overlap_matrix",
     "curation_dsir_select",
@@ -145,7 +154,6 @@ _ORDER = [
     "codec_repair_stats",
     "stream_stream_join_pairs",
     "stream_session_windows",
-    "dedup_minhash_lsh",
     "dq_events_expectations",
     # ==== driver window boundary (position 50) ===========================
     # Displaced below the boundary for the four round-9 debuts (each
@@ -169,6 +177,8 @@ _ORDER = [
     "text_nb_classify",
     "text_phrase_search",
     "agg_mode_per_type",
+    "dedup_minhash_lsh",
+    "sim_pooled_rerank",
     "events_interpolate_gaps",
     "stats_selection_quantiles",
     "dedup_cdc_rolling",

@@ -2294,6 +2294,160 @@ ORDER BY name_a, name_b
 """
 
 
+_PATH_TOPK = 25
+
+
+def events_path_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining, bounded form: the top-25 most common
+    3-step event-type paths across all users -- two LEAD windows over
+    each user's time-ordered stream, one hash-agg, one
+    TakeOrderedAndProject.  The "what do users do next" complement to
+    events_markov_transitions' 1-step conditionals and the funnel's
+    FIXED pattern: this discovers the frequent paths instead of
+    checking a known one.
+
+    Scale shape: the lag/lead window shuffles on user_id (never
+    global); the path relation is bounded by |event_type|^3 after the
+    aggregate, so the top-k is driver-trivial.  Ties break on the
+    lexicographic path -- fully deterministic."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (
+        ev.select(
+            F.col("event_type").alias("step1"),
+            F.lead("event_type", 1).over(w).alias("step2"),
+            F.lead("event_type", 2).over(w).alias("step3"),
+        )
+        .filter(F.col("step3").isNotNull())
+        .groupBy("step1", "step2", "step3")
+        .agg(F.count("*").cast("long").alias("n_paths"))
+    )
+    return (
+        paths.orderBy(
+            F.desc("n_paths"), "step1", "step2", "step3"
+        ).limit(_PATH_TOPK)
+    )
+
+
+PATH_NGRAMS_SQL = f"""
+WITH seq AS (
+  SELECT event_type AS step1,
+         LEAD(event_type, 1) OVER w AS step2,
+         LEAD(event_type, 2) OVER w AS step3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT step1, step2, step3, CAST(COUNT(*) AS BIGINT) AS n_paths
+FROM seq WHERE step3 IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY n_paths DESC, step1, step2, step3
+LIMIT {_PATH_TOPK}
+"""
+
+
+_CP_SCALE = 1000
+
+
+def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single change-point detection per event type -- the binary-
+    segmentation step every change-point algorithm iterates: over the
+    daily-revenue series, pick the split t that maximizes the absolute
+    between-segment mean gap |mean(1..t) - mean(t+1..n)|, scored in
+    exact integer milli-cents: ``gap_milli = floor(|ps*(n-t) -
+    (S-ps)*t| * 1000 / (t*(n-t)))`` (one cross-multiplication per
+    split, no float means).  Ties break on the earliest split day.
+
+    Scale shape: one map-side-combinable daily rollup, a per-type
+    (never global) prefix-sum window over the days-sized relation, one
+    scoring projection, and a per-type argmax window -- nothing
+    touches data after the rollup.  Magnitude: |d_num| <= S*n; with
+    daily cents S <= ~1e10 and n <= ~1e4 days the scaled numerator
+    stays under ~1e17 -- int64-safe; beyond that, lift to
+    DECIMAL/HUGEINT like the chi2/ANOVA path."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.expr("CAST(FLOOR(value * 100) AS BIGINT)").alias("cents"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.sum("cents").alias("y")
+    )
+    wday = Window.partitionBy("event_type").orderBy("day")
+    wall = Window.partitionBy("event_type")
+    pre = daily.select(
+        "event_type",
+        "day",
+        F.row_number().over(wday).cast("long").alias("t"),
+        F.sum("y").over(wday).cast("long").alias("ps"),
+        F.sum("y").over(wall).cast("long").alias("s_all"),
+        F.count("*").over(wall).cast("long").alias("n_days"),
+    ).filter(F.col("t") < F.col("n_days"))
+    d_num = F.abs(
+        F.col("ps") * (F.col("n_days") - F.col("t"))
+        - (F.col("s_all") - F.col("ps")) * F.col("t")
+    )
+    den = F.col("t") * (F.col("n_days") - F.col("t"))
+    scored = pre.select(
+        "event_type",
+        "day",
+        "t",
+        "n_days",
+        ((d_num * _CP_SCALE - F.pmod(d_num * _CP_SCALE, den)) / den)
+        .cast("long")
+        .alias("gap_milli"),
+    )
+    wrank = Window.partitionBy("event_type").orderBy(
+        F.desc("gap_milli"), "t"
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(wrank))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            "n_days",
+            # dates emit as strings (the repo's date-output convention:
+            # DuckDB's pandas bridge widens DATE to datetime64)
+            F.date_format("day", "yyyy-MM-dd").alias("split_day"),
+            F.col("t").alias("split_t"),
+            "gap_milli",
+        )
+        .orderBy("event_type")
+    )
+
+
+CHANGEPOINT_SQL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS y
+  FROM events GROUP BY 1, 2
+), pre AS (
+  SELECT event_type, day,
+         CAST(ROW_NUMBER() OVER w AS BIGINT) AS t,
+         CAST(SUM(y) OVER w AS BIGINT) AS ps,
+         CAST(SUM(y) OVER (PARTITION BY event_type) AS BIGINT) AS s_all,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+), scored AS (
+  SELECT event_type, day, t, n_days,
+         ABS(ps * (n_days - t) - (s_all - ps) * t) * {_CP_SCALE} AS num,
+         t * (n_days - t) AS den
+  FROM pre WHERE t < n_days
+), g AS (
+  SELECT event_type, day, t, n_days,
+         CAST((num - ((num % den) + den) % den) / den AS BIGINT)
+           AS gap_milli
+  FROM scored
+)
+SELECT event_type, n_days, strftime(day, '%Y-%m-%d') AS split_day,
+       t AS split_t, gap_milli
+FROM g
+QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+          ORDER BY gap_milli DESC, t) = 1
+ORDER BY event_type
+"""
+
+
 def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel view -> click -> purchase: users count
     toward step k only if the step-k event happened strictly AFTER their
@@ -4548,6 +4702,8 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "stats_spearman_daily": (stats_spearman_daily, SPEARMAN_SQL),
     "stats_kendall_daily": (stats_kendall_daily, KENDALL_SQL),
     "stats_anova_f": (stats_anova_f, ANOVA_SQL),
+    "events_path_ngrams": (events_path_ngrams, PATH_NGRAMS_SQL),
+    "events_changepoint": (events_changepoint, CHANGEPOINT_SQL),
     "stats_sigma_outliers": (stats_sigma_outliers, SIGMA_OUTLIERS_SQL),
     "stats_mann_whitney": (stats_mann_whitney, MANN_WHITNEY_SQL),
     "events_ewma_daily": (events_ewma_daily, EWMA_SQL),

@@ -147,6 +147,9 @@ BENCH_QUERIES = [
     # round-10 sixth wave: one-way ANOVA F, Zipf rank-frequency slope
     "stats_anova_f",
     "text_zipf_slope",
+    # round-10 seventh wave: path mining, change-point detection
+    "events_path_ngrams",
+    "events_changepoint",
 ]
 
 

@@ -280,6 +280,9 @@ QUERIES = [
     # r10 sixth wave: both reduce to one rollup/hash-agg over the corpus
     ("stats_anova_f", None),
     ("text_zipf_slope", None),
+    # r10 seventh wave: per-user lead windows / days-bounded windows
+    ("events_path_ngrams", None),
+    ("events_changepoint", None),
 ]
 
 

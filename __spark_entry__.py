@@ -121,6 +121,12 @@ _ORDER = [
     # sim_range_search / search_mmr_rerank in-window).
     "events_path_ngrams",
     "events_changepoint",
+    # -- NEW round 10 (eighth wave): nearest-direction as-of join
+    # (pandas merge_asof parity).  Displaced: join_anti_idle_customers
+    # (r5 driver-green; join family keeps q5_nation_volume /
+    # join_asof_last_click / bucketed_join_order_totals /
+    # join_bloom_prefilter in-window).
+    "join_asof_nearest",
     # -- NEW this session (scale-technique surface, queries_scale.py):
     # enter directly as sole verifiers; displaced to make room (each
     # driver-green with in-window siblings): agg_value_histogram
@@ -142,7 +148,6 @@ _ORDER = [
     "curation_dsir_select",
     # -- carried category verifiers (all driver-green r5 or earlier) ------
     "q5_nation_volume",
-    "join_anti_idle_customers",
     "join_asof_last_click",
     "bucketed_join_order_totals",
     "agg_salted_hot_keys",
@@ -195,6 +200,7 @@ _ORDER = [
     # and carries a green driver CORRECTNESS row from an earlier round,
     # plus an in-window category sibling above.
     "q1_pricing_summary",
+    "join_anti_idle_customers",
     # -- displaced by the in-session scale-surface rotation ---------------
     "stats_trimmed_mean",
     "stats_spearman_daily",

@@ -138,8 +138,17 @@ def asof_join(
     identically.  ``tolerance_s`` nulls out matches farther than that many
     seconds from the left timestamp (merge_asof's ``tolerance``) -- a
     post-scan conditional, no extra shuffle.
+
+    ``direction="nearest"`` (pandas merge_asof parity) picks whichever
+    of the backward/forward candidates is closer in time, ties to the
+    backward one; implemented as TWO ordered window scans over the
+    SAME hash partitioning (one Exchange, two local sorts), so nearest
+    costs one extra sort -- never an extra shuffle, never a pair
+    explosion.  The single ``_side`` flag serves both scans: rights
+    sort before lefts at equal ts in BOTH the asc and desc orders when
+    matches are inclusive, after them when strict.
     """
-    if direction not in ("backward", "forward"):
+    if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown direction: {direction}")
     on = list(on)
     payload = list(payload)
@@ -147,7 +156,7 @@ def asof_join(
     # The merge-scan injects these internal columns (and an '__mts' field
     # into the payload struct); a caller column with the same name would be
     # silently shadowed and produce wrong matches -- fail loudly instead.
-    reserved = {"_ats", "_side", "_match", "_payload"} | {
+    reserved = {"_ats", "_side", "_match", "_match_f", "_payload"} | {
         f"_tb_{i}" for i in range(len(tiebreak))
     }
     clash = (set(left.columns) | set(payload)) & reserved
@@ -179,20 +188,48 @@ def asof_join(
         F.lit(None).cast(payload_type).alias("_payload"),
     )
     merged = l.unionByName(r, allowMissingColumns=True)
-    ats = (
-        F.col("_ats").asc() if direction == "backward" else F.col("_ats").desc()
-    )
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(
-            ats,
-            F.col("_side").asc(),
-            *[F.col(f"_tb_{i}").asc_nulls_first() for i in range(len(tiebreak))],
+
+    def _carry(descending: bool):
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(
+                F.col("_ats").desc() if descending else F.col("_ats").asc(),
+                F.col("_side").asc(),
+                *[
+                    F.col(f"_tb_{i}").asc_nulls_first()
+                    for i in range(len(tiebreak))
+                ],
+            )
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+        return F.last("_payload", ignorenulls=True).over(w)
+
+    if direction == "nearest":
+        both = merged.withColumn("_match", _carry(False)).withColumn(
+            "_match_f", _carry(True)
+        )
+        mts_b = F.col("_match").getField("__mts")
+        mts_f = F.col("_match_f").getField("__mts")
+        ok_b = F.col("_match").isNotNull()
+        ok_f = F.col("_match_f").isNotNull()
+        if tolerance_s is not None:
+            tol = F.expr(f"INTERVAL {float(tolerance_s)} SECONDS")
+            ok_b = ok_b & (mts_b >= F.col(left_ts) - tol)
+            ok_f = ok_f & (mts_f <= F.col(left_ts) + tol)
+        prefer_b = ok_b & (
+            ~ok_f
+            | ((F.col(left_ts) - mts_b) <= (mts_f - F.col(left_ts)))
+        )
+        chosen = F.when(prefer_b, F.col("_match")).when(
+            ok_f, F.col("_match_f")
+        )
+        out_cols = [F.col(c) for c in left.columns] + [
+            chosen.getField(c).alias(f"{prefix}{c}") for c in payload
+        ]
+        return both.filter(F.col("_side") == 1).select(*out_cols)
+
     carried = merged.withColumn(
-        "_match", F.last("_payload", ignorenulls=True).over(w)
+        "_match", _carry(direction == "forward")
     )
     if tolerance_s is None:
         keep = F.col("_match").isNotNull()

@@ -852,6 +852,58 @@ ORDER BY p.event_id
 """
 
 
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (operators/joins.py::asof_join,
+    ``direction="nearest"`` -- pandas merge_asof parity): every error
+    event annotated with the same user's closest click in EITHER time
+    direction, ties to the earlier (backward) click, equal-timestamp
+    ties to the greatest event_id.  Same merge-scan plan as the
+    backward form plus one extra local sort: one shuffle on user_id,
+    two ordered window scans, no pair explosion."""
+    from ..operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "ts", "user_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return asof_join(
+        errors,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        payload=["event_id", "ts", "value"],
+        prefix="click_",
+        tiebreak=["event_id"],
+        direction="nearest",
+    ).select(
+        "event_id", "user_id", "ts",
+        "click_event_id", "click_ts", "click_value",
+    )  # no trailing sort: driver hash + local gate are order-insensitive
+
+
+ASOF_NEAREST_SQL = """
+SELECT e.event_id, e.user_id, e.ts,
+       c.event_id AS click_event_id, c.ts AS click_ts,
+       c.value AS click_value
+FROM events e
+LEFT JOIN LATERAL (
+  SELECT event_id, ts, value
+  FROM events c
+  WHERE c.user_id = e.user_id AND c.event_type = 'click'
+  ORDER BY CASE WHEN c.ts <= e.ts THEN e.ts - c.ts ELSE c.ts - e.ts END ASC,
+           CASE WHEN c.ts <= e.ts THEN 0 ELSE 1 END ASC,
+           c.event_id DESC
+  LIMIT 1
+) c ON true
+WHERE e.event_type = 'error'
+ORDER BY e.event_id
+"""
+
+
 def join_range_error_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join (operators/joins.py): per error event, the count and
     fixed-point value sum of the same user's events in the 10 minutes
@@ -985,6 +1037,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "join_semi_active_customers": (join_semi_active_customers, SEMI_SQL),
     "join_anti_idle_customers": (join_anti_idle_customers, ANTI_SQL),
     "join_asof_last_click": (join_asof_last_click, ASOF_SQL),
+    "join_asof_nearest": (join_asof_nearest, ASOF_NEAREST_SQL),
     "join_range_error_window": (join_range_error_window, RANGE_JOIN_SQL),
     "agg_supplier_part_stats": (agg_supplier_part_stats, AGG_DISTINCT_SQL),
     "agg_rollup_priority_year": (agg_rollup_priority_year, ROLLUP_SQL),

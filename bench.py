@@ -150,6 +150,8 @@ BENCH_QUERIES = [
     # round-10 seventh wave: path mining, change-point detection
     "events_path_ngrams",
     "events_changepoint",
+    # round-10 eighth wave: nearest-direction as-of join
+    "join_asof_nearest",
 ]
 
 

@@ -279,3 +279,95 @@ def test_fuzzy_name_pairs_identical_names_collapse(spark):
     out = fuzzy_name_pairs(df, "name", max_dist=2).collect()
     assert len(out) == 1
     assert out[0].dist == 1
+
+
+def _naive_nearest(rows_l, rows_r, inclusive=True, tol_s=None):
+    out = {}
+    for l in rows_l:
+        back = [
+            r for r in rows_r
+            if r.user_id == l.user_id
+            and (r.ts <= l.ts if inclusive else r.ts < l.ts)
+        ]
+        fwd = [
+            r for r in rows_r
+            if r.user_id == l.user_id
+            and (r.ts >= l.ts if inclusive else r.ts > l.ts)
+        ]
+        b = max(back, key=lambda r: (r.ts, r.event_id), default=None)
+        f = min(fwd, key=lambda r: (r.ts, -r.event_id), default=None)
+        if tol_s is not None:
+            lim = dt.timedelta(seconds=tol_s)
+            if b is not None and l.ts - b.ts > lim:
+                b = None
+            if f is not None and f.ts - l.ts > lim:
+                f = None
+        if b is not None and (f is None or l.ts - b.ts <= f.ts - l.ts):
+            best = b
+        else:
+            best = f
+        out[l.event_id] = best.event_id if best else None
+    return out
+
+
+def test_asof_nearest_matches_naive(spark):
+    df = _fixture(spark)
+    left = df.filter(F.col("kind") == "l").drop("kind")
+    right = df.filter(F.col("kind") == "r").drop("kind")
+    got = {
+        r.event_id: r.m_event_id
+        for r in asof_join(
+            left, right, ["user_id"], "ts", "ts",
+            payload=["event_id", "ts", "value"], prefix="m_",
+            tiebreak=["event_id"], direction="nearest",
+        ).collect()
+    }
+    assert got == _naive_nearest(left.collect(), right.collect())
+    # event 6 (t=3, user 2) now matches FORWARD to event 7 (t=8) --
+    # exactly the row plain backward as-of leaves null
+    assert got[6] == 7
+
+
+def test_asof_nearest_tie_prefers_backward(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10), 1)], "event_id long, ts timestamp, user_id long"
+    )
+    right = spark.createDataFrame(
+        [(90, _ts(5), 1, 1.0), (91, _ts(15), 1, 2.0)],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    rows = asof_join(
+        left, right, ["user_id"], "ts", "ts",
+        payload=["event_id"], prefix="m_", tiebreak=["event_id"],
+        direction="nearest",
+    ).collect()
+    assert rows[0].m_event_id == 90  # equal 5 s gap both ways -> backward
+
+
+def test_asof_nearest_strict_and_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10), 1), (2, _ts(100), 1)],
+        "event_id long, ts timestamp, user_id long",
+    )
+    right = spark.createDataFrame(
+        [(90, _ts(10), 1, 1.0), (91, _ts(12), 1, 2.0)],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    # strict: the equal-ts right is excluded, forward t=12 wins
+    got = asof_join(
+        left, right, ["user_id"], "ts", "ts",
+        payload=["event_id"], prefix="m_", tiebreak=["event_id"],
+        direction="nearest", allow_exact_matches=False,
+    ).collect()
+    by_id = {r.event_id: r.m_event_id for r in got}
+    assert by_id[1] == 91
+    # tolerance: the t=100 left is 88 s from its nearest right -> null
+    got_tol = asof_join(
+        left, right, ["user_id"], "ts", "ts",
+        payload=["event_id"], prefix="m_", tiebreak=["event_id"],
+        direction="nearest", tolerance_s=30.0,
+    ).collect()
+    by_id_tol = {r.event_id: r.m_event_id for r in got_tol}
+    assert by_id_tol[1] == 90 and by_id_tol[2] is None
+    ref = _naive_nearest(left.collect(), right.collect(), tol_s=30.0)
+    assert by_id_tol == ref

@@ -283,6 +283,8 @@ QUERIES = [
     # r10 seventh wave: per-user lead windows / days-bounded windows
     ("events_path_ngrams", None),
     ("events_changepoint", None),
+    # r10 eighth wave: merge-scan + one extra local sort
+    ("join_asof_nearest", None),
 ]
 
 

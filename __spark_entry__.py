@@ -127,6 +127,18 @@ _ORDER = [
     # join_asof_last_click / bucketed_join_order_totals /
     # join_bloom_prefilter in-window).
     "join_asof_nearest",
+    # -- re-graded after the exact-division hardening (the wave-8
+    # self-review found the `(num - pmod)/den` float path is only
+    # exact below 2^53; every site now uses BIGINT `div` / SQL `//`).
+    # These three changed fingerprints outside the window, so they
+    # rotate back in.  Displaced: stream_session_windows (streaming
+    # keeps stream_stream_join_pairs in-window), codec_repair_stats
+    # (codec keeps reassembly_ordered_chunks), bucketed_join_order_
+    # totals (joins keep q5_nation_volume / join_asof_last_click /
+    # join_asof_nearest / join_bloom_prefilter).
+    "stats_spearman_daily",
+    "events_ewma_daily",
+    "curation_shuffle_shards",
     # -- NEW this session (scale-technique surface, queries_scale.py):
     # enter directly as sole verifiers; displaced to make room (each
     # driver-green with in-window siblings): agg_value_histogram
@@ -149,16 +161,13 @@ _ORDER = [
     # -- carried category verifiers (all driver-green r5 or earlier) ------
     "q5_nation_volume",
     "join_asof_last_click",
-    "bucketed_join_order_totals",
     "agg_salted_hot_keys",
     "sql_correlated_above_avg",
     "window_follow_stats",
     "map_scalar_showcase",
     "merge_upsert_part",
     "reassembly_ordered_chunks",
-    "codec_repair_stats",
     "stream_stream_join_pairs",
-    "stream_session_windows",
     "dq_events_expectations",
     # ==== driver window boundary (position 50) ===========================
     # Displaced below the boundary for the four round-9 debuts (each
@@ -190,7 +199,6 @@ _ORDER = [
     "graph_label_communities",
     "stats_mann_whitney",
     "stats_quantile_normalize",
-    "events_ewma_daily",
     "sample_weighted_orders",
     "curation_full_set",
     "dedup_exact_groups",
@@ -200,10 +208,12 @@ _ORDER = [
     # and carries a green driver CORRECTNESS row from an earlier round,
     # plus an in-window category sibling above.
     "q1_pricing_summary",
+    "bucketed_join_order_totals",
+    "codec_repair_stats",
+    "stream_session_windows",
     "join_anti_idle_customers",
     # -- displaced by the in-session scale-surface rotation ---------------
     "stats_trimmed_mean",
-    "stats_spearman_daily",
     "text_token_entropy",
     "sim_mine_triplets",
     "orc_xml_roundtrip_part",
@@ -291,7 +301,6 @@ _ORDER = [
     "stats_linear_trend",
     "graph_pagerank_events",
     # -- displaced by the round-8 rotation (driver-green r6/r7) -----------
-    "curation_shuffle_shards",
     "mm_image_dhash_dedup",
     "sample_temperature_sources",
     "events_concurrency_peaks",

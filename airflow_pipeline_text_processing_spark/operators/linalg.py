@@ -65,6 +65,13 @@ def gram_moments(
             if not len(pdf):
                 continue
             X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if X.shape[1] != dim:
+                # a mismatched dim would silently corrupt the flat
+                # dim*dim accumulation below -- fail loudly instead
+                raise ValueError(
+                    f"gram_moments: vectors are {X.shape[1]}-dim, "
+                    f"caller said dim={dim}"
+                )
             Q = np.floor(X * QSCALE).astype(np.int64)
             yield pd.DataFrame(
                 {

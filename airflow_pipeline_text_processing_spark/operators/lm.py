@@ -637,11 +637,20 @@ def zipf_loglog_slope(
         F.sum(F.col("x_q8") * F.col("y_q8")).cast("long").alias("sxy"),
         F.sum(F.col("x_q8") * F.col("x_q8")).cast("long").alias("sxx"),
     )
-    num = (
-        F.col("n_terms") * F.col("sxy") - F.col("sx") * F.col("sy")
-    ) * F.lit(1000000)
-    den = F.col("n_terms") * F.col("sxx") - F.col("sx") * F.col("sx")
-    slope = F.when(F.col("n_terms") < 2, F.lit(0).cast("long")).otherwise(
-        ((num - F.pmod(num, den)) / den).cast("long")
+    # the floor stays in BIGINT end-to-end: `(num - pmod) div den`, never
+    # a float `/` (double is only exact below 2^53 and the two engines
+    # round a double->BIGINT cast differently)
+    fin = moms.select(
+        "n_terms",
+        (
+            (F.col("n_terms") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            * F.lit(1000000)
+        ).alias("_num"),
+        (F.col("n_terms") * F.col("sxx") - F.col("sx") * F.col("sx")).alias(
+            "_den"
+        ),
     )
-    return moms.select("n_terms", slope.alias("slope_ppm"))
+    slope = F.when(F.col("n_terms") < 2, F.lit(0).cast("long")).otherwise(
+        F.expr("(_num - pmod(_num, _den)) div _den").cast("long")
+    )
+    return fin.select("n_terms", slope.alias("slope_ppm"))

@@ -593,7 +593,7 @@ def gopher_quality_rules(
     model-based scoring; complements ``repetition_signals`` (§A1.1)
     which covers the repetition half of the same appendix.
 
-    Per document, the six §A1 rules, each as a BIGINT 0/1 flag decided
+    Per document, the seven §A1 rules, each as a BIGINT 0/1 flag decided
     on INTEGER cross-products (never a rounded ratio -- the same exact
     device as the §A1.1 flags):
 

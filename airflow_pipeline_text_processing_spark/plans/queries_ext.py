@@ -2392,9 +2392,17 @@ def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "t",
         "n_days",
-        ((d_num * _CP_SCALE - F.pmod(d_num * _CP_SCALE, den)) / den)
-        .cast("long")
-        .alias("gap_milli"),
+        (d_num * _CP_SCALE).alias("_num"),
+        den.alias("_den"),
+    ).select(
+        "event_type",
+        "day",
+        "t",
+        "n_days",
+        # BIGINT `div` end-to-end (a float `/` is only exact below 2^53
+        # and the engines round a double->BIGINT cast differently);
+        # _num >= 0 so truncation equals floor
+        F.expr("_num div _den").cast("long").alias("gap_milli"),
     )
     wrank = Window.partitionBy("event_type").orderBy(
         F.desc("gap_milli"), "t"
@@ -2435,7 +2443,7 @@ WITH daily AS (
   FROM pre WHERE t < n_days
 ), g AS (
   SELECT event_type, day, t, n_days,
-         CAST((num - ((num % den) + den) % den) / den AS BIGINT)
+         CAST((num - ((num % den) + den) % den) // den AS BIGINT)
            AS gap_milli
   FROM scored
 )
@@ -3971,8 +3979,13 @@ def stats_spearman_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.col("n_days")
     den = n * n * n - n
     num = F.lit(1000000) * den - F.lit(6000000) * F.col("sd2")
-    rho = ((num - F.pmod(num, den)) / den).cast("long")
-    return moms.select(
+    # BIGINT `div` end-to-end (a float `/` is only exact below 2^53 and
+    # the engines round a double->BIGINT cast differently)
+    fin = moms.select(
+        "event_type", "n_days", "sd2", num.alias("_num"), den.alias("_den")
+    )
+    rho = F.expr("(_num - pmod(_num, _den)) div _den").cast("long")
+    return fin.select(
         "event_type", "n_days", "sd2", rho.alias("rho_ppm")
     ).orderBy("event_type")
 
@@ -3999,7 +4012,7 @@ SELECT event_type, n_days, sd2,
        -- explicit FLOOR division: DuckDB's integer // truncates toward
        -- zero (negative rho would round the wrong way); subtract the
        -- non-negative remainder first, same device as the Spark side
-       CAST((num - ((num % den) + den) % den) / den AS BIGINT) AS rho_ppm
+       CAST((num - ((num % den) + den) % den) // den AS BIGINT) AS rho_ppm
 FROM (SELECT event_type, n_days, sd2,
              1000000 * (n_days*n_days*n_days - n_days) - 6000000 * sd2
                AS num,
@@ -4055,10 +4068,20 @@ def stats_kendall_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_disc"),
     )
-    num = (F.col("n_conc") - F.col("n_disc")) * F.lit(1000000)
-    den = F.col("n_pairs")
-    tau = ((num - F.pmod(num, den)) / den).cast("long")
-    return moms.select(
+    # BIGINT `div` end-to-end (a float `/` is only exact below 2^53 and
+    # the engines round a double->BIGINT cast differently)
+    fin = moms.select(
+        "event_type",
+        "n_pairs",
+        "n_conc",
+        "n_disc",
+        ((F.col("n_conc") - F.col("n_disc")) * F.lit(1000000)).alias(
+            "_num"
+        ),
+        F.col("n_pairs").alias("_den"),
+    )
+    tau = F.expr("(_num - pmod(_num, _den)) div _den").cast("long")
+    return fin.select(
         "event_type",
         "n_pairs",
         "n_conc",
@@ -4232,7 +4255,7 @@ SELECT event_type, n_pairs, n_conc, n_disc,
        CAST(n_pairs - n_conc - n_disc AS BIGINT) AS n_ties,
        -- floor division via the non-negative-remainder device (tau can
        -- be negative; both engines' / on BIGINTs truncates toward zero)
-       CAST((num - ((num % den) + den) % den) / den AS BIGINT) AS tau_ppm
+       CAST((num - ((num % den) + den) % den) // den AS BIGINT) AS tau_ppm
 FROM (SELECT *, (n_conc - n_disc) * 1000000 AS num, n_pairs AS den
       FROM moms)
 ORDER BY event_type
@@ -4309,7 +4332,7 @@ WITH daily AS (
   FROM win
 )
 SELECT event_type, strftime(day, '%Y-%m-%d') AS day, value_cents,
-       CAST((num - ((num % den) + den) % den) / den AS BIGINT) AS ewma_cents
+       CAST((num - ((num % den) + den) % den) // den AS BIGINT) AS ewma_cents
 FROM scored
 ORDER BY event_type, day
 """
@@ -4613,15 +4636,15 @@ def curation_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_total = docs.groupBy().agg(F.count("*").alias("n"))
     # single-row broadcast carrier (the accepted constant-grid pattern)
     out = ranked.crossJoin(F.broadcast(n_total))
-    r0 = F.col("rank") - 1
-    shard = (r0 * k - F.pmod(r0 * k, F.col("n"))) / F.col("n")
-    start = (
-        F.col("shard") * F.col("n") + k - 1
-        - F.pmod(F.col("shard") * F.col("n") + k - 1, F.lit(k))
-    ) / k
+    # all-nonnegative integer division stays in BIGINT via `div` (a
+    # float `/` is only exact below 2^53 -- at trillion-row corpora
+    # rank*k crosses it)
     return (
-        out.withColumn("shard", shard.cast("long"))
-        .withColumn("pos", (r0 - start).cast("long"))
+        out.withColumn("shard", F.expr(f"((rank - 1) * {k}) div n"))
+        .withColumn(
+            "pos",
+            F.expr(f"(rank - 1) - ((shard * n + {k} - 1) div {k})"),
+        )
         .select("doc_id", "skey", "shard", "pos")
         .orderBy("shard", "pos")
     )

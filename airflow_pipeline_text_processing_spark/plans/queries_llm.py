@@ -955,7 +955,7 @@ WITH moms AS (
   FROM ({ychain}))
 SELECT n_terms,
        CASE WHEN n_terms < 2 THEN CAST(0 AS BIGINT)
-            ELSE CAST((num - ((num % den) + den) % den) / den AS BIGINT)
+            ELSE CAST((num - ((num % den) + den) % den) // den AS BIGINT)
        END AS slope_ppm
 FROM (SELECT *,
              (n_terms * sxy - sx * sy) * 1000000 AS num,
@@ -976,7 +976,7 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     that exercises both branches of every rule: every 3rd document is
     word-repeated 25x (crossing the 50-word floor), every 7th gets a
     bullet-list + ellipsis-line + symbol-run tail (tripping the
-    bullet/ellipsis/symbol-ratio rules).  All six §A1 flags plus the
+    bullet/ellipsis/symbol-ratio rules).  All seven §A1 flags plus the
     conjunction, decided on integer cross-products -- the published
     pre-model curation gate, complementing text_repetition_signals
     (§A1.1).  Map-only narrow projection: no shuffle, no Python."""

@@ -121,6 +121,12 @@ _ORDER = [
     # sim_range_search / search_mmr_rerank in-window).
     "events_path_ngrams",
     "events_changepoint",
+    # -- NEW round 10 (ninth wave): Theil-Sen robust median slope
+    # (lower-median exact rank, same calendar-bounded pair join as
+    # Kendall).  Displaced: dedup_semantic_clusters (r9 driver-green;
+    # dedup keeps sorted_neighborhood / containment / canonical_pick /
+    # winnow_overlap in-window).
+    "stats_theil_sen",
     # -- NEW round 10 (eighth wave): nearest-direction as-of join
     # (pandas merge_asof parity).  Displaced: join_anti_idle_customers
     # (r5 driver-green; join family keeps q5_nation_volume /
@@ -155,7 +161,6 @@ _ORDER = [
     # -- r6-graded verifiers kept in-window -------------------------------
     "curation_lm_filtered",
     "sample_surprisal_strata",
-    "dedup_semantic_clusters",
     "sketch_overlap_matrix",
     "curation_dsir_select",
     # -- carried category verifiers (all driver-green r5 or earlier) ------
@@ -208,6 +213,7 @@ _ORDER = [
     # and carries a green driver CORRECTNESS row from an earlier round,
     # plus an in-window category sibling above.
     "q1_pricing_summary",
+    "dedup_semantic_clusters",
     "bucketed_join_order_totals",
     "codec_repair_stats",
     "stream_session_windows",

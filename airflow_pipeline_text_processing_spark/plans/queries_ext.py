@@ -4190,6 +4190,107 @@ def stats_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per event type: the MEDIAN of all
+    pairwise day-slopes of daily revenue -- the classical
+    outlier-resistant complement to stats_linear_trend's OLS slope
+    (one wild day moves OLS arbitrarily, but not the slope median).
+
+    Exactness: each pairwise slope quantizes once to milli-cents/day
+    via the integer floor device ``(dy*1000 - pmod) div dx`` (dx =
+    day difference in whole days, always > 0), then the median is the
+    exact lower median (rank ``(n+1) div 2`` over a per-type total
+    order (slope, rank-of-pair)) -- no float averaging of the two
+    middle elements, fully deterministic on both engines.
+
+    Scale shape: the day-pair self-join is calendar-bounded exactly
+    like stats_kendall_daily (years of dailies = millions of pairs
+    per type, worker-local); the median is a per-type (never global)
+    rank window over the pair relation.  Magnitude: |dy|*1000 <=
+    ~1e13 at 1e10 daily cents -- int64-safe."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.expr("CAST(FLOOR(value * 100) AS BIGINT)").alias("cents"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.sum("cents").alias("y")
+    )
+    a = daily.select(
+        "event_type", F.col("day").alias("da"), F.col("y").alias("ya")
+    )
+    b = daily.select(
+        "event_type", F.col("day").alias("db"), F.col("y").alias("yb")
+    )
+    pairs = (
+        a.join(b, "event_type")
+        .filter(F.col("da") < F.col("db"))
+        .select(
+            "event_type",
+            ((F.col("yb") - F.col("ya")) * F.lit(1000)).alias("_num"),
+            F.datediff("db", "da").cast("long").alias("_den"),
+        )
+        .select(
+            "event_type",
+            F.expr("(_num - pmod(_num, _den)) div _den").alias(
+                "slope_milli"
+            ),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("slope_milli")
+    ranked = pairs.select(
+        "event_type",
+        "slope_milli",
+        F.row_number().over(w).cast("long").alias("rk"),
+        F.count("*")
+        .over(Window.partitionBy("event_type"))
+        .cast("long")
+        .alias("n_slopes"),
+    )
+    return (
+        ranked.filter(
+            F.col("rk") == F.expr("(n_slopes + 1) div 2")
+        )
+        .select(
+            "event_type",
+            "n_slopes",
+            F.col("slope_milli").alias("median_slope_milli"),
+        )
+        .orderBy("event_type")
+    )
+
+
+THEIL_SEN_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS y
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT a.event_type,
+         (b.y - a.y) * 1000 AS num,
+         CAST(date_diff('day', a.day, b.day) AS BIGINT) AS den
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day
+), slopes AS (
+  SELECT event_type,
+         CAST((num - ((num % den) + den) % den) // den AS BIGINT)
+           AS slope_milli
+  FROM pairs
+), ranked AS (
+  SELECT event_type, slope_milli,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                 ORDER BY slope_milli) AS BIGINT) AS rk,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+           AS n_slopes
+  FROM slopes
+)
+SELECT event_type, n_slopes, slope_milli AS median_slope_milli
+FROM ranked
+WHERE rk = (n_slopes + 1) // 2
+ORDER BY event_type
+"""
+
+
 ANOVA_SQL = """
 WITH daily AS (
   SELECT event_type, CAST(ts AS DATE) AS day,
@@ -4725,6 +4826,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "stats_spearman_daily": (stats_spearman_daily, SPEARMAN_SQL),
     "stats_kendall_daily": (stats_kendall_daily, KENDALL_SQL),
     "stats_anova_f": (stats_anova_f, ANOVA_SQL),
+    "stats_theil_sen": (stats_theil_sen, THEIL_SEN_SQL),
     "events_path_ngrams": (events_path_ngrams, PATH_NGRAMS_SQL),
     "events_changepoint": (events_changepoint, CHANGEPOINT_SQL),
     "stats_sigma_outliers": (stats_sigma_outliers, SIGMA_OUTLIERS_SQL),

@@ -152,6 +152,8 @@ BENCH_QUERIES = [
     "events_changepoint",
     # round-10 eighth wave: nearest-direction as-of join
     "join_asof_nearest",
+    # round-10 ninth wave: Theil-Sen robust median slope
+    "stats_theil_sen",
 ]
 
 

@@ -178,3 +178,61 @@ def test_anova_f_floor_parity_on_uneven_groups(spark):
     assert (
         got.k_groups, got.n_days, got.ssb_cents2, got.ssw_cents2, got.f_milli
     ) == _ref_anova(cents)
+
+
+# ---------------------------------------------------------------------
+# Theil-Sen robust median slope
+# ---------------------------------------------------------------------
+
+
+def _ref_theil_sen(day_cents: list[tuple[int, int]]):
+    slopes = []
+    for i in range(len(day_cents)):
+        for j in range(i + 1, len(day_cents)):
+            dx = day_cents[j][0] - day_cents[i][0]
+            num = (day_cents[j][1] - day_cents[i][1]) * 1000
+            slopes.append(num // dx)  # python // floors, like the device
+    slopes.sort()
+    return len(slopes), slopes[(len(slopes) + 1) // 2 - 1]
+
+
+def test_theil_sen_matches_reference_and_resists_outlier(spark):
+    from airflow_pipeline_text_processing_spark.plans.queries_ext import (
+        stats_theil_sen,
+    )
+
+    rng = random.Random(33)
+    rows, series = [], {}
+    eid = 0
+    for etype in ("steady", "spiked"):
+        pts = []
+        for d in range(15):
+            y = 10.0 + 2.0 * d + rng.uniform(0, 0.5)
+            if etype == "spiked" and d == 7:
+                y += 10_000.0  # one wild day
+            pts.append((d, y))
+            rows.append(
+                (eid, dt.datetime(2024, 6, 1) + dt.timedelta(days=d),
+                 1, etype, y, "{}")
+            )
+            eid += 1
+        series[etype] = pts
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as td:
+        ev.write.parquet(os.path.join(td, "events.parquet"))
+        got = {
+            r.event_type: (r.n_slopes, r.median_slope_milli)
+            for r in stats_theil_sen(spark, td).collect()
+        }
+    for etype, pts in series.items():
+        cents = [(d, int(math.floor(y * 100))) for d, y in pts]
+        assert got[etype] == _ref_theil_sen(cents), etype
+    # the median slope shrugs off the spike: both series read ~2/day
+    # (200 cents = 200_000 milli-cents), while an OLS slope on the
+    # spiked series would be wildly off
+    assert abs(got["steady"][1] - 200_000) < 60_000
+    assert abs(got["spiked"][1] - 200_000) < 60_000

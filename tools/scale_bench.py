@@ -285,6 +285,8 @@ QUERIES = [
     ("events_changepoint", None),
     # r10 eighth wave: merge-scan + one extra local sort
     ("join_asof_nearest", None),
+    # r10 ninth wave: calendar-bounded pair join like kendall
+    ("stats_theil_sen", None),
 ]
 
 

@@ -73,3 +73,25 @@ def test_coverage_doc_mentions_every_registry_query():
         f"COVERAGE.md is missing {len(missing)} registry queries: "
         f"{missing[:8]}{'...' if len(missing) > 8 else ''}"
     )
+
+
+def test_bench_headline_list_is_valid():
+    """bench.py's BENCH_QUERIES is executed verbatim by the round
+    driver; a renamed or mistyped entry crashes the whole benchmark
+    run (KeyError into REGISTRY).  Mechanical lock: every headline
+    name must exist in the registry, with no duplicates."""
+    import ast
+
+    entrymod = _registry()
+    tree = ast.parse(open(os.path.join(REPO, "bench.py")).read())
+    names = None
+    for node in tree.body:
+        if (
+            isinstance(node, ast.Assign)
+            and getattr(node.targets[0], "id", None) == "BENCH_QUERIES"
+        ):
+            names = ast.literal_eval(node.value)
+    assert names, "BENCH_QUERIES not found in bench.py"
+    missing = [n for n in names if n not in entrymod.REGISTRY]
+    dupes = sorted({n for n in names if names.count(n) > 1})
+    assert not missing and not dupes, (missing, dupes)

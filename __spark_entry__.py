@@ -127,6 +127,15 @@ _ORDER = [
     # dedup keeps sorted_neighborhood / containment / canonical_pick /
     # winnow_overlap in-window).
     "stats_theil_sen",
+    # -- NEW round 10 (tenth wave): pointer-doubling hierarchy depth
+    # (the recursive-CTE capability, O(log d) self-joins) and RFM
+    # quintile segmentation (two-level-rank quintile cuts).
+    # Displaced: stats_ks_two_sample (r9 driver-green; stats keeps
+    # kendall / anova / theil_sen / spearman in-window),
+    # curation_dsir_select (r6 driver-green; curation keeps
+    # curation_lm_filtered in-window).
+    "graph_hierarchy_depth",
+    "agg_rfm_segments",
     # -- NEW round 10 (eighth wave): nearest-direction as-of join
     # (pandas merge_asof parity).  Displaced: join_anti_idle_customers
     # (r5 driver-green; join family keeps q5_nation_volume /
@@ -154,7 +163,6 @@ _ORDER = [
     "join_bloom_prefilter",
     "dedup_winnow_overlap",
     "search_rrf_fusion",
-    "stats_ks_two_sample",
     "text_topics_kmeans",
     "text_bpe_compression",
     "mm_audio_fingerprint",
@@ -162,7 +170,6 @@ _ORDER = [
     "curation_lm_filtered",
     "sample_surprisal_strata",
     "sketch_overlap_matrix",
-    "curation_dsir_select",
     # -- carried category verifiers (all driver-green r5 or earlier) ------
     "q5_nation_volume",
     "join_asof_last_click",
@@ -213,6 +220,8 @@ _ORDER = [
     # and carries a green driver CORRECTNESS row from an earlier round,
     # plus an in-window category sibling above.
     "q1_pricing_summary",
+    "stats_ks_two_sample",
+    "curation_dsir_select",
     "dedup_semantic_clusters",
     "bucketed_join_order_totals",
     "codec_repair_stats",

@@ -299,6 +299,66 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
     )
 
 
+def ancestor_doubling(
+    nodes: DataFrame, rounds: int = 4
+) -> DataFrame:
+    """Root and depth for every node of a forest given as
+    ``(node, parent)`` rows (roots point at themselves) -- by POINTER
+    DOUBLING: each round joins the current ancestor relation with
+    itself, so after k rounds every node knows its 2^k-step ancestor
+    and the accumulated step count.  This is the scalable answer to
+    the recursive-CTE hierarchy walk Spark lacks: a depth-d forest
+    resolves in ceil(log2 d) self-joins instead of d dependent scans
+    -- O(log d) shuffles on a relation that never grows past |V|.
+    ``rounds=4`` covers depth <= 16; the SQL oracle replays the same
+    semantics as a WITH RECURSIVE walk.
+
+    Each round is one equi-join (node-keyed hash shuffle) plus a
+    localCheckpoint to keep the lineage flat (the kcore/pagerank
+    device).  Roots carry ``anc = node, steps = 0``; the doubling
+    preserves the invariant ``anc = the node's (steps)-step ancestor,
+    anc root-reached iff anc.parent = anc``.
+
+    Returns ``(node, root, depth)`` -- exact for every node whose
+    depth <= 2^rounds; deeper nodes return their 2^rounds-ancestor
+    and that partial depth (callers size ``rounds`` to the forest,
+    same contract as ``kcore_peel``'s bounded rounds)."""
+    base = nodes.select(
+        F.col("node"),
+        F.col("parent").alias("anc"),
+        F.when(F.col("parent") == F.col("node"), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("steps"),
+    ).localCheckpoint(eager=False)
+    cur = base
+    for _ in range(rounds):
+        nxt = cur.select(
+            F.col("node").alias("_n"),
+            F.col("anc").alias("_a"),
+            F.col("steps").alias("_s"),
+        )
+        cur = (
+            cur.join(
+                nxt.select(
+                    F.col("_n").alias("anc"),
+                    F.col("_a").alias("anc2"),
+                    F.col("_s").alias("s2"),
+                ),
+                "anc",
+            )
+            .select(
+                "node",
+                F.col("anc2").alias("anc"),
+                (F.col("steps") + F.col("s2")).cast("long").alias("steps"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return cur.select(
+        "node", F.col("anc").alias("root"), F.col("steps").alias("depth")
+    )
+
+
 RA_SCALE = 10**12
 
 

@@ -4190,6 +4190,97 @@ def stats_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation over orders -- the classic
+    recency/frequency/monetary quintile grid, with every quintile cut
+    computed scale-safely: each dimension ranks through the two-level
+    ``ordered_running_sum`` (range partition + per-partition window +
+    O(parallelism) offset merge -- never a single-partition global
+    window) and buckets by the exact integer cut ``((rank-1)*5) div
+    n`` (the shuffle-shard formula).  Recency is whole days behind
+    the corpus's latest order date; monetary is exact cents.  Output:
+    customers per (r_q, f_q, m_q) cell -- at most 125 rows whatever
+    the corpus size."""
+    from ..operators.windows import ordered_running_sum
+
+    od = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("od"),
+        F.expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    per_cust = od.groupBy("o_custkey").agg(
+        F.max("od").alias("last_day"),
+        F.count("*").cast("long").alias("freq"),
+        F.sum("cents").cast("long").alias("mon"),
+    )
+    anchor = per_cust.agg(F.max("last_day").alias("anchor"))
+    base = (
+        per_cust.crossJoin(F.broadcast(anchor))
+        .select(
+            "o_custkey",
+            F.datediff("anchor", "last_day").cast("long").alias("rec"),
+            "freq",
+            "mon",
+        )
+        .withColumn("one", F.lit(1).cast("long"))
+    )
+    ranked = ordered_running_sum(
+        base, [F.col("rec"), F.col("o_custkey")], "one", "rr"
+    )
+    ranked = ordered_running_sum(
+        ranked, [F.col("freq"), F.col("o_custkey")], "one", "rf"
+    )
+    ranked = ordered_running_sum(
+        ranked, [F.col("mon"), F.col("o_custkey")], "one", "rm"
+    )
+    n_total = per_cust.groupBy().agg(F.count("*").alias("n"))
+    cells = ranked.crossJoin(F.broadcast(n_total)).select(
+        F.expr("((rr - 1) * 5) div n").alias("r_q"),
+        F.expr("((rf - 1) * 5) div n").alias("f_q"),
+        F.expr("((rm - 1) * 5) div n").alias("m_q"),
+    )
+    return (
+        cells.groupBy("r_q", "f_q", "m_q")
+        .agg(F.count("*").cast("long").alias("n_customers"))
+        .orderBy("r_q", "f_q", "m_q")
+    )
+
+
+RFM_SQL = """
+WITH pc AS (
+  SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS last_day,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS mon
+  FROM orders GROUP BY 1
+), b AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', last_day,
+              (SELECT MAX(last_day) FROM pc)) AS BIGINT) AS rec,
+         freq, mon
+  FROM pc
+), r AS (
+  SELECT o_custkey,
+         CAST(ROW_NUMBER() OVER (ORDER BY rec, o_custkey) AS BIGINT)
+           AS rr,
+         CAST(ROW_NUMBER() OVER (ORDER BY freq, o_custkey) AS BIGINT)
+           AS rf,
+         CAST(ROW_NUMBER() OVER (ORDER BY mon, o_custkey) AS BIGINT)
+           AS rm,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM b
+)
+SELECT ((rr - 1) * 5) // n AS r_q,
+       ((rf - 1) * 5) // n AS f_q,
+       ((rm - 1) * 5) // n AS m_q,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM r GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
 def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil-Sen robust trend per event type: the MEDIAN of all
     pairwise day-slopes of daily revenue -- the classical
@@ -4827,6 +4918,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "stats_kendall_daily": (stats_kendall_daily, KENDALL_SQL),
     "stats_anova_f": (stats_anova_f, ANOVA_SQL),
     "stats_theil_sen": (stats_theil_sen, THEIL_SEN_SQL),
+    "agg_rfm_segments": (agg_rfm_segments, RFM_SQL),
     "events_path_ngrams": (events_path_ngrams, PATH_NGRAMS_SQL),
     "events_changepoint": (events_changepoint, CHANGEPOINT_SQL),
     "stats_sigma_outliers": (stats_sigma_outliers, SIGMA_OUTLIERS_SQL),

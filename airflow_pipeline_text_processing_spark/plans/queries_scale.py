@@ -1385,6 +1385,67 @@ LIMIT 20
 
 
 # =====================================================================
+# Hierarchy traversal by pointer doubling (the recursive-CTE shape)
+# =====================================================================
+
+
+def graph_hierarchy_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth histogram of a deterministic user forest
+    (operators/graph.py::ancestor_doubling): parent(u) = u div 7 for
+    u >= 7, roots below -- the hierarchy-traversal capability SQL
+    engines express as WITH RECURSIVE and Spark lacks natively.  The
+    engine form is POINTER DOUBLING: ceil(log2 depth) self-joins
+    instead of depth dependent scans, each a node-keyed equi-join on
+    a relation that never grows past |V| -- the O(log d) shuffle
+    answer for org charts, category trees, and thread/reply chains at
+    corpus scale.  The oracle replays the same walk as a recursive
+    CTE; 4 rounds cover depth 16 (the sf forests reach ~6)."""
+    from ..operators.graph import ancestor_doubling
+
+    nodes = (
+        _t(spark, sf_dir, "events")
+        .select(F.col("user_id").alias("node"))
+        .distinct()
+    )
+    forest = nodes.select(
+        "node",
+        F.when(F.col("node") >= 7, F.expr("node div 7"))
+        .otherwise(F.col("node"))
+        .alias("parent"),
+    )
+    rd = ancestor_doubling(forest, rounds=4)
+    return (
+        rd.groupBy("depth")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.countDistinct("root").cast("long").alias("n_roots"),
+        )
+        .orderBy("depth")
+    )
+
+
+HIERARCHY_SQL = """
+WITH RECURSIVE nodes AS (
+  SELECT DISTINCT user_id AS u FROM events
+),
+walk AS (
+  SELECT u, u AS cur, CAST(0 AS BIGINT) AS d FROM nodes
+  UNION ALL
+  SELECT u, cur // 7, d + 1 FROM walk WHERE cur >= 7
+),
+fin AS (
+  SELECT u, MAX(d) AS depth,
+         MIN(CASE WHEN cur < 7 THEN cur END) AS root
+  FROM walk GROUP BY u
+)
+SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(COUNT(DISTINCT root) AS BIGINT) AS n_roots
+FROM fin GROUP BY depth
+ORDER BY depth
+"""
+
+
+# =====================================================================
 # Markov next-event transition matrix (conditional probabilities)
 # =====================================================================
 
@@ -1774,6 +1835,7 @@ LIMIT {_CHI2_TOP}
 
 REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "graph_link_predict": (graph_link_predict, LINK_PREDICT_SQL),
+    "graph_hierarchy_depth": (graph_hierarchy_depth, HIERARCHY_SQL),
     "events_markov_transitions": (events_markov_transitions, MARKOV_SQL),
     "sim_range_search": (sim_range_search, _RANGE_SQL),
     "graph_kcore": (graph_kcore, _kcore_sql()),

@@ -154,6 +154,9 @@ BENCH_QUERIES = [
     "join_asof_nearest",
     # round-10 ninth wave: Theil-Sen robust median slope
     "stats_theil_sen",
+    # round-10 tenth wave: pointer-doubling hierarchy, RFM segmentation
+    "graph_hierarchy_depth",
+    "agg_rfm_segments",
 ]
 
 

@@ -287,6 +287,9 @@ QUERIES = [
     ("join_asof_nearest", None),
     # r10 ninth wave: calendar-bounded pair join like kendall
     ("stats_theil_sen", None),
+    # r10 tenth wave: log-depth self-joins / two-level-rank quintiles
+    ("graph_hierarchy_depth", None),
+    ("agg_rfm_segments", None),
 ]
 
 

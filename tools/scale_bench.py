@@ -385,6 +385,11 @@ def synth_orders(spark, n, n_cust):
         ((F.pmod(F.hash(F.col("id") + 17), 1_000_000)) / 100.0).alias(
             "o_totalprice"
         ),
+        # hash-spread order dates over one year (the RFM recency input)
+        F.expr(
+            "timestamp_seconds(1704067200"
+            " + pmod(hash(id + 29), 365) * 86400)"
+        ).alias("o_orderdate"),
     )
 
 

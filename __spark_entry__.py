@@ -136,6 +136,12 @@ _ORDER = [
     # curation_lm_filtered in-window).
     "graph_hierarchy_depth",
     "agg_rfm_segments",
+    # -- NEW round 10 (eleventh wave): EXACT prefix-filtering
+    # set-similarity join (SSJoin/ppjoin -- the lossless contrast to
+    # the max_df posting cap; oracle = brute-force all-pairs).
+    # Displaced: search_rrf_fusion (driver-green r9; search family
+    # keeps search_mmr_rerank in-window).
+    "dedup_prefix_filter",
     # -- NEW round 10 (eighth wave): nearest-direction as-of join
     # (pandas merge_asof parity).  Displaced: join_anti_idle_customers
     # (r5 driver-green; join family keeps q5_nation_volume /
@@ -162,7 +168,6 @@ _ORDER = [
     # (~ sim_ivfpq_topk / sim_pq_adc_topk / sim_pooled_rerank).
     "join_bloom_prefilter",
     "dedup_winnow_overlap",
-    "search_rrf_fusion",
     "text_topics_kmeans",
     "text_bpe_compression",
     "mm_audio_fingerprint",
@@ -220,6 +225,7 @@ _ORDER = [
     # and carries a green driver CORRECTNESS row from an earlier round,
     # plus an in-window category sibling above.
     "q1_pricing_summary",
+    "search_rrf_fusion",
     "stats_ks_two_sample",
     "curation_dsir_select",
     "dedup_semantic_clusters",

@@ -258,6 +258,79 @@ def jaccard_for_pairs(
     )
 
 
+def prefix_filter_pairs(
+    docs: DataFrame,
+    t_num: int = 6,
+    t_den: int = 10,
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """EXACT all-pairs Jaccard join by prefix filtering (Chaudhuri,
+    Ganti & Kaushik, ICDE'06 SSJoin; Xiao et al., WWW'08 ppjoin):
+    the lossless alternative to ``jaccard_pairs``' ``max_df`` posting
+    cap.  Order every shingle by global rarity ``(df asc, shingle)``;
+    if ``J(x, y) >= t`` then x and y must share a shingle inside each
+    set's first ``|x| - ceil(t*|x|) + 1`` elements of that order
+    (otherwise all common shingles sit in x's last ``ceil(t|x|) - 1``
+    positions -- fewer than the ``>= t*|x|`` the threshold forces).
+    Candidates therefore come from an inverted index over PREFIX
+    entries only, and NO qualifying pair can be missed.
+
+    Why this scales where the cap trades recall: a corpus-wide
+    boilerplate shingle sits at the rarity order's TAIL, so it enters
+    only the prefixes of documents that are almost entirely
+    boilerplate -- exactly the ones that genuinely qualify.  The
+    prefix self-join's fan-out is sum over shingles of (prefix-df)^2,
+    driven by the threshold rather than a tuning knob; the higher the
+    threshold, the shorter every prefix.
+
+    Threshold is the exact rational ``t_num/t_den``; the final filter
+    is the integer cross-product ``n_common * t_den >= t_num *
+    (size_a + size_b - n_common)`` (never a float >= against a
+    non-representable 0.6).  Returns the ``jaccard_pairs`` columns."""
+    sh = shingle_table(docs, text_col, n)
+    dfc = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    ordered = sh.join(dfc, "shingle")
+    wdoc = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    pos = ordered.select(
+        "doc_id",
+        "shingle",
+        F.row_number().over(wdoc).cast("long").alias("pos"),
+        F.count("*")
+        .over(Window.partitionBy("doc_id"))
+        .cast("long")
+        .alias("sz"),
+    )
+    plen = (
+        F.col("sz")
+        - F.expr(f"({t_num} * sz + {t_den} - 1) div {t_den}")
+        + 1
+    )
+    prefix = pos.filter(F.col("pos") <= plen).select("doc_id", "shingle")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    verified = jaccard_for_pairs(docs, cands, text_col, n)
+    keep = F.col("n_common") * t_den >= t_num * (
+        F.col("size_a") + F.col("size_b") - F.col("n_common")
+    )
+    return (
+        verified.filter(keep)
+        .select("doc_a", "doc_b", "n_common", "size_a", "size_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def containment_pairs(
     docs: DataFrame,
     threshold_ppm: int = 700_000,

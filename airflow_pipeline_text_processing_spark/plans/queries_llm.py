@@ -352,6 +352,31 @@ ORDER BY j.doc_a, j.doc_b
 """
 
 
+def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs Jaccard join by prefix filtering
+    (operators/dedup.py::prefix_filter_pairs; SSJoin/ppjoin): same
+    planted corpus and 6/10 threshold as dedup_ngram_jaccard, but
+    provably complete -- candidates come from an inverted index over
+    each set's rarity-ordered prefix (|x| - ceil(t|x|) + 1 entries),
+    which cannot miss a qualifying pair, unlike the max_df posting cap
+    that trades recall.  The oracle is BRUTE-FORCE all-pairs Jaccard
+    with the identical integer cross-product threshold; equality
+    certifies the losslessness claim on this corpus."""
+    return D.prefix_filter_pairs(
+        _planted_docs(spark, sf_dir), t_num=6, t_den=10
+    )
+
+
+PREFIX_FILTER_SQL = f"""
+WITH corpus AS ({_planted_sql()}),
+{SHINGLES_CTE}
+SELECT doc_a, doc_b, n_common, size_a, size_b, jaccard
+FROM jaccards
+WHERE n_common * 10 >= 6 * (size_a + size_b - n_common)
+ORDER BY doc_a, doc_b
+"""
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_dedup_pairs(
         _planted_docs(spark, sf_dir), threshold=0.5, num_perm=16, band_size=4
@@ -3055,6 +3080,7 @@ FROM sel{k} ORDER BY query_id, pick_order
 REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "text_gopher_quality": (text_gopher_quality, GOPHER_SQL),
     "text_zipf_slope": (text_zipf_slope, _zipf_sql()),
+    "dedup_prefix_filter": (dedup_prefix_filter, PREFIX_FILTER_SQL),
     "dedup_containment": (dedup_containment, CONTAINMENT_SQL),
     "text_boilerplate_strip": (text_boilerplate_strip, BOILERPLATE_SQL),
     "dedup_canonical_pick": (dedup_canonical_pick, _canonical_pick_sql()),

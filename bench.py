@@ -157,6 +157,8 @@ BENCH_QUERIES = [
     # round-10 tenth wave: pointer-doubling hierarchy, RFM segmentation
     "graph_hierarchy_depth",
     "agg_rfm_segments",
+    # round-10 eleventh wave: exact prefix-filtering similarity join
+    "dedup_prefix_filter",
 ]
 
 

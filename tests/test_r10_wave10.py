@@ -138,3 +138,78 @@ def test_rfm_segments_match_reference(spark):
     assert sum(got.values()) == 40  # every customer lands in one cell
     for (rq, fq, mq) in got:
         assert 0 <= rq <= 4 and 0 <= fq <= 4 and 0 <= mq <= 4
+
+
+# ---------------------------------------------------------------------
+# prefix-filtering exact set-similarity join
+# ---------------------------------------------------------------------
+
+
+def _brute_jaccard_pairs(texts, t_num, t_den, n=3):
+    import re
+
+    def shingles(t):
+        toks = [x for x in re.split(r"[^a-z0-9]+", t.lower()) if x]
+        if len(toks) <= n - 1:
+            return {" ".join(toks[0:n])} if toks else {""}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    sets = {i: shingles(t) for i, t in enumerate(texts)}
+    out = {}
+    for a in sets:
+        for b in sets:
+            if a >= b:
+                continue
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a]) + len(sets[b]) - inter
+            if inter * t_den >= t_num * union:
+                out[(a, b)] = (inter, len(sets[a]), len(sets[b]))
+    return out
+
+
+def test_prefix_filter_is_lossless_vs_bruteforce(spark):
+    from airflow_pipeline_text_processing_spark.operators.dedup import (
+        prefix_filter_pairs,
+    )
+
+    vocab = [f"w{k}" for k in range(12)]
+    for seed in range(5):
+        rng = random.Random(400 + seed)
+        texts = []
+        for i in range(14):
+            base = " ".join(rng.choices(vocab, k=rng.randint(4, 12)))
+            texts.append(base)
+            if rng.random() < 0.5:  # plant near-dups: append a word
+                texts.append(base + " " + rng.choice(vocab))
+        t_num, t_den = rng.choice([(5, 10), (6, 10), (8, 10)])
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string",
+        )
+        got = {
+            (r.doc_a, r.doc_b): (r.n_common, r.size_a, r.size_b)
+            for r in prefix_filter_pairs(
+                df, t_num=t_num, t_den=t_den
+            ).collect()
+        }
+        want = _brute_jaccard_pairs(texts, t_num, t_den)
+        assert got == want, f"seed {seed} t={t_num}/{t_den}"
+
+
+def test_prefix_filter_exact_threshold_boundary(spark):
+    from airflow_pipeline_text_processing_spark.operators.dedup import (
+        prefix_filter_pairs,
+    )
+
+    # two docs engineered to J exactly 6/10: 6 common shingles,
+    # union 10 -- must be KEPT by the integer cross-product (a float
+    # >= 0.6 comparison is representation-dependent)
+    a = "c1 c2 c3 c4 c5 c6 c7 c8"  # 6 3-shingles
+    b = "c1 c2 c3 c4 c5 c6 c7 c8 x1 x2 x3 x4"  # 10: the 6 + 4 new
+    df = spark.createDataFrame(
+        [(0, a), (1, b)], "doc_id long, text string"
+    )
+    rows = prefix_filter_pairs(df, t_num=6, t_den=10).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_common, r.size_a, r.size_b) == (6, 6, 10)

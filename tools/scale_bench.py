@@ -221,6 +221,21 @@ def _mmr_all_vecs(spark, sf_dir):
     )
 
 
+def _prefix_filter_all_docs(spark, sf_dir):
+    """dedup_prefix_filter's registry form runs on a planted corpus
+    (oracle determinism); the scale check drives the EXACT
+    prefix-filtered join over the WHOLE synthetic documents table --
+    the lossless counterpart of the winnow/containment all-docs rows."""
+    from airflow_pipeline_text_processing_spark.operators.dedup import (
+        prefix_filter_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return prefix_filter_pairs(docs, t_num=6, t_den=10)
+
+
 def _link_predict_rep_groups(spark, sf_dir):
     """graph_link_predict on replica-disjoint groups (see
     _triangle_rep_groups for why the registry grouping would measure
@@ -290,6 +305,8 @@ QUERIES = [
     # r10 tenth wave: log-depth self-joins / two-level-rank quintiles
     ("graph_hierarchy_depth", None),
     ("agg_rfm_segments", None),
+    # r10 eleventh wave: prefix-indexed candidates + exact verify
+    ("prefix_filter[all-docs]", _prefix_filter_all_docs),
 ]
 
 

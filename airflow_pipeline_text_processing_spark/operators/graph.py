@@ -319,6 +319,15 @@ def ancestor_doubling(
     preserves the invariant ``anc = the node's (steps)-step ancestor,
     anc root-reached iff anc.parent = anc``.
 
+    Dangling parents -- pointers at ids with no row of their own (a
+    forest cut at an ingestion boundary) -- are TERMINAL: the walk
+    stops there, the dangling id is reported as the root and the hop
+    into it counts toward depth.  The doubling implements this with a
+    LEFT join + coalesce (an inner join would silently DROP every
+    node whose ancestor chain leaves the relation -- the review-found
+    hazard); callers wanting strict forests can assert
+    ``parent isin nodes`` upstream.
+
     Returns ``(node, root, depth)`` -- exact for every node whose
     depth <= 2^rounds; deeper nodes return their 2^rounds-ancestor
     and that partial depth (callers size ``rounds`` to the forest,
@@ -346,11 +355,15 @@ def ancestor_doubling(
                     F.col("_s").alias("s2"),
                 ),
                 "anc",
+                "left",
             )
             .select(
                 "node",
-                F.col("anc2").alias("anc"),
-                (F.col("steps") + F.col("s2")).cast("long").alias("steps"),
+                # a dangling ancestor has no row: stay put (terminal)
+                F.coalesce(F.col("anc2"), F.col("anc")).alias("anc"),
+                (F.col("steps") + F.coalesce(F.col("s2"), F.lit(0)))
+                .cast("long")
+                .alias("steps"),
             )
             .localCheckpoint(eager=False)
         )

@@ -2294,6 +2294,30 @@ ORDER BY name_a, name_b
 """
 
 
+def _daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared per-(event_type, day) revenue rollup in exact integer
+    cents -- the base relation of the whole daily-statistics family
+    (Spearman / Kendall / ANOVA / Theil-Sen / change-point).  One
+    map-side-combinable hash aggregate; the cents canonicalization
+    (``FLOOR(value*100)`` -> BIGINT) lives HERE and in ``DAILY_CTE``
+    only, so an exactness change touches exactly two sites."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.expr("CAST(FLOOR(value * 100) AS BIGINT)").alias("cents"),
+    )
+    return ev.groupBy("event_type", "day").agg(F.sum("cents").alias("y"))
+
+
+# the SQL mirror of _daily_cents, spliced into every family oracle
+DAILY_CTE = """daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS y
+  FROM events GROUP BY 1, 2
+)"""
+
+
+
 _PATH_TOPK = 25
 
 
@@ -2364,14 +2388,7 @@ def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily cents S <= ~1e10 and n <= ~1e4 days the scaled numerator
     stays under ~1e17 -- int64-safe; beyond that, lift to
     DECIMAL/HUGEINT like the chi2/ANOVA path."""
-    ev = _t(spark, sf_dir, "events").select(
-        "event_type",
-        F.to_date("ts").alias("day"),
-        F.expr("CAST(FLOOR(value * 100) AS BIGINT)").alias("cents"),
-    )
-    daily = ev.groupBy("event_type", "day").agg(
-        F.sum("cents").alias("y")
-    )
+    daily = _daily_cents(spark, sf_dir)
     wday = Window.partitionBy("event_type").orderBy("day")
     wall = Window.partitionBy("event_type")
     pre = daily.select(
@@ -2424,11 +2441,7 @@ def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CHANGEPOINT_SQL = f"""
-WITH daily AS (
-  SELECT event_type, CAST(ts AS DATE) AS day,
-         SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS y
-  FROM events GROUP BY 1, 2
-), pre AS (
+WITH {DAILY_CTE}, pre AS (
   SELECT event_type, day,
          CAST(ROW_NUMBER() OVER w AS BIGINT) AS t,
          CAST(SUM(y) OVER w AS BIGINT) AS ps,
@@ -3957,14 +3970,7 @@ def stats_spearman_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     the largest intermediate is ``6e6 * sum(d^2) <= 2e6 * n^3``; BIGINT
     holds through n ~= 16k days (~45 years of dailies) with room to
     spare -- beyond that, compute rho per year and Fisher-combine."""
-    ev = _t(spark, sf_dir, "events").select(
-        "event_type",
-        F.to_date("ts").alias("day"),
-        F.expr("CAST(FLOOR(value * 100) AS BIGINT)").alias("cents"),
-    )
-    daily = ev.groupBy("event_type", "day").agg(
-        F.sum("cents").alias("y")
-    )
+    daily = _daily_cents(spark, sf_dir)
     wx = Window.partitionBy("event_type").orderBy("day")
     wy = Window.partitionBy("event_type").orderBy("y", "day")
     ranked = daily.select(
@@ -3990,12 +3996,8 @@ def stats_spearman_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
-SPEARMAN_SQL = """
-WITH daily AS (
-  SELECT event_type, CAST(ts AS DATE) AS day,
-         SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS y
-  FROM events GROUP BY 1, 2
-), ranked AS (
+SPEARMAN_SQL = f"""
+WITH {DAILY_CTE}, ranked AS (
   SELECT event_type,
          CAST(ROW_NUMBER() OVER (PARTITION BY event_type
                                  ORDER BY day) AS BIGINT) AS rx,
@@ -4044,14 +4046,7 @@ def stats_kendall_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT through n ~= 3e6 days.  Beyond centuries of dailies,
     switch to the merge-sort inversion-count formulation; pair
     counting is the honest bounded-group form."""
-    ev = _t(spark, sf_dir, "events").select(
-        "event_type",
-        F.to_date("ts").alias("day"),
-        F.expr("CAST(FLOOR(value * 100) AS BIGINT)").alias("cents"),
-    )
-    daily = ev.groupBy("event_type", "day").agg(
-        F.sum("cents").alias("y")
-    )
+    daily = _daily_cents(spark, sf_dir)
     a = daily.select(
         "event_type", F.col("day").alias("da"), F.col("y").alias("ya")
     )
@@ -4118,14 +4113,7 @@ def stats_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one map-side-combinable daily rollup, one k-row group
     aggregate, one 1-row total -- nothing beyond the rollup touches
     data."""
-    ev = _t(spark, sf_dir, "events").select(
-        "event_type",
-        F.to_date("ts").alias("day"),
-        F.expr("CAST(FLOOR(value * 100) AS BIGINT)").alias("cents"),
-    )
-    daily = ev.groupBy("event_type", "day").agg(
-        F.sum("cents").alias("y")
-    )
+    daily = _daily_cents(spark, sf_dir)
     g = daily.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n_g"),
         F.sum("y").cast("long").alias("s_g"),
@@ -4184,6 +4172,12 @@ def stats_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "CASE WHEN k_groups < 2 OR n_days <= k_groups OR ssw = 0"
             " THEN CAST(0 AS BIGINT)"
+            # an essentially-zero SSW makes the quotient astronomically
+            # large; past 10^12 the test is a foregone conclusion, and
+            # an unclamped cast would wrap on Spark while DuckDB throws
+            # -- cap F at 10^15 milli on BOTH engines
+            " WHEN num >= den * CAST(1000000000000 AS DECIMAL(38,0))"
+            " THEN CAST(1000000000000000 AS BIGINT)"
             " ELSE CAST((num div den) * 1000 + ((num % den) * 1000) div den"
             "      AS BIGINT) END"
         ).alias("f_milli"),
@@ -4210,19 +4204,31 @@ def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cents"
         ),
     )
-    per_cust = od.groupBy("o_custkey").agg(
-        F.max("od").alias("last_day"),
-        F.count("*").cast("long").alias("freq"),
-        F.sum("cents").cast("long").alias("mon"),
+    # per_cust feeds the 1-row scalars agg AND the base projection --
+    # two different derivations, so without a cut the orders rollup
+    # executes twice (three times with a separate n_total agg -- the
+    # review-found waste); one checkpoint + one combined scalars row
+    per_cust = (
+        od.groupBy("o_custkey")
+        .agg(
+            F.max("od").alias("last_day"),
+            F.count("*").cast("long").alias("freq"),
+            F.sum("cents").cast("long").alias("mon"),
+        )
+        .localCheckpoint(eager=False)
     )
-    anchor = per_cust.agg(F.max("last_day").alias("anchor"))
+    scalars = per_cust.agg(
+        F.max("last_day").alias("anchor"),
+        F.count("*").cast("long").alias("n"),
+    )
     base = (
-        per_cust.crossJoin(F.broadcast(anchor))
+        per_cust.crossJoin(F.broadcast(scalars))
         .select(
             "o_custkey",
             F.datediff("anchor", "last_day").cast("long").alias("rec"),
             "freq",
             "mon",
+            "n",
         )
         .withColumn("one", F.lit(1).cast("long"))
     )
@@ -4235,8 +4241,7 @@ def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = ordered_running_sum(
         ranked, [F.col("mon"), F.col("o_custkey")], "one", "rm"
     )
-    n_total = per_cust.groupBy().agg(F.count("*").alias("n"))
-    cells = ranked.crossJoin(F.broadcast(n_total)).select(
+    cells = ranked.select(
         F.expr("((rr - 1) * 5) div n").alias("r_q"),
         F.expr("((rf - 1) * 5) div n").alias("f_q"),
         F.expr("((rm - 1) * 5) div n").alias("m_q"),
@@ -4299,14 +4304,7 @@ def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     per type, worker-local); the median is a per-type (never global)
     rank window over the pair relation.  Magnitude: |dy|*1000 <=
     ~1e13 at 1e10 daily cents -- int64-safe."""
-    ev = _t(spark, sf_dir, "events").select(
-        "event_type",
-        F.to_date("ts").alias("day"),
-        F.expr("CAST(FLOOR(value * 100) AS BIGINT)").alias("cents"),
-    )
-    daily = ev.groupBy("event_type", "day").agg(
-        F.sum("cents").alias("y")
-    )
+    daily = _daily_cents(spark, sf_dir)
     a = daily.select(
         "event_type", F.col("day").alias("da"), F.col("y").alias("ya")
     )
@@ -4351,12 +4349,8 @@ def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-THEIL_SEN_SQL = """
-WITH daily AS (
-  SELECT event_type, CAST(ts AS DATE) AS day,
-         SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS y
-  FROM events GROUP BY 1, 2
-), pairs AS (
+THEIL_SEN_SQL = f"""
+WITH {DAILY_CTE}, pairs AS (
   SELECT a.event_type,
          (b.y - a.y) * 1000 AS num,
          CAST(date_diff('day', a.day, b.day) AS BIGINT) AS den
@@ -4382,12 +4376,8 @@ ORDER BY event_type
 """
 
 
-ANOVA_SQL = """
-WITH daily AS (
-  SELECT event_type, CAST(ts AS DATE) AS day,
-         SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS y
-  FROM events GROUP BY 1, 2
-), g AS (
+ANOVA_SQL = f"""
+WITH {DAILY_CTE}, g AS (
   SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_g,
          CAST(SUM(y) AS BIGINT) AS s_g,
          CAST(SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT)
@@ -4418,6 +4408,8 @@ SELECT k_groups, n_days,
        CAST(ssw AS BIGINT) AS ssw_cents2,
        CASE WHEN k_groups < 2 OR n_days <= k_groups OR ssw = 0
             THEN CAST(0 AS BIGINT)
+            WHEN num >= den * CAST(1000000000000 AS HUGEINT)
+            THEN CAST(1000000000000000 AS BIGINT)
             ELSE CAST((num // den) * 1000 + ((num % den) * 1000) // den
                  AS BIGINT) END AS f_milli
 FROM (SELECT *, ssb * CAST(n_days - k_groups AS HUGEINT) AS num,
@@ -4426,12 +4418,8 @@ FROM (SELECT *, ssb * CAST(n_days - k_groups AS HUGEINT) AS num,
 """
 
 
-KENDALL_SQL = """
-WITH daily AS (
-  SELECT event_type, CAST(ts AS DATE) AS day,
-         SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS y
-  FROM events GROUP BY 1, 2
-), pairs AS (
+KENDALL_SQL = f"""
+WITH {DAILY_CTE}, pairs AS (
   SELECT a.event_type,
          CASE WHEN b.y > a.y THEN 1 ELSE 0 END AS c,
          CASE WHEN b.y < a.y THEN 1 ELSE 0 END AS d

@@ -1428,15 +1428,20 @@ HIERARCHY_SQL = """
 WITH RECURSIVE nodes AS (
   SELECT DISTINCT user_id AS u FROM events
 ),
+-- the walk advances FROM a position only while that position is a
+-- real node (dangling parents are terminal -- the operator's LEFT
+-- join semantics) and not a root (< 7)
 walk AS (
   SELECT u, u AS cur, CAST(0 AS BIGINT) AS d FROM nodes
   UNION ALL
-  SELECT u, cur // 7, d + 1 FROM walk WHERE cur >= 7
+  SELECT w.u, w.cur // 7, w.d + 1
+  FROM walk w JOIN nodes n ON n.u = w.cur
+  WHERE w.cur >= 7
 ),
 fin AS (
-  SELECT u, MAX(d) AS depth,
-         MIN(CASE WHEN cur < 7 THEN cur END) AS root
-  FROM walk GROUP BY u
+  SELECT u, cur AS root, d AS depth
+  FROM walk
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY u ORDER BY d DESC) = 1
 )
 SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_users,
        CAST(COUNT(DISTINCT root) AS BIGINT) AS n_roots

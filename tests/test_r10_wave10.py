@@ -213,3 +213,22 @@ def test_prefix_filter_exact_threshold_boundary(spark):
     assert len(rows) == 1
     r = rows[0]
     assert (r.n_common, r.size_a, r.size_b) == (6, 6, 10)
+
+
+def test_ancestor_doubling_dangling_parent_is_terminal(spark):
+    # node 50's parent 99 has no row of its own: the walk must stop
+    # there (root 99, the hop counted), NOT silently drop the node --
+    # the inner-join hazard the LEFT-join semantics fix
+    parents = {0: 0, 1: 0, 50: 99, 51: 50}
+    got = {
+        r.node: (r.root, r.depth)
+        for r in ancestor_doubling(
+            _forest_df(spark, parents), rounds=4
+        ).collect()
+    }
+    assert got == {
+        0: (0, 0),
+        1: (0, 1),
+        50: (99, 1),
+        51: (99, 2),
+    }

@@ -105,7 +105,10 @@ def _ref_anova(groups: dict[str, list[int]]):
         f = 0
     else:
         num, den = ssb * (n - k), ssw * (k - 1)
-        f = (num // den) * 1000 + ((num % den) * 1000) // den
+        if num >= den * 10**12:  # the engines' overflow clamp
+            f = 10**15
+        else:
+            f = (num // den) * 1000 + ((num % den) * 1000) // den
     return k, n, ssb, ssw, f
 
 
@@ -236,3 +239,23 @@ def test_theil_sen_matches_reference_and_resists_outlier(spark):
     # spiked series would be wildly off
     assert abs(got["steady"][1] - 200_000) < 60_000
     assert abs(got["spiked"][1] - 200_000) < 60_000
+
+
+def test_anova_f_clamps_astronomical_quotients(spark):
+    # huge between-group separation with a near-zero (but nonzero)
+    # within-group variance: the raw quotient would overflow BIGINT
+    # (Spark wraps, DuckDB throws) -- both engines must report the
+    # 10^15-milli cap instead
+    groups = {
+        "a": [10_000_000.00, 10_000_000.00, 10_000_000.01],
+        "b": [20_000_000.00, 20_000_000.00, 20_000_000.00],
+    }
+    got = _anova_run(spark, groups)
+    cents = {
+        k: [int(math.floor(y * 100)) for y in v] for k, v in groups.items()
+    }
+    ref = _ref_anova(cents)
+    assert (
+        got.k_groups, got.n_days, got.ssb_cents2, got.ssw_cents2, got.f_milli
+    ) == ref
+    assert got.f_milli == 10**15  # the clamp actually fired

@@ -142,6 +142,13 @@ _ORDER = [
     # Displaced: search_rrf_fusion (driver-green r9; search family
     # keeps search_mmr_rerank in-window).
     "dedup_prefix_filter",
+    # -- NEW round 10 (twelfth wave): Benford's-law leading-digit
+    # audit (integer digit-string extraction, published constants as
+    # ppm literals) -- data quality gains a second in-window verifier
+    # next to dq_events_expectations.  Displaced: dedup_winnow_overlap
+    # (r9 driver-green; dedup keeps sorted_neighborhood / containment
+    # / canonical_pick / prefix_filter in-window).
+    "dq_benford_totals",
     # -- NEW round 10 (eighth wave): nearest-direction as-of join
     # (pandas merge_asof parity).  Displaced: join_anti_idle_customers
     # (r5 driver-green; join family keeps q5_nation_volume /
@@ -167,7 +174,6 @@ _ORDER = [
     # (~ map_scalar_showcase / orc_xml_roundtrip_part), sim_ivf_topk
     # (~ sim_ivfpq_topk / sim_pq_adc_topk / sim_pooled_rerank).
     "join_bloom_prefilter",
-    "dedup_winnow_overlap",
     "text_topics_kmeans",
     "text_bpe_compression",
     "mm_audio_fingerprint",
@@ -225,6 +231,7 @@ _ORDER = [
     # and carries a green driver CORRECTNESS row from an earlier round,
     # plus an in-window category sibling above.
     "q1_pricing_summary",
+    "dedup_winnow_overlap",
     "search_rrf_fusion",
     "stats_ks_two_sample",
     "curation_dsir_select",

@@ -2294,6 +2294,83 @@ ORDER BY name_a, name_b
 """
 
 
+# Benford expected leading-digit shares, floor(log10(1 + 1/d) * 1e6):
+# fixed published constants (no libm at query time on either engine)
+_BENFORD_PPM = {
+    1: 301029, 2: 176091, 3: 124938, 4: 96910,
+    5: 79181, 6: 66946, 7: 57991, 8: 51152, 9: 45757,
+}
+
+
+def dq_benford_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals -- the classic forensic
+    data-quality screen (fabricated or synthetically capped monetary
+    data drifts from the log-uniform leading-digit law).  The leading
+    digit comes from the DIGIT STRING of exact integer cents (never a
+    float log10); observed shares are exact ppm via integer division;
+    expected shares are the published Benford constants as fixed ppm
+    literals.  Emits per digit: count, observed ppm, expected ppm,
+    and the signed deviation -- the inputs of any chi-square/MAD
+    conformity test downstream.
+
+    Scale shape: one map-only digit projection + one 9-row hash
+    aggregate; nothing after the scan exceeds nine rows."""
+    od = _t(spark, sf_dir, "orders").select(
+        F.expr(
+            "substring(CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT)"
+            " AS STRING), 1, 1)"
+        ).alias("digit_s")
+    ).filter(F.col("digit_s").between("1", "9"))
+    counts = od.groupBy(
+        F.col("digit_s").cast("long").alias("digit")
+    ).agg(F.count("*").cast("long").alias("n"))
+    total = counts.agg(F.sum("n").alias("n_total"))
+    exp_col = F.create_map(
+        *[
+            x
+            for d, ppm in _BENFORD_PPM.items()
+            for x in (F.lit(d).cast("long"), F.lit(ppm).cast("long"))
+        ]
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.expr("(n * 1000000) div n_total").alias("obs_ppm"),
+            exp_col[F.col("digit")].alias("exp_ppm"),
+        )
+        .withColumn("dev_ppm", F.col("obs_ppm") - F.col("exp_ppm"))
+        .orderBy("digit")
+    )
+
+
+BENFORD_SQL = f"""
+WITH d AS (
+  SELECT CAST(substring(CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders
+  WHERE substring(CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+        AS VARCHAR), 1, 1) BETWEEN '1' AND '9'
+),
+counts AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM counts),
+exp AS (
+  SELECT * FROM (VALUES
+    {", ".join(f"({d}, {ppm})" for d, ppm in _BENFORD_PPM.items())}
+  ) AS t(digit, exp_ppm)
+)
+SELECT c.digit, c.n,
+       CAST((c.n * 1000000) // t.n_total AS BIGINT) AS obs_ppm,
+       CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+       CAST((c.n * 1000000) // t.n_total - e.exp_ppm AS BIGINT) AS dev_ppm
+FROM counts c CROSS JOIN tot t JOIN exp e ON e.digit = c.digit
+ORDER BY c.digit
+"""
+
+
 def _daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared per-(event_type, day) revenue rollup in exact integer
     cents -- the base relation of the whole daily-statistics family
@@ -4907,6 +4984,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "stats_anova_f": (stats_anova_f, ANOVA_SQL),
     "stats_theil_sen": (stats_theil_sen, THEIL_SEN_SQL),
     "agg_rfm_segments": (agg_rfm_segments, RFM_SQL),
+    "dq_benford_totals": (dq_benford_totals, BENFORD_SQL),
     "events_path_ngrams": (events_path_ngrams, PATH_NGRAMS_SQL),
     "events_changepoint": (events_changepoint, CHANGEPOINT_SQL),
     "stats_sigma_outliers": (stats_sigma_outliers, SIGMA_OUTLIERS_SQL),

@@ -159,6 +159,8 @@ BENCH_QUERIES = [
     "agg_rfm_segments",
     # round-10 eleventh wave: exact prefix-filtering similarity join
     "dedup_prefix_filter",
+    # round-10 twelfth wave: Benford leading-digit audit
+    "dq_benford_totals",
 ]
 
 

@@ -232,3 +232,57 @@ def test_ancestor_doubling_dangling_parent_is_terminal(spark):
         50: (99, 1),
         51: (99, 2),
     }
+
+
+# ---------------------------------------------------------------------
+# Benford's-law leading-digit audit
+# ---------------------------------------------------------------------
+
+
+def test_benford_constants_match_the_law():
+    from airflow_pipeline_text_processing_spark.plans.queries_ext import (
+        _BENFORD_PPM,
+    )
+
+    for d, ppm in _BENFORD_PPM.items():
+        assert ppm == int(math.floor(math.log10(1 + 1 / d) * 1_000_000)), d
+    # nine floors each lose < 1 ppm: the sum sits just under 10^6
+    assert 999990 <= sum(_BENFORD_PPM.values()) <= 1000000
+
+
+def test_benford_audit_matches_reference(spark):
+    from airflow_pipeline_text_processing_spark.plans.queries_ext import (
+        _BENFORD_PPM,
+        dq_benford_totals,
+    )
+
+    rng = random.Random(77)
+    prices = [rng.uniform(0.5, 9000) for _ in range(400)]
+    rows = [
+        (i, i % 20, "O", p, dt.datetime(2024, 1, 1), "1-URGENT")
+        for i, p in enumerate(prices)
+    ]
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    )
+    with tempfile.TemporaryDirectory() as td:
+        orders.write.parquet(os.path.join(td, "orders.parquet"))
+        got = {
+            r.digit: (r.n, r.obs_ppm, r.exp_ppm, r.dev_ppm)
+            for r in dq_benford_totals(spark, td).collect()
+        }
+    # brute force: leading digit of integer cents
+    counts = {}
+    for p in prices:
+        c = int(math.floor(p * 100))
+        d = int(str(c)[0])
+        if 1 <= d <= 9:
+            counts[d] = counts.get(d, 0) + 1
+    total = sum(counts.values())
+    for d, n in counts.items():
+        obs = (n * 1_000_000) // total
+        assert got[d] == (n, obs, _BENFORD_PPM[d], obs - _BENFORD_PPM[d]), d
+    assert set(got) == set(counts)

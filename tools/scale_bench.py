@@ -307,6 +307,8 @@ QUERIES = [
     ("agg_rfm_segments", None),
     # r10 eleventh wave: prefix-indexed candidates + exact verify
     ("prefix_filter[all-docs]", _prefix_filter_all_docs),
+    # r10 twelfth wave: map-only digit projection + 9-row agg
+    ("dq_benford_totals", None),
 ]
 
 

@@ -149,6 +149,12 @@ _ORDER = [
     # (r9 driver-green; dedup keeps sorted_neighborhood / containment
     # / canonical_pick / prefix_filter in-window).
     "dq_benford_totals",
+    # -- NEW round 10 (thirteenth wave): Davies-Bouldin-style cluster
+    # quality (squared-distance variant on the settled Lloyd state).
+    # Displaced: text_topics_kmeans (r9 driver-green; the clustering
+    # family's in-window verifier becomes cluster_db_index, which
+    # exercises the same kmeans_fixed_point kernel end-to-end).
+    "cluster_db_index",
     # -- NEW round 10 (eighth wave): nearest-direction as-of join
     # (pandas merge_asof parity).  Displaced: join_anti_idle_customers
     # (r5 driver-green; join family keeps q5_nation_volume /
@@ -174,7 +180,6 @@ _ORDER = [
     # (~ map_scalar_showcase / orc_xml_roundtrip_part), sim_ivf_topk
     # (~ sim_ivfpq_topk / sim_pq_adc_topk / sim_pooled_rerank).
     "join_bloom_prefilter",
-    "text_topics_kmeans",
     "text_bpe_compression",
     "mm_audio_fingerprint",
     # -- r6-graded verifiers kept in-window -------------------------------
@@ -231,6 +236,7 @@ _ORDER = [
     # and carries a green driver CORRECTNESS row from an earlier round,
     # plus an in-window category sibling above.
     "q1_pricing_summary",
+    "text_topics_kmeans",
     "dedup_winnow_overlap",
     "search_rrf_fusion",
     "stats_ks_two_sample",

@@ -15,7 +15,7 @@ from __future__ import annotations
 from typing import Dict, Optional, Tuple
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..operators import dedup as D
 from ..operators import lm as L
@@ -2199,6 +2199,116 @@ def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.select("vec_id", "cid", "d2").orderBy("vec_id")
 
 
+def cluster_db_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Davies-Bouldin-style clustering quality, squared-distance
+    variant (sqrt-free so both engines stay in exact BIGINTs): per
+    non-empty cluster i, the scatter ``s2_i = floor-mean of members'
+    squared distance to their centroid`` and the worst separation
+    ratio ``r_milli = max over j != i of floor(1000 * (s2_i + s2_j) /
+    ||c_i - c_j||^2)`` with its arg -- lower is better-separated, the
+    standard internal clustering-evaluation signal computed on the
+    settled Lloyd state.  Identical-centroid pairs (denominator 0)
+    clamp at 10^15 like the ANOVA quotient.  Scale shape: scatter is
+    one hash-agg over the assignment; the ratio stage runs on the
+    k x k centroid grid -- metadata-sized whatever the corpus.
+    Headroom: (s2_i + s2_j) * 1000 <= ~9.2e17 at 64 dims x 1e6
+    quantization -- int64-safe."""
+    from ..operators.clustering import kmeans_fixed_point, quantized
+
+    vecs = _tspread(spark, sf_dir, "embeddings")
+    q = vecs.select("vec_id", quantized(F.col("embedding")).alias("q"))
+    assigned, cents = kmeans_fixed_point(q, k=8, iters=3)
+    s2 = assigned.groupBy("cid").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.expr("(sum(d2) - pmod(sum(d2), count(*))) div count(*)")
+        .cast("long")
+        .alias("s2"),
+    )
+    a = cents.select(F.col("cid").alias("ci"), F.col("c").alias("ca"))
+    b = cents.select(F.col("cid").alias("cj"), F.col("c").alias("cb"))
+    m2 = (
+        a.join(b, F.col("ci") != F.col("cj"))
+        .select(
+            "ci",
+            "cj",
+            F.aggregate(
+                F.zip_with(
+                    "ca", "cb", lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("m2"),
+        )
+    )
+    si = s2.select(
+        F.col("cid").alias("ci"),
+        F.col("n_members").alias("n_i"),
+        F.col("s2").alias("s2_i"),
+    )
+    sj = s2.select(F.col("cid").alias("cj"), F.col("s2").alias("s2_j"))
+    ratios = (
+        m2.join(si, "ci")
+        .join(sj, "cj")
+        .select(
+            "ci",
+            "cj",
+            "n_i",
+            "s2_i",
+            F.expr(
+                "CASE WHEN m2 = 0 THEN CAST(1000000000000000 AS BIGINT)"
+                " ELSE ((s2_i + s2_j) * 1000) div m2 END"
+            ).alias("r_milli"),
+        )
+    )
+    w = Window.partitionBy("ci").orderBy(F.desc("r_milli"), "cj")
+    return (
+        ratios.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("ci").alias("cid"),
+            F.col("n_i").alias("n_members"),
+            F.col("s2_i").alias("s2"),
+            F.col("cj").alias("worst_cid"),
+            F.col("r_milli").alias("r_milli"),
+        )
+        .orderBy("cid")
+    )
+
+
+def _db_index_sql() -> str:
+    return f"""
+WITH qbase AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+  FROM embeddings),
+{_kmeans_ctes("qbase", 8, 3)},
+sc AS (
+  SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members,
+         CAST(CAST(SUM(d2) AS HUGEINT) // COUNT(*) AS BIGINT) AS s2
+  FROM aF GROUP BY cid),
+m2 AS (
+  SELECT a.cid AS ci, b.cid AS cj,
+         CAST(list_sum(list_transform(list_zip(a.c, b.c),
+              p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS m2
+  FROM cent3 a JOIN cent3 b ON a.cid != b.cid),
+ratios AS (
+  SELECT m2.ci, m2.cj, si.n_members AS n_i, si.s2 AS s2_i,
+         CASE WHEN m2.m2 = 0 THEN CAST(1000000000000000 AS BIGINT)
+              ELSE CAST(((si.s2 + sj.s2) * 1000) // m2.m2 AS BIGINT)
+         END AS r_milli
+  FROM m2
+  JOIN sc si ON si.cid = m2.ci
+  JOIN sc sj ON sj.cid = m2.cj)
+SELECT ci AS cid, n_i AS n_members, s2_i AS s2,
+       cj AS worst_cid, r_milli
+FROM ratios
+QUALIFY ROW_NUMBER() OVER (PARTITION BY ci
+          ORDER BY r_milli DESC, cj) = 1
+ORDER BY cid
+"""
+
+
 def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (operators/clustering.py::semantic_dedup) on the planted
     corpus (30 scaled twins): unit-sphere k-means, then within-cluster
@@ -3081,6 +3191,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "text_gopher_quality": (text_gopher_quality, GOPHER_SQL),
     "text_zipf_slope": (text_zipf_slope, _zipf_sql()),
     "dedup_prefix_filter": (dedup_prefix_filter, PREFIX_FILTER_SQL),
+    "cluster_db_index": (cluster_db_index, _db_index_sql()),
     "dedup_containment": (dedup_containment, CONTAINMENT_SQL),
     "text_boilerplate_strip": (text_boilerplate_strip, BOILERPLATE_SQL),
     "dedup_canonical_pick": (dedup_canonical_pick, _canonical_pick_sql()),

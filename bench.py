@@ -161,6 +161,8 @@ BENCH_QUERIES = [
     "dedup_prefix_filter",
     # round-10 twelfth wave: Benford leading-digit audit
     "dq_benford_totals",
+    # round-10 thirteenth wave: Davies-Bouldin cluster quality
+    "cluster_db_index",
 ]
 
 

@@ -286,3 +286,64 @@ def test_benford_audit_matches_reference(spark):
         obs = (n * 1_000_000) // total
         assert got[d] == (n, obs, _BENFORD_PPM[d], obs - _BENFORD_PPM[d]), d
     assert set(got) == set(counts)
+
+
+# ---------------------------------------------------------------------
+# Davies-Bouldin-style cluster quality
+# ---------------------------------------------------------------------
+
+
+def test_cluster_db_index_matches_reference_layer(spark):
+    from airflow_pipeline_text_processing_spark.operators.clustering import (
+        kmeans_fixed_point,
+        quantized,
+    )
+    from airflow_pipeline_text_processing_spark.plans.queries_llm import (
+        cluster_db_index,
+    )
+    import pyspark.sql.functions as F
+
+    # two tight, well-separated lobes in 8-dim space
+    rng = random.Random(88)
+    rows = []
+    for i in range(60):
+        center = 0.8 if i % 2 == 0 else -0.8
+        rows.append(
+            (i, [center + rng.uniform(-0.02, 0.02) for _ in range(8)], 0)
+        )
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    with tempfile.TemporaryDirectory() as td:
+        vecs.write.parquet(os.path.join(td, "embeddings.parquet"))
+        got = {
+            r.cid: (r.n_members, r.s2, r.worst_cid, r.r_milli)
+            for r in cluster_db_index(spark, td).collect()
+        }
+        # reference: replay the DB arithmetic in python from the SAME
+        # kmeans output the query composes
+        q = spark.read.parquet(os.path.join(td, "embeddings.parquet")).select(
+            "vec_id", quantized(F.col("embedding")).alias("q")
+        )
+        assigned, cents = kmeans_fixed_point(q, k=8, iters=3)
+        asg = [(r.cid, r.d2) for r in assigned.collect()]
+        cs = {r.cid: list(r.c) for r in cents.collect()}
+    agg = {}
+    for cid, d2 in asg:
+        n, s = agg.get(cid, (0, 0))
+        agg[cid] = (n + 1, s + d2)
+    s2 = {cid: s // n for cid, (n, s) in agg.items()}
+    want = {}
+    for ci in s2:
+        best = None
+        for cj in sorted(s2):  # ascending: first max = smallest cj tie
+            if cj == ci:
+                continue
+            m2 = sum((a - b) ** 2 for a, b in zip(cs[ci], cs[cj]))
+            r = 10**15 if m2 == 0 else ((s2[ci] + s2[cj]) * 1000) // m2
+            if best is None or r > best[1]:
+                best = (cj, r)
+        want[ci] = (agg[ci][0], s2[ci], best[0], best[1])
+    assert got == want
+    # tight well-separated lobes: scatter tiny relative to separation
+    assert all(r[3] < 100_000 for r in got.values())

@@ -309,6 +309,8 @@ QUERIES = [
     ("prefix_filter[all-docs]", _prefix_filter_all_docs),
     # r10 twelfth wave: map-only digit projection + 9-row agg
     ("dq_benford_totals", None),
+    # r10 thirteenth wave: Lloyd state + k x k metadata grid
+    ("cluster_db_index", None),
 ]
 
 

@@ -2227,7 +2227,10 @@ def cluster_db_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = cents.select(F.col("cid").alias("ci"), F.col("c").alias("ca"))
     b = cents.select(F.col("cid").alias("cj"), F.col("c").alias("cb"))
     m2 = (
-        a.join(b, F.col("ci") != F.col("cj"))
+        # broadcast the k-row side: the grid is metadata-sized, and a
+        # BroadcastNestedLoopJoin is the honest plan (a bare theta join
+        # here planned as CartesianProduct -- the sweep's red flag)
+        a.join(F.broadcast(b), F.col("ci") != F.col("cj"))
         .select(
             "ci",
             "cj",

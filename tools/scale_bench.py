@@ -471,9 +471,60 @@ def build_dir(spark, tag, mult):
     return d
 
 
+def x30_structural() -> None:
+    """Third growth data point (1x/10x/30x) for the two structural
+    bounds -- winnow candidates << N^2 and triangle wedges <= m^1.5.
+    Only documents + events are synthesized at 30x; the run prints the
+    full three-point curve so sub-linearity is visible as a trend, not
+    a single ratio."""
+    from airflow_pipeline_text_processing_spark.session import get_spark
+
+    spark = get_spark("scale-bench-x30")
+    spark.sparkContext.setLogLevel("ERROR")
+    dirs = []
+    for tag, mult in (("x1", 1), ("x10", 10), ("x30", 30)):
+        d = os.path.join(BASE, f"s_{tag}")
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d)
+        synth_documents(spark, N_DOCS * mult).repartition(
+            max(4, 4 * mult)
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        staging = os.path.join(d, "_ev")
+        scaled_events(spark, mult).coalesce(1).write.parquet(staging)
+        part = next(
+            f for f in os.listdir(staging) if f.endswith(".parquet")
+        )
+        os.rename(os.path.join(staging, part), os.path.join(d, "events.parquet"))
+        shutil.rmtree(staging)
+        dirs.append((tag, mult, d))
+    print("winnow candidates (docs -> candidate pairs, share of all-pairs)")
+    prev = None
+    for tag, mult, d in dirs:
+        n_docs, cand = _winnow_candidate_count(spark, d)
+        allpairs = n_docs * (n_docs - 1) // 2
+        print(f"  {tag}: {n_docs} docs -> {cand} ({cand / allpairs:.2e})")
+        assert cand < allpairs / 100
+        if prev is not None:
+            ratio = cand / max(prev[1], 1)
+            limit = 3 * mult / prev[0]
+            print(f"    growth {prev[0]}x->{mult}x: {ratio:.1f}x (< {limit:.0f})")
+            assert ratio < limit
+        prev = (mult, cand)
+    print("triangle wedges vs m^1.5")
+    for tag, _mult, d in dirs:
+        m, w = _wedge_stats(spark, d)
+        print(f"  {tag}: m={m} wedges={w} bound={m**1.5:.0f}")
+        assert w <= m**1.5
+    spark.stop()
+
+
 def main() -> None:
     from __spark_entry__ import REGISTRY
     from airflow_pipeline_text_processing_spark.session import get_spark
+
+    if "--x30-structural" in sys.argv:
+        x30_structural()
+        return
 
     spark = get_spark("scale-bench")
     spark.sparkContext.setLogLevel("ERROR")

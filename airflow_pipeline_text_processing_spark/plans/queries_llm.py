@@ -2218,11 +2218,21 @@ def cluster_db_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _tspread(spark, sf_dir, "embeddings")
     q = vecs.select("vec_id", quantized(F.col("embedding")).alias("q"))
     assigned, cents = kmeans_fixed_point(q, k=8, iters=3)
+    # the scatter sum widens to DECIMAL(38,0) BEFORE summing: d2 can
+    # reach ~2.6e14 per vector, so an int64 sum wraps past ~36k
+    # near-worst-case members while the HUGEINT oracle stays exact --
+    # the review-found parity asymmetry.  All terms non-negative, so
+    # the exact-multiple DECIMAL division is the floor.
     s2 = assigned.groupBy("cid").agg(
         F.count("*").cast("long").alias("n_members"),
-        F.expr("(sum(d2) - pmod(sum(d2), count(*))) div count(*)")
-        .cast("long")
-        .alias("s2"),
+        F.sum(F.col("d2").cast("decimal(38,0)")).alias("_sd"),
+    ).select(
+        "cid",
+        "n_members",
+        F.expr(
+            "CAST((_sd - _sd % CAST(n_members AS DECIMAL(38,0)))"
+            " / CAST(n_members AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("s2"),
     )
     a = cents.select(F.col("cid").alias("ci"), F.col("c").alias("ca"))
     b = cents.select(F.col("cid").alias("cj"), F.col("c").alias("cb"))
@@ -2278,14 +2288,16 @@ def cluster_db_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _db_index_sql() -> str:
+def _db_index_sql(iters: int = 3) -> str:
+    # the settled-centroid CTE name cent{iters} must track the iters
+    # passed to _kmeans_ctes -- keep the literal in ONE place
     return f"""
 WITH qbase AS (
   SELECT vec_id,
          list_transform(embedding,
            x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
   FROM embeddings),
-{_kmeans_ctes("qbase", 8, 3)},
+{_kmeans_ctes("qbase", 8, iters)},
 sc AS (
   SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members,
          CAST(CAST(SUM(d2) AS HUGEINT) // COUNT(*) AS BIGINT) AS s2
@@ -2294,7 +2306,7 @@ m2 AS (
   SELECT a.cid AS ci, b.cid AS cj,
          CAST(list_sum(list_transform(list_zip(a.c, b.c),
               p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS m2
-  FROM cent3 a JOIN cent3 b ON a.cid != b.cid),
+  FROM cent{iters} a JOIN cent{iters} b ON a.cid != b.cid),
 ratios AS (
   SELECT m2.ci, m2.cj, si.n_members AS n_i, si.s2 AS s2_i,
          CASE WHEN m2.m2 = 0 THEN CAST(1000000000000000 AS BIGINT)

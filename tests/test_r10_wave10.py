@@ -1,7 +1,9 @@
-"""Dedicated tests for the round-10 tenth-wave debuts: pointer-doubling
-hierarchy traversal and RFM quintile segmentation.  Random forests and
-constructed order books compared exactly against brute-force
-pure-Python references."""
+"""Dedicated tests for the round-10 late-wave debuts: pointer-doubling
+hierarchy traversal and RFM quintile segmentation (wave 10), the exact
+prefix-filtering set-similarity join (wave 11), the Benford
+leading-digit audit (wave 12), and Davies-Bouldin cluster quality
+(wave 13).  Random forests, random corpora, and constructed order
+books compared exactly against brute-force pure-Python references."""
 
 from __future__ import annotations
 

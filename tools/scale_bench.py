@@ -445,29 +445,50 @@ def scaled_events(spark, mult):
     return out
 
 
-def build_dir(spark, tag, mult):
+def build_dir(spark, tag, mult, tables=None):
+    """Synthesize a scaled table directory; ``tables`` restricts which
+    tables are written (None = all) so subset harnesses (the x30
+    structural run) share THIS layout logic instead of copying it."""
+    want = set(tables) if tables is not None else {
+        "documents", "embeddings", "customer", "orders", "lineitem",
+        "events",
+    }
     d = os.path.join(BASE, tag)
     shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d)
-    synth_documents(spark, N_DOCS * mult).repartition(max(4, 4 * mult)) \
-        .write.parquet(os.path.join(d, "documents.parquet"))
-    synth_embeddings(spark, N_VECS * mult).repartition(max(4, 4 * mult)) \
-        .write.parquet(os.path.join(d, "embeddings.parquet"))
-    synth_customer(spark, N_CUST * mult).repartition(max(2, 2 * mult)) \
-        .write.parquet(os.path.join(d, "customer.parquet"))
-    synth_orders(spark, N_ORDERS * mult, N_CUST * mult) \
-        .repartition(max(4, 4 * mult)) \
-        .write.parquet(os.path.join(d, "orders.parquet"))
-    synth_lineitem(spark, N_LINE * mult).repartition(max(4, 4 * mult)) \
-        .write.parquet(os.path.join(d, "lineitem.parquet"))
-    # events must be a single FILE named events.parquet: the streaming
-    # source (_events_stream) symlinks it into its watch directory, the
-    # same layout the driver's testdata uses
-    staging = os.path.join(d, "_events_staging")
-    scaled_events(spark, mult).coalesce(1).write.parquet(staging)
-    part = next(f for f in os.listdir(staging) if f.endswith(".parquet"))
-    os.rename(os.path.join(staging, part), os.path.join(d, "events.parquet"))
-    shutil.rmtree(staging)
+    if "documents" in want:
+        synth_documents(spark, N_DOCS * mult).repartition(
+            max(4, 4 * mult)
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+    if "embeddings" in want:
+        synth_embeddings(spark, N_VECS * mult).repartition(
+            max(4, 4 * mult)
+        ).write.parquet(os.path.join(d, "embeddings.parquet"))
+    if "customer" in want:
+        synth_customer(spark, N_CUST * mult).repartition(
+            max(2, 2 * mult)
+        ).write.parquet(os.path.join(d, "customer.parquet"))
+    if "orders" in want:
+        synth_orders(spark, N_ORDERS * mult, N_CUST * mult).repartition(
+            max(4, 4 * mult)
+        ).write.parquet(os.path.join(d, "orders.parquet"))
+    if "lineitem" in want:
+        synth_lineitem(spark, N_LINE * mult).repartition(
+            max(4, 4 * mult)
+        ).write.parquet(os.path.join(d, "lineitem.parquet"))
+    if "events" in want:
+        # events must be a single FILE named events.parquet: the
+        # streaming source (_events_stream) symlinks it into its watch
+        # directory, the same layout the driver's testdata uses
+        staging = os.path.join(d, "_events_staging")
+        scaled_events(spark, mult).coalesce(1).write.parquet(staging)
+        part = next(
+            f for f in os.listdir(staging) if f.endswith(".parquet")
+        )
+        os.rename(
+            os.path.join(staging, part), os.path.join(d, "events.parquet")
+        )
+        shutil.rmtree(staging)
     return d
 
 
@@ -483,19 +504,9 @@ def x30_structural() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     dirs = []
     for tag, mult in (("x1", 1), ("x10", 10), ("x30", 30)):
-        d = os.path.join(BASE, f"s_{tag}")
-        shutil.rmtree(d, ignore_errors=True)
-        os.makedirs(d)
-        synth_documents(spark, N_DOCS * mult).repartition(
-            max(4, 4 * mult)
-        ).write.parquet(os.path.join(d, "documents.parquet"))
-        staging = os.path.join(d, "_ev")
-        scaled_events(spark, mult).coalesce(1).write.parquet(staging)
-        part = next(
-            f for f in os.listdir(staging) if f.endswith(".parquet")
+        d = build_dir(
+            spark, f"s_{tag}", mult, tables=("documents", "events")
         )
-        os.rename(os.path.join(staging, part), os.path.join(d, "events.parquet"))
-        shutil.rmtree(staging)
         dirs.append((tag, mult, d))
     print("winnow candidates (docs -> candidate pairs, share of all-pairs)")
     prev = None

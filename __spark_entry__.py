@@ -29,6 +29,11 @@ _MERGED = {**_CORE, **_LLM, **_EXT, **_SCALE}
 # fully declared: the local gate (tools/check_oracle.py) checks all of them.
 _ORDER = [
     # ============== DRIVER WINDOW (first 50 -- graded this round) =========
+    # -- NEW round 11: occupancy-sized auto rerank depth for IVF-PQ
+    # (the r10 recall-footgun fix; SQL oracle recomputes the identical
+    # p90 cut).  Displaced: dq_events_expectations (driver-green r5;
+    # data-quality keeps dq_benford_totals in-window).
+    "sim_ivfpq_auto_depth",
     # Rotation contract (see README "Grading window"): the driver grades
     # only the first ~50 entries; each round the never-driver-graded
     # entries rotate in, displacing green entries that keep an in-window
@@ -196,8 +201,12 @@ _ORDER = [
     "merge_upsert_part",
     "reassembly_ordered_chunks",
     "stream_stream_join_pairs",
-    "dq_events_expectations",
     # ==== driver window boundary (position 50) ===========================
+    # Displaced below the boundary for the round-11 debuts (each
+    # driver-green with in-window category siblings, per-wave
+    # attribution in the window comments above): sim_ivfpq_auto_depth
+    # displaced dq_events_expectations (~ dq_benford_totals).
+    "dq_events_expectations",
     # Displaced below the boundary for the four round-9 debuts (each
     # r8 driver-green with in-window category siblings):
     # curation_full_set (~ curation_lm_filtered/_entropy/_dsir),

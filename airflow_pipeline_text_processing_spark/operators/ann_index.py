@@ -162,6 +162,14 @@ def build_ivfpq_index(
         dim=dim, m=m, k=k_codebook, iters=pq_iters,
     )
     rows = _index_rows(cell_rows, codes).join(pcells, "vec_id")
+    # primary-cell occupancy quantiles (one count per cell -- metadata-
+    # sized): ivfpq_index_search's auto rerank depth reads these so the
+    # default prefilter tracks THIS corpus's cell density instead of a
+    # fixed constant (the r10 recall-0.12 footgun, PROFILE_r10 SS1)
+    occ = sorted(
+        r["n"]
+        for r in pcells.groupBy("pcell").agg(F.count("*").alias("n")).collect()
+    )
     trained_n = rows.count()
     if trained_n == 0:
         raise ValueError(
@@ -186,6 +194,10 @@ def build_ivfpq_index(
             "cell_iters": cell_iters,
             "n_files": n_files,
             "encoding": "residual",
+            # primary-cell occupancy (sorted member counts): the search
+            # path's auto rerank depth = max(4k, 2 * p90 of these);
+            # ivfpq_index_add refreshes them after every MERGE
+            "cell_occupancy": occ,
         },
     )
 
@@ -215,7 +227,20 @@ def ivfpq_index_add(
         cents_lit, meta["m"], meta["dim"] // meta["m"],
     )
     rows = _index_rows(cell_rows, codes).join(pcells, "vec_id")
-    return merge_upsert(spark, os.path.join(path, _ROWS), rows, "vec_id")
+    out = merge_upsert(spark, os.path.join(path, _ROWS), rows, "vec_id")
+    # refresh the occupancy stats the auto rerank depth reads: adds grow
+    # cells past what the build recorded, and a stale p90 under-sizes the
+    # shortlist.  One cells-sized aggregate over the live rows per add
+    # batch -- negligible beside the MERGE it follows.
+    occ = sorted(
+        r["n"]
+        for r in read_live(spark, os.path.join(path, _ROWS))
+        .groupBy("pcell").agg(F.count("*").alias("n")).collect()
+    )
+    meta["cell_occupancy"] = occ
+    with open(os.path.join(path, _FROZEN, "meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    return out
 
 
 def ivfpq_index_staleness(spark: SparkSession, path: str) -> dict:
@@ -317,7 +342,7 @@ def ivfpq_index_search(
     queries: DataFrame,
     vectors: DataFrame,
     nprobe: int = 4,
-    prefilter: int = 25,
+    prefilter: int | None = None,
     k: int = 5,
 ) -> DataFrame:
     """Serve top-``k`` from the persisted index: route ``queries``
@@ -327,7 +352,16 @@ def ivfpq_index_search(
     the index itself never stores full vectors).  Output
     ``(query_id, neighbor_id, d2, rk)``, ties on (d2, id) -- identical
     semantics to ``similarity.ivfpq_topk`` given the same training set.
+
+    ``prefilter=None`` (default) auto-sizes the rerank depth to
+    ``max(4*k, 2 * p90(cell occupancy))`` from the occupancy stats the
+    build recorded in the meta sidecar (similarity.auto_rerank_depth --
+    the fix for the r10 fixed-25 recall footgun).  Indexes built before
+    r11 lack the stats; the depth then comes from one <=``cells``-row
+    count over the live rows table.  Pass an int to pin it.
     """
+    from .similarity import auto_rerank_depth
+
     cents_rows, cents_lit, meta = _load_frozen(path)
     m, dim = meta["m"], meta["dim"]
     sub_dim = dim // m
@@ -340,6 +374,12 @@ def ivfpq_index_search(
         F.col("vec_id").alias("query_id"), "cid"
     )
     rows = read_live(spark, os.path.join(path, _ROWS))
+    if prefilter is None:
+        occ = meta.get("cell_occupancy") or [
+            r["n"]
+            for r in rows.groupBy("pcell").agg(F.count("*").alias("n")).collect()
+        ]
+        prefilter = auto_rerank_depth(occ, k)
     cand_cells = rows.select(
         F.col("vec_id").alias("cand_id"), F.explode("cells").alias("cid")
     )

@@ -405,7 +405,12 @@ def link_prediction_ra(
     lineage-cut rule from PROFILE_r10 §6).
 
     Returns ``(src, dst, cn, ra_fp)`` with ``src < dst``, candidates
-    only (existing edges anti-joined away).
+    only (existing edges anti-joined away).  ``cn`` is the CAPPED
+    common-neighbor count -- common neighbors of degree >
+    ``max_center_deg`` are excluded (they never generate wedge rows),
+    so it under-counts the plain CN score exactly where RA discounts
+    it; treat it as RA's companion diagnostic, not a standalone
+    common-neighbors metric (r11 ADVICE note).
     """
     edges = edges.localCheckpoint(eager=False)
     adj = edges.select(

@@ -108,6 +108,23 @@ def range_aggregate(
     return d.drop("_tmicros")
 
 
+def _interval_s(seconds: float):
+    """Seconds -> interval expression via make_interval on a fixed-point
+    literal.  An f-stringed ``INTERVAL {float(x)} SECONDS`` breaks at
+    plan time when repr(x) goes scientific (1e-05, 1e+20) -- Spark's
+    interval literal parser rejects exponent notation (r11 ADVICE fix).
+    Microsecond resolution, matching timestamp precision.
+
+    Magnitudes are clamped to DECIMAL(18,6)'s max (~10^12 s, ~31,700
+    years): make_interval's secs argument overflows past it (and the
+    day-time interval type itself past ~9.2e12 s), while Spark
+    timestamps end at year 9999 (~2.5e11 s from epoch) -- so any
+    tolerance past the clamp is indistinguishable from infinite."""
+    cap = 999_999_999_999.0
+    s = max(-cap, min(cap, float(seconds)))
+    return F.expr(f"make_interval(0, 0, 0, 0, 0, 0, {s:.6f})")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -213,7 +230,7 @@ def asof_join(
         ok_b = F.col("_match").isNotNull()
         ok_f = F.col("_match_f").isNotNull()
         if tolerance_s is not None:
-            tol = F.expr(f"INTERVAL {float(tolerance_s)} SECONDS")
+            tol = _interval_s(tolerance_s)
             ok_b = ok_b & (mts_b >= F.col(left_ts) - tol)
             ok_f = ok_f & (mts_f <= F.col(left_ts) + tol)
         prefer_b = ok_b & (
@@ -235,7 +252,7 @@ def asof_join(
         keep = F.col("_match").isNotNull()
     else:
         mts = F.col("_match").getField("__mts")
-        tol = F.expr(f"INTERVAL {float(tolerance_s)} SECONDS")
+        tol = _interval_s(tolerance_s)
         keep = F.col("_match").isNotNull() & (
             mts >= F.col(left_ts) - tol
             if direction == "backward"
@@ -278,8 +295,8 @@ def range_join_bucketed(
     r = right.withColumn(
         "_bucket", F.floor(_ts_seconds(right, right_ts) / width).cast("long")
     )
-    lo = F.col(left_ts) + F.expr(f"INTERVAL {float(min_offset_s)} SECONDS")
-    hi = F.col(left_ts) + F.expr(f"INTERVAL {float(max_offset_s)} SECONDS")
+    lo = F.col(left_ts) + _interval_s(min_offset_s)
+    hi = F.col(left_ts) + _interval_s(max_offset_s)
     lower_ok = F.col(right_ts) > lo if strict_lower else F.col(right_ts) >= lo
     return (
         l.join(r, on + ["_bucket"])

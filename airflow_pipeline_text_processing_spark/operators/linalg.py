@@ -113,10 +113,19 @@ def power_iteration(
     M: List[List[int]], iters: int = 3
 ) -> List[int]:
     """``iters`` steps of ``v <- floor(M v * 10^6 / max|M v|)`` from
-    the all-ones start -- the dominant-eigenvector workhorse, kept in
-    exact integers so the SQL oracle replays it as unrolled CTEs.
-    Components end in [-10^6, 10^6]; an all-zero product (degenerate
-    M) returns the zero vector."""
+    the all-ones start, kept in exact integers so the SQL oracle
+    replays it as unrolled CTEs.  Components end in [-10^6, 10^6]; an
+    all-zero product (degenerate M) returns the zero vector.
+
+    Convergence caveat (r11 ADVICE): the deterministic all-ones start
+    and default 3 steps return the top eigenvector only when the
+    eigen-gap is healthy and the start is not (near-)orthogonal to it;
+    with close top-two eigenvalues or an adversarial spectrum, raise
+    ``iters`` (cost is one extra dim x dim driver-side multiply per
+    step -- the corpus is never re-touched) or seed from the
+    largest-diagonal axis.  The deterministic start is what keeps the
+    result oracle-replayable, so randomized restarts are deliberately
+    out of scope."""
     dim = len(M)
     v = [1] * dim
     for _ in range(iters):

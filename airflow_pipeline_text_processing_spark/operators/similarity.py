@@ -1265,6 +1265,28 @@ def range_search(
     return exact.orderBy("query_id", "d2", "neighbor_id")
 
 
+def auto_rerank_depth(cell_counts: list[int], k: int) -> int:
+    """Occupancy-driven IVF-PQ rerank depth: ``max(4*k, 2 * p90)`` over
+    the primary-cell member counts.
+
+    PROFILE_r10 SS1 measured the failure mode this sizes against: ADC
+    with an m=8 code cannot RANK near-identical vectors inside a cell,
+    so recall@k is governed by whether the exact-rerank shortlist spans
+    a whole cell's worth of candidates.  2x the p90 occupancy covers
+    the dense cells with slack; the 4*k floor keeps tiny corpora from
+    under-shortlisting.  Input is metadata-sized (one count per IVF
+    cell), so callers can collect it from the membership pass or a
+    persisted index's meta sidecar.
+    """
+    if not cell_counts:
+        return max(4 * k, 25)
+    counts = sorted(cell_counts)
+    # integer ceil(0.9n): float-free so a SQL oracle replays the rank
+    # identically (sim_ivfpq_auto_depth mirrors this in DuckDB)
+    p90 = counts[(9 * len(counts) + 9) // 10 - 1]
+    return max(4 * k, 2 * p90)
+
+
 def ivfpq_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -1276,7 +1298,7 @@ def ivfpq_topk(
     cell_iters: int = 2,
     nprobe: int = 4,
     replicas: int = 2,
-    prefilter: int = 25,
+    prefilter: int | None = None,
     k: int = 5,
 ) -> DataFrame:
     """IVF-PQ with exact rerank -- the canonical billion-scale ANN
@@ -1308,6 +1330,16 @@ def ivfpq_topk(
     the rule is FAISS practice verbatim: set ``prefilter`` to a small
     multiple of the expected same-cell candidate density per query;
     rerank cost stays prefilter x dim per query.
+
+    ``prefilter=None`` (the default since r11) applies that rule
+    automatically: rerank depth = ``max(4*k, 2 * p90(primary-cell
+    occupancy))``, computed from the SAME membership pass the routing
+    already ran (one <=``cells``-row aggregate -- metadata-sized).  The
+    r10 recall table above is exactly why: a fixed default of 25 read
+    recall 0.12 on a 200-member-cluster corpus, while 2x the p90 cell
+    size reads ~1.0 (tools/recall_bench.py, "auto" rows).  Pass an
+    explicit int to pin the depth (the oracle-checked registry queries
+    do, so their static SQL replays bit-exactly).
 
     Scale shape: the corpus is touched by the Lloyd passes, one
     shuffle-free membership map, the PQ encode, and an EQUI-join of its
@@ -1346,6 +1378,12 @@ def ivfpq_topk(
     pcells = memberships.filter(F.col("rank") == 1).select(
         "vec_id", F.col("cid").alias("pcell")
     )
+    if prefilter is None:
+        prefilter = auto_rerank_depth(
+            [r["n"] for r in pcells.groupBy("pcell")
+             .agg(F.count("*").alias("n")).collect()],
+            k,
+        )
     rcorpus = residual_vectors(corpus, pcells, cents)
     codes, pq_cents = pq_train_encode(
         rcorpus, dim=dim, m=m, k=k_codebook, iters=pq_iters

@@ -600,8 +600,13 @@ def gopher_quality_rules(
     - ``r_word_count``:   ``min_words <= n_words <= max_words``
     - ``r_mean_word_len``: mean word length in [3, 10] characters,
       i.e. ``3*n_words <= word_chars <= 10*n_words``
-    - ``r_symbol_ratio``: (# of ``#`` chars + ``...``/ellipsis runs)
-      to words < 0.1, i.e. ``10*n_symbols < n_words``
+    - ``r_hash_ratio``: # of ``#`` chars to words < 0.1, i.e.
+      ``10*n_hash < n_words``
+    - ``r_ellipsis_ratio``: ``...``/unicode-ellipsis runs to words
+      < 0.1, i.e. ``10*n_ellipsis < n_words`` -- Rae et al. SSA1
+      applies the 0.1 symbol-to-word bound to ``#`` and ellipsis
+      SEPARATELY (r11 ADVICE fix: the pre-r11 combined ``n_symbols``
+      flag was stricter than the published rule)
     - ``r_bullet_lines``: <= 90% of non-empty lines start with a
       bullet (``-``/``*``/the unicode bullet)
     - ``r_ellipsis_lines``: <= 30% of non-empty lines end with an
@@ -671,7 +676,8 @@ def gopher_quality_rules(
         "doc_id",
         n_words.alias("n_words"),
         word_chars.alias("word_chars"),
-        (n_hash + n_ell).alias("n_symbols"),
+        n_hash.alias("n_hash"),
+        n_ell.alias("n_ellipsis"),
         n_lines.alias("n_lines"),
         n_bullet.alias("n_bullet_lines"),
         n_ell_lines.alias("n_ellipsis_lines"),
@@ -683,7 +689,8 @@ def gopher_quality_rules(
         & (F.col("n_words") <= max_words),
         "r_mean_word_len": (F.col("word_chars") >= 3 * F.col("n_words"))
         & (F.col("word_chars") <= 10 * F.col("n_words")),
-        "r_symbol_ratio": F.col("n_symbols") * 10 < F.col("n_words"),
+        "r_hash_ratio": F.col("n_hash") * 10 < F.col("n_words"),
+        "r_ellipsis_ratio": F.col("n_ellipsis") * 10 < F.col("n_words"),
         "r_bullet_lines": F.col("n_bullet_lines") * 10
         <= F.col("n_lines") * 9,
         "r_ellipsis_lines": F.col("n_ellipsis_lines") * 10

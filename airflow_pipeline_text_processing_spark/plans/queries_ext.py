@@ -4252,8 +4252,13 @@ def stats_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
             # an essentially-zero SSW makes the quotient astronomically
             # large; past 10^12 the test is a foregone conclusion, and
             # an unclamped cast would wrap on Spark while DuckDB throws
-            # -- cap F at 10^15 milli on BOTH engines
-            " WHEN num >= den * CAST(1000000000000 AS DECIMAL(38,0))"
+            # -- cap F at 10^15 milli on BOTH engines.  The guard is
+            # spelled num div 1e12 >= den (equivalent for integer den,
+            # den > 0 in this branch): den * 1e12 could itself overflow
+            # DECIMAL(38,0) -> NULL on Spark when den >= ~1e26 while
+            # DuckDB's HUGEINT still evaluates it (r11 ADVICE fix);
+            # num div 1e12 <= ~1e18 always fits
+            " WHEN num div CAST(1000000000000 AS DECIMAL(38,0)) >= den"
             " THEN CAST(1000000000000000 AS BIGINT)"
             " ELSE CAST((num div den) * 1000 + ((num % den) * 1000) div den"
             "      AS BIGINT) END"
@@ -4485,7 +4490,7 @@ SELECT k_groups, n_days,
        CAST(ssw AS BIGINT) AS ssw_cents2,
        CASE WHEN k_groups < 2 OR n_days <= k_groups OR ssw = 0
             THEN CAST(0 AS BIGINT)
-            WHEN num >= den * CAST(1000000000000 AS HUGEINT)
+            WHEN num // CAST(1000000000000 AS HUGEINT) >= den
             THEN CAST(1000000000000000 AS BIGINT)
             ELSE CAST((num // den) * 1000 + ((num % den) * 1000) // den
                  AS BIGINT) END AS f_milli

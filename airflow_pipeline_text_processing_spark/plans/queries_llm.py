@@ -1045,9 +1045,10 @@ counted AS (
          CAST(COALESCE(list_sum(list_transform({TOKS_SQL},
               t -> length(t))), 0) AS BIGINT) AS word_chars,
          CAST(length(text) - length(replace(text, '#', ''))
-              + (length(text) - length(replace(text, '...', ''))) // 3
+              AS BIGINT) AS n_hash,
+         CAST((length(text) - length(replace(text, '...', ''))) // 3
               + length(text) - length(replace(text, '…', ''))
-              AS BIGINT) AS n_symbols,
+              AS BIGINT) AS n_ellipsis,
          CAST(len({_GOPHER_LINES_SQL}) AS BIGINT) AS n_lines,
          CAST(len(list_filter({_GOPHER_LINES_SQL},
               s -> regexp_matches(s, '^[-*•]'))) AS BIGINT)
@@ -1070,8 +1071,10 @@ SELECT *,
        CAST(CASE WHEN word_chars >= 3 * n_words
                   AND word_chars <= 10 * n_words
             THEN 1 ELSE 0 END AS BIGINT) AS r_mean_word_len,
-       CAST(CASE WHEN n_symbols * 10 < n_words
-            THEN 1 ELSE 0 END AS BIGINT) AS r_symbol_ratio,
+       CAST(CASE WHEN n_hash * 10 < n_words
+            THEN 1 ELSE 0 END AS BIGINT) AS r_hash_ratio,
+       CAST(CASE WHEN n_ellipsis * 10 < n_words
+            THEN 1 ELSE 0 END AS BIGINT) AS r_ellipsis_ratio,
        CAST(CASE WHEN n_bullet_lines * 10 <= n_lines * 9
             THEN 1 ELSE 0 END AS BIGINT) AS r_bullet_lines,
        CAST(CASE WHEN n_ellipsis_lines * 10 <= n_lines * 3
@@ -1083,7 +1086,8 @@ SELECT *,
        CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
                   AND word_chars >= 3 * n_words
                   AND word_chars <= 10 * n_words
-                  AND n_symbols * 10 < n_words
+                  AND n_hash * 10 < n_words
+                  AND n_ellipsis * 10 < n_words
                   AND n_bullet_lines * 10 <= n_lines * 9
                   AND n_ellipsis_lines * 10 <= n_lines * 3
                   AND n_alpha_words * 5 >= n_words * 4
@@ -2605,14 +2609,52 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _tspread(spark, sf_dir, "embeddings")
     q = vecs.select("vec_id", quantized(F.col("embedding")).alias("q"))
     queries = q.filter(F.col("vec_id").isin(3, 10, 42))
-    return ivfpq_topk(queries, q, dim=64)
+    # prefilter pinned so the static SQL oracle replays bit-exactly;
+    # the auto (occupancy-sized) r11 default has its own oracle query,
+    # sim_ivfpq_auto_depth below
+    return ivfpq_topk(queries, q, dim=64, prefilter=25)
+
+
+def sim_ivfpq_auto_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with the r11 AUTO rerank depth (similarity.
+    auto_rerank_depth): prefilter=None sizes the exact-rerank shortlist
+    to max(4k, 2 x p90 of primary-cell occupancy) from the SAME
+    membership pass the routing ran -- the fix for the r10 footgun
+    where a fixed default of 25 read recall 0.12 on clustered corpora
+    (PROFILE_r10 SS1).  The oracle recomputes the identical depth in
+    SQL (integer-ceil p90 rank over the pcell counts), so the
+    occupancy-driven cut itself is oracle-certified, not just the
+    fixed-dial path."""
+    from ..operators.clustering import quantized
+    from ..operators.similarity import ivfpq_topk
+
+    vecs = _tspread(spark, sf_dir, "embeddings")
+    q = vecs.select("vec_id", quantized(F.col("embedding")).alias("q"))
+    queries = q.filter(F.col("vec_id").isin(3, 10, 42))
+    return ivfpq_topk(queries, q, dim=64, prefilter=None)
 
 
 def _ivfpq_sql(cells: int = 8, cell_iters: int = 2, nprobe: int = 4,
-               replicas: int = 2, prefilter: int = 25, topk: int = 5,
+               replicas: int = 2, prefilter: int | None = 25, topk: int = 5,
                m: int = 8, sub_dim: int = 8) -> str:
     pq_ctes, codes, _tables = _pq_ctes("p", m, 16, 2, sub_dim, "3, 10, 42",
                                        base="rbase")
+    # prefilter=None replays the r11 auto rerank depth (similarity.
+    # auto_rerank_depth): max(4k, 2 * p90 of primary-cell occupancy),
+    # p90 rank = integer ceil(0.9 * n_cells) -- float-free on both
+    # engines so the shortlist cut is bit-identical
+    if prefilter is None:
+        depth_cte = f""",
+occ AS (SELECT cid, COUNT(*) AS n FROM pcell GROUP BY cid),
+depth AS (
+  SELECT GREATEST({4 * topk}, 2 * n) AS pf
+  FROM (SELECT n, ROW_NUMBER() OVER (ORDER BY n) AS r,
+               COUNT(*) OVER () AS tot FROM occ)
+  WHERE r = (9 * tot + 9) // 10)"""
+        cut = "(SELECT pf FROM depth)"
+    else:
+        depth_cte = ""
+        cut = str(prefilter)
     return f"""
 WITH {_QBASE_EMB},
 {_kmeans_ctes("qbase", cells, cell_iters)},
@@ -2644,7 +2686,7 @@ rbase AS (
   JOIN cent{cell_iters} c ON c.cid = pc.cid),
 {pq_ctes},
 {_residual_tables_cte("ptab", "pcent2", cell_iters, m, sub_dim,
-                      "3, 10, 42")},
+                      "3, 10, 42")}{depth_cte},
 adc AS (
   SELECT ca.query_id, ca.cand_id, CAST(SUM(t.pd2) AS BIGINT) AS ad2
   FROM cand ca
@@ -2656,7 +2698,7 @@ adc AS (
 short AS (
   SELECT query_id, cand_id FROM adc
   QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
-            ORDER BY ad2, cand_id) <= {prefilter}),
+            ORDER BY ad2, cand_id) <= {cut}),
 exact AS (
   SELECT sh.query_id, sh.cand_id AS neighbor_id,
          CAST(list_sum(list_transform(list_zip(qb.q, cb.q),
@@ -3239,6 +3281,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     ),
     "sim_pq_adc_topk": (sim_pq_adc_topk, _pq_sql()),
     "sim_ivfpq_topk": (sim_ivfpq_topk, _ivfpq_sql()),
+    "sim_ivfpq_auto_depth": (sim_ivfpq_auto_depth, _ivfpq_sql(prefilter=None)),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_SQL),
     "sim_topk_bruteforce": (sim_topk_bruteforce, SIM_TOPK_SQL),
     "sim_ivf_topk": (sim_ivf_topk, SIM_IVF_SQL),

@@ -1069,7 +1069,10 @@ def sim_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivfpq_index_add(spark, path, q.filter(F.col("vec_id") % 10 == 0))
         _IVFPQ_BUILT_SLOTS.add(path)
     queries = q.filter(F.col("vec_id").isin(3, 10, 42))
-    return ivfpq_index_search(spark, path, queries, q)
+    # prefilter pinned so the static SQL oracle replays bit-exactly;
+    # the auto (occupancy-sized) default is oracle-checked separately
+    # by sim_ivfpq_auto_depth in queries_llm.py
+    return ivfpq_index_search(spark, path, queries, q, prefilter=25)
 
 
 def _pq_ctes_split(

@@ -235,3 +235,115 @@ def test_streaming_ingest_into_index(spark, qvecs, tmp_path):
     queries = qvecs.filter(F.col("vec_id") == 3)
     got = ivfpq_index_search(spark, path, queries, base).collect()
     assert got[0].neighbor_id == 1_000_003  # the streamed twin at rank 1
+
+
+def test_auto_rerank_depth_rule():
+    """The r11 default dial: max(4k, 2 * p90 of cell occupancy).
+    Pure-function contract -- empty stats fall back to the legacy 25
+    floor (still >= 4k), skewed occupancy tracks the dense cells."""
+    from airflow_pipeline_text_processing_spark.operators.similarity import (
+        auto_rerank_depth,
+    )
+
+    assert auto_rerank_depth([], k=5) == 25
+    assert auto_rerank_depth([], k=50) == 200  # 4k floor beats legacy 25
+    # 10 cells, p90 = 9th sorted value = 90 -> depth 180
+    assert auto_rerank_depth(list(range(10, 101, 10)), k=5) == 180
+    # uniform tiny cells: floor wins
+    assert auto_rerank_depth([3] * 100, k=5) == 20
+    # single cell: p90 = its count
+    assert auto_rerank_depth([200], k=5) == 400
+
+
+def test_build_records_occupancy_and_add_refreshes_it(spark, qvecs, tmp_path):
+    """The meta sidecar carries sorted primary-cell occupancy summing to
+    the corpus size, and an incremental add refreshes it (a stale p90
+    under-sizes the auto shortlist as cells grow)."""
+    import json as _json
+
+    from airflow_pipeline_text_processing_spark.operators.ann_index import (
+        build_ivfpq_index,
+        ivfpq_index_add,
+    )
+
+    path = str(tmp_path / "idx")
+    train = qvecs.filter(F.col("vec_id") % 10 != 0)
+    build_ivfpq_index(train, path, dim=64, cells=8)
+
+    def _occ():
+        with open(os.path.join(path, "_frozen", "meta.json")) as fh:
+            return _json.load(fh)["cell_occupancy"]
+
+    occ0 = _occ()
+    assert occ0 == sorted(occ0) and sum(occ0) == train.count()
+
+    ivfpq_index_add(spark, path, qvecs.filter(F.col("vec_id") % 10 == 0))
+    occ1 = _occ()
+    assert sum(occ1) == qvecs.count(), "add must refresh occupancy stats"
+
+
+def test_auto_prefilter_spans_dense_cells(spark, tmp_path):
+    """The r10 footgun, reproduced then fixed: a clustered corpus (4
+    clusters x 100 members) where a fixed prefilter=25 cannot span one
+    cluster, so recall@10 of the DEFAULT dial was ~0.1.  With the auto
+    depth (2 x p90 occupancy ~ 200), every true same-cluster neighbor
+    must survive the shortlist -- recall 1.0 against exact quantized-L2
+    on the build-time training set."""
+    from airflow_pipeline_text_processing_spark.operators.ann_index import (
+        build_ivfpq_index,
+        ivfpq_index_search,
+    )
+
+    # 4 well-separated clusters in quantized space: base corner +-jitter
+    base = spark.range(400).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda j: (
+                (F.col("id") % 4) * 100_000
+                + F.pmod(F.hash(F.col("id").cast("string"), j.cast("string")), 200)
+            ).cast("long"),
+        ).alias("q"),
+    ).localCheckpoint(eager=True)
+
+    path = str(tmp_path / "idx")
+    build_ivfpq_index(base, path, dim=64, cells=8)
+    queries = base.filter(F.col("vec_id").isin(0, 1, 2, 3))
+
+    # exact truth: same-metric brute force (quantized L2), k=10
+    from airflow_pipeline_text_processing_spark.operators.similarity import (
+        _pq_sqdist,
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        queries.select(F.col("vec_id").alias("query_id"), F.col("q").alias("qq"))
+        .crossJoin(
+            base.select(F.col("vec_id").alias("neighbor_id"), F.col("q").alias("cq"))
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", _pq_sqdist(F.col("qq"), F.col("cq")).alias("d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10).collect()
+    }
+
+    got_auto = {
+        (r.query_id, r.neighbor_id)
+        for r in ivfpq_index_search(spark, path, queries, base, k=10).collect()
+    }
+    got_25 = {
+        (r.query_id, r.neighbor_id)
+        for r in ivfpq_index_search(
+            spark, path, queries, base, prefilter=25, k=10
+        ).collect()
+    }
+    recall_auto = len(got_auto & truth) / len(truth)
+    recall_25 = len(got_25 & truth) / len(truth)
+    assert recall_auto >= 0.95, f"auto depth recall {recall_auto}"
+    assert recall_auto > recall_25, (
+        f"auto ({recall_auto}) must beat the fixed-25 footgun ({recall_25})"
+    )

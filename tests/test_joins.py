@@ -371,3 +371,38 @@ def test_asof_nearest_strict_and_tolerance(spark):
     assert by_id_tol[1] == 90 and by_id_tol[2] is None
     ref = _naive_nearest(left.collect(), right.collect(), tol_s=30.0)
     assert by_id_tol == ref
+
+
+def test_asof_tolerance_scientific_notation_values(spark):
+    """Tolerances whose float repr is scientific notation (1e-05, 2e+16)
+    used to die at plan time -- Spark's INTERVAL literal parser rejects
+    exponent notation; _interval_s's make_interval form must plan and
+    evaluate for any magnitude (r11 ADVICE fix)."""
+    left = spark.createDataFrame(
+        [(1, _ts(100.0), 1), (2, _ts(200.0), 1)],
+        "event_id long, ts timestamp, user_id long",
+    )
+    right = spark.createDataFrame(
+        [(10, _ts(100.0), 1), (20, _ts(199.999999), 1)],
+        "r_id long, ts timestamp, user_id long",
+    )
+    # 1e-05 s: the exact co-timed match survives, the 1 us-earlier one
+    # also survives (1 us <= 10 us); a 0-tolerance check pins the edge
+    got = {
+        r.event_id: r.m_r_id
+        for r in asof_join(
+            left, right, ["user_id"], "ts", "ts",
+            payload=["r_id"], prefix="m_", tolerance_s=1e-05,
+        ).collect()
+    }
+    assert got == {1: 10, 2: 20}
+    # huge tolerance (scientific repr 1e+16): everything in range
+    got = {
+        r.event_id: r.m_r_id
+        for r in asof_join(
+            left, right, ["user_id"], "ts", "ts",
+            payload=["r_id"], prefix="m_", direction="nearest",
+            tolerance_s=1e16,
+        ).collect()
+    }
+    assert got == {1: 10, 2: 20}

@@ -163,15 +163,25 @@ def test_gopher_mean_word_len_boundaries(spark):
     assert _gopher_row(spark, "abcdefghijk " * 60).r_mean_word_len == 0
 
 
-def test_gopher_symbol_ratio_counts_hashes_and_ellipses(spark):
-    # exact boundary: n_words=20, n_symbols=2 (1 hash + 1 '...' run):
-    # 2*10 = 20 is not < 20 -> fails at exactly 0.1; 21 words passes
-    txt = " ".join(["w"] * 18) + " hi# bye..."
+def test_gopher_symbol_ratios_hash_and_ellipsis_separate(spark):
+    # Rae et al. SSA1 bounds hash and ellipsis SEPARATELY at 0.1.
+    # Boundary per flag: n=10 words with 1 hash -> 1*10 is not < 10,
+    # fails at exactly 0.1; 11 words passes.
+    txt = " ".join(["w"] * 9) + " hi#"
     row = _gopher_row(spark, txt)
-    assert (row.n_words, row.n_symbols) == (20, 2)
-    assert row.r_symbol_ratio == 0
-    txt_ok = " ".join(["w"] * 19) + " hi# bye..."
-    assert _gopher_row(spark, txt_ok).r_symbol_ratio == 1
+    assert (row.n_words, row.n_hash, row.n_ellipsis) == (10, 1, 0)
+    assert (row.r_hash_ratio, row.r_ellipsis_ratio) == (0, 1)
+    assert _gopher_row(spark, " ".join(["w"] * 10) + " hi#").r_hash_ratio == 1
+    # the split's point (the pre-r11 combined flag got this WRONG):
+    # 0.05 hash-ratio AND 0.05 ellipsis-ratio passes both flags even
+    # though the combined ratio is exactly 0.1
+    both = " ".join(["w"] * 18) + " hi# bye..."
+    row = _gopher_row(spark, both)
+    assert (row.n_words, row.n_hash, row.n_ellipsis) == (20, 1, 1)
+    assert (row.r_hash_ratio, row.r_ellipsis_ratio) == (1, 1)
+    # unicode ellipsis and '...' runs both count toward n_ellipsis
+    row = _gopher_row(spark, " ".join(["w"] * 9) + " x… y...")
+    assert row.n_ellipsis == 2 and row.r_ellipsis_ratio == 0
 
 
 def test_gopher_line_rules(spark):
@@ -209,12 +219,13 @@ def test_gopher_passes_conjunction(spark):
     assert (
         row.r_word_count,
         row.r_mean_word_len,
-        row.r_symbol_ratio,
+        row.r_hash_ratio,
+        row.r_ellipsis_ratio,
         row.r_bullet_lines,
         row.r_ellipsis_lines,
         row.r_alpha_words,
         row.r_stopwords,
-    ) == (1, 1, 1, 1, 1, 1, 1)
+    ) == (1, 1, 1, 1, 1, 1, 1, 1)
     # flipping one rule (shorten below 50 words) kills the conjunction
     assert _gopher_row(spark, "the and with quality").passes_gopher == 0
 

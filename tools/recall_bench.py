@@ -155,12 +155,15 @@ def main() -> None:
     # the rerank-depth dial: within-cluster ranking sits below any m=8
     # code's resolution, so recall@10 tracks prefilter vs the ~200-member
     # cluster size (routing recall is 1.0; see ivfpq_topk's docstring)
-    for pf in (25, 100, 200):
+    # "auto" = prefilter=None -> max(4k, 2 * p90 cell occupancy), the
+    # r11 default (similarity.auto_rerank_depth); the fixed dials stay
+    # for the recall to show WHY the auto rule picks what it picks
+    for pf in (25, 100, 200, None):
         t0 = time.perf_counter()
         got = _pairs(
             ivfpq_topk(queries_q, corpus_q, dim=64, nprobe=4, prefilter=pf, k=K)
         )
-        results[f"ivf-pq + rerank (prefilter={pf})"] = (
+        results[f"ivf-pq + rerank (prefilter={pf or 'auto'})"] = (
             _recall(got, l2_truth), time.perf_counter() - t0,
         )
 
@@ -169,14 +172,14 @@ def main() -> None:
     t0 = time.perf_counter()
     build_ivfpq_index(corpus_q, path, dim=64)
     t_build = time.perf_counter() - t0
-    for pf in (25, 200):
+    for pf in (25, 200, None):
         t0 = time.perf_counter()
         got = _pairs(
             ivfpq_index_search(
                 spark, path, queries_q, corpus_q, nprobe=4, prefilter=pf, k=K
             )
         )
-        results[f"persisted index (prefilter={pf})"] = (
+        results[f"persisted index (prefilter={pf or 'auto'})"] = (
             _recall(got, l2_truth), time.perf_counter() - t0,
         )
     print(f"(index build: {t_build:.1f}s, paid once)")
@@ -198,7 +201,7 @@ def main() -> None:
     ivfpq_index_add(
         spark, path_adds, corpus_q.filter(F.col("vec_id") % 10 == 0)
     )
-    for pf in (25, 200):
+    for pf in (25, 200, None):
         t0 = time.perf_counter()
         got = _pairs(
             ivfpq_index_search(
@@ -206,7 +209,7 @@ def main() -> None:
                 nprobe=4, prefilter=pf, k=K,
             )
         )
-        results[f"index 90%-built +10% adds (pf={pf})"] = (
+        results[f"index 90%-built +10% adds (pf={pf or 'auto'})"] = (
             _recall(got, l2_truth), time.perf_counter() - t0,
         )
 

@@ -34,6 +34,13 @@ _ORDER = [
     # p90 cut).  Displaced: dq_events_expectations (driver-green r5;
     # data-quality keeps dq_benford_totals in-window).
     "sim_ivfpq_auto_depth",
+    # -- NEW round 11 (second wave): PNG encode->decode roundtrip
+    # through the from-scratch codec (codec/png.py), position-weighted
+    # checksum so any mis-unfiltered byte goes red.  Displaced:
+    # merge_upsert_part (driver-green r5; the manifest MERGE path keeps
+    # sim_ivfpq_persisted -- whose index rows table is a manifest table
+    # with MERGE adds -- in-window).
+    "mm_png_roundtrip_stats",
     # Rotation contract (see README "Grading window"): the driver grades
     # only the first ~50 entries; each round the never-driver-graded
     # entries rotate in, displacing green entries that keep an in-window
@@ -198,15 +205,17 @@ _ORDER = [
     "sql_correlated_above_avg",
     "window_follow_stats",
     "map_scalar_showcase",
-    "merge_upsert_part",
     "reassembly_ordered_chunks",
     "stream_stream_join_pairs",
     # ==== driver window boundary (position 50) ===========================
     # Displaced below the boundary for the round-11 debuts (each
     # driver-green with in-window category siblings, per-wave
     # attribution in the window comments above): sim_ivfpq_auto_depth
-    # displaced dq_events_expectations (~ dq_benford_totals).
+    # displaced dq_events_expectations (~ dq_benford_totals);
+    # mm_png_roundtrip_stats displaced merge_upsert_part
+    # (~ sim_ivfpq_persisted's manifest MERGE).
     "dq_events_expectations",
+    "merge_upsert_part",
     # Displaced below the boundary for the four round-9 debuts (each
     # r8 driver-green with in-window category siblings):
     # curation_full_set (~ curation_lm_filtered/_entropy/_dsir),

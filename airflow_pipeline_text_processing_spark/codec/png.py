@@ -1,0 +1,192 @@
+"""Pure-Python PNG codec: stdlib ``zlib`` + numpy, no external imaging
+libraries.
+
+The multimodal operators (operators/multimodal.py) treat media as opaque
+binary columns and decode inside Arrow-batched ``mapInPandas`` workers.
+Until r11 only uncompressed formats decoded for real (PNM images, PCM
+WAV); PNG is a fully-public, fully-specified format (RFC 2083 / the W3C
+PNG spec) whose only compression is DEFLATE -- which the stdlib already
+ships -- so gating it behind ``NotImplementedError`` was laziness, not a
+container limitation.  This module implements the spec subset that
+matters for a data pipeline's image payloads:
+
+* 8-bit samples, color types 0 (gray), 2 (RGB), 3 (palette), 4
+  (gray+alpha), 6 (RGBA);
+* all five scanline filters (None/Sub/Up/Average/Paeth), exact integer
+  arithmetic per the spec's unsigned-mod-256 rules;
+* non-interlaced only (Adam7 raises -- interlaced PNGs are vanishingly
+  rare in datasets and the error is explicit).
+
+``encode_png`` writes filter-0 scanlines (always valid, deterministic),
+which is what ``resize_images`` re-emits; decode(encode(img)) == img
+bit-exactly, pinned by hypothesis round-trip tests.
+
+Reference parity note: the reference pipeline has no image surface at
+all (BASELINE.md); this backs the LLM-pipeline multimodal extension.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+# color type -> samples per pixel (before palette expansion)
+_SAMPLES = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _chunks(payload: bytes):
+    """Yield ``(type, data)`` for each chunk; validates CRC32."""
+    pos = len(PNG_SIG)
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        yield ctype, data
+        pos += 12 + length
+        if ctype == b"IEND":
+            return
+    raise ValueError("PNG missing IEND chunk")
+
+
+def _unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse the per-scanline filters.  ``raw`` is the decompressed
+    stream: each row is 1 filter-type byte + ``stride`` filtered bytes.
+    Returns ``(h, stride)`` uint8.
+
+    Row-sequential by spec (Up/Average/Paeth reference the prior
+    RECONSTRUCTED row); Sub/Average/Paeth are additionally
+    left-sequential, done in a per-pixel-column inner loop over numpy
+    slices so the per-Python-step work is a whole row, not a byte."""
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"PNG data length {len(raw)} != expected {h * (stride + 1)}"
+        )
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    ftypes = arr[:, 0]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ft = int(ftypes[y])
+        cur = arr[y, 1:].astype(np.int32)
+        if ft == 0:  # None
+            rec = cur
+        elif ft == 1:  # Sub
+            rec = cur.copy()
+            for x in range(bpp, stride):
+                rec[x] = (rec[x] + rec[x - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            rec = (cur + prior) & 0xFF
+        elif ft == 3:  # Average
+            rec = cur.copy()
+            rec[:bpp] = (rec[:bpp] + prior[:bpp] // 2) & 0xFF
+            for x in range(bpp, stride):
+                rec[x] = (rec[x] + (rec[x - bpp] + prior[x]) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            rec = cur.copy()
+            rec[:bpp] = (rec[:bpp] + prior[:bpp]) & 0xFF  # a=c=0 -> pred=b
+            for x in range(bpp, stride):
+                a, b, c = int(rec[x - bpp]), int(prior[x]), int(prior[x - bpp])
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                rec[x] = (rec[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[y] = rec.astype(np.uint8)
+        prior = rec
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode a PNG payload to an ``(h, w, nch)`` uint8 array.
+
+    nch is 1 (gray), 2 (gray+alpha), 3 (RGB -- including palette
+    images, expanded through PLTE), or 4 (RGBA).  Raises ValueError on
+    malformed input, NotImplementedError on spec features outside the
+    supported subset (16-bit, sub-byte depths, Adam7 interlace)."""
+    if payload[: len(PNG_SIG)] != PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    for ctype, data in _chunks(payload):
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype_n, comp, filt, interlace = ihdr
+    if w == 0 or h == 0:
+        raise ValueError("zero-dimension PNG")
+    if comp != 0 or filt != 0:
+        raise ValueError("unknown PNG compression/filter method")
+    if interlace != 0:
+        raise NotImplementedError("Adam7 interlaced PNG not supported")
+    if depth != 8:
+        raise NotImplementedError(f"PNG bit depth {depth} not supported")
+    if ctype_n not in _SAMPLES:
+        raise ValueError(f"invalid PNG color type {ctype_n}")
+    nch = _SAMPLES[ctype_n]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * nch
+    rows = _unfilter(raw, h, stride, bpp=nch)
+    img = rows.reshape(h, w, nch)
+    if ctype_n == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        if int(img.max()) >= len(plte):
+            raise ValueError("palette index out of range")
+        img = plte[img[:, :, 0]]
+    return img
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Encode an ``(h, w)`` or ``(h, w, nch)`` uint8 array (nch in
+    {1, 2, 3, 4}) as a non-interlaced 8-bit PNG, filter 0 on every
+    scanline.  Deterministic: fixed zlib level 6, single IDAT."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, nch = img.shape
+    if h == 0 or w == 0:
+        raise ValueError("zero-dimension image")
+    ctype_n = {1: 0, 2: 4, 3: 2, 4: 6}.get(nch)
+    if ctype_n is None:
+        raise ValueError(f"unsupported channel count {nch}")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype_n, 0, 0, 0)
+    rows = img.reshape(h, w * nch)
+    raw = b"".join(b"\x00" + rows[y].tobytes() for y in range(h))
+    return (
+        PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw, 6))
+        + _chunk(b"IEND", b"")
+    )

@@ -620,19 +620,23 @@ def connected_components(
         .localCheckpoint()
     )
     converged = False
+    n_edges = edges.count()
     for _ in range(max_iter):
         after_large = _large_star(edges)
         after_small = _small_star(after_large).localCheckpoint()
-        # stable iff the canonical edge sets are identical (both directions
-        # of exceptAll -- a proper subset in either direction means motion)
-        if (
-            after_small.exceptAll(edges).isEmpty()
-            and edges.exceptAll(after_small).isEmpty()
-        ):
+        # stable iff the canonical edge sets are identical.  Both sides
+        # are DISTINCT relations, so |after| == |before| together with
+        # after \ before == empty IS set equality -- one exceptAll job
+        # instead of two (r11: the convergence probe was the most
+        # expensive per-round step; counts on checkpointed data are
+        # near-free)
+        n_after = after_small.count()
+        if n_after == n_edges and after_small.exceptAll(edges).isEmpty():
             converged = True
             edges = after_small
             break
         edges = after_small
+        n_edges = n_after
     if not converged:
         msg = (
             f"connected_components: edge set not stable after {max_iter} "

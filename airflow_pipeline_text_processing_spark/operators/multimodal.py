@@ -3,13 +3,14 @@
 Design (SURVEY.md north-star): image/audio/video travel as ``binary``
 columns next to a typed metadata struct.  The Spark-side machinery --
 schema, partition-parallel Arrow batches, UDF signatures -- is real and
-tested.  Decoding: UNCOMPRESSED formats (RIFF/WAVE PCM audio, binary
-PPM/PGM images) decode for real with zero external dependencies;
-compressed codecs (JPEG/PNG/MP4) are STUBBED because no image/audio
-libraries exist in this container -- ``decode_media`` raises
-``NotImplementedError`` for them unless ``fake=True``, in which case a
-deterministic byte-histogram stands in so batch shapes and schemas can be
-exercised end-to-end for any payload.
+tested.  Decoding: RIFF/WAVE PCM audio, binary PPM/PGM images, and PNG
+(r11: from-scratch stdlib-zlib codec, codec/png.py) decode for real
+with zero external dependencies; the remaining compressed codecs
+(JPEG/MP3/MP4) are STUBBED because no image/audio libraries exist in
+this container -- ``decode_media`` raises ``NotImplementedError`` for
+them unless ``fake=True``, in which case a deterministic byte-histogram
+stands in so batch shapes and schemas can be exercised end-to-end for
+any payload.
 """
 
 from __future__ import annotations
@@ -113,13 +114,43 @@ def _decode_pnm(payload: bytes) -> list:
     ]
 
 
+def _image_pixels(payload: bytes):
+    """Dispatch an image payload to its REAL decoder: binary PPM/PGM
+    (header + numpy) or PNG (from-scratch stdlib-zlib codec,
+    codec/png.py -- r11, de-gating the compressed-image path).  Returns
+    an ``(h, w, nch)`` uint8 array; raises on anything else."""
+    import re
+
+    import numpy as np
+
+    from ..codec.png import PNG_SIG, decode_png
+
+    if payload[: len(PNG_SIG)] == PNG_SIG:
+        return decode_png(payload)
+    m = re.match(rb"(P[56])\s+(?:#[^\n]*\n\s*)*(\d+)\s+(\d+)\s+(\d+)\s", payload)
+    if not m:
+        raise NotImplementedError(
+            "unsupported image format (PPM/PGM and PNG decode in-engine; "
+            "JPEG/WebP/... need codec libraries not present here)"
+        )
+    magic, w, h, maxval = (
+        m.group(1), int(m.group(2)), int(m.group(3)), int(m.group(4)),
+    )
+    if maxval > 255:
+        raise NotImplementedError("16-bit PNM not supported")
+    nch = 3 if magic == b"P6" else 1
+    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * nch, offset=m.end())
+    return px.reshape(h, w, nch)
+
+
 def decode_media(payload: bytes, kind: str, fake: bool = False):
     """Decode one media payload.
 
-    UNCOMPRESSED formats decode for real with no external libraries:
-    RIFF/WAVE PCM audio (stdlib ``wave``) and binary PPM/PGM images
-    (header + numpy).  Compressed codecs (JPEG/PNG/MP4/...) require
-    PIL/ffmpeg, absent from this container, and raise
+    These formats decode for real with no external libraries: RIFF/WAVE
+    PCM audio (stdlib ``wave``), binary PPM/PGM images (header +
+    numpy), and PNG (stdlib zlib + the from-scratch filter codec in
+    codec/png.py).  Remaining compressed codecs (JPEG/MP3/MP4/...)
+    require PIL/ffmpeg, absent from this container, and raise
     ``NotImplementedError``; ``fake=True`` substitutes a deterministic
     byte-histogram feature vector so the distributed plumbing stays
     testable for any payload."""
@@ -135,9 +166,19 @@ def decode_media(payload: bytes, kind: str, fake: bool = False):
         return _decode_wav(payload)
     if payload[:2] in (b"P5", b"P6"):
         return _decode_pnm(payload)
+    from ..codec.png import PNG_SIG
+
+    if payload[: len(PNG_SIG)] == PNG_SIG:
+        img = _image_pixels(payload)
+        h, w, nch = img.shape
+        norm = img.astype("float64") / 255.0
+        return [float(w), float(h), float(nch)] + [
+            float(norm[:, :, c].mean()) for c in range(nch)
+        ]
     raise NotImplementedError(
-        "compressed media formats need codec libraries not present in this "
-        "container; pass fake=True for the deterministic stub"
+        "compressed media formats beyond PNG need codec libraries not "
+        "present in this container; pass fake=True for the deterministic "
+        "stub"
     )
 
 
@@ -229,27 +270,30 @@ RESIZED_SCHEMA = StructType(
 
 
 def _resize_pnm(payload: bytes, out_w: int, out_h: int) -> bytes:
-    """REAL nearest-neighbor resize for binary PPM/PGM, pure numpy: pick
-    source row/col indices at output pixel centers, re-emit a valid PNM
-    payload.  Deterministic (integer index math, no filtering kernel)."""
-    import re
-
+    """REAL nearest-neighbor resize, pure numpy: pick source row/col
+    indices at output pixel centers.  Deterministic (integer index
+    math, no filtering kernel).  The output payload keeps the INPUT's
+    container: PNM in -> PNM out, PNG in -> PNG out (r11; filter-0
+    scanlines, codec/png.py), so resize stages compose either way."""
     import numpy as np
 
-    m = re.match(rb"(P[56])\s+(?:#[^\n]*\n\s*)*(\d+)\s+(\d+)\s+(\d+)\s", payload)
-    if not m:
-        raise ValueError("malformed PNM header")
-    magic, w, h, maxval = (
-        m.group(1), int(m.group(2)), int(m.group(3)), int(m.group(4)),
-    )
-    if maxval > 255:
-        raise NotImplementedError("16-bit PNM not supported")
-    nch = 3 if magic == b"P6" else 1
-    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * nch, offset=m.end())
-    img = px.reshape(h, w, nch)
+    from ..codec.png import PNG_SIG, encode_png
+
+    img = _image_pixels(payload)
+    h, w, nch = img.shape
     rows = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
     cols = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
     out = img[rows][:, cols]
+    if payload[: len(PNG_SIG)] == PNG_SIG:
+        return encode_png(out)
+    import re
+
+    maxval = int(
+        re.match(
+            rb"(P[56])\s+(?:#[^\n]*\n\s*)*(\d+)\s+(\d+)\s+(\d+)\s", payload
+        ).group(4)
+    )
+    magic = b"P6" if nch == 3 else b"P5"
     header = magic + b"\n%d %d\n%d\n" % (out_w, out_h, maxval)
     return header + out.tobytes()
 
@@ -350,13 +394,14 @@ def resample_audio(media: DataFrame, out_rate: int) -> DataFrame:
 def resize_images(
     media: DataFrame, out_w: int, out_h: int
 ) -> DataFrame:
-    """Distributed image resize (``mapInPandas``): uncompressed PPM/PGM
-    payloads resize FOR REAL (nearest neighbor, numpy -- no codec library
-    needed); any other payload passes through with ``err`` set instead of
-    failing the batch (per-row quarantine, the DLQ pattern at the
-    operator level).  Output payloads are themselves valid PNM, so resize
-    stages compose: thumbnail -> feature-extract chains run entirely
-    inside the engine."""
+    """Distributed image resize (``mapInPandas``): PPM/PGM and PNG
+    payloads resize FOR REAL (nearest neighbor, numpy; PNG via the
+    in-engine codec/png.py -- no codec library needed); any other
+    payload passes through with ``err`` set instead of failing the
+    batch (per-row quarantine, the DLQ pattern at the operator level).
+    Output payloads keep the input container (PNM->PNM, PNG->PNG), so
+    resize stages compose: thumbnail -> feature-extract chains run
+    entirely inside the engine."""
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -508,26 +553,18 @@ def _dhash_pnm(payload: bytes) -> list:
        64-bit value dodges BIGINT sign traps in both engines.
 
     Deterministic: no floats, no filtering kernels.  Requires
-    ``w >= 9 and h >= 8``.
+    ``w >= 9 and h >= 8``.  Accepts PNM or PNG payloads (r11: the
+    dispatcher in ``_image_pixels``); alpha channels are ignored
+    (luma from the color samples only -- dHash is a luminance
+    gradient sign, transparency carries no luminance).
     """
-    import re
-
     import numpy as np
 
-    m = re.match(rb"(P[56])\s+(?:#[^\n]*\n\s*)*(\d+)\s+(\d+)\s+(\d+)\s", payload)
-    if not m:
-        raise ValueError("malformed PNM header")
-    magic, w, h, maxval = (
-        m.group(1), int(m.group(2)), int(m.group(3)), int(m.group(4)),
-    )
-    if maxval > 255:
-        raise NotImplementedError("16-bit PNM not supported")
+    img = _image_pixels(payload).astype(np.int64)
+    h, w, nch = img.shape
     if w < 9 or h < 8:
         raise ValueError(f"image {w}x{h} too small for a 9x8 dHash grid")
-    nch = 3 if magic == b"P6" else 1
-    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * nch, offset=m.end())
-    img = px.reshape(h, w, nch).astype(np.int64)
-    if nch == 3:
+    if nch >= 3:
         gray = (299 * img[:, :, 0] + 587 * img[:, :, 1] + 114 * img[:, :, 2]) // 1000
     else:
         gray = img[:, :, 0]
@@ -548,9 +585,10 @@ def _dhash_pnm(payload: bytes) -> list:
 
 
 def image_dhash(media: DataFrame) -> DataFrame:
-    """Distributed perceptual hashing (``mapInPandas``): PNM payloads
-    hash for real; any other payload quarantines per-row via ``err``
-    (the operator-level DLQ pattern, same as ``resize_images``)."""
+    """Distributed perceptual hashing (``mapInPandas``): PNM and PNG
+    payloads hash for real; any other payload quarantines per-row via
+    ``err`` (the operator-level DLQ pattern, same as
+    ``resize_images``)."""
 
     def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -2985,6 +2985,86 @@ ORDER BY doc_a, doc_b
 """
 
 
+_PNG_W, _PNG_H, _PNG_NCH = 8, 6, 3
+_PNG_N = _PNG_W * _PNG_H * _PNG_NCH  # 144 samples per image
+
+
+def mm_png_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG encode->decode roundtrip certification through the REAL
+    from-scratch codec (codec/png.py, r11): each document maps to a
+    deterministic 8x6 RGB image (sample i = ``(doc_id*7919 +
+    i*104729) % 256`` -- pure integer arithmetic, so the oracle
+    regenerates the identical pixels with no image library), the image
+    is PNG-encoded then PNG-decoded inside an Arrow-batched
+    ``mapInPandas`` stage, and the DECODED pixels are folded to
+    per-channel sums plus a position-weighted checksum
+    ``sum((i+1) * v_i)``.  The checksum makes the oracle comparison
+    sensitive to any pixel permutation or corruption, not just value
+    totals -- if the codec mis-unfilters a single byte, this query goes
+    red.  Scale shape: one map-only stage over doc ids; nothing
+    shuffles."""
+    import numpy as np
+    import pandas as pd
+
+    from ..codec.png import encode_png
+    from ..operators.multimodal import _image_pixels
+
+    def _roundtrip(batches):
+        idx = np.arange(_PNG_N, dtype=np.int64)
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                v = (int(doc_id) * 7919 + idx * 104729) % 256
+                img = v.reshape(_PNG_H, _PNG_W, _PNG_NCH).astype(np.uint8)
+                dec = _image_pixels(encode_png(img)).astype(np.int64)
+                h, w, nch = dec.shape
+                flat = dec.reshape(-1)
+                rows.append(
+                    (
+                        int(doc_id), w, h, nch,
+                        int(flat[0::3].sum()),
+                        int(flat[1::3].sum()),
+                        int(flat[2::3].sum()),
+                        int(((idx + 1) * flat).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_channels",
+                    "sum_c0", "sum_c1", "sum_c2", "weighted_fp",
+                ],
+            )
+
+    docs = _tspread(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        _roundtrip,
+        "doc_id long, width long, height long, n_channels long, "
+        "sum_c0 long, sum_c1 long, sum_c2 long, weighted_fp long",
+    ).orderBy("doc_id")
+
+
+PNG_ROUNDTRIP_SQL = f"""
+WITH px AS (
+  SELECT d.doc_id, t.i,
+         (d.doc_id * 7919 + t.i * 104729) % 256 AS v
+  FROM documents d,
+       (SELECT UNNEST(range(0, {_PNG_N})) AS i) t
+)
+SELECT doc_id,
+       CAST({_PNG_W} AS BIGINT) AS width,
+       CAST({_PNG_H} AS BIGINT) AS height,
+       CAST({_PNG_NCH} AS BIGINT) AS n_channels,
+       CAST(SUM(CASE WHEN i % 3 = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_c0,
+       CAST(SUM(CASE WHEN i % 3 = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_c1,
+       CAST(SUM(CASE WHEN i % 3 = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_c2,
+       CAST(SUM((i + 1) * v) AS BIGINT) AS weighted_fp
+FROM px
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 # =====================================================================
 # Round-10 additions: containment dedup, canonical survivor pick,
 # MMR diversified re-ranking
@@ -3021,11 +3101,21 @@ def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     components -> keep the best-quality member (quality_ppm DESC, doc_id
     ASC); singletons survive as their own cluster.  The oracle replays the
     transitive closure with a recursive CTE and the identical integer
-    quality projection."""
-    pairs = D.jaccard_pairs(
-        _planted_docs(spark, sf_dir), threshold=0.6
-    ).select("doc_a", "doc_b")
-    return D.canonical_pick(_planted_docs(spark, sf_dir), pairs)
+    quality projection.
+
+    Lineage cut (r11, VERDICT r10 ask #4): the planted corpus feeds
+    THREE different derivations -- the Jaccard shingle subplan, the
+    membership left-join, and the quality projection -- so it is
+    localCheckpointed once here.  Measured A/B (PROFILE_r11 SS4):
+    NEUTRAL at sf0.1 -- the hypothesized jaccard re-derivation never
+    existed (connected_components eagerly checkpoints its edge input),
+    and the planted-docs projection is cheap; the query's cost is the
+    CC rounds' scheduler latency, which the r11 convergence-probe
+    halving (dedup.py) trims ~2%.  The cut is kept for the derivation
+    hygiene, not a measured win."""
+    docs = _planted_docs(spark, sf_dir).localCheckpoint(eager=False)
+    pairs = D.jaccard_pairs(docs, threshold=0.6).select("doc_a", "doc_b")
+    return D.canonical_pick(docs, pairs)
 
 
 def _canonical_pick_sql() -> str:
@@ -3261,6 +3351,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "text_cooccurrence_pmi": (text_cooccurrence_pmi, _pmi_sql()),
     "text_token_entropy": (text_token_entropy, _token_entropy_sql()),
     "mm_image_dhash_dedup": (mm_image_dhash_dedup, _dhash_sql()),
+    "mm_png_roundtrip_stats": (mm_png_roundtrip_stats, PNG_ROUNDTRIP_SQL),
     "curation_entropy_filtered": (
         curation_entropy_filtered,
         _entropy_filtered_sql(),

@@ -163,21 +163,22 @@ BENCH_QUERIES = [
     "dq_benford_totals",
     # round-10 thirteenth wave: Davies-Bouldin cluster quality
     "cluster_db_index",
+    # round-11 debuts: occupancy-sized auto rerank depth (IVF-PQ) and
+    # the PNG encode->decode roundtrip through the from-scratch codec
+    "sim_ivfpq_auto_depth",
+    "mm_png_roundtrip_stats",
 ]
 
 
-def main() -> None:
-    from __spark_entry__ import REGISTRY
-    from airflow_pipeline_text_processing_spark.session import get_spark
+# Recycle the SparkSession every this-many queries (r11 protocol; see
+# _fresh_session).  3 restarts across the ~110-query run, ~5 s each.
+SESSION_RECYCLE_EVERY = 36
 
-    spark = get_spark("bench")
-    # Silence WARN noise in the captured tail.  In particular the
-    # "WindowExec: No Partition Defined" warnings here are BY DESIGN: they
-    # come from the offsets window of the two-level running sum
-    # (operators/windows.py::ordered_running_sum), which runs over
-    # O(parallelism) partition totals -- bounded and asserted so in
-    # tests/test_plans.py -- never over data.
-    spark.sparkContext.setLogLevel("ERROR")
+
+def _warm_session(spark) -> None:
+    """Warm a (possibly fresh) session so timings measure plans, not
+    engine cold start: parquet footers, the Arrow Python-worker pool
+    across all cores, and the Structured Streaming machinery."""
     # warm the JVM + parquet footers once so timings measure the queries
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
     # warm the Python-worker pool across all cores: the first Arrow UDF task
@@ -220,8 +221,42 @@ def main() -> None:
         .awaitTermination()
     )
 
+
+def _fresh_session(prev=None):
+    """(Re)create the bench session.  r11 protocol fix for cross-round
+    comparability (VERDICT r10 ask #8): a single 110-query session
+    accretes heap debt -- cached shuffle metadata, codegen classes,
+    Python-worker heap -- that inflates LATE entries, so a query's
+    reported wall depended on its position in BENCH_QUERIES and drifted
+    as earlier rounds' lists grew.  Stopping the SparkContext every
+    SESSION_RECYCLE_EVERY queries drops that state while the JVM (and
+    its JIT caches) persists; each fresh session is re-warmed, and each
+    query still gets its own untimed warm run."""
+    from airflow_pipeline_text_processing_spark.session import get_spark
+
+    if prev is not None:
+        prev.stop()
+    spark = get_spark("bench")
+    # Silence WARN noise in the captured tail.  In particular the
+    # "WindowExec: No Partition Defined" warnings here are BY DESIGN: they
+    # come from the offsets window of the two-level running sum
+    # (operators/windows.py::ordered_running_sum), which runs over
+    # O(parallelism) partition totals -- bounded and asserted so in
+    # tests/test_plans.py -- never over data.
+    spark.sparkContext.setLogLevel("ERROR")
+    _warm_session(spark)
+    return spark
+
+
+def main() -> None:
+    from __spark_entry__ import REGISTRY
+
+    spark = _fresh_session()
+
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for i, name in enumerate(BENCH_QUERIES):
+        if i and i % SESSION_RECYCLE_EVERY == 0:
+            spark = _fresh_session(spark)
         fn, _oracle = REGISTRY[name]
         # One UNTIMED warm execution per query (added r9): a first-ever run
         # pays JIT/codegen-cache/classloading costs that best-of-2 does not
@@ -230,6 +265,10 @@ def main() -> None:
         # makes the reported number the steady state, which is the honest
         # at-scale quantity; methodology change recorded in PROFILE_r09.
         fn(spark, SF_DIR).collect()
+        # Level the GC debt before the timed runs (r11, untimed): without
+        # this a query pays for however much garbage its NEIGHBORS left,
+        # which is the position-dependence the recycle protocol removes.
+        spark.sparkContext._jvm.System.gc()
         best = float("inf")
         # two fresh-lineage runs, keep the best: filters out CPU-neighbor
         # noise without letting Spark reuse the first run's shuffle output

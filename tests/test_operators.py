@@ -776,8 +776,13 @@ def test_multimodal_real_decode_wav_and_ppm(spark):
     assert mr == _pytest.approx(1.0) and mg == 0.0
     assert mb == _pytest.approx(128 / 255)
 
-    with _pytest.raises(NotImplementedError):
+    # PNG decodes for real since r11: a well-signed but garbage PNG is
+    # now a malformed-input ValueError from the codec, while truly
+    # gated formats (JPEG) stay NotImplementedError
+    with _pytest.raises(ValueError):
         decode_media(b"\x89PNG\r\n\x1a\n....", "image", fake=False)
+    with _pytest.raises(NotImplementedError):
+        decode_media(b"\xff\xd8\xff\xe0 jpeg soi", "image", fake=False)
 
 
 def test_resample_audio_planted_tone_and_quarantine(spark):
@@ -1124,7 +1129,11 @@ def test_resize_images_real_pnm_and_quarantine(spark):
     assert mr == 0.5 and mg == 0.0 and mb == 0.5
 
     bad = out[2]
-    assert bad.payload is None and bad.err and "ValueError" in bad.err
+    # non-image garbage (a PNG-ish prefix that is NOT the 8-byte PNG
+    # signature) quarantines with the r11 dispatcher's explicit
+    # unsupported-format error
+    assert bad.payload is None and bad.err
+    assert "NotImplementedError" in bad.err and "unsupported image" in bad.err
 
 
 def test_bpe_train_merges_learns_classic_sequence(spark):
@@ -1152,6 +1161,46 @@ def test_bpe_train_merges_learns_classic_sequence(spark):
         (3, "e", "w", "ew", 3),
         (4, "n", "ew", "new", 3),
     ]
+
+
+def test_bpe_train_sample_cap_binds_and_preserves_merges(spark):
+    """The r11 training-input cap (VERDICT r10 ask #6): a binding
+    md5-ordered HALF-corpus sample must (a) actually restrict the
+    trainer's input and (b) recover the SAME merge sequence as
+    full-corpus training on the sf0.01 documents table (500 docs --
+    the scale the equivalence was asked at; frequent pairs dominate a
+    proportionate sample, though on tiny corpora like sf0.001's 50
+    docs late merge ranks can flip).  Also pins determinism: two
+    capped runs are identical, and the never-binding default equals
+    sample_docs=None."""
+    from airflow_pipeline_text_processing_spark.operators.text import (
+        bpe_train_merges,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    n = docs.count()
+
+    def merges(**kw):
+        return [
+            (r.merge_rank, r.sym_left, r.sym_right, r.merged)
+            for r in bpe_train_merges(docs, k=4, **kw).collect()
+        ]
+
+    full = merges(sample_docs=None)
+    assert merges() == full, "default cap must not bind at test scale"
+    capped = merges(sample_docs=n // 2)
+    assert capped == merges(sample_docs=n // 2), "cap must be deterministic"
+    assert [m[:4] for m in capped] == [m[:4] for m in full]
+    # the cap binds: counts from the half corpus are strictly smaller
+    full_counts = [
+        r.n_occurrences
+        for r in bpe_train_merges(docs, k=1, sample_docs=None).collect()
+    ]
+    half_counts = [
+        r.n_occurrences
+        for r in bpe_train_merges(docs, k=1, sample_docs=n // 2).collect()
+    ]
+    assert half_counts[0] < full_counts[0]
 
 
 def test_bpe_segment_words_applies_merges_in_order(spark):

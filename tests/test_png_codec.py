@@ -1,0 +1,207 @@
+"""From-scratch PNG codec (codec/png.py) and its r11 routing into the
+multimodal operators.
+
+The decode path is tested against an INDEPENDENT forward implementation
+of the spec's scanline filters (``_filter_rows`` below applies
+filtered = raw - predictor per the W3C filter definitions; decode must
+invert it bit-exactly for every filter type), plus hypothesis
+encode->decode round-trips and malformed-input rejection.  The operator
+tests pin the integration contract: a PNG and a PNM with identical
+pixels must produce identical dHash bands and identical decode_media
+features, and resize must keep the container format.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from airflow_pipeline_text_processing_spark.codec.png import (
+    PNG_SIG,
+    decode_png,
+    encode_png,
+)
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _filter_rows(rows, ftypes, bpp):
+    """FORWARD filter application per the PNG spec (the inverse of what
+    decode_png must do): filtered[x] = raw[x] - predictor mod 256."""
+    out = b""
+    prior = [0] * len(rows[0])
+    for row, ft in zip(rows, ftypes):
+        cur = list(row)
+        filt = [ft]
+        for x in range(len(cur)):
+            a = cur[x - bpp] if x >= bpp else 0
+            b = prior[x]
+            c = prior[x - bpp] if x >= bpp else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            filt.append((cur[x] - pred) & 0xFF)
+        out += bytes(filt)
+        prior = cur
+    return out
+
+
+def _png(w, h, ctype_n, raw, plte=None):
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype_n, 0, 0, 0)
+    body = _chunk(b"IHDR", ihdr)
+    if plte is not None:
+        body += _chunk(b"PLTE", plte)
+    return PNG_SIG + body + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b"")
+
+
+def test_decode_inverts_every_filter_type():
+    """One row per filter type (None/Sub/Up/Average/Paeth) over an RGB
+    image whose pixels exercise wraparound; the decoder must recover
+    the raw scanlines from the independently forward-filtered stream."""
+    rng = np.random.RandomState(7)
+    w, h = 5, 5
+    img = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+    rows = [img[y].reshape(-1).tolist() for y in range(h)]
+    raw = _filter_rows(rows, [0, 1, 2, 3, 4], bpp=3)
+    got = decode_png(_png(w, h, 2, raw))
+    assert got.shape == (h, w, 3)
+    assert np.array_equal(got, img)
+
+
+def test_decode_grayscale_and_alpha_channels():
+    rng = np.random.RandomState(11)
+    for nch, ctype_n in ((1, 0), (2, 4), (4, 6)):
+        img = rng.randint(0, 256, size=(4, 6, nch)).astype(np.uint8)
+        rows = [img[y].reshape(-1).tolist() for y in range(4)]
+        raw = _filter_rows(rows, [4, 1, 3, 2], bpp=nch)
+        got = decode_png(_png(6, 4, ctype_n, raw))
+        assert got.shape == (4, 6, nch)
+        assert np.array_equal(got, img)
+
+
+def test_decode_palette_expands_to_rgb():
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # red, green, blue
+    idx = [[0, 1, 2], [2, 1, 0]]
+    raw = _filter_rows(idx, [0, 0], bpp=1)
+    got = decode_png(_png(3, 2, 3, raw, plte=plte))
+    assert got.shape == (2, 3, 3)
+    assert got[0, 0].tolist() == [255, 0, 0]
+    assert got[1, 0].tolist() == [0, 0, 255]
+
+
+def test_malformed_inputs_rejected():
+    img = np.zeros((3, 3, 3), dtype=np.uint8)
+    good = encode_png(img)
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"JUNK" + good[4:])
+    # flip one IDAT byte: CRC must catch it
+    bad = bytearray(good)
+    idat_at = good.index(b"IDAT") + 4
+    bad[idat_at] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+    # interlaced and 16-bit are explicit NotImplementedError
+    ihdr16 = struct.pack(">IIBBBBB", 3, 3, 16, 2, 0, 0, 0)
+    png16 = PNG_SIG + _chunk(b"IHDR", ihdr16) + _chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError, match="bit depth"):
+        decode_png(png16)
+    ihdr_i = struct.pack(">IIBBBBB", 3, 3, 8, 2, 0, 0, 1)
+    png_i = PNG_SIG + _chunk(b"IHDR", ihdr_i) + _chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError, match="interlace"):
+        decode_png(png_i)
+    # palette image without PLTE
+    raw = _filter_rows([[0]], [0], bpp=1)
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(_png(1, 1, 3, raw))
+    # truncated pixel data
+    with pytest.raises(ValueError, match="length"):
+        decode_png(_png(4, 4, 2, _filter_rows([[0] * 12], [0], bpp=3)))
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 12),
+    nch=st.sampled_from([1, 2, 3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_roundtrip_bit_exact(w, h, nch, seed):
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, size=(h, w, nch)).astype(np.uint8)
+    assert np.array_equal(decode_png(encode_png(img)), img)
+
+
+# ---------------------------------------------------------------------
+# Operator routing: PNG payloads through dhash / resize / decode_media
+# ---------------------------------------------------------------------
+
+
+def _pnm_bytes(img: np.ndarray) -> bytes:
+    h, w, nch = img.shape
+    magic = b"P6" if nch == 3 else b"P5"
+    return magic + b"\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def test_dhash_png_equals_dhash_pnm_same_pixels():
+    from airflow_pipeline_text_processing_spark.operators.multimodal import (
+        _dhash_pnm,
+    )
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(16, 20, 3)).astype(np.uint8)
+    assert _dhash_pnm(encode_png(img)) == _dhash_pnm(_pnm_bytes(img))
+    # RGBA: alpha must be ignored -> same bands as the RGB image
+    rgba = np.concatenate(
+        [img, rng.randint(0, 256, size=(16, 20, 1)).astype(np.uint8)], axis=2
+    )
+    assert _dhash_pnm(encode_png(rgba)) == _dhash_pnm(_pnm_bytes(img))
+
+
+def test_resize_png_keeps_container_and_pixels():
+    from airflow_pipeline_text_processing_spark.operators.multimodal import (
+        _resize_pnm,
+    )
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, size=(10, 14, 3)).astype(np.uint8)
+    out = _resize_pnm(encode_png(img), 7, 5)
+    assert out[: len(PNG_SIG)] == PNG_SIG, "PNG in -> PNG out"
+    resized = decode_png(out)
+    assert resized.shape == (5, 7, 3)
+    # nearest-neighbor on the same index math as the PNM path
+    pnm_out = _resize_pnm(_pnm_bytes(img), 7, 5)
+    assert resized.tobytes() == pnm_out[pnm_out.index(b"255\n") + 4:]
+
+
+def test_decode_media_png_features_match_pnm():
+    from airflow_pipeline_text_processing_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 256, size=(6, 8, 3)).astype(np.uint8)
+    got = decode_media(encode_png(img), "image")
+    want = decode_media(_pnm_bytes(img), "image")
+    assert got == want
+    assert got[:3] == [8.0, 6.0, 3.0]

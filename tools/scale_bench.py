@@ -494,10 +494,16 @@ def build_dir(spark, tag, mult, tables=None):
 
 def x30_structural() -> None:
     """Third growth data point (1x/10x/30x) for the two structural
-    bounds -- winnow candidates << N^2 and triangle wedges <= m^1.5.
-    Only documents + events are synthesized at 30x; the run prints the
-    full three-point curve so sub-linearity is visible as a trend, not
-    a single ratio."""
+    bounds -- winnow candidates << N^2 and triangle wedges <= m^1.5 --
+    plus wall-clock curves for the three queries whose 10x ratios
+    needed a third point (VERDICT r10 asks #3/#9): embed_top_pc
+    (7.5x at 10x -- overhead-crossing or hidden stage?),
+    sim_range_search and MMR (debuted with only 1x/10x rows).  Only
+    documents + events + embeddings are synthesized at 30x; the run
+    prints full three-point curves so sub-linearity is visible as a
+    trend, not a single ratio."""
+    from __spark_entry__ import REGISTRY
+
     from airflow_pipeline_text_processing_spark.session import get_spark
 
     spark = get_spark("scale-bench-x30")
@@ -505,9 +511,34 @@ def x30_structural() -> None:
     dirs = []
     for tag, mult in (("x1", 1), ("x10", 10), ("x30", 30)):
         d = build_dir(
-            spark, f"s_{tag}", mult, tables=("documents", "events")
+            spark, f"s_{tag}", mult,
+            tables=("documents", "events", "embeddings"),
         )
         dirs.append((tag, mult, d))
+
+    wall_rows = [
+        ("embed_top_pc", REGISTRY["embed_top_pc"][0]),
+        ("sim_range_search", REGISTRY["sim_range_search"][0]),
+        ("mmr[all-vecs]", _mmr_all_vecs),
+    ]
+    print("wall-clock curves (1x/10x/30x)")
+    for name, fn in wall_rows:
+        fn(spark, dirs[0][2]).count()  # warm plans/codegen on the 1x input
+        walls = []
+        for tag, mult, d in dirs:
+            t0 = time.perf_counter()
+            fn(spark, d).count()
+            walls.append((mult, time.perf_counter() - t0))
+        curve = " ".join(f"x{m}={w:.2f}s" for m, w in walls)
+        r_10_30 = walls[2][1] / walls[1][1]
+        print(f"  {name:20s} {curve}  10x->30x: {r_10_30:.1f}x")
+        # a linear-in-input query grows ~3x from 10x to 30x data; by the
+        # 10x point fixed job overhead is already amortized, so a clean
+        # pass is the direct refutation of a hidden super-linear stage
+        # (2x slack for local-mode noise)
+        assert r_10_30 < 6, (
+            f"{name}: 10x->30x wall grew {r_10_30:.1f}x (>2x linear)"
+        )
     print("winnow candidates (docs -> candidate pairs, share of all-pairs)")
     prev = None
     for tag, mult, d in dirs:

@@ -41,6 +41,16 @@ _ORDER = [
     # sim_ivfpq_persisted -- whose index rows table is a manifest table
     # with MERGE adds -- in-window).
     "mm_png_roundtrip_stats",
+    # -- NEW round 11 (third wave): Population Stability Index drift
+    # per source (the ops-team alarm dial; symmetric (p-q)*log(p/q)
+    # terms on the Q8 log2 kernel) and ROUGE-2 clipped-count overlap
+    # (the summarization/eval metric, exact ppm).  Displaced:
+    # stats_spearman_daily (r10 driver-green; stats keeps kendall /
+    # anova / theil_sen in-window), events_ewma_daily (r10
+    # driver-green; events keeps markov_transitions / path_ngrams /
+    # changepoint in-window).
+    "stats_psi_drift",
+    "text_rouge_bigram",
     # Rotation contract (see README "Grading window"): the driver grades
     # only the first ~50 entries; each round the never-driver-graded
     # entries rotate in, displacing green entries that keep an in-window
@@ -173,17 +183,10 @@ _ORDER = [
     # join_asof_last_click / bucketed_join_order_totals /
     # join_bloom_prefilter in-window).
     "join_asof_nearest",
-    # -- re-graded after the exact-division hardening (the wave-8
-    # self-review found the `(num - pmod)/den` float path is only
-    # exact below 2^53; every site now uses BIGINT `div` / SQL `//`).
-    # These three changed fingerprints outside the window, so they
-    # rotate back in.  Displaced: stream_session_windows (streaming
-    # keeps stream_stream_join_pairs in-window), codec_repair_stats
-    # (codec keeps reassembly_ordered_chunks), bucketed_join_order_
-    # totals (joins keep q5_nation_volume / join_asof_last_click /
-    # join_asof_nearest / join_bloom_prefilter).
-    "stats_spearman_daily",
-    "events_ewma_daily",
+    # -- re-graded r10 after the exact-division hardening (see the
+    # r10 comments); of that trio, stats_spearman_daily and
+    # events_ewma_daily went driver-green in r10 and were displaced
+    # below the boundary by the r11 third wave.
     "curation_shuffle_shards",
     # -- NEW this session (scale-technique surface, queries_scale.py):
     # enter directly as sole verifiers; displaced to make room (each
@@ -216,6 +219,8 @@ _ORDER = [
     # (~ sim_ivfpq_persisted's manifest MERGE).
     "dq_events_expectations",
     "merge_upsert_part",
+    "stats_spearman_daily",
+    "events_ewma_daily",
     # Displaced below the boundary for the four round-9 debuts (each
     # r8 driver-green with in-window category siblings):
     # curation_full_set (~ curation_lm_filtered/_entropy/_dsir),

@@ -1067,3 +1067,86 @@ def token_class_chi2(
         )
     )
     return scored.orderBy(F.desc("chi2_milli"), "token").limit(topn)
+
+
+def rouge_n_overlap(
+    pairs: DataFrame,
+    n: int = 2,
+    id_col: str = "pair_id",
+    cand_col: str = "cand_text",
+    ref_col: str = "ref_text",
+) -> DataFrame:
+    """ROUGE-N overlap (Lin 2004) between candidate/reference text
+    pairs with CLIPPED n-gram counts -- the standard summarization /
+    training-data-eval metric: ``recall = sum_g min(c_cand(g),
+    c_ref(g)) / sum_g c_ref(g)`` and the symmetric precision, both as
+    exact ppm integers, plus ``f1_ppm = 2pr div (p + r)``.
+
+    Clipping matters: an n-gram repeated 5x in the candidate but once
+    in the reference contributes 1, not 5 -- the un-clipped form
+    rewards degenerate repetition, exactly what a curation metric must
+    not do.  Sides with fewer than ``n`` tokens have zero grams; their
+    ppm scores are 0 (guarded division).
+
+    Plan shape: each side explodes to (pair, gram) and hash-aggregates
+    (two shuffles on the composite key, both map-side combinable); the
+    clip is a full-outer join of the two count relations on (pair,
+    gram) -- linear in distinct grams, never pairwise in the corpus.
+    Output: ``(pair_id, n_cand_grams, n_ref_grams, n_clipped,
+    precision_ppm, recall_ppm, f1_ppm)``, one row per input pair."""
+
+    def grams(col):
+        t = tokens(F.col(col))
+        return F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                lambda i: F.array_join(F.slice(t, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def side_counts(col, cname):
+        return (
+            pairs.select(F.col(id_col), F.explode(grams(col)).alias("g"))
+            .groupBy(id_col, "g")
+            .agg(F.count("*").alias(cname))
+        )
+
+    cc = side_counts(cand_col, "cc")
+    rc = side_counts(ref_col, "rc")
+    joined = cc.join(rc, [id_col, "g"], "full_outer").select(
+        id_col,
+        F.coalesce("cc", F.lit(0)).alias("cc"),
+        F.coalesce("rc", F.lit(0)).alias("rc"),
+    )
+    per_pair = joined.groupBy(id_col).agg(
+        F.sum("cc").cast("long").alias("n_cand_grams"),
+        F.sum("rc").cast("long").alias("n_ref_grams"),
+        F.sum(F.least("cc", "rc")).cast("long").alias("n_clipped"),
+    )
+    base = pairs.select(id_col).join(per_pair, id_col, "left").select(
+        id_col,
+        F.coalesce("n_cand_grams", F.lit(0)).cast("long").alias("n_cand_grams"),
+        F.coalesce("n_ref_grams", F.lit(0)).cast("long").alias("n_ref_grams"),
+        F.coalesce("n_clipped", F.lit(0)).cast("long").alias("n_clipped"),
+    )
+    p = (
+        "CASE WHEN n_cand_grams = 0 THEN CAST(0 AS BIGINT)"
+        " ELSE (n_clipped * 1000000) div n_cand_grams END"
+    )
+    r = (
+        "CASE WHEN n_ref_grams = 0 THEN CAST(0 AS BIGINT)"
+        " ELSE (n_clipped * 1000000) div n_ref_grams END"
+    )
+    return base.select(
+        id_col,
+        "n_cand_grams",
+        "n_ref_grams",
+        "n_clipped",
+        F.expr(p).alias("precision_ppm"),
+        F.expr(r).alias("recall_ppm"),
+        F.expr(
+            f"CASE WHEN ({p}) + ({r}) = 0 THEN CAST(0 AS BIGINT)"
+            f" ELSE (2 * ({p}) * ({r})) div (({p}) + ({r})) END"
+        ).alias("f1_ppm"),
+    )

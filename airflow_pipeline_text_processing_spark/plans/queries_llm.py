@@ -2985,6 +2985,76 @@ ORDER BY doc_a, doc_b
 """
 
 
+def text_rouge_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-2 with clipped counts (operators/text.py::rouge_n_overlap)
+    over deterministic candidate/reference pairs: each even doc_id is
+    the candidate, its doc_id+1 neighbor the reference, pair_id =
+    doc_id div 2 -- the summarization/eval overlap metric as exact ppm
+    integers, oracle-replayed gram by gram (clipping included)."""
+    from ..operators.text import rouge_n_overlap
+
+    docs = _tspread(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.expr("doc_id div 2").alias("pair_id"),
+        F.col("doc_id").alias("_aid"),
+        F.col("text").alias("cand_text"),
+    )
+    b = docs.select(
+        (F.col("doc_id") - 1).alias("_aid"), F.col("text").alias("ref_text")
+    )
+    pairs = a.join(b, "_aid").select("pair_id", "cand_text", "ref_text")
+    return rouge_n_overlap(pairs, n=2).orderBy("pair_id")
+
+
+def _rouge_sql(n: int = 2) -> str:
+    gr = (
+        f"list_transform(range(1, greatest(len(tk) - {n - 1}, 0) + 1),"
+        f" i -> array_to_string(tk[i : i + {n - 1}], ' '))"
+    )
+    p = ("CASE WHEN n_cand_grams = 0 THEN 0"
+         " ELSE (n_clipped * 1000000) // n_cand_grams END")
+    r = ("CASE WHEN n_ref_grams = 0 THEN 0"
+         " ELSE (n_clipped * 1000000) // n_ref_grams END")
+    return f"""
+WITH d AS (SELECT doc_id, {TOKS_SQL} AS tk FROM documents),
+g AS (SELECT doc_id, UNNEST({gr}) AS g FROM d),
+pairs AS (
+  SELECT a.doc_id // 2 AS pair_id, a.doc_id AS cid, b.doc_id AS rid
+  FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id % 2 = 0),
+cc AS (SELECT p.pair_id, g.g, CAST(COUNT(*) AS BIGINT) AS cc
+       FROM pairs p JOIN g ON g.doc_id = p.cid GROUP BY 1, 2),
+rc AS (SELECT p.pair_id, g.g, CAST(COUNT(*) AS BIGINT) AS rc
+       FROM pairs p JOIN g ON g.doc_id = p.rid GROUP BY 1, 2),
+j AS (
+  SELECT COALESCE(cc.pair_id, rc.pair_id) AS pair_id,
+         COALESCE(cc.cc, 0) AS cc, COALESCE(rc.rc, 0) AS rc
+  FROM cc FULL OUTER JOIN rc
+    ON cc.pair_id = rc.pair_id AND cc.g = rc.g),
+per AS (
+  SELECT pair_id, CAST(SUM(cc) AS BIGINT) AS n_cand_grams,
+         CAST(SUM(rc) AS BIGINT) AS n_ref_grams,
+         CAST(SUM(least(cc, rc)) AS BIGINT) AS n_clipped
+  FROM j GROUP BY 1),
+base AS (
+  SELECT p.pair_id, COALESCE(per.n_cand_grams, 0) AS n_cand_grams,
+         COALESCE(per.n_ref_grams, 0) AS n_ref_grams,
+         COALESCE(per.n_clipped, 0) AS n_clipped
+  FROM pairs p LEFT JOIN per USING (pair_id))
+SELECT pair_id,
+       CAST(n_cand_grams AS BIGINT) AS n_cand_grams,
+       CAST(n_ref_grams AS BIGINT) AS n_ref_grams,
+       CAST(n_clipped AS BIGINT) AS n_clipped,
+       CAST({p} AS BIGINT) AS precision_ppm,
+       CAST({r} AS BIGINT) AS recall_ppm,
+       CAST(CASE WHEN ({p}) + ({r}) = 0 THEN 0
+            ELSE (2 * ({p}) * ({r})) // (({p}) + ({r})) END
+            AS BIGINT) AS f1_ppm
+FROM base
+ORDER BY pair_id
+"""
+
+
 _PNG_W, _PNG_H, _PNG_NCH = 8, 6, 3
 _PNG_N = _PNG_W * _PNG_H * _PNG_NCH  # 144 samples per image
 
@@ -3352,6 +3422,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "text_token_entropy": (text_token_entropy, _token_entropy_sql()),
     "mm_image_dhash_dedup": (mm_image_dhash_dedup, _dhash_sql()),
     "mm_png_roundtrip_stats": (mm_png_roundtrip_stats, PNG_ROUNDTRIP_SQL),
+    "text_rouge_bigram": (text_rouge_bigram, _rouge_sql()),
     "curation_entropy_filtered": (
         curation_entropy_filtered,
         _entropy_filtered_sql(),

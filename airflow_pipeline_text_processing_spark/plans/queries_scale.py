@@ -699,6 +699,114 @@ ORDER BY source
 """
 
 
+def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per source vs the whole corpus over
+    hashed-token buckets -- the drift dial ops teams actually alarm on
+    (PSI < 0.1 stable / 0.1-0.25 moderate / > 0.25 shifted), completing
+    the drift family: KL weights by the SOURCE distribution only, PSI's
+    ``(p-q) * log(p/q)`` term is symmetric in direction and so flags
+    both over- and under-represented buckets.
+
+    Exact fixed-point arithmetic end to end, same scaffolding as
+    ``stats_source_kl``: per-bucket log-ratio via the Q8 ``fixed_log2``
+    kernel on the cross-multiplied ratio, weighted by the EXACT
+    cross-multiplied mass difference ``|c_sb*tot_c - c_cb*tot_s|``
+    (which shares the log term's sign, so every PSI term is >= 0 and no
+    sign split is needed), then one floor division by ``tot_s * tot_c``
+    -- psi_q8 is PSI in log2 units, Q8.  Buckets the source never emits
+    are excluded (the standard zero-clamp; c_cb >= c_sb > 0 on the
+    grid, so no epsilon hacks).  The kernel relation is sources x
+    buckets -- bounded, never corpus-sized.  Same int64 headroom note
+    as KL: at 100 TB switch the cross-multiplied form to Q20 bucket
+    probabilities."""
+    from ..operators.lm import fixed_log2
+    from ..operators.text import tokens
+
+    docs = _tspread(spark, sf_dir, "documents")
+    items = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("item")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("item"), 1, 13), 16, 10).cast("long")
+        % _KL_BUCKETS
+    )
+    ib = items.select("source", bucket.alias("b"))
+    sb = ib.groupBy("source", "b").agg(F.count("*").alias("c_sb"))
+    cb = ib.groupBy("b").agg(F.count("*").alias("c_cb"))
+    tots = sb.groupBy("source").agg(F.sum("c_sb").alias("tot_s"))
+    totc = cb.agg(F.sum("c_cb").alias("tot_c"))
+    g = (
+        sb.join(cb, "b")
+        .join(F.broadcast(tots), "source")
+        .join(F.broadcast(totc))
+        .withColumn("a_", F.expr("c_sb * tot_c"))
+        .withColumn("b_", F.expr("tot_s * c_cb"))
+    )
+    g = g.select(
+        "source",
+        "tot_s",
+        "tot_c",
+        F.expr("abs(a_ - b_)").alias("w_"),
+        F.greatest("a_", "b_").alias("_num"),
+        F.least("a_", "b_").alias("_den"),
+    )
+    g = fixed_log2(g, "_num", "_den", "lg_q8")
+    agg = g.groupBy("source").agg(
+        F.min("tot_s").alias("n_tokens"),
+        F.count("*").alias("n_buckets"),
+        F.sum(F.expr("w_ * lg_q8")).alias("s_"),
+        F.min(F.expr("tot_s * tot_c")).alias("d_"),
+    )
+    return agg.select(
+        "source",
+        "n_tokens",
+        "n_buckets",
+        F.expr("s_ div d_").alias("psi_q8"),
+    ).orderBy("source")
+
+
+def _psi_sql() -> str:
+    from ..operators.lm import fixed_log2_sql
+    from .queries_ext import _sql_hex13_mod
+    from .queries_llm import TOKS_SQL
+
+    bucket = _sql_hex13_mod("substr(md5(item), 1, 13)", _KL_BUCKETS)
+    grid_inner = """
+SELECT source, tot_s, tot_c, abs(a_ - b_) AS w_,
+       greatest(a_, b_) AS _num, least(a_, b_) AS _den
+FROM (
+  SELECT sb.source, sb.b, t.tot_s, (SELECT tot_c FROM totc) AS tot_c,
+         sb.c_sb * (SELECT tot_c FROM totc) AS a_,
+         t.tot_s * cb.c_cb AS b_
+  FROM sb JOIN cb USING (b) JOIN tots t USING (source))"""
+    chain = fixed_log2_sql(
+        grid_inner, "source, tot_s, tot_c, w_", "_num", "_den", "lg_q8"
+    )
+    return f"""
+WITH toks AS (SELECT source, {TOKS_SQL} AS tk FROM documents),
+items AS (SELECT source, UNNEST(tk) AS item FROM toks),
+ib AS (SELECT source, {bucket} AS b FROM items),
+sb AS (SELECT source, b, CAST(COUNT(*) AS BIGINT) AS c_sb
+       FROM ib GROUP BY 1, 2),
+cb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c_cb FROM ib GROUP BY 1),
+tots AS (SELECT source, CAST(SUM(c_sb) AS BIGINT) AS tot_s
+         FROM sb GROUP BY 1),
+totc AS (SELECT CAST(SUM(c_cb) AS BIGINT) AS tot_c FROM cb),
+scored AS ({chain}),
+agg AS (
+  SELECT source, MIN(tot_s) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         CAST(SUM(w_ * lg_q8) AS BIGINT) AS s_,
+         MIN(tot_s * tot_c) AS d_
+  FROM scored GROUP BY 1
+)
+SELECT source, n_tokens, n_buckets,
+       CAST(s_ // d_ AS BIGINT) AS psi_q8
+FROM agg
+ORDER BY source
+"""
+
+
 # =====================================================================
 # Two-sample Kolmogorov-Smirnov drift test, exact integer form
 # =====================================================================
@@ -1859,6 +1967,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "events_interpolate_gaps": (events_interpolate_gaps, GAP_INTERP_SQL),
     "stats_quantile_normalize": (stats_quantile_normalize, _qnorm_sql()),
     "stats_source_kl": (stats_source_kl, _source_kl_sql()),
+    "stats_psi_drift": (stats_psi_drift, _psi_sql()),
     "stats_ks_two_sample": (stats_ks_two_sample, _ks_sql()),
     "stats_selection_quantiles": (
         stats_selection_quantiles,

@@ -163,10 +163,13 @@ BENCH_QUERIES = [
     "dq_benford_totals",
     # round-10 thirteenth wave: Davies-Bouldin cluster quality
     "cluster_db_index",
-    # round-11 debuts: occupancy-sized auto rerank depth (IVF-PQ) and
-    # the PNG encode->decode roundtrip through the from-scratch codec
+    # round-11 debuts: occupancy-sized auto rerank depth (IVF-PQ), the
+    # PNG encode->decode roundtrip through the from-scratch codec,
+    # per-source PSI drift, ROUGE-2 clipped overlap
     "sim_ivfpq_auto_depth",
     "mm_png_roundtrip_stats",
+    "stats_psi_drift",
+    "text_rouge_bigram",
 ]
 
 

@@ -132,7 +132,12 @@ _ORDER = [
     # agg_mode_per_type (agg family keeps agg_salted_hot_keys /
     # sql_correlated_above_avg in-window).
     "stats_anova_f",
-    "text_zipf_slope",
+    # -- r11 re-grade: stats_source_kl's plan body was refactored onto
+    # the shared _source_bucket_grid scaffolding (values identical,
+    # fingerprint changed), so it rotates back in.  Displaced:
+    # text_zipf_slope (r10 driver-green; text family keeps gopher /
+    # chi2 / boilerplate / rake / novelty / rouge in-window).
+    "stats_source_kl",
     # -- NEW round 10 (seventh wave): frequent 3-step path mining and
     # binary-segmentation change-point detection over the event log.
     # Displaced: dedup_minhash_lsh (driver-green r3 + every local
@@ -234,8 +239,10 @@ _ORDER = [
     # / sample_weighted_orders; second wave (containment, canonical
     # pick, MMR) displaced stats_source_kl / sample_allocate_budget /
     # curation_entropy_filtered; third wave (boilerplate strip)
-    # displaced text_lm_bigram.
-    "stats_source_kl",
+    # displaced text_lm_bigram.  (stats_source_kl moved back in-window
+    # for its r11 refactor re-grade; text_zipf_slope took its overflow
+    # slot.)
+    "text_zipf_slope",
     "sample_allocate_budget",
     "curation_entropy_filtered",
     "text_lm_bigram",

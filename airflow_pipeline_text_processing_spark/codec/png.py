@@ -17,9 +17,11 @@ matters for a data pipeline's image payloads:
 * non-interlaced only (Adam7 raises -- interlaced PNGs are vanishingly
   rare in datasets and the error is explicit).
 
-``encode_png`` writes filter-0 scanlines (always valid, deterministic),
-which is what ``resize_images`` re-emits; decode(encode(img)) == img
-bit-exactly, pinned by hypothesis round-trip tests.
+``encode_png`` writes filter-0 scanlines by default (always valid,
+deterministic -- what ``resize_images`` re-emits) and forward-filters
+a caller-given per-row filter cycle for real (how adaptive encoders
+write PNGs); decode(encode(img)) == img bit-exactly for every filter
+type, pinned by hypothesis round-trip tests.
 
 Reference parity note: the reference pipeline has no image surface at
 all (BASELINE.md); this backs the LLM-pipeline multimodal extension.
@@ -65,9 +67,15 @@ def _unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
     Returns ``(h, stride)`` uint8.
 
     Row-sequential by spec (Up/Average/Paeth reference the prior
-    RECONSTRUCTED row); Sub/Average/Paeth are additionally
-    left-sequential, done in a per-pixel-column inner loop over numpy
-    slices so the per-Python-step work is a whole row, not a byte."""
+    RECONSTRUCTED row).  Work shape, honestly stated (r11 review):
+    None/Up are whole-row numpy; Sub is a per-residue-class cumsum
+    (mod 256 distributes over addition, so the within-row recurrence
+    IS a prefix sum -- ``bpp`` numpy ops per row); Average/Paeth are
+    inherently left-sequential (floor/branch on the RECONSTRUCTED left
+    neighbor cannot be expressed as a scan) and run as per-byte Python
+    over plain lists -- the fastest pure-Python form, but still
+    O(stride) interpreted steps per such row.  Externally-encoded
+    photographic PNGs are mostly Paeth rows; budget accordingly."""
     if len(raw) != h * (stride + 1):
         raise ValueError(
             f"PNG data length {len(raw)} != expected {h * (stride + 1)}"
@@ -81,22 +89,28 @@ def _unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
         cur = arr[y, 1:].astype(np.int32)
         if ft == 0:  # None
             rec = cur
-        elif ft == 1:  # Sub
-            rec = cur.copy()
-            for x in range(bpp, stride):
-                rec[x] = (rec[x] + rec[x - bpp]) & 0xFF
+        elif ft == 1:  # Sub: per-residue-class prefix sum mod 256
+            # int64 accumulator: the pre-mod running sum reaches
+            # 255 * stride/bpp, past int32 for rows wider than ~8M px
+            rec = cur.astype(np.int64)
+            for r in range(bpp):
+                np.cumsum(rec[r::bpp], out=rec[r::bpp])
+            rec = (rec & 0xFF).astype(np.int32)
         elif ft == 2:  # Up
             rec = (cur + prior) & 0xFF
-        elif ft == 3:  # Average
-            rec = cur.copy()
-            rec[:bpp] = (rec[:bpp] + prior[:bpp] // 2) & 0xFF
+        elif ft == 3:  # Average (sequential: floor of reconstructed left)
+            rl, pl = cur.tolist(), prior.tolist()
+            for x in range(bpp):
+                rl[x] = (rl[x] + pl[x] // 2) & 0xFF
             for x in range(bpp, stride):
-                rec[x] = (rec[x] + (rec[x - bpp] + prior[x]) // 2) & 0xFF
-        elif ft == 4:  # Paeth
-            rec = cur.copy()
-            rec[:bpp] = (rec[:bpp] + prior[:bpp]) & 0xFF  # a=c=0 -> pred=b
+                rl[x] = (rl[x] + (rl[x - bpp] + pl[x]) // 2) & 0xFF
+            rec = np.asarray(rl, dtype=np.int32)
+        elif ft == 4:  # Paeth (sequential: branch on reconstructed left)
+            rl, pl = cur.tolist(), prior.tolist()
+            for x in range(bpp):
+                rl[x] = (rl[x] + pl[x]) & 0xFF  # a=c=0 -> pred=b
             for x in range(bpp, stride):
-                a, b, c = int(rec[x - bpp]), int(prior[x]), int(prior[x - bpp])
+                a, b, c = rl[x - bpp], pl[x], pl[x - bpp]
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 if pa <= pb and pa <= pc:
@@ -105,7 +119,8 @@ def _unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
                     pred = b
                 else:
                     pred = c
-                rec[x] = (rec[x] + pred) & 0xFF
+                rl[x] = (rl[x] + pred) & 0xFF
+            rec = np.asarray(rl, dtype=np.int32)
         else:
             raise ValueError(f"unknown PNG filter type {ft}")
         out[y] = rec.astype(np.uint8)
@@ -168,10 +183,46 @@ def _chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png(img: np.ndarray) -> bytes:
+def _filter_row(cur: list, prior: list, ft: int, bpp: int) -> bytes:
+    """FORWARD-filter one scanline per the spec: filtered[x] =
+    raw[x] - predictor mod 256 (the encoder side of ``_unfilter``;
+    predictors read RAW values, which the encoder has)."""
+    stride = len(cur)
+    out = bytearray([ft])
+    for x in range(stride):
+        a = cur[x - bpp] if x >= bpp else 0
+        b = prior[x]
+        c = prior[x - bpp] if x >= bpp else 0
+        if ft == 0:
+            pred = 0
+        elif ft == 1:
+            pred = a
+        elif ft == 2:
+            pred = b
+        elif ft == 3:
+            pred = (a + b) // 2
+        elif ft == 4:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out.append((cur[x] - pred) & 0xFF)
+    return bytes(out)
+
+
+def encode_png(img: np.ndarray, filters=None) -> bytes:
     """Encode an ``(h, w)`` or ``(h, w, nch)`` uint8 array (nch in
-    {1, 2, 3, 4}) as a non-interlaced 8-bit PNG, filter 0 on every
-    scanline.  Deterministic: fixed zlib level 6, single IDAT."""
+    {1, 2, 3, 4}) as a non-interlaced 8-bit PNG.  Deterministic:
+    fixed zlib level 6, single IDAT.
+
+    ``filters=None`` writes filter 0 on every scanline (the fast
+    always-valid choice -- whole-row numpy, what ``resize_images``
+    re-emits).  Pass a per-row sequence of filter types (cycled if
+    shorter than ``h``) to forward-filter scanlines for real -- how
+    adaptive encoders write PNGs, and what lets the oracle query
+    ``mm_png_roundtrip_stats`` exercise every decoder filter branch,
+    not just the trivial one (r11 review)."""
     img = np.asarray(img, dtype=np.uint8)
     if img.ndim == 2:
         img = img[:, :, None]
@@ -183,7 +234,16 @@ def encode_png(img: np.ndarray) -> bytes:
         raise ValueError(f"unsupported channel count {nch}")
     ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype_n, 0, 0, 0)
     rows = img.reshape(h, w * nch)
-    raw = b"".join(b"\x00" + rows[y].tobytes() for y in range(h))
+    if filters is None:
+        raw = b"".join(b"\x00" + rows[y].tobytes() for y in range(h))
+    else:
+        parts = []
+        prior = [0] * (w * nch)
+        for y in range(h):
+            cur = rows[y].tolist()
+            parts.append(_filter_row(cur, prior, int(filters[y % len(filters)]), nch))
+            prior = cur
+        raw = b"".join(parts)
     return (
         PNG_SIG
         + _chunk(b"IHDR", ihdr)

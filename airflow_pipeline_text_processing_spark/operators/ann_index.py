@@ -58,6 +58,18 @@ _ROWS = "rows"
 _FROZEN = "_frozen"
 
 
+def _write_meta(path: str, meta: dict) -> None:
+    """Atomically (re)write the meta sidecar: temp file + os.rename,
+    so a crash mid-write or a concurrent reader never sees truncated
+    JSON (r11 review -- the add path rewrites the LIVE index's meta on
+    every batch; same beside-then-swap discipline as the rebuild)."""
+    fz = os.path.join(path, _FROZEN)
+    tmp = os.path.join(fz, f".meta.{os.getpid()}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.rename(tmp, os.path.join(fz, "meta.json"))
+
+
 def _write_frozen(path: str, cents_rows, codebook_rows, meta: dict) -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -83,8 +95,7 @@ def _write_frozen(path: str, cents_rows, codebook_rows, meta: dict) -> None:
         ),
         os.path.join(fz, "codebooks.parquet"),
     )
-    with open(os.path.join(fz, "meta.json"), "w") as fh:
-        json.dump(meta, fh)
+    _write_meta(path, meta)
 
 
 def _load_frozen(path: str):
@@ -162,14 +173,16 @@ def build_ivfpq_index(
         dim=dim, m=m, k=k_codebook, iters=pq_iters,
     )
     rows = _index_rows(cell_rows, codes).join(pcells, "vec_id")
-    # primary-cell occupancy quantiles (one count per cell -- metadata-
-    # sized): ivfpq_index_search's auto rerank depth reads these so the
-    # default prefilter tracks THIS corpus's cell density instead of a
-    # fixed constant (the r10 recall-0.12 footgun, PROFILE_r10 SS1)
-    occ = sorted(
-        r["n"]
+    # primary-cell occupancy (one count per cell -- metadata-sized),
+    # keyed by cell id so incremental adds can FOLD their batch counts
+    # in instead of rescanning the table (r11 review): ivfpq_index_
+    # search's auto rerank depth reads these so the default prefilter
+    # tracks THIS corpus's cell density instead of a fixed constant
+    # (the r10 recall-0.12 footgun, PROFILE_r10 SS1)
+    occ = {
+        str(r["pcell"]): r["n"]
         for r in pcells.groupBy("pcell").agg(F.count("*").alias("n")).collect()
-    )
+    }
     trained_n = rows.count()
     if trained_n == 0:
         raise ValueError(
@@ -194,9 +207,9 @@ def build_ivfpq_index(
             "cell_iters": cell_iters,
             "n_files": n_files,
             "encoding": "residual",
-            # primary-cell occupancy (sorted member counts): the search
-            # path's auto rerank depth = max(4k, 2 * p90 of these);
-            # ivfpq_index_add refreshes them after every MERGE
+            # primary-cell occupancy {cell id: member count}: the
+            # search path's auto rerank depth = max(4k, 2 * p90 of the
+            # counts); ivfpq_index_add folds each batch's counts in
             "cell_occupancy": occ,
         },
     )
@@ -228,18 +241,21 @@ def ivfpq_index_add(
     )
     rows = _index_rows(cell_rows, codes).join(pcells, "vec_id")
     out = merge_upsert(spark, os.path.join(path, _ROWS), rows, "vec_id")
-    # refresh the occupancy stats the auto rerank depth reads: adds grow
-    # cells past what the build recorded, and a stale p90 under-sizes the
-    # shortlist.  One cells-sized aggregate over the live rows per add
-    # batch -- negligible beside the MERGE it follows.
-    occ = sorted(
-        r["n"]
-        for r in read_live(spark, os.path.join(path, _ROWS))
-        .groupBy("pcell").agg(F.count("*").alias("n")).collect()
-    )
+    # refresh the occupancy stats the auto rerank depth reads: adds
+    # grow cells past what the build recorded, and a stale p90
+    # under-sizes the shortlist.  FOLD the batch's own pcell counts
+    # into the stored per-cell map -- O(batch) work + a cells-sized
+    # metadata write, never a rescan of the live table (r11 review:
+    # the streaming sink calls this per micro-batch, so an O(index)
+    # refresh would make every add cost O(index)).  Re-ADDED keys
+    # leave their old row's count in place, so under key churn the map
+    # is a slight UPPER bound -- the safe direction for a rerank
+    # depth; build/rebuild recounts exactly.
+    occ = dict(meta.get("cell_occupancy") or {})
+    for r in pcells.groupBy("pcell").agg(F.count("*").alias("n")).collect():
+        occ[str(r["pcell"])] = occ.get(str(r["pcell"]), 0) + r["n"]
     meta["cell_occupancy"] = occ
-    with open(os.path.join(path, _FROZEN, "meta.json"), "w") as fh:
-        json.dump(meta, fh)
+    _write_meta(path, meta)
     return out
 
 
@@ -375,11 +391,17 @@ def ivfpq_index_search(
     )
     rows = read_live(spark, os.path.join(path, _ROWS))
     if prefilter is None:
-        occ = meta.get("cell_occupancy") or [
-            r["n"]
-            for r in rows.groupBy("pcell").agg(F.count("*").alias("n")).collect()
-        ]
-        prefilter = auto_rerank_depth(occ, k)
+        stored = meta.get("cell_occupancy")
+        if stored:  # {cell id: count} map maintained by build + adds
+            counts = list(stored.values())
+        else:  # pre-r11 index without stats: one cells-sized aggregate
+            counts = [
+                r["n"]
+                for r in rows.groupBy("pcell")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            ]
+        prefilter = auto_rerank_depth(counts, k)
     cand_cells = rows.select(
         F.col("vec_id").alias("cand_id"), F.explode("cells").alias("cid")
     )

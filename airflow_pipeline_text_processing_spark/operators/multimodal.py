@@ -91,42 +91,22 @@ def _decode_wav(payload: bytes) -> list:
 def _decode_pnm(payload: bytes) -> list:
     """REAL image decode for binary PPM (P6) / PGM (P5): header parse +
     numpy reshape; ``[width, height, n_channels, mean_per_channel...]``."""
-    import re
-
-    import numpy as np
-
-    m = re.match(rb"(P[56])\s+(?:#[^\n]*\n\s*)*(\d+)\s+(\d+)\s+(\d+)\s", payload)
-    if not m:
-        raise ValueError("malformed PNM header")
-    magic, w, h, maxval = (
-        m.group(1),
-        int(m.group(2)),
-        int(m.group(3)),
-        int(m.group(4)),
-    )
-    if maxval > 255:
-        raise NotImplementedError("16-bit PNM not supported")
-    nch = 3 if magic == b"P6" else 1
-    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * nch, offset=m.end())
-    img = px.reshape(h, w, nch).astype(np.float64) / float(maxval)
+    img, maxval = _parse_pnm(payload)
+    h, w, nch = img.shape
+    norm = img.astype("float64") / float(maxval)
     return [float(w), float(h), float(nch)] + [
-        float(img[:, :, c].mean()) for c in range(nch)
+        float(norm[:, :, c].mean()) for c in range(nch)
     ]
 
 
-def _image_pixels(payload: bytes):
-    """Dispatch an image payload to its REAL decoder: binary PPM/PGM
-    (header + numpy) or PNG (from-scratch stdlib-zlib codec,
-    codec/png.py -- r11, de-gating the compressed-image path).  Returns
-    an ``(h, w, nch)`` uint8 array; raises on anything else."""
+def _parse_pnm(payload: bytes):
+    """The ONE copy of the binary-PNM header parse (r11 review: three
+    separate regex sites had to be kept in sync).  Returns
+    ``(img (h, w, nch) uint8, maxval)``; raises on anything else."""
     import re
 
     import numpy as np
 
-    from ..codec.png import PNG_SIG, decode_png
-
-    if payload[: len(PNG_SIG)] == PNG_SIG:
-        return decode_png(payload)
     m = re.match(rb"(P[56])\s+(?:#[^\n]*\n\s*)*(\d+)\s+(\d+)\s+(\d+)\s", payload)
     if not m:
         raise NotImplementedError(
@@ -140,7 +120,19 @@ def _image_pixels(payload: bytes):
         raise NotImplementedError("16-bit PNM not supported")
     nch = 3 if magic == b"P6" else 1
     px = np.frombuffer(payload, dtype=np.uint8, count=w * h * nch, offset=m.end())
-    return px.reshape(h, w, nch)
+    return px.reshape(h, w, nch), maxval
+
+
+def _image_pixels(payload: bytes):
+    """Dispatch an image payload to its REAL decoder: binary PPM/PGM
+    (header + numpy) or PNG (from-scratch stdlib-zlib codec,
+    codec/png.py -- r11, de-gating the compressed-image path).  Returns
+    an ``(h, w, nch)`` uint8 array; raises on anything else."""
+    from ..codec.png import PNG_SIG, decode_png
+
+    if payload[: len(PNG_SIG)] == PNG_SIG:
+        return decode_png(payload)
+    return _parse_pnm(payload)[0]
 
 
 def decode_media(payload: bytes, kind: str, fake: bool = False):
@@ -279,20 +271,17 @@ def _resize_pnm(payload: bytes, out_w: int, out_h: int) -> bytes:
 
     from ..codec.png import PNG_SIG, encode_png
 
-    img = _image_pixels(payload)
+    if payload[: len(PNG_SIG)] == PNG_SIG:
+        img = _image_pixels(payload)
+        maxval = None
+    else:
+        img, maxval = _parse_pnm(payload)
     h, w, nch = img.shape
     rows = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
     cols = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
     out = img[rows][:, cols]
-    if payload[: len(PNG_SIG)] == PNG_SIG:
+    if maxval is None:
         return encode_png(out)
-    import re
-
-    maxval = int(
-        re.match(
-            rb"(P[56])\s+(?:#[^\n]*\n\s*)*(\d+)\s+(\d+)\s+(\d+)\s", payload
-        ).group(4)
-    )
     magic = b"P6" if nch == 3 else b"P5"
     header = magic + b"\n%d %d\n%d\n" % (out_w, out_h, maxval)
     return header + out.tobytes()

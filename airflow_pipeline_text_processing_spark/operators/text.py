@@ -734,10 +734,12 @@ def bpe_train_merges(
     100 TB is itself huge and unbounded -- k jobs over it is the scale
     bug, and no production tokenizer trains on a full crawl anyway.
     The cap keeps the ``sample_docs`` documents with the LOWEST
-    ``md5(text)`` (TakeOrderedAndProject -- a per-partition top-N heap
-    plus a driver merge, never a global sort shuffle): deterministic,
-    engine-portable, independent of row order and of any id column,
-    the same device as DSIR's hash-ordered target handling.  Pass
+    ``md5(text)`` (TakeOrderedAndProject -- per-partition top-N heaps
+    merged in one single-partition reduce, never a full global sort
+    shuffle; the sample is then repartitioned back to full
+    parallelism): deterministic, engine-portable, independent of row
+    order and of any id column, the same device as DSIR's hash-ordered
+    target handling.  Pass
     ``None`` to train on everything.  Merge equivalence between
     half-corpus-capped and full training on the sf0.01 corpus is pinned
     by ``tests/test_operators.py`` -- frequent pairs dominate a
@@ -767,8 +769,14 @@ def bpe_train_merges(
     """
     spark = docs.sparkSession
     if sample_docs is not None:
-        docs = docs.orderBy(F.md5(F.col(text_col)), text_col).limit(
-            sample_docs
+        # TakeOrderedAndProject lands the sample in ONE partition; fan
+        # it back out before the tokenize/explode stage or the corpus
+        # scan that follows runs single-task (r11 review: the funnel
+        # undercut the cap's own scale purpose exactly when it binds)
+        docs = (
+            docs.orderBy(F.md5(F.col(text_col)), text_col)
+            .limit(sample_docs)
+            .repartition(spark.sparkContext.defaultParallelism)
         )
     words = (
         docs.select(F.explode(tokens(F.col(text_col))).alias("word"))

@@ -3065,14 +3065,16 @@ def mm_png_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic 8x6 RGB image (sample i = ``(doc_id*7919 +
     i*104729) % 256`` -- pure integer arithmetic, so the oracle
     regenerates the identical pixels with no image library), the image
-    is PNG-encoded then PNG-decoded inside an Arrow-batched
-    ``mapInPandas`` stage, and the DECODED pixels are folded to
-    per-channel sums plus a position-weighted checksum
-    ``sum((i+1) * v_i)``.  The checksum makes the oracle comparison
-    sensitive to any pixel permutation or corruption, not just value
-    totals -- if the codec mis-unfilters a single byte, this query goes
-    red.  Scale shape: one map-only stage over doc ids; nothing
-    shuffles."""
+    is PNG-encoded with a (0,1,2,3,4) per-row FILTER CYCLE -- so every
+    decoder filter branch (None/Sub/Up/Average/Paeth) is on the graded
+    path, not just the trivial filter-0 one (r11 review) -- then
+    PNG-decoded inside an Arrow-batched ``mapInPandas`` stage, and the
+    DECODED pixels are folded to per-channel sums plus a
+    position-weighted checksum ``sum((i+1) * v_i)``.  The checksum
+    makes the oracle comparison sensitive to any pixel permutation or
+    corruption, not just value totals -- if the codec mis-unfilters a
+    single byte under ANY filter type, this query goes red.  Scale
+    shape: one map-only stage over doc ids; nothing shuffles."""
     import numpy as np
     import pandas as pd
 
@@ -3086,7 +3088,9 @@ def mm_png_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id in pdf["doc_id"]:
                 v = (int(doc_id) * 7919 + idx * 104729) % 256
                 img = v.reshape(_PNG_H, _PNG_W, _PNG_NCH).astype(np.uint8)
-                dec = _image_pixels(encode_png(img)).astype(np.int64)
+                dec = _image_pixels(
+                    encode_png(img, filters=(0, 1, 2, 3, 4))
+                ).astype(np.int64)
                 h, w, nch = dec.shape
                 flat = dec.reshape(-1)
                 rows.append(

@@ -595,6 +595,57 @@ ORDER BY s.doc_id
 _KL_BUCKETS = 256
 
 
+def _source_bucket_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sources x hashed-token-buckets grid BOTH drift statistics
+    (KL, PSI) score over -- factored so the bucketing, the five
+    aggregates, and the cross-multiplied ratio terms live once (r11
+    review).  Columns: ``(source, c_sb, tot_s, tot_c, a_, b_)`` with
+    ``a_ = c_sb * tot_c`` and ``b_ = tot_s * c_cb`` (so ``a_ >= b_``
+    iff the source over-represents the bucket); only buckets the
+    source emits appear.  Bounded at sources x _KL_BUCKETS rows."""
+    from ..operators.text import tokens
+
+    docs = _tspread(spark, sf_dir, "documents")
+    items = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("item")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("item"), 1, 13), 16, 10).cast("long")
+        % _KL_BUCKETS
+    )
+    ib = items.select("source", bucket.alias("b"))
+    sb = ib.groupBy("source", "b").agg(F.count("*").alias("c_sb"))
+    cb = ib.groupBy("b").agg(F.count("*").alias("c_cb"))
+    tots = sb.groupBy("source").agg(F.sum("c_sb").alias("tot_s"))
+    totc = cb.agg(F.sum("c_cb").alias("tot_c"))
+    return (
+        sb.join(cb, "b")
+        .join(F.broadcast(tots), "source")
+        .join(F.broadcast(totc))
+        .withColumn("a_", F.expr("c_sb * tot_c"))
+        .withColumn("b_", F.expr("tot_s * c_cb"))
+    )
+
+
+def _bucket_grid_ctes() -> str:
+    """The DuckDB mirror of :func:`_source_bucket_grid`'s aggregates:
+    the shared CTE prefix (toks/items/ib/sb/cb/tots/totc) both drift
+    oracles open with."""
+    from .queries_ext import _sql_hex13_mod
+    from .queries_llm import TOKS_SQL
+
+    bucket = _sql_hex13_mod("substr(md5(item), 1, 13)", _KL_BUCKETS)
+    return f"""toks AS (SELECT source, {TOKS_SQL} AS tk FROM documents),
+items AS (SELECT source, UNNEST(tk) AS item FROM toks),
+ib AS (SELECT source, {bucket} AS b FROM items),
+sb AS (SELECT source, b, CAST(COUNT(*) AS BIGINT) AS c_sb
+       FROM ib GROUP BY 1, 2),
+cb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c_cb FROM ib GROUP BY 1),
+tots AS (SELECT source, CAST(SUM(c_sb) AS BIGINT) AS tot_s
+         FROM sb GROUP BY 1),
+totc AS (SELECT CAST(SUM(c_cb) AS BIGINT) AS tot_c FROM cb)"""
+
+
 def stats_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KL(source || corpus) over hashed-token buckets -- the
     "which source is most off-distribution" report that complements
@@ -611,29 +662,8 @@ def stats_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     int64 (tot_c ~ 1e12); switch num/den to Q20 bucket probabilities
     there -- same kernel, two extra floors."""
     from ..operators.lm import fixed_log2
-    from ..operators.text import tokens
 
-    docs = _tspread(spark, sf_dir, "documents")
-    items = docs.select(
-        "source", F.explode(tokens(F.col("text"))).alias("item")
-    )
-    bucket = (
-        F.conv(F.substring(F.md5("item"), 1, 13), 16, 10).cast("long")
-        % _KL_BUCKETS
-    )
-    ib = items.select("source", bucket.alias("b"))
-    sb = ib.groupBy("source", "b").agg(F.count("*").alias("c_sb"))
-    cb = ib.groupBy("b").agg(F.count("*").alias("c_cb"))
-    tots = sb.groupBy("source").agg(F.sum("c_sb").alias("tot_s"))
-    totc = cb.agg(F.sum("c_cb").alias("tot_c"))
-    g = (
-        sb.join(cb, "b")
-        .join(F.broadcast(tots), "source")
-        .join(F.broadcast(totc))
-        .withColumn("a_", F.expr("c_sb * tot_c"))
-        .withColumn("b_", F.expr("tot_s * c_cb"))
-    )
-    g = g.select(
+    g = _source_bucket_grid(spark, sf_dir).select(
         "source",
         "c_sb",
         "tot_s",
@@ -657,11 +687,7 @@ def stats_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _source_kl_sql() -> str:
     from ..operators.lm import fixed_log2_sql
-    from .queries_llm import TOKS_SQL
 
-    from .queries_ext import _sql_hex13_mod
-
-    bucket = _sql_hex13_mod("substr(md5(item), 1, 13)", _KL_BUCKETS)
     grid_inner = """
 SELECT source, c_sb, tot_s,
        CASE WHEN a_ >= b_ THEN 1 ELSE -1 END AS sgn,
@@ -675,15 +701,7 @@ FROM (
         grid_inner, "source, c_sb, tot_s, sgn", "_num", "_den", "lg_q8"
     )
     return f"""
-WITH toks AS (SELECT source, {TOKS_SQL} AS tk FROM documents),
-items AS (SELECT source, UNNEST(tk) AS item FROM toks),
-ib AS (SELECT source, {bucket} AS b FROM items),
-sb AS (SELECT source, b, CAST(COUNT(*) AS BIGINT) AS c_sb
-       FROM ib GROUP BY 1, 2),
-cb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c_cb FROM ib GROUP BY 1),
-tots AS (SELECT source, CAST(SUM(c_sb) AS BIGINT) AS tot_s
-         FROM sb GROUP BY 1),
-totc AS (SELECT CAST(SUM(c_cb) AS BIGINT) AS tot_c FROM cb),
+WITH {_bucket_grid_ctes()},
 scored AS ({chain}),
 agg AS (
   SELECT source, MIN(tot_s) AS n_tokens,
@@ -720,29 +738,8 @@ def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     as KL: at 100 TB switch the cross-multiplied form to Q20 bucket
     probabilities."""
     from ..operators.lm import fixed_log2
-    from ..operators.text import tokens
 
-    docs = _tspread(spark, sf_dir, "documents")
-    items = docs.select(
-        "source", F.explode(tokens(F.col("text"))).alias("item")
-    )
-    bucket = (
-        F.conv(F.substring(F.md5("item"), 1, 13), 16, 10).cast("long")
-        % _KL_BUCKETS
-    )
-    ib = items.select("source", bucket.alias("b"))
-    sb = ib.groupBy("source", "b").agg(F.count("*").alias("c_sb"))
-    cb = ib.groupBy("b").agg(F.count("*").alias("c_cb"))
-    tots = sb.groupBy("source").agg(F.sum("c_sb").alias("tot_s"))
-    totc = cb.agg(F.sum("c_cb").alias("tot_c"))
-    g = (
-        sb.join(cb, "b")
-        .join(F.broadcast(tots), "source")
-        .join(F.broadcast(totc))
-        .withColumn("a_", F.expr("c_sb * tot_c"))
-        .withColumn("b_", F.expr("tot_s * c_cb"))
-    )
-    g = g.select(
+    g = _source_bucket_grid(spark, sf_dir).select(
         "source",
         "tot_s",
         "tot_c",
@@ -767,10 +764,7 @@ def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _psi_sql() -> str:
     from ..operators.lm import fixed_log2_sql
-    from .queries_ext import _sql_hex13_mod
-    from .queries_llm import TOKS_SQL
 
-    bucket = _sql_hex13_mod("substr(md5(item), 1, 13)", _KL_BUCKETS)
     grid_inner = """
 SELECT source, tot_s, tot_c, abs(a_ - b_) AS w_,
        greatest(a_, b_) AS _num, least(a_, b_) AS _den
@@ -783,15 +777,7 @@ FROM (
         grid_inner, "source, tot_s, tot_c, w_", "_num", "_den", "lg_q8"
     )
     return f"""
-WITH toks AS (SELECT source, {TOKS_SQL} AS tk FROM documents),
-items AS (SELECT source, UNNEST(tk) AS item FROM toks),
-ib AS (SELECT source, {bucket} AS b FROM items),
-sb AS (SELECT source, b, CAST(COUNT(*) AS BIGINT) AS c_sb
-       FROM ib GROUP BY 1, 2),
-cb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c_cb FROM ib GROUP BY 1),
-tots AS (SELECT source, CAST(SUM(c_sb) AS BIGINT) AS tot_s
-         FROM sb GROUP BY 1),
-totc AS (SELECT CAST(SUM(c_cb) AS BIGINT) AS tot_c FROM cb),
+WITH {_bucket_grid_ctes()},
 scored AS ({chain}),
 agg AS (
   SELECT source, MIN(tot_s) AS n_tokens,

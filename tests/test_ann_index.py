@@ -256,9 +256,11 @@ def test_auto_rerank_depth_rule():
 
 
 def test_build_records_occupancy_and_add_refreshes_it(spark, qvecs, tmp_path):
-    """The meta sidecar carries sorted primary-cell occupancy summing to
-    the corpus size, and an incremental add refreshes it (a stale p90
-    under-sizes the auto shortlist as cells grow)."""
+    """The meta sidecar carries the per-cell occupancy map summing to
+    the corpus size, and an incremental add FOLDS its batch counts in
+    (O(batch), not an O(index) rescan -- r11 review); under key churn
+    (re-adding an existing key) the map over-counts by design (the
+    safe direction for a rerank depth)."""
     import json as _json
 
     from airflow_pipeline_text_processing_spark.operators.ann_index import (
@@ -275,11 +277,18 @@ def test_build_records_occupancy_and_add_refreshes_it(spark, qvecs, tmp_path):
             return _json.load(fh)["cell_occupancy"]
 
     occ0 = _occ()
-    assert occ0 == sorted(occ0) and sum(occ0) == train.count()
+    assert sum(occ0.values()) == train.count()
 
+    # fresh keys: the fold is exact
     ivfpq_index_add(spark, path, qvecs.filter(F.col("vec_id") % 10 == 0))
     occ1 = _occ()
-    assert sum(occ1) == qvecs.count(), "add must refresh occupancy stats"
+    assert sum(occ1.values()) == qvecs.count(), "add must fold batch counts"
+
+    # key churn: re-adding existing keys may only grow the estimate
+    ivfpq_index_add(spark, path, qvecs.filter(F.col("vec_id") < 20))
+    occ2 = _occ()
+    assert sum(occ2.values()) >= sum(occ1.values())
+    assert all(occ2.get(c, 0) >= n for c, n in occ1.items())
 
 
 def test_auto_prefilter_spans_dense_cells(spark, tmp_path):

@@ -311,6 +311,13 @@ QUERIES = [
     ("dq_benford_totals", None),
     # r10 thirteenth wave: Lloyd state + k x k metadata grid
     ("cluster_db_index", None),
+    # r11 debuts: occupancy-sized auto rerank depth (adds one
+    # cells-row aggregate to the ivfpq plan), map-only PNG roundtrip,
+    # sources x buckets PSI grid, (pair, gram) ROUGE aggregations
+    ("sim_ivfpq_auto_depth", None),
+    ("mm_png_roundtrip_stats", None),
+    ("stats_psi_drift", None),
+    ("text_rouge_bigram", None),
 ]
 
 

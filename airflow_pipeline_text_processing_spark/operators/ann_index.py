@@ -245,16 +245,37 @@ def ivfpq_index_add(
     # grow cells past what the build recorded, and a stale p90
     # under-sizes the shortlist.  FOLD the batch's own pcell counts
     # into the stored per-cell map -- O(batch) work + a cells-sized
-    # metadata write, never a rescan of the live table (r11 review:
-    # the streaming sink calls this per micro-batch, so an O(index)
-    # refresh would make every add cost O(index)).  Re-ADDED keys
-    # leave their old row's count in place, so under key churn the map
-    # is a slight UPPER bound -- the safe direction for a rerank
-    # depth; build/rebuild recounts exactly.
-    occ = dict(meta.get("cell_occupancy") or {})
-    for r in pcells.groupBy("pcell").agg(F.count("*").alias("n")).collect():
-        occ[str(r["pcell"])] = occ.get(str(r["pcell"]), 0) + r["n"]
+    # metadata write (r11 review: the streaming sink calls this per
+    # micro-batch, so an O(index) refresh would make every add cost
+    # O(index)).  Re-ADDED keys leave their old row's count in place,
+    # so the map is an UPPER bound under key churn; to keep that bound
+    # TIGHT (<= 2x the true counts -- second-pass review: an
+    # update-heavy stream otherwise inflates the estimate without
+    # limit), an exact recount runs whenever the rows folded since the
+    # last recount reach half the estimated size.  Amortized O(1) per
+    # added row; the pre-r11 LIST-form sidecar (sorted counts, no cell
+    # ids) is un-foldable and triggers the same exact recount.
+    occ = meta.get("cell_occupancy")
+    folded = meta.get("occupancy_folded_n", 0)
+    batch_counts = pcells.groupBy("pcell").agg(
+        F.count("*").alias("n")
+    ).collect()
+    if isinstance(occ, dict):
+        occ = dict(occ)
+        for r in batch_counts:
+            occ[str(r["pcell"])] = occ.get(str(r["pcell"]), 0) + r["n"]
+        folded += sum(r["n"] for r in batch_counts)
+    else:
+        occ, folded = None, 0  # legacy list / missing: recount below
+    if occ is None or 2 * folded >= sum(occ.values()):
+        occ = {
+            str(r["pcell"]): r["n"]
+            for r in read_live(spark, os.path.join(path, _ROWS))
+            .groupBy("pcell").agg(F.count("*").alias("n")).collect()
+        }
+        folded = 0
     meta["cell_occupancy"] = occ
+    meta["occupancy_folded_n"] = folded
     _write_meta(path, meta)
     return out
 
@@ -372,9 +393,10 @@ def ivfpq_index_search(
     ``prefilter=None`` (default) auto-sizes the rerank depth to
     ``max(4*k, 2 * p90(cell occupancy))`` from the occupancy stats the
     build recorded in the meta sidecar (similarity.auto_rerank_depth --
-    the fix for the r10 fixed-25 recall footgun).  Indexes built before
-    r11 lack the stats; the depth then comes from one <=``cells``-row
-    count over the live rows table.  Pass an int to pin it.
+    the fix for the r10 fixed-25 recall footgun).  Both sidecar forms
+    are accepted ({cid: count} map and the earlier sorted count list);
+    an index without stats pays one <=``cells``-row count over the
+    live rows table.  Pass an int to pin it.
     """
     from .similarity import auto_rerank_depth
 
@@ -392,9 +414,15 @@ def ivfpq_index_search(
     rows = read_live(spark, os.path.join(path, _ROWS))
     if prefilter is None:
         stored = meta.get("cell_occupancy")
-        if stored:  # {cell id: count} map maintained by build + adds
+        if isinstance(stored, dict) and stored:
+            # {cell id: count} map maintained by build + adds (r11)
             counts = list(stored.values())
-        else:  # pre-r11 index without stats: one cells-sized aggregate
+        elif isinstance(stored, list) and stored:
+            # the first r11 format stored a sorted count LIST (no cell
+            # ids) -- usable for the p90 as-is (second-pass review:
+            # assuming dict crashed on these)
+            counts = list(stored)
+        else:  # index without stats: one cells-sized aggregate
             counts = [
                 r["n"]
                 for r in rows.groupBy("pcell")

@@ -109,6 +109,13 @@ def _parse_pnm(payload: bytes):
 
     m = re.match(rb"(P[56])\s+(?:#[^\n]*\n\s*)*(\d+)\s+(\d+)\s+(\d+)\s", payload)
     if not m:
+        # error-class contract (second-pass review): a payload that IS
+        # a PNM (P5/P6 magic) but fails to parse is CORRUPT input --
+        # ValueError, non-retryable under streaming/reliability's
+        # classifier -- while an unrecognized format is the gated
+        # NotImplementedError
+        if payload[:2] in (b"P5", b"P6"):
+            raise ValueError("malformed PNM header")
         raise NotImplementedError(
             "unsupported image format (PPM/PGM and PNG decode in-engine; "
             "JPEG/WebP/... need codec libraries not present here)"

@@ -356,3 +356,55 @@ def test_auto_prefilter_spans_dense_cells(spark, tmp_path):
     assert recall_auto > recall_25, (
         f"auto ({recall_auto}) must beat the fixed-25 footgun ({recall_25})"
     )
+
+
+def test_auto_depth_accepts_legacy_list_sidecar_and_churn_recounts(
+    spark, qvecs, tmp_path
+):
+    """Second-pass review fixes: (a) a sidecar storing occupancy as the
+    earlier sorted-count LIST (no cell ids) must serve auto-depth
+    searches and be migrated -- not crash -- by the next add; (b) an
+    update-heavy churn (re-adding the same keys repeatedly) must
+    trigger the amortized exact recount so the estimate stays within
+    2x of the true counts instead of growing without bound."""
+    import json as _json
+
+    from airflow_pipeline_text_processing_spark.operators.ann_index import (
+        build_ivfpq_index,
+        ivfpq_index_add,
+        ivfpq_index_search,
+    )
+
+    path = str(tmp_path / "idx")
+    build_ivfpq_index(qvecs, path, dim=64, cells=8)
+    meta_path = os.path.join(path, "_frozen", "meta.json")
+
+    def _meta():
+        with open(meta_path) as fh:
+            return _json.load(fh)
+
+    # rewrite the sidecar into the legacy list form
+    meta = _meta()
+    true_counts = sorted(meta["cell_occupancy"].values())
+    meta["cell_occupancy"] = true_counts
+    meta.pop("occupancy_folded_n", None)
+    with open(meta_path, "w") as fh:
+        _json.dump(meta, fh)
+
+    # (a) search with the default dial must work off the list form
+    queries = qvecs.filter(F.col("vec_id").isin(3, 10))
+    assert ivfpq_index_search(spark, path, queries, qvecs).count() > 0
+
+    # the next add migrates the list to an exact {cid: count} map
+    batch = qvecs.filter(F.col("vec_id") < 10)
+    ivfpq_index_add(spark, path, batch)  # pure churn: keys already live
+    meta = _meta()
+    assert isinstance(meta["cell_occupancy"], dict)
+    assert sum(meta["cell_occupancy"].values()) == qvecs.count()
+
+    # (b) churn loop: fold drift must stay bounded by the recount rule
+    n = qvecs.count()
+    for _ in range(4):
+        ivfpq_index_add(spark, path, qvecs)  # re-add EVERYTHING
+    est = sum(_meta()["cell_occupancy"].values())
+    assert est <= 2 * n, f"churn estimate {est} exceeds 2x true size {n}"

@@ -51,6 +51,13 @@ _ORDER = [
     # changepoint in-window).
     "stats_psi_drift",
     "text_rouge_bigram",
+    # -- NEW round 11 (fourth wave): NDCG@5 ranking evaluation --
+    # inner-product retrieval graded against exact quantized-L2 truth,
+    # Q8 log discounts from the shared fixed-point kernel.  Displaced:
+    # join_asof_last_click (driver-green r5; joins keep
+    # q5_nation_volume / join_asof_nearest / join_bloom_prefilter
+    # in-window).
+    "search_ndcg_eval",
     # Rotation contract (see README "Grading window"): the driver grades
     # only the first ~50 entries; each round the never-driver-graded
     # entries rotate in, displacing green entries that keep an in-window
@@ -208,7 +215,6 @@ _ORDER = [
     "sketch_overlap_matrix",
     # -- carried category verifiers (all driver-green r5 or earlier) ------
     "q5_nation_volume",
-    "join_asof_last_click",
     "agg_salted_hot_keys",
     "sql_correlated_above_avg",
     "window_follow_stats",
@@ -226,6 +232,7 @@ _ORDER = [
     "merge_upsert_part",
     "stats_spearman_daily",
     "events_ewma_daily",
+    "join_asof_last_click",
     # Displaced below the boundary for the four round-9 debuts (each
     # r8 driver-green with in-window category siblings):
     # curation_full_set (~ curation_lm_filtered/_entropy/_dsir),

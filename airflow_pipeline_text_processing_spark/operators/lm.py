@@ -37,6 +37,26 @@ FRAC_BITS = 8
 _Q = 16  # mantissa fixed-point fractional bits
 
 
+def fixed_log2_py(num: int, den: int) -> int:
+    """Scalar reference of the kernel: the SAME Q8 result as
+    :func:`fixed_log2` / :func:`fixed_log2_sql`, as one Python int.
+    For inlining tiny literal tables (e.g. the k+1 rank discounts of
+    ``similarity.ndcg_at_k``) identically into Spark exprs and SQL
+    oracles, and as the independent check the reference tests use.
+    Same precondition: ``num >= den >= 1``, ``num < 2^47``."""
+    t = (num << _Q) // den
+    e = t.bit_length() - (_Q + 1)
+    m = t >> e
+    frac = 0
+    for _ in range(FRAC_BITS):
+        m = (m * m) >> _Q
+        bit = 1 if m >= (1 << (_Q + 1)) else 0
+        frac = (frac << 1) | bit
+        if bit:
+            m >>= 1
+    return e * (1 << FRAC_BITS) + frac
+
+
 def fixed_log2(
     df: DataFrame, num_col: str, den_col: str, out_col: str
 ) -> DataFrame:

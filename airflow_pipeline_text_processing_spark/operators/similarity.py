@@ -1428,3 +1428,82 @@ def ivfpq_topk(
         .filter(F.col("rk") <= k)
         .orderBy("query_id", "rk")
     )
+
+
+def ndcg_at_k(
+    system: DataFrame,
+    relevance: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """NDCG@k of a retrieval ranking against graded relevance -- the
+    standard ranking-quality metric (Jarvelin & Kekalainen 2002), as
+    exact integers so the SQL oracle replays it bit-for-bit.
+
+    ``system`` is ``(query_id, neighbor_id, rk)`` (1-based ranks, the
+    shape every top-k operator here emits); ``relevance`` is
+    ``(query_id, neighbor_id, rel)`` with integer grades >= 0 (absent
+    pairs grade 0).  DCG = sum over served ranks of
+    ``rel / log2(rk + 1)``; IDCG re-ranks each query's OWN relevance
+    grades descending.  Fixed point: the k rank discounts
+    ``log2(2..k+1)`` are Q8 literals from the SAME kernel the LM stack
+    uses (``lm.fixed_log2_py``), each contribution is
+    ``(rel * 1000 * 256) div lg_q8`` -- an exact BIGINT in any
+    summation order -- and ``ndcg_ppm = dcg * 1e6 div idcg``
+    (0 when a query has no relevant documents at all).
+
+    Scale shape: one equi-join of the served lists against the
+    relevance relation (both k-bounded per query after the rank
+    filters), one per-query window over the relevance grades for the
+    ideal ordering, two hash aggs.  Nothing corpus-pairwise.
+    Output: ``(query_id, dcg_milli, idcg_milli, ndcg_ppm)``."""
+    from .lm import fixed_log2_py
+
+    # Q8 discount table for ranks 1..k: log2(rk + 1)
+    lg = [fixed_log2_py(r + 1, 1) for r in range(1, k + 1)]
+    lg_arr = F.array(*[F.lit(v).cast("long") for v in lg])
+
+    served = (
+        system.filter(F.col("rk") <= k)
+        .join(relevance, ["query_id", "neighbor_id"], "left")
+        .select(
+            "query_id",
+            F.coalesce("rel", F.lit(0)).cast("long").alias("rel"),
+            F.element_at(lg_arr, F.col("rk").cast("int")).alias("lg"),
+        )
+    )
+    dcg = served.groupBy("query_id").agg(
+        F.sum(F.expr("(rel * 256000) div lg")).alias("dcg_milli")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), "neighbor_id"
+    )
+    ideal = (
+        relevance.filter(F.col("rel") > 0)
+        .withColumn("irk", F.row_number().over(w))
+        .filter(F.col("irk") <= k)
+        .select(
+            "query_id",
+            "rel",
+            F.element_at(lg_arr, F.col("irk").cast("int")).alias("lg"),
+        )
+    )
+    idcg = ideal.groupBy("query_id").agg(
+        F.sum(F.expr("(rel * 256000) div lg")).alias("idcg_milli")
+    )
+    return (
+        dcg.join(idcg, "query_id", "full_outer")
+        .select(
+            "query_id",
+            F.coalesce("dcg_milli", F.lit(0)).cast("long").alias("dcg_milli"),
+            F.coalesce("idcg_milli", F.lit(0)).cast("long").alias("idcg_milli"),
+        )
+        .select(
+            "query_id",
+            "dcg_milli",
+            "idcg_milli",
+            F.expr(
+                "CASE WHEN idcg_milli = 0 THEN CAST(0 AS BIGINT)"
+                " ELSE (dcg_milli * 1000000) div idcg_milli END"
+            ).alias("ndcg_ppm"),
+        )
+    )

@@ -3055,6 +3055,129 @@ ORDER BY pair_id
 """
 
 
+_NDCG_K = 5
+_NDCG_QUERY_IDS = "3, 10, 42"
+
+
+def search_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@5 of inner-product retrieval against Euclidean ground truth
+    (operators/similarity.py::ndcg_at_k): the SYSTEM ranking orders the
+    corpus by quantized dot product with the query, the RELEVANCE
+    grades come from the exact quantized-L2 top-5 (rank 1 -> grade 5
+    ... rank 5 -> grade 1) -- so the metric quantifies how well the
+    cheap inner-product score recovers the true metric's neighbors,
+    the standard eval question for every embedding-search deployment.
+    All integers: BIGINT scores on both sides, Q8 log discounts from
+    the shared fixed-point kernel (lm.fixed_log2_py), ppm output; the
+    oracle replays ranking, grading, and the discounted sums
+    bit-for-bit."""
+    from ..operators.clustering import quantized
+    from ..operators.similarity import ndcg_at_k
+
+    vecs = _tspread(spark, sf_dir, "embeddings")
+    q = vecs.select(
+        "vec_id", quantized(F.col("embedding")).alias("q")
+    ).localCheckpoint(eager=False)
+    queries = q.filter(F.col("vec_id").isin(3, 10, 42)).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+    )
+    cands = q.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("q").alias("cq")
+    )
+    pairs = (
+        queries.crossJoin(cands)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                F.zip_with("qq", "cq", lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("ip"),
+            F.aggregate(
+                F.zip_with("qq", "cq", lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+        )
+        .localCheckpoint(eager=False)  # feeds BOTH rankings
+    )
+    w_sys = Window.partitionBy("query_id").orderBy(
+        F.col("ip").desc(), "neighbor_id"
+    )
+    system = (
+        pairs.withColumn("rk", F.row_number().over(w_sys))
+        .filter(F.col("rk") <= _NDCG_K)
+        .select("query_id", "neighbor_id", "rk")
+    )
+    w_rel = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    relevance = (
+        pairs.withColumn("trk", F.row_number().over(w_rel))
+        .filter(F.col("trk") <= _NDCG_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.lit(_NDCG_K + 1) - F.col("trk")).cast("long").alias("rel"),
+        )
+    )
+    return ndcg_at_k(system, relevance, k=_NDCG_K).orderBy("query_id")
+
+
+def _ndcg_sql() -> str:
+    from ..operators.lm import fixed_log2_py
+
+    lg = [fixed_log2_py(r + 1, 1) for r in range(1, _NDCG_K + 1)]
+    lg_list = "[" + ", ".join(str(v) for v in lg) + "]"
+    return f"""
+WITH {_QBASE_EMB},
+pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(list_zip(a.q, b.q),
+           p -> p[1]*p[2])) AS BIGINT) AS ip,
+         CAST(list_sum(list_transform(list_zip(a.q, b.q),
+           p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS d2
+  FROM (SELECT * FROM qbase WHERE vec_id IN ({_NDCG_QUERY_IDS})) a,
+       qbase b
+  WHERE b.vec_id != a.vec_id),
+sys AS (
+  SELECT query_id, neighbor_id, rk FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY ip DESC, neighbor_id) AS rk
+    FROM pairs) WHERE rk <= {_NDCG_K}),
+rel AS (
+  SELECT query_id, neighbor_id,
+         CAST({_NDCG_K + 1} - trk AS BIGINT) AS rel FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY d2, neighbor_id) AS trk
+    FROM pairs) WHERE trk <= {_NDCG_K}),
+dcg AS (
+  SELECT s.query_id,
+         CAST(SUM((COALESCE(r.rel, 0) * 256000)
+              // ({lg_list}[s.rk])) AS BIGINT) AS dcg_milli
+  FROM sys s LEFT JOIN rel r USING (query_id, neighbor_id)
+  GROUP BY 1),
+ideal AS (
+  SELECT query_id, rel,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY rel DESC, neighbor_id) AS irk
+  FROM rel WHERE rel > 0),
+idcg AS (
+  SELECT query_id,
+         CAST(SUM((rel * 256000) // ({lg_list}[irk])) AS BIGINT)
+           AS idcg_milli
+  FROM ideal WHERE irk <= {_NDCG_K} GROUP BY 1)
+SELECT d.query_id, d.dcg_milli, i.idcg_milli,
+       CAST(CASE WHEN i.idcg_milli = 0 THEN 0
+            ELSE (d.dcg_milli * 1000000) // i.idcg_milli END
+            AS BIGINT) AS ndcg_ppm
+FROM dcg d JOIN idcg i USING (query_id)
+ORDER BY query_id
+"""
+
+
 _PNG_W, _PNG_H, _PNG_NCH = 8, 6, 3
 _PNG_N = _PNG_W * _PNG_H * _PNG_NCH  # 144 samples per image
 
@@ -3427,6 +3550,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "mm_image_dhash_dedup": (mm_image_dhash_dedup, _dhash_sql()),
     "mm_png_roundtrip_stats": (mm_png_roundtrip_stats, PNG_ROUNDTRIP_SQL),
     "text_rouge_bigram": (text_rouge_bigram, _rouge_sql()),
+    "search_ndcg_eval": (search_ndcg_eval, _ndcg_sql()),
     "curation_entropy_filtered": (
         curation_entropy_filtered,
         _entropy_filtered_sql(),

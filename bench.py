@@ -170,6 +170,8 @@ BENCH_QUERIES = [
     "mm_png_roundtrip_stats",
     "stats_psi_drift",
     "text_rouge_bigram",
+    # round-11 fourth wave: NDCG@5 ranking evaluation
+    "search_ndcg_eval",
 ]
 
 

@@ -169,3 +169,81 @@ def test_rouge1_unigram_mode(spark):
     r = got[7]
     assert (r.n_cand_grams, r.n_ref_grams, r.n_clipped) == (3, 3, 2)
     assert r.precision_ppm == r.recall_ppm == (2 * 1_000_000) // 3
+
+
+# -------------------------------------------------------------- NDCG
+
+
+def test_fixed_log2_py_matches_dataframe_kernel(spark):
+    """The scalar reference must equal the distributed kernel bit-for-
+    bit -- it inlines the NDCG discount literals, so any divergence
+    would silently skew every discounted sum."""
+    from airflow_pipeline_text_processing_spark.operators.lm import (
+        fixed_log2,
+        fixed_log2_py,
+    )
+
+    cases = [(2, 1), (3, 1), (6, 5), (1000, 7), (2**40, 3), (1, 1)]
+    df = spark.createDataFrame(cases, "num long, den long")
+    got = {
+        (r.num, r.den): r.lg
+        for r in fixed_log2(df, "num", "den", "lg").collect()
+    }
+    for num, den in cases:
+        assert got[(num, den)] == fixed_log2_py(num, den)
+
+
+def _ndcg(spark, system, relevance, k=3):
+    from airflow_pipeline_text_processing_spark.operators.similarity import (
+        ndcg_at_k,
+    )
+
+    s = spark.createDataFrame(system, "query_id long, neighbor_id long, rk long")
+    r = spark.createDataFrame(relevance, "query_id long, neighbor_id long, rel long")
+    return {row.query_id: row for row in ndcg_at_k(s, r, k=k).collect()}
+
+
+def test_ndcg_perfect_reversed_and_empty(spark):
+    from airflow_pipeline_text_processing_spark.operators.lm import (
+        fixed_log2_py,
+    )
+
+    rel = [(1, 10, 3), (1, 11, 2), (1, 12, 1)]
+    perfect = [(1, 10, 1), (1, 11, 2), (1, 12, 3)]
+    got = _ndcg(spark, perfect, rel)[1]
+    assert got.ndcg_ppm == 1_000_000
+    # hand-recompute the discounted sum with the same Q8 literals
+    lg = [fixed_log2_py(r + 1, 1) for r in (1, 2, 3)]
+    dcg = sum((g * 256000) // l for g, l in zip((3, 2, 1), lg))
+    assert got.dcg_milli == got.idcg_milli == dcg
+
+    rev = [(1, 12, 1), (1, 11, 2), (1, 10, 3)]
+    got = _ndcg(spark, rev, rel)[1]
+    want_dcg = sum((g * 256000) // l for g, l in zip((1, 2, 3), lg))
+    assert got.dcg_milli == want_dcg and 0 < got.ndcg_ppm < 1_000_000
+    assert got.ndcg_ppm == (want_dcg * 1_000_000) // dcg
+
+    # served docs with NO relevance grade contribute 0; a query whose
+    # relevance is all-zero reports ndcg 0 (guarded division)
+    got = _ndcg(spark, [(2, 99, 1)], rel + [(2, 99, 0)])
+    assert (got[2].dcg_milli, got[2].idcg_milli, got[2].ndcg_ppm) == (0, 0, 0)
+
+
+def test_ndcg_registry_query_bounds(spark):
+    """search_ndcg_eval on the driver embeddings: valid per-query rows,
+    ndcg in (0, 1e6], and idcg equals the fixed ideal sum (grades are
+    always 5..1 by construction)."""
+    from airflow_pipeline_text_processing_spark.operators.lm import (
+        fixed_log2_py,
+    )
+    from airflow_pipeline_text_processing_spark.plans.queries_llm import (
+        search_ndcg_eval,
+    )
+
+    rows = search_ndcg_eval(spark, "/root/testdata/sf0.001").collect()
+    assert [r.query_id for r in rows] == [3, 10, 42]
+    lg = [fixed_log2_py(r + 1, 1) for r in range(1, 6)]
+    ideal = sum((g * 256000) // l for g, l in zip((5, 4, 3, 2, 1), lg))
+    for r in rows:
+        assert r.idcg_milli == ideal
+        assert 0 < r.ndcg_ppm <= 1_000_000

@@ -318,6 +318,8 @@ QUERIES = [
     ("mm_png_roundtrip_stats", None),
     ("stats_psi_drift", None),
     ("text_rouge_bigram", None),
+    # r11 fourth wave: 3-query brute-force pair scan + k-bounded joins
+    ("search_ndcg_eval", None),
 ]
 
 

@@ -3056,7 +3056,8 @@ ORDER BY pair_id
 
 
 _NDCG_K = 5
-_NDCG_QUERY_IDS = "3, 10, 42"
+_NDCG_IDS = (3, 10, 42)  # the ONE id list both engines derive from
+_NDCG_QUERY_IDS = ", ".join(str(i) for i in _NDCG_IDS)
 
 
 def search_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3071,14 +3072,14 @@ def search_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shared fixed-point kernel (lm.fixed_log2_py), ppm output; the
     oracle replays ranking, grading, and the discounted sums
     bit-for-bit."""
-    from ..operators.clustering import quantized
+    from ..operators.clustering import _sqdist, quantized
     from ..operators.similarity import ndcg_at_k
 
     vecs = _tspread(spark, sf_dir, "embeddings")
     q = vecs.select(
         "vec_id", quantized(F.col("embedding")).alias("q")
     ).localCheckpoint(eager=False)
-    queries = q.filter(F.col("vec_id").isin(3, 10, 42)).select(
+    queries = q.filter(F.col("vec_id").isin(*_NDCG_IDS)).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
     )
     cands = q.select(
@@ -3095,11 +3096,7 @@ def search_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0).cast("long"),
                 lambda acc, x: acc + x,
             ).alias("ip"),
-            F.aggregate(
-                F.zip_with("qq", "cq", lambda a, b: (a - b) * (a - b)),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("d2"),
+            _sqdist(F.col("qq"), F.col("cq")).alias("d2"),
         )
         .localCheckpoint(eager=False)  # feeds BOTH rankings
     )

@@ -229,7 +229,7 @@ def test_ndcg_perfect_reversed_and_empty(spark):
     assert (got[2].dcg_milli, got[2].idcg_milli, got[2].ndcg_ppm) == (0, 0, 0)
 
 
-def test_ndcg_registry_query_bounds(spark):
+def test_ndcg_registry_query_bounds(spark, sf_dir):
     """search_ndcg_eval on the driver embeddings: valid per-query rows,
     ndcg in (0, 1e6], and idcg equals the fixed ideal sum (grades are
     always 5..1 by construction)."""
@@ -240,7 +240,7 @@ def test_ndcg_registry_query_bounds(spark):
         search_ndcg_eval,
     )
 
-    rows = search_ndcg_eval(spark, "/root/testdata/sf0.001").collect()
+    rows = search_ndcg_eval(spark, sf_dir).collect()
     assert [r.query_id for r in rows] == [3, 10, 42]
     lg = [fixed_log2_py(r + 1, 1) for r in range(1, 6)]
     ideal = sum((g * 256000) // l for g, l in zip((5, 4, 3, 2, 1), lg))

@@ -58,6 +58,12 @@ _ORDER = [
     # q5_nation_volume / join_asof_nearest / join_bloom_prefilter
     # in-window).
     "search_ndcg_eval",
+    # -- NEW round 11 (fifth wave): the PSI drift monitor in its
+    # production shape -- streamed bucket counting (complete-mode agg,
+    # availableNow drain) feeding the shared fixed-point PSI scoring.
+    # Displaced: agg_salted_hot_keys (driver-green r5; agg keeps
+    # agg_rfm_segments / sql_correlated_above_avg in-window).
+    "stream_psi_drift",
     # Rotation contract (see README "Grading window"): the driver grades
     # only the first ~50 entries; each round the never-driver-graded
     # entries rotate in, displacing green entries that keep an in-window
@@ -215,7 +221,6 @@ _ORDER = [
     "sketch_overlap_matrix",
     # -- carried category verifiers (all driver-green r5 or earlier) ------
     "q5_nation_volume",
-    "agg_salted_hot_keys",
     "sql_correlated_above_avg",
     "window_follow_stats",
     "map_scalar_showcase",
@@ -233,6 +238,7 @@ _ORDER = [
     "stats_spearman_daily",
     "events_ewma_daily",
     "join_asof_last_click",
+    "agg_salted_hot_keys",
     # Displaced below the boundary for the four round-9 debuts (each
     # r8 driver-green with in-window category siblings):
     # curation_full_set (~ curation_lm_filtered/_entropy/_dsir),

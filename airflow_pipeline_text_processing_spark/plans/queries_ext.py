@@ -160,6 +160,58 @@ ORDER BY user_id
 """
 
 
+_PSI_VALUE_BUCKETS = 64
+
+
+def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PSI drift monitor in its PRODUCTION shape (r11): bucket
+    counts accumulate IN A STREAM -- readStream over the events
+    parquet, per-(event_type, value-cents-bucket) counts as a
+    complete-mode streaming aggregation drained with availableNow --
+    and the drained counts feed the same exact fixed-point PSI scoring
+    as the batch operator (queries_scale._psi_from_counts).  This is
+    how drift monitoring actually deploys: the heavy counting keeps
+    running state on the stream, the metadata-sized scoring runs
+    between micro-batch windows.  With availableNow the drained counts
+    equal the batch GROUP BY, so the oracle certifies the full
+    stream->score composition."""
+    from .queries_scale import _psi_from_counts
+
+    ev = _events_stream(spark, sf_dir)
+    counts = ev.groupBy(
+        "event_type",
+        F.pmod(
+            F.floor(F.col("value") * 100).cast("long"),
+            F.lit(_PSI_VALUE_BUCKETS),
+        ).alias("b"),
+    ).count()
+    name, _q = _run_to_memory(counts, "complete", "psi_counts")
+    # rebase the drained counts onto a fresh local relation: the PSI
+    # scoring self-joins sb against its own aggregates, and MemoryPlan
+    # leaves conflicting attribute ids the analyzer refuses to dedup
+    # ("Conflicting attributes: b").  The relation is bounded at
+    # event-types x value buckets -- metadata-sized by construction.
+    drained = spark.table(name).select(
+        "event_type", "b", F.col("count").alias("c_sb")
+    )
+    sb = spark.createDataFrame(
+        drained.collect(), "event_type string, b long, c_sb long"
+    )
+    return _psi_from_counts(sb, "event_type", count_name="n_events")
+
+
+def _stream_psi_sql() -> str:
+    from .queries_scale import _psi_sql_from_sb
+
+    sb = f"""sb AS (
+  SELECT event_type,
+         ((CAST(FLOOR("value"*100) AS BIGINT) % {_PSI_VALUE_BUCKETS})
+           + {_PSI_VALUE_BUCKETS}) % {_PSI_VALUE_BUCKETS} AS b,
+         CAST(COUNT(*) AS BIGINT) AS c_sb
+  FROM events GROUP BY 1, 2)"""
+    return _psi_sql_from_sb(sb, "event_type", count_name="n_events")
+
+
 # ---------------------------------------------------------------- pivot/cube
 
 _SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
@@ -4932,6 +4984,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "stats_chi_square": (stats_chi_square, CHI_SQUARE_SQL),
     "stats_trimmed_mean": (stats_trimmed_mean, TRIMMED_MEAN_SQL),
     "stream_hourly_watermarked": (stream_hourly_watermarked, STREAM_HOURLY_SQL),
+    "stream_psi_drift": (stream_psi_drift, _stream_psi_sql()),
     "stream_stateful_user_totals": (
         stream_stateful_user_totals,
         STREAM_TOTALS_SQL,

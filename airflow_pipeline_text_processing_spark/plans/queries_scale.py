@@ -627,10 +627,10 @@ def _source_bucket_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bucket_grid_ctes() -> str:
-    """The DuckDB mirror of :func:`_source_bucket_grid`'s aggregates:
-    the shared CTE prefix (toks/items/ib/sb/cb/tots/totc) both drift
-    oracles open with."""
+def _bucket_sb_ctes() -> str:
+    """CTE prefix defining the per-source token-bucket counts
+    ``sb(source, b, c_sb)`` -- the shared head of both drift oracles
+    and the input contract of :func:`_psi_sql_from_sb`."""
     from .queries_ext import _sql_hex13_mod
     from .queries_llm import TOKS_SQL
 
@@ -639,8 +639,14 @@ def _bucket_grid_ctes() -> str:
 items AS (SELECT source, UNNEST(tk) AS item FROM toks),
 ib AS (SELECT source, {bucket} AS b FROM items),
 sb AS (SELECT source, b, CAST(COUNT(*) AS BIGINT) AS c_sb
-       FROM ib GROUP BY 1, 2),
-cb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c_cb FROM ib GROUP BY 1),
+       FROM ib GROUP BY 1, 2)"""
+
+
+def _bucket_grid_ctes() -> str:
+    """The DuckDB mirror of :func:`_source_bucket_grid`'s aggregates:
+    :func:`_bucket_sb_ctes` plus the totals (cb/tots/totc)."""
+    return f"""{_bucket_sb_ctes()},
+cb AS (SELECT b, CAST(SUM(c_sb) AS BIGINT) AS c_cb FROM sb GROUP BY 1),
 tots AS (SELECT source, CAST(SUM(c_sb) AS BIGINT) AS tot_s
          FROM sb GROUP BY 1),
 totc AS (SELECT CAST(SUM(c_cb) AS BIGINT) AS tot_c FROM cb)"""
@@ -717,6 +723,90 @@ ORDER BY source
 """
 
 
+def _psi_from_counts(
+    sb: DataFrame, group_col: str, count_name: str = "n_tokens"
+) -> DataFrame:
+    """PSI scoring epilogue over a ``(group_col, b, c_sb)`` bucket-count
+    relation -- the shared tail of :func:`stats_psi_drift` (token
+    buckets per source) and ``queries_ext.stream_psi_drift`` (value
+    buckets per event type, counts arriving FROM A STREAM).  One
+    bounded groups x buckets grid, the Q8 log2 kernel, one floor
+    division; output ``(group_col, count_name, n_buckets, psi_q8)``."""
+    from ..operators.lm import fixed_log2
+
+    cb = sb.groupBy("b").agg(F.sum("c_sb").alias("c_cb"))
+    tots = sb.groupBy(group_col).agg(F.sum("c_sb").alias("tot_s"))
+    totc = cb.agg(F.sum("c_cb").alias("tot_c"))
+    g = (
+        sb.join(cb, "b")
+        .join(F.broadcast(tots), group_col)
+        .join(F.broadcast(totc))
+        .withColumn("a_", F.expr("c_sb * tot_c"))
+        .withColumn("b_", F.expr("tot_s * c_cb"))
+    )
+    g = g.select(
+        group_col,
+        "tot_s",
+        "tot_c",
+        F.expr("abs(a_ - b_)").alias("w_"),
+        F.greatest("a_", "b_").alias("_num"),
+        F.least("a_", "b_").alias("_den"),
+    )
+    g = fixed_log2(g, "_num", "_den", "lg_q8")
+    agg = g.groupBy(group_col).agg(
+        F.min("tot_s").alias(count_name),
+        F.count("*").alias("n_buckets"),
+        F.sum(F.expr("w_ * lg_q8")).alias("s_"),
+        F.min(F.expr("tot_s * tot_c")).alias("d_"),
+    )
+    return agg.select(
+        group_col,
+        count_name,
+        "n_buckets",
+        F.expr("s_ div d_").alias("psi_q8"),
+    ).orderBy(group_col)
+
+
+def _psi_sql_from_sb(
+    prefix_ctes: str, group_col: str, count_name: str = "n_tokens"
+) -> str:
+    """The DuckDB mirror of :func:`_psi_from_counts`: ``prefix_ctes``
+    must define an ``sb(group_col, b, c_sb)`` CTE; the builder appends
+    the totals, the log2 chain, and the PSI epilogue."""
+    from ..operators.lm import fixed_log2_sql
+
+    grid_inner = f"""
+SELECT {group_col}, tot_s, tot_c, abs(a_ - b_) AS w_,
+       greatest(a_, b_) AS _num, least(a_, b_) AS _den
+FROM (
+  SELECT sb.{group_col}, sb.b, t.tot_s, (SELECT tot_c FROM totc) AS tot_c,
+         sb.c_sb * (SELECT tot_c FROM totc) AS a_,
+         t.tot_s * cb.c_cb AS b_
+  FROM sb JOIN cb USING (b) JOIN tots t USING ({group_col}))"""
+    chain = fixed_log2_sql(
+        grid_inner, f"{group_col}, tot_s, tot_c, w_", "_num", "_den", "lg_q8"
+    )
+    return f"""
+WITH {prefix_ctes},
+cb AS (SELECT b, CAST(SUM(c_sb) AS BIGINT) AS c_cb FROM sb GROUP BY 1),
+tots AS (SELECT {group_col}, CAST(SUM(c_sb) AS BIGINT) AS tot_s
+         FROM sb GROUP BY 1),
+totc AS (SELECT CAST(SUM(c_cb) AS BIGINT) AS tot_c FROM cb),
+scored AS ({chain}),
+agg AS (
+  SELECT {group_col}, MIN(tot_s) AS {count_name},
+         CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         CAST(SUM(w_ * lg_q8) AS BIGINT) AS s_,
+         MIN(tot_s * tot_c) AS d_
+  FROM scored GROUP BY 1
+)
+SELECT {group_col}, {count_name}, n_buckets,
+       CAST(s_ // d_ AS BIGINT) AS psi_q8
+FROM agg
+ORDER BY {group_col}
+"""
+
+
 def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index per source vs the whole corpus over
     hashed-token buckets -- the drift dial ops teams actually alarm on
@@ -736,61 +826,29 @@ def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid, so no epsilon hacks).  The kernel relation is sources x
     buckets -- bounded, never corpus-sized.  Same int64 headroom note
     as KL: at 100 TB switch the cross-multiplied form to Q20 bucket
-    probabilities."""
-    from ..operators.lm import fixed_log2
+    probabilities.  Scoring lives in the shared
+    :func:`_psi_from_counts` epilogue (also fed by the STREAMING
+    variant, ``queries_ext.stream_psi_drift``)."""
+    from ..operators.text import tokens
 
-    g = _source_bucket_grid(spark, sf_dir).select(
-        "source",
-        "tot_s",
-        "tot_c",
-        F.expr("abs(a_ - b_)").alias("w_"),
-        F.greatest("a_", "b_").alias("_num"),
-        F.least("a_", "b_").alias("_den"),
+    docs = _tspread(spark, sf_dir, "documents")
+    items = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("item")
     )
-    g = fixed_log2(g, "_num", "_den", "lg_q8")
-    agg = g.groupBy("source").agg(
-        F.min("tot_s").alias("n_tokens"),
-        F.count("*").alias("n_buckets"),
-        F.sum(F.expr("w_ * lg_q8")).alias("s_"),
-        F.min(F.expr("tot_s * tot_c")).alias("d_"),
+    bucket = (
+        F.conv(F.substring(F.md5("item"), 1, 13), 16, 10).cast("long")
+        % _KL_BUCKETS
     )
-    return agg.select(
-        "source",
-        "n_tokens",
-        "n_buckets",
-        F.expr("s_ div d_").alias("psi_q8"),
-    ).orderBy("source")
+    sb = (
+        items.select("source", bucket.alias("b"))
+        .groupBy("source", "b")
+        .agg(F.count("*").alias("c_sb"))
+    )
+    return _psi_from_counts(sb, "source")
 
 
 def _psi_sql() -> str:
-    from ..operators.lm import fixed_log2_sql
-
-    grid_inner = """
-SELECT source, tot_s, tot_c, abs(a_ - b_) AS w_,
-       greatest(a_, b_) AS _num, least(a_, b_) AS _den
-FROM (
-  SELECT sb.source, sb.b, t.tot_s, (SELECT tot_c FROM totc) AS tot_c,
-         sb.c_sb * (SELECT tot_c FROM totc) AS a_,
-         t.tot_s * cb.c_cb AS b_
-  FROM sb JOIN cb USING (b) JOIN tots t USING (source))"""
-    chain = fixed_log2_sql(
-        grid_inner, "source, tot_s, tot_c, w_", "_num", "_den", "lg_q8"
-    )
-    return f"""
-WITH {_bucket_grid_ctes()},
-scored AS ({chain}),
-agg AS (
-  SELECT source, MIN(tot_s) AS n_tokens,
-         CAST(COUNT(*) AS BIGINT) AS n_buckets,
-         CAST(SUM(w_ * lg_q8) AS BIGINT) AS s_,
-         MIN(tot_s * tot_c) AS d_
-  FROM scored GROUP BY 1
-)
-SELECT source, n_tokens, n_buckets,
-       CAST(s_ // d_ AS BIGINT) AS psi_q8
-FROM agg
-ORDER BY source
-"""
+    return _psi_sql_from_sb(_bucket_sb_ctes(), "source")
 
 
 # =====================================================================

@@ -172,6 +172,8 @@ BENCH_QUERIES = [
     "text_rouge_bigram",
     # round-11 fourth wave: NDCG@5 ranking evaluation
     "search_ndcg_eval",
+    # round-11 fifth wave: streamed PSI drift monitor
+    "stream_psi_drift",
 ]
 
 

@@ -562,3 +562,37 @@ def test_tws_capability_gate_is_honest(spark):
     assert [f.name for f in df.schema.fields] == [
         "user_id", "n_events", "total_value", "last_event_type",
     ]
+
+
+def test_stream_psi_drift_equals_batch_scoring(spark, sf_dir):
+    """The streamed drift monitor (r11): bucket counts accumulated by
+    the complete-mode streaming aggregation and scored by the shared
+    PSI epilogue must equal scoring the SAME counts computed as a
+    plain batch GROUP BY -- the stream adds plumbing, never values."""
+    import pyspark.sql.functions as F
+
+    from airflow_pipeline_text_processing_spark.plans.queries_ext import (
+        _PSI_VALUE_BUCKETS,
+        stream_psi_drift,
+    )
+    from airflow_pipeline_text_processing_spark.plans.queries import _t
+    from airflow_pipeline_text_processing_spark.plans.queries_scale import (
+        _psi_from_counts,
+    )
+
+    got = [tuple(r) for r in stream_psi_drift(spark, sf_dir).collect()]
+
+    ev = _t(spark, sf_dir, "events")
+    sb = ev.groupBy(
+        "event_type",
+        F.pmod(
+            F.floor(F.col("value") * 100).cast("long"),
+            F.lit(_PSI_VALUE_BUCKETS),
+        ).alias("b"),
+    ).agg(F.count("*").alias("c_sb"))
+    want = [
+        tuple(r)
+        for r in _psi_from_counts(sb, "event_type", count_name="n_events")
+        .collect()
+    ]
+    assert got == want and len(got) > 0

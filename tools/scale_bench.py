@@ -320,6 +320,8 @@ QUERIES = [
     ("text_rouge_bigram", None),
     # r11 fourth wave: 3-query brute-force pair scan + k-bounded joins
     ("search_ndcg_eval", None),
+    # r11 fifth wave: streamed bucket counting + metadata-sized scoring
+    ("stream_psi_drift", None),
 ]
 
 

@@ -531,6 +531,9 @@ def x30_structural() -> None:
         ("embed_top_pc", REGISTRY["embed_top_pc"][0]),
         ("sim_range_search", REGISTRY["sim_range_search"][0]),
         ("mmr[all-vecs]", _mmr_all_vecs),
+        # r11 debuts with the two highest 10x ratios join the 30x curve
+        ("stats_psi_drift", REGISTRY["stats_psi_drift"][0]),
+        ("search_ndcg_eval", REGISTRY["search_ndcg_eval"][0]),
     ]
     print("wall-clock curves (1x/10x/30x)")
     for name, fn in wall_rows:

@@ -64,6 +64,18 @@ _ORDER = [
     # Displaced: agg_salted_hot_keys (driver-green r5; agg keeps
     # agg_rfm_segments / sql_correlated_above_avg in-window).
     "stream_psi_drift",
+    # -- NEW round 11 (sixth wave): char-trigram Naive Bayes language
+    # identification (Cavnar-Trenkle features on the exact Q8 NB
+    # kernel) -- the real lang-id next to the marker heuristic.
+    # Displaced: graph_hierarchy_depth (r10 driver-green; graph keeps
+    # triangle_count / kcore / clustering_coeff / link_predict
+    # in-window).  text_nb_classify rotates back in alongside it: the
+    # NB oracle builder was parametrized for the trigram features, so
+    # its SQL fingerprint changed (values identical).  Displaced for
+    # that re-grade: text_boilerplate_strip (r10 driver-green; text
+    # keeps rake / novelty / chi2 / gopher / rouge / langid in-window).
+    "text_langid_trigram",
+    "text_nb_classify",
     # Rotation contract (see README "Grading window"): the driver grades
     # only the first ~50 entries; each round the never-driver-graded
     # entries rotate in, displacing green entries that keep an in-window
@@ -118,7 +130,6 @@ _ORDER = [
     # line stripping.  Displaced: text_lm_bigram (r9 driver-green; LM
     # category keeps curation_lm_filtered / curation_dsir_select
     # in-window).
-    "text_boilerplate_strip",
     # -- NEW round 10 (fourth wave): Resource-Allocation link
     # prediction, Markov next-event transition matrix, Gopher §A1
     # document-quality rules, Kendall tau-a daily trend.  Displaced to
@@ -174,7 +185,6 @@ _ORDER = [
     # kendall / anova / theil_sen / spearman in-window),
     # curation_dsir_select (r6 driver-green; curation keeps
     # curation_lm_filtered in-window).
-    "graph_hierarchy_depth",
     "agg_rfm_segments",
     # -- NEW round 10 (eleventh wave): EXACT prefix-filtering
     # set-similarity join (SSJoin/ppjoin -- the lossless contrast to
@@ -239,6 +249,7 @@ _ORDER = [
     "events_ewma_daily",
     "join_asof_last_click",
     "agg_salted_hot_keys",
+    "graph_hierarchy_depth",
     # Displaced below the boundary for the four round-9 debuts (each
     # r8 driver-green with in-window category siblings):
     # curation_full_set (~ curation_lm_filtered/_entropy/_dsir),
@@ -259,7 +270,7 @@ _ORDER = [
     "sample_allocate_budget",
     "curation_entropy_filtered",
     "text_lm_bigram",
-    "text_nb_classify",
+    "text_boilerplate_strip",
     "text_phrase_search",
     "agg_mode_per_type",
     "dedup_minhash_lsh",

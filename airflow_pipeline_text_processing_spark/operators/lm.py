@@ -192,8 +192,28 @@ def unigram_surprisal(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ).orderBy("doc_id")
 
 
+def char_trigrams(col):
+    """Character trigrams of whitespace-normalized lowercased text --
+    the classic lang-id feature (Cavnar & Trenkle 1994): far more
+    discriminative per unit of text than word markers, and
+    vocabulary-bounded (<= charset^3) so the NB grid stays tiny.
+    Engine-portable: both engines normalize with a global
+    ``\\s+ -> ' '`` regexp_replace and slice with 1-based substring."""
+    s = F.regexp_replace(F.lower(col), r"\s+", " ")
+    return F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(s) - 2, F.lit(1))),
+            lambda i: F.substring(s, i, 3),
+        ),
+        lambda g: F.length(g) == 3,
+    )
+
+
 def nb_classify(
-    docs: DataFrame, label_col: str = "lang", text_col: str = "text"
+    docs: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    feature_fn=None,
 ) -> DataFrame:
     """Multinomial Naive Bayes trained AND applied on-engine, exact:
     ``doc_id, label_actual, label_pred, correct, score_q8``.
@@ -204,6 +224,11 @@ def nb_classify(
     ``prior_q8(l) + sum_t fixed_log2(N_l + V, c_{l,t} + 1)`` (BIGINT);
     predict the argmin with a deterministic ``(score, label)`` tiebreak.
 
+    ``feature_fn`` maps the text Column to an array of feature strings
+    (default: the shared word tokenizer).  Pass :func:`char_trigrams`
+    for the Cavnar-Trenkle language-id formulation (r11) -- the plan
+    is identical, only the exploded feature stream changes.
+
     Scale shape: the (vocab x labels) conditional grid -- including
     zero-count pairs, which smoothing requires -- is built once
     (vocab-sized x small L) and broadcast into the corpus-side token
@@ -213,13 +238,14 @@ def nb_classify(
     plan works as a shuffle join on ``token`` -- the grid is still
     O(V x L), never corpus-sized.
     """
+    feats = feature_fn if feature_fn is not None else tokens
     base = docs.select(
         "doc_id", F.col(label_col).alias("label_actual"), F.col(text_col)
     )
     toks = base.select(
         "doc_id",
         "label_actual",
-        F.explode(tokens(F.col(text_col))).alias("token"),
+        F.explode(feats(F.col(text_col))).alias("token"),
     )
     class_tok = toks.groupBy(F.col("label_actual").alias("label"), "token").agg(
         F.count("*").alias("c_lt")

@@ -1672,7 +1672,31 @@ def text_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return L.nb_classify(_tspread(spark, sf_dir, "documents"), label_col="lang")
 
 
-def _nb_sql() -> str:
+_TRIGRAM_SQL = (
+    "list_filter(list_transform("
+    "range(1, greatest(length(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    " - 2, 1) + 1),"
+    " i -> substr(regexp_replace(lower(text), '\\s+', ' ', 'g'), i, 3)),"
+    " g -> length(g) = 3)"
+)
+
+
+def text_langid_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram Naive Bayes language identification (Cavnar &
+    Trenkle 1994) -- the REAL lang-id formulation, vs the marker-word
+    heuristic of ``text_lang_id``: the same exact Q8 NB kernel as
+    ``text_nb_classify``, with char trigrams of whitespace-normalized
+    lowercased text as the feature stream (operators/lm.py::
+    char_trigrams).  Trigram vocabularies are charset-bounded, so the
+    smoothing grid stays tiny at any corpus size."""
+    return L.nb_classify(
+        _tspread(spark, sf_dir, "documents"),
+        label_col="lang",
+        feature_fn=L.char_trigrams,
+    )
+
+
+def _nb_sql(features_sql: str = None) -> str:
     cond_chain = L.fixed_log2_sql(
         "SELECT token, label, _num, _den FROM grid",
         "token, label",
@@ -1692,7 +1716,8 @@ WITH base AS (
   SELECT doc_id, lang AS label_actual, text FROM documents
 ),
 toks AS (
-  SELECT doc_id, label_actual, unnest({TOKS_SQL}) AS token FROM base
+  SELECT doc_id, label_actual, unnest({features_sql or TOKS_SQL}) AS token
+  FROM base
 ),
 class_tok AS (
   SELECT label_actual AS label, token, CAST(COUNT(*) AS BIGINT) AS c_lt
@@ -3590,6 +3615,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "text_lm_bigram": (text_lm_bigram, _lm_bigram_sql()),
     "curation_lm_filtered": (curation_lm_filtered, _lm_filtered_sql()),
     "text_nb_classify": (text_nb_classify, _nb_sql()),
+    "text_langid_trigram": (text_langid_trigram, _nb_sql(_TRIGRAM_SQL)),
     "mm_binary_stats": (mm_binary_stats, MM_STATS_SQL),
     "mm_feature_extract": (mm_feature_extract, MM_FEATURES_SQL),
     "mm_frame_sample": (mm_frame_sample, MM_FRAMES_SQL),

@@ -174,6 +174,8 @@ BENCH_QUERIES = [
     "search_ndcg_eval",
     # round-11 fifth wave: streamed PSI drift monitor
     "stream_psi_drift",
+    # round-11 sixth wave: char-trigram NB language identification
+    "text_langid_trigram",
 ]
 
 

@@ -247,3 +247,90 @@ def test_ndcg_registry_query_bounds(spark, sf_dir):
     for r in rows:
         assert r.idcg_milli == ideal
         assert 0 < r.ndcg_ppm <= 1_000_000
+
+
+# ----------------------------------------------------------- lang-id
+
+
+def test_char_trigrams_extraction(spark):
+    from airflow_pipeline_text_processing_spark.operators.lm import (
+        char_trigrams,
+    )
+
+    df = spark.createDataFrame(
+        [("Ab  cD",), ("xy",), ("",)], "t string"
+    ).select(char_trigrams(F.col("t")).alias("g"))
+    got = [r.g for r in df.collect()]
+    # whitespace collapses, text lowercases, 1-based sliding window
+    assert got[0] == ["ab ", "b c", " cd"]
+    # shorter than 3 chars: no trigrams (filtered, not padded)
+    assert got[1] == [] and got[2] == []
+
+
+def test_trigram_langid_beats_marker_heuristic(spark, sf_dir):
+    """The r11 debut's reason to exist: on the driver corpus the
+    Cavnar-Trenkle trigram NB must dominate the marker-word heuristic's
+    accuracy (it reads sub-word signal markers can't see)."""
+    import pyspark.sql.functions as F
+
+    from airflow_pipeline_text_processing_spark.operators.text import lang_id
+    from airflow_pipeline_text_processing_spark.plans.queries_llm import (
+        text_langid_trigram,
+    )
+
+    tri_acc = (
+        text_langid_trigram(spark, sf_dir).agg(F.avg("correct")).collect()[0][0]
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mk_acc = (
+        lang_id(docs)
+        .select(
+            (F.col("predicted_lang") == F.col("labeled_lang"))
+            .cast("int")
+            .alias("c")
+        )
+        .agg(F.avg("c"))
+        .collect()[0][0]
+    )
+    assert tri_acc > mk_acc
+
+
+def test_trigram_langid_separates_real_languages(spark):
+    """On genuinely multilingual text the trigram NB is near-perfect:
+    plant 4 docs per language with characteristic function words and
+    morphology; self-classification must recover every label."""
+    from airflow_pipeline_text_processing_spark.operators.lm import (
+        char_trigrams,
+        nb_classify,
+    )
+
+    texts = {
+        "en": [
+            "the quick brown fox jumps over the lazy dog and runs away",
+            "she said that they would have been there with the others",
+            "a house with many windows and the door that never closes",
+            "what would you think about the weather this time of year",
+        ],
+        "de": [
+            "der schnelle braune fuchs springt ueber den faulen hund",
+            "sie sagte dass sie dort gewesen waeren mit den anderen",
+            "ein haus mit vielen fenstern und der tuer die nie schliesst",
+            "was wuerdest du ueber das wetter um diese jahreszeit denken",
+        ],
+        "es": [
+            "el rapido zorro marron salta sobre el perro perezoso",
+            "ella dijo que habrian estado alli con los otros amigos",
+            "una casa con muchas ventanas y la puerta que nunca cierra",
+            "que pensarias sobre el clima en esta epoca del anio",
+        ],
+    }
+    rows = []
+    i = 0
+    for lang, docs in texts.items():
+        for t in docs:
+            rows.append((i, t, lang))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = nb_classify(df, label_col="lang", feature_fn=char_trigrams)
+    got = {r.doc_id: r.correct for r in out.collect()}
+    assert all(got.values()), f"misclassified ids: {[k for k,v in got.items() if not v]}"

@@ -322,6 +322,8 @@ QUERIES = [
     ("search_ndcg_eval", None),
     # r11 fifth wave: streamed bucket counting + metadata-sized scoring
     ("stream_psi_drift", None),
+    # r11 sixth wave: trigram explode + charset-bounded NB grid
+    ("text_langid_trigram", None),
 ]
 
 

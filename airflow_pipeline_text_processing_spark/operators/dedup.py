@@ -588,6 +588,29 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+def _star_round(edges: DataFrame) -> DataFrame:
+    """One fused large-star + small-star alternation (r12, verdict ask #2).
+
+    Identical semantics to ``_small_star(_large_star(edges))`` but the
+    large-star output feeds small-star WITHOUT its own trailing DISTINCT:
+    small-star's canonicalization (greatest/least + distinct) dedups its
+    input anyway, so the elided distinct was a pure extra shuffle.  The
+    alternation costs three exchanges instead of four."""
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mnv"))
+        .select("u", F.least("u", "mnv").alias("mn"))
+    )
+    large = (
+        sym.filter(F.col("v") > F.col("u"))
+        .join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+    )
+    return _small_star(large)
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "doc_a",
@@ -609,34 +632,50 @@ def connected_components(
     node id; ``localCheckpoint`` truncates lineage between rounds.
 
     Convergence is detected by edge-set stability (small-star output is
-    canonically large->small).  If ``max_iter`` rounds pass without
+    canonically large->small).  If ``max_iter`` iterations pass without
     stability the result would silently under-merge, so the default is to
     ``raise``; pass ``on_nonconverge="warn"`` to log and return the
-    partial merge instead."""
+    partial merge instead.
+
+    r12 round-count cut (verdict ask #2): each iteration of the loop now
+    runs TWO fused large/small alternations under a single checkpoint +
+    probe (so ``max_iter=20`` allows 40 star rounds), and the per-round
+    stability probe is a one-action fingerprint -- ``(count, sum of
+    xxhash64(u, v)))`` computed in the same aggregate -- with the exact
+    ``exceptAll`` set-equality check run ONCE, only when the fingerprint
+    matches (a fingerprint match on distinct relations of equal size is
+    confirmed, never trusted).  At toy scale the dominant cost was
+    per-round scheduler latency: this halves the number of
+    checkpoint+probe actions and drops the inter-star distinct, without
+    changing the converged edge set."""
     edges = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint()
     )
+    _fp_agg = [
+        F.count("*").alias("n"),
+        # decimal(38,0) accumulator: a long sum of 64-bit hashes overflows
+        # under ANSI mode; decimal38 holds ~10^18 edges' worth of headroom
+        F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+    ]
     converged = False
-    n_edges = edges.count()
+    fp = tuple(edges.agg(*_fp_agg).first())
     for _ in range(max_iter):
-        after_large = _large_star(edges)
-        after_small = _small_star(after_large).localCheckpoint()
-        # stable iff the canonical edge sets are identical.  Both sides
-        # are DISTINCT relations, so |after| == |before| together with
-        # after \ before == empty IS set equality -- one exceptAll job
-        # instead of two (r11: the convergence probe was the most
-        # expensive per-round step; counts on checkpointed data are
-        # near-free)
-        n_after = after_small.count()
-        if n_after == n_edges and after_small.exceptAll(edges).isEmpty():
+        after = _star_round(_star_round(edges)).localCheckpoint()
+        fp_after = tuple(after.agg(*_fp_agg).first())
+        # a converged star is a fixed point of the alternation, so the
+        # fingerprint goes stable exactly at convergence; both sides are
+        # DISTINCT relations, so equal counts + empty exceptAll IS set
+        # equality -- and that exact check runs once per call, not once
+        # per round (both relations are checkpointed, so it is cheap)
+        if fp_after == fp and after.exceptAll(edges).isEmpty():
             converged = True
-            edges = after_small
+            edges = after
             break
-        edges = after_small
-        n_edges = n_after
+        edges = after
+        fp = fp_after
     if not converged:
         msg = (
             f"connected_components: edge set not stable after {max_iter} "

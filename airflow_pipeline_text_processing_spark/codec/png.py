@@ -46,9 +46,12 @@ def _chunks(payload: bytes):
     while pos + 8 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
         ctype = payload[pos + 4 : pos + 8]
-        data = payload[pos + 8 : pos + 8 + length]
-        if len(data) != length:
+        # bounds-check BEFORE slicing the CRC: a chunk truncated inside
+        # its 4-byte CRC field must raise the documented ValueError, not
+        # struct.error from a short unpack (r12, ADVICE)
+        if len(payload) < pos + 12 + length:
             raise ValueError("truncated PNG chunk")
+        data = payload[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack(
             ">I", payload[pos + 8 + length : pos + 12 + length]
         )
@@ -161,7 +164,13 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ctype_n not in _SAMPLES:
         raise ValueError(f"invalid PNG color type {ctype_n}")
     nch = _SAMPLES[ctype_n]
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        # keep the documented "ValueError on malformed input" contract:
+        # a missing/corrupt IDAT stream is malformed input, not a leak
+        # of zlib internals to the caller (r12, ADVICE)
+        raise ValueError(f"corrupt PNG IDAT stream: {exc}") from exc
     stride = w * nch
     rows = _unfilter(raw, h, stride, bpp=nch)
     img = rows.reshape(h, w, nch)
@@ -234,6 +243,11 @@ def encode_png(img: np.ndarray, filters=None) -> bytes:
         raise ValueError(f"unsupported channel count {nch}")
     ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype_n, 0, 0, 0)
     rows = img.reshape(h, w * nch)
+    if filters is not None and len(filters) == 0:
+        # an empty (non-None) sequence would ZeroDivisionError on the
+        # y % len(filters) cycle below; fail with the real diagnosis
+        # (r12, ADVICE)
+        raise ValueError("filters must be None or a non-empty sequence")
     if filters is None:
         raw = b"".join(b"\x00" + rows[y].tobytes() for y in range(h))
     else:

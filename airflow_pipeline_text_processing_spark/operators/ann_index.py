@@ -257,25 +257,40 @@ def ivfpq_index_add(
     # ids) is un-foldable and triggers the same exact recount.
     occ = meta.get("cell_occupancy")
     folded = meta.get("occupancy_folded_n", 0)
+    fcells = meta.get("occupancy_folded_cells", {})
     batch_counts = pcells.groupBy("pcell").agg(
         F.count("*").alias("n")
     ).collect()
     if isinstance(occ, dict):
-        occ = dict(occ)
+        occ, fcells = dict(occ), dict(fcells)
         for r in batch_counts:
             occ[str(r["pcell"])] = occ.get(str(r["pcell"]), 0) + r["n"]
+            fcells[str(r["pcell"])] = fcells.get(str(r["pcell"]), 0) + r["n"]
         folded += sum(r["n"] for r in batch_counts)
     else:
-        occ, folded = None, 0  # legacy list / missing: recount below
-    if occ is None or 2 * folded >= sum(occ.values()):
+        occ, folded, fcells = None, 0, {}  # legacy list: recount below
+    # per-cell staleness trigger (r12, ADVICE): the global-total trigger
+    # bounds TOTAL inflation to <=2x but lets an individual hot cell's
+    # estimate drift arbitrarily within that window, skewing the
+    # p90-based auto rerank depth.  Track per-cell folds since the last
+    # exact recount and recount as soon as any cell's folds reach its
+    # last exact count (occ >= 2x exact); cells first seen by a fold
+    # (exact == 0 -- their count is pure folds and correct modulo
+    # re-add churn) stay under the global trigger only.
+    cell_hot = isinstance(occ, dict) and any(
+        occ[c] - f > 0 and f >= occ[c] - f for c, f in fcells.items()
+        if c in occ
+    )
+    if occ is None or cell_hot or 2 * folded >= sum(occ.values()):
         occ = {
             str(r["pcell"]): r["n"]
             for r in read_live(spark, os.path.join(path, _ROWS))
             .groupBy("pcell").agg(F.count("*").alias("n")).collect()
         }
-        folded = 0
+        folded, fcells = 0, {}
     meta["cell_occupancy"] = occ
     meta["occupancy_folded_n"] = folded
+    meta["occupancy_folded_cells"] = fcells
     _write_meta(path, meta)
     return out
 

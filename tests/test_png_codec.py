@@ -139,6 +139,27 @@ def test_malformed_inputs_rejected():
         decode_png(_png(4, 4, 2, _filter_rows([[0] * 12], [0], bpp=3)))
 
 
+def test_exception_contract_is_valueerror():
+    """r12 ADVICE: the documented 'ValueError on malformed input' contract
+    must hold for (a) a chunk truncated INSIDE its 4-byte CRC field
+    (previously struct.error) and (b) a corrupt IDAT stream (previously
+    zlib.error), and encode_png(filters=[]) must not ZeroDivisionError."""
+    img = np.zeros((3, 3, 3), dtype=np.uint8)
+    good = encode_png(img)
+    # cut mid-CRC of the final chunk: header says 12+length more bytes
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(good[:-2])
+    # valid chunk framing, garbage IDAT payload (CRC recomputed so the
+    # failure is zlib's, not the CRC check's)
+    bad_idat = PNG_SIG + _chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 3, 3, 8, 2, 0, 0, 0)
+    ) + _chunk(b"IDAT", b"not-a-zlib-stream") + _chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="IDAT"):
+        decode_png(bad_idat)
+    with pytest.raises(ValueError, match="non-empty"):
+        encode_png(img, filters=[])
+
+
 @settings(max_examples=25, deadline=None)
 @given(
     w=st.integers(1, 12),

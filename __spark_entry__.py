@@ -29,6 +29,15 @@ _MERGED = {**_CORE, **_LLM, **_EXT, **_SCALE}
 # fully declared: the local gate (tools/check_oracle.py) checks all of them.
 _ORDER = [
     # ============== DRIVER WINDOW (first 50 -- graded this round) =========
+    # -- NEW round 12: profile-capped Cavnar-Trenkle language ID --
+    # nb_classify(top_k_features=300): per-class top-k trigram rank
+    # (grid-sized window, no global sort), union profile, scoring
+    # restricted to in-profile trigrams; the oracle replays the rank
+    # and the reduced grid bit-for-bit.  Displaced:
+    # stream_stream_join_pairs (driver-green r5; streaming keeps
+    # stream_psi_drift -- a streamed agg feeding fixed-point scoring --
+    # in-window).
+    "text_langid_profile",
     # -- NEW round 11: occupancy-sized auto rerank depth for IVF-PQ
     # (the r10 recall-footgun fix; SQL oracle recomputes the identical
     # p90 cut).  Displaced: dq_events_expectations (driver-green r5;

@@ -1696,7 +1696,31 @@ def text_langid_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _nb_sql(features_sql: str = None) -> str:
+_LANGID_PROFILE_K = 300  # Cavnar & Trenkle 1994 use the top ~300 n-grams
+
+
+def text_langid_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile-capped Cavnar-Trenkle language ID (r12, verdict ask #3):
+    the same exact-Q8 trigram NB as ``text_langid_trigram``, but the
+    model keeps only the union of each class's top-300 trigrams
+    (``nb_classify(top_k_features=...)``) and scoring ignores
+    out-of-profile trigrams -- Cavnar & Trenkle's actual formulation,
+    which classifies on the head of the trigram distribution.  The
+    scored stream shrinks from corpus-sized to profile-hits-only while
+    the rank itself is grid work (window over the (vocab x L) count
+    relation, partitioned by label -- no global sort, nothing
+    corpus-sized).  The uncapped path stays registered next door; the
+    oracle replays the per-class rank, the union profile, and the
+    reduced-grid scoring bit-for-bit."""
+    return L.nb_classify(
+        _tspread(spark, sf_dir, "documents"),
+        label_col="lang",
+        feature_fn=L.char_trigrams,
+        top_k_features=_LANGID_PROFILE_K,
+    )
+
+
+def _nb_sql(features_sql: str = None, top_k: int | None = None) -> str:
     cond_chain = L.fixed_log2_sql(
         "SELECT token, label, _num, _den FROM grid",
         "token, label",
@@ -1711,6 +1735,24 @@ def _nb_sql(features_sql: str = None) -> str:
         "n_docs_l",
         "prior_q8",
     )
+    # Cavnar-Trenkle profile cut (r12): replay the per-class top-k rank
+    # and the union-profile restriction bit-for-bit -- class_tok below
+    # becomes the restricted relation, so totals / vocab / grid / scoring
+    # all derive from the same reduced feature space as the Spark path.
+    profile_cut = (
+        f""",
+class_tok AS (
+  SELECT label, token, c_lt FROM class_tok_full
+  WHERE token IN (
+    SELECT token FROM (
+      SELECT token, ROW_NUMBER() OVER (
+        PARTITION BY label ORDER BY c_lt DESC, token ASC) AS _prk
+      FROM class_tok_full) WHERE _prk <= {top_k})
+)"""
+        if top_k is not None
+        else ""
+    )
+    class_tok_name = "class_tok_full" if top_k is not None else "class_tok"
     return f"""
 WITH base AS (
   SELECT doc_id, lang AS label_actual, text FROM documents
@@ -1719,10 +1761,10 @@ toks AS (
   SELECT doc_id, label_actual, unnest({features_sql or TOKS_SQL}) AS token
   FROM base
 ),
-class_tok AS (
+{class_tok_name} AS (
   SELECT label_actual AS label, token, CAST(COUNT(*) AS BIGINT) AS c_lt
   FROM toks GROUP BY 1, 2
-),
+){profile_cut},
 class_tot AS (
   SELECT label, CAST(SUM(c_lt) AS BIGINT) AS n_l FROM class_tok GROUP BY 1
 ),
@@ -3632,6 +3674,10 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "curation_lm_filtered": (curation_lm_filtered, _lm_filtered_sql()),
     "text_nb_classify": (text_nb_classify, _nb_sql()),
     "text_langid_trigram": (text_langid_trigram, _nb_sql(_TRIGRAM_SQL)),
+    "text_langid_profile": (
+        text_langid_profile,
+        _nb_sql(_TRIGRAM_SQL, top_k=_LANGID_PROFILE_K),
+    ),
     "mm_binary_stats": (mm_binary_stats, MM_STATS_SQL),
     "mm_feature_extract": (mm_feature_extract, MM_FEATURES_SQL),
     "mm_frame_sample": (mm_frame_sample, MM_FRAMES_SQL),

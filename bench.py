@@ -176,6 +176,8 @@ BENCH_QUERIES = [
     "stream_psi_drift",
     # round-11 sixth wave: char-trigram NB language identification
     "text_langid_trigram",
+    # round-12 debuts: profile-capped Cavnar-Trenkle lang-id
+    "text_langid_profile",
 ]
 
 
@@ -261,11 +263,25 @@ def main() -> None:
     from __spark_entry__ import REGISTRY
 
     spark = _fresh_session()
+    session_born = time.monotonic()
 
     timings: dict[str, float] = {}
+    # Per-query environment context (r12, verdict ask #1): a driver bench
+    # reading must be SELF-ADJUDICATING -- r10/r11 both spent a verdict
+    # cycle deciding whether a 1.4-2.7x mover was code or machine load.
+    # For every query we record the 1-min loadavg sampled right before
+    # the timed runs (load the NEIGHBORS put on the box), the position
+    # index in the run, the age of / query count on the current session
+    # (heap-debt proxies the recycle protocol bounds), and BOTH timed
+    # readings (spread = noise floor).  Written to BENCH_CONTEXT.json
+    # beside the repo's BENCH_rN receipt; the compact tail line carries
+    # the load envelope so the driver's 2000-char capture always shows it.
+    context: dict[str, dict] = {}
+    loads: list[float] = []
     for i, name in enumerate(BENCH_QUERIES):
         if i and i % SESSION_RECYCLE_EVERY == 0:
             spark = _fresh_session(spark)
+            session_born = time.monotonic()
         fn, _oracle = REGISTRY[name]
         # One UNTIMED warm execution per query (added r9): a first-ever run
         # pays JIT/codegen-cache/classloading costs that best-of-2 does not
@@ -278,19 +294,49 @@ def main() -> None:
         # this a query pays for however much garbage its NEIGHBORS left,
         # which is the position-dependence the recycle protocol removes.
         spark.sparkContext._jvm.System.gc()
-        best = float("inf")
+        load1 = os.getloadavg()[0]
+        loads.append(load1)
+        runs: list[float] = []
         # two fresh-lineage runs, keep the best: filters out CPU-neighbor
         # noise without letting Spark reuse the first run's shuffle output
         for _ in range(2):
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
             df.collect()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(round(time.perf_counter() - t0, 3))
+        timings[name] = min(runs)
+        context[name] = {
+            "runs": runs,
+            "load1_before": round(load1, 2),
+            "position": i,
+            "session_age_s": round(time.monotonic() - session_born, 1),
+            "session_query_idx": i % SESSION_RECYCLE_EVERY,
+        }
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     total = round(sum(timings.values()), 3)
+    load_env = {
+        "load1_start": round(loads[0], 2) if loads else None,
+        "load1_end": round(loads[-1], 2) if loads else None,
+        "load1_max": round(max(loads), 2) if loads else None,
+        "load1_median": round(sorted(loads)[len(loads) // 2], 2)
+        if loads
+        else None,
+    }
+    # full per-query context sidecar: lands in the working tree, so the
+    # round driver's end-of-round commit preserves it next to BENCH_rN
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_CONTEXT.json"),
+        "w",
+    ) as fh:
+        json.dump(
+            {"sf": sf_val, "total": total, "load_env": load_env,
+             "queries": context},
+            fh,
+            indent=1,
+        )
     print(
         json.dumps(
             {
@@ -305,7 +351,8 @@ def main() -> None:
     # The detailed line above outgrows the driver's 2000-char tail capture
     # (65+ per-query entries), which truncated the receipt mid-number in
     # rounds 6-7 (BENCH_r0{6,7}.json "parsed: null").  Emit a final compact
-    # summary line so the last 2000 chars always contain complete JSON.
+    # summary line so the last 2000 chars always contain complete JSON --
+    # including the load envelope that makes the total self-adjudicating.
     print(
         json.dumps(
             {
@@ -314,6 +361,7 @@ def main() -> None:
                 "unit": "sec",
                 "n_queries": len(timings),
                 "sf": sf_val,
+                "load_env": load_env,
             }
         )
     )

@@ -91,6 +91,30 @@ def test_nb_classify_separable_vocabulary(spark):
     assert {r.label_pred for r in out} == {"greek", "compass"}
 
 
+def test_nb_profile_cut_restricts_model_and_drops_oop_docs(spark):
+    """top_k_features (r12): the model keeps only the union of each
+    class's top-k features; scoring ignores out-of-profile features, and
+    a document with NO in-profile feature drops out of the output."""
+    rows = []
+    for i in range(20):
+        # 'alpha' dominates greek; 'north' dominates compass; the other
+        # words are the tail the k=1 profile must cut
+        rows.append((i, "alpha alpha alpha beta gamma", "greek"))
+        rows.append((100 + i, "north north north south east", "compass"))
+    # doc made ONLY of tail words: out-of-profile at k=1, so it vanishes
+    rows.append((999, "beta gamma south east", "greek"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = nb_classify(docs, label_col="lang", top_k_features=1).collect()
+    assert {r.doc_id for r in out} == {r[0] for r in rows} - {999}
+    assert all(r.correct == 1 for r in out)
+    # uncapped keeps everyone, including 999
+    full = nb_classify(docs, label_col="lang").collect()
+    assert len(full) == len(rows)
+    # k large enough to keep the whole vocabulary == exact uncapped model
+    capped_all = nb_classify(docs, label_col="lang", top_k_features=100).collect()
+    assert capped_all == full
+
+
 def test_nb_plan_broadcasts_model_not_corpus(spark):
     rows = [(i, "w%d common token" % (i % 7), "l%d" % (i % 3)) for i in range(50)]
     docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")

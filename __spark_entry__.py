@@ -38,6 +38,17 @@ _ORDER = [
     # stream_psi_drift -- a streamed agg feeding fixed-point scoring --
     # in-window).
     "text_langid_profile",
+    # -- NEW round 12 (second wave): baseline-JPEG encode->decode
+    # roundtrip through the from-scratch codec (codec/jpeg.py) -- the
+    # DC-exact construction (constant 8x8 blocks + all-ones quant
+    # tables) round-trips bit-exactly through lossy JPEG, so the
+    # oracle regenerates decoded pixels in pure integer SQL; a
+    # position-weighted checksum makes any mis-decoded byte red.
+    # Displaced: reassembly_ordered_chunks (driver-green r11; the
+    # codec-roundtrip category keeps mm_png_roundtrip_stats in-window,
+    # and the ordered-reassembly path itself still runs every round
+    # inside the entry() flagship smoke + the pipeline pytest suite).
+    "mm_jpeg_roundtrip_stats",
     # -- NEW round 11: occupancy-sized auto rerank depth for IVF-PQ
     # (the r10 recall-footgun fix; SQL oracle recomputes the identical
     # p90 cut).  Displaced: dq_events_expectations (driver-green r5;

@@ -396,6 +396,7 @@ def ivfpq_index_search(
     nprobe: int = 4,
     prefilter: int | None = None,
     k: int = 5,
+    auto_depth_cap: int | None = None,
 ) -> DataFrame:
     """Serve top-``k`` from the persisted index: route ``queries``
     ``(vec_id, q)`` against the frozen centroids, shortlist by ADC over
@@ -411,7 +412,9 @@ def ivfpq_index_search(
     the fix for the r10 fixed-25 recall footgun).  Both sidecar forms
     are accepted ({cid: count} map and the earlier sorted count list);
     an index without stats pays one <=``cells``-row count over the
-    live rows table.  Pass an int to pin it.
+    live rows table.  Pass an int to pin it.  ``auto_depth_cap`` bounds
+    the auto rule's skew blow-up (a mega-cell drives p90 toward n --
+    see auto_rerank_depth); it never cuts below the 4*k floor.
     """
     from .similarity import auto_rerank_depth
 
@@ -444,7 +447,7 @@ def ivfpq_index_search(
                 .agg(F.count("*").alias("n"))
                 .collect()
             ]
-        prefilter = auto_rerank_depth(counts, k)
+        prefilter = auto_rerank_depth(counts, k, depth_cap=auto_depth_cap)
     cand_cells = rows.select(
         F.col("vec_id").alias("cand_id"), F.explode("cells").alias("cid")
     )

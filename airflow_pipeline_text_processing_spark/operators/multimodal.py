@@ -3,10 +3,11 @@
 Design (SURVEY.md north-star): image/audio/video travel as ``binary``
 columns next to a typed metadata struct.  The Spark-side machinery --
 schema, partition-parallel Arrow batches, UDF signatures -- is real and
-tested.  Decoding: RIFF/WAVE PCM audio, binary PPM/PGM images, and PNG
-(r11: from-scratch stdlib-zlib codec, codec/png.py) decode for real
+tested.  Decoding: RIFF/WAVE PCM audio, binary PPM/PGM images, PNG
+(r11: from-scratch stdlib-zlib codec, codec/png.py), and baseline JPEG
+(r12: from-scratch Huffman+IDCT codec, codec/jpeg.py) decode for real
 with zero external dependencies; the remaining compressed codecs
-(JPEG/MP3/MP4) are STUBBED because no image/audio libraries exist in
+(MP3/MP4/WebP) are STUBBED because no media libraries exist in
 this container -- ``decode_media`` raises ``NotImplementedError`` for
 them unless ``fake=True``, in which case a deterministic byte-histogram
 stands in so batch shapes and schemas can be exercised end-to-end for
@@ -117,8 +118,9 @@ def _parse_pnm(payload: bytes):
         if payload[:2] in (b"P5", b"P6"):
             raise ValueError("malformed PNM header")
         raise NotImplementedError(
-            "unsupported image format (PPM/PGM and PNG decode in-engine; "
-            "JPEG/WebP/... need codec libraries not present here)"
+            "unsupported image format (PPM/PGM, PNG and baseline JPEG "
+            "decode in-engine; WebP/... need codec libraries not "
+            "present here)"
         )
     magic, w, h, maxval = (
         m.group(1), int(m.group(2)), int(m.group(3)), int(m.group(4)),
@@ -132,13 +134,18 @@ def _parse_pnm(payload: bytes):
 
 def _image_pixels(payload: bytes):
     """Dispatch an image payload to its REAL decoder: binary PPM/PGM
-    (header + numpy) or PNG (from-scratch stdlib-zlib codec,
-    codec/png.py -- r11, de-gating the compressed-image path).  Returns
-    an ``(h, w, nch)`` uint8 array; raises on anything else."""
+    (header + numpy), PNG (from-scratch stdlib-zlib codec, codec/png.py
+    -- r11), or baseline JPEG (from-scratch Huffman+IDCT codec,
+    codec/jpeg.py -- r12, de-gating the lossy-image path real corpora
+    hit hardest).  Returns an ``(h, w, nch)`` uint8 array; raises on
+    anything else."""
+    from ..codec.jpeg import JPEG_SOI, decode_jpeg
     from ..codec.png import PNG_SIG, decode_png
 
     if payload[: len(PNG_SIG)] == PNG_SIG:
         return decode_png(payload)
+    if payload[: len(JPEG_SOI)] == JPEG_SOI:
+        return decode_jpeg(payload)
     return _parse_pnm(payload)[0]
 
 
@@ -147,12 +154,13 @@ def decode_media(payload: bytes, kind: str, fake: bool = False):
 
     These formats decode for real with no external libraries: RIFF/WAVE
     PCM audio (stdlib ``wave``), binary PPM/PGM images (header +
-    numpy), and PNG (stdlib zlib + the from-scratch filter codec in
-    codec/png.py).  Remaining compressed codecs (JPEG/MP3/MP4/...)
-    require PIL/ffmpeg, absent from this container, and raise
-    ``NotImplementedError``; ``fake=True`` substitutes a deterministic
-    byte-histogram feature vector so the distributed plumbing stays
-    testable for any payload."""
+    numpy), PNG (stdlib zlib + the from-scratch filter codec in
+    codec/png.py), and baseline JPEG (the from-scratch Huffman+IDCT
+    codec in codec/jpeg.py, r12).  Remaining compressed codecs
+    (MP3/MP4/WebP/...) require ffmpeg-class libraries, absent from this
+    container, and raise ``NotImplementedError``; ``fake=True``
+    substitutes a deterministic byte-histogram feature vector so the
+    distributed plumbing stays testable for any payload."""
     if payload is None:
         return None
     if fake:
@@ -165,9 +173,13 @@ def decode_media(payload: bytes, kind: str, fake: bool = False):
         return _decode_wav(payload)
     if payload[:2] in (b"P5", b"P6"):
         return _decode_pnm(payload)
+    from ..codec.jpeg import JPEG_SOI
     from ..codec.png import PNG_SIG
 
-    if payload[: len(PNG_SIG)] == PNG_SIG:
+    if (
+        payload[: len(PNG_SIG)] == PNG_SIG
+        or payload[: len(JPEG_SOI)] == JPEG_SOI
+    ):
         img = _image_pixels(payload)
         h, w, nch = img.shape
         norm = img.astype("float64") / 255.0
@@ -175,9 +187,9 @@ def decode_media(payload: bytes, kind: str, fake: bool = False):
             float(norm[:, :, c].mean()) for c in range(nch)
         ]
     raise NotImplementedError(
-        "compressed media formats beyond PNG need codec libraries not "
-        "present in this container; pass fake=True for the deterministic "
-        "stub"
+        "compressed media formats beyond PNG/baseline-JPEG need codec "
+        "libraries not present in this container; pass fake=True for "
+        "the deterministic stub"
     )
 
 
@@ -549,7 +561,7 @@ def _dhash_pnm(payload: bytes) -> list:
        64-bit value dodges BIGINT sign traps in both engines.
 
     Deterministic: no floats, no filtering kernels.  Requires
-    ``w >= 9 and h >= 8``.  Accepts PNM or PNG payloads (r11: the
+    ``w >= 9 and h >= 8``.  Accepts PNM, PNG or baseline-JPEG payloads (r11/r12: the
     dispatcher in ``_image_pixels``); alpha channels are ignored
     (luma from the color samples only -- dHash is a luminance
     gradient sign, transparency carries no luminance).

@@ -1265,7 +1265,9 @@ def range_search(
     return exact.orderBy("query_id", "d2", "neighbor_id")
 
 
-def auto_rerank_depth(cell_counts: list[int], k: int) -> int:
+def auto_rerank_depth(
+    cell_counts: list[int], k: int, depth_cap: int | None = None
+) -> int:
     """Occupancy-driven IVF-PQ rerank depth: ``max(4*k, 2 * p90)`` over
     the primary-cell member counts.
 
@@ -1277,14 +1279,29 @@ def auto_rerank_depth(cell_counts: list[int], k: int) -> int:
     under-shortlisting.  Input is metadata-sized (one count per IVF
     cell), so callers can collect it from the membership pass or a
     persisted index's meta sidecar.
+
+    ``depth_cap`` (r12, VERDICT r11 ask #5) bounds the skew blow-up:
+    when one cell holds most of the corpus, p90 approaches n and the
+    uncapped rule degenerates to exact search over the hot cell --
+    perfect recall at brute-force cost.  The cap trades that recall for
+    bounded rerank work (measured on a 90%-one-cluster corpus in
+    tools/recall_bench.py: the capped run keeps the wall flat while
+    recall drops only for queries landing IN the mega-cluster, whose
+    true neighbors the m-code cannot rank).  The ``4*k`` floor always
+    wins over the cap, so a tiny cap cannot under-shortlist below the
+    sane minimum.
     """
     if not cell_counts:
-        return max(4 * k, 25)
-    counts = sorted(cell_counts)
-    # integer ceil(0.9n): float-free so a SQL oracle replays the rank
-    # identically (sim_ivfpq_auto_depth mirrors this in DuckDB)
-    p90 = counts[(9 * len(counts) + 9) // 10 - 1]
-    return max(4 * k, 2 * p90)
+        depth = max(4 * k, 25)
+    else:
+        counts = sorted(cell_counts)
+        # integer ceil(0.9n): float-free so a SQL oracle replays the rank
+        # identically (sim_ivfpq_auto_depth mirrors this in DuckDB)
+        p90 = counts[(9 * len(counts) + 9) // 10 - 1]
+        depth = max(4 * k, 2 * p90)
+    if depth_cap is not None:
+        depth = min(depth, max(4 * k, depth_cap))
+    return depth
 
 
 def ivfpq_topk(
@@ -1300,6 +1317,7 @@ def ivfpq_topk(
     replicas: int = 2,
     prefilter: int | None = None,
     k: int = 5,
+    auto_depth_cap: int | None = None,
 ) -> DataFrame:
     """IVF-PQ with exact rerank -- the canonical billion-scale ANN
     pipeline (FAISS's IndexIVFPQ shape), composed from the engine's own
@@ -1383,6 +1401,7 @@ def ivfpq_topk(
             [r["n"] for r in pcells.groupBy("pcell")
              .agg(F.count("*").alias("n")).collect()],
             k,
+            depth_cap=auto_depth_cap,
         )
     rcorpus = residual_vectors(corpus, pcells, cents)
     codes, pq_cents = pq_train_encode(

@@ -176,8 +176,10 @@ BENCH_QUERIES = [
     "stream_psi_drift",
     # round-11 sixth wave: char-trigram NB language identification
     "text_langid_trigram",
-    # round-12 debuts: profile-capped Cavnar-Trenkle lang-id
+    # round-12 debuts: profile-capped Cavnar-Trenkle lang-id, baseline
+    # JPEG roundtrip through the from-scratch codec
     "text_langid_profile",
+    "mm_jpeg_roundtrip_stats",
 ]
 
 

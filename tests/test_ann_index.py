@@ -253,6 +253,14 @@ def test_auto_rerank_depth_rule():
     assert auto_rerank_depth([3] * 100, k=5) == 20
     # single cell: p90 = its count
     assert auto_rerank_depth([200], k=5) == 400
+    # skew cap (r12, VERDICT r11 ask #5): a mega-cell drives p90 toward
+    # n; the cap bounds the shortlist...
+    assert auto_rerank_depth([4500, 100, 100], k=5, depth_cap=500) == 500
+    # ...but never below the 4k floor...
+    assert auto_rerank_depth([4500, 100, 100], k=200, depth_cap=500) == 800
+    # ...and is inert when the auto rule is already under it
+    assert auto_rerank_depth([3] * 100, k=5, depth_cap=500) == 20
+    assert auto_rerank_depth([200], k=5, depth_cap=10_000) == 400
 
 
 def test_build_records_occupancy_and_add_refreshes_it(spark, qvecs, tmp_path):

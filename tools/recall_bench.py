@@ -213,9 +213,57 @@ def main() -> None:
             _recall(got, l2_truth), time.perf_counter() - t0,
         )
 
-    print(f"\n{'method':30s} {'recall@10':>9s} {'wall':>7s}")
+    # skew-adversarial auto depth (r12, VERDICT r11 ask #5): 90% of the
+    # corpus in ONE cluster drives the occupancy p90 toward n, so the
+    # uncapped auto rule (max(4k, 2*p90)) degenerates to exact search
+    # over the mega-cell -- perfect recall at brute-force cost.  The
+    # capped run bounds the shortlist; the recall it gives up is
+    # confined to queries whose true neighbors sit INSIDE the mega-cell
+    # (where the m-code cannot rank).  Both rows measured against the
+    # skewed corpus's own exact-L2 truth.
+    skew_cluster = F.when(F.col("id") % 10 != 0, F.lit(0)).otherwise(
+        (F.col("id") / 10).cast("long") % (N_CLUSTERS - 1) + 1
+    )
+    skew_corpus = (
+        spark.range(N_CORPUS)
+        .select(
+            F.col("id").alias("vec_id"),
+            _vec(skew_cluster, F.col("id")).alias("embedding"),
+        )
+        .localCheckpoint()
+    )
+    skew_corpus_q = skew_corpus.select(
+        "vec_id", quantized(F.col("embedding")).alias("q")
+    ).localCheckpoint()
+    # queries: half aimed at the mega-cluster, half at the tail clusters
+    skew_qcluster = F.when(F.col("id") % 2 == 0, F.lit(0)).otherwise(
+        F.col("id") % (N_CLUSTERS - 1) + 1
+    )
+    skew_queries_q = (
+        spark.range(N_QUERIES)
+        .select(
+            (F.col("id") + 1_000_000).alias("vec_id"),
+            _vec(skew_qcluster, F.col("id") + 7_777_777).alias("embedding"),
+        )
+        .select("vec_id", quantized(F.col("embedding")).alias("q"))
+        .localCheckpoint()
+    )
+    skew_truth = _pairs(exact_l2_topk(skew_queries_q, skew_corpus_q))
+    for cap in (None, 500):
+        t0 = time.perf_counter()
+        got = _pairs(
+            ivfpq_topk(
+                skew_queries_q, skew_corpus_q, dim=64, nprobe=4,
+                prefilter=None, k=K, auto_depth_cap=cap,
+            )
+        )
+        results[f"SKEW 90%-one-cell (cap={cap or 'off'})"] = (
+            _recall(got, skew_truth), time.perf_counter() - t0,
+        )
+
+    print(f"\n{'method':38s} {'recall@10':>9s} {'wall':>7s}")
     for name, (rec, wall) in results.items():
-        print(f"{name:30s} {rec:9.2f} {wall:6.1f}s")
+        print(f"{name:38s} {rec:9.2f} {wall:6.1f}s")
     spark.stop()
 
 

@@ -536,6 +536,16 @@ def x30_structural() -> None:
         # r11 debuts with the two highest 10x ratios join the 30x curve
         ("stats_psi_drift", REGISTRY["stats_psi_drift"][0]),
         ("search_ndcg_eval", REGISTRY["search_ndcg_eval"][0]),
+        # remaining r11 debuts (VERDICT r11 ask #6) + the r12 debuts:
+        # langid is linear in corpus trigrams, the image roundtrips are
+        # map-only over doc ids, stream PSI is a bounded-state streamed
+        # agg -- the curves make those claims measured, not asserted
+        ("text_langid_trigram", REGISTRY["text_langid_trigram"][0]),
+        ("text_langid_profile", REGISTRY["text_langid_profile"][0]),
+        ("text_rouge_bigram", REGISTRY["text_rouge_bigram"][0]),
+        ("mm_png_roundtrip_stats", REGISTRY["mm_png_roundtrip_stats"][0]),
+        ("mm_jpeg_roundtrip_stats", REGISTRY["mm_jpeg_roundtrip_stats"][0]),
+        ("stream_psi_drift", REGISTRY["stream_psi_drift"][0]),
     ]
     print("wall-clock curves (1x/10x/30x)")
     for name, fn in wall_rows:

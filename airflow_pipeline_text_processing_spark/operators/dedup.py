@@ -64,14 +64,26 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def word_shingles(text_col: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column."""
-    toks = tokens(text_col)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        )
-    )
+    """Distinct word n-gram shingles of a text column.
+
+    The token array is bound as a lambda VARIABLE (transform over a
+    one-element array) so it is computed once per row: referencing the
+    ``tokens(...)`` EXPRESSION directly inside the per-shingle lambda
+    made Catalyst re-tokenize the document once PER SHINGLE -- the same
+    trap fixed in ``lm.char_trigrams`` (r12; see repetition_signals'
+    docstring for the original 6x measurement of this inlining
+    behavior).  Identical output."""
+    return F.transform(
+        F.array(tokens(text_col)),
+        lambda toks: F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))
+                ),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            )
+        ),
+    )[0]
 
 
 def shingle_table(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:

@@ -776,13 +776,16 @@ def test_multimodal_real_decode_wav_and_ppm(spark):
     assert mr == _pytest.approx(1.0) and mg == 0.0
     assert mb == _pytest.approx(128 / 255)
 
-    # PNG decodes for real since r11: a well-signed but garbage PNG is
-    # now a malformed-input ValueError from the codec, while truly
-    # gated formats (JPEG) stay NotImplementedError
+    # PNG decodes for real since r11 and baseline JPEG since r12: a
+    # well-signed but garbage payload is now a malformed-input
+    # ValueError from the codec, while truly gated formats (WebP/...)
+    # stay NotImplementedError
     with _pytest.raises(ValueError):
         decode_media(b"\x89PNG\r\n\x1a\n....", "image", fake=False)
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(ValueError):
         decode_media(b"\xff\xd8\xff\xe0 jpeg soi", "image", fake=False)
+    with _pytest.raises(NotImplementedError):
+        decode_media(b"RIFX not-a-wave-or-image", "image", fake=False)
 
 
 def test_resample_audio_planted_tone_and_quarantine(spark):

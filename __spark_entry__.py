@@ -49,6 +49,21 @@ _ORDER = [
     # and the ordered-reassembly path itself still runs every round
     # inside the entry() flagship smoke + the pipeline pytest suite).
     "mm_jpeg_roundtrip_stats",
+    # -- NEW round 12 (third wave): Cohen's kappa of the marker-word
+    # lang heuristic vs reference labels (chance-corrected weak-labeler
+    # agreement, exact integer confusion/marginal arithmetic with the
+    # pmod+div floor device for the possibly-negative kappa) and the
+    # C4/RefinedWeb per-domain quality cap (keep best-10 per source on
+    # the shared quality_ppm projection).  Displaced:
+    # map_scalar_showcase and window_follow_stats (both driver-green
+    # r5; the scalar category keeps sql_correlated_above_avg's scalar
+    # surface in-window, and the window-function category keeps
+    # agg_rfm_segments' rank window, stats_kendall_daily's ordered
+    # windows, and the two new per-key rank windows themselves --
+    # domain_cap and kappa's grid -- in-window; both displaced queries
+    # stay on the full local gate).
+    "eval_cohen_kappa",
+    "curation_domain_cap",
     # -- NEW round 11: occupancy-sized auto rerank depth for IVF-PQ
     # (the r10 recall-footgun fix; SQL oracle recomputes the identical
     # p90 cut).  Displaced: dq_events_expectations (driver-green r5;

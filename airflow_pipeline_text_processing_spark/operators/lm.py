@@ -282,11 +282,25 @@ def nb_classify(
         F.count("*").alias("c_lt")
     )
     if top_k_features is not None:
+        # two-level exact top-k (the x30 curve caught the one-level
+        # form: a window partitioned only by label sorts the whole
+        # vocabulary with L-way parallelism -- 4.3x at 10x->30x).
+        # Level 1 ranks within (label, token-hash salt) -- 64-way
+        # parallel, each shard vocab/64-sized -- and keeps k per shard,
+        # which provably contains every global top-k member (rank <= k
+        # in the full per-label order implies rank <= k in any subset).
+        # Level 2 ranks the <= 64*k survivors per label exactly.
+        _salt = F.pmod(F.xxhash64("token"), F.lit(64))
+        w_shard = Window.partitionBy("label", _salt).orderBy(
+            F.col("c_lt").desc(), F.col("token").asc()
+        )
         w_prof = Window.partitionBy("label").orderBy(
             F.col("c_lt").desc(), F.col("token").asc()
         )
         profile_vocab = (
-            class_tok.withColumn("_prk", F.row_number().over(w_prof))
+            class_tok.withColumn("_srk", F.row_number().over(w_shard))
+            .filter(F.col("_srk") <= top_k_features)
+            .withColumn("_prk", F.row_number().over(w_prof))
             .filter(F.col("_prk") <= top_k_features)
             .select("token")
             .distinct()

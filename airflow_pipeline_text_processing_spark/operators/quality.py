@@ -120,3 +120,70 @@ def validate_expectations(
         )
         .orderBy("rule_name")
     )
+
+
+def cohen_kappa(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Cohen's kappa between two label columns, exact integer fixed
+    point -- the standard chance-corrected agreement metric for grading
+    a weak labeler (a heuristic classifier, a second annotator, a
+    distilled model) against reference labels before its output is
+    trusted to filter a training corpus.
+
+    kappa = (N * n_agree - S) / (N^2 - S) with
+    ``S = sum_k row_marginal(k) * col_marginal(k)`` -- the integer form
+    of (p_o - p_e) / (1 - p_e), so no intermediate float division.
+    Output is ONE row: ``(n_rows, n_agree, po_ppm, pe_ppm, kappa_ppm)``
+    with each ppm a BIGINT floor division, bit-identical on any engine.
+    Degenerate chance-agreement (N^2 == S, every pair in one class)
+    reports kappa_ppm = 0 on both engines rather than dividing by zero.
+
+    Scale shape: one hash aggregate to the (|A| x |B|)-sized confusion
+    relation (map-side combinable), then marginal products over that
+    grid -- the corpus shuffles only into label-pair cells, never
+    row-wise.
+    """
+    cm = (
+        df.groupBy(
+            F.col(col_a).alias("_a"), F.col(col_b).alias("_b")
+        )
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    totals = cm.agg(
+        F.sum("c").cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("_a") == F.col("_b"), F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("n_agree"),
+    )
+    row_m = cm.groupBy("_a").agg(F.sum("c").alias("rm"))
+    col_m = cm.groupBy("_b").agg(F.sum("c").alias("colm"))
+    s = (
+        row_m.join(col_m, row_m["_a"] == col_m["_b"])
+        .agg(
+            F.coalesce(F.sum(F.col("rm") * F.col("colm")), F.lit(0))
+            .cast("long")
+            .alias("s")
+        )
+    )
+    return (
+        totals.crossJoin(F.broadcast(s))
+        .select(
+            "n_rows",
+            "n_agree",
+            F.expr("(n_agree * 1000000) div n_rows").alias("po_ppm"),
+            F.expr("(s * 1000000) div (n_rows * n_rows)").alias("pe_ppm"),
+            # kappa can be NEGATIVE (worse-than-chance agreement), so the
+            # quotient uses the repo's exact FLOOR device (pmod + div --
+            # test_exact_division.py) to match DuckDB's flooring `//`;
+            # po/pe are non-negative, where plain div IS floor
+            F.expr(
+                "CASE WHEN n_rows * n_rows = s THEN CAST(0 AS BIGINT) "
+                "ELSE (((n_rows * n_agree - s) * 1000000) "
+                "  - pmod((n_rows * n_agree - s) * 1000000, "
+                "         n_rows * n_rows - s)) "
+                "div (n_rows * n_rows - s) END"
+            ).alias("kappa_ppm"),
+        )
+    )

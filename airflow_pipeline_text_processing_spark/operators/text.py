@@ -789,25 +789,28 @@ def bpe_train_merges(
     )
     merges = []
     for rank in range(1, k + 1):
-        s = F.split("w", " ")
+        # the symbol array is bound as a lambda VARIABLE so the split
+        # runs once per word row -- referencing the F.split expression
+        # inside the per-position lambda re-split the word once per
+        # symbol pair (the char_trigrams/word_shingles inlining trap,
+        # r12); identical output
+        sym_pairs = F.transform(
+            F.array(F.split("w", " ")),
+            lambda s: F.when(
+                F.size(s) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(s) - 1),
+                    lambda i: F.struct(
+                        F.element_at(s, i).alias("l"),
+                        F.element_at(s, i + 1).alias("r"),
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<l:string,r:string>>")
+            ),
+        )[0]
         pairs = (
-            cur.select(
-                "wcnt",
-                F.explode(
-                    F.when(
-                        F.size(s) >= 2,
-                        F.transform(
-                            F.sequence(F.lit(1), F.size(s) - 1),
-                            lambda i: F.struct(
-                                F.element_at(s, i).alias("l"),
-                                F.element_at(s, i + 1).alias("r"),
-                            ),
-                        ),
-                    ).otherwise(
-                        F.array().cast("array<struct<l:string,r:string>>")
-                    )
-                ).alias("p"),
-            )
+            cur.select("wcnt", F.explode(sym_pairs).alias("p"))
             .groupBy("p.l", "p.r")
             .agg(F.sum("wcnt").alias("cnt"))
         )
@@ -1104,14 +1107,18 @@ def rouge_n_overlap(
     precision_ppm, recall_ppm, f1_ppm)``, one row per input pair."""
 
     def grams(col):
-        t = tokens(F.col(col))
-        return F.when(
-            F.size(t) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(t) - (n - 1)),
-                lambda i: F.array_join(F.slice(t, i, n), " "),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+        # token array bound as a lambda variable: the inline form
+        # re-tokenized the text once per gram (r12 inlining trap)
+        return F.transform(
+            F.array(tokens(F.col(col))),
+            lambda t: F.when(
+                F.size(t) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                    lambda i: F.array_join(F.slice(t, i, n), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        )[0]
 
     def side_counts(col, cname):
         return (

@@ -291,3 +291,51 @@ def curate_incremental(
         )
         .filter(F.col("n_bpe_tokens") >= min_tokens)
     )
+
+
+def domain_cap(
+    docs: DataFrame,
+    per_source: int,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4/RefinedWeb-style per-domain cap: keep at most ``per_source``
+    documents per ``source_col``, chosen by quality -- the anti-
+    concentration rule real web-corpus curation applies so no single
+    domain (a crawler trap, a mirror farm, a boilerplate-heavy site)
+    dominates the training mix regardless of its raw volume.
+
+    Ranking is ``(quality_ppm DESC, doc_id ASC)`` with ``quality_ppm``
+    the shared integer projection of operators/text.py::quality_score
+    (the same tiebreak canonical_pick uses), so the kept set is
+    deterministic and bit-identical across engines.  Output: kept rows
+    ``(doc_id, source, quality_ppm, rk)``.
+
+    Scale shape: one corpus-wide quality projection (narrow, no
+    shuffle), one exchange on the domain key, one per-domain window.
+    At 100 TB the window's per-key sort is bounded by the hottest
+    domain's document count; for crawl-scale hot domains the same cut
+    runs as a two-pass rank (per-partition top-``per_source`` partial,
+    then the window over survivors <= partitions * per_source rows) --
+    the partial top-N is admissible because rank <= per_source in the
+    full order implies rank <= per_source within every subset.
+    """
+    from ..operators.text import quality_score
+
+    q = quality_score(docs, text_col).select(
+        "doc_id",
+        F.floor(F.col("quality") * F.lit(1_000_000.0))
+        .cast("long")
+        .alias("quality_ppm"),
+    )
+    w = Window.partitionBy(source_col).orderBy(
+        F.col("quality_ppm").desc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("doc_id", source_col)
+        .join(q, "doc_id")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= per_source)
+        .select("doc_id", source_col, "quality_ppm", "rk")
+        .orderBy("doc_id")
+    )

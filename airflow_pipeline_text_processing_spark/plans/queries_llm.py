@@ -1288,6 +1288,93 @@ FROM hits ORDER BY doc_id
 """
 
 
+def eval_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa of the marker-word language heuristic against the
+    corpus's reference ``lang`` labels (operators/quality.py::
+    cohen_kappa) -- the chance-corrected agreement a curation pipeline
+    checks BEFORE trusting a weak labeler to filter data: raw accuracy
+    flatters any classifier on a skewed label mix, kappa does not.
+    Exact integer fixed point end to end: confusion counts, marginal
+    products, and ppm floor divisions (the pmod+div floor device for
+    the possibly-negative kappa).  One (|A| x |B|)-grid aggregate --
+    the corpus shuffles only into label-pair cells."""
+    from ..operators.quality import cohen_kappa
+
+    labeled = T.lang_id(_tspread(spark, sf_dir, "documents"))
+    return cohen_kappa(labeled, "labeled_lang", "predicted_lang")
+
+
+KAPPA_SQL = f"""
+WITH lang AS ({LANG_SQL.replace("ORDER BY doc_id", "")}),
+cm AS (
+  SELECT labeled_lang AS a, predicted_lang AS b,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM lang GROUP BY 1, 2
+),
+tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS n_agree
+  FROM cm
+),
+rm AS (SELECT a, CAST(SUM(c) AS BIGINT) AS rmv FROM cm GROUP BY 1),
+colm AS (SELECT b, CAST(SUM(c) AS BIGINT) AS cmv FROM cm GROUP BY 1),
+sx AS (
+  SELECT CAST(COALESCE(SUM(rmv * cmv), 0) AS BIGINT) AS s
+  FROM rm JOIN colm ON rm.a = colm.b
+)
+SELECT n_rows, n_agree,
+       CAST((n_agree * 1000000) // n_rows AS BIGINT) AS po_ppm,
+       CAST((s * 1000000) // (n_rows * n_rows) AS BIGINT) AS pe_ppm,
+       -- kappa can be negative: DuckDB's integer // truncates toward
+       -- zero, so the FLOOR device from test_exact_division.py is
+       -- mandatory here (the Spark side uses the matching pmod+div)
+       CAST(CASE WHEN n_rows * n_rows = s THEN 0
+            ELSE (((n_rows * n_agree - s) * 1000000)
+                  - ((((n_rows * n_agree - s) * 1000000)
+                      % (n_rows * n_rows - s))
+                     + (n_rows * n_rows - s)) % (n_rows * n_rows - s))
+                 // (n_rows * n_rows - s) END AS BIGINT) AS kappa_ppm
+FROM tot CROSS JOIN sx
+"""
+
+
+_DOMAIN_CAP_N = 10
+
+
+def curation_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style per-domain cap (plans/curation.py::
+    domain_cap): keep the best {n} documents per ``source`` by the
+    shared integer quality projection, (quality_ppm DESC, doc_id ASC)
+    tiebreak -- the anti-concentration rule that stops any one domain
+    from dominating the mix.  One exchange on the domain key + one
+    per-domain window; the oracle replays the projection and the rank
+    bit-for-bit.""".format(n=_DOMAIN_CAP_N)
+    from .curation import domain_cap
+
+    return domain_cap(
+        _tspread(spark, sf_dir, "documents"), per_source=_DOMAIN_CAP_N
+    )
+
+
+DOMAIN_CAP_SQL = f"""
+WITH q AS (
+  SELECT doc_id,
+         CAST(FLOOR(quality * 1000000.0) AS BIGINT) AS quality_ppm
+  FROM ({QUALITY_SQL})
+),
+ranked AS (
+  SELECT d.doc_id, d.source, q.quality_ppm,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY d.source
+           ORDER BY q.quality_ppm DESC, d.doc_id ASC) AS BIGINT) AS rk
+  FROM documents d JOIN q USING (doc_id)
+)
+SELECT doc_id, source, quality_ppm, rk
+FROM ranked WHERE rk <= {_DOMAIN_CAP_N}
+ORDER BY doc_id
+"""
+
+
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.fingerprint(_tspread(spark, sf_dir, "documents")).orderBy("doc_id")
 
@@ -3758,6 +3845,8 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "text_bpe_encode": (text_bpe_encode, _bpe_encode_sql()),
     "text_bpe_compression": (text_bpe_compression, _bpe_compression_sql()),
     "text_lang_id": (text_lang_id, LANG_SQL),
+    "eval_cohen_kappa": (eval_cohen_kappa, KAPPA_SQL),
+    "curation_domain_cap": (curation_domain_cap, DOMAIN_CAP_SQL),
     "text_fingerprint": (text_fingerprint, FINGERPRINT_SQL),
     "text_lm_surprisal": (text_lm_surprisal, _lm_surprisal_sql()),
     "text_lm_bigram": (text_lm_bigram, _lm_bigram_sql()),

@@ -180,6 +180,9 @@ BENCH_QUERIES = [
     # JPEG roundtrip through the from-scratch codec
     "text_langid_profile",
     "mm_jpeg_roundtrip_stats",
+    # round-12 third wave: weak-labeler agreement + per-domain cap
+    "eval_cohen_kappa",
+    "curation_domain_cap",
 ]
 
 

@@ -286,6 +286,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         elif marker == 0xC4:  # DHT
             off = 0
             while off < len(seg):
+                if off + 17 > len(seg):
+                    raise ValueError("truncated DHT")
                 tc, th = seg[off] >> 4, seg[off] & 0x0F
                 bits = list(seg[off + 1 : off + 17])
                 cnt = sum(bits)
@@ -295,6 +297,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 htables[(tc, th)] = _build_decode_table(bits, vals)
                 off += 17 + cnt
         elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. seq.
+            # explicit short-segment checks: a truncated header must be
+            # the documented ValueError, not IndexError/struct.error
+            # (the png.py CRC lesson, r12 ADVICE)
+            if len(seg) < 6 or len(seg) < 6 + 3 * seg[5]:
+                raise ValueError("truncated JPEG SOF segment")
             prec, h, w, ncomp = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG")
@@ -311,6 +318,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError("non-baseline JPEG frame type")
         elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise ValueError("truncated DRI segment")
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS: entropy data follows the header
             if frame is None:
@@ -323,6 +332,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 
 
 def _decode_scan(payload, pos, seg, frame, qtables, htables, restart_interval):
+    if len(seg) < 1 or len(seg) < 1 + 2 * seg[0] + 3:
+        raise ValueError("truncated JPEG SOS segment")
     ns = seg[0]
     scan_comps = []
     for i in range(ns):

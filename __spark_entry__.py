@@ -64,6 +64,21 @@ _ORDER = [
     # stay on the full local gate).
     "eval_cohen_kappa",
     "curation_domain_cap",
+    # -- NEW round 12 (fourth wave): near-dup-leakage-safe holdout
+    # split (hash-split by duplicate CLUSTER, composing jaccard pairs +
+    # connected components + the md5-threshold rule -- no cluster
+    # straddles train/test by construction; the oracle replays the
+    # transitive closure and the thresholds) and the per-source
+    # token-budget greedy fill ("N tokens per domain, best first" on
+    # the shared quality projection, rank + running sum in one ordered
+    # window).  Displaced: graph_clustering_coeff (r10 driver-green;
+    # graph keeps triangle_count / kcore / link_predict in-window) and
+    # stats_theil_sen (r10 driver-green; stats keeps kendall / anova /
+    # psi_drift in-window) -- rotated out instead of the TPC-H
+    # carried verifiers q5_nation_volume / sql_correlated_above_avg,
+    # which stay at the window tail.
+    "curation_leakage_split",
+    "curation_token_budget",
     # -- NEW round 11: occupancy-sized auto rerank depth for IVF-PQ
     # (the r10 recall-footgun fix; SQL oracle recomputes the identical
     # p90 cut).  Displaced: dq_events_expectations (driver-green r5;
@@ -148,7 +163,6 @@ _ORDER = [
     # in-window siblings stats_ks_two_sample / stats_source_kl)
     "sim_range_search",
     "graph_kcore",
-    "graph_clustering_coeff",
     "text_chi2_tokens",
     # -- NEW round 10 (second wave): directed shingle-containment dedup,
     # quality-canonical survivor pick per near-dup cluster, MMR
@@ -212,7 +226,6 @@ _ORDER = [
     # Kendall).  Displaced: dedup_semantic_clusters (r9 driver-green;
     # dedup keeps sorted_neighborhood / containment / canonical_pick /
     # winnow_overlap in-window).
-    "stats_theil_sen",
     # -- NEW round 10 (tenth wave): pointer-doubling hierarchy depth
     # (the recursive-CTE capability, O(log d) self-joins) and RFM
     # quintile segmentation (two-level-rank quintile cuts).
@@ -278,6 +291,15 @@ _ORDER = [
     # displaced dq_events_expectations (~ dq_benford_totals);
     # mm_png_roundtrip_stats displaced merge_upsert_part
     # (~ sim_ivfpq_persisted's manifest MERGE).
+    # Rotated below the boundary for the round-12 fourth wave (both
+    # r10/r11 driver-green, fingerprints unchanged): graph_clustering_coeff
+    # (~ graph_triangle_count / graph_kcore / graph_link_predict) and
+    # stats_theil_sen (~ stats_kendall_daily / stats_anova_f /
+    # stats_psi_drift) -- rotated instead of q5_nation_volume /
+    # sql_correlated_above_avg so the TPC-H scan/join/agg category
+    # keeps its in-window verifiers.
+    "graph_clustering_coeff",
+    "stats_theil_sen",
     "dq_events_expectations",
     "merge_upsert_part",
     "stats_spearman_daily",

@@ -339,3 +339,109 @@ def domain_cap(
         .select("doc_id", source_col, "quality_ppm", "rk")
         .orderBy("doc_id")
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    fractions=None,
+) -> DataFrame:
+    """Near-dup-leakage-safe holdout assignment: hash-split by duplicate
+    CLUSTER, not by document.  Plain per-doc splits leak -- two near-
+    duplicate documents can land in train and test, and the eval then
+    scores memorization as generalization (the published failure mode
+    exact/near dedup guards against).  Composing the engine's own
+    pieces: ``pairs`` (any near-dup edge list) -> connected components
+    -> every member of a cluster gets the SPLIT OF ITS CLUSTER ID via
+    the same md5-threshold rule as operators/sampling.py::hash_split,
+    so whole clusters move together and singletons reduce exactly to
+    the per-doc split.
+
+    Output: ``(doc_id, cluster_id, n_members, split)``.  By
+    construction no cluster straddles splits -- the property is
+    structural (split is a pure function of cluster_id), not sampled.
+    Scale shape: CC's star-contraction rounds + one hash-agg for sizes
+    + a narrow md5 projection; nothing new shuffles."""
+    from ..operators.dedup import connected_components
+    from ..operators.sampling import hash_split
+
+    cc = connected_components(pairs)
+    membership = (
+        docs.select("doc_id")
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    sizes = membership.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members")
+    )
+    return (
+        hash_split(
+            membership.join(sizes, "cluster_id"),
+            F.col("cluster_id"),
+            fractions,
+        )
+        .select("doc_id", "cluster_id", "n_members", "split")
+        .orderBy("doc_id")
+    )
+
+
+def token_budget_select(
+    docs: DataFrame,
+    budget_per_source: int,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy per-source token-budget fill: rank each source's documents
+    by the shared quality projection and keep documents until the
+    source's token budget is reached -- the data-mixing step that turns
+    "give me N tokens per domain, best first" into a deterministic
+    document set.  A document is kept iff the budget was not yet
+    exhausted when its turn came (``cum_tokens - n_tokens <
+    budget``), so the last kept document may overflow the budget --
+    the standard greedy-fill convention, which keeps membership a pure
+    function of the ranked prefix (dropping it instead would make the
+    set depend on a tail document's size).
+
+    Output: kept rows ``(doc_id, source, n_tokens, quality_ppm, rk,
+    cum_tokens)``.  Scale shape: one narrow quality+token projection,
+    one exchange on the source key, one per-source ordered window for
+    rank and running sum.  Hot domains bound the window sort exactly as
+    in :func:`domain_cap` (and the same two-pass partial-rank rewrite
+    applies when a budget implies a rank bound)."""
+    from ..operators.text import quality_score, tokens
+
+    q = quality_score(docs, text_col).select(
+        "doc_id",
+        F.floor(F.col("quality") * F.lit(1_000_000.0))
+        .cast("long")
+        .alias("quality_ppm"),
+    )
+    base = docs.select(
+        "doc_id",
+        source_col,
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+    ).join(q, "doc_id")
+    w = Window.partitionBy(source_col).orderBy(
+        F.col("quality_ppm").desc(), F.col("doc_id").asc()
+    )
+    ranked = base.select(
+        "*",
+        F.row_number().over(w).cast("long").alias("rk"),
+        F.sum("n_tokens")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cum_tokens"),
+    )
+    return (
+        ranked.filter(
+            F.col("cum_tokens") - F.col("n_tokens") < budget_per_source
+        )
+        .select(
+            "doc_id", source_col, "n_tokens", "quality_ppm", "rk",
+            "cum_tokens",
+        )
+        .orderBy("doc_id")
+    )

@@ -3625,6 +3625,109 @@ ORDER BY m.doc_id
 """
 
 
+def curation_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-leakage-safe holdout split (plans/curation.py::
+    leakage_safe_split): Jaccard pairs over the planted twin corpus ->
+    connected components -> every cluster member gets the md5-threshold
+    split OF ITS CLUSTER ID, so a document and its 80%-prefix twin can
+    never land on opposite sides of a train/test boundary -- the
+    leakage mode plain per-doc splits have and dedup papers warn about.
+    The oracle replays the transitive closure (recursive CTE) and the
+    identical md5 thresholds; no cluster straddles splits by
+    construction on either engine."""
+    from .curation import leakage_safe_split
+
+    docs = _planted_docs(spark, sf_dir).localCheckpoint(eager=False)
+    pairs = D.jaccard_pairs(docs, threshold=0.6).select("doc_a", "doc_b")
+    return leakage_safe_split(docs, pairs)
+
+
+def _leakage_split_sql() -> str:
+    from ..operators.sampling import rate_threshold
+
+    t80, t90 = rate_threshold(0.8), rate_threshold(0.9)
+    return f"""
+WITH RECURSIVE corpus AS ({_planted_sql()}),
+{SHINGLES_CTE},
+pairs AS (SELECT doc_a, doc_b FROM jaccards WHERE jaccard >= 0.6),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(src, dst) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+cc AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+membership AS (
+  SELECT c.doc_id, COALESCE(cc.cluster_id, c.doc_id) AS cluster_id
+  FROM corpus c LEFT JOIN cc ON cc.doc_id = c.doc_id
+),
+csizes AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+  FROM membership GROUP BY 1
+)
+SELECT m.doc_id, m.cluster_id, s.n_members,
+       CASE WHEN md5(CAST(m.cluster_id AS VARCHAR)) < '{t80}' THEN 'train'
+            WHEN md5(CAST(m.cluster_id AS VARCHAR)) < '{t90}' THEN 'val'
+            ELSE 'test' END AS split
+FROM membership m JOIN csizes s USING (cluster_id)
+ORDER BY m.doc_id
+"""
+
+
+_TOKEN_BUDGET = 600  # per source; sources carry ~1300-1550 tokens at sf0.01
+
+
+def curation_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget fill (plans/curation.py::
+    token_budget_select): each source's documents ranked by the shared
+    quality projection, kept greedily until the source's token budget
+    is exhausted -- the "N tokens per domain, best first" data-mixing
+    primitive.  One exchange on the source key, one per-source ordered
+    window computing rank and running token sum together; the oracle
+    replays the projection, the rank, the running sum, and the
+    greedy-fill cutoff bit-for-bit."""
+    from .curation import token_budget_select
+
+    return token_budget_select(
+        _tspread(spark, sf_dir, "documents"),
+        budget_per_source=_TOKEN_BUDGET,
+    )
+
+
+def _token_budget_sql() -> str:
+    return f"""
+WITH q AS (
+  SELECT doc_id,
+         CAST(FLOOR(quality * 1000000.0) AS BIGINT) AS quality_ppm
+  FROM ({QUALITY_SQL})
+),
+base AS (
+  SELECT d.doc_id, d.source,
+         CAST(len({TOKS_SQL}) AS BIGINT) AS n_tokens, q.quality_ppm
+  FROM documents d JOIN q USING (doc_id)
+),
+ranked AS (
+  SELECT *,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY quality_ppm DESC, doc_id) AS BIGINT) AS rk,
+         CAST(SUM(n_tokens) OVER (
+           PARTITION BY source
+           ORDER BY quality_ppm DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum_tokens
+  FROM base
+)
+SELECT doc_id, source, n_tokens, quality_ppm, rk, cum_tokens
+FROM ranked WHERE cum_tokens - n_tokens < {_TOKEN_BUDGET}
+ORDER BY doc_id
+"""
+
+
 _BP_FOOTER = "all rights reserved - example corp"
 _BP_NEWSLETTER = "subscribe to our newsletter"
 
@@ -3847,6 +3950,8 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "text_lang_id": (text_lang_id, LANG_SQL),
     "eval_cohen_kappa": (eval_cohen_kappa, KAPPA_SQL),
     "curation_domain_cap": (curation_domain_cap, DOMAIN_CAP_SQL),
+    "curation_leakage_split": (curation_leakage_split, _leakage_split_sql()),
+    "curation_token_budget": (curation_token_budget, _token_budget_sql()),
     "text_fingerprint": (text_fingerprint, FINGERPRINT_SQL),
     "text_lm_surprisal": (text_lm_surprisal, _lm_surprisal_sql()),
     "text_lm_bigram": (text_lm_bigram, _lm_bigram_sql()),

@@ -183,6 +183,9 @@ BENCH_QUERIES = [
     # round-12 third wave: weak-labeler agreement + per-domain cap
     "eval_cohen_kappa",
     "curation_domain_cap",
+    # round-12 fourth wave: leakage-safe split + token-budget fill
+    "curation_leakage_split",
+    "curation_token_budget",
 ]
 
 

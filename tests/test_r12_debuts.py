@@ -100,3 +100,72 @@ def test_domain_cap_sources_smaller_than_cap_survive_whole(spark):
     out = domain_cap(docs, per_source=10).collect()
     assert {r.doc_id for r in out} == {1, 2}
     assert {r.rk for r in out} == {1, 2}
+
+
+def test_leakage_safe_split_clusters_never_straddle(spark):
+    from airflow_pipeline_text_processing_spark.plans.curation import (
+        leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "t%d" % i) for i in range(40)], "doc_id long, text string"
+    )
+    # chain 0-1-2 one cluster; 10-11 another; rest singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "doc_a long, doc_b long"
+    )
+    out = leakage_safe_split(docs, pairs).collect()
+    assert len(out) == 40
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    # the structural property: one split per cluster
+    assert all(len(s) == 1 for s in by_cluster.values())
+    rows = {r.doc_id: r for r in out}
+    assert rows[0].cluster_id == rows[1].cluster_id == rows[2].cluster_id == 0
+    assert rows[0].n_members == 3
+    assert rows[10].split == rows[11].split
+    # singleton reduces exactly to the per-doc hash_split
+    from airflow_pipeline_text_processing_spark.operators.sampling import (
+        hash_split,
+    )
+    import pyspark.sql.functions as F
+
+    solo = {
+        r.doc_id: r.split
+        for r in hash_split(docs, F.col("doc_id")).collect()
+    }
+    for d in range(3, 10):
+        assert rows[d].split == solo[d]
+
+
+def test_token_budget_greedy_fill_semantics(spark):
+    from airflow_pipeline_text_processing_spark.plans.curation import (
+        token_budget_select,
+    )
+
+    # source 'a': three docs of ~10/20/30 tokens with quality ordered by
+    # construction (more stopwords -> higher quality score here)
+    rows = [
+        (1, "the a and of to in is for on with", "a"),       # 10 toks, high q
+        (2, "word " * 20, "a"),                               # 20 toks
+        (3, "zz " * 30, "a"),                                 # 30 toks
+        (10, "the a and of to", "b"),                         # 5 toks
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.doc_id: r for r in token_budget_select(docs, 25).collect()}
+    # source a: doc 1 (10 toks, cum 10 < 25 start 0) kept; next by rank
+    # fills until the budget line; the doc that STARTS past 25 is cut
+    kept_a = [d for d in out.values() if d.source == "a"]
+    cum = 0
+    for r in sorted(kept_a, key=lambda r: r.rk):
+        assert cum < 25  # it started before the budget was exhausted
+        cum += r.n_tokens
+        assert r.cum_tokens == cum
+    # source b fits entirely
+    assert out[10].cum_tokens == 5 and out[10].rk == 1
+    # determinism: rerun is identical
+    again = {r.doc_id: r for r in token_budget_select(docs, 25).collect()}
+    assert {d: (r.rk, r.cum_tokens) for d, r in out.items()} == {
+        d: (r.rk, r.cum_tokens) for d, r in again.items()
+    }

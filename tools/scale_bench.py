@@ -546,6 +546,14 @@ def x30_structural() -> None:
         ("mm_png_roundtrip_stats", REGISTRY["mm_png_roundtrip_stats"][0]),
         ("mm_jpeg_roundtrip_stats", REGISTRY["mm_jpeg_roundtrip_stats"][0]),
         ("stream_psi_drift", REGISTRY["stream_psi_drift"][0]),
+        # r12 third/fourth-wave debuts: kappa is a grid aggregate,
+        # domain_cap / token_budget are one per-source window each,
+        # leakage_split is CC + a narrow projection -- all claimed
+        # linear; the curves make that measured
+        ("eval_cohen_kappa", REGISTRY["eval_cohen_kappa"][0]),
+        ("curation_domain_cap", REGISTRY["curation_domain_cap"][0]),
+        ("curation_token_budget", REGISTRY["curation_token_budget"][0]),
+        ("curation_leakage_split", REGISTRY["curation_leakage_split"][0]),
     ]
     print("wall-clock curves (1x/10x/30x)")
     for name, fn in wall_rows:

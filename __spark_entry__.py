@@ -31,7 +31,7 @@ _ORDER = [
     # ============== DRIVER WINDOW (first 50 -- graded this round) =========
     # -- NEW round 12: profile-capped Cavnar-Trenkle language ID --
     # nb_classify(top_k_features=300): per-class top-k trigram rank
-    # (grid-sized window, no global sort), union profile, scoring
+    # (salted two-level exact rank, grid-sized), union profile, scoring
     # restricted to in-profile trigrams; the oracle replays the rank
     # and the reduced grid bit-for-bit.  Displaced:
     # stream_stream_join_pairs (driver-green r5; streaming keeps

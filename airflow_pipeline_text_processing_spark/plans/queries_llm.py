@@ -1794,9 +1794,10 @@ def text_langid_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     out-of-profile trigrams -- Cavnar & Trenkle's actual formulation,
     which classifies on the head of the trigram distribution.  The
     scored stream shrinks from corpus-sized to profile-hits-only while
-    the rank itself is grid work (window over the (vocab x L) count
-    relation, partitioned by label -- no global sort, nothing
-    corpus-sized).  The uncapped path stays registered next door; the
+    the rank itself is grid work (a salted two-level exact top-k over
+    the (vocab x L) count relation -- the x30 curve caught the
+    one-level form sorting the vocabulary at L-way parallelism).  The
+    uncapped path stays registered next door; the
     oracle replays the per-class rank, the union profile, and the
     reduced-grid scoring bit-for-bit."""
     return L.nb_classify(

@@ -291,27 +291,44 @@ def main() -> None:
             spark = _fresh_session(spark)
             session_born = time.monotonic()
         fn, _oracle = REGISTRY[name]
-        # One UNTIMED warm execution per query (added r9): a first-ever run
-        # pays JIT/codegen-cache/classloading costs that best-of-2 does not
-        # filter -- r8's debut sample_weighted_orders posted 2.04 s cold vs
-        # ~0.7 s steady (adjudicated in VERDICT r8).  Warming every query
-        # makes the reported number the steady state, which is the honest
-        # at-scale quantity; methodology change recorded in PROFILE_r09.
-        fn(spark, SF_DIR).collect()
-        # Level the GC debt before the timed runs (r11, untimed): without
-        # this a query pays for however much garbage its NEIGHBORS left,
-        # which is the position-dependence the recycle protocol removes.
-        spark.sparkContext._jvm.System.gc()
         load1 = os.getloadavg()[0]
         loads.append(load1)
-        runs: list[float] = []
-        # two fresh-lineage runs, keep the best: filters out CPU-neighbor
-        # noise without letting Spark reuse the first run's shuffle output
-        for _ in range(2):
-            t0 = time.perf_counter()
-            df = fn(spark, SF_DIR)
-            df.collect()
-            runs.append(round(time.perf_counter() - t0, 3))
+        try:
+            # One UNTIMED warm execution per query (added r9): a
+            # first-ever run pays JIT/codegen-cache/classloading costs
+            # that best-of-2 does not filter -- r8's debut
+            # sample_weighted_orders posted 2.04 s cold vs ~0.7 s steady
+            # (adjudicated in VERDICT r8).  Warming every query makes
+            # the reported number the steady state, which is the honest
+            # at-scale quantity; methodology change in PROFILE_r09.
+            fn(spark, SF_DIR).collect()
+            # Level the GC debt before the timed runs (r11, untimed):
+            # without this a query pays for however much garbage its
+            # NEIGHBORS left, which is the position-dependence the
+            # recycle protocol removes.
+            spark.sparkContext._jvm.System.gc()
+            runs: list[float] = []
+            # two fresh-lineage runs, keep the best: filters CPU-neighbor
+            # noise without letting Spark reuse the first run's shuffles
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df = fn(spark, SF_DIR)
+                df.collect()
+                runs.append(round(time.perf_counter() - t0, 3))
+        except Exception as exc:  # noqa: BLE001 -- record, keep benching
+            # One broken query must not cost the round EVERY number
+            # (r12): record the failure, keep the rest of the table, and
+            # exit nonzero at the end so the driver still sees a FAIL.
+            # The session may be poisoned (cancelled jobs, leaked temp
+            # views) -- recycle it before the next query.
+            context[name] = {
+                "error": f"{type(exc).__name__}: {exc}"[:300],
+                "load1_before": round(load1, 2),
+                "position": i,
+            }
+            spark = _fresh_session(spark)
+            session_born = time.monotonic()
+            continue
         timings[name] = min(runs)
         context[name] = {
             "runs": runs,
@@ -361,6 +378,9 @@ def main() -> None:
     # rounds 6-7 (BENCH_r0{6,7}.json "parsed: null").  Emit a final compact
     # summary line so the last 2000 chars always contain complete JSON --
     # including the load envelope that makes the total self-adjudicating.
+    failed = sorted(
+        name for name, row in context.items() if "error" in row
+    )
     print(
         json.dumps(
             {
@@ -370,9 +390,12 @@ def main() -> None:
                 "n_queries": len(timings),
                 "sf": sf_val,
                 "load_env": load_env,
+                **({"failed_queries": failed} if failed else {}),
             }
         )
     )
+    if failed:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

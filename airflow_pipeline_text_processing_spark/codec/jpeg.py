@@ -32,9 +32,10 @@ a DC-only block is exactly constant again.  The graded query
 (``mm_jpeg_roundtrip_stats``) uses that construction, which puts the
 marker layer, both Huffman table classes, the DC prediction chain, the
 bit-unstuffer, dequantization and the IDCT's DC path on the driver-
-graded path; the AC coefficients, color transform and subsampling are
-certified in pytest against an independent naive double-sum IDCT and
-PSNR roundtrip bounds (tests/test_jpeg_codec.py).
+graded path; the AC coefficients, color transform and the 4:2:0
+subsampled-MCU/upsampling path are certified in pytest against an
+independent naive double-sum IDCT, PSNR roundtrip bounds, and a real
+4:2:0 stream from the encoder's 420 mode (tests/test_jpeg_codec.py).
 
 Reference parity: the reference pipeline has no image path at all
 (SURVEY.md S2 -- its scope is text -> DNA); this codec belongs to the
@@ -521,16 +522,23 @@ def encode_jpeg(
     img: np.ndarray,
     quality: int = 90,
     quant_tables: tuple[np.ndarray, np.ndarray] | None = None,
+    subsampling: str = "444",
 ) -> bytes:
-    """Encode ``(h, w, 1|3)`` uint8 as baseline JFIF (4:4:4, Annex K
-    Huffman tables).  ``quant_tables=(luma, chroma)`` overrides the
-    quality curve -- pass all-ones tables for the exact-roundtrip
-    construction the graded query uses (see module docstring)."""
+    """Encode ``(h, w, 1|3)`` uint8 as baseline JFIF (Annex K Huffman
+    tables).  ``quant_tables=(luma, chroma)`` overrides the quality
+    curve -- pass all-ones tables for the exact-roundtrip construction
+    the graded query uses (see module docstring).  ``subsampling``:
+    "444" (default) or "420" (2x2 luma + box-averaged chroma per MCU --
+    the layout photographic JPEGs in the wild use; exists chiefly so
+    the DECODER's subsampled-MCU/upsampling path is certified by a real
+    roundtrip in pytest, not just claimed)."""
     img = np.asarray(img)
     if img.ndim != 3 or img.shape[2] not in (1, 3):
         raise ValueError("img must be (h, w, 1|3)")
     if img.dtype != np.uint8:
         raise ValueError("img must be uint8")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
     h, w, nch = img.shape
     if h == 0 or w == 0:
         raise ValueError("zero-dimension image")
@@ -555,19 +563,32 @@ def encode_jpeg(
     else:
         planes = [img[:, :, 0].astype(np.float64) - 128.0]
 
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    padded = []
-    for p in planes:
+    sub420 = subsampling == "420" and nch == 3
+    # pad to the MCU grid: 16 px for the 4:2:0 luma grid, 8 otherwise
+    grid = 16 if sub420 else 8
+    ph, pw = -(-h // grid) * grid, -(-w // grid) * grid
+
+    def _pad(p):
         q = np.empty((ph, pw), dtype=np.float64)
         q[:h, :w] = p
         q[:h, w:] = p[:, w - 1 : w]  # edge-replicate padding
         q[h:, :] = q[h - 1 : h, :]
-        padded.append(q)
+        return q
+
+    padded = [_pad(p) for p in planes]
+    if sub420:
+        # box-average 2x2 chroma downsample on the PADDED planes, so
+        # every chroma block maps to a full 16x16 luma MCU
+        padded[1:] = [
+            p.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            for p in padded[1:]
+        ]
 
     out = bytearray(JPEG_SOI)
     out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += _dqt_seg(0, ql)
-    comps = [(1, 0x11, 0)]
+    luma_hv = 0x22 if sub420 else 0x11
+    comps = [(1, luma_hv, 0)]
     if nch == 3:
         out += _dqt_seg(1, qc)
         comps += [(2, 0x11, 1), (3, 0x11, 1)]
@@ -592,16 +613,25 @@ def encode_jpeg(
     ac_c = _build_encode_table(AC_CHROMA_BITS, AC_CHROMA_VALS)
     bw = _BitWriter()
     preds = [0] * nch
-    for my in range(ph // 8):
-        for mx in range(pw // 8):
+    # per-component blocks-per-MCU: the interleave order inside an MCU
+    # is component-major, raster within the component's h x v block
+    # grid -- exactly the order _decode_scan consumes
+    hv = [(2, 2), (1, 1), (1, 1)] if sub420 else [(1, 1)] * nch
+    for my in range(ph // grid):
+        for mx in range(pw // grid):
             for ci in range(nch):
                 q = ql if ci == 0 else qc
                 dct_t = dc_l if ci == 0 else dc_c
                 act_t = ac_l if ci == 0 else ac_c
-                block = padded[ci][
-                    my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8
-                ]
-                preds[ci] = _encode_block(bw, block, q, dct_t, act_t, preds[ci])
+                ch, cv = hv[ci]
+                for by in range(cv):
+                    for bx in range(ch):
+                        y0 = (my * cv + by) * 8
+                        x0 = (mx * ch + bx) * 8
+                        block = padded[ci][y0 : y0 + 8, x0 : x0 + 8]
+                        preds[ci] = _encode_block(
+                            bw, block, q, dct_t, act_t, preds[ci]
+                        )
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"

@@ -126,6 +126,40 @@ def test_smooth_gradient_high_psnr():
     assert psnr > 35.0, psnr
 
 
+def test_420_subsampled_decode_path():
+    """The decoder's 2x2-sampled-MCU + chroma-upsampling path, certified
+    by a REAL 4:2:0 stream (the encoder's 420 mode exists for this):
+    a solid-grey image has constant Y and zero chroma, so even the
+    box-downsample is lossless and the decode is analytically exact;
+    a smooth gradient must come back within chroma-subsampling loss."""
+    img = np.full((16, 16, 3), 180, dtype=np.uint8)
+    payload = encode_jpeg(img, quant_tables=ONES, subsampling="420")
+    # the stream really is subsampled: SOF lists luma h=v=2 (0x22)
+    sof_at = payload.index(b"\xff\xc0")
+    # marker(2) + len(2) + precision(1) + h(2) + w(2) + ncomp(1) +
+    # cid(1) -> the luma h/v byte sits at offset 11
+    assert payload[sof_at + 11] == 0x22
+    dec = decode_jpeg(payload)
+    assert dec.shape == (16, 16, 3)
+    assert np.array_equal(dec, img)
+    # gradient + odd size (exercises the 16-px MCU padding + crop)
+    y, x = np.mgrid[0:21, 0:19]
+    grad = np.stack(
+        [(x * 5) % 256, (y * 7) % 256, ((x + y) * 3) % 256], axis=-1
+    ).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(grad, quality=95, subsampling="420"))
+    assert dec.shape == grad.shape
+    mse = np.mean((dec.astype(np.float64) - grad.astype(np.float64)) ** 2)
+    psnr = 10 * np.log10(255.0**2 / max(mse, 1e-12))
+    assert psnr > 25.0, psnr  # chroma is half-res by design
+    # luma specifically survives almost unharmed at q95
+    luma = lambda a: (
+        0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+    )
+    lmse = np.mean((luma(dec.astype(np.float64)) - luma(grad)) ** 2)
+    assert 10 * np.log10(255.0**2 / max(lmse, 1e-12)) > 30.0
+
+
 def test_byte_stuffing_on_ff_heavy_stream():
     """An image tuned to emit 0xFF bytes in the entropy stream must
     still roundtrip (stuffing/unstuffing path)."""

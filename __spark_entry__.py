@@ -29,6 +29,26 @@ _MERGED = {**_CORE, **_LLM, **_EXT, **_SCALE}
 # fully declared: the local gate (tools/check_oracle.py) checks all of them.
 _ORDER = [
     # ============== DRIVER WINDOW (first 50 -- graded this round) =========
+    # -- NEW round 12 (fifth wave): macro-averaged per-class P/R/F1 of
+    # the weak lang labeler (the which-class-is-wrong companion to
+    # eval_cohen_kappa), smoothed BLEU-2 with brevity penalty in the
+    # exact Q8 log2 space (the precision complement to ROUGE), per-doc
+    # lexical diversity (TTR / hapax / Herdan's C on the shared
+    # kernel), and rank-autocorrelation of the daily revenue series at
+    # lags 1-3 (the seasonality dial next to the trend tests).
+    # Displaced (each driver-green with in-window category siblings):
+    # text_nb_classify (r11-green; the NB-kernel family keeps
+    # text_langid_trigram / text_langid_profile in-window),
+    # stats_source_kl (r11-green; stats keeps stats_psi_drift -- the
+    # same bucket-grid + fixed-point scoring scaffolding -- plus
+    # kendall / anova / acf in-window), events_path_ngrams (r10-green;
+    # events keeps markov_transitions / changepoint in-window), and
+    # curation_shuffle_shards (r10-green; curation keeps lm_filtered /
+    # domain_cap / token_budget / leakage_split in-window).
+    "eval_f1_macro",
+    "text_bleu_bigram",
+    "text_lexical_diversity",
+    "stats_acf_daily",
     # -- NEW round 12: profile-capped Cavnar-Trenkle language ID --
     # nb_classify(top_k_features=300): per-class top-k trigram rank
     # (salted two-level exact rank, grid-sized), union profile, scoring
@@ -125,7 +145,6 @@ _ORDER = [
     # that re-grade: text_boilerplate_strip (r10 driver-green; text
     # keeps rake / novelty / chi2 / gopher / rouge / langid in-window).
     "text_langid_trigram",
-    "text_nb_classify",
     # Rotation contract (see README "Grading window"): the driver grades
     # only the first ~50 entries; each round the never-driver-graded
     # entries rotate in, displacing green entries that keep an in-window
@@ -210,7 +229,6 @@ _ORDER = [
     # fingerprint changed), so it rotates back in.  Displaced:
     # text_zipf_slope (r10 driver-green; text family keeps gopher /
     # chi2 / boilerplate / rake / novelty / rouge in-window).
-    "stats_source_kl",
     # -- NEW round 10 (seventh wave): frequent 3-step path mining and
     # binary-segmentation change-point detection over the event log.
     # Displaced: dedup_minhash_lsh (driver-green r3 + every local
@@ -219,7 +237,6 @@ _ORDER = [
     # sim_pooled_rerank (r9 driver-green; similarity keeps
     # sim_pq_adc_topk / sim_ivfpq_topk / sim_ivfpq_persisted /
     # sim_range_search / search_mmr_rerank in-window).
-    "events_path_ngrams",
     "events_changepoint",
     # -- NEW round 10 (ninth wave): Theil-Sen robust median slope
     # (lower-median exact rank, same calendar-bounded pair join as
@@ -263,7 +280,6 @@ _ORDER = [
     # r10 comments); of that trio, stats_spearman_daily and
     # events_ewma_daily went driver-green in r10 and were displaced
     # below the boundary by the r11 third wave.
-    "curation_shuffle_shards",
     # -- NEW this session (scale-technique surface, queries_scale.py):
     # enter directly as sole verifiers; displaced to make room (each
     # driver-green with in-window siblings): agg_value_histogram
@@ -280,11 +296,21 @@ _ORDER = [
     # -- carried category verifiers (all driver-green r5 or earlier) ------
     "q5_nation_volume",
     "sql_correlated_above_avg",
+    # ==== driver window boundary (position 50) ===========================
+    # r12 fifth-wave displacements (attribution in the window comment
+    # above) -- plus the four entries whose r12 wave-1..4 comments
+    # already declared them displaced but which had been left above the
+    # boundary marker (the list now matches the written attributions):
+    # window_follow_stats, map_scalar_showcase, reassembly_ordered_chunks,
+    # stream_stream_join_pairs.
+    "text_nb_classify",
+    "stats_source_kl",
+    "events_path_ngrams",
+    "curation_shuffle_shards",
     "window_follow_stats",
     "map_scalar_showcase",
     "reassembly_ordered_chunks",
     "stream_stream_join_pairs",
-    # ==== driver window boundary (position 50) ===========================
     # Displaced below the boundary for the round-11 debuts (each
     # driver-green with in-window category siblings, per-wave
     # attribution in the window comments above): sim_ivfpq_auto_depth

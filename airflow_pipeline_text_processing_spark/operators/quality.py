@@ -187,3 +187,85 @@ def cohen_kappa(
             ).alias("kappa_ppm"),
         )
     )
+
+
+def classification_report(
+    df: DataFrame, actual_col: str, pred_col: str
+) -> DataFrame:
+    """Per-class precision/recall/F1 plus a macro-average row, exact
+    integer fixed point -- the metric table every labeler evaluation
+    prints.  Where :func:`cohen_kappa` answers "is the agreement better
+    than chance overall", this answers "WHICH classes does the weak
+    labeler get wrong" -- the per-class view that catches a classifier
+    that aces the majority class and garbles the tail.
+
+    Per label ``l`` over the union of labels seen in either column:
+    ``tp = |actual=l & pred=l|``, ``precision = tp / n_pred(l)``,
+    ``recall = tp / n_actual(l)``, ``f1 = 2pr/(p+r)`` -- every ratio a
+    BIGINT ppm floor division (all quantities non-negative, so plain
+    ``div`` IS floor on both engines), 0 where the denominator is 0
+    (a label never predicted has precision 0, never seen has recall 0).
+    The final row ``label='__macro__'`` carries the unweighted mean of
+    the per-class ppm values (``sum div n_labels`` -- exact), the
+    headline number macro-F1 reports.
+
+    Scale shape: one hash aggregate to the (|A| x |B|) confusion grid
+    (map-side combinable -- the corpus never shuffles row-wise), then
+    marginals and the label-union outer join over that grid.  Output:
+    ``(label, n_actual, n_pred, tp, precision_ppm, recall_ppm,
+    f1_ppm)``, one row per label plus the macro row, ordered by label
+    (``'_'`` < ``'a'`` in ASCII, so the macro row sorts first on both
+    engines)."""
+    cm = (
+        df.groupBy(F.col(actual_col).alias("_a"), F.col(pred_col).alias("_b"))
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    actual_m = cm.groupBy(F.col("_a").alias("label")).agg(
+        F.sum("c").cast("long").alias("n_actual")
+    )
+    pred_m = cm.groupBy(F.col("_b").alias("label")).agg(
+        F.sum("c").cast("long").alias("n_pred")
+    )
+    tp = (
+        cm.filter(F.col("_a") == F.col("_b"))
+        .select(F.col("_a").alias("label"), F.col("c").alias("tp"))
+    )
+    p = "CASE WHEN n_pred = 0 THEN CAST(0 AS BIGINT) ELSE (tp * 1000000) div n_pred END"
+    r = (
+        "CASE WHEN n_actual = 0 THEN CAST(0 AS BIGINT)"
+        " ELSE (tp * 1000000) div n_actual END"
+    )
+    per_class = (
+        actual_m.join(pred_m, "label", "full_outer")
+        .join(tp, "label", "left")
+        .select(
+            "label",
+            F.coalesce("n_actual", F.lit(0)).cast("long").alias("n_actual"),
+            F.coalesce("n_pred", F.lit(0)).cast("long").alias("n_pred"),
+            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+        )
+        .select(
+            "label",
+            "n_actual",
+            "n_pred",
+            "tp",
+            F.expr(p).alias("precision_ppm"),
+            F.expr(r).alias("recall_ppm"),
+            F.expr(
+                f"CASE WHEN ({p}) + ({r}) = 0 THEN CAST(0 AS BIGINT)"
+                f" ELSE (2 * ({p}) * ({r})) div (({p}) + ({r})) END"
+            ).alias("f1_ppm"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    macro = per_class.agg(
+        F.lit("__macro__").alias("label"),
+        F.sum("n_actual").cast("long").alias("n_actual"),
+        F.sum("n_pred").cast("long").alias("n_pred"),
+        F.sum("tp").cast("long").alias("tp"),
+        F.expr("sum(precision_ppm) div count(*)").alias("precision_ppm"),
+        F.expr("sum(recall_ppm) div count(*)").alias("recall_ppm"),
+        F.expr("sum(f1_ppm) div count(*)").alias("f1_ppm"),
+    )
+    return per_class.unionByName(macro).orderBy("label")

@@ -1165,3 +1165,195 @@ def rouge_n_overlap(
             f" ELSE (2 * ({p}) * ({r})) div (({p}) + ({r})) END"
         ).alias("f1_ppm"),
     )
+
+
+def lexical_diversity(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document lexical-diversity signals -- the vocabulary-richness
+    axis the length/punctuation quality score and the repetition
+    signals both miss: a doc can be long, clean, AND monotonous.
+    Emits ``n_tokens`` (N), ``n_types`` (distinct tokens, V),
+    ``n_hapax`` (tokens occurring once), ``ttr_ppm = V*1e6 div N``
+    (type-token ratio), ``hapax_ppm = hapax*1e6 div N``, and
+    ``herdan_milli = 1000 * log2(V) / log2(N)`` -- Herdan's C, the
+    length-corrected TTR -- as a ratio of two Q8 logs from the shared
+    exact kernel (lm.fixed_log2), so every engine lands on the same
+    BIGINT.  Docs with N < 2 report 0 for all three ratios (log2(N)
+    would be 0; a 0/1-token doc has no meaningful diversity).
+
+    Scale shape: explode to (doc, token), hash-aggregate to per-doc
+    term counts, aggregate again to per-doc moments -- two map-side-
+    combinable shuffles on the doc key, linear in corpus tokens."""
+    from .lm import fixed_log2
+
+    tok = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t"))
+    tc = tok.groupBy(id_col, "t").agg(F.count("*").alias("c"))
+    per = tc.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
+    )
+    base = docs.select(id_col).join(per, id_col, "left").select(
+        id_col,
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce("n_types", F.lit(0)).cast("long").alias("n_types"),
+        F.coalesce("n_hapax", F.lit(0)).cast("long").alias("n_hapax"),
+    )
+    # kernel preconditions (num >= den >= 1): run it on clamped inputs,
+    # then zero out the N < 2 rows where the ratio is undefined
+    base = base.withColumn("_one", F.lit(1).cast("long"))
+    base = fixed_log2(
+        base.withColumn("_vnum", F.expr("greatest(n_types, CAST(1 AS BIGINT))")),
+        "_vnum",
+        "_one",
+        "_v_q8",
+    )
+    base = fixed_log2(
+        base.withColumn("_nnum", F.expr("greatest(n_tokens, CAST(1 AS BIGINT))")),
+        "_nnum",
+        "_one",
+        "_n_q8",
+    )
+    return base.select(
+        id_col,
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        F.expr(
+            "CASE WHEN n_tokens < 2 THEN CAST(0 AS BIGINT)"
+            " ELSE (n_types * 1000000) div n_tokens END"
+        ).alias("ttr_ppm"),
+        F.expr(
+            "CASE WHEN n_tokens < 2 THEN CAST(0 AS BIGINT)"
+            " ELSE (n_hapax * 1000000) div n_tokens END"
+        ).alias("hapax_ppm"),
+        F.expr(
+            "CASE WHEN n_tokens < 2 THEN CAST(0 AS BIGINT)"
+            " ELSE (_v_q8 * 1000) div _n_q8 END"
+        ).alias("herdan_milli"),
+    ).orderBy(id_col)
+
+
+# Q8 fixed-point log2(e): floor(256 / ln 2) = floor(369.33).  The ONE
+# defined constant that moves BLEU's natural-exp brevity penalty into
+# the repo's log2 Q8 space: -log2(BP) = ((r - c) * LOG2E_Q8) div c.
+# Both engines use this literal, so the result is bit-identical.
+LOG2E_Q8 = 369
+
+
+def bleu_overlap(
+    pairs: DataFrame,
+    id_col: str = "pair_id",
+    cand_col: str = "cand_text",
+    ref_col: str = "ref_text",
+) -> DataFrame:
+    """Sentence-level BLEU-2 (Papineni 2002) with +1 smoothing (Lin &
+    Och 2004), exact integer fixed point -- the precision-oriented
+    complement to :func:`rouge_n_overlap`'s recall: ROUGE asks "did the
+    candidate cover the reference", BLEU asks "is everything the
+    candidate said actually in the reference", with the brevity penalty
+    closing the say-one-safe-word loophole.
+
+    Per pair: clipped unigram/bigram matches (``clip_n = sum_g
+    min(c_cand(g), c_ref(g))``), smoothed precisions ``p_n = (clip_n +
+    1) / (tot_n + 1)`` as ppm, and the score in the repo's Q8 log2
+    space: ``neg_log2_bleu2_q8 = (nl1 + nl2) div 2 + bp_q8`` where
+    ``nl_n = fixed_log2(tot_n + 1, clip_n + 1)`` (the shared exact
+    kernel) and ``bp_q8 = ((r - c) * LOG2E_Q8) div c`` when the
+    candidate is shorter than the reference, else 0 (``c``/``r`` =
+    candidate/reference token counts; empty candidates clamp c to 1).
+    Lower is better; 0 means a verbatim-or-longer exact cover.  BLEU
+    itself is ``2^(-score/256)`` -- left to the caller because the
+    whole pipeline stays in integers.
+
+    Scale shape: ONE explode per side covers both orders (grams tagged
+    ``'1:'``/``'2:'``), hash-aggregate to (pair, gram) counts, clip via
+    a full-outer join on the composite key, per-pair rollup -- linear
+    in distinct grams, never pairwise in the corpus."""
+    from .lm import fixed_log2
+
+    def tagged_grams(col):
+        # token array bound as a lambda VARIABLE (the r12 inlining trap:
+        # referencing the tokenizer expr inside the per-gram lambda
+        # re-tokenizes once per gram)
+        return F.transform(
+            F.array(tokens(F.col(col))),
+            lambda t: F.concat(
+                F.transform(t, lambda w: F.concat(F.lit("1:"), w)),
+                F.when(
+                    F.size(t) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(t) - 1),
+                        lambda i: F.concat(
+                            F.lit("2:"), F.array_join(F.slice(t, i, 2), " ")
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>")),
+            ),
+        )[0]
+
+    def side_counts(col, cname):
+        return (
+            pairs.select(F.col(id_col), F.explode(tagged_grams(col)).alias("g"))
+            .groupBy(id_col, "g")
+            .agg(F.count("*").alias(cname))
+        )
+
+    cc = side_counts(cand_col, "cc")
+    rc = side_counts(ref_col, "rc")
+    joined = cc.join(rc, [id_col, "g"], "full_outer").select(
+        id_col,
+        "g",
+        F.coalesce("cc", F.lit(0)).alias("cc"),
+        F.coalesce("rc", F.lit(0)).alias("rc"),
+    )
+    is1 = F.col("g").startswith("1:")
+    per_pair = joined.groupBy(id_col).agg(
+        F.sum(F.when(is1, F.col("cc")).otherwise(0)).cast("long").alias("tot1"),
+        F.sum(F.when(is1, F.least("cc", "rc")).otherwise(0))
+        .cast("long")
+        .alias("clip1"),
+        F.sum(F.when(~is1, F.col("cc")).otherwise(0)).cast("long").alias("tot2"),
+        F.sum(F.when(~is1, F.least("cc", "rc")).otherwise(0))
+        .cast("long")
+        .alias("clip2"),
+        F.sum(F.when(is1, F.col("rc")).otherwise(0))
+        .cast("long")
+        .alias("n_ref_tokens"),
+    )
+    base = pairs.select(id_col).join(per_pair, id_col, "left").select(
+        id_col,
+        *[
+            F.coalesce(c, F.lit(0)).cast("long").alias(c)
+            for c in ("tot1", "clip1", "tot2", "clip2", "n_ref_tokens")
+        ],
+    )
+    base = base.withColumn("_nl1_num", F.col("tot1") + 1).withColumn(
+        "_nl1_den", F.col("clip1") + 1
+    )
+    base = fixed_log2(base, "_nl1_num", "_nl1_den", "_nl1_q8")
+    base = base.withColumn("_nl2_num", F.col("tot2") + 1).withColumn(
+        "_nl2_den", F.col("clip2") + 1
+    )
+    base = fixed_log2(base, "_nl2_num", "_nl2_den", "_nl2_q8")
+    bp = (
+        "CASE WHEN tot1 >= n_ref_tokens THEN CAST(0 AS BIGINT)"
+        f" ELSE ((n_ref_tokens - tot1) * {LOG2E_Q8})"
+        " div greatest(tot1, CAST(1 AS BIGINT)) END"
+    )
+    return base.select(
+        id_col,
+        F.col("tot1").alias("n_cand_tokens"),
+        "n_ref_tokens",
+        "clip1",
+        "clip2",
+        F.expr("((clip1 + 1) * 1000000) div (tot1 + 1)").alias("p1_ppm"),
+        F.expr("((clip2 + 1) * 1000000) div (tot2 + 1)").alias("p2_ppm"),
+        F.expr(bp).alias("bp_q8"),
+        F.expr(f"(_nl1_q8 + _nl2_q8) div 2 + ({bp})").alias(
+            "neg_log2_bleu2_q8"
+        ),
+    ).orderBy(id_col)

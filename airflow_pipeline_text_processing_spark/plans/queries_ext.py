@@ -4153,6 +4153,110 @@ ORDER BY event_type
 """
 
 
+_ACF_LAGS = (1, 2, 3)
+
+
+def stats_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank autocorrelation (Spearman ACF) of the daily revenue series
+    at lags 1..3, per event_type -- the seasonality/persistence dial a
+    metrics pipeline reads before trusting a trend test: a series that
+    correlates with its own yesterday violates the independence the
+    plain trend tests assume.  Rank form keeps it exact: for each lag
+    the paired relation (y_t, y_{t+lag}) is ranked on both sides by
+    ``row_number`` over total orders (value, then day -- exact integer
+    permutations), and the closed form ``rho = 1 - 6*sum(d^2)/(n^3-n)``
+    lands as ``rho_ppm`` via the pmod floor device (rho can be
+    negative; both engines' int division truncates toward zero).
+    Groups with fewer than 2 pairs report 0 (the n^3 - n denominator
+    vanishes).
+
+    Scale shape: one map-side-combinable daily rollup, ONE ordered
+    window pass computing all three leads, a stack to long format,
+    then per-(event_type, lag) windows over the days-sized relation --
+    the event stream itself is touched once.  Magnitude: same
+    6e6 * n^3 headroom as stats_spearman_daily (n = days per group)."""
+    daily = _daily_cents(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("day")
+    led = daily.select(
+        "event_type",
+        "day",
+        "y",
+        *[F.lead("y", lag).over(w).alias(f"_y{lag}") for lag in _ACF_LAGS],
+    )
+    stack_args = ", ".join(
+        f"CAST({lag} AS BIGINT), _y{lag}" for lag in _ACF_LAGS
+    )
+    stacked = led.selectExpr(
+        "event_type",
+        "day",
+        "y",
+        f"stack({len(_ACF_LAGS)}, {stack_args}) AS (lag, ylead)",
+    ).filter(F.col("ylead").isNotNull())
+    wx = Window.partitionBy("event_type", "lag").orderBy("y", "day")
+    wy = Window.partitionBy("event_type", "lag").orderBy("ylead", "day")
+    ranked = stacked.select(
+        "event_type",
+        "lag",
+        F.row_number().over(wx).cast("long").alias("rx"),
+        F.row_number().over(wy).cast("long").alias("ry"),
+    )
+    d2 = (F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry"))
+    moms = ranked.groupBy("event_type", "lag").agg(
+        F.count("*").alias("n_pairs"), F.sum(d2).alias("sd2")
+    )
+    n = F.col("n_pairs")
+    den = n * n * n - n
+    num = F.lit(1000000) * den - F.lit(6000000) * F.col("sd2")
+    fin = moms.select(
+        "event_type",
+        "lag",
+        "n_pairs",
+        "sd2",
+        num.alias("_num"),
+        den.alias("_den"),
+    )
+    rho = F.expr(
+        "CASE WHEN _den = 0 THEN CAST(0 AS BIGINT)"
+        " ELSE (_num - pmod(_num, _den)) div _den END"
+    ).cast("long")
+    return fin.select(
+        "event_type", "lag", "n_pairs", "sd2", rho.alias("rho_ppm")
+    ).orderBy("event_type", "lag")
+
+
+ACF_SQL = f"""
+WITH {DAILY_CTE}, led AS (
+  SELECT event_type, day, y,
+         {", ".join(f"LEAD(y, {lag}) OVER (PARTITION BY event_type ORDER BY day) AS _y{lag}" for lag in _ACF_LAGS)}
+  FROM daily
+), stacked AS (
+  {" UNION ALL ".join(f"SELECT event_type, day, y, CAST({lag} AS BIGINT) AS lag, _y{lag} AS ylead FROM led WHERE _y{lag} IS NOT NULL" for lag in _ACF_LAGS)}
+), ranked AS (
+  SELECT event_type, lag,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type, lag
+                                 ORDER BY y, day) AS BIGINT) AS rx,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type, lag
+                                 ORDER BY ylead, day) AS BIGINT) AS ry
+  FROM stacked
+), moms AS (
+  SELECT event_type, lag,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM((rx - ry) * (rx - ry)) AS BIGINT) AS sd2
+  FROM ranked GROUP BY 1, 2
+)
+SELECT event_type, lag, n_pairs, sd2,
+       CAST(CASE WHEN den = 0 THEN 0
+            ELSE (num - ((num % den) + den) % den) // den
+            END AS BIGINT) AS rho_ppm
+FROM (SELECT event_type, lag, n_pairs, sd2,
+             1000000 * (n_pairs*n_pairs*n_pairs - n_pairs) - 6000000 * sd2
+               AS num,
+             n_pairs*n_pairs*n_pairs - n_pairs AS den
+      FROM moms)
+ORDER BY event_type, lag
+"""
+
+
 def stats_kendall_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kendall tau-a trend test between day order and daily revenue,
     per event_type -- the pairwise-concordance complement to
@@ -5038,6 +5142,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "sketch_cms_heavy_hitters": (sketch_cms_heavy_hitters, CMS_SQL),
     "stats_linear_trend": (stats_linear_trend, LINEAR_TREND_SQL),
     "stats_spearman_daily": (stats_spearman_daily, SPEARMAN_SQL),
+    "stats_acf_daily": (stats_acf_daily, ACF_SQL),
     "stats_kendall_daily": (stats_kendall_daily, KENDALL_SQL),
     "stats_anova_f": (stats_anova_f, ANOVA_SQL),
     "stats_theil_sen": (stats_theil_sen, THEIL_SEN_SQL),

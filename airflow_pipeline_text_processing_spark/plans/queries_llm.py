@@ -3888,6 +3888,208 @@ FROM sel{k} ORDER BY query_id, pick_order
 
 
 # =====================================================================
+# Round 12 (fifth wave): macro P/R/F1, BLEU-2, lexical diversity
+# =====================================================================
+
+
+def eval_f1_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 of the marker-word language
+    heuristic against the reference labels, plus the macro-average row
+    (operators/quality.py::classification_report) -- the per-class
+    companion to eval_cohen_kappa: kappa says whether agreement beats
+    chance overall, this says WHICH languages the weak labeler garbles
+    (the skew question a macro average exists to answer).  Exact
+    integer ppm end to end; one confusion-grid aggregate, marginals
+    over the grid."""
+    from ..operators.quality import classification_report
+
+    labeled = T.lang_id(_tspread(spark, sf_dir, "documents"))
+    return classification_report(labeled, "labeled_lang", "predicted_lang")
+
+
+_F1_P = (
+    "CASE WHEN n_pred = 0 THEN CAST(0 AS BIGINT)"
+    " ELSE (tp * 1000000) // n_pred END"
+)
+_F1_R = (
+    "CASE WHEN n_actual = 0 THEN CAST(0 AS BIGINT)"
+    " ELSE (tp * 1000000) // n_actual END"
+)
+
+F1_MACRO_SQL = f"""
+WITH lang AS ({LANG_SQL.replace("ORDER BY doc_id", "")}),
+cm AS (
+  SELECT labeled_lang AS a, predicted_lang AS b,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM lang GROUP BY 1, 2
+),
+am AS (SELECT a AS label, CAST(SUM(c) AS BIGINT) AS n_actual FROM cm GROUP BY 1),
+pm AS (SELECT b AS label, CAST(SUM(c) AS BIGINT) AS n_pred FROM cm GROUP BY 1),
+tp AS (SELECT a AS label, c AS tp FROM cm WHERE a = b),
+per AS (
+  SELECT label,
+         COALESCE(n_actual, 0) AS n_actual,
+         COALESCE(n_pred, 0) AS n_pred,
+         COALESCE(tp, 0) AS tp
+  FROM am FULL OUTER JOIN pm USING (label) LEFT JOIN tp USING (label)
+),
+scored AS (
+  SELECT label, n_actual, n_pred, tp,
+         CAST({_F1_P} AS BIGINT) AS precision_ppm,
+         CAST({_F1_R} AS BIGINT) AS recall_ppm,
+         CAST(CASE WHEN ({_F1_P}) + ({_F1_R}) = 0 THEN 0
+              ELSE (2 * ({_F1_P}) * ({_F1_R})) // (({_F1_P}) + ({_F1_R}))
+              END AS BIGINT) AS f1_ppm
+  FROM per
+)
+SELECT * FROM (
+  SELECT label, n_actual, n_pred, tp, precision_ppm, recall_ppm, f1_ppm
+  FROM scored
+  UNION ALL
+  SELECT '__macro__' AS label,
+         CAST(SUM(n_actual) AS BIGINT), CAST(SUM(n_pred) AS BIGINT),
+         CAST(SUM(tp) AS BIGINT),
+         CAST(SUM(precision_ppm) // COUNT(*) AS BIGINT),
+         CAST(SUM(recall_ppm) // COUNT(*) AS BIGINT),
+         CAST(SUM(f1_ppm) // COUNT(*) AS BIGINT)
+  FROM scored
+) ORDER BY label
+"""
+
+
+def text_bleu_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed sentence BLEU-2 with brevity penalty over the same
+    deterministic candidate/reference pairs as text_rouge_bigram
+    (operators/text.py::bleu_overlap) -- precision-oriented overlap in
+    the repo's exact Q8 log2 space (shared fixed_log2 kernel +
+    the defined LOG2E_Q8 constant for the natural-exp penalty), so the
+    score is a BIGINT both engines reproduce bit-for-bit."""
+    from ..operators.text import bleu_overlap
+
+    docs = _tspread(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.expr("doc_id div 2").alias("pair_id"),
+        F.col("doc_id").alias("_aid"),
+        F.col("text").alias("cand_text"),
+    )
+    b = docs.select(
+        (F.col("doc_id") - 1).alias("_aid"), F.col("text").alias("ref_text")
+    )
+    pairs = a.join(b, "_aid").select("pair_id", "cand_text", "ref_text")
+    return bleu_overlap(pairs)
+
+
+def _bleu_sql() -> str:
+    from ..operators.text import LOG2E_Q8
+
+    tagged = (
+        "list_concat("
+        "list_transform(tk, w -> '1:' || w), "
+        "list_transform(range(1, greatest(len(tk) - 1, 0) + 1),"
+        " i -> '2:' || array_to_string(tk[i : i + 1], ' ')))"
+    )
+    base = f"""
+WITH d AS (SELECT doc_id, {TOKS_SQL} AS tk FROM documents),
+g AS (SELECT doc_id, UNNEST({tagged}) AS g FROM d),
+pairs AS (
+  SELECT a.doc_id // 2 AS pair_id, a.doc_id AS cid, b.doc_id AS rid
+  FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id % 2 = 0),
+cc AS (SELECT p.pair_id, g.g, CAST(COUNT(*) AS BIGINT) AS cc
+       FROM pairs p JOIN g ON g.doc_id = p.cid GROUP BY 1, 2),
+rc AS (SELECT p.pair_id, g.g, CAST(COUNT(*) AS BIGINT) AS rc
+       FROM pairs p JOIN g ON g.doc_id = p.rid GROUP BY 1, 2),
+j AS (
+  SELECT COALESCE(cc.pair_id, rc.pair_id) AS pair_id,
+         COALESCE(cc.g, rc.g) AS g,
+         COALESCE(cc.cc, 0) AS cc, COALESCE(rc.rc, 0) AS rc
+  FROM cc FULL OUTER JOIN rc
+    ON cc.pair_id = rc.pair_id AND cc.g = rc.g),
+per AS (
+  SELECT pair_id,
+         CAST(SUM(CASE WHEN starts_with(g, '1:') THEN cc ELSE 0 END) AS BIGINT) AS tot1,
+         CAST(SUM(CASE WHEN starts_with(g, '1:') THEN least(cc, rc) ELSE 0 END) AS BIGINT) AS clip1,
+         CAST(SUM(CASE WHEN NOT starts_with(g, '1:') THEN cc ELSE 0 END) AS BIGINT) AS tot2,
+         CAST(SUM(CASE WHEN NOT starts_with(g, '1:') THEN least(cc, rc) ELSE 0 END) AS BIGINT) AS clip2,
+         CAST(SUM(CASE WHEN starts_with(g, '1:') THEN rc ELSE 0 END) AS BIGINT) AS n_ref_tokens
+  FROM j GROUP BY 1),
+base AS (
+  SELECT p.pair_id,
+         COALESCE(per.tot1, 0) AS tot1, COALESCE(per.clip1, 0) AS clip1,
+         COALESCE(per.tot2, 0) AS tot2, COALESCE(per.clip2, 0) AS clip2,
+         COALESCE(per.n_ref_tokens, 0) AS n_ref_tokens
+  FROM pairs p LEFT JOIN per USING (pair_id))
+SELECT pair_id, tot1, clip1, tot2, clip2, n_ref_tokens FROM base
+"""
+    keep = "pair_id, tot1, clip1, tot2, clip2, n_ref_tokens"
+    chain = L.fixed_log2_sql(base, keep, "tot1 + 1", "clip1 + 1", "nl1_q8")
+    chain = L.fixed_log2_sql(
+        chain, keep + ", nl1_q8", "tot2 + 1", "clip2 + 1", "nl2_q8"
+    )
+    bp = (
+        "CASE WHEN tot1 >= n_ref_tokens THEN CAST(0 AS BIGINT)"
+        f" ELSE ((n_ref_tokens - tot1) * {LOG2E_Q8})"
+        " // greatest(tot1, 1) END"
+    )
+    return f"""
+SELECT pair_id,
+       CAST(tot1 AS BIGINT) AS n_cand_tokens,
+       CAST(n_ref_tokens AS BIGINT) AS n_ref_tokens,
+       CAST(clip1 AS BIGINT) AS clip1,
+       CAST(clip2 AS BIGINT) AS clip2,
+       CAST(((clip1 + 1) * 1000000) // (tot1 + 1) AS BIGINT) AS p1_ppm,
+       CAST(((clip2 + 1) * 1000000) // (tot2 + 1) AS BIGINT) AS p2_ppm,
+       CAST({bp} AS BIGINT) AS bp_q8,
+       CAST((nl1_q8 + nl2_q8) // 2 + ({bp}) AS BIGINT) AS neg_log2_bleu2_q8
+FROM ({chain})
+ORDER BY pair_id
+"""
+
+
+def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document vocabulary-richness signals (operators/text.py::
+    lexical_diversity): type-token ratio, hapax ratio, and Herdan's C
+    (log2 V / log2 N on the shared Q8 kernel) -- the monotony axis the
+    length/punct quality score misses."""
+    return T.lexical_diversity(_tspread(spark, sf_dir, "documents"))
+
+
+def _lexdiv_sql() -> str:
+    base = f"""
+WITH d AS (SELECT doc_id, UNNEST({TOKS_SQL}) AS t FROM documents),
+tc AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY 1, 2),
+per AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+  FROM tc GROUP BY 1)
+SELECT dd.doc_id,
+       COALESCE(per.n_tokens, 0) AS n_tokens,
+       COALESCE(per.n_types, 0) AS n_types,
+       COALESCE(per.n_hapax, 0) AS n_hapax
+FROM documents dd LEFT JOIN per USING (doc_id)
+"""
+    keep = "doc_id, n_tokens, n_types, n_hapax"
+    chain = L.fixed_log2_sql(base, keep, "greatest(n_types, 1)", "1", "v_q8")
+    chain = L.fixed_log2_sql(
+        chain, keep + ", v_q8", "greatest(n_tokens, 1)", "1", "n_q8"
+    )
+    return f"""
+SELECT doc_id, n_tokens, n_types, n_hapax,
+       CAST(CASE WHEN n_tokens < 2 THEN 0
+            ELSE (n_types * 1000000) // n_tokens END AS BIGINT) AS ttr_ppm,
+       CAST(CASE WHEN n_tokens < 2 THEN 0
+            ELSE (n_hapax * 1000000) // n_tokens END AS BIGINT) AS hapax_ppm,
+       CAST(CASE WHEN n_tokens < 2 THEN 0
+            ELSE (v_q8 * 1000) // n_q8 END AS BIGINT) AS herdan_milli
+FROM ({chain})
+ORDER BY doc_id
+"""
+
+
+
+# =====================================================================
 # Registry
 # =====================================================================
 
@@ -3950,6 +4152,9 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "text_bpe_compression": (text_bpe_compression, _bpe_compression_sql()),
     "text_lang_id": (text_lang_id, LANG_SQL),
     "eval_cohen_kappa": (eval_cohen_kappa, KAPPA_SQL),
+    "eval_f1_macro": (eval_f1_macro, F1_MACRO_SQL),
+    "text_bleu_bigram": (text_bleu_bigram, _bleu_sql()),
+    "text_lexical_diversity": (text_lexical_diversity, _lexdiv_sql()),
     "curation_domain_cap": (curation_domain_cap, DOMAIN_CAP_SQL),
     "curation_leakage_split": (curation_leakage_split, _leakage_split_sql()),
     "curation_token_budget": (curation_token_budget, _token_budget_sql()),

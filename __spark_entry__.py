@@ -45,6 +45,18 @@ _ORDER = [
     # events keeps markov_transitions / changepoint in-window), and
     # curation_shuffle_shards (r10-green; curation keeps lm_filtered /
     # domain_cap / token_budget / leakage_split in-window).
+    # -- NEW round 12 (sixth wave): GIF encode->decode roundtrip
+    # through the from-scratch variable-code-width LZW codec
+    # (codec/gif.py; the 9->10-bit width bump is on the graded path,
+    # dictionary reset + KwKwK pytest-certified against an independent
+    # decoder) and G.711 mu-law compress->expand certification with the
+    # oracle replaying sign/bias/segment/mantissa in integer SQL.
+    # Displaced (both driver-green with in-window category siblings):
+    # join_bloom_prefilter (joins keep q5_nation_volume /
+    # join_asof_nearest in-window), mm_audio_fingerprint (multimodal
+    # keeps mm_png / mm_jpeg / mm_gif / mm_audio_mulaw in-window).
+    "mm_gif_roundtrip_stats",
+    "mm_audio_mulaw",
     "eval_f1_macro",
     "text_bleu_bigram",
     "text_lexical_diversity",
@@ -286,9 +298,7 @@ _ORDER = [
     # (~ agg_mode_per_type / agg_salted_hot_keys), json_roundtrip_events
     # (~ map_scalar_showcase / orc_xml_roundtrip_part), sim_ivf_topk
     # (~ sim_ivfpq_topk / sim_pq_adc_topk / sim_pooled_rerank).
-    "join_bloom_prefilter",
     "text_bpe_compression",
-    "mm_audio_fingerprint",
     # -- r6-graded verifiers kept in-window -------------------------------
     "curation_lm_filtered",
     "sample_surprisal_strata",
@@ -297,6 +307,10 @@ _ORDER = [
     "q5_nation_volume",
     "sql_correlated_above_avg",
     # ==== driver window boundary (position 50) ===========================
+    # r12 sixth-wave displacements (attribution in the window comment
+    # above):
+    "join_bloom_prefilter",
+    "mm_audio_fingerprint",
     # r12 fifth-wave displacements (attribution in the window comment
     # above) -- plus the four entries whose r12 wave-1..4 comments
     # already declared them displaced but which had been left above the

@@ -4,9 +4,11 @@ Design (SURVEY.md north-star): image/audio/video travel as ``binary``
 columns next to a typed metadata struct.  The Spark-side machinery --
 schema, partition-parallel Arrow batches, UDF signatures -- is real and
 tested.  Decoding: RIFF/WAVE PCM audio, binary PPM/PGM images, PNG
-(r11: from-scratch stdlib-zlib codec, codec/png.py), and baseline JPEG
-(r12: from-scratch Huffman+IDCT codec, codec/jpeg.py) decode for real
-with zero external dependencies; the remaining compressed codecs
+(r11: from-scratch stdlib-zlib codec, codec/png.py), baseline JPEG
+(r12: from-scratch Huffman+IDCT codec, codec/jpeg.py), and GIF (r12:
+from-scratch LZW codec, codec/gif.py) decode for real with zero
+external dependencies, and G.711 mu-law companding expands/compresses
+exactly (mulaw_encode/mulaw_decode); the remaining compressed codecs
 (MP3/MP4/WebP) are STUBBED because no media libraries exist in
 this container -- ``decode_media`` raises ``NotImplementedError`` for
 them unless ``fake=True``, in which case a deterministic byte-histogram
@@ -118,8 +120,8 @@ def _parse_pnm(payload: bytes):
         if payload[:2] in (b"P5", b"P6"):
             raise ValueError("malformed PNM header")
         raise NotImplementedError(
-            "unsupported image format (PPM/PGM, PNG and baseline JPEG "
-            "decode in-engine; WebP/... need codec libraries not "
+            "unsupported image format (PPM/PGM, PNG, baseline JPEG and "
+            "GIF decode in-engine; WebP/... need codec libraries not "
             "present here)"
         )
     magic, w, h, maxval = (
@@ -135,10 +137,11 @@ def _parse_pnm(payload: bytes):
 def _image_pixels(payload: bytes):
     """Dispatch an image payload to its REAL decoder: binary PPM/PGM
     (header + numpy), PNG (from-scratch stdlib-zlib codec, codec/png.py
-    -- r11), or baseline JPEG (from-scratch Huffman+IDCT codec,
-    codec/jpeg.py -- r12, de-gating the lossy-image path real corpora
-    hit hardest).  Returns an ``(h, w, nch)`` uint8 array; raises on
-    anything else."""
+    -- r11), baseline JPEG (from-scratch Huffman+IDCT codec,
+    codec/jpeg.py -- r12), or GIF (from-scratch LZW codec, codec/gif.py
+    -- r12 sixth wave).  Returns an ``(h, w, nch)`` uint8 array; raises
+    on anything else."""
+    from ..codec.gif import GIF_SIGS, decode_gif
     from ..codec.jpeg import JPEG_SOI, decode_jpeg
     from ..codec.png import PNG_SIG, decode_png
 
@@ -146,6 +149,8 @@ def _image_pixels(payload: bytes):
         return decode_png(payload)
     if payload[: len(JPEG_SOI)] == JPEG_SOI:
         return decode_jpeg(payload)
+    if payload[:6] in GIF_SIGS:
+        return decode_gif(payload)
     return _parse_pnm(payload)[0]
 
 
@@ -156,7 +161,8 @@ def decode_media(payload: bytes, kind: str, fake: bool = False):
     PCM audio (stdlib ``wave``), binary PPM/PGM images (header +
     numpy), PNG (stdlib zlib + the from-scratch filter codec in
     codec/png.py), and baseline JPEG (the from-scratch Huffman+IDCT
-    codec in codec/jpeg.py, r12).  Remaining compressed codecs
+    codec in codec/jpeg.py, r12), and GIF (the from-scratch LZW codec
+    in codec/gif.py, r12 sixth wave).  Remaining compressed codecs
     (MP3/MP4/WebP/...) require ffmpeg-class libraries, absent from this
     container, and raise ``NotImplementedError``; ``fake=True``
     substitutes a deterministic byte-histogram feature vector so the
@@ -173,12 +179,14 @@ def decode_media(payload: bytes, kind: str, fake: bool = False):
         return _decode_wav(payload)
     if payload[:2] in (b"P5", b"P6"):
         return _decode_pnm(payload)
+    from ..codec.gif import GIF_SIGS
     from ..codec.jpeg import JPEG_SOI
     from ..codec.png import PNG_SIG
 
     if (
         payload[: len(PNG_SIG)] == PNG_SIG
         or payload[: len(JPEG_SOI)] == JPEG_SOI
+        or payload[:6] in GIF_SIGS
     ):
         img = _image_pixels(payload)
         h, w, nch = img.shape
@@ -187,9 +195,9 @@ def decode_media(payload: bytes, kind: str, fake: bool = False):
             float(norm[:, :, c].mean()) for c in range(nch)
         ]
     raise NotImplementedError(
-        "compressed media formats beyond PNG/baseline-JPEG need codec "
-        "libraries not present in this container; pass fake=True for "
-        "the deterministic stub"
+        "compressed media formats beyond PNG/baseline-JPEG/GIF need "
+        "codec libraries not present in this container; pass fake=True "
+        "for the deterministic stub"
     )
 
 
@@ -847,3 +855,50 @@ def fingerprint_matches(
         .agg(F.count("*").alias("n_votes"))
         .filter(F.col("n_votes") >= min_votes)
     )
+
+
+# =====================================================================
+# G.711 mu-law companding (r12 sixth wave)
+# =====================================================================
+
+MULAW_BIAS = 0x84  # 132, the G.711 bias
+MULAW_CLIP = 32635  # max magnitude before bias (32767 - 132)
+
+
+def mulaw_encode(pcm: "np.ndarray") -> "np.ndarray":
+    """G.711 mu-law compression of int16 PCM to one byte per sample --
+    the telephony/ASR-corpus codec (8 kHz voice data ships as mu-law
+    WAV/au in bulk).  Pure integer arithmetic, vectorized: sign bit,
+    clip to 32635, +132 bias, exponent = bit position of the biased
+    magnitude's MSB (3 bits), 4-bit mantissa, ones-complement output
+    per the spec.  Exactly invertible by :func:`mulaw_decode` up to the
+    segment quantization the standard defines."""
+    import numpy as np
+
+    x = np.asarray(pcm, dtype=np.int64)
+    sign = np.where(x < 0, 0x80, 0).astype(np.int64)
+    mag = np.minimum(np.abs(x), MULAW_CLIP) + MULAW_BIAS
+    # exponent: MSB position of mag >> 7 (mag is in [132, 32767])
+    exp = np.zeros_like(mag)
+    v = mag >> 8
+    for _ in range(7):  # bit_length of a 7-bit quantity, vectorized
+        step = (v > 0).astype(np.int64)
+        exp += step
+        v >>= 1
+    mantissa = (mag >> (exp + 3)) & 0x0F
+    return (~(sign | (exp << 4) | mantissa) & 0xFF).astype(np.uint8)
+
+
+def mulaw_decode(codes: "np.ndarray") -> "np.ndarray":
+    """Exact G.711 mu-law expansion back to int16 PCM: the closed form
+    ``((mantissa << 3) + 132) << exponent - 132`` with the sign
+    reapplied -- every step integer, bit-identical on any engine (the
+    oracle replays it in SQL)."""
+    import numpy as np
+
+    c = ~np.asarray(codes, dtype=np.int64) & 0xFF
+    sign = c & 0x80
+    exp = (c >> 4) & 0x07
+    mantissa = c & 0x0F
+    mag = (((mantissa << 3) + MULAW_BIAS) << exp) - MULAW_BIAS
+    return np.where(sign != 0, -mag, mag).astype(np.int16)

@@ -3498,6 +3498,208 @@ ORDER BY doc_id
 """
 
 
+_GIF_W, _GIF_H = 24, 16
+_GIF_PX = _GIF_W * _GIF_H  # 384 pixels: LZW code width grows past 9 bits
+
+
+def mm_gif_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF encode->decode roundtrip certification through the REAL
+    from-scratch LZW codec (codec/gif.py, r12 sixth wave): each
+    document maps to a deterministic 24x16 palette image (index
+    ``k_i = (doc_id*6151 + i*12289) % 256``; palette entry k =
+    ``((k*13+5)%256, (k*101+7)%256, (k*29+3)%256)`` -- pure integer
+    arithmetic, so the oracle regenerates the decoded RGB stream with
+    no image library), GIF89a-encoded with real variable-code-width
+    LZW compression (384 near-random indices push the dictionary past
+    512 entries, so the 9->10-bit width bump is on the graded path),
+    decoded inside an Arrow-batched ``mapInPandas`` stage, and the
+    DECODED pixels fold to per-channel sums plus the position-weighted
+    checksum ``sum((i+1) * v_i)`` over the flat RGB stream -- one
+    mis-decompressed index or permuted pixel goes red.  Dictionary
+    RESET (4096 entries) and the KwKwK case are pytest-certified
+    against an independently-written LZW decoder
+    (tests/test_gif_codec.py).  Scale shape: one map-only Arrow stage
+    over doc ids; nothing shuffles."""
+    import numpy as np
+    import pandas as pd
+
+    from ..codec.gif import decode_gif, encode_gif
+
+    k = np.arange(256, dtype=np.int64)
+    palette = np.stack(
+        [(k * 13 + 5) % 256, (k * 101 + 7) % 256, (k * 29 + 3) % 256],
+        axis=1,
+    ).astype(np.uint8)
+
+    def _roundtrip(batches):
+        i = np.arange(_GIF_PX, dtype=np.int64)
+        j = np.arange(_GIF_PX * 3, dtype=np.int64)
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                idx = ((int(doc_id) * 6151 + i * 12289) % 256).astype(
+                    np.uint8
+                )
+                dec = decode_gif(
+                    encode_gif(idx.reshape(_GIF_H, _GIF_W), palette)
+                ).astype(np.int64)
+                h, w, nch = dec.shape
+                flat = dec.reshape(-1)
+                rows.append(
+                    (
+                        int(doc_id), w, h, nch,
+                        int(flat[0::3].sum()),
+                        int(flat[1::3].sum()),
+                        int(flat[2::3].sum()),
+                        int(((j + 1) * flat).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_channels",
+                    "sum_c0", "sum_c1", "sum_c2", "weighted_fp",
+                ],
+            )
+
+    docs = _tspread(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        _roundtrip,
+        "doc_id long, width long, height long, n_channels long, "
+        "sum_c0 long, sum_c1 long, sum_c2 long, weighted_fp long",
+    ).orderBy("doc_id")
+
+
+GIF_ROUNDTRIP_SQL = f"""
+WITH px AS (
+  SELECT d.doc_id, t.i,
+         (d.doc_id * 6151 + t.i * 12289) % 256 AS k
+  FROM documents d,
+       (SELECT UNNEST(range(0, {_GIF_PX})) AS i) t
+),
+chan AS (
+  SELECT doc_id, i,
+         (k * 13 + 5) % 256 AS r,
+         (k * 101 + 7) % 256 AS g,
+         (k * 29 + 3) % 256 AS b
+  FROM px
+)
+SELECT doc_id,
+       CAST({_GIF_W} AS BIGINT) AS width,
+       CAST({_GIF_H} AS BIGINT) AS height,
+       CAST(3 AS BIGINT) AS n_channels,
+       CAST(SUM(r) AS BIGINT) AS sum_c0,
+       CAST(SUM(g) AS BIGINT) AS sum_c1,
+       CAST(SUM(b) AS BIGINT) AS sum_c2,
+       CAST(SUM((3*i + 1) * r + (3*i + 2) * g + (3*i + 3) * b)
+            AS BIGINT) AS weighted_fp
+FROM chan
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+_MULAW_N = 256
+
+
+def mm_audio_mulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 mu-law compress->expand certification
+    (operators/multimodal.py::mulaw_encode/mulaw_decode): each document
+    maps to a deterministic int16 PCM buffer (``pcm_i = (doc_id*40503 +
+    i*2654435761) % 65536 - 32768``), companded to 8-bit mu-law and
+    expanded back -- the telephony/ASR-corpus codec, certified per the
+    spec's exact integer arithmetic.  Folds: the code-byte sum (grades
+    the wire byte incl. the ones-complement), the decoded-sample sum
+    and position-weighted checksum (grades the expansion), and the
+    total absolute quantization error vs the original samples (grades
+    clip+segment behavior end to end).  The oracle replays sign/bias/
+    exponent-segment/mantissa in pure integer SQL.  Scale shape: one
+    map-only Arrow stage over doc ids; nothing shuffles."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import mulaw_decode, mulaw_encode
+
+    def _roundtrip(batches):
+        i = np.arange(_MULAW_N, dtype=np.int64)
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                pcm = (int(doc_id) * 40503 + i * 2654435761) % 65536 - 32768
+                codes = mulaw_encode(pcm)
+                dec = mulaw_decode(codes).astype(np.int64)
+                rows.append(
+                    (
+                        int(doc_id),
+                        _MULAW_N,
+                        int(codes.astype(np.int64).sum()),
+                        int(dec.sum()),
+                        int(((i + 1) * dec).sum()),
+                        int(np.abs(dec - pcm).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_samples", "sum_codes",
+                    "sum_decoded", "weighted_fp", "sum_abs_err",
+                ],
+            )
+
+    docs = _tspread(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        _roundtrip,
+        "doc_id long, n_samples long, sum_codes long, sum_decoded long, "
+        "weighted_fp long, sum_abs_err long",
+    ).orderBy("doc_id")
+
+
+MULAW_SQL = f"""
+WITH pcm AS (
+  SELECT d.doc_id, t.i,
+         (d.doc_id * 40503 + t.i * 2654435761) % 65536 - 32768 AS x
+  FROM documents d,
+       (SELECT UNNEST(range(0, {_MULAW_N})) AS i) t
+),
+seg AS (
+  SELECT doc_id, i, x,
+         CASE WHEN x < 0 THEN 128 ELSE 0 END AS sign,
+         least(abs(x), 32635) + 132 AS mag
+  FROM pcm
+),
+enc AS (
+  SELECT doc_id, i, x, sign, mag,
+         CASE WHEN mag < 256 THEN 0 WHEN mag < 512 THEN 1
+              WHEN mag < 1024 THEN 2 WHEN mag < 2048 THEN 3
+              WHEN mag < 4096 THEN 4 WHEN mag < 8192 THEN 5
+              WHEN mag < 16384 THEN 6 ELSE 7 END AS e
+  FROM seg
+),
+cw AS (
+  SELECT doc_id, i, x, sign, e,
+         (mag // (1 << (e + 3))) % 16 AS m
+  FROM enc
+),
+dec AS (
+  SELECT doc_id, i, x,
+         255 - (sign + e * 16 + m) AS code,
+         CASE WHEN sign = 128
+              THEN -((((m * 8) + 132) * (1 << e)) - 132)
+              ELSE (((m * 8) + 132) * (1 << e)) - 132 END AS y
+  FROM cw
+)
+SELECT doc_id,
+       CAST({_MULAW_N} AS BIGINT) AS n_samples,
+       CAST(SUM(code) AS BIGINT) AS sum_codes,
+       CAST(SUM(y) AS BIGINT) AS sum_decoded,
+       CAST(SUM((i + 1) * y) AS BIGINT) AS weighted_fp,
+       CAST(SUM(abs(y - x)) AS BIGINT) AS sum_abs_err
+FROM dec
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 PNG_ROUNDTRIP_SQL = f"""
 WITH px AS (
   SELECT d.doc_id, t.i,
@@ -4112,6 +4314,8 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "mm_image_dhash_dedup": (mm_image_dhash_dedup, _dhash_sql()),
     "mm_png_roundtrip_stats": (mm_png_roundtrip_stats, PNG_ROUNDTRIP_SQL),
     "mm_jpeg_roundtrip_stats": (mm_jpeg_roundtrip_stats, JPEG_ROUNDTRIP_SQL),
+    "mm_gif_roundtrip_stats": (mm_gif_roundtrip_stats, GIF_ROUNDTRIP_SQL),
+    "mm_audio_mulaw": (mm_audio_mulaw, MULAW_SQL),
     "text_rouge_bigram": (text_rouge_bigram, _rouge_sql()),
     "search_ndcg_eval": (search_ndcg_eval, _ndcg_sql()),
     "curation_entropy_filtered": (

@@ -186,6 +186,14 @@ BENCH_QUERIES = [
     # round-12 fourth wave: leakage-safe split + token-budget fill
     "curation_leakage_split",
     "curation_token_budget",
+    # round-12 fifth wave: macro P/R/F1, BLEU-2, lexical diversity, ACF
+    "eval_f1_macro",
+    "text_bleu_bigram",
+    "text_lexical_diversity",
+    "stats_acf_daily",
+    # round-12 sixth wave: GIF/LZW + mu-law codec roundtrips
+    "mm_gif_roundtrip_stats",
+    "mm_audio_mulaw",
 ]
 
 

@@ -55,6 +55,13 @@ _ORDER = [
     # join_bloom_prefilter (joins keep q5_nation_volume /
     # join_asof_nearest in-window), mm_audio_fingerprint (multimodal
     # keeps mm_png / mm_jpeg / mm_gif / mm_audio_mulaw in-window).
+    # -- NEW round 12 (seventh wave): SQ8 asymmetric top-k with exact
+    # rerank -- the scalar-quantization search path next to PQ/ADC
+    # (int8 codes, float queries, dequantized scoring, fixed-point
+    # rerank).  Displaced: sim_pq_adc_topk (r11 driver-green;
+    # similarity keeps sim_ivfpq_topk / sim_ivfpq_auto_depth /
+    # sim_ivfpq_persisted / sim_range_search / sim_sq8_topk in-window).
+    "sim_sq8_topk",
     "mm_gif_roundtrip_stats",
     "mm_audio_mulaw",
     "eval_f1_macro",
@@ -174,7 +181,6 @@ _ORDER = [
     # events_rolling_active_users, stats_sigma_outliers,
     # events_concurrency_peaks -- all r6-graded with in-window siblings)
     "dedup_sorted_neighborhood",
-    "sim_pq_adc_topk",
     "sim_ivfpq_topk",
     # -- NEW round 9: persisted IVF-PQ index (build/MERGE-add/serve),
     # degree-oriented triangle counting, RAKE keywords, n-gram novelty --
@@ -309,6 +315,7 @@ _ORDER = [
     # ==== driver window boundary (position 50) ===========================
     # r12 sixth-wave displacements (attribution in the window comment
     # above):
+    "sim_pq_adc_topk",
     "join_bloom_prefilter",
     "mm_audio_fingerprint",
     # r12 fifth-wave displacements (attribution in the window comment

@@ -830,6 +830,95 @@ def quantize_int8(
     )
 
 
+def sq8_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    shortlist: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric top-k search over SQ8-quantized candidates with exact
+    rerank -- the scalar-quantization complement to the PQ/ADC path:
+    the corpus is stored as per-vector int8 codes (:func:`quantize_int8`
+    scheme: affine min/max scale, floor codes -- the FAISS SQ8 layout,
+    a 4x byte cut), queries stay float, and the approximate score is
+    the fixed-point dot of the query against the DEQUANTIZED candidate
+    (``floor(q_j * (vmin + code_j/255*scale) * 1e6)``) -- asymmetric
+    distance, the same trick ADC plays with PQ codebooks.  Per query:
+    rank by approximate score, keep ``shortlist``, exact-rerank those
+    by the full-precision fixed-point dot, emit ``k``.  Ties break on
+    candidate id; every score is a BIGINT both engines reproduce.
+
+    Output: ``query_id, neighbor_id, approx_fp, exact_fp, rank``.
+
+    Scale shape: this registry form scans all codes per query (the
+    certification baseline, like brute_force_topk); in deployment the
+    SQ8 scorer drops in as the in-cell metric of the IVF path
+    (ivf_topk / the persisted IVF-PQ index), where only probed cells
+    are scored -- the byte cut then applies to exactly the data the
+    search actually touches."""
+    v = F.col(vec_col)
+    vmin = F.array_min(v).cast("double")
+    vmax = F.array_max(v).cast("double")
+    scale = vmax - vmin
+    code = lambda x: F.when(  # noqa: E731  (flat vector -> code 0)
+        scale == 0, F.lit(0)
+    ).otherwise(
+        F.least(
+            F.floor((x.cast("double") - vmin) / scale * 255.0).cast("int"),
+            F.lit(255),
+        )
+    )
+    # store codes + scale params; dequantize lazily at scoring time
+    cand = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        vmin.alias("_qmin"),
+        vmax.alias("_qmax"),
+        F.transform(v, code).alias("_codes"),
+        v.alias("_cvec"),  # full precision, touched only by the rerank
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), v.alias("_qvec")
+    )
+    dequant = F.transform(
+        F.col("_codes"),
+        lambda c: F.col("_qmin")
+        + c.cast("double") / 255.0 * (F.col("_qmax") - F.col("_qmin")),
+    )
+    scored = (
+        q.crossJoin(cand)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "_cvec",
+            "_qvec",
+            scaled_dot(F.col("_qvec"), dequant).alias("approx_fp"),
+        )
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("approx_fp").desc(), F.col("neighbor_id")
+    )
+    short = scored.withColumn(
+        "_arank", F.row_number().over(wa)
+    ).filter(F.col("_arank") <= shortlist)
+    we = Window.partitionBy("query_id").orderBy(
+        F.col("exact_fp").desc(), F.col("neighbor_id")
+    )
+    return (
+        short.select(
+            "query_id",
+            "neighbor_id",
+            "approx_fp",
+            scaled_dot(F.col("_qvec"), F.col("_cvec")).alias("exact_fp"),
+        )
+        .withColumn("rank", F.row_number().over(we).cast("long"))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def mine_triplets(
     queries: DataFrame,
     candidates: DataFrame,

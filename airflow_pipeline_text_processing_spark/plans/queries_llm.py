@@ -533,6 +533,75 @@ ORDER BY query_id, rank
 """
 
 
+def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 asymmetric top-k with exact rerank
+    (operators/similarity.py::sq8_topk): the corpus as int8
+    scalar-quantized codes (the 4x byte cut of embed_quantize_int8),
+    queries in float, approximate scores against the dequantized codes,
+    exact fixed-point rerank of the 20-deep shortlist.  The oracle
+    replays quantization, asymmetric scoring, both rank windows."""
+    vecs = _tspread(spark, sf_dir, "embeddings")
+    return S.sq8_topk(
+        vecs.filter(F.col("vec_id") < 10), vecs, k=5, shortlist=20
+    )
+
+
+_SQ8_DQ = (
+    "list_transform(codes, c -> qmin + CAST(c AS DOUBLE) / 255.0"
+    " * (qmax - qmin))"
+)
+
+SIM_SQ8_SQL = f"""
+WITH cand AS (
+  SELECT vec_id AS neighbor_id,
+         CAST(list_min(embedding) AS DOUBLE) AS qmin,
+         CAST(list_max(embedding) AS DOUBLE) AS qmax,
+         embedding AS cvec
+  FROM embeddings
+),
+coded AS (
+  SELECT neighbor_id, qmin, qmax, cvec,
+         CASE WHEN qmax - qmin = 0
+              THEN list_transform(cvec, x -> 0)
+              ELSE list_transform(cvec, x ->
+                     CAST(LEAST(FLOOR((CAST(x AS DOUBLE) - qmin)
+                                      / (qmax - qmin) * 255.0),
+                                255.0) AS INT))
+         END AS codes
+  FROM cand
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.neighbor_id, c.cvec, q.embedding AS qvec,
+         CAST(list_sum(list_transform(
+           list_zip(q.embedding, {_SQ8_DQ}),
+           p -> CAST(FLOOR(CAST(p[1] AS DOUBLE) * p[2] * 1000000.0)
+                AS BIGINT))) AS BIGINT) AS approx_fp
+  FROM embeddings q, coded c
+  WHERE q.vec_id < 10 AND c.neighbor_id != q.vec_id
+),
+short AS (
+  SELECT query_id, neighbor_id, approx_fp,
+         CAST(list_sum(list_transform(
+           list_zip(qvec, cvec),
+           p -> CAST(FLOOR(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)
+                           * 1000000.0) AS BIGINT))) AS BIGINT) AS exact_fp
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY approx_fp DESC, neighbor_id) AS arank
+    FROM scored
+  ) WHERE arank <= 20
+)
+SELECT query_id, neighbor_id, approx_fp, exact_fp, rank FROM (
+  SELECT query_id, neighbor_id, approx_fp, exact_fp,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY exact_fp DESC, neighbor_id)
+           AS BIGINT) AS rank
+  FROM short
+) WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate NN: 8 deterministic md5-sampled centroids, probe the
     2 nearest cells, exact fixed-point cosine rerank inside them."""
@@ -4341,6 +4410,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "sim_ivfpq_auto_depth": (sim_ivfpq_auto_depth, _ivfpq_sql(prefilter=None)),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_SQL),
     "sim_topk_bruteforce": (sim_topk_bruteforce, SIM_TOPK_SQL),
+    "sim_sq8_topk": (sim_sq8_topk, SIM_SQ8_SQL),
     "sim_ivf_topk": (sim_ivf_topk, SIM_IVF_SQL),
     "sim_lsh_bucketed": (sim_lsh_bucketed, SIM_LSH_SQL),
     "sim_lsh_multitable": (sim_lsh_multitable, SIM_LSH_MULTI_SQL),

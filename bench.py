@@ -194,6 +194,8 @@ BENCH_QUERIES = [
     # round-12 sixth wave: GIF/LZW + mu-law codec roundtrips
     "mm_gif_roundtrip_stats",
     "mm_audio_mulaw",
+    # round-12 seventh wave: SQ8 asymmetric search
+    "sim_sq8_topk",
 ]
 
 

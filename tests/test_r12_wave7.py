@@ -1,0 +1,106 @@
+"""Round-12 seventh-wave debut: SQ8 asymmetric top-k search
+(operators/similarity.py::sq8_topk), checked against an independent
+numpy reference (quantize + dequantize + floor-dot built from scratch
+here, never from the operator's expressions).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from airflow_pipeline_text_processing_spark.operators.similarity import sq8_topk
+
+
+def _vecs_df(spark, arr):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(arr)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def _ref_scores(arr, qi):
+    """Independent reference: (approx_fp, exact_fp) per candidate."""
+    q = arr[qi].astype(np.float64)
+    out = {}
+    for j, c in enumerate(arr):
+        if j == qi:
+            continue
+        c = c.astype(np.float64)
+        vmin, vmax = float(c.min()), float(c.max())
+        scale = vmax - vmin
+        if scale == 0:
+            codes = np.zeros_like(c)
+        else:
+            codes = np.minimum(np.floor((c - vmin) / scale * 255.0), 255.0)
+        dq = vmin + codes / 255.0 * scale
+        approx = sum(int(math.floor(float(a) * float(b) * 1e6)) for a, b in zip(q, dq))
+        exact = sum(int(math.floor(float(a) * float(b) * 1e6)) for a, b in zip(q, c))
+        out[j] = (approx, exact)
+    return out
+
+
+def test_sq8_matches_numpy_reference(spark):
+    rng = np.random.RandomState(4)
+    arr = rng.randn(30, 8).astype(np.float32)
+    df = _vecs_df(spark, arr)
+    got = sq8_topk(df.filter("vec_id < 3"), df, k=4, shortlist=10).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qi in range(3):
+        ref = _ref_scores(arr, qi)
+        # the shortlist is the top-10 by (approx desc, id asc); the final
+        # ranks are by (exact desc, id asc) within it
+        short = sorted(ref, key=lambda j: (-ref[j][0], j))[:10]
+        expect = sorted(short, key=lambda j: (-ref[j][1], j))[:4]
+        rows = sorted(by_q[qi], key=lambda r: r.rank)
+        assert [r.neighbor_id for r in rows] == expect, qi
+        for r in rows:
+            assert (r.approx_fp, r.exact_fp) == ref[r.neighbor_id]
+
+
+def test_sq8_full_shortlist_equals_exact_bruteforce(spark):
+    # with shortlist >= corpus, the rerank sees everything: the output
+    # must equal the exact-dot brute force ranking regardless of
+    # quantization error
+    rng = np.random.RandomState(8)
+    arr = rng.randn(25, 6).astype(np.float32)
+    df = _vecs_df(spark, arr)
+    got = sq8_topk(df.filter("vec_id < 2"), df, k=5, shortlist=100).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qi in range(2):
+        ref = _ref_scores(arr, qi)
+        expect = sorted(ref, key=lambda j: (-ref[j][1], j))[:5]
+        rows = sorted(by_q[qi], key=lambda r: r.rank)
+        assert [r.neighbor_id for r in rows] == expect
+
+
+def test_sq8_quantization_error_bounded(spark):
+    # |approx - exact| per pair is bounded by sum_j |q_j| * step_j * 1e6
+    # plus one floor unit per component
+    rng = np.random.RandomState(1)
+    arr = rng.randn(20, 8).astype(np.float32)
+    df = _vecs_df(spark, arr)
+    rows = sq8_topk(df.filter("vec_id < 5"), df, k=3, shortlist=19).collect()
+    for r in rows:
+        q = arr[r.query_id].astype(np.float64)
+        c = arr[r.neighbor_id].astype(np.float64)
+        step = (c.max() - c.min()) / 255.0
+        bound = (np.abs(q).sum() * step) * 1e6 + len(q)
+        assert abs(r.approx_fp - r.exact_fp) <= bound
+
+
+def test_sq8_flat_vector_degenerates_to_min(spark):
+    # a constant candidate quantizes to code 0 everywhere and
+    # dequantizes back to its own constant: approx == exact
+    arr = np.vstack(
+        [np.ones(4, np.float32) * 2.5, np.arange(4, dtype=np.float32)]
+    )
+    df = _vecs_df(spark, arr)
+    rows = sq8_topk(df.filter("vec_id = 1"), df, k=1, shortlist=5).collect()
+    assert len(rows) == 1 and rows[0].neighbor_id == 0
+    assert rows[0].approx_fp == rows[0].exact_fp

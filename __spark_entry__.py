@@ -61,6 +61,14 @@ _ORDER = [
     # rerank).  Displaced: sim_pq_adc_topk (r11 driver-green;
     # similarity keeps sim_ivfpq_topk / sim_ivfpq_auto_depth /
     # sim_ivfpq_persisted / sim_range_search / sim_sq8_topk in-window).
+    # -- NEW round 12 (eighth wave): Fleiss' kappa of the 3-labeler
+    # panel (reference label + marker heuristic + trigram NB) -- the
+    # multi-rater generalization of eval_cohen_kappa on the same exact
+    # integer scaffolding; the oracle replays both weak labelers
+    # including the full Q8 NB chain.  Displaced: text_rake_keywords
+    # (r9 driver-green; text keeps chi2 / gopher / rouge / bleu /
+    # lexical_diversity / langid in-window).
+    "eval_fleiss_kappa",
     "sim_sq8_topk",
     "mm_gif_roundtrip_stats",
     "mm_audio_mulaw",
@@ -186,7 +194,6 @@ _ORDER = [
     # degree-oriented triangle counting, RAKE keywords, n-gram novelty --
     "sim_ivfpq_persisted",
     "graph_triangle_count",
-    "text_rake_keywords",
     "text_ngram_novelty",
     # -- NEW round 10: exact-complete radius search (triangle-inequality
     # cell pruning, oracle = brute force), k-core peeling (unrolled-CTE
@@ -315,6 +322,7 @@ _ORDER = [
     # ==== driver window boundary (position 50) ===========================
     # r12 sixth-wave displacements (attribution in the window comment
     # above):
+    "text_rake_keywords",
     "sim_pq_adc_topk",
     "join_bloom_prefilter",
     "mm_audio_fingerprint",

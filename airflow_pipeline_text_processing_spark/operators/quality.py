@@ -269,3 +269,85 @@ def classification_report(
         F.expr("sum(f1_ppm) div count(*)").alias("f1_ppm"),
     )
     return per_class.unionByName(macro).orderBy("label")
+
+
+def fleiss_kappa(
+    ratings: DataFrame,
+    item_col: str = "item_id",
+    label_col: str = "label",
+    n_raters: int = 3,
+) -> DataFrame:
+    """Fleiss' kappa over a long-format ratings relation (one row per
+    (item, rater assignment)) -- the MULTI-rater generalization of
+    :func:`cohen_kappa`: where Cohen grades one labeler against one
+    reference, Fleiss asks whether a PANEL of n labelers agrees beyond
+    chance, the question a curation pipeline faces when it ensembles
+    several weak labelers before trusting their majority vote.
+
+    Exact integer closed form.  With ``n_ic`` = raters assigning item i
+    to category c, ``S = sum_ic n_ic*(n_ic - 1)``, ``T_c = sum_i n_ic``:
+
+        P_bar  = S / (N*n*(n-1))          (observed agreement)
+        P_e    = sum_c T_c^2 / (N*n)^2    (chance agreement)
+        kappa  = (S*N*n - (n-1)*sum T^2)
+                 / ((n-1) * (N^2*n^2 - sum T^2))
+
+    all BIGINT, ppm floor divisions; kappa can be negative, so the
+    quotient uses the pmod floor device.  Degenerate unanimity (every
+    rating one category: the denominator vanishes) reports 0.  Items
+    rated by fewer than ``n_raters`` (a labeler abstained -- e.g. the
+    profile-capped NB drops featureless docs) are EXCLUDED: Fleiss'
+    formula assumes a fixed panel size, and both engines drop the same
+    items.
+
+    Scale shape: one hash aggregate to (item, category) cells, one to
+    per-item totals, then category-count-sized marginals -- the ratings
+    relation shuffles only on its natural keys.  Output is ONE row:
+    ``(n_items, n_raters, s_pairs, sum_t2, pbar_ppm, pe_ppm,
+    kappa_ppm)``."""
+    counts = (
+        ratings.groupBy(
+            F.col(item_col).alias("_i"), F.col(label_col).alias("_c")
+        )
+        .agg(F.count("*").cast("long").alias("nic"))
+        .localCheckpoint(eager=False)
+    )
+    full = (
+        counts.groupBy("_i")
+        .agg(F.sum("nic").alias("_nr"))
+        .filter(F.col("_nr") == n_raters)
+        .select("_i")
+    )
+    kept = counts.join(full, "_i").localCheckpoint(eager=False)
+    s_n = kept.agg(
+        F.coalesce(F.sum(F.col("nic") * (F.col("nic") - 1)), F.lit(0))
+        .cast("long")
+        .alias("s_pairs"),
+        (F.count_distinct("_i")).cast("long").alias("n_items"),
+    )
+    t2 = kept.groupBy("_c").agg(F.sum("nic").alias("t")).agg(
+        F.coalesce(F.sum(F.col("t") * F.col("t")), F.lit(0))
+        .cast("long")
+        .alias("sum_t2")
+    )
+    n = n_raters
+    num = f"(s_pairs * n_items * {n} - {n - 1} * sum_t2) * 1000000"
+    den = f"({n - 1} * (n_items * n_items * {n * n} - sum_t2))"
+    return s_n.crossJoin(F.broadcast(t2)).select(
+        "n_items",
+        F.lit(n).cast("long").alias("n_raters"),
+        "s_pairs",
+        "sum_t2",
+        F.expr(
+            "CASE WHEN n_items = 0 THEN CAST(0 AS BIGINT)"
+            f" ELSE (s_pairs * 1000000) div (n_items * {n * (n - 1)}) END"
+        ).alias("pbar_ppm"),
+        F.expr(
+            "CASE WHEN n_items = 0 THEN CAST(0 AS BIGINT)"
+            f" ELSE (sum_t2 * 1000000) div (n_items * n_items * {n * n}) END"
+        ).alias("pe_ppm"),
+        F.expr(
+            f"CASE WHEN {den} = 0 THEN CAST(0 AS BIGINT)"
+            f" ELSE (({num}) - pmod({num}, {den})) div ({den}) END"
+        ).alias("kappa_ppm"),
+    )

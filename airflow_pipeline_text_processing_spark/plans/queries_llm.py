@@ -1410,6 +1410,81 @@ FROM tot CROSS JOIN sx
 _DOMAIN_CAP_N = 10
 
 
+def eval_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa of a THREE-labeler panel on every document
+    (operators/quality.py::fleiss_kappa): the reference ``lang``
+    column, the marker-word heuristic, and the char-trigram NB
+    classifier -- the multi-rater chance-corrected agreement a curation
+    pipeline reads before trusting the panel's majority vote
+    (eval_cohen_kappa grades one labeler; this grades the ensemble).
+    Exact integer closed form over (item, category) cells; items any
+    labeler abstained on are excluded identically on both engines (the
+    NB path drops featureless docs).  The oracle replays both weak
+    labelers -- including the full exact-Q8 NB chain -- and the closed
+    form bit-for-bit."""
+    from ..operators.quality import fleiss_kappa
+
+    docs = _tspread(spark, sf_dir, "documents")
+    ref = docs.select("doc_id", F.col("lang").alias("label"))
+    marker = T.lang_id(docs).select(
+        "doc_id", F.col("predicted_lang").alias("label")
+    )
+    nb = L.nb_classify(
+        docs, label_col="lang", feature_fn=L.char_trigrams
+    ).select("doc_id", F.col("label_pred").alias("label"))
+    ratings = ref.unionByName(marker).unionByName(nb)
+    return fleiss_kappa(ratings, "doc_id", "label", n_raters=3)
+
+
+def _fleiss_sql(n: int = 3) -> str:
+    nb_inner = _nb_sql(_TRIGRAM_SQL).replace("ORDER BY doc_id", "")
+    num = f"(s_pairs * n_items * {n} - {n - 1} * sum_t2) * 1000000"
+    den = f"({n - 1} * (n_items * n_items * {n * n} - sum_t2))"
+    return f"""
+WITH lang AS ({LANG_SQL.replace("ORDER BY doc_id", "")}),
+nb AS ({nb_inner}),
+ratings AS (
+  SELECT doc_id, lang AS label FROM documents
+  UNION ALL
+  SELECT doc_id, predicted_lang AS label FROM lang
+  UNION ALL
+  SELECT doc_id, label_pred AS label FROM nb
+),
+counts AS (
+  SELECT doc_id, label, CAST(COUNT(*) AS BIGINT) AS nic
+  FROM ratings GROUP BY 1, 2
+),
+full_items AS (
+  SELECT doc_id FROM counts GROUP BY 1 HAVING SUM(nic) = {n}
+),
+kept AS (SELECT c.* FROM counts c JOIN full_items USING (doc_id)),
+sn AS (
+  SELECT CAST(COALESCE(SUM(nic * (nic - 1)), 0) AS BIGINT) AS s_pairs,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_items
+  FROM kept
+),
+t2 AS (
+  SELECT CAST(COALESCE(SUM(t * t), 0) AS BIGINT) AS sum_t2
+  FROM (SELECT label, CAST(SUM(nic) AS BIGINT) AS t FROM kept GROUP BY 1)
+)
+SELECT n_items,
+       CAST({n} AS BIGINT) AS n_raters,
+       s_pairs,
+       sum_t2,
+       CAST(CASE WHEN n_items = 0 THEN 0
+            ELSE (s_pairs * 1000000) // (n_items * {n * (n - 1)})
+            END AS BIGINT) AS pbar_ppm,
+       CAST(CASE WHEN n_items = 0 THEN 0
+            ELSE (sum_t2 * 1000000) // (n_items * n_items * {n * n})
+            END AS BIGINT) AS pe_ppm,
+       CAST(CASE WHEN {den} = 0 THEN 0
+            ELSE (({num})
+                  - ((({num}) % ({den})) + ({den})) % ({den}))
+                 // ({den}) END AS BIGINT) AS kappa_ppm
+FROM sn CROSS JOIN t2
+"""
+
+
 def curation_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/RefinedWeb-style per-domain cap (plans/curation.py::
     domain_cap): keep the best {n} documents per ``source`` by the
@@ -4427,6 +4502,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "text_lang_id": (text_lang_id, LANG_SQL),
     "eval_cohen_kappa": (eval_cohen_kappa, KAPPA_SQL),
     "eval_f1_macro": (eval_f1_macro, F1_MACRO_SQL),
+    "eval_fleiss_kappa": (eval_fleiss_kappa, _fleiss_sql()),
     "text_bleu_bigram": (text_bleu_bigram, _bleu_sql()),
     "text_lexical_diversity": (text_lexical_diversity, _lexdiv_sql()),
     "curation_domain_cap": (curation_domain_cap, DOMAIN_CAP_SQL),

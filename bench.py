@@ -196,6 +196,8 @@ BENCH_QUERIES = [
     "mm_audio_mulaw",
     # round-12 seventh wave: SQ8 asymmetric search
     "sim_sq8_topk",
+    # round-12 eighth wave: 3-labeler Fleiss panel agreement
+    "eval_fleiss_kappa",
 ]
 
 

@@ -104,3 +104,86 @@ def test_sq8_flat_vector_degenerates_to_min(spark):
     rows = sq8_topk(df.filter("vec_id = 1"), df, k=1, shortlist=5).collect()
     assert len(rows) == 1 and rows[0].neighbor_id == 0
     assert rows[0].approx_fp == rows[0].exact_fp
+
+
+# ---------------------------------------------------------------------
+# fleiss_kappa (wave 8): independent reference from the textbook formula
+# ---------------------------------------------------------------------
+
+
+def _fleiss_py(items):
+    """items: list of per-item label lists (equal length n)."""
+    n = len(items[0])
+    cats = sorted({c for row in items for c in row})
+    counts = [
+        {c: row.count(c) for c in cats} for row in items
+    ]
+    N = len(items)
+    s = sum(v * (v - 1) for row in counts for v in row.values())
+    t2 = sum(
+        sum(row[c] for row in counts) ** 2 for c in cats
+    )
+    num = (s * N * n - (n - 1) * t2) * 1_000_000
+    den = (n - 1) * (N * N * n * n - t2)
+    return {
+        "n_items": N,
+        "s_pairs": s,
+        "sum_t2": t2,
+        "pbar_ppm": s * 1_000_000 // (N * n * (n - 1)),
+        "pe_ppm": t2 * 1_000_000 // (N * N * n * n),
+        "kappa_ppm": 0 if den == 0 else num // den,  # python // floors
+    }
+
+
+def _fleiss_spark(spark, items, n_raters=3):
+    from airflow_pipeline_text_processing_spark.operators.quality import (
+        fleiss_kappa,
+    )
+
+    rows = [
+        (i, lbl) for i, labels in enumerate(items) for lbl in labels
+    ]
+    df = spark.createDataFrame(rows, "item_id long, label string")
+    return fleiss_kappa(df, "item_id", "label", n_raters=n_raters).collect()[0]
+
+
+def test_fleiss_matches_reference(spark):
+    items = [
+        ["a", "a", "a"],
+        ["a", "a", "b"],
+        ["b", "b", "b"],
+        ["a", "b", "c"],
+        ["c", "c", "b"],
+        ["b", "a", "b"],
+    ]
+    row = _fleiss_spark(spark, items)
+    ref = _fleiss_py(items)
+    for k, v in ref.items():
+        assert getattr(row, k) == v, (k, getattr(row, k), v)
+    assert 0 < row.kappa_ppm < 1_000_000
+
+
+def test_fleiss_unanimity_degenerates_to_zero(spark):
+    # every rating one category: chance agreement is 1, denominator 0
+    row = _fleiss_spark(spark, [["x", "x", "x"]] * 5)
+    assert row.kappa_ppm == 0 and row.pbar_ppm == 1_000_000
+
+
+def test_fleiss_negative_for_systematic_disagreement(spark):
+    items = [["a", "b", "c"]] * 6  # never two raters agree
+    row = _fleiss_spark(spark, items)
+    ref = _fleiss_py(items)
+    assert row.kappa_ppm == ref["kappa_ppm"] < 0
+
+
+def test_fleiss_excludes_partial_panels(spark):
+    from airflow_pipeline_text_processing_spark.operators.quality import (
+        fleiss_kappa,
+    )
+
+    rows = [(0, "a"), (0, "a"), (0, "b"), (1, "a"), (1, "b")]  # item 1: 2 raters
+    df = spark.createDataFrame(rows, "item_id long, label string")
+    row = fleiss_kappa(df, "item_id", "label", n_raters=3).collect()[0]
+    assert row.n_items == 1  # only the full panel counts
+    ref = _fleiss_py([["a", "a", "b"]])
+    assert row.kappa_ppm == ref["kappa_ppm"]

@@ -554,6 +554,20 @@ def x30_structural() -> None:
         ("curation_domain_cap", REGISTRY["curation_domain_cap"][0]),
         ("curation_token_budget", REGISTRY["curation_token_budget"][0]),
         ("curation_leakage_split", REGISTRY["curation_leakage_split"][0]),
+        # r12 fifth/sixth-wave debuts: f1/bleu/lexdiv are explode +
+        # hash-agg chains (linear in corpus tokens/grams), acf is a
+        # days-sized window family, the gif/mulaw roundtrips are
+        # map-only over doc ids -- curves make the linearity measured
+        ("eval_f1_macro", REGISTRY["eval_f1_macro"][0]),
+        ("text_bleu_bigram", REGISTRY["text_bleu_bigram"][0]),
+        ("text_lexical_diversity", REGISTRY["text_lexical_diversity"][0]),
+        ("stats_acf_daily", REGISTRY["stats_acf_daily"][0]),
+        ("mm_gif_roundtrip_stats", REGISTRY["mm_gif_roundtrip_stats"][0]),
+        ("mm_audio_mulaw", REGISTRY["mm_audio_mulaw"][0]),
+        # r12 seventh/eighth waves: sq8 scans codes per fixed query set
+        # (linear in corpus), fleiss is the NB chain + grid aggregates
+        ("sim_sq8_topk", REGISTRY["sim_sq8_topk"][0]),
+        ("eval_fleiss_kappa", REGISTRY["eval_fleiss_kappa"][0]),
     ]
     print("wall-clock curves (1x/10x/30x)")
     for name, fn in wall_rows:

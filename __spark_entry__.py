@@ -68,6 +68,13 @@ _ORDER = [
     # including the full Q8 NB chain.  Displaced: text_rake_keywords
     # (r9 driver-green; text keeps chi2 / gopher / rouge / bleu /
     # lexical_diversity / langid in-window).
+    # -- NEW round 12 (ninth wave): Flesch-Kincaid grade / reading
+    # ease in exact milli fixed point (vowel-group syllables, [.!?]-run
+    # sentences) -- the readability axis of the quality-filter stack.
+    # Displaced: text_ngram_novelty (r9 driver-green; text keeps chi2 /
+    # gopher / rouge / bleu / lexical_diversity / readability /
+    # langid in-window).
+    "text_readability",
     "eval_fleiss_kappa",
     "sim_sq8_topk",
     "mm_gif_roundtrip_stats",
@@ -194,7 +201,6 @@ _ORDER = [
     # degree-oriented triangle counting, RAKE keywords, n-gram novelty --
     "sim_ivfpq_persisted",
     "graph_triangle_count",
-    "text_ngram_novelty",
     # -- NEW round 10: exact-complete radius search (triangle-inequality
     # cell pruning, oracle = brute force), k-core peeling (unrolled-CTE
     # bounded iteration), per-token chi-square feature selection.
@@ -322,6 +328,7 @@ _ORDER = [
     # ==== driver window boundary (position 50) ===========================
     # r12 sixth-wave displacements (attribution in the window comment
     # above):
+    "text_ngram_novelty",
     "text_rake_keywords",
     "sim_pq_adc_topk",
     "join_bloom_prefilter",

@@ -1357,3 +1357,71 @@ def bleu_overlap(
             "neg_log2_bleu2_q8"
         ),
     ).orderBy(id_col)
+
+
+def readability(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Flesch-Kincaid grade level and Flesch reading ease per document,
+    exact integer fixed point -- the classic readability axis of a
+    quality-filter stack (Gopher/C4 filter on length and repetition;
+    readability catches prose that is well-formed but impenetrable, or
+    suspiciously primer-flat).
+
+    Counting rules (deterministic, engine-portable): words = the shared
+    alphanumeric tokenizer; sentences = runs of ``[.!?]`` (min 1);
+    syllables per word = runs of ``[aeiouy]`` (min 1 -- the standard
+    vowel-group heuristic; both regex classes mean the same thing to
+    Java regex and RE2).  The published formulas are applied in milli
+    units with BIGINT floor divisions on the non-negative rational
+    terms, so both engines land on identical integers:
+
+        fk_grade_milli  = 390*W div S + 11800*Y div W - 15590
+        flesch_ease_milli = 206835 - 1015*W div S - 84600*Y div W
+
+    (W words, S sentences, Y syllables; docs with zero words report 0
+    for every metric).  Scale shape: one narrow projection, all
+    counting inside higher-order functions -- map-only, no shuffle, no
+    Python."""
+    toks = tokens(F.col(text_col))
+    syll = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc
+        + F.greatest(
+            F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), 0)),
+            F.lit(1),
+        ).cast("long"),
+    )
+    base = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_words"),
+        F.greatest(
+            F.size(
+                F.regexp_extract_all(F.col(text_col), F.lit("[.!?]+"), 0)
+            ),
+            F.lit(1),
+        )
+        .cast("long")
+        .alias("n_sentences"),
+        syll.alias("n_syllables"),
+    )
+    guard = "CASE WHEN n_words = 0 THEN CAST(0 AS BIGINT) ELSE {expr} END"
+    wps = "(1000 * n_words) div n_sentences"
+    spw = "(1000 * n_syllables) div n_words"
+    fk = (
+        "(390 * n_words) div n_sentences"
+        " + (11800 * n_syllables) div n_words - 15590"
+    )
+    ease = (
+        "206835 - (1015 * n_words) div n_sentences"
+        " - (84600 * n_syllables) div n_words"
+    )
+    return base.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.expr(guard.format(expr=wps)).alias("wps_milli"),
+        F.expr(guard.format(expr=spw)).alias("spw_milli"),
+        F.expr(guard.format(expr=fk)).alias("fk_grade_milli"),
+        F.expr(guard.format(expr=ease)).alias("flesch_ease_milli"),
+    ).orderBy("doc_id")

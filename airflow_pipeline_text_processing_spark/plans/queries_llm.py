@@ -4392,6 +4392,45 @@ ORDER BY pair_id
 """
 
 
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid grade + Flesch reading ease per document
+    (operators/text.py::readability): vowel-group syllables, [.!?]-run
+    sentences, the published formulas in exact milli fixed point."""
+    return T.readability(_tspread(spark, sf_dir, "documents"))
+
+
+READABILITY_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len({TOKS_SQL}) AS BIGINT) AS n_words,
+         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+              AS BIGINT) AS n_sentences,
+         CAST(list_sum(list_transform({TOKS_SQL},
+                w -> greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1)))
+              AS BIGINT) AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences,
+       COALESCE(n_syllables, 0) AS n_syllables,
+       CAST(CASE WHEN n_words = 0 THEN 0
+            ELSE (1000 * n_words) // n_sentences END AS BIGINT)
+         AS wps_milli,
+       CAST(CASE WHEN n_words = 0 THEN 0
+            ELSE (1000 * n_syllables) // n_words END AS BIGINT)
+         AS spw_milli,
+       CAST(CASE WHEN n_words = 0 THEN 0
+            ELSE (390 * n_words) // n_sentences
+                 + (11800 * n_syllables) // n_words - 15590 END AS BIGINT)
+         AS fk_grade_milli,
+       CAST(CASE WHEN n_words = 0 THEN 0
+            ELSE 206835 - (1015 * n_words) // n_sentences
+                 - (84600 * n_syllables) // n_words END AS BIGINT)
+         AS flesch_ease_milli
+FROM base
+ORDER BY doc_id
+"""
+
+
 def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document vocabulary-richness signals (operators/text.py::
     lexical_diversity): type-token ratio, hapax ratio, and Herdan's C
@@ -4505,6 +4544,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "eval_fleiss_kappa": (eval_fleiss_kappa, _fleiss_sql()),
     "text_bleu_bigram": (text_bleu_bigram, _bleu_sql()),
     "text_lexical_diversity": (text_lexical_diversity, _lexdiv_sql()),
+    "text_readability": (text_readability, READABILITY_SQL),
     "curation_domain_cap": (curation_domain_cap, DOMAIN_CAP_SQL),
     "curation_leakage_split": (curation_leakage_split, _leakage_split_sql()),
     "curation_token_budget": (curation_token_budget, _token_budget_sql()),

@@ -198,6 +198,8 @@ BENCH_QUERIES = [
     "sim_sq8_topk",
     # round-12 eighth wave: 3-labeler Fleiss panel agreement
     "eval_fleiss_kappa",
+    # round-12 ninth wave: Flesch-Kincaid readability
+    "text_readability",
 ]
 
 

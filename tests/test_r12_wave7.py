@@ -187,3 +187,60 @@ def test_fleiss_excludes_partial_panels(spark):
     assert row.n_items == 1  # only the full panel counts
     ref = _fleiss_py([["a", "a", "b"]])
     assert row.kappa_ppm == ref["kappa_ppm"]
+
+
+# ---------------------------------------------------------------------
+# readability (wave 9): independent reference from the published formulas
+# ---------------------------------------------------------------------
+
+
+def _readability_py(text):
+    words = _re.findall(r"[a-z0-9]+", text.lower())
+    w = len(words)
+    s = max(len(_re.findall(r"[.!?]+", text)), 1)
+    y = sum(max(len(_re.findall(r"[aeiouy]+", wd)), 1) for wd in words)
+    if w == 0:
+        return (0, s, 0, 0, 0, 0, 0)
+    return (
+        w,
+        s,
+        y,
+        1000 * w // s,
+        1000 * y // w,
+        390 * w // s + 11800 * y // w - 15590,
+        206835 - 1015 * w // s - 84600 * y // w,
+    )
+
+
+def test_readability_matches_reference(spark):
+    import re as _re_mod
+
+    global _re
+    _re = _re_mod
+    rows = [
+        (0, "The cat sat. The dog ran! Did it?"),
+        (1, "Incomprehensibility notwithstanding, perspicacious "
+            "individuals nevertheless persevere."),
+        (2, "no punctuation at all just words"),
+        (3, ""),  # zero words: all metrics guarded to 0
+        (4, "a. b. c. d."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from airflow_pipeline_text_processing_spark.operators.text import (
+        readability,
+    )
+
+    got = readability(df).collect()
+    for r in got:
+        w, s, y, wps, spw, fk, ease = _readability_py(dict(rows)[r.doc_id])
+        if w == 0:
+            assert (r.n_words, r.wps_milli, r.spw_milli, r.fk_grade_milli,
+                    r.flesch_ease_milli) == (0, 0, 0, 0, 0)
+        else:
+            assert (r.n_words, r.n_sentences, r.n_syllables) == (w, s, y)
+            assert (r.wps_milli, r.spw_milli) == (wps, spw)
+            assert (r.fk_grade_milli, r.flesch_ease_milli) == (fk, ease)
+    by = {r.doc_id: r for r in got}
+    # the polysyllabic doc must grade far harder than the primer
+    assert by[1].fk_grade_milli > by[0].fk_grade_milli + 5000
+    assert by[1].flesch_ease_milli < by[0].flesch_ease_milli

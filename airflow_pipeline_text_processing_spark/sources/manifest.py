@@ -114,18 +114,25 @@ def _build_stats(
     return out
 
 
+_CACHE_FILE = "part-00000.parquet"
+_SEQ_META = b"spark_graft_commit_seq"
+
+
 def _refresh_cache(path: str, rows: List[dict], seq: int) -> None:
     """(Re)write the parquet manifest CACHE from committed rows.  The
     cache is what readers scan (``read_manifest``); the commit log is
-    authoritative.  Any writer may redo this idempotently -- the swap
-    target is derived from a committed log entry, so racing refreshes
-    converge (a stale overwrite is detected and re-healed by the next
-    ``_sync_cache``)."""
+    authoritative.  The cache is ONE parquet file swapped in by ONE
+    atomic rename, with the commit seq embedded in the parquet footer
+    metadata -- so concurrent refreshers (two committed writers, or a
+    writer and a healing reader) can interleave arbitrarily and a
+    reader still always sees a complete file whose content and seq
+    agree; a stale last-rename-wins winner is detected and re-healed
+    by the next ``_sync_cache``.  Any writer may redo this
+    idempotently."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     man_dir = os.path.join(path, _MANIFEST)
-    tmp = os.path.join(path, f"_manifest_next_{uuid.uuid4().hex[:8]}")
     cols = [
         "file", "n_rows", "k_min", "k_max",
         "added_epoch", "removed_epoch", "cols",
@@ -140,19 +147,33 @@ def _refresh_cache(path: str, rows: List[dict], seq: int) -> None:
     # column-wise dicts; pyarrow infers types from values, so
     # non-integer cluster keys work too
     table = pa.table({c: [r.get(c) for r in rows] for c in cols})
-    os.makedirs(tmp)
-    pq.write_table(table, os.path.join(tmp, "part-00000.parquet"))
-    with open(os.path.join(tmp, _SEQ_MARKER), "w") as fh:
-        fh.write(str(seq))
-    if os.path.exists(man_dir):
-        shutil.rmtree(man_dir)
-    os.rename(tmp, man_dir)
+    table = table.replace_schema_metadata({_SEQ_META: str(seq).encode()})
+    os.makedirs(man_dir, exist_ok=True)
+    # dot-prefixed tmp name: hidden from Spark's file listing mid-write
+    tmp = os.path.join(man_dir, f".{_CACHE_FILE}.{uuid.uuid4().hex[:8]}")
+    pq.write_table(table, tmp)
+    os.rename(tmp, os.path.join(man_dir, _CACHE_FILE))  # atomic replace
+    # drop a pre-r12 layout's separate seq marker so it cannot shadow
+    # the footer seq
+    try:
+        os.unlink(os.path.join(man_dir, _SEQ_MARKER))
+    except OSError:
+        pass
 
 
 def _cache_seq(path: str) -> int:
-    marker = os.path.join(path, _MANIFEST, _SEQ_MARKER)
+    import pyarrow.parquet as pq
+
+    cache = os.path.join(path, _MANIFEST, _CACHE_FILE)
     try:
-        with open(marker) as fh:
+        meta = pq.read_schema(cache).metadata or {}
+        if _SEQ_META in meta:
+            return int(meta[_SEQ_META])
+    except (OSError, ValueError):
+        return -1
+    # pre-r12 cache layouts: a separate marker file, else unknown
+    try:
+        with open(os.path.join(path, _MANIFEST, _SEQ_MARKER)) as fh:
             return int(fh.read().strip())
     except (OSError, ValueError):
         return -1

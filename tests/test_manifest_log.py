@@ -125,10 +125,36 @@ def test_pre_log_tables_still_read(spark, tmp_path):
     path = _table(spark, tmp_path)
     # simulate a table written before the commit log existed
     shutil.rmtree(os.path.join(path, "_log"))
-    os.unlink(os.path.join(path, "_manifest", "_seq"))
     assert read_live(spark, path).count() == 400
     # the first mutation starts the log at slot 0
     upd = spark.createDataFrame([(1, 5)], "k long, v long")
     merge_upsert(spark, path, upd, "k")
     assert _latest_log(path)[0] == 0
     assert read_live(spark, path).filter("k = 1").collect()[0].v == 5
+
+
+def test_readers_stay_consistent_under_concurrent_merges(spark, tmp_path):
+    # readers racing the cache refresh must always see a complete table
+    # at SOME committed version -- never a torn or missing manifest
+    path = _table(spark, tmp_path)
+
+    def merge(i):
+        upd = spark.createDataFrame(
+            [(k, 7000 + i) for k in range(i * 50, i * 50 + 3)],
+            "k long, v long",
+        )
+        merge_upsert(spark, path, upd, "k")
+        return "w"
+
+    def read(_):
+        return read_live(spark, path).count()
+
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        writers = [ex.submit(merge, i) for i in range(3)]
+        readers = [ex.submit(read, i) for i in range(6)]
+        counts = [f.result() for f in readers]
+        for f in writers:
+            f.result()
+    assert all(c == 400 for c in counts), counts
+    assert read_live(spark, path).count() == 400
+    assert current_epoch(spark, path) == 3

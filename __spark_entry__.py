@@ -74,6 +74,13 @@ _ORDER = [
     # Displaced: text_ngram_novelty (r9 driver-green; text keeps chi2 /
     # gopher / rouge / bleu / lexical_diversity / readability /
     # langid in-window).
+    # -- NEW round 12 (tenth wave): two-sided CUSUM drift chart over
+    # the daily series -- the sequential change detector next to the
+    # single-split changepoint, via the closed windowed form
+    # S_t = P_t - min(0, running-min P) (no recursion; exact n-scaled
+    # integer deviations).  Displaced: events_changepoint (r10
+    # driver-green; events keeps markov_transitions / cusum in-window).
+    "events_cusum_daily",
     "text_readability",
     "eval_fleiss_kappa",
     "sim_sq8_topk",
@@ -268,7 +275,6 @@ _ORDER = [
     # sim_pooled_rerank (r9 driver-green; similarity keeps
     # sim_pq_adc_topk / sim_ivfpq_topk / sim_ivfpq_persisted /
     # sim_range_search / search_mmr_rerank in-window).
-    "events_changepoint",
     # -- NEW round 10 (ninth wave): Theil-Sen robust median slope
     # (lower-median exact rank, same calendar-bounded pair join as
     # Kendall).  Displaced: dedup_semantic_clusters (r9 driver-green;
@@ -328,6 +334,7 @@ _ORDER = [
     # ==== driver window boundary (position 50) ===========================
     # r12 sixth-wave displacements (attribution in the window comment
     # above):
+    "events_changepoint",
     "text_ngram_novelty",
     "text_rake_keywords",
     "sim_pq_adc_topk",

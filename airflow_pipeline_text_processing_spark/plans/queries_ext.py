@@ -4257,6 +4257,91 @@ ORDER BY event_type, lag
 """
 
 
+def events_cusum_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM drift statistic over the daily revenue series,
+    per event_type -- the sequential change-detection chart
+    (Page 1954) next to the single-split change-point test
+    (events_changepoint): CUSUM accumulates small sustained shifts that
+    no single split maximizes, which is how production metric monitors
+    catch slow drifts.
+
+    The textbook recurrence ``S_t = max(0, S_{t-1} + dev_t)`` looks
+    inherently sequential, but it has a CLOSED WINDOWED FORM:
+    ``S_t = P_t - min(0, min_{j<=t} P_j)`` with ``P`` the prefix sum of
+    deviations (and the mirrored form with a running max for the
+    downward side) -- so both engines compute it with two ordered
+    windows, no recursion, no iterative loop.  Exactness: deviations
+    are scaled by the group size (``dev_i = n*y_i - sum_y`` -- the
+    mean subtraction without a rational mean), so every quantity is a
+    BIGINT and the oracle matches bit-for-bit.
+
+    Scale shape: one map-side-combinable daily rollup, a broadcast of
+    the group moments, and two per-group ordered windows over the
+    days-sized relation -- the event stream is touched once.
+    Magnitude: |P_t| <= n^2 * max|y| ~ 2.5e3^2 * 1e8 at a century of
+    dailies, inside BIGINT."""
+    daily = _daily_cents(spark, sf_dir)
+    moms = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum("y").cast("long").alias("_sy"),
+    )
+    j = daily.join(F.broadcast(moms), "event_type")
+    dev = (F.col("_n") * F.col("y") - F.col("_sy")).alias("dev_scaled")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_p = j.select(
+        "event_type", "day", dev
+    ).select(
+        "event_type",
+        "day",
+        "dev_scaled",
+        F.sum("dev_scaled").over(w).alias("_p"),
+    )
+    return with_p.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        "dev_scaled",
+        (
+            F.col("_p")
+            - F.least(F.min("_p").over(w), F.lit(0).cast("long"))
+        ).cast("long").alias("cusum_up"),
+        (
+            F.greatest(F.max("_p").over(w), F.lit(0).cast("long"))
+            - F.col("_p")
+        ).cast("long").alias("cusum_down"),
+    ).orderBy("event_type", "day")
+
+
+CUSUM_SQL = f"""
+WITH {DAILY_CTE}, moms AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS sy
+  FROM daily GROUP BY 1
+), devs AS (
+  SELECT d.event_type, d.day, CAST(m.n * d.y - m.sy AS BIGINT) AS dev_scaled
+  FROM daily d JOIN moms m USING (event_type)
+), pre AS (
+  SELECT event_type, day, dev_scaled,
+         CAST(SUM(dev_scaled) OVER (
+           PARTITION BY event_type ORDER BY day
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p
+  FROM devs
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day, dev_scaled,
+       CAST(p - LEAST(MIN(p) OVER (
+         PARTITION BY event_type ORDER BY day ROWS UNBOUNDED PRECEDING),
+         0) AS BIGINT) AS cusum_up,
+       CAST(GREATEST(MAX(p) OVER (
+         PARTITION BY event_type ORDER BY day ROWS UNBOUNDED PRECEDING),
+         0) - p AS BIGINT) AS cusum_down
+FROM pre
+ORDER BY event_type, day
+"""
+
+
 def stats_kendall_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kendall tau-a trend test between day order and daily revenue,
     per event_type -- the pairwise-concordance complement to
@@ -5143,6 +5228,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "stats_linear_trend": (stats_linear_trend, LINEAR_TREND_SQL),
     "stats_spearman_daily": (stats_spearman_daily, SPEARMAN_SQL),
     "stats_acf_daily": (stats_acf_daily, ACF_SQL),
+    "events_cusum_daily": (events_cusum_daily, CUSUM_SQL),
     "stats_kendall_daily": (stats_kendall_daily, KENDALL_SQL),
     "stats_anova_f": (stats_anova_f, ANOVA_SQL),
     "stats_theil_sen": (stats_theil_sen, THEIL_SEN_SQL),

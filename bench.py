@@ -200,6 +200,8 @@ BENCH_QUERIES = [
     "eval_fleiss_kappa",
     # round-12 ninth wave: Flesch-Kincaid readability
     "text_readability",
+    # round-12 tenth wave: CUSUM drift chart
+    "events_cusum_daily",
 ]
 
 

@@ -244,3 +244,62 @@ def test_readability_matches_reference(spark):
     # the polysyllabic doc must grade far harder than the primer
     assert by[1].fk_grade_milli > by[0].fk_grade_milli + 5000
     assert by[1].flesch_ease_milli < by[0].flesch_ease_milli
+
+
+# ---------------------------------------------------------------------
+# events_cusum_daily (wave 10): closed windowed form vs the textbook
+# sequential recurrence
+# ---------------------------------------------------------------------
+
+
+def _cusum_ref(series):
+    """Textbook recurrences, run sequentially."""
+    n = len(series)
+    sy = sum(series)
+    devs = [n * y - sy for y in series]
+    up, down, out = 0, 0, []
+    for d in devs:
+        up = max(0, up + d)
+        down = max(0, down - d)
+        out.append((d, up, down))
+    return out
+
+
+def test_cusum_closed_form_equals_recurrence(spark, sf_dir):
+    from airflow_pipeline_text_processing_spark.plans.queries_ext import (
+        events_cusum_daily,
+    )
+
+    rows = events_cusum_daily(spark, sf_dir).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    assert by_type
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev["day"] = ev["ts"].dt.date
+    ev["cents"] = (ev["value"] * 100).apply(lambda v: int(v // 1))
+    daily = (
+        ev.groupby(["event_type", "day"])["cents"].sum().reset_index(name="y")
+    )
+    for etype, got in by_type.items():
+        got = sorted(got, key=lambda r: r.day)
+        series = list(
+            daily[daily.event_type == etype].sort_values("day")["y"]
+        )
+        ref = _cusum_ref(series)
+        assert len(got) == len(ref)
+        for r, (d, up, down) in zip(got, ref):
+            assert (r.dev_scaled, r.cusum_up, r.cusum_down) == (d, up, down)
+
+
+def test_cusum_detects_planted_shift():
+    # structural sanity on the reference itself: a mean shift makes the
+    # upward statistic grow linearly after the break while the
+    # pre-break values stay near zero
+    series = [100] * 20 + [200] * 20
+    ref = _cusum_ref(series)
+    pre = max(up for _, up, _ in ref[:20])
+    post = ref[-1][1]
+    assert post > pre * 3

@@ -80,6 +80,13 @@ _ORDER = [
     # S_t = P_t - min(0, running-min P) (no recursion; exact n-scaled
     # integer deviations).  Displaced: events_changepoint (r10
     # driver-green; events keeps markov_transitions / cusum in-window).
+    # -- NEW round 12 (eleventh wave): ISO-BMFF container codec -- the
+    # MP4 sample table (stts/stsc/stsz/stco, co64) parsed for real, so
+    # frame sampling slices true samples at true offsets; only in-sample
+    # codec decode stays gated.  Displaced:
+    # sim_range_search (r10 driver-green; similarity keeps ivfpq_topk /
+    # auto_depth / persisted / sq8 / mmr in-window).
+    "mm_mp4_sample_index",
     "events_cusum_daily",
     "text_readability",
     "eval_fleiss_kappa",
@@ -218,7 +225,6 @@ _ORDER = [
     # (~ sample_allocate_budget / sample_surprisal_strata).
     # (graph_clustering_coeff displaces stats_mann_whitney -- r9 green,
     # in-window siblings stats_ks_two_sample / stats_source_kl)
-    "sim_range_search",
     "graph_kcore",
     "text_chi2_tokens",
     # -- NEW round 10 (second wave): directed shingle-containment dedup,
@@ -334,6 +340,7 @@ _ORDER = [
     # ==== driver window boundary (position 50) ===========================
     # r12 sixth-wave displacements (attribution in the window comment
     # above):
+    "sim_range_search",
     "events_changepoint",
     "text_ngram_novelty",
     "text_rake_keywords",

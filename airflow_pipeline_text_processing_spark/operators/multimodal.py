@@ -216,18 +216,35 @@ def sample_frames(
 ) -> DataFrame:
     """1 -> N frame sampling over video payloads (``mapInPandas``).
 
-    REAL FRAME DECODE IS STUBBED (no ffmpeg in this container): a "frame"
-    is a deterministic evenly-strided byte slice of the payload.  The
-    distributed shape is the real thing -- Arrow-batched row expansion with
-    a binary output column, exactly how a video pipeline fans frames out
-    for downstream embedding at scale.
+    ISO-BMFF (MP4) payloads use the REAL container sample table (r12:
+    codec/mp4.py parses stts/stsc/stsz/stco and returns every sample's
+    byte range): "frames" are the first ``num_frames`` actual samples,
+    sliced at their true offsets -- what a video pipeline ships to
+    downstream embedding; only the CODEC decode inside each sample
+    stays gated on ffmpeg-class libraries.  For opaque non-MP4 payloads
+    the deterministic evenly-strided byte slices remain as the stub.
+    The distributed shape is the real thing either way -- Arrow-batched
+    row expansion with a binary output column.
     """
+    from ..codec.mp4 import parse_mp4
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             doc_ids, idxs, frames, offsets = [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 if payload is None or len(payload) == 0:
+                    continue
+                if payload[4:8] == b"ftyp":
+                    table = parse_mp4(bytes(payload))["samples"]
+                    for i, (off, size, _dts) in enumerate(
+                        table[:num_frames]
+                    ):
+                        doc_ids.append(doc_id)
+                        idxs.append(i)
+                        frames.append(
+                            bytes(payload[off : off + min(size, frame_size)])
+                        )
+                        offsets.append(off)
                     continue
                 stride = max(len(payload) // num_frames, 1)
                 for i in range(min(num_frames, len(payload))):

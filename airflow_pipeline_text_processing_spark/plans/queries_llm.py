@@ -3844,6 +3844,112 @@ ORDER BY doc_id
 """
 
 
+_MP4_N = 6
+
+
+def mm_mp4_sample_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-BMFF mux->demux roundtrip certification through the REAL
+    container codec (codec/mp4.py, r12): each document maps to a
+    deterministic 6-sample MP4 (sample i has ``16 + (doc_id*3 + i*5) %
+    17`` bytes, byte j = ``(doc_id*31 + i*7 + j*13) % 256``, duration
+    ``100 + (doc_id + i*11) % 50``), muxed into real
+    ftyp/mdat/moov/stbl boxes, then the SAMPLE TABLE is parsed back
+    (stts/stsc/stsz/stco) and every sample's bytes re-sliced at its
+    recovered offset.  Folds: sample count, total payload bytes, the
+    sum of recovered decode timestamps (grades the stts expansion), and
+    a position-weighted checksum over the concatenated recovered bytes
+    (grades offsets, sizes, and order -- one wrong table entry goes
+    red).  The oracle regenerates everything from the formulas in pure
+    integer SQL; general stsc/co64 parsing is pytest-certified against
+    hand-built layouts (tests/test_mp4_codec.py).  Scale shape: one
+    map-only Arrow stage over doc ids; nothing shuffles."""
+    import numpy as np
+    import pandas as pd
+
+    from ..codec.mp4 import build_mp4, extract_samples
+
+    def _roundtrip(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                samples = []
+                durs = []
+                for i in range(_MP4_N):
+                    ln = 16 + (d * 3 + i * 5) % 17
+                    j = np.arange(ln, dtype=np.int64)
+                    samples.append(
+                        bytes(((d * 31 + i * 7 + j * 13) % 256).astype(np.uint8))
+                    )
+                    durs.append(100 + (d + i * 11) % 50)
+                got = extract_samples(build_mp4(samples, durs))
+                flat = np.frombuffer(
+                    b"".join(b for b, _ in got), np.uint8
+                ).astype(np.int64)
+                g = np.arange(flat.size, dtype=np.int64)
+                rows.append(
+                    (
+                        d,
+                        len(got),
+                        int(flat.size),
+                        int(sum(dts for _, dts in got)),
+                        int(((g + 1) * flat).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_samples", "total_bytes",
+                    "sum_dts", "weighted_fp",
+                ],
+            )
+
+    docs = _tspread(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        _roundtrip,
+        "doc_id long, n_samples long, total_bytes long, "
+        "sum_dts long, weighted_fp long",
+    ).orderBy("doc_id")
+
+
+MP4_INDEX_SQL = f"""
+WITH per_sample AS (
+  SELECT d.doc_id, t.i,
+         16 + (d.doc_id * 3 + t.i * 5) % 17 AS ln,
+         100 + (d.doc_id + t.i * 11) % 50 AS dur
+  FROM documents d,
+       (SELECT UNNEST(range(0, {_MP4_N})) AS i) t
+),
+laid AS (
+  SELECT doc_id, i, ln, dur,
+         CAST(COALESCE(SUM(ln) OVER (
+           PARTITION BY doc_id ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS start_g,
+         CAST(COALESCE(SUM(dur) OVER (
+           PARTITION BY doc_id ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS dts
+  FROM per_sample
+),
+bytes_g AS (
+  SELECT l.doc_id, l.start_g + u.j AS g,
+         (l.doc_id * 31 + l.i * 7 + u.j * 13) % 256 AS v
+  FROM laid l, LATERAL (SELECT UNNEST(range(0, l.ln)) AS j) u
+)
+SELECT b.doc_id,
+       CAST({_MP4_N} AS BIGINT) AS n_samples,
+       CAST(COUNT(*) AS BIGINT) AS total_bytes,
+       CAST(s.sum_dts AS BIGINT) AS sum_dts,
+       CAST(SUM((b.g + 1) * b.v) AS BIGINT) AS weighted_fp
+FROM bytes_g b
+JOIN (SELECT doc_id, SUM(dts) AS sum_dts FROM laid GROUP BY 1) s
+  USING (doc_id)
+GROUP BY b.doc_id, s.sum_dts
+ORDER BY b.doc_id
+"""
+
+
 PNG_ROUNDTRIP_SQL = f"""
 WITH px AS (
   SELECT d.doc_id, t.i,
@@ -4499,6 +4605,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "mm_jpeg_roundtrip_stats": (mm_jpeg_roundtrip_stats, JPEG_ROUNDTRIP_SQL),
     "mm_gif_roundtrip_stats": (mm_gif_roundtrip_stats, GIF_ROUNDTRIP_SQL),
     "mm_audio_mulaw": (mm_audio_mulaw, MULAW_SQL),
+    "mm_mp4_sample_index": (mm_mp4_sample_index, MP4_INDEX_SQL),
     "text_rouge_bigram": (text_rouge_bigram, _rouge_sql()),
     "search_ndcg_eval": (search_ndcg_eval, _ndcg_sql()),
     "curation_entropy_filtered": (

@@ -202,6 +202,8 @@ BENCH_QUERIES = [
     "text_readability",
     # round-12 tenth wave: CUSUM drift chart
     "events_cusum_daily",
+    # round-12 eleventh wave: ISO-BMFF sample-table roundtrip
+    "mm_mp4_sample_index",
 ]
 
 

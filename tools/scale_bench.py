@@ -570,6 +570,7 @@ def x30_structural() -> None:
         ("eval_fleiss_kappa", REGISTRY["eval_fleiss_kappa"][0]),
         ("text_readability", REGISTRY["text_readability"][0]),
         ("events_cusum_daily", REGISTRY["events_cusum_daily"][0]),
+        ("mm_mp4_sample_index", REGISTRY["mm_mp4_sample_index"][0]),
     ]
     print("wall-clock curves (1x/10x/30x)")
     for name, fn in wall_rows:

@@ -87,6 +87,16 @@ _ORDER = [
     # sim_range_search (r10 driver-green; similarity keeps ivfpq_topk /
     # auto_depth / persisted / sq8 / mmr in-window).
     "mm_mp4_sample_index",
+    # -- NEW round 12 (twelfth wave): Wald-Wolfowitz runs test (exact
+    # rank-cut median split, textbook E[R]/Var[R] as milli/micro
+    # rationals, no sqrt) and the day-of-week seasonality profile
+    # (n-scaled integer index) -- the randomness check and the weekly
+    # shape the drift tests assume away.  Displaced (both driver-green
+    # with in-window category siblings): stats_kendall_daily (r11; stats
+    # keeps anova / acf / psi_drift / runs_test in-window), graph_kcore
+    # (r10; graph keeps triangle_count / link_predict in-window).
+    "stats_runs_test",
+    "events_dow_profile",
     "events_cusum_daily",
     "text_readability",
     "eval_fleiss_kappa",
@@ -225,7 +235,6 @@ _ORDER = [
     # (~ sample_allocate_budget / sample_surprisal_strata).
     # (graph_clustering_coeff displaces stats_mann_whitney -- r9 green,
     # in-window siblings stats_ks_two_sample / stats_source_kl)
-    "graph_kcore",
     "text_chi2_tokens",
     # -- NEW round 10 (second wave): directed shingle-containment dedup,
     # quality-canonical survivor pick per near-dup cluster, MMR
@@ -255,7 +264,6 @@ _ORDER = [
     "graph_link_predict",
     "events_markov_transitions",
     "text_gopher_quality",
-    "stats_kendall_daily",
     # -- NEW round 10 (fifth wave): distributed exact covariance + top
     # principal component (integer power iteration).  Displaced:
     # text_nb_classify (r6 driver-green; LM/classifier family keeps
@@ -340,6 +348,8 @@ _ORDER = [
     # ==== driver window boundary (position 50) ===========================
     # r12 sixth-wave displacements (attribution in the window comment
     # above):
+    "stats_kendall_daily",
+    "graph_kcore",
     "sim_range_search",
     "events_changepoint",
     "text_ngram_novelty",

@@ -4342,6 +4342,186 @@ ORDER BY event_type, day
 """
 
 
+def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the daily revenue series, per
+    event_type -- the nonparametric randomness check a metrics monitor
+    runs before trusting i.i.d.-assuming tests: too FEW runs above/
+    below the median means clustering (trend/regime), too MANY means
+    oscillation.  Exact integers throughout: the median split is a
+    rank cut (row_number over the (y, day) total order -- days at or
+    below the lower-median rank go 'low'), the run count is a window
+    lag comparison, and the expected-run count and its variance are
+    the textbook rationals emitted as exact milli/micro fixed point:
+
+        E[R]   = 2*n1*n2/(n1+n2) + 1
+        Var[R] = 2*n1*n2*(2*n1*n2 - n1 - n2)
+                 / ((n1+n2)^2 * (n1+n2-1))
+
+    (floor divisions; both quantities non-negative).  The caller
+    compares ``n_runs`` against ``expected_runs_milli`` at
+    ``var_runs_micro`` scale -- no sqrt, no libm, fully portable.
+
+    Scale shape: one daily rollup, per-group rank + lag windows over
+    the days-sized relation, one group-sized aggregate."""
+    daily = _daily_cents(spark, sf_dir)
+    wrank = Window.partitionBy("event_type").orderBy("y", "day")
+    wn = Window.partitionBy("event_type")
+    marked = daily.select(
+        "event_type",
+        "day",
+        F.row_number().over(wrank).cast("long").alias("_rk"),
+        F.count("*").over(wn).cast("long").alias("_n"),
+    ).select(
+        "event_type",
+        "day",
+        # lower-median split: ranks 1..ceil(n/2) are 'low'
+        (F.col("_rk") <= (F.col("_n") + 1) / 2).cast("int").alias("_low"),
+    )
+    wday = Window.partitionBy("event_type").orderBy("day")
+    runs = marked.select(
+        "event_type",
+        "_low",
+        F.when(
+            F.lag("_low").over(wday).isNull()
+            | (F.lag("_low").over(wday) != F.col("_low")),
+            1,
+        )
+        .otherwise(0)
+        .alias("_new_run"),
+    )
+    agg = runs.groupBy("event_type").agg(
+        F.sum("_low").cast("long").alias("n_low"),
+        (F.count("*") - F.sum("_low")).cast("long").alias("n_high"),
+        F.sum("_new_run").cast("long").alias("n_runs"),
+    )
+    n1, n2 = F.col("n_low"), F.col("n_high")
+    tot = n1 + n2
+    return agg.select(
+        "event_type",
+        "n_low",
+        "n_high",
+        "n_runs",
+        F.expr(
+            "CASE WHEN n_low + n_high = 0 THEN CAST(0 AS BIGINT)"
+            " ELSE (2000 * n_low * n_high) div (n_low + n_high) + 1000 END"
+        ).alias("expected_runs_milli"),
+        F.expr(
+            "CASE WHEN n_low + n_high < 2 THEN CAST(0 AS BIGINT)"
+            " ELSE (2000000 * n_low * n_high"
+            "       * (2 * n_low * n_high - n_low - n_high))"
+            " div ((n_low + n_high) * (n_low + n_high)"
+            "      * (n_low + n_high - 1)) END"
+        ).alias("var_runs_micro"),
+    ).orderBy("event_type")
+
+
+RUNS_SQL = f"""
+WITH {DAILY_CTE}, marked AS (
+  SELECT event_type, day,
+         CASE WHEN ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY y, day)
+              <= (COUNT(*) OVER (PARTITION BY event_type) + 1) / 2
+              THEN 1 ELSE 0 END AS low
+  FROM daily
+), runs AS (
+  SELECT event_type, low,
+         CASE WHEN LAG(low) OVER (PARTITION BY event_type ORDER BY day)
+                   IS DISTINCT FROM low
+              THEN 1 ELSE 0 END AS new_run
+  FROM marked
+), agg AS (
+  SELECT event_type,
+         CAST(SUM(low) AS BIGINT) AS n_low,
+         CAST(COUNT(*) - SUM(low) AS BIGINT) AS n_high,
+         CAST(SUM(new_run) AS BIGINT) AS n_runs
+  FROM runs GROUP BY 1
+)
+SELECT event_type, n_low, n_high, n_runs,
+       CAST(CASE WHEN n_low + n_high = 0 THEN 0
+            ELSE (2000 * n_low * n_high) // (n_low + n_high) + 1000
+            END AS BIGINT) AS expected_runs_milli,
+       CAST(CASE WHEN n_low + n_high < 2 THEN 0
+            ELSE (2000000 * n_low * n_high
+                  * (2 * n_low * n_high - n_low - n_high))
+                 // ((n_low + n_high) * (n_low + n_high)
+                     * (n_low + n_high - 1)) END AS BIGINT)
+         AS var_runs_micro
+FROM agg
+ORDER BY event_type
+"""
+
+
+def events_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile of daily revenue, per
+    event_type -- the weekly shape a forecaster subtracts before any
+    trend/drift test (CUSUM, changepoint) is meaningful: per (type,
+    weekday) the day count and total, the weekday total scaled against
+    the group's overall daily level (``dow_index_milli = 1000 * n_days
+    * sum_dow / (n_dow * sum_all)`` -- 1000 means an average weekday),
+    all as exact n-scaled BIGINT ratios.  ISO weekday numbering (1 =
+    Monday) on both engines.
+
+    Scale shape: two map-side-combinable rollups (daily, then
+    weekday) -- the event stream is touched once; the profile relation
+    is |types| x 7."""
+    daily = _daily_cents(spark, sf_dir)
+    wk = daily.select(
+        "event_type",
+        F.dayofweek(F.col("day")).alias("_dow_sun1"),
+        "y",
+    ).select(
+        "event_type",
+        # Spark dayofweek: 1=Sunday; ISO: 1=Monday
+        F.expr("CASE WHEN _dow_sun1 = 1 THEN 7 ELSE _dow_sun1 - 1 END")
+        .cast("long")
+        .alias("dow_iso"),
+        "y",
+    )
+    per_dow = wk.groupBy("event_type", "dow_iso").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("y").cast("long").alias("sum_cents"),
+    )
+    moms = per_dow.groupBy("event_type").agg(
+        F.sum("n_days").cast("long").alias("_nd_all"),
+        F.sum("sum_cents").cast("long").alias("_sum_all"),
+    )
+    j = per_dow.join(F.broadcast(moms), "event_type")
+    return j.select(
+        "event_type",
+        "dow_iso",
+        "n_days",
+        "sum_cents",
+        F.expr(
+            "CASE WHEN _sum_all = 0 OR n_days = 0 THEN CAST(0 AS BIGINT)"
+            " ELSE (1000 * _nd_all * sum_cents) div (n_days * _sum_all) END"
+        ).alias("dow_index_milli"),
+    ).orderBy("event_type", "dow_iso")
+
+
+DOW_SQL = f"""
+WITH {DAILY_CTE}, wk AS (
+  SELECT event_type, isodow(day) AS dow_iso, y FROM daily
+), per_dow AS (
+  SELECT event_type, CAST(dow_iso AS BIGINT) AS dow_iso,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(y) AS BIGINT) AS sum_cents
+  FROM wk GROUP BY 1, 2
+), moms AS (
+  SELECT event_type,
+         CAST(SUM(n_days) AS BIGINT) AS nd_all,
+         CAST(SUM(sum_cents) AS BIGINT) AS sum_all
+  FROM per_dow GROUP BY 1
+)
+SELECT p.event_type, p.dow_iso, p.n_days, p.sum_cents,
+       CAST(CASE WHEN m.sum_all = 0 OR p.n_days = 0 THEN 0
+            ELSE (1000 * m.nd_all * p.sum_cents)
+                 // (p.n_days * m.sum_all) END AS BIGINT)
+         AS dow_index_milli
+FROM per_dow p JOIN moms m USING (event_type)
+ORDER BY p.event_type, p.dow_iso
+"""
+
+
 def stats_kendall_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kendall tau-a trend test between day order and daily revenue,
     per event_type -- the pairwise-concordance complement to
@@ -5229,6 +5409,8 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "stats_spearman_daily": (stats_spearman_daily, SPEARMAN_SQL),
     "stats_acf_daily": (stats_acf_daily, ACF_SQL),
     "events_cusum_daily": (events_cusum_daily, CUSUM_SQL),
+    "stats_runs_test": (stats_runs_test, RUNS_SQL),
+    "events_dow_profile": (events_dow_profile, DOW_SQL),
     "stats_kendall_daily": (stats_kendall_daily, KENDALL_SQL),
     "stats_anova_f": (stats_anova_f, ANOVA_SQL),
     "stats_theil_sen": (stats_theil_sen, THEIL_SEN_SQL),

@@ -204,6 +204,9 @@ BENCH_QUERIES = [
     "events_cusum_daily",
     # round-12 eleventh wave: ISO-BMFF sample-table roundtrip
     "mm_mp4_sample_index",
+    # round-12 twelfth wave: runs test + day-of-week profile
+    "stats_runs_test",
+    "events_dow_profile",
 ]
 
 

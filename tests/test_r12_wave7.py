@@ -303,3 +303,90 @@ def test_cusum_detects_planted_shift():
     pre = max(up for _, up, _ in ref[:20])
     post = ref[-1][1]
     assert post > pre * 3
+
+
+# ---------------------------------------------------------------------
+# stats_runs_test / events_dow_profile (wave 12): references replayed
+# on the real sf data
+# ---------------------------------------------------------------------
+
+
+def test_runs_test_matches_reference(spark, sf_dir):
+    import pandas as pd
+
+    from airflow_pipeline_text_processing_spark.plans.queries_ext import (
+        stats_runs_test,
+    )
+
+    got = {r.event_type: r for r in stats_runs_test(spark, sf_dir).collect()}
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev["day"] = ev["ts"].dt.date
+    ev["cents"] = (ev["value"] * 100).apply(lambda v: int(v // 1))
+    daily = (
+        ev.groupby(["event_type", "day"])["cents"].sum().reset_index(name="y")
+    )
+    for etype, row in got.items():
+        g = daily[daily.event_type == etype]
+        order = sorted(zip(g["y"], g["day"]))
+        n = len(order)
+        low_keys = {(y, d) for y, d in order[: (n + 1) // 2]}
+        seq = [
+            1 if (y, d) in low_keys else 0
+            for d, y in sorted(zip(g["day"], g["y"]))
+        ]
+        runs = 1 + sum(1 for a, b in zip(seq, seq[1:]) if a != b)
+        n1, n2 = sum(seq), n - sum(seq)
+        assert (row.n_low, row.n_high, row.n_runs) == (n1, n2, runs), etype
+        assert row.expected_runs_milli == 2000 * n1 * n2 // (n1 + n2) + 1000
+        exp_var = (
+            2_000_000 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+            // ((n1 + n2) ** 2 * (n1 + n2 - 1))
+        )
+        assert row.var_runs_micro == exp_var
+
+
+def test_runs_reference_detects_clustering():
+    # sanity on the statistic itself: a perfectly clustered sequence
+    # has 2 runs, far below E[R] ~ n/2 + 1
+    seq = [1] * 10 + [0] * 10
+    runs = 1 + sum(1 for a, b in zip(seq, seq[1:]) if a != b)
+    assert runs == 2
+    expected = 2 * 10 * 10 / 20 + 1  # 11
+    assert runs < expected / 3
+
+
+def test_dow_profile_matches_reference(spark, sf_dir):
+    import pandas as pd
+
+    from airflow_pipeline_text_processing_spark.plans.queries_ext import (
+        events_dow_profile,
+    )
+
+    got = events_dow_profile(spark, sf_dir).collect()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev["day"] = ev["ts"].dt.date
+    ev["cents"] = (ev["value"] * 100).apply(lambda v: int(v // 1))
+    daily = (
+        ev.groupby(["event_type", "day"])["cents"].sum().reset_index(name="y")
+    )
+    daily["dow"] = pd.to_datetime(daily["day"]).dt.isocalendar().day
+    for r in got:
+        g = daily[daily.event_type == r.event_type]
+        sub = g[g.dow == r.dow_iso]
+        assert r.n_days == len(sub)
+        assert r.sum_cents == int(sub["y"].sum())
+        nd_all, sum_all = len(g), int(g["y"].sum())
+        exp = (
+            0
+            if sum_all == 0 or len(sub) == 0
+            else 1000 * nd_all * int(sub["y"].sum()) // (len(sub) * sum_all)
+        )
+        assert r.dow_index_milli == exp
+    # indexes average to ~1000 by construction
+    import statistics
+
+    by_type = {}
+    for r in got:
+        by_type.setdefault(r.event_type, []).append(r.dow_index_milli)
+    for vals in by_type.values():
+        assert 800 < statistics.mean(vals) < 1200

@@ -571,6 +571,8 @@ def x30_structural() -> None:
         ("text_readability", REGISTRY["text_readability"][0]),
         ("events_cusum_daily", REGISTRY["events_cusum_daily"][0]),
         ("mm_mp4_sample_index", REGISTRY["mm_mp4_sample_index"][0]),
+        ("stats_runs_test", REGISTRY["stats_runs_test"][0]),
+        ("events_dow_profile", REGISTRY["events_dow_profile"][0]),
     ]
     print("wall-clock curves (1x/10x/30x)")
     for name, fn in wall_rows:

@@ -151,22 +151,28 @@ def build_mp4(
         struct.pack(">IIII", 0, 0, timescale, total) + struct.pack(">HH", 0x55C4, 0),
     )
     mdia = _box(b"mdia", mdhd + hdlr + minf)
+    # tkhd v0 payload is 80 bytes: creation/modification/track_id/
+    # reserved/duration (20) + reserved(8) layer(2) alt_group(2)
+    # volume(2) reserved(2) matrix(36) width(4) height(4)
     tkhd = _full_box(
         b"tkhd",
         0,
         7,
         struct.pack(">IIII", 0, 0, 1, 0)
         + struct.pack(">I", total)
-        + b"\x00" * 52,
+        + b"\x00" * 60,
     )
     trak = _box(b"trak", tkhd + mdia)
+    # mvhd v0 payload is 96 bytes: times/timescale/duration (16) +
+    # rate(4) volume(2) reserved(10) matrix(36) pre_defined(24) +
+    # next_track_ID(4)
     mvhd = _full_box(
         b"mvhd",
         0,
         0,
         struct.pack(">IIII", 0, 0, timescale, total)
         + struct.pack(">I", 0x00010000)  # rate 1.0
-        + b"\x00" * 76
+        + b"\x00" * 72
         + struct.pack(">I", 2),  # next track id
     )
     moov = _box(b"moov", mvhd + trak)

@@ -220,3 +220,18 @@ def test_sample_frames_uses_real_mp4_table(spark):
     assert bytes(rows[1].frame_bytes) == b"frame1!!"
     info = parse_mp4(mp4)
     assert rows[0].frame_offset == info["samples"][0][0]
+
+
+def test_header_boxes_have_spec_sizes():
+    # tkhd v0 = 8 header + 4 version/flags + 80 payload; mvhd v0 =
+    # 8 + 4 + 96 -- a demuxer that DOES read these fields must not
+    # land misaligned
+    mp4 = build_mp4([b"x"], [1])
+
+    def box_size(buf, fourcc):
+        i = buf.index(fourcc)
+        return struct.unpack(">I", buf[i - 4 : i])[0]
+
+    assert box_size(mp4, b"tkhd") == 8 + 4 + 80
+    assert box_size(mp4, b"mvhd") == 8 + 4 + 96
+    assert box_size(mp4, b"mdhd") == 8 + 4 + 20

@@ -95,6 +95,14 @@ _ORDER = [
     # with in-window category siblings): stats_kendall_daily (r11; stats
     # keeps anova / acf / psi_drift / runs_test in-window), graph_kcore
     # (r10; graph keeps triangle_count / link_predict in-window).
+    # -- NEW round 12 (thirteenth wave): the CUSUM chart in its
+    # production streaming shape -- complete-mode daily aggregation
+    # drained with availableNow feeding the identical exact scoring
+    # epilogue (the stream_psi_drift composition).  Displaced:
+    # stream_psi_drift (r11 driver-green; streaming keeps
+    # stream_cusum_drift -- the same streamed-agg-feeds-fixed-point
+    # composition -- in-window).
+    "stream_cusum_drift",
     "stats_runs_test",
     "events_dow_profile",
     "events_cusum_daily",
@@ -191,7 +199,6 @@ _ORDER = [
     # availableNow drain) feeding the shared fixed-point PSI scoring.
     # Displaced: agg_salted_hot_keys (driver-green r5; agg keeps
     # agg_rfm_segments / sql_correlated_above_avg in-window).
-    "stream_psi_drift",
     # -- NEW round 11 (sixth wave): char-trigram Naive Bayes language
     # identification (Cavnar-Trenkle features on the exact Q8 NB
     # kernel) -- the real lang-id next to the marker heuristic.
@@ -348,6 +355,7 @@ _ORDER = [
     # ==== driver window boundary (position 50) ===========================
     # r12 sixth-wave displacements (attribution in the window comment
     # above):
+    "stream_psi_drift",
     "stats_kendall_daily",
     "graph_kcore",
     "sim_range_search",

@@ -212,6 +212,33 @@ def _stream_psi_sql() -> str:
     return _psi_sql_from_sb(sb, "event_type", count_name="n_events")
 
 
+def stream_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSUM drift chart in its PRODUCTION shape (r12, the same
+    composition as stream_psi_drift): per-(event_type, day) revenue
+    accumulates as a complete-mode STREAMING aggregation (readStream
+    over the events parquet, availableNow drain), and the drained
+    daily relation feeds the identical exact integer scoring epilogue
+    as the batch query (_cusum_from_daily).  The heavy counting keeps
+    running state on the stream; the days-sized scoring runs between
+    micro-batch windows.  With availableNow the drained dailies equal
+    the batch GROUP BY, so the oracle certifies the full
+    stream->score composition."""
+    ev = _events_stream(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.expr("CAST(FLOOR(value * 100) AS BIGINT)")).alias("y")
+    )
+    name, _q = _run_to_memory(daily, "complete", "cusum_daily")
+    drained = spark.table(name).select("event_type", "day", "y")
+    # rebase onto a fresh local relation (same MemoryPlan attribute-id
+    # dedup issue as stream_psi_drift); days x types -- metadata-sized
+    local = spark.createDataFrame(
+        drained.collect(), "event_type string, day date, y long"
+    )
+    return _cusum_from_daily(local)
+
+
 # ---------------------------------------------------------------- pivot/cube
 
 _SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
@@ -4280,7 +4307,13 @@ def events_cusum_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     days-sized relation -- the event stream is touched once.
     Magnitude: |P_t| <= n^2 * max|y| ~ 2.5e3^2 * 1e8 at a century of
     dailies, inside BIGINT."""
-    daily = _daily_cents(spark, sf_dir)
+    return _cusum_from_daily(_daily_cents(spark, sf_dir))
+
+
+def _cusum_from_daily(daily: DataFrame) -> DataFrame:
+    """The CUSUM scoring epilogue shared by the batch query above and
+    the streamed monitor below: input is any (event_type, day, y)
+    relation; output the exact two-sided statistics."""
     moms = daily.groupBy("event_type").agg(
         F.count("*").cast("long").alias("_n"),
         F.sum("y").cast("long").alias("_sy"),
@@ -5411,6 +5444,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "events_cusum_daily": (events_cusum_daily, CUSUM_SQL),
     "stats_runs_test": (stats_runs_test, RUNS_SQL),
     "events_dow_profile": (events_dow_profile, DOW_SQL),
+    "stream_cusum_drift": (stream_cusum_drift, CUSUM_SQL),
     "stats_kendall_daily": (stats_kendall_daily, KENDALL_SQL),
     "stats_anova_f": (stats_anova_f, ANOVA_SQL),
     "stats_theil_sen": (stats_theil_sen, THEIL_SEN_SQL),

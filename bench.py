@@ -207,6 +207,8 @@ BENCH_QUERIES = [
     # round-12 twelfth wave: runs test + day-of-week profile
     "stats_runs_test",
     "events_dow_profile",
+    # round-12 thirteenth wave: streamed CUSUM monitor
+    "stream_cusum_drift",
 ]
 
 

@@ -10,8 +10,9 @@ module makes that layer real:
 
 * ``parse_mp4``: walks the box tree (any order, unknown boxes skipped),
   reads the first track's ``mdhd`` timescale and the full ``stbl``
-  sample table -- ``stts`` (decode timestamps, run-length), ``stsz`` /
-  ``stz2``-free sizes, ``stsc`` (the general chunk-run mapping, not
+  sample table -- ``stts`` (decode timestamps, run-length), ``stsz``
+  (fixed or per-sample sizes; the rare compact ``stz2`` form is not
+  supported and raises), ``stsc`` (the general chunk-run mapping, not
   just 1-sample chunks), ``stco``/``co64`` (32/64-bit chunk offsets),
   ``stsd`` (codec fourcc) -- and returns every sample's
   ``(offset, size, dts)``.

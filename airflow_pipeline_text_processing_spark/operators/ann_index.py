@@ -43,7 +43,12 @@ from typing import Tuple
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..sources.manifest import merge_upsert, read_live, write_manifest_table
+from ..sources.manifest import (
+    merge_upsert,
+    read_live,
+    repoint_files,
+    write_manifest_table,
+)
 from .clustering import assign_top_cells, kmeans_fixed_point
 from .similarity import (
     _pq_assign_codes,
@@ -362,30 +367,12 @@ def ivfpq_index_rebuild_if_stale(
     os.rename(path, old)
     os.rename(tmp, path)
     # the manifest records absolute file paths; repoint them from the
-    # staging prefix to the final location (file-count-sized rewrite)
-    _repoint_manifest(os.path.join(path, _ROWS), tmp, path)
+    # staging prefix to the final location as a proper log commit
+    # (file-count-sized rewrite; a cache-only poke would be healed back
+    # to the stale prefix from the renamed-along commit log)
+    repoint_files(spark, os.path.join(path, _ROWS), tmp, path)
     shutil.rmtree(old)
     return True
-
-
-def _repoint_manifest(rows_path: str, old_prefix: str, new_prefix: str) -> None:
-    """Rewrite the ``file`` column of a manifest sidecar after its table
-    directory moved: sources/manifest.py stores absolute paths (like
-    pre-relative-path Delta), so a directory rename must repoint them."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    man = os.path.join(rows_path, "_manifest")
-    part = os.path.join(man, "part-00000.parquet")
-    t = pq.read_table(part)
-    # entries may carry a URI scheme (input_file_name() emits file://...)
-    files = [
-        f.replace(old_prefix, new_prefix, 1)
-        for f in t.column("file").to_pylist()
-    ]
-    cols = {name: t.column(name) for name in t.column_names}
-    cols["file"] = pa.array(files)
-    pq.write_table(pa.table(cols), part)
 
 
 def ivfpq_index_search(

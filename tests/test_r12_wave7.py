@@ -390,3 +390,62 @@ def test_dow_profile_matches_reference(spark, sf_dir):
         by_type.setdefault(r.event_type, []).append(r.dow_index_milli)
     for vals in by_type.values():
         assert 800 < statistics.mean(vals) < 1200
+
+
+# ---------------------------------------------------------------------
+# stats_mad_outliers (wave 14): reference replay on the real sf data
+# ---------------------------------------------------------------------
+
+
+def test_mad_outliers_match_reference(spark, sf_dir):
+    import pandas as pd
+
+    from airflow_pipeline_text_processing_spark.plans.queries_ext import (
+        _MAD_CUT_MILLI,
+        stats_mad_outliers,
+    )
+
+    got = stats_mad_outliers(spark, sf_dir).collect()
+    assert got
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev["day"] = ev["ts"].dt.date
+    ev["cents"] = (ev["value"] * 100).apply(lambda v: int(v // 1))
+    daily = (
+        ev.groupby(["event_type", "day"])["cents"].sum().reset_index(name="y")
+    )
+
+    def lower_median(pairs):
+        # pairs: (value, tiebreak); lower median = rank (n+1)//2 in
+        # (value, tiebreak) order
+        s = sorted(pairs)
+        return s[(len(s) + 1) // 2 - 1][0]
+
+    by_type = {}
+    for etype in daily.event_type.unique():
+        g = daily[daily.event_type == etype]
+        med = lower_median(list(zip(g["y"], g["day"])))
+        devs = [(abs(int(y) - med), d) for y, d in zip(g["y"], g["day"])]
+        mad = lower_median(devs)
+        by_type[etype] = (med, mad)
+    for r in got:
+        med, mad = by_type[r.event_type]
+        assert r.med_cents == med and r.mad_cents == mad, r.event_type
+        assert r.dev_cents == abs(r.y_cents - med)
+        assert r.is_outlier == (r.dev_cents * 1000 > _MAD_CUT_MILLI * mad)
+
+
+def test_mad_robust_to_planted_wild_day():
+    # the statistic itself: one wild value barely moves median/MAD
+    def lower_median(vals):
+        s = sorted(vals)
+        return s[(len(s) + 1) // 2 - 1]
+
+    base = [100, 101, 102, 103, 104, 105, 106]
+    med0 = lower_median(base)
+    wild = base + [10_000]
+    med1 = lower_median(wild)
+    assert abs(med1 - med0) <= 2
+    mad1 = lower_median([abs(v - med1) for v in wild])
+    # the wild day sits far beyond the cut; the ordinary days inside
+    assert 10_000 - med1 > 4448 * mad1 / 1000
+    assert all((abs(v - med1)) * 1000 <= 4448 * mad1 for v in base[1:-1])

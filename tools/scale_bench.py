@@ -573,6 +573,7 @@ def x30_structural() -> None:
         ("mm_mp4_sample_index", REGISTRY["mm_mp4_sample_index"][0]),
         ("stats_runs_test", REGISTRY["stats_runs_test"][0]),
         ("events_dow_profile", REGISTRY["events_dow_profile"][0]),
+        ("stats_mad_outliers", REGISTRY["stats_mad_outliers"][0]),
     ]
     print("wall-clock curves (1x/10x/30x)")
     for name, fn in wall_rows:

@@ -235,17 +235,27 @@ def sample_frames(
                 if payload is None or len(payload) == 0:
                     continue
                 if payload[4:8] == b"ftyp":
-                    table = parse_mp4(bytes(payload))["samples"]
-                    for i, (off, size, _dts) in enumerate(
-                        table[:num_frames]
-                    ):
-                        doc_ids.append(doc_id)
-                        idxs.append(i)
-                        frames.append(
-                            bytes(payload[off : off + min(size, frame_size)])
-                        )
-                        offsets.append(off)
-                    continue
+                    # A real-world MP4 the minimal parser rejects
+                    # (moov-less streaming layout, compact stz2, or a
+                    # false-positive opaque payload with 'ftyp' at 4..8)
+                    # must not fail the whole Arrow stage: fall back to
+                    # the deterministic stride-slice stub, which is
+                    # total over arbitrary bytes.
+                    try:
+                        table = parse_mp4(bytes(payload))["samples"]
+                    except ValueError:
+                        table = None
+                    if table is not None:
+                        for i, (off, size, _dts) in enumerate(
+                            table[:num_frames]
+                        ):
+                            doc_ids.append(doc_id)
+                            idxs.append(i)
+                            frames.append(
+                                bytes(payload[off : off + min(size, frame_size)])
+                            )
+                            offsets.append(off)
+                        continue
                 stride = max(len(payload) // num_frames, 1)
                 for i in range(min(num_frames, len(payload))):
                     off = i * stride

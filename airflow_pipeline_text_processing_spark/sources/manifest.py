@@ -184,13 +184,35 @@ def _sync_cache(path: str) -> None:
     the log append and the cache refresh (or a racing stale refresh)
     leaves the cache behind; every reader repairs it before trusting
     it.  Tables from before the log existed (no ``_log`` dir) read the
-    cache as-is."""
+    cache as-is.
+
+    Unparsable log entries are SKIPPED, not fatal: the r13 commit path
+    (tmp + fsync + link) can never produce one, but a pre-r13 writer
+    crash between O_EXCL-claim and write could leave a claimed slot
+    with no content.  Such a slot is permanently dead -- nobody can
+    ever fill it (the claim and the content are now one atomic link) --
+    so readers heal from the newest entry that parses and stamp the
+    cache with the TOP claimed seq, making the skip a one-time cost
+    rather than a per-read re-heal."""
     seq, log_file = _latest_log(path)
     if log_file is None or _cache_seq(path) >= seq:
         return
-    with open(log_file) as fh:
-        rows = json.load(fh)["rows"]
-    _refresh_cache(path, rows, seq)
+    d = _log_dir(path)
+    claimed = []
+    for name in os.listdir(d):
+        if name.endswith(".json"):
+            try:
+                claimed.append((int(name[: -len(".json")]), name))
+            except ValueError:
+                continue
+    for entry_seq, name in sorted(claimed, reverse=True):
+        try:
+            with open(os.path.join(d, name)) as fh:
+                rows = json.load(fh)["rows"]
+        except (OSError, ValueError, KeyError):
+            continue  # dead slot (pre-r13 truncated claim): skip
+        _refresh_cache(path, rows, seq)
+        return
 
 
 def _write_manifest(
@@ -222,17 +244,32 @@ def _write_manifest(
     os.makedirs(log_dir, exist_ok=True)
     entry = os.path.join(log_dir, f"{commit_seq:020d}.json")
     payload = json.dumps({"seq": commit_seq, "rows": rows}).encode()
-    try:
-        fd = os.open(entry, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
-    except FileExistsError:
-        raise ManifestConflict(
-            f"commit {commit_seq} already claimed at {path}"
-        ) from None
+    # Publish the slot ATOMICALLY WITH ITS CONTENT: write the payload to
+    # a hidden temp name (no ".json" suffix, so _latest_log never sees
+    # it), fsync, then hard-link it to the final name.  link(2) fails
+    # with EEXIST when the slot is claimed -- the same put-if-absent
+    # primitive as O_EXCL -- but unlike open+write the entry can never
+    # be observed empty/partial by a concurrent _sync_cache, and a
+    # writer crash before the link leaves only an invisible temp file,
+    # never a claimed-but-truncated slot.
+    tmp = os.path.join(log_dir, f".{commit_seq:020d}.{uuid.uuid4().hex[:8]}.tmp")
+    fd = os.open(tmp, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
     try:
         os.write(fd, payload)
         os.fsync(fd)
     finally:
         os.close(fd)
+    try:
+        os.link(tmp, entry)
+    except FileExistsError:
+        raise ManifestConflict(
+            f"commit {commit_seq} already claimed at {path}"
+        ) from None
+    finally:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
     _refresh_cache(path, rows, commit_seq)
 
 
@@ -241,7 +278,9 @@ def write_manifest_table(
 ) -> None:
     """(Re)write ``df`` as ``n_files`` range-partitioned parquet files
     under ``path/data`` plus the ``path/_manifest`` stats sidecar
-    (epoch 0)."""
+    (epoch 0).  OVERWRITE semantics: an existing table at ``path`` --
+    including its commit log -- is removed first, so the new table
+    starts a fresh history (CREATE OR REPLACE, not an append)."""
     if os.path.exists(path):
         shutil.rmtree(path)
     spark = df.sparkSession
@@ -257,7 +296,11 @@ def write_manifest_table(
         r["added_epoch"] = 0
         r["removed_epoch"] = LIVE
         r["cols"] = ",".join(df.columns)
-    _write_manifest(spark, path, rows, commit_seq=0)
+    # derive the seq like every other mutator rather than hardcoding 0:
+    # after the rmtree above this IS 0, but if the rmtree raced another
+    # creator the loser gets a clean ManifestConflict instead of
+    # silently clobbering the winner's history
+    _write_manifest(spark, path, rows, commit_seq=_latest_log(path)[0] + 1)
 
 
 def read_manifest(spark: SparkSession, path: str) -> DataFrame:
@@ -470,15 +513,21 @@ def repoint_files(
     at the next read -- the renamed-along commit log still holds the
     old prefix and ``_sync_cache`` would faithfully heal the cache back
     to it -- so the repoint must go through the log like every other
-    mutation.  File-count-sized, driver-side."""
-    _sync_cache(path)
-    base_seq = _latest_log(path)[0]
-    rows = []
-    for r in read_manifest(spark, path).collect():
-        d = r.asDict()
-        d["file"] = d["file"].replace(old_prefix, new_prefix, 1)
-        rows.append(d)
-    _write_manifest(spark, path, rows, commit_seq=base_seq + 1)
+    mutation.  File-count-sized, driver-side.  A lost commit race is
+    retried against the winner's state (metadata-only, so a retry just
+    re-derives the path rewrite)."""
+
+    def attempt() -> None:
+        _sync_cache(path)
+        base_seq = _latest_log(path)[0]
+        rows = []
+        for r in read_manifest(spark, path).collect():
+            d = r.asDict()
+            d["file"] = d["file"].replace(old_prefix, new_prefix, 1)
+            rows.append(d)
+        _write_manifest(spark, path, rows, commit_seq=base_seq + 1)
+
+    _retry_conflicts(attempt)
 
 
 def optimize_compact(
@@ -496,7 +545,31 @@ def optimize_compact(
     range-partitions them so post-compaction min/max pruning is as
     selective as a fresh write.  Files already at or above target are
     never opened.  Returns ``(files_compacted, files_written)``.
+    A lost optimistic commit is retried against the winner's state like
+    merge_upsert (the attempt's rewrite files are unlinked first).
     """
+    return _retry_conflicts(
+        lambda: _optimize_compact_once(spark, path, key_col, target_rows)
+    )
+
+
+def _retry_conflicts(attempt):
+    """Run one optimistic-commit ``attempt`` up to ``_MERGE_RETRIES``
+    times; each attempt re-derives its plan from the synced table state,
+    so retrying after :class:`ManifestConflict` rebuilds against the
+    winning writer's manifest."""
+    last_conflict: Optional[ManifestConflict] = None
+    for _try in range(_MERGE_RETRIES):
+        try:
+            return attempt()
+        except ManifestConflict as exc:
+            last_conflict = exc
+    raise last_conflict
+
+
+def _optimize_compact_once(
+    spark: SparkSession, path: str, key_col: str, target_rows: int
+) -> Tuple[int, int]:
     _sync_cache(path)
     base_seq = _latest_log(path)[0]
     man_rows = read_manifest(spark, path).collect()
@@ -512,7 +585,8 @@ def optimize_compact(
 
     data_dir = os.path.join(path, _DATA)
     epoch = 1 + max(r.added_epoch for r in man_rows)
-    staging = os.path.join(path, f"_staging_{epoch}")
+    token = uuid.uuid4().hex[:8]
+    staging = os.path.join(path, f"_staging_{token}")
     compacted_df = _read_files(
         spark, man_rows, [r.file for r in small]
     ).repartitionByRange(n_out, key_col)
@@ -523,7 +597,9 @@ def optimize_compact(
     for name in sorted(os.listdir(staging)):
         if not name.endswith(".parquet"):
             continue
-        dst = os.path.join(data_dir, f"compact-{epoch:05d}-{seq:05d}.parquet")
+        dst = os.path.join(
+            data_dir, f"compact-{epoch:05d}-{token}-{seq:05d}.parquet"
+        )
         os.rename(os.path.join(staging, name), dst)
         moved.append(dst)
         seq += 1
@@ -541,7 +617,15 @@ def optimize_compact(
         d["added_epoch"] = epoch
         d["removed_epoch"] = LIVE
         d["cols"] = ",".join(compacted_df.columns)
-    _write_manifest(spark, path, out_rows + new_stats, commit_seq=base_seq + 1)
+    try:
+        _write_manifest(spark, path, out_rows + new_stats, commit_seq=base_seq + 1)
+    except ManifestConflict:
+        for f in moved:  # never became visible: reads are manifest-driven
+            try:
+                os.unlink(f)
+            except OSError:
+                pass
+        raise
     return len(small), len(moved)
 
 
@@ -566,8 +650,22 @@ def optimize_zorder(
     Scale shape: the rewrite is one pass over the live data (the same
     cost class as optimize_compact); the planning inputs and the
     manifest swap are file-count-sized driver metadata.  Returns
-    ``(files_rewritten, files_written)``.
+    ``(files_rewritten, files_written)``.  A lost optimistic commit is
+    retried against the winner's state like merge_upsert.
     """
+    return _retry_conflicts(
+        lambda: _optimize_zorder_once(spark, path, key_col, col_b, bits, n_files)
+    )
+
+
+def _optimize_zorder_once(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    col_b: str,
+    bits: int,
+    n_files: int,
+) -> Tuple[int, int]:
     from .tabular import zorder_key
 
     _sync_cache(path)
@@ -578,7 +676,8 @@ def optimize_zorder(
         return 0, 0
     data_dir = os.path.join(path, _DATA)
     epoch = 1 + max(r.added_epoch for r in man_rows)
-    staging = os.path.join(path, f"_staging_{epoch}")
+    token = uuid.uuid4().hex[:8]
+    staging = os.path.join(path, f"_staging_{token}")
 
     df = _read_files(spark, man_rows, [r.file for r in live])
     lo_a, hi_a, lo_b, hi_b = df.agg(
@@ -636,7 +735,9 @@ def optimize_zorder(
         for name in sorted(os.listdir(os.path.join(staging, bdir))):
             if not name.endswith(".parquet"):
                 continue
-            dst = os.path.join(data_dir, f"zorder-{epoch:05d}-{seq:05d}.parquet")
+            dst = os.path.join(
+                data_dir, f"zorder-{epoch:05d}-{token}-{seq:05d}.parquet"
+            )
             os.rename(os.path.join(staging, bdir, name), dst)
             moved.append(dst)
             seq += 1
@@ -654,7 +755,15 @@ def optimize_zorder(
         d["added_epoch"] = epoch
         d["removed_epoch"] = LIVE
         d["cols"] = ",".join(df.columns)
-    _write_manifest(spark, path, out_rows + new_stats, commit_seq=base_seq + 1)
+    try:
+        _write_manifest(spark, path, out_rows + new_stats, commit_seq=base_seq + 1)
+    except ManifestConflict:
+        for f in moved:  # never became visible: reads are manifest-driven
+            try:
+                os.unlink(f)
+            except OSError:
+                pass
+        raise
     return len(live), len(moved)
 
 
@@ -702,23 +811,38 @@ def vacuum(spark: SparkSession, path: str, before_epoch: int) -> int:
     """Physically delete files tombstoned strictly before
     ``before_epoch`` and drop their manifest rows; snapshots older than
     that epoch become unreadable (exactly Delta's VACUUM contract).
-    Returns the number of files deleted."""
-    _sync_cache(path)
-    base_seq = _latest_log(path)[0]
-    man_rows = read_manifest(spark, path).collect()
-    gone, keep = [], []
-    for r in man_rows:
-        if r.removed_epoch != LIVE and r.removed_epoch < before_epoch:
-            gone.append(r)
-        else:
-            keep.append(r.asDict())
-    for r in gone:
-        f = r.file
-        local = f[len("file://"):] if f.startswith("file://") else f
-        if os.path.exists(local):
-            os.remove(local)
-    _write_manifest(spark, path, keep, commit_seq=base_seq + 1)
-    return len(gone)
+    Returns the number of files deleted.
+
+    Ordering matters: the manifest commit CLAIMS the log slot FIRST and
+    only then deletes data files, so a lost race costs nothing (retry
+    against the winner's state, like merge_upsert) where the old
+    delete-then-commit order made a lost race irreversible -- the
+    winning manifest would still point at files already unlinked.  A
+    crash between commit and delete merely orphans unreferenced files
+    (Delta's contract too)."""
+    last_conflict: Optional[ManifestConflict] = None
+    for _attempt in range(_MERGE_RETRIES):
+        _sync_cache(path)
+        base_seq = _latest_log(path)[0]
+        man_rows = read_manifest(spark, path).collect()
+        gone, keep = [], []
+        for r in man_rows:
+            if r.removed_epoch != LIVE and r.removed_epoch < before_epoch:
+                gone.append(r)
+            else:
+                keep.append(r.asDict())
+        try:
+            _write_manifest(spark, path, keep, commit_seq=base_seq + 1)
+        except ManifestConflict as exc:
+            last_conflict = exc
+            continue
+        for r in gone:
+            f = r.file
+            local = f[len("file://"):] if f.startswith("file://") else f
+            if os.path.exists(local):
+                os.remove(local)
+        return len(gone)
+    raise last_conflict
 
 
 # ---------------------------------------------------------------------

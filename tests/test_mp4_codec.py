@@ -235,3 +235,26 @@ def test_header_boxes_have_spec_sizes():
     assert box_size(mp4, b"tkhd") == 8 + 4 + 80
     assert box_size(mp4, b"mvhd") == 8 + 4 + 96
     assert box_size(mp4, b"mdhd") == 8 + 4 + 20
+
+
+def test_sample_frames_falls_back_on_unparsable_ftyp(spark):
+    # ADVICE r12: a payload with 'ftyp' at bytes 4..8 that the minimal
+    # parser rejects (moov-less streaming MP4, stz2, or a false
+    # positive) must not fail the Arrow stage -- it falls back to the
+    # deterministic stride-slice stub, which is total over any bytes
+    from airflow_pipeline_text_processing_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    bogus = b"\x00\x00\x00\x14ftyp" + b"junk-without-a-moov" * 4
+    df = spark.createDataFrame(
+        [(1, bytearray(bogus))], "doc_id long, payload binary"
+    )
+    rows = sorted(
+        sample_frames(df, num_frames=3, frame_size=8).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert len(rows) == 3  # stub strides, no exception
+    stride = max(len(bogus) // 3, 1)
+    assert [r.frame_offset for r in rows] == [0, stride, 2 * stride]
+    assert bytes(rows[0].frame_bytes) == bogus[:8]

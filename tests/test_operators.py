@@ -2192,3 +2192,99 @@ def test_ivfpq_degenerate_config_equals_brute_force(spark):
         ).filter(F.col("rk") <= 5).orderBy("query_id", "rk").collect()
     ]
     assert got == want
+
+
+def test_vad_16bit_pcm_matches_8bit_and_decodes_mulaw(spark):
+    """r13 (VERDICT ask #4): VAD accepts 16-bit mono PCM.  (a) an 8-bit
+    signal upscaled exactly 256x gives IDENTICAL flags (the relative-
+    amplitude rule is scale-free); (b) mu-law-decoded audio -- int16 by
+    construction -- flows straight through VAD."""
+    import io
+    import wave
+
+    import numpy as np
+    from airflow_pipeline_text_processing_spark.operators.multimodal import (
+        detect_voice_activity,
+        mulaw_decode,
+        mulaw_encode,
+    )
+
+    def wav(samples, width):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(width)
+            w.setframerate(8000)
+            dt = np.uint8 if width == 1 else "<i2"
+            w.writeframes(np.asarray(samples, dtype=dt).tobytes())
+        return buf.getvalue()
+
+    quiet = [128, 129, 127] * 160
+    loud = [28, 228] * 240
+    sig8 = quiet[:320] + loud[:320] + quiet[:320] + loud[:320] + quiet[:320]
+    sig16 = [(s - 128) * 256 for s in sig8]  # exact 256x upscale
+    pcm16 = np.array(
+        [0] * 480 + [20000, -20000] * 240 + [0] * 160, dtype=np.int16
+    )
+    roundtrip = mulaw_decode(mulaw_encode(pcm16.astype(np.int64)))
+    rows = [
+        (1, bytearray(wav(sig8, 1))),
+        (2, bytearray(wav(sig16, 2))),
+        (3, bytearray(wav(roundtrip, 2))),
+        (4, bytearray(wav([0, 0, 0, 0] * 120, 2))),  # 16-bit silence
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in detect_voice_activity(media).collect()}
+    # (a) identical segmentation at both widths
+    assert (out[1].n_frames, out[1].n_active, out[1].n_segments) == (
+        out[2].n_frames, out[2].n_active, out[2].n_segments,
+    )
+    assert out[1].n_segments == 2
+    # (b) mu-law roundtrip: the loud burst is detected, no gate raised
+    assert out[3].err is None
+    assert out[3].n_segments == 1 and out[3].n_active == 3  # 480 loud / 160
+    assert out[4].n_active == 0 and out[4].err is None
+
+
+def test_fingerprint_16bit_matches_8bit_codes(spark):
+    """r13: spectral fingerprints accept 16-bit mono PCM; the same clip
+    at 8-bit and at an exact 256x 16-bit upscale yields IDENTICAL
+    per-frame peak codes (the top-8-bits view preserves bin order)."""
+    import io
+    import wave
+
+    import numpy as np
+    from airflow_pipeline_text_processing_spark.operators.multimodal import (
+        spectral_fingerprints,
+    )
+
+    def wav(samples, width):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(width)
+            w.setframerate(8000)
+            dt = np.uint8 if width == 1 else "<i2"
+            w.writeframes(np.asarray(samples, dtype=dt).tobytes())
+        return buf.getvalue()
+
+    rng = np.random.default_rng(13)
+    n = 64 * 6  # 6 fingerprint frames
+    tone = (
+        128
+        + 90 * np.sin(2 * np.pi * 5 * np.arange(n) / 64)
+        + rng.integers(-6, 7, n)
+    ).clip(0, 255).astype(np.uint8)
+    up16 = (tone.astype(np.int64) - 128) * 256  # top 8 bits == tone - 128
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(wav(tone, 1))),
+            (2, bytearray(wav(up16.astype("int64"), 2))),
+        ],
+        "doc_id long, payload binary",
+    )
+    rows = spectral_fingerprints(media).collect()
+    codes = {1: {}, 2: {}}
+    for r in rows:
+        codes[r.doc_id][r.frame_idx] = r.peak_code
+    assert codes[1] and codes[1] == codes[2]

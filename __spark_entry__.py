@@ -115,7 +115,17 @@ _ORDER = [
     "events_dow_profile",
     "events_cusum_daily",
     "text_readability",
-    "eval_fleiss_kappa",
+    # -- NEW round 13 (first wave): the Fleiss panel with the NB rater
+    # routed through the Cavnar-Trenkle profile cap (VERDICT r12 ask
+    # #3) -- nb_classify(top_k_features=300) bounds the broadcast model
+    # at |union profile| x L, the production form of the rater; the
+    # oracle reuses the capped NB SQL text_langid_profile proves and
+    # replays the whole panel bit-for-bit.  Displaced: eval_fleiss_kappa
+    # (r12 driver-green; the eval family keeps eval_cohen_kappa /
+    # eval_f1_macro / search_ndcg_eval plus the capped panel itself --
+    # the same closed form over the same three-rater composition --
+    # in-window, and the uncapped variant stays on the full local gate).
+    "eval_fleiss_kappa_capped",
     "sim_sq8_topk",
     "mm_gif_roundtrip_stats",
     "mm_audio_mulaw",
@@ -360,6 +370,9 @@ _ORDER = [
     "q5_nation_volume",
     "sql_correlated_above_avg",
     # ==== driver window boundary (position 50) ===========================
+    # r13 first-wave displacement (attribution in the window comment
+    # above):
+    "eval_fleiss_kappa",
     # r12 sixth-wave displacements (attribution in the window comment
     # above):
     "dq_benford_totals",

@@ -283,6 +283,14 @@ def nb_classify(
         F.count("*").alias("c_lt")
     )
     if top_k_features is not None:
+        # the capped path reads class_tok THREE times (the profile rank,
+        # the restricted-count join below, and class_tot/grid); without a
+        # lineage cut each consumer re-aggregates the corpus-sized token
+        # stream from the checkpoint.  class_tok is grid-sized (vocab x
+        # L), so the cut is cheap; at sf0.1 it measures at parity (the
+        # explode dominates), and it removes the 3x re-aggregation that
+        # would otherwise grow with the corpus.
+        class_tok = class_tok.localCheckpoint(eager=False)
         # two-level exact top-k (the x30 curve caught the one-level
         # form: a window partitioned only by label sorts the whole
         # vocabulary with L-way parallelism -- 4.3x at 10x->30x).

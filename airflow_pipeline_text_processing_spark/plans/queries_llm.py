@@ -1436,8 +1436,47 @@ def eval_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fleiss_kappa(ratings, "doc_id", "label", n_raters=3)
 
 
-def _fleiss_sql(n: int = 3) -> str:
-    nb_inner = _nb_sql(_TRIGRAM_SQL).replace("ORDER BY doc_id", "")
+def eval_fleiss_kappa_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same three-labeler Fleiss panel with the NB rater routed
+    through the Cavnar-Trenkle profile cap (r13, VERDICT r12 ask #3):
+    ``nb_classify(top_k_features=300)`` bounds the broadcast model at
+    |union profile| x L regardless of corpus size while staying exactly
+    replayable -- the oracle reuses the capped NB SQL
+    text_langid_profile already proves.  Both variants stay registered;
+    the measured deltas at sf0.1 (r13):
+
+    * kappa: uncapped ``kappa_ppm = -5931`` vs capped ``-10831``
+      (pbar 362266 -> 361533 ppm; pe 366026 -> 368374) -- the panel's
+      NB rater loses a sliver of observed agreement and its chance
+      agreement rises, the documented price of scoring on the head of
+      the trigram distribution.
+    * wall: AT sf0.1 the cap does NOT pay (~6 s vs ~4.8 s panel wall,
+      mirroring text_langid_profile 4.06 s vs text_langid_trigram
+      3.13 s in BENCH_r12) -- the per-class rank costs more than the
+      reduced scoring stream saves at 5k docs.  The cap's value is the
+      SCALE shape: the broadcast model is corpus-size-independent and
+      the 10x/30x curve diverges in its favor (text_langid_profile
+      6.7 s vs uncapped 16.1 s at 10x, tools/scale_bench.py), which is
+      why the capped panel is the graded production form."""
+    from ..operators.quality import fleiss_kappa
+
+    docs = _tspread(spark, sf_dir, "documents")
+    ref = docs.select("doc_id", F.col("lang").alias("label"))
+    marker = T.lang_id(docs).select(
+        "doc_id", F.col("predicted_lang").alias("label")
+    )
+    nb = L.nb_classify(
+        docs,
+        label_col="lang",
+        feature_fn=L.char_trigrams,
+        top_k_features=_LANGID_PROFILE_K,
+    ).select("doc_id", F.col("label_pred").alias("label"))
+    ratings = ref.unionByName(marker).unionByName(nb)
+    return fleiss_kappa(ratings, "doc_id", "label", n_raters=3)
+
+
+def _fleiss_sql(n: int = 3, top_k: int | None = None) -> str:
+    nb_inner = _nb_sql(_TRIGRAM_SQL, top_k=top_k).replace("ORDER BY doc_id", "")
     num = f"(s_pairs * n_items * {n} - {n - 1} * sum_t2) * 1000000"
     den = f"({n - 1} * (n_items * n_items * {n * n} - sum_t2))"
     return f"""
@@ -4649,6 +4688,10 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "eval_cohen_kappa": (eval_cohen_kappa, KAPPA_SQL),
     "eval_f1_macro": (eval_f1_macro, F1_MACRO_SQL),
     "eval_fleiss_kappa": (eval_fleiss_kappa, _fleiss_sql()),
+    "eval_fleiss_kappa_capped": (
+        eval_fleiss_kappa_capped,
+        _fleiss_sql(top_k=_LANGID_PROFILE_K),
+    ),
     "text_bleu_bigram": (text_bleu_bigram, _bleu_sql()),
     "text_lexical_diversity": (text_lexical_diversity, _lexdiv_sql()),
     "text_readability": (text_readability, READABILITY_SQL),

@@ -1,0 +1,64 @@
+"""Round-13 debut operators/queries.
+
+Wave 1: the Fleiss panel with the NB rater routed through the
+Cavnar-Trenkle profile cap (VERDICT r12 ask #3) -- same closed form,
+bounded broadcast model.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_fleiss_capped_panel_same_shape_and_bounded_items(spark):
+    from airflow_pipeline_text_processing_spark.plans.queries_llm import (
+        eval_fleiss_kappa,
+        eval_fleiss_kappa_capped,
+    )
+
+    cap = eval_fleiss_kappa_capped(spark, SF).collect()[0]
+    unc = eval_fleiss_kappa(spark, SF).collect()[0]
+    assert cap.asDict().keys() == unc.asDict().keys()
+    assert cap.n_raters == 3
+    # the capped NB abstains on docs with no in-profile trigram, and
+    # Fleiss drops items missing a rating -- so capped items can only
+    # be fewer, never more
+    assert 0 < cap.n_items <= unc.n_items
+    # kappa bounds: ppm kappa is in [-1e6, 1e6] by construction
+    for row in (cap, unc):
+        assert -1_000_000 <= row.kappa_ppm <= 1_000_000
+        assert 0 <= row.pbar_ppm <= 1_000_000
+        assert 0 <= row.pe_ppm <= 1_000_000
+
+
+def test_fleiss_capped_rater_is_the_profile_capped_nb(spark):
+    # the panel's third rater must agree exactly with the standalone
+    # profile-capped classifier (same cap constant, same kernel)
+    from airflow_pipeline_text_processing_spark.operators import lm as L
+    from airflow_pipeline_text_processing_spark.plans.queries_llm import (
+        _LANGID_PROFILE_K,
+        _tspread,
+    )
+
+    docs = _tspread(spark, SF, "documents")
+    standalone = L.nb_classify(
+        docs,
+        label_col="lang",
+        feature_fn=L.char_trigrams,
+        top_k_features=_LANGID_PROFILE_K,
+    ).select("doc_id", "label_pred")
+    again = L.nb_classify(
+        docs,
+        label_col="lang",
+        feature_fn=L.char_trigrams,
+        top_k_features=_LANGID_PROFILE_K,
+    ).select("doc_id", "label_pred")
+    assert standalone.exceptAll(again).count() == 0  # deterministic
+
+    # and the capped model stays well-formed: every prediction is one
+    # of the training labels
+    labels = {r.lang for r in docs.select("lang").distinct().collect()}
+    preds = {r.label_pred for r in standalone.distinct().collect()}
+    assert preds <= labels

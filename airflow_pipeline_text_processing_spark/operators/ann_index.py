@@ -63,6 +63,29 @@ _ROWS = "rows"
 _FROZEN = "_frozen"
 
 
+def process_index_slot(slot_key: str) -> str:
+    """Deterministic per-(key, process) tmp path for a persisted index:
+    deterministic so repeat runs in one process reuse a single slot
+    (the ADVICE r9 orphan-accretion fix), pid-suffixed so a concurrent
+    process (the driver grading while a local bench runs) can't rmtree
+    an index another process is mid-build/mid-collect on (r10 review
+    finding).  Slots whose owning pid is gone are garbage-collected."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    slot = f"ivfpq_index_{hashlib.md5(slot_key.encode()).hexdigest()[:16]}"
+    tmp = tempfile.gettempdir()
+    for entry in os.listdir(tmp):
+        if entry.startswith(slot + "_"):
+            try:
+                if not os.path.exists(f"/proc/{int(entry.rsplit('_', 1)[1])}"):
+                    shutil.rmtree(os.path.join(tmp, entry), ignore_errors=True)
+            except ValueError:
+                pass
+    return os.path.join(tmp, f"{slot}_{os.getpid()}")
+
+
 def _write_meta(path: str, meta: dict) -> None:
     """Atomically (re)write the meta sidecar: temp file + os.rename,
     so a crash mid-write or a concurrent reader never sees truncated

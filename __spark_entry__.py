@@ -86,7 +86,15 @@ _ORDER = [
     # codec decode stays gated.  Displaced:
     # sim_range_search (r10 driver-green; similarity keeps ivfpq_topk /
     # auto_depth / persisted / sq8 / mmr in-window).
-    "mm_mp4_sample_index",
+    # -- NEW round 13 (third wave): 16-bit VAD over mu-law-decoded
+    # audio (VERDICT r12 ask #4) -- deterministic int16 clips companded
+    # through G.711 and expanded back, written as REAL width-2 WAVs,
+    # segmented by the width-widened detect_voice_activity; the oracle
+    # replays the PCM formula, the mu-law integer arithmetic, and the
+    # width-scaled activity rule.  Displaced: mm_mp4_sample_index (r12
+    # driver-green; multimodal keeps mm_png/jpeg/gif roundtrips,
+    # mm_audio_mulaw, and the new 16-bit VAD in-window).
+    "mm_audio_vad16",
     # -- NEW round 13 (second wave): the amortized graded form of
     # IVF-PQ search (VERDICT r12 ask #2) -- build_ivfpq_index ONCE into
     # a process-slotted tmp manifest table, then serve the same top-k
@@ -379,10 +387,11 @@ _ORDER = [
     "q5_nation_volume",
     "sql_correlated_above_avg",
     # ==== driver window boundary (position 50) ===========================
-    # r13 first/second-wave displacements (attribution in the window
-    # comments above):
+    # r13 first/second/third-wave displacements (attribution in the
+    # window comments above):
     "eval_fleiss_kappa",
     "sim_sq8_topk",
+    "mm_mp4_sample_index",
     # r12 sixth-wave displacements (attribution in the window comment
     # above):
     "dq_benford_totals",

@@ -3932,6 +3932,126 @@ ORDER BY doc_id
 """
 
 
+_VAD16_FRAMES = 10  # 10 x 160-sample frames per clip
+_VAD16_FRAME = 160
+
+
+def mm_audio_vad16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit VAD over mu-law-decoded audio (r13, VERDICT r12 ask #4):
+    each document maps to a deterministic int16 PCM clip -- frame f is
+    LOUD when ``f % 3 == 0`` (``x = hash % 48000 - 24000``) and
+    near-silent otherwise (``x = hash % 3000 - 1500``, both via
+    ``hash = doc_id*40503 + i*2654435761``) -- companded to 8-bit
+    G.711 mu-law, expanded back to int16 (the telephony ingest path),
+    written as a REAL 16-bit mono WAV, and segmented by
+    ``detect_voice_activity`` -- the exact flow a speech-corpus
+    pipeline runs on phone audio, exercising the r13 width-2 VAD gate
+    end-to-end (the 8-bit variant stays graded as ``mm_audio_vad``).
+    The oracle replays the PCM formula, the mu-law sign/segment/
+    mantissa arithmetic, and the width-scaled activity rule
+    (``sum|y| * 1000 >= 220 * 32768 * n`` per frame) in pure integer
+    SQL.  Scale shape: one map-only Arrow stage builds the clips, one
+    decodes them; nothing shuffles."""
+    import io
+    import wave as _wave
+
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import (
+        detect_voice_activity,
+        mulaw_decode,
+        mulaw_encode,
+    )
+
+    n = _VAD16_FRAMES * _VAD16_FRAME
+
+    def _to_wav(batches):
+        i = np.arange(n, dtype=np.int64)
+        loud = (i // _VAD16_FRAME) % 3 == 0
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                h = int(doc_id) * 40503 + i * 2654435761
+                pcm = np.where(loud, h % 48000 - 24000, h % 3000 - 1500)
+                dec = mulaw_decode(mulaw_encode(pcm))
+                buf = io.BytesIO()
+                with _wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(dec.astype("<i2").tobytes())
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    docs = _tspread(spark, sf_dir, "documents").select("doc_id")
+    media = docs.mapInPandas(_to_wav, "doc_id long, payload binary")
+    return (
+        detect_voice_activity(media, frame_len=_VAD16_FRAME, thr_milli=220)
+        .select("doc_id", "n_frames", "n_active", "n_segments")
+        .orderBy("doc_id")
+    )
+
+
+MM_VAD16_SQL = f"""
+WITH pcm AS (
+  SELECT d.doc_id, t.i,
+         CASE WHEN (t.i // {_VAD16_FRAME}) % 3 = 0
+              THEN (d.doc_id * 40503 + t.i * 2654435761) % 48000 - 24000
+              ELSE (d.doc_id * 40503 + t.i * 2654435761) % 3000 - 1500
+         END AS x
+  FROM documents d,
+       (SELECT UNNEST(range(0, {_VAD16_FRAMES * _VAD16_FRAME})) AS i) t
+),
+seg AS (
+  SELECT doc_id, i, x,
+         CASE WHEN x < 0 THEN 128 ELSE 0 END AS sign,
+         least(abs(x), 32635) + 132 AS mag
+  FROM pcm
+),
+enc AS (
+  SELECT doc_id, i, sign, mag,
+         CASE WHEN mag < 256 THEN 0 WHEN mag < 512 THEN 1
+              WHEN mag < 1024 THEN 2 WHEN mag < 2048 THEN 3
+              WHEN mag < 4096 THEN 4 WHEN mag < 8192 THEN 5
+              WHEN mag < 16384 THEN 6 ELSE 7 END AS e
+  FROM seg
+),
+dec AS (
+  SELECT doc_id, i,
+         CASE WHEN sign = 128
+              THEN -(((((mag // (1 << (e + 3))) % 16) * 8 + 132)
+                      * (1 << e)) - 132)
+              ELSE ((((mag // (1 << (e + 3))) % 16) * 8 + 132)
+                    * (1 << e)) - 132 END AS y
+  FROM enc
+),
+frames AS (
+  SELECT doc_id, i // {_VAD16_FRAME} AS frame,
+         CAST(SUM(abs(y)) AS BIGINT) AS sum_abs,
+         CAST(COUNT(*) AS BIGINT) AS nf
+  FROM dec GROUP BY 1, 2
+),
+flags AS (
+  SELECT doc_id, frame,
+         CASE WHEN sum_abs * 1000 >= 220 * 32768 * nf THEN 1 ELSE 0 END
+           AS act
+  FROM frames
+),
+runs AS (
+  SELECT doc_id, act,
+         act - COALESCE(
+           LAG(act) OVER (PARTITION BY doc_id ORDER BY frame), 0) AS rise
+  FROM flags
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(SUM(act) AS BIGINT) AS n_active,
+       CAST(SUM(CASE WHEN rise = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_segments
+FROM runs GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 _MP4_N = 6
 
 
@@ -4768,6 +4888,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "mm_frame_sample": (mm_frame_sample, MM_FRAMES_SQL),
     "mm_audio_resample": (mm_audio_resample, MM_RESAMPLE_SQL),
     "mm_audio_vad": (mm_audio_vad, MM_VAD_SQL),
+    "mm_audio_vad16": (mm_audio_vad16, MM_VAD16_SQL),
     "mm_audio_fingerprint": (mm_audio_fingerprint, _fp_match_sql()),
     "curation_training_set": (curation_training_set, CURATION_SQL),
     "curation_snapshot_diff": (curation_snapshot_diff, SNAPSHOT_DIFF_SQL),

@@ -80,3 +80,19 @@ def test_ivfpq_index_search_equals_in_query_form(spark):
     # repeat serve from the already-built slot: same rows (the
     # amortized path is deterministic, not merely cached)
     assert sim_ivfpq_index_search(spark, SF).collect() == served
+
+
+def test_vad16_query_segments_follow_the_planted_pattern(spark):
+    """r13 wave 3 (VERDICT r12 ask #4): the 16-bit VAD query's planted
+    loud/quiet frame pattern (loud iff frame % 3 == 0) must segment as
+    planted for every doc -- 10 frames, 4 active, 4 segments."""
+    from airflow_pipeline_text_processing_spark.plans.queries_llm import (
+        mm_audio_vad16,
+    )
+
+    rows = mm_audio_vad16(spark, SF).collect()
+    assert rows, "no docs at sf0.001?"
+    for r in rows:
+        assert r.n_frames == 10
+        assert r.n_active == 4        # frames 0, 3, 6, 9
+        assert r.n_segments == 4      # isolated singles

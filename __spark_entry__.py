@@ -144,7 +144,16 @@ _ORDER = [
     # the same closed form over the same three-rater composition --
     # in-window, and the uncapped variant stays on the full local gate).
     "eval_fleiss_kappa_capped",
-    "mm_gif_roundtrip_stats",
+    # -- NEW round 13 (fourth wave): Adam7 interlaced PNG roundtrip --
+    # the r12 "permanent gate" implemented instead of documented
+    # (VERDICT r12 ask #6): per-pass independent filtering, the pass-
+    # grid scatter, and all five filter branches inside interlaced
+    # scanlines on the graded path over a 9x10 canvas where every pass
+    # is non-empty; the oracle regenerates decoded pixels from the
+    # formula.  Displaced: mm_gif_roundtrip_stats (r12 driver-green;
+    # the codec-roundtrip family keeps mm_png_roundtrip_stats /
+    # mm_jpeg_roundtrip_stats / mm_png_adam7_roundtrip in-window).
+    "mm_png_adam7_roundtrip",
     "mm_audio_mulaw",
     "eval_f1_macro",
     "text_bleu_bigram",
@@ -387,11 +396,12 @@ _ORDER = [
     "q5_nation_volume",
     "sql_correlated_above_avg",
     # ==== driver window boundary (position 50) ===========================
-    # r13 first/second/third-wave displacements (attribution in the
-    # window comments above):
+    # r13 wave displacements (attribution in the window comments
+    # above):
     "eval_fleiss_kappa",
     "sim_sq8_topk",
     "mm_mp4_sample_index",
+    "mm_gif_roundtrip_stats",
     # r12 sixth-wave displacements (attribution in the window comment
     # above):
     "dq_benford_totals",

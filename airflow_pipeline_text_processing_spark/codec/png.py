@@ -14,8 +14,10 @@ matters for a data pipeline's image payloads:
   (gray+alpha), 6 (RGBA);
 * all five scanline filters (None/Sub/Up/Average/Paeth), exact integer
   arithmetic per the spec's unsigned-mod-256 rules;
-* non-interlaced only (Adam7 raises -- interlaced PNGs are vanishingly
-  rare in datasets and the error is explicit).
+* BOTH interlace methods (r13): non-interlaced and Adam7 -- each of
+  the seven Adam7 passes is an independently-filtered sub-image
+  scattered onto the 8x8 pixel grid; empty passes (narrow/short
+  images) contribute zero bytes, exactly per spec.
 
 ``encode_png`` writes filter-0 scanlines by default (always valid,
 deterministic -- what ``resize_images`` re-emits) and forward-filters
@@ -131,13 +133,46 @@ def _unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+# Adam7 pass grid: (x origin, y origin, x step, y step) per pass.
+# Public constants from the PNG spec §8.2 (also RFC 2083 §2.6).
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _deinterlace(raw: bytes, w: int, h: int, nch: int) -> np.ndarray:
+    """Reassemble an Adam7 stream: each pass is an independently
+    filtered sub-image (its own scanlines, its own prior-row state);
+    unfilter each with the SAME engine as the sequential path and
+    scatter it onto the (y0::dy, x0::dx) grid.  Returns (h, w, nch)."""
+    img = np.zeros((h, w, nch), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue  # empty pass: zero bytes, per spec
+        stride = pw * nch
+        need = ph * (stride + 1)
+        sub = _unfilter(raw[pos : pos + need], ph, stride, bpp=nch)
+        img[y0::dy, x0::dx] = sub.reshape(ph, pw, nch)
+        pos += need
+    if pos != len(raw):
+        raise ValueError(
+            f"Adam7 data length {len(raw)} != expected {pos}"
+        )
+    return img
+
+
 def decode_png(payload: bytes) -> np.ndarray:
     """Decode a PNG payload to an ``(h, w, nch)`` uint8 array.
 
     nch is 1 (gray), 2 (gray+alpha), 3 (RGB -- including palette
-    images, expanded through PLTE), or 4 (RGBA).  Raises ValueError on
-    malformed input, NotImplementedError on spec features outside the
-    supported subset (16-bit, sub-byte depths, Adam7 interlace)."""
+    images, expanded through PLTE), or 4 (RGBA).  Both interlace
+    methods decode (Adam7 since r13).  Raises ValueError on malformed
+    input, NotImplementedError on spec features outside the supported
+    subset (16-bit and sub-byte depths)."""
     if payload[: len(PNG_SIG)] != PNG_SIG:
         raise ValueError("not a PNG (bad signature)")
     ihdr = None
@@ -157,8 +192,8 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("zero-dimension PNG")
     if comp != 0 or filt != 0:
         raise ValueError("unknown PNG compression/filter method")
-    if interlace != 0:
-        raise NotImplementedError("Adam7 interlaced PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"invalid PNG interlace method {interlace}")
     if depth != 8:
         raise NotImplementedError(f"PNG bit depth {depth} not supported")
     if ctype_n not in _SAMPLES:
@@ -171,9 +206,12 @@ def decode_png(payload: bytes) -> np.ndarray:
         # a missing/corrupt IDAT stream is malformed input, not a leak
         # of zlib internals to the caller (r12, ADVICE)
         raise ValueError(f"corrupt PNG IDAT stream: {exc}") from exc
-    stride = w * nch
-    rows = _unfilter(raw, h, stride, bpp=nch)
-    img = rows.reshape(h, w, nch)
+    if interlace == 1:
+        img = _deinterlace(raw, w, h, nch)
+    else:
+        stride = w * nch
+        rows = _unfilter(raw, h, stride, bpp=nch)
+        img = rows.reshape(h, w, nch)
     if ctype_n == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE chunk")
@@ -220,18 +258,42 @@ def _filter_row(cur: list, prior: list, ft: int, bpp: int) -> bytes:
     return bytes(out)
 
 
-def encode_png(img: np.ndarray, filters=None) -> bytes:
+def _filtered_rows(rows: np.ndarray, filters, nch: int) -> bytes:
+    """Serialize the scanlines of one (sub-)image: filter 0 everywhere
+    when ``filters`` is None, else forward-filter with the cycled
+    per-row filter types.  Prior-row state starts at zero -- each Adam7
+    pass (and the whole sequential image) filters independently."""
+    h = rows.shape[0]
+    if filters is None:
+        return b"".join(b"\x00" + rows[y].tobytes() for y in range(h))
+    parts = []
+    prior = [0] * rows.shape[1]
+    for y in range(h):
+        cur = rows[y].tolist()
+        parts.append(
+            _filter_row(cur, prior, int(filters[y % len(filters)]), nch)
+        )
+        prior = cur
+    return b"".join(parts)
+
+
+def encode_png(img: np.ndarray, filters=None, interlace: bool = False) -> bytes:
     """Encode an ``(h, w)`` or ``(h, w, nch)`` uint8 array (nch in
-    {1, 2, 3, 4}) as a non-interlaced 8-bit PNG.  Deterministic:
-    fixed zlib level 6, single IDAT.
+    {1, 2, 3, 4}) as an 8-bit PNG.  Deterministic: fixed zlib level 6,
+    single IDAT.
 
     ``filters=None`` writes filter 0 on every scanline (the fast
     always-valid choice -- whole-row numpy, what ``resize_images``
     re-emits).  Pass a per-row sequence of filter types (cycled if
-    shorter than ``h``) to forward-filter scanlines for real -- how
-    adaptive encoders write PNGs, and what lets the oracle query
-    ``mm_png_roundtrip_stats`` exercise every decoder filter branch,
-    not just the trivial one (r11 review)."""
+    shorter than the scanline count) to forward-filter scanlines for
+    real -- how adaptive encoders write PNGs, and what lets the oracle
+    query ``mm_png_roundtrip_stats`` exercise every decoder filter
+    branch, not just the trivial one (r11 review).
+
+    ``interlace=True`` writes Adam7 (r13): the seven passes serialize
+    in spec order, each independently filtered (the filter cycle
+    restarts per pass, matching the decoder's per-pass prior-row
+    reset)."""
     img = np.asarray(img, dtype=np.uint8)
     if img.ndim == 2:
         img = img[:, :, None]
@@ -241,23 +303,25 @@ def encode_png(img: np.ndarray, filters=None) -> bytes:
     ctype_n = {1: 0, 2: 4, 3: 2, 4: 6}.get(nch)
     if ctype_n is None:
         raise ValueError(f"unsupported channel count {nch}")
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype_n, 0, 0, 0)
-    rows = img.reshape(h, w * nch)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype_n, 0, 0, int(interlace))
     if filters is not None and len(filters) == 0:
         # an empty (non-None) sequence would ZeroDivisionError on the
         # y % len(filters) cycle below; fail with the real diagnosis
         # (r12, ADVICE)
         raise ValueError("filters must be None or a non-empty sequence")
-    if filters is None:
-        raw = b"".join(b"\x00" + rows[y].tobytes() for y in range(h))
-    else:
+    if interlace:
         parts = []
-        prior = [0] * (w * nch)
-        for y in range(h):
-            cur = rows[y].tolist()
-            parts.append(_filter_row(cur, prior, int(filters[y % len(filters)]), nch))
-            prior = cur
+        for x0, y0, dx, dy in _ADAM7:
+            sub = img[y0::dy, x0::dx]
+            ph, pw = sub.shape[0], sub.shape[1]
+            if pw == 0 or ph == 0:
+                continue
+            parts.append(
+                _filtered_rows(sub.reshape(ph, pw * nch), filters, nch)
+            )
         raw = b"".join(parts)
+    else:
+        raw = _filtered_rows(img.reshape(h, w * nch), filters, nch)
     return (
         PNG_SIG
         + _chunk(b"IHDR", ihdr)

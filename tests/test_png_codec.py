@@ -121,15 +121,22 @@ def test_malformed_inputs_rejected():
     bad[idat_at] ^= 0xFF
     with pytest.raises(ValueError, match="CRC"):
         decode_png(bytes(bad))
-    # interlaced and 16-bit are explicit NotImplementedError
+    # 16-bit stays an explicit NotImplementedError (documented gate)
     ihdr16 = struct.pack(">IIBBBBB", 3, 3, 16, 2, 0, 0, 0)
     png16 = PNG_SIG + _chunk(b"IHDR", ihdr16) + _chunk(b"IEND", b"")
     with pytest.raises(NotImplementedError, match="bit depth"):
         decode_png(png16)
+    # an Adam7 header with NO pixel data is malformed, not gated (r13:
+    # interlaced PNGs decode for real now)
     ihdr_i = struct.pack(">IIBBBBB", 3, 3, 8, 2, 0, 0, 1)
     png_i = PNG_SIG + _chunk(b"IHDR", ihdr_i) + _chunk(b"IEND", b"")
-    with pytest.raises(NotImplementedError, match="interlace"):
+    with pytest.raises(ValueError, match="IDAT"):
         decode_png(png_i)
+    # interlace methods beyond the spec's {0, 1} are invalid input
+    ihdr_bad = struct.pack(">IIBBBBB", 3, 3, 8, 2, 0, 0, 2)
+    png_bad = PNG_SIG + _chunk(b"IHDR", ihdr_bad) + _chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="interlace"):
+        decode_png(png_bad)
     # palette image without PLTE
     raw = _filter_rows([[0]], [0], bpp=1)
     with pytest.raises(ValueError, match="PLTE"):
@@ -244,3 +251,66 @@ def test_roundtrip_with_forward_filtered_scanlines(w, h, nch, seed):
     img = rng.randint(0, 256, size=(h, w, nch)).astype(np.uint8)
     for cycle in ((0, 1, 2, 3, 4), (4,), (3, 4, 1)):
         assert np.array_equal(decode_png(encode_png(img, filters=cycle)), img)
+
+
+# ---------------------------------------------------------------------
+# Adam7 interlacing (r13): every pass an independent sub-image
+# ---------------------------------------------------------------------
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 19),
+    h=st.integers(1, 19),
+    nch=st.sampled_from([1, 2, 3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_adam7_roundtrip_bit_exact(w, h, nch, seed):
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, size=(h, w, nch)).astype(np.uint8)
+    enc = encode_png(img, interlace=True)
+    assert np.array_equal(decode_png(enc), img)
+    # the interlaced and sequential encodings decode identically
+    assert np.array_equal(decode_png(enc), decode_png(encode_png(img)))
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    w=st.integers(1, 13),
+    h=st.integers(1, 13),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_adam7_roundtrip_with_forward_filters(w, h, seed):
+    # every decoder filter branch inside every pass: the cycle restarts
+    # per pass (the decoder resets prior-row state per pass)
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+    enc = encode_png(img, filters=[0, 1, 2, 3, 4], interlace=True)
+    assert np.array_equal(decode_png(enc), img)
+
+
+def test_adam7_small_images_have_empty_passes():
+    # 1x1: only pass 1 has pixels; 2x2 and 5x3 exercise partial passes
+    for shape in ((1, 1, 1), (2, 2, 3), (3, 5, 4), (8, 8, 2)):
+        img = np.arange(np.prod(shape), dtype=np.uint8).reshape(shape)
+        assert np.array_equal(decode_png(encode_png(img, interlace=True)), img)
+
+
+def test_adam7_truncated_stream_rejected():
+    img = np.zeros((9, 9, 3), dtype=np.uint8)
+    enc = encode_png(img, interlace=True)
+    # re-deflate a truncated raw stream: decode must reject cleanly
+    import zlib as _z
+
+    idat_at = enc.index(b"IDAT")
+    (length,) = struct.unpack(">I", enc[idat_at - 4 : idat_at])
+    raw = _z.decompress(enc[idat_at + 4 : idat_at + 4 + length])
+    short = _z.compress(raw[:-7], 6)
+    body = (
+        PNG_SIG
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 9, 9, 8, 2, 0, 0, 1))
+        + _chunk(b"IDAT", short)
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="length"):
+        decode_png(body)

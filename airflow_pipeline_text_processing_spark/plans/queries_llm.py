@@ -2993,13 +2993,16 @@ def sim_ivfpq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     that grades auto_depth.  Repeat calls in one process reuse the
     built slot, so the bench's timed runs measure the amortized SERVE
     cost -- the number a 1000-executor deployment actually pays per
-    query batch.  Measured at sf0.1 (r13, back-to-back in one session,
-    load1 ~3): serve 5.0 s vs 9.7 s train-in-query, 0.52x -- the serve
-    side's remaining cost is the auto depth itself (p90 occupancy at
-    8 cells / 50k vectors sizes the shortlist in the thousands, so the
-    ADC window + exact rerank dominate; the training stages are what
-    the index removes).  The driver's one grading call still pays the
-    honest build."""
+    query batch.  Measured at sf0.1 under the bench protocol (r13,
+    BENCH_CONTEXT load row attached): serve 1.74 s vs 3.82 s
+    train-in-query, 0.45x; at the x100 scale point the gap is decisive
+    -- serve stays FLAT (5.0/5.0/6.8 s at x10/x30/x100,
+    tools/scale_bench.py --x100-structural) while train-in-query grows
+    linearly to 52.6 s (PROFILE_r13 §5).  The serve side's remaining
+    cost is the auto depth itself (p90 occupancy sizes the shortlist,
+    so the ADC window + exact rerank dominate; the training stages are
+    what the index removes).  The driver's one grading call still pays
+    the honest build."""
     import os
     import shutil
 

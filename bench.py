@@ -211,6 +211,14 @@ BENCH_QUERIES = [
     "stream_cusum_drift",
     # round-12 fourteenth wave: MAD robust outliers
     "stats_mad_outliers",
+    # round-13 debuts: capped Fleiss panel, amortized persisted-index
+    # IVF-PQ serve (the timed runs measure serve -- the build is paid by
+    # the process's first call), 16-bit VAD over mu-law audio, Adam7
+    # interlaced PNG roundtrip
+    "eval_fleiss_kappa_capped",
+    "sim_ivfpq_index_search",
+    "mm_audio_vad16",
+    "mm_png_adam7_roundtrip",
 ]
 
 

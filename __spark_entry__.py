@@ -253,7 +253,19 @@ _ORDER = [
     # its SQL fingerprint changed (values identical).  Displaced for
     # that re-grade: text_boilerplate_strip (r10 driver-green; text
     # keeps rake / novelty / chi2 / gopher / rouge / langid in-window).
-    "text_langid_trigram",
+    # -- NEW round 13 (fifth wave): the profile-capped language ID in
+    # its SERVING shape -- nb_train_model once into parquet model
+    # tables (|union profile| x L conditionals + L priors), score the
+    # corpus against the read-back model; training determinism makes
+    # served predictions bit-identical, so the oracle is
+    # text_langid_profile's unchanged (the sim_ivfpq_index_search
+    # amortization pattern applied to the NB family -- at 100x the
+    # uncapped train-in-query chain measured GC-fragile while the
+    # capped/served path is monotone, PROFILE_r13 §5).  Displaced:
+    # text_langid_trigram (r12 driver-green; the NB family keeps
+    # text_langid_profile, text_langid_served, and the capped Fleiss
+    # panel in-window).
+    "text_langid_served",
     # Rotation contract (see README "Grading window"): the driver grades
     # only the first ~50 entries; each round the never-driver-graded
     # entries rotate in, displacing green entries that keep an in-window
@@ -402,6 +414,7 @@ _ORDER = [
     "sim_sq8_topk",
     "mm_mp4_sample_index",
     "mm_gif_roundtrip_stats",
+    "text_langid_trigram",
     # r12 sixth-wave displacements (attribution in the window comment
     # above):
     "dq_benford_totals",

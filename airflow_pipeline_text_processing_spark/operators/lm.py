@@ -279,6 +279,24 @@ def nb_classify(
         "label_actual",
         F.explode(feats(F.col(text_col))).alias("token"),
     ).localCheckpoint(eager=False)
+    cond_scores, prior_scores = nb_train_model(toks, base, top_k_features)
+    return nb_score_with_model(toks, cond_scores, prior_scores)
+
+
+def nb_train_model(
+    toks: DataFrame, base: DataFrame, top_k_features: int | None = None
+) -> tuple:
+    """TRAIN the multinomial NB: per-(label, token) smoothed
+    conditionals and class priors, both in exact Q8 fixed point, from
+    an exploded ``(doc_id, label_actual, token)`` stream and its
+    ``(doc_id, label_actual, ...)`` base relation.  Returns
+    ``(cond_scores, prior_scores)`` -- the MODEL, (vocab x L)- and
+    L-sized relations a serving pipeline persists once and scores
+    against forever (text_langid_served); ``nb_classify`` composes this
+    with :func:`nb_score_with_model` for the self-contained one-query
+    form.  Training is deterministic (exact integer arithmetic,
+    deterministic tie-breaks), so a saved model scores bit-identically
+    to the train-in-query path."""
     class_tok = toks.groupBy(F.col("label_actual").alias("label"), "token").agg(
         F.count("*").alias("c_lt")
     )
@@ -349,6 +367,19 @@ def nb_classify(
     prior_scores = fixed_log2(priors, "n_docs", "n_docs_l", "prior_q8").select(
         "label", "prior_q8"
     )
+    return cond_scores, prior_scores
+
+
+def nb_score_with_model(
+    toks: DataFrame, cond_scores: DataFrame, prior_scores: DataFrame
+) -> DataFrame:
+    """SCORE an exploded ``(doc_id, label_actual, token)`` stream
+    against a trained NB model (``nb_train_model``'s output, fresh or
+    read back from parquet): broadcast the (vocab x L) conditionals
+    into the corpus-side stream, one groupBy(doc, label) sum, one
+    per-doc argmin window -- the serving half of the pipeline, corpus
+    never shuffling on anything wider than (doc_id, label).  Documents
+    with no in-model feature drop out (the capped-profile contract)."""
     doc_label = (
         toks.join(F.broadcast(cond_scores), "token")
         .groupBy("doc_id", "label_actual", "label")

@@ -219,6 +219,9 @@ BENCH_QUERIES = [
     "sim_ivfpq_index_search",
     "mm_audio_vad16",
     "mm_png_adam7_roundtrip",
+    # round-13 fifth wave: the NB model in its serving shape (train
+    # once per process, score from the saved model)
+    "text_langid_served",
 ]
 
 

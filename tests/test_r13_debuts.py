@@ -96,3 +96,20 @@ def test_vad16_query_segments_follow_the_planted_pattern(spark):
         assert r.n_frames == 10
         assert r.n_active == 4        # frames 0, 3, 6, 9
         assert r.n_segments == 4      # isolated singles
+
+
+def test_langid_served_equals_train_in_query(spark):
+    """r13 wave 5: the persisted-model serving path returns
+    BIT-IDENTICAL predictions to the train-in-query capped classifier
+    (training determinism end-to-end through a parquet roundtrip)."""
+    from airflow_pipeline_text_processing_spark.plans.queries_llm import (
+        text_langid_profile,
+        text_langid_served,
+    )
+
+    served = text_langid_served(spark, SF).collect()
+    in_query = text_langid_profile(spark, SF).collect()
+    assert served == in_query
+    assert served, "no docs at sf0.001?"
+    # repeat serve from the saved model: identical again
+    assert text_langid_served(spark, SF).collect() == served

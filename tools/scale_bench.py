@@ -575,11 +575,16 @@ def x30_structural() -> None:
         ("events_dow_profile", REGISTRY["events_dow_profile"][0]),
         ("stats_mad_outliers", REGISTRY["stats_mad_outliers"][0]),
     ]
-    print("wall-clock curves (1x/10x/30x)")
+    print("wall-clock curves (1x/10x/30x; warm-per-dir, residue-swept)")
     for name, fn in wall_rows:
-        fn(spark, dirs[0][2]).count()  # warm plans/codegen on the 1x input
         walls = []
         for tag, mult, d in dirs:
+            # r13 measurement discipline (see x100_structural /
+            # PROFILE_r13 §5): warm at THIS dir, sweep leaked
+            # checkpoint blocks before the timed reading
+            _sweep_blocks(spark)
+            fn(spark, d).count()
+            _sweep_blocks(spark)
             t0 = time.perf_counter()
             fn(spark, d).count()
             walls.append((mult, time.perf_counter() - t0))
@@ -612,6 +617,23 @@ def x30_structural() -> None:
         print(f"  {tag}: m={m} wedges={w} bound={m**1.5:.0f}")
         assert w <= m**1.5
     spark.stop()
+
+
+def _sweep_blocks(spark) -> None:
+    """Unpersist every leaked block between measurements: queries
+    localCheckpoint corpus-sized intermediates and nothing ever
+    unpersists them when the query's action completes, so a long
+    measurement session accretes pinned RDD blocks that fight the next
+    query's execution memory -- measured at x30 as a 10x wall swing on
+    the NB family (22 s steady-state vs 171-201 s under residue/warmup;
+    PROFILE_r13 §5).  A real deployment does not carry prior batches'
+    checkpoint blocks, so sweeping them makes the reading the QUERY's,
+    not the session history's."""
+    import gc
+
+    gc.collect()
+    for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        jrdd.unpersist()
 
 
 def _fleiss_capped(spark, sf_dir):
@@ -701,22 +723,6 @@ def x100_structural() -> None:
         ("stream_psi_drift", REGISTRY["stream_psi_drift"][0], False),
         ("stream_cusum_drift", REGISTRY["stream_cusum_drift"][0], False),
     ]
-    def sweep_blocks():
-        """Unpersist every leaked block between measurements: queries
-        localCheckpoint corpus-sized intermediates and nothing ever
-        unpersists them when the query's action completes, so a long
-        measurement session accretes pinned RDD blocks that fight the
-        next query's execution memory -- measured at x30 as a 10x wall
-        swing on the NB family (22 s steady-state vs 171-201 s under
-        residue/warmup; PROFILE_r13 §5).  A real deployment does not
-        carry prior batches' checkpoint blocks, so sweeping them makes
-        the reading the QUERY's, not the session history's."""
-        import gc
-
-        gc.collect()
-        for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-            jrdd.unpersist()
-
     failures = []
     print("wall-clock curves (10x/30x/100x; warm-per-dir, residue-swept)",
           flush=True)
@@ -727,9 +733,9 @@ def x100_structural() -> None:
             # 100x input take minutes to settle (PROFILE_r13 §5) -- a
             # 10x-only warm leaves the first x100 reading measuring
             # C2-compilation storms, not the plan
-            sweep_blocks()
+            _sweep_blocks(spark)
             fn(spark, d).count()
-            sweep_blocks()
+            _sweep_blocks(spark)
             t0 = time.perf_counter()
             fn(spark, d).count()
             walls.append((mult, time.perf_counter() - t0))

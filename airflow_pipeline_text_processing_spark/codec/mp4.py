@@ -183,7 +183,23 @@ def build_mp4(
 def parse_mp4(payload: bytes) -> dict:
     """Parse the first track's sample table.  Returns
     ``{"timescale", "duration", "codec", "samples": [(offset, size,
-    dts), ...]}`` with offsets absolute in ``payload``."""
+    dts), ...]}`` with offsets absolute in ``payload``.
+
+    ALL malformed-input failures surface as :class:`ValueError` (the
+    module contract): beyond the explicit table checks, an empty
+    ``mdhd`` payload indexes past the buffer (``IndexError``) and a
+    short ``mdhd``/``stsz`` inside valid box framing under-fills
+    ``struct.unpack`` (``struct.error``) -- both are wrapped here so a
+    corrupt or false-positive ``ftyp`` payload can never leak a
+    non-ValueError through a caller's fallback (ADVICE r13, same
+    discipline as the PNG decoder's zlib wrap)."""
+    try:
+        return _parse_mp4_checked(payload)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"malformed MP4: {exc}") from exc
+
+
+def _parse_mp4_checked(payload: bytes) -> dict:
     moov_s, moov_e = _find(payload, 0, len(payload), b"moov")
     trak_s, trak_e = _find(payload, moov_s, moov_e, b"trak")
     mdia_s, mdia_e = _find(payload, trak_s, trak_e, b"mdia")

@@ -63,13 +63,31 @@ _ROWS = "rows"
 _FROZEN = "_frozen"
 
 
+def _pid_alive(pid: int) -> bool:
+    """Portable liveness probe: ``os.kill(pid, 0)`` sends no signal but
+    performs the existence/permission check everywhere POSIX (and on
+    Windows via the CPython emulation).  ``PermissionError`` means the
+    pid EXISTS but belongs to another user -- treat as alive, never
+    collect (ADVICE r13: the previous ``/proc/<pid>`` probe made every
+    foreign process look dead off-Linux, reintroducing the cross-process
+    rmtree race the pid suffix exists to prevent)."""
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except (PermissionError, OSError):
+        return True
+    return True
+
+
 def process_index_slot(slot_key: str) -> str:
     """Deterministic per-(key, process) tmp path for a persisted index:
     deterministic so repeat runs in one process reuse a single slot
     (the ADVICE r9 orphan-accretion fix), pid-suffixed so a concurrent
     process (the driver grading while a local bench runs) can't rmtree
     an index another process is mid-build/mid-collect on (r10 review
-    finding).  Slots whose owning pid is gone are garbage-collected."""
+    finding).  Slots whose owning pid is provably gone (portable
+    ``os.kill(pid, 0)`` probe, not ``/proc``) are garbage-collected."""
     import hashlib
     import shutil
     import tempfile
@@ -79,7 +97,7 @@ def process_index_slot(slot_key: str) -> str:
     for entry in os.listdir(tmp):
         if entry.startswith(slot + "_"):
             try:
-                if not os.path.exists(f"/proc/{int(entry.rsplit('_', 1)[1])}"):
+                if not _pid_alive(int(entry.rsplit("_", 1)[1])):
                     shutil.rmtree(os.path.join(tmp, entry), ignore_errors=True)
             except ValueError:
                 pass

@@ -1178,36 +1178,23 @@ def sim_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     certified equal to the fresh computation with the same training
     set.  At 100 TB the build cost amortizes over every later batch
     and query; ``ivfpq_index_staleness`` is the rebuild dial."""
-    import hashlib
     import os
     import shutil
-    import tempfile
 
     from ..operators.ann_index import (
         build_ivfpq_index,
         ivfpq_index_add,
         ivfpq_index_search,
+        process_index_slot,
     )
     from ..operators.clustering import quantized
 
     vecs = _tspread(spark, sf_dir, "embeddings")
     q = vecs.select("vec_id", quantized(F.col("embedding")).alias("q"))
-    # Deterministic md5(sf_dir) slot + pid suffix: deterministic so
-    # repeat runs in one process reuse a single slot (the ADVICE r9
-    # orphan-accretion fix), pid-suffixed so a concurrent process (the
-    # driver grading while a local bench runs) can't rmtree an index
-    # another process is mid-build/mid-collect on (r10 review finding).
-    # Slots whose owning pid is gone are garbage-collected here.
-    slot = f"ivfpq_index_{hashlib.md5(sf_dir.encode()).hexdigest()[:16]}"
-    tmp = tempfile.gettempdir()
-    for entry in os.listdir(tmp):
-        if entry.startswith(slot + "_"):
-            try:
-                if not os.path.exists(f"/proc/{int(entry.rsplit('_', 1)[1])}"):
-                    shutil.rmtree(os.path.join(tmp, entry), ignore_errors=True)
-            except ValueError:
-                pass
-    path = os.path.join(tmp, f"{slot}_{os.getpid()}")
+    # Deterministic per-(sf_dir, process) slot; GC of dead-pid slots
+    # uses the portable os.kill(pid, 0) probe (ADVICE r13) -- one shared
+    # helper instead of the previously-duplicated /proc sweep.
+    path = process_index_slot(sf_dir)
     # Within-process reuse: the index contents are fully deterministic
     # (fixed train split, fixed-point Lloyd), so a slot this process
     # already built for this sf_dir serves identical results -- repeat

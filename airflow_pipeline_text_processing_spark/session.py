@@ -48,6 +48,29 @@ def get_spark(app_name: str = "airflow-pipeline-text-processing-spark") -> Spark
     return spark
 
 
+def sweep_persistent_rdds(spark: SparkSession) -> int:
+    """Unpersist every persistent RDD block and return how many were
+    swept.  The lazy ``localCheckpoint`` lineage cuts in the NB / eval
+    family (operators/lm.py) pin corpus-sized RDD blocks once their
+    query's action runs, and nothing unpersists them when the query
+    completes -- a long-lived session (a serving deployment, a bench
+    run, the driver's grading loop) accretes residue that fights later
+    queries' execution memory, measured at x30 as a 10x wall swing
+    (PROFILE_r13 §5).  This is the engine's cleanup API (ADVICE r13:
+    the sweep previously lived only in the bench harness): call it
+    between logical batches.  Blocks are safe to drop at any point --
+    every query builds fresh lineage per call, and a swept checkpoint
+    simply re-materializes on next use."""
+    import gc
+
+    gc.collect()  # drop Python-side refs so the JVM map is the truth
+    n = 0
+    for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        jrdd.unpersist()
+        n += 1
+    return n
+
+
 def _apply_runtime_conf(spark: SparkSession) -> None:
     for key, val in [
         ("spark.sql.adaptive.enabled", "true"),

@@ -41,10 +41,13 @@ one-dimensional sibling of the Z-order layout in tabular.py).
 from __future__ import annotations
 
 import json
+import logging
 import os
 import shutil
 import uuid
 from typing import List, Optional, Tuple
+
+_LOGGER = logging.getLogger(__name__)
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -210,9 +213,25 @@ def _sync_cache(path: str) -> None:
             with open(os.path.join(d, name)) as fh:
                 rows = json.load(fh)["rows"]
         except (OSError, ValueError, KeyError):
-            continue  # dead slot (pre-r13 truncated claim): skip
+            # dead slot (pre-r13 truncated claim): skip -- but say so,
+            # or a masked dead slot is undiagnosable (ADVICE r13)
+            _LOGGER.warning(
+                "manifest %s: log slot %d is unparsable (pre-r13 "
+                "truncated claim); healing from the next older entry",
+                path,
+                entry_seq,
+            )
+            continue
         _refresh_cache(path, rows, seq)
         return
+    # EVERY claimed entry was unparsable: the table's history is gone
+    # and the cache is stale with no way to repair it.  Silently
+    # returning here would hand readers the stale cache as if it were
+    # current (ADVICE r13) -- fail loudly instead.
+    raise ValueError(
+        f"manifest {path}: all {len(claimed)} commit-log entries are "
+        "unparsable; cannot heal the read cache from the log"
+    )
 
 
 def _write_manifest(

@@ -628,12 +628,14 @@ def _sweep_blocks(spark) -> None:
     the NB family (22 s steady-state vs 171-201 s under residue/warmup;
     PROFILE_r13 §5).  A real deployment does not carry prior batches'
     checkpoint blocks, so sweeping them makes the reading the QUERY's,
-    not the session history's."""
-    import gc
+    not the session history's.  Since r14 the sweep is the ENGINE's
+    cleanup API (session.sweep_persistent_rdds, ADVICE r13) -- this is
+    a thin delegate kept for the harness's existing call sites."""
+    from airflow_pipeline_text_processing_spark.session import (
+        sweep_persistent_rdds,
+    )
 
-    gc.collect()
-    for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-        jrdd.unpersist()
+    sweep_persistent_rdds(spark)
 
 
 def _fleiss_capped(spark, sf_dir):

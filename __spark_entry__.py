@@ -29,6 +29,22 @@ _MERGED = {**_CORE, **_LLM, **_EXT, **_SCALE}
 # fully declared: the local gate (tools/check_oracle.py) checks all of them.
 _ORDER = [
     # ============== DRIVER WINDOW (first 50 -- graded this round) =========
+    # -- NEW round 14 (first wave): the capped Fleiss panel in its
+    # SERVING shape (VERDICT r13 ask #1) -- the NB rater scores from
+    # the persisted profile-capped model slot (_nb_served_scores, the
+    # SAME parquet model text_langid_served trains: one model amortized
+    # over every consumer) instead of re-training inside every panel
+    # evaluation, which made eval_fleiss_kappa_capped the slowest bench
+    # entry (5.05 s, BENCH_r13).  Panel math unchanged; training
+    # determinism makes the served rater bit-identical to the capped
+    # in-query form (pinned in tests/test_r14_debuts.py), so the oracle
+    # is the unchanged capped-panel SQL.  Displaced:
+    # eval_fleiss_kappa_capped (r13 driver-green; the eval family keeps
+    # eval_cohen_kappa / eval_f1_macro / search_ndcg_eval plus the
+    # served panel -- the same three-rater composition, closed form,
+    # and oracle -- in-window; both fleiss variants stay on the full
+    # local gate).
+    "eval_fleiss_kappa_served",
     # -- NEW round 12 (fifth wave): macro-averaged per-class P/R/F1 of
     # the weak lang labeler (the which-class-is-wrong companion to
     # eval_cohen_kappa), smoothed BLEU-2 with brevity penalty in the
@@ -143,7 +159,8 @@ _ORDER = [
     # eval_f1_macro / search_ndcg_eval plus the capped panel itself --
     # the same closed form over the same three-rater composition --
     # in-window, and the uncapped variant stays on the full local gate).
-    "eval_fleiss_kappa_capped",
+    # (r14: eval_fleiss_kappa_capped itself displaced below the window
+    # by its served form -- see the round-14 first-wave note above.)
     # -- NEW round 13 (fourth wave): Adam7 interlaced PNG roundtrip --
     # the r12 "permanent gate" implemented instead of documented
     # (VERDICT r12 ask #6): per-pass independent filtering, the pass-
@@ -408,6 +425,8 @@ _ORDER = [
     "q5_nation_volume",
     "sql_correlated_above_avg",
     # ==== driver window boundary (position 50) ===========================
+    # r14 wave displacement (attribution in the window comments above):
+    "eval_fleiss_kappa_capped",
     # r13 wave displacements (attribution in the window comments
     # above):
     "eval_fleiss_kappa",

@@ -1475,6 +1475,38 @@ def eval_fleiss_kappa_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fleiss_kappa(ratings, "doc_id", "label", n_raters=3)
 
 
+def eval_fleiss_kappa_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capped Fleiss panel in its SERVING shape (r14, VERDICT r13
+    ask #1): the NB rater scores from the persisted profile-capped
+    model slot (:func:`_nb_served_scores` -- the SAME parquet model
+    ``text_langid_served`` trains, one model amortized over every
+    consumer) instead of re-training the capped NB inside every panel
+    evaluation, which made ``eval_fleiss_kappa_capped`` the slowest
+    bench entry (5.05 s, BENCH_r13) while the train-once pattern was
+    proven one screen down.  Panel math is unchanged -- reference
+    ``lang`` + marker heuristic + NB rater into the exact integer
+    Fleiss closed form -- and training determinism makes the served
+    rater's predictions bit-identical to the capped in-query form
+    (pinned in tests/test_r14_debuts.py), so the oracle is
+    ``eval_fleiss_kappa_capped``'s unchanged capped-panel SQL.  What a
+    deployment pays per panel run is one explode + one broadcast join
+    + the grid-sized closed form; training is a once-per-model-refresh
+    build cost.  The driver's one grading call still pays the honest
+    train."""
+    from ..operators.quality import fleiss_kappa
+
+    docs = _tspread(spark, sf_dir, "documents")
+    ref = docs.select("doc_id", F.col("lang").alias("label"))
+    marker = T.lang_id(docs).select(
+        "doc_id", F.col("predicted_lang").alias("label")
+    )
+    nb = _nb_served_scores(spark, sf_dir).select(
+        "doc_id", F.col("label_pred").alias("label")
+    )
+    ratings = ref.unionByName(marker).unionByName(nb)
+    return fleiss_kappa(ratings, "doc_id", "label", n_raters=3)
+
+
 def _fleiss_sql(n: int = 3, top_k: int | None = None) -> str:
     nb_inner = _nb_sql(_TRIGRAM_SQL, top_k=top_k).replace("ORDER BY doc_id", "")
     num = f"(s_pairs * n_items * {n} - {n - 1} * sum_t2) * 1000000"
@@ -1991,8 +2023,56 @@ def text_langid_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# model slots text_langid_served has fully trained in THIS process
+# model slots _nb_served_scores has fully trained in THIS process
 _NB_MODEL_SLOTS: set = set()
+
+
+def _nb_served_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score the documents corpus against the persisted profile-capped
+    Cavnar-Trenkle NB model, training it at most once per (process,
+    sf_dir) into a parquet model slot -- the shared serving kernel
+    behind ``text_langid_served`` AND ``eval_fleiss_kappa_served``
+    (r14): ONE persisted model serves every consumer, which is the
+    amortization claim itself.  Training determinism (exact Q8 integer
+    arithmetic, deterministic tie-breaks) makes served predictions
+    bit-identical to the train-in-query capped form, so every consumer
+    keeps its unchanged capped-NB oracle.
+
+    The exploded token stream is checkpointed ONLY on the training
+    branch (r14): training reads toks several times (per-class counts,
+    profile rank, totals) so the lineage cut pays there, but a pure
+    serve reads toks exactly once -- straight into the broadcast join
+    -- and checkpointing it would materialize the corpus-sized stream
+    as pinned blocks for nothing (the residue class ADVICE r13 flagged;
+    measured ~0.3 s of the serve wall at sf0.1)."""
+    import os
+    import shutil
+
+    from ..operators.ann_index import process_index_slot
+
+    docs = _tspread(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.col("lang").alias("label_actual"), F.col("text")
+    )
+    toks = base.select(
+        "doc_id",
+        "label_actual",
+        F.explode(L.char_trigrams(F.col("text"))).alias("token"),
+    )
+    path = process_index_slot(f"nb_model:{sf_dir}")
+    if path not in _NB_MODEL_SLOTS or not os.path.exists(path):
+        shutil.rmtree(path, ignore_errors=True)
+        cond, prior = L.nb_train_model(
+            toks.localCheckpoint(eager=False),
+            base,
+            top_k_features=_LANGID_PROFILE_K,
+        )
+        cond.write.parquet(os.path.join(path, "cond"))
+        prior.write.parquet(os.path.join(path, "prior"))
+        _NB_MODEL_SLOTS.add(path)
+    cond = spark.read.parquet(os.path.join(path, "cond"))
+    prior = spark.read.parquet(os.path.join(path, "prior"))
+    return L.nb_score_with_model(toks, cond, prior)
 
 
 def text_langid_served(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2012,33 +2092,10 @@ def text_langid_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables are metadata-sized regardless of corpus size.  Measured at
     sf0.1 (r13, back-to-back in one session): serve 1.3-1.7 s vs 3.0 s
     train-in-query.  The driver's one grading call still pays the
-    honest train."""
-    import os
-    import shutil
-
-    from ..operators.ann_index import process_index_slot
-
-    docs = _tspread(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id", F.col("lang").alias("label_actual"), F.col("text")
-    )
-    toks = base.select(
-        "doc_id",
-        "label_actual",
-        F.explode(L.char_trigrams(F.col("text"))).alias("token"),
-    ).localCheckpoint(eager=False)
-    path = process_index_slot(f"nb_model:{sf_dir}")
-    if path not in _NB_MODEL_SLOTS or not os.path.exists(path):
-        shutil.rmtree(path, ignore_errors=True)
-        cond, prior = L.nb_train_model(
-            toks, base, top_k_features=_LANGID_PROFILE_K
-        )
-        cond.write.parquet(os.path.join(path, "cond"))
-        prior.write.parquet(os.path.join(path, "prior"))
-        _NB_MODEL_SLOTS.add(path)
-    cond = spark.read.parquet(os.path.join(path, "cond"))
-    prior = spark.read.parquet(os.path.join(path, "prior"))
-    return L.nb_score_with_model(toks, cond, prior)
+    honest train.  Since r14 the slot logic lives in
+    :func:`_nb_served_scores`, shared with ``eval_fleiss_kappa_served``
+    so ONE persisted model serves both consumers."""
+    return _nb_served_scores(spark, sf_dir)
 
 
 def _nb_sql(features_sql: str = None, top_k: int | None = None) -> str:
@@ -5001,6 +5058,13 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "eval_fleiss_kappa": (eval_fleiss_kappa, _fleiss_sql()),
     "eval_fleiss_kappa_capped": (
         eval_fleiss_kappa_capped,
+        _fleiss_sql(top_k=_LANGID_PROFILE_K),
+    ),
+    "eval_fleiss_kappa_served": (
+        eval_fleiss_kappa_served,
+        # bit-identical to the capped in-query panel by training
+        # determinism -- the amortized serve is graded against the
+        # UNCHANGED capped-panel oracle
         _fleiss_sql(top_k=_LANGID_PROFILE_K),
     ),
     "text_bleu_bigram": (text_bleu_bigram, _bleu_sql()),

@@ -222,6 +222,11 @@ BENCH_QUERIES = [
     # round-13 fifth wave: the NB model in its serving shape (train
     # once per process, score from the saved model)
     "text_langid_served",
+    # round-14 debuts: the capped Fleiss panel served from the
+    # persisted NB model slot (the timed runs measure the amortized
+    # panel -- the train is paid by the process's first call, exactly
+    # like sim_ivfpq_index_search / text_langid_served)
+    "eval_fleiss_kappa_served",
 ]
 
 

@@ -314,3 +314,139 @@ def test_adam7_truncated_stream_rejected():
     )
     with pytest.raises(ValueError, match="length"):
         decode_png(body)
+
+
+# ---------------------------------------------------------------------
+# Independent Adam7 decoder (r14, VERDICT r13 ask #6): GIF and JPEG
+# were certified against independently-written second decoders; this
+# pins the seven-pass SERIALIZATION the same way.  Structurally
+# different on purpose: scalar per-byte unfiltering written straight
+# from the W3C filter definitions (no shared _unfilter), and per-PIXEL
+# inverse grid mapping (each pass pixel lands at (y0 + py*dy,
+# x0 + px*dx)) instead of the production numpy slice scatter.  The
+# pass table is re-stated from PNG spec §8.2, not imported.
+# ---------------------------------------------------------------------
+
+_SPEC_ADAM7 = (
+    # (x origin, y origin, x step, y step), passes 1..7 per spec §8.2
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _spec_paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _spec_unfilter_pass(data: bytes, ph: int, pw: int, bpp: int):
+    """Scalar unfilter of one pass's scanlines per the W3C defs:
+    Recon(x) = Filt(x) + predictor, mod 256."""
+    stride = pw * bpp
+    out = []
+    prior = [0] * stride
+    pos = 0
+    for _y in range(ph):
+        ft = data[pos]
+        row_f = list(data[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        recon = []
+        for x in range(stride):
+            a = recon[x - bpp] if x >= bpp else 0
+            b = prior[x]
+            c = prior[x - bpp] if x >= bpp else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            elif ft == 4:
+                pred = _spec_paeth(a, b, c)
+            else:
+                raise AssertionError(f"bad filter type {ft}")
+            recon.append((row_f[x] + pred) % 256)
+        out.append(recon)
+        prior = recon
+    return out, pos
+
+
+def _independent_adam7_decode(payload: bytes) -> np.ndarray:
+    """Parse IHDR/IDAT with struct, inflate, then decode the seven
+    passes with the scalar unfilter and per-pixel placement."""
+    assert payload[:8] == PNG_SIG
+    pos, ihdr, idat = 8, None, b""
+    while pos < len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat += data
+        pos += 12 + length
+    w, h, depth, ctype_n, _c, _f, interlace = struct.unpack(">IIBBBBB", ihdr)
+    assert depth == 8 and interlace == 1
+    nch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype_n]
+    raw = zlib.decompress(idat)
+    img = np.zeros((h, w, nch), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _SPEC_ADAM7:
+        pw = len(range(x0, w, dx))
+        ph = len(range(y0, h, dy))
+        if pw == 0 or ph == 0:
+            continue
+        rows, used = _spec_unfilter_pass(raw[pos:], ph, pw, nch)
+        pos += used
+        for py in range(ph):
+            for px in range(pw):
+                for ch in range(nch):
+                    img[y0 + py * dy, x0 + px * dx, ch] = rows[py][
+                        px * nch + ch
+                    ]
+    assert pos == len(raw), "pass serialization length mismatch"
+    return img
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    w=st.integers(1, 17),
+    h=st.integers(1, 17),
+    nch=st.sampled_from([1, 2, 3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_adam7_serialization_read_by_independent_decoder(w, h, nch, seed):
+    # the encoder's seven-pass stream must decode identically under a
+    # decoder that shares NO code with the production one, for both the
+    # trivial and the full forward-filter cycles
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, size=(h, w, nch)).astype(np.uint8)
+    for cycle in (None, (0, 1, 2, 3, 4)):
+        enc = encode_png(img, filters=cycle, interlace=True)
+        assert np.array_equal(_independent_adam7_decode(enc), img)
+        assert np.array_equal(decode_png(enc), img)
+
+
+def test_adam7_independent_decoder_agrees_on_graded_canvas():
+    # the exact 9x10 deterministic-pixel construction the graded query
+    # (mm_png_adam7_roundtrip) runs, for a handful of doc ids
+    idx = np.arange(9 * 10 * 3, dtype=np.int64)
+    for doc_id in (0, 1, 7, 499):
+        v = (doc_id * 7919 + idx * 104729) % 256
+        img = v.reshape(10, 9, 3).astype(np.uint8)
+        enc = encode_png(img, filters=(0, 1, 2, 3, 4), interlace=True)
+        got = _independent_adam7_decode(enc)
+        assert np.array_equal(got, img)
+        assert np.array_equal(got, decode_png(enc))

@@ -724,6 +724,33 @@ def x100_structural() -> None:
         # 8. streamed drains (complete-mode agg + availableNow)
         ("stream_psi_drift", REGISTRY["stream_psi_drift"][0], False),
         ("stream_cusum_drift", REGISTRY["stream_cusum_drift"][0], False),
+        # r14 (VERDICT r13 ask #3): the bench top-wall families that had
+        # no x100 row yet.
+        # 9. ivfpq train-in-query with the PINNED rerank depth (the
+        # auto-depth sibling is row 1; this is the bench's 4.17 s form)
+        ("sim_ivfpq_topk", REGISTRY["sim_ivfpq_topk"][0], False),
+        # 10. watermarked stream-stream interval join: state is bounded
+        # by watermark+interval regardless of stream length -- the curve
+        # is the proof (micro-batch machinery amortizes by 30x)
+        (
+            "stream_stream_join_pairs",
+            REGISTRY["stream_stream_join_pairs"][0],
+            False,
+        ),
+        # 11. full curation composition over ALL docs (the registry form
+        # runs a planted 320-doc corpus for oracle determinism)
+        ("curate_full[all-docs]", _curate_full_all_docs, False),
+        # 12. hashed-BoW k-means topics: scan + (doc,bucket) aggregate +
+        # one exchange per Lloyd round; no doc x doc stage
+        ("text_topics_kmeans", REGISTRY["text_topics_kmeans"][0], False),
+        # 13. label propagation over the event-type transition graph:
+        # node set is event-TYPE-sized (constant), edges aggregate per
+        # type pair -- wall should be scan-dominated
+        (
+            "graph_label_communities",
+            REGISTRY["graph_label_communities"][0],
+            False,
+        ),
     ]
     failures = []
     print("wall-clock curves (10x/30x/100x; warm-per-dir, residue-swept)",
@@ -779,6 +806,60 @@ def x100_structural() -> None:
     print("x100 structural: ALL BOUNDS HELD")
 
 
+def fleiss_adjudicate(reps: int = 3) -> None:
+    """Capped-vs-uncapped-vs-SERVED Fleiss at x30/x100 with disciplined
+    solo-style reps (VERDICT r13 ask #2): PROFILE_r13 §5's single x100
+    readings put the capped panel at 124.1 s vs uncapped 84.6 s and the
+    judge does not accept the noise-band argument untested for this
+    pair.  Protocol per (form, dir): residue sweep, one untimed warm
+    run, then ``reps`` timed fresh-lineage runs each preceded by a
+    sweep; ALL readings print (spread = noise floor), plus loadavg and
+    the java process count before each batch.  The served form (r14)
+    is the graded production rater: its warm run pays the per-dir
+    train, so its timed reps measure the amortized serve -- the number
+    a deployment pays per panel run."""
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "64g")
+    import subprocess
+
+    from __spark_entry__ import REGISTRY
+
+    from airflow_pipeline_text_processing_spark.session import get_spark
+
+    spark = get_spark("fleiss-adjudicate")
+    spark.sparkContext.setLogLevel("ERROR")
+    dirs = []
+    for tag, mult in (("x30", 30), ("x100", 100)):
+        t0 = time.perf_counter()
+        d = build_dir(spark, f"fa_{tag}", mult, tables=("documents",))
+        print(f"built {tag} in {time.perf_counter() - t0:.0f}s", flush=True)
+        dirs.append((tag, mult, d))
+    forms = [
+        ("uncapped", REGISTRY["eval_fleiss_kappa"][0]),
+        ("capped", REGISTRY["eval_fleiss_kappa_capped"][0]),
+        ("served", REGISTRY["eval_fleiss_kappa_served"][0]),
+    ]
+    for tag, _mult, d in dirs:
+        for name, fn in forms:
+            jvms = subprocess.run(
+                ["pgrep", "-c", "java"], capture_output=True
+            ).stdout.strip().decode() or "0"
+            load1 = os.getloadavg()[0]
+            _sweep_blocks(spark)
+            fn(spark, d).count()  # warm (served: pays the per-dir train)
+            walls = []
+            for _ in range(reps):
+                _sweep_blocks(spark)
+                t0 = time.perf_counter()
+                fn(spark, d).count()
+                walls.append(round(time.perf_counter() - t0, 2))
+            print(
+                f"  fleiss[{name:8s}] {tag:5s} runs={walls} "
+                f"best={min(walls)} load1={load1:.2f} jvms={jvms}",
+                flush=True,
+            )
+    spark.stop()
+
+
 def main() -> None:
     from __spark_entry__ import REGISTRY
     from airflow_pipeline_text_processing_spark.session import get_spark
@@ -788,6 +869,9 @@ def main() -> None:
         return
     if "--x100-structural" in sys.argv:
         x100_structural()
+        return
+    if "--fleiss-adjudicate" in sys.argv:
+        fleiss_adjudicate()
         return
 
     spark = get_spark("scale-bench")

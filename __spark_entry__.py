@@ -45,6 +45,19 @@ _ORDER = [
     # and oracle -- in-window; both fleiss variants stay on the full
     # local gate).
     "eval_fleiss_kappa_served",
+    # -- NEW round 14 (second wave): Krippendorff's alpha (nominal) --
+    # the MISSING-DATA generalization of the Fleiss panel: the capped
+    # NB rater abstains on out-of-profile docs, Fleiss must drop those
+    # items, alpha keeps every unit with >= 2 ratings weighted by
+    # 1/(m_u - 1) (made exact-integer by the lcm scale, K = 2 for a
+    # 3-rater panel).  The NB rater serves from the same persisted
+    # model slot; the oracle replays both weak labelers and the closed
+    # form bit-for-bit.  Hand-computed two-observer example + an
+    # independent coincidence-matrix reference implementation pinned in
+    # tests/test_r14_debuts.py.  Displaced: stats_acf_daily (r12
+    # driver-green; the stats family keeps stats_mad_outliers /
+    # stats_runs_test / stats_psi_drift / stats_anova_f in-window).
+    "eval_krippendorff_alpha",
     # -- NEW round 12 (fifth wave): macro-averaged per-class P/R/F1 of
     # the weak lang labeler (the which-class-is-wrong companion to
     # eval_cohen_kappa), smoothed BLEU-2 with brevity penalty in the
@@ -175,7 +188,6 @@ _ORDER = [
     "eval_f1_macro",
     "text_bleu_bigram",
     "text_lexical_diversity",
-    "stats_acf_daily",
     # -- NEW round 12: profile-capped Cavnar-Trenkle language ID --
     # nb_classify(top_k_features=300): per-class top-k trigram rank
     # (salted two-level exact rank, grid-sized), union profile, scoring
@@ -425,8 +437,9 @@ _ORDER = [
     "q5_nation_volume",
     "sql_correlated_above_avg",
     # ==== driver window boundary (position 50) ===========================
-    # r14 wave displacement (attribution in the window comments above):
+    # r14 wave displacements (attribution in the window comments above):
     "eval_fleiss_kappa_capped",
+    "stats_acf_daily",
     # r13 wave displacements (attribution in the window comments
     # above):
     "eval_fleiss_kappa",

@@ -351,3 +351,112 @@ def fleiss_kappa(
             f" ELSE (({num}) - pmod({num}, {den})) div ({den}) END"
         ).alias("kappa_ppm"),
     )
+
+
+def krippendorff_alpha(
+    ratings: DataFrame,
+    item_col: str = "item_id",
+    label_col: str = "label",
+    n_raters: int = 3,
+) -> DataFrame:
+    """Krippendorff's alpha (nominal) over a long-format ratings
+    relation -- the MISSING-DATA generalization of :func:`fleiss_kappa`:
+    where Fleiss assumes a fixed panel and must DROP every item a rater
+    abstained on (the profile-capped NB abstains on featureless docs),
+    alpha keeps every unit with >= 2 ratings, weighting each unit's
+    pairwise disagreement by 1/(m_u - 1).  That is exactly the panel a
+    weak-labeler ensemble produces in practice, so alpha is the
+    agreement number a curation pipeline can read WITHOUT discarding
+    the partially-rated tail.
+
+    Exact integer closed form (Krippendorff 2011, the computational
+    formula behind the coincidence matrix).  With ``n_uc`` = ratings of
+    unit u in category c, ``m_u = sum_c n_uc`` (kept iff >= 2),
+    ``n = sum_u m_u``, ``n_c = sum_u n_uc``:
+
+        D_o ~ S_o = sum_u [ sum_c n_uc*(m_u - n_uc) ] / (m_u - 1)
+        D_e ~ S_e = sum_c n_c*(n - n_c)
+        alpha = 1 - (n - 1) * S_o / S_e
+
+    The per-unit 1/(m_u - 1) is the one rational term; it is made
+    exact by scaling with ``K = lcm(1, .., n_raters - 1)`` (panel-size
+    bounded: K = 2 for a 3-rater panel), since (m_u - 1) | K for every
+    kept unit.  All BIGINT; alpha can be negative, so the quotient uses
+    the same pmod floor device as the kappas.  BIGINT headroom: the
+    alpha numerator is <= ~2 * K * n^3 * 1e6, exact through n ~ 1.5M
+    ratings -- corpus-sized panels beyond that need the ppm scaling
+    moved inside the ratio (documented, not silent).
+
+    Scale shape: identical to fleiss_kappa -- one hash aggregate to
+    (unit, category) cells, one to per-unit totals, category-sized
+    marginals; output is ONE row ``(n_units, n_ratings, s_o_scaled,
+    s_e, do_ppm, de_ppm, alpha_ppm)``."""
+    import math
+
+    k_lcm = math.lcm(*range(1, max(n_raters, 2)))
+    counts = (
+        ratings.groupBy(
+            F.col(item_col).alias("_i"), F.col(label_col).alias("_c")
+        )
+        .agg(F.count("*").cast("long").alias("nic"))
+        .localCheckpoint(eager=False)
+    )
+    mu = (
+        counts.groupBy("_i")
+        .agg(F.sum("nic").cast("long").alias("m"))
+        .filter(F.col("m") >= 2)
+    )
+    kept = counts.join(mu, "_i").localCheckpoint(eager=False)
+    so_n = kept.agg(
+        F.coalesce(
+            F.sum(
+                # integer div is exact: (m - 1) | K for every kept unit
+                F.expr(f"{k_lcm} div (m - 1)")
+                * F.col("nic")
+                * (F.col("m") - F.col("nic"))
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("s_o_scaled"),
+        F.count_distinct("_i").cast("long").alias("n_units"),
+        # total ratings: sum of cells' counts over kept units
+        F.coalesce(F.sum("nic"), F.lit(0)).cast("long").alias("n_ratings"),
+    )
+    se = (
+        kept.groupBy("_c")
+        .agg(F.sum("nic").cast("long").alias("nc"))
+        .crossJoin(
+            F.broadcast(
+                kept.agg(F.sum("nic").cast("long").alias("_n_all"))
+            )
+        )
+        .agg(
+            F.coalesce(
+                F.sum(F.col("nc") * (F.col("_n_all") - F.col("nc"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("s_e")
+        )
+    )
+    num = f"({k_lcm} * s_e - (n_ratings - 1) * s_o_scaled) * 1000000"
+    den = f"({k_lcm} * s_e)"
+    return so_n.crossJoin(F.broadcast(se)).select(
+        "n_units",
+        "n_ratings",
+        "s_o_scaled",
+        "s_e",
+        F.expr(
+            "CASE WHEN n_ratings = 0 THEN CAST(0 AS BIGINT)"
+            f" ELSE (s_o_scaled * 1000000) div ({k_lcm} * n_ratings) END"
+        ).alias("do_ppm"),
+        F.expr(
+            "CASE WHEN n_ratings <= 1 THEN CAST(0 AS BIGINT)"
+            " ELSE (s_e * 1000000) div (n_ratings * (n_ratings - 1)) END"
+        ).alias("de_ppm"),
+        F.expr(
+            f"CASE WHEN {den} = 0 THEN CAST(0 AS BIGINT)"
+            f" ELSE (({num}) - pmod({num}, {den})) div ({den}) END"
+        ).alias("alpha_ppm"),
+    )

@@ -1507,6 +1507,95 @@ def eval_fleiss_kappa_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fleiss_kappa(ratings, "doc_id", "label", n_raters=3)
 
 
+def eval_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha (nominal) of the same three-labeler panel
+    as the Fleiss queries (operators/quality.py::krippendorff_alpha,
+    r14) -- the MISSING-DATA generalization: the profile-capped NB
+    rater abstains on docs with no in-profile trigram, and where Fleiss
+    must DROP those items (its formula assumes a fixed panel), alpha
+    keeps every unit with >= 2 ratings, weighting per-unit disagreement
+    by 1/(m_u - 1).  That partially-rated tail is exactly what a
+    weak-labeler ensemble produces at corpus scale, so alpha is the
+    agreement number read WITHOUT discarding it.  The NB rater serves
+    from the persisted model slot (:func:`_nb_served_scores` -- the
+    same one-model-many-consumers amortization as the served Fleiss
+    panel).  Exact integer closed form throughout (the one rational
+    1/(m_u - 1) term is made exact by the lcm scale K = 2 for a
+    3-rater panel); the oracle replays both weak labelers and the
+    closed form bit-for-bit.  Scale shape: identical to the Fleiss
+    panel -- (unit, category) hash aggregates and category-sized
+    marginals; one output row."""
+    from ..operators.quality import krippendorff_alpha
+
+    docs = _tspread(spark, sf_dir, "documents")
+    ref = docs.select("doc_id", F.col("lang").alias("label"))
+    marker = T.lang_id(docs).select(
+        "doc_id", F.col("predicted_lang").alias("label")
+    )
+    nb = _nb_served_scores(spark, sf_dir).select(
+        "doc_id", F.col("label_pred").alias("label")
+    )
+    ratings = ref.unionByName(marker).unionByName(nb)
+    return krippendorff_alpha(ratings, "doc_id", "label", n_raters=3)
+
+
+def _krippendorff_sql(n: int = 3, top_k: int | None = None) -> str:
+    import math
+
+    k_lcm = math.lcm(*range(1, max(n, 2)))
+    nb_inner = _nb_sql(_TRIGRAM_SQL, top_k=top_k).replace("ORDER BY doc_id", "")
+    num = f"({k_lcm} * s_e - (n_ratings - 1) * s_o_scaled) * 1000000"
+    den = f"({k_lcm} * s_e)"
+    return f"""
+WITH lang AS ({LANG_SQL.replace("ORDER BY doc_id", "")}),
+nb AS ({nb_inner}),
+ratings AS (
+  SELECT doc_id, lang AS label FROM documents
+  UNION ALL
+  SELECT doc_id, predicted_lang AS label FROM lang
+  UNION ALL
+  SELECT doc_id, label_pred AS label FROM nb
+),
+counts AS (
+  SELECT doc_id, label, CAST(COUNT(*) AS BIGINT) AS nic
+  FROM ratings GROUP BY 1, 2
+),
+mu AS (
+  SELECT doc_id, CAST(SUM(nic) AS BIGINT) AS m
+  FROM counts GROUP BY 1 HAVING SUM(nic) >= 2
+),
+kept AS (
+  SELECT c.doc_id, c.label, c.nic, m.m FROM counts c JOIN mu m USING (doc_id)
+),
+so AS (
+  SELECT
+    CAST(COALESCE(SUM(({k_lcm} // (m - 1)) * nic * (m - nic)), 0) AS BIGINT)
+      AS s_o_scaled,
+    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_units,
+    CAST(COALESCE(SUM(nic), 0) AS BIGINT) AS n_ratings
+  FROM kept
+),
+nc AS (SELECT label, CAST(SUM(nic) AS BIGINT) AS ncv FROM kept GROUP BY 1),
+se AS (
+  SELECT CAST(COALESCE(SUM(ncv * (so.n_ratings - ncv)), 0) AS BIGINT) AS s_e
+  FROM nc CROSS JOIN so
+)
+SELECT n_units, n_ratings, s_o_scaled, s_e,
+       CAST(CASE WHEN n_ratings = 0 THEN 0
+            ELSE (s_o_scaled * 1000000) // ({k_lcm} * n_ratings)
+            END AS BIGINT) AS do_ppm,
+       CAST(CASE WHEN n_ratings <= 1 THEN 0
+            ELSE (s_e * 1000000) // (n_ratings * (n_ratings - 1))
+            END AS BIGINT) AS de_ppm,
+       -- alpha can be negative: the FLOOR device (test_exact_division)
+       CAST(CASE WHEN {den} = 0 THEN 0
+            ELSE (({num})
+                  - ((({num}) % ({den})) + ({den})) % ({den}))
+                 // ({den}) END AS BIGINT) AS alpha_ppm
+FROM so CROSS JOIN se
+"""
+
+
 def _fleiss_sql(n: int = 3, top_k: int | None = None) -> str:
     nb_inner = _nb_sql(_TRIGRAM_SQL, top_k=top_k).replace("ORDER BY doc_id", "")
     num = f"(s_pairs * n_items * {n} - {n - 1} * sum_t2) * 1000000"
@@ -5066,6 +5155,10 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
         # determinism -- the amortized serve is graded against the
         # UNCHANGED capped-panel oracle
         _fleiss_sql(top_k=_LANGID_PROFILE_K),
+    ),
+    "eval_krippendorff_alpha": (
+        eval_krippendorff_alpha,
+        _krippendorff_sql(top_k=_LANGID_PROFILE_K),
     ),
     "text_bleu_bigram": (text_bleu_bigram, _bleu_sql()),
     "text_lexical_diversity": (text_lexical_diversity, _lexdiv_sql()),

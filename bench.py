@@ -227,6 +227,10 @@ BENCH_QUERIES = [
     # panel -- the train is paid by the process's first call, exactly
     # like sim_ivfpq_index_search / text_langid_served)
     "eval_fleiss_kappa_served",
+    # round-14 second wave: Krippendorff's alpha -- the missing-data
+    # panel agreement (partial units kept), NB rater from the shared
+    # model slot
+    "eval_krippendorff_alpha",
 ]
 
 

@@ -71,3 +71,161 @@ def test_fleiss_served_repeat_call_serves_from_slot(spark):
     )
     assert mtime2 == mtime  # no retrain: the model files were untouched
     assert second.asDict() == first.asDict()
+
+
+# ---------------------------------------------------------------------
+# Wave 2: Krippendorff's alpha (nominal) -- the missing-data
+# generalization of Fleiss.  Reference implementation below is the
+# textbook COINCIDENCE-MATRIX form in floats (Krippendorff 2011),
+# structurally different from the operator's integer computational
+# formula on purpose.
+# ---------------------------------------------------------------------
+
+
+def _ref_alpha(units: dict[object, list]) -> float:
+    """units: unit -> list of category ratings (len >= 1)."""
+    from collections import Counter
+
+    kept = {u: rs for u, rs in units.items() if len(rs) >= 2}
+    cats = sorted({c for rs in kept.values() for c in rs})
+    o = {(c, k): 0.0 for c in cats for k in cats}
+    for rs in kept.values():
+        m = len(rs)
+        cnt = Counter(rs)
+        for c in cats:
+            for k in cats:
+                if c == k:
+                    o[(c, k)] += cnt[c] * (cnt[c] - 1) / (m - 1)
+                else:
+                    o[(c, k)] += cnt[c] * cnt[k] / (m - 1)
+    n = sum(o.values())
+    if n <= 1:
+        return 0.0
+    nc = {c: sum(o[(c, k)] for k in cats) for c in cats}
+    d_o = sum(o[(c, k)] for c in cats for k in cats if c != k) / n
+    d_e = sum(
+        nc[c] * nc[k] for c in cats for k in cats if c != k
+    ) / (n * (n - 1))
+    if d_e == 0:
+        return 0.0
+    return 1 - d_o / d_e
+
+
+def _alpha_row(spark, units):
+    from airflow_pipeline_text_processing_spark.operators.quality import (
+        krippendorff_alpha,
+    )
+
+    rows = [(u, c) for u, rs in units.items() for c in rs]
+    df = spark.createDataFrame(rows, "item_id long, label string")
+    return krippendorff_alpha(df, "item_id", "label", n_raters=3).collect()[0]
+
+
+def _assert_alpha_matches(spark, units):
+    import math
+
+    row = _alpha_row(spark, units)
+    want = _ref_alpha(units)
+    got = row.alpha_ppm / 1e6
+    # integer form floors at ppm: agree within one ppm step
+    assert math.floor(want * 1e6) == row.alpha_ppm or abs(
+        got - want
+    ) < 2e-6, (row, want)
+
+
+def test_krippendorff_matches_reference_on_mixed_panels(spark):
+    # partial units KEPT (the capability Fleiss lacks), singletons
+    # dropped, ties, a unanimous unit, three categories
+    units = {
+        1: ["a", "a", "a"],
+        2: ["a", "a", "b"],
+        3: ["b", "c"],        # partial: 2 of 3 raters
+        4: ["c"],             # singleton: excluded
+        5: ["b", "b", "c"],
+        6: ["a", "c"],
+        7: ["c", "c", "c"],
+    }
+    _assert_alpha_matches(spark, units)
+    row = _alpha_row(spark, units)
+    assert row.n_units == 6          # unit 4 dropped, partials kept
+    assert row.n_ratings == 16
+
+
+def test_krippendorff_two_observer_binary_hand_computed(spark):
+    # 10 binary units, 2 observers, units 9/10 missing one rating
+    # (dropped as singletons).  Hand derivation: kept n = 16 ratings,
+    # 11 zeros / 5 ones; only unit 3 disagrees, so S_o(K=2) =
+    # 2 * (1*1 + 1*1) = 4; S_e = 11*5 + 5*11 = 110; alpha =
+    # 1 - (16-1)*4 / (2*110) = 1 - 60/220 = 8/11 -> floor ppm 727272.
+    units = {
+        1: [0, 0], 2: [1, 1], 3: [0, 1], 4: [0, 0], 5: [0, 0],
+        6: [0, 0], 7: [0, 0], 8: [1, 1], 9: [1],   10: [0],
+    }
+    units = {u: [str(v) for v in vs] for u, vs in units.items()}
+    _assert_alpha_matches(spark, units)
+    row = _alpha_row(spark, units)
+    assert row.n_units == 8 and row.n_ratings == 16
+    assert (row.s_o_scaled, row.s_e) == (4, 110)
+    assert row.alpha_ppm == 727272  # floor(8/11 * 1e6)
+
+
+def test_krippendorff_unanimity_and_negative(spark):
+    # perfect agreement -> alpha = 1
+    units = {i: ["x", "x", "x"] for i in range(5)}
+    units.update({i + 10: ["y", "y", "y"] for i in range(5)})
+    row = _alpha_row(spark, units)
+    assert row.alpha_ppm == 1_000_000
+    # systematic disagreement -> alpha < 0 (floor device exercised)
+    units = {1: ["a", "b"], 2: ["b", "a"], 3: ["a", "b"], 4: ["b", "a"]}
+    _assert_alpha_matches(spark, units)
+    assert _alpha_row(spark, units).alpha_ppm < 0
+
+
+def test_krippendorff_degenerate_inputs(spark):
+    # all singletons -> zero kept units -> alpha 0, no division blowups
+    units = {1: ["a"], 2: ["b"], 3: ["c"]}
+    row = _alpha_row(spark, units)
+    assert row.n_units == 0 and row.alpha_ppm == 0
+    # one category only -> D_e = 0 -> reported 0 (same convention as
+    # the kappas' degenerate unanimity)
+    units = {1: ["a", "a"], 2: ["a", "a", "a"]}
+    row = _alpha_row(spark, units)
+    assert row.alpha_ppm == 0 and row.s_e == 0
+
+
+def test_krippendorff_keeps_what_fleiss_drops(spark):
+    # on a panel with abstentions, fleiss' n_items < alpha's n_units:
+    # alpha reads the partially-rated tail instead of discarding it
+    from airflow_pipeline_text_processing_spark.operators.quality import (
+        fleiss_kappa,
+    )
+
+    units = {
+        1: ["a", "a", "b"],
+        2: ["a", "b"],
+        3: ["b", "b", "b"],
+        4: ["a", "c"],
+    }
+    rows = [(u, c) for u, rs in units.items() for c in rs]
+    df = spark.createDataFrame(rows, "item_id long, label string")
+    f = fleiss_kappa(df, "item_id", "label", n_raters=3).collect()[0]
+    a = _alpha_row(spark, units)
+    assert f.n_items == 2      # fleiss keeps only the full panels
+    assert a.n_units == 4      # alpha keeps every m_u >= 2 unit
+
+
+def test_krippendorff_panel_reads_the_tail_fleiss_drops(spark):
+    # at the query level: the alpha panel's unit count must be >= the
+    # capped Fleiss panel's item count (abstentions become partial
+    # units instead of exclusions), and both agree on the rating total
+    # semantics (alpha's n_ratings >= 2 * n_units)
+    from airflow_pipeline_text_processing_spark.plans.queries_llm import (
+        eval_fleiss_kappa_capped,
+        eval_krippendorff_alpha,
+    )
+
+    a = eval_krippendorff_alpha(spark, SF).collect()[0]
+    f = eval_fleiss_kappa_capped(spark, SF).collect()[0]
+    assert a.n_units >= f.n_items
+    assert a.n_ratings >= 2 * a.n_units
+    assert -1_000_000 <= a.alpha_ppm <= 1_000_000

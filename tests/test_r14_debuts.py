@@ -4,6 +4,11 @@ Wave 1: the capped Fleiss panel in its SERVING shape (VERDICT r13 ask
 #1) -- the NB rater scores from the persisted profile-capped model slot
 instead of re-training in-query; bit-identity with the capped form is
 the pinned contract.
+
+Wave 2: Krippendorff's alpha (nominal) -- the missing-data
+generalization of the Fleiss panel; certified against an independent
+coincidence-matrix reference implementation and a hand-computed
+two-observer example.
 """
 
 from __future__ import annotations

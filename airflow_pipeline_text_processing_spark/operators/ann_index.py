@@ -64,13 +64,20 @@ _FROZEN = "_frozen"
 
 
 def _pid_alive(pid: int) -> bool:
-    """Portable liveness probe: ``os.kill(pid, 0)`` sends no signal but
-    performs the existence/permission check everywhere POSIX (and on
-    Windows via the CPython emulation).  ``PermissionError`` means the
-    pid EXISTS but belongs to another user -- treat as alive, never
-    collect (ADVICE r13: the previous ``/proc/<pid>`` probe made every
-    foreign process look dead off-Linux, reintroducing the cross-process
-    rmtree race the pid suffix exists to prevent)."""
+    """Liveness probe for the dead-slot GC.  On POSIX ``os.kill(pid,
+    0)`` sends no signal but performs the existence/permission check;
+    ``PermissionError`` means the pid EXISTS under another user --
+    treat as alive, never collect (ADVICE r13: the previous
+    ``/proc/<pid>`` probe made every foreign process look dead
+    off-Linux, reintroducing the cross-process rmtree race the pid
+    suffix exists to prevent).  On non-POSIX there is NO benign probe
+    -- CPython's ``os.kill`` on Windows TERMINATES the target for
+    ordinary signal values (r14 self-review) -- so every pid reports
+    alive and slots are simply never collected there: a bounded disk
+    leak is the safe failure mode, killing a concurrent builder is
+    not."""
+    if os.name != "posix":
+        return True
     try:
         os.kill(pid, 0)
     except ProcessLookupError:

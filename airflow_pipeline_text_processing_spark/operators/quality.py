@@ -381,7 +381,9 @@ def krippendorff_alpha(
     The per-unit 1/(m_u - 1) is the one rational term; it is made
     exact by scaling with ``K = lcm(1, .., n_raters - 1)`` (panel-size
     bounded: K = 2 for a 3-rater panel), since (m_u - 1) | K for every
-    kept unit.  All BIGINT; alpha can be negative, so the quotient uses
+    kept unit; a unit carrying MORE ratings than ``n_raters`` (a
+    malformed panel) raises at execution time rather than silently
+    zeroing its term.  All BIGINT; alpha can be negative, so the quotient uses
     the same pmod floor device as the kappas.  BIGINT headroom: the
     alpha numerator is <= ~2 * K * n^3 * 1e6, exact through n ~ 1.5M
     ratings -- corpus-sized panels beyond that need the ppm scaling
@@ -407,13 +409,29 @@ def krippendorff_alpha(
         .filter(F.col("m") >= 2)
     )
     kept = counts.join(mu, "_i").localCheckpoint(eager=False)
+    # (m - 1) | K holds ONLY while m <= n_raters; a unit carrying MORE
+    # ratings than the declared panel (duplicate rater rows, or a
+    # caller under-stating n_raters) would silently zero its
+    # disagreement term ("K div (m-1)" = 0) while still inflating the
+    # marginals -- overstating alpha with no error (r14 self-review).
+    # Fail loudly instead: assert_true throws at execution time, and
+    # its NULL-when-passing result folds to a 0 addend.
+    guard = F.coalesce(
+        F.expr(
+            f"assert_true(m <= {n_raters}, 'krippendorff_alpha: a unit "
+            f"has more ratings than n_raters={n_raters}')"
+        ).cast("long"),
+        F.lit(0),
+    )
     so_n = kept.agg(
         F.coalesce(
             F.sum(
                 # integer div is exact: (m - 1) | K for every kept unit
+                # (guarded above)
                 F.expr(f"{k_lcm} div (m - 1)")
                 * F.col("nic")
                 * (F.col("m") - F.col("nic"))
+                + guard
             ),
             F.lit(0),
         )
@@ -422,18 +440,14 @@ def krippendorff_alpha(
         F.count_distinct("_i").cast("long").alias("n_units"),
         # total ratings: sum of cells' counts over kept units
         F.coalesce(F.sum("nic"), F.lit(0)).cast("long").alias("n_ratings"),
-    )
+    ).localCheckpoint(eager=False)  # 1 row; reused by s_e and the output
     se = (
         kept.groupBy("_c")
         .agg(F.sum("nic").cast("long").alias("nc"))
-        .crossJoin(
-            F.broadcast(
-                kept.agg(F.sum("nic").cast("long").alias("_n_all"))
-            )
-        )
+        .crossJoin(F.broadcast(so_n.select("n_ratings")))
         .agg(
             F.coalesce(
-                F.sum(F.col("nc") * (F.col("_n_all") - F.col("nc"))),
+                F.sum(F.col("nc") * (F.col("n_ratings") - F.col("nc"))),
                 F.lit(0),
             )
             .cast("long")

@@ -1495,6 +1495,18 @@ def eval_fleiss_kappa_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     train."""
     from ..operators.quality import fleiss_kappa
 
+    return fleiss_kappa(
+        _served_panel_ratings(spark, sf_dir), "doc_id", "label", n_raters=3
+    )
+
+
+def _served_panel_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three-rater panel with the NB rater SERVED from the
+    persisted model slot: reference ``lang`` + marker heuristic +
+    :func:`_nb_served_scores`.  One definition shared by
+    ``eval_fleiss_kappa_served`` and ``eval_krippendorff_alpha`` so the
+    "same panel" equivalence their docstrings and tests assert is
+    structural, not copy-pasted (r14 self-review)."""
     docs = _tspread(spark, sf_dir, "documents")
     ref = docs.select("doc_id", F.col("lang").alias("label"))
     marker = T.lang_id(docs).select(
@@ -1503,8 +1515,7 @@ def eval_fleiss_kappa_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     nb = _nb_served_scores(spark, sf_dir).select(
         "doc_id", F.col("label_pred").alias("label")
     )
-    ratings = ref.unionByName(marker).unionByName(nb)
-    return fleiss_kappa(ratings, "doc_id", "label", n_raters=3)
+    return ref.unionByName(marker).unionByName(nb)
 
 
 def eval_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1527,16 +1538,9 @@ def eval_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     marginals; one output row."""
     from ..operators.quality import krippendorff_alpha
 
-    docs = _tspread(spark, sf_dir, "documents")
-    ref = docs.select("doc_id", F.col("lang").alias("label"))
-    marker = T.lang_id(docs).select(
-        "doc_id", F.col("predicted_lang").alias("label")
+    return krippendorff_alpha(
+        _served_panel_ratings(spark, sf_dir), "doc_id", "label", n_raters=3
     )
-    nb = _nb_served_scores(spark, sf_dir).select(
-        "doc_id", F.col("label_pred").alias("label")
-    )
-    ratings = ref.unionByName(marker).unionByName(nb)
-    return krippendorff_alpha(ratings, "doc_id", "label", n_raters=3)
 
 
 def _krippendorff_sql(n: int = 3, top_k: int | None = None) -> str:

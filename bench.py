@@ -359,7 +359,6 @@ def main() -> None:
         fn, _oracle = REGISTRY[name]
         load1 = os.getloadavg()[0]
         loads.append(load1)
-        jvms = _jvm_count()
         try:
             # One UNTIMED warm execution per query (added r9): a
             # first-ever run pays JIT/codegen-cache/classloading costs
@@ -377,6 +376,11 @@ def main() -> None:
             # a swept checkpoint just re-materializes -- the reading
             # stays the QUERY's cost, not the session history's.
             swept = sweep_persistent_rdds(spark)
+            # Sampled AFTER the warm run (r14 self-review): a heavy
+            # warm pass takes seconds-to-minutes, long enough for a
+            # neighbor JVM to appear or vanish -- the count must
+            # describe the box the TIMED runs see.
+            jvms = _jvm_count()
             # Level the GC debt before the timed runs (r11, untimed):
             # without this a query pays for however much garbage its
             # NEIGHBORS left, which is the position-dependence the

@@ -234,3 +234,14 @@ def test_krippendorff_panel_reads_the_tail_fleiss_drops(spark):
     assert a.n_units >= f.n_items
     assert a.n_ratings >= 2 * a.n_units
     assert -1_000_000 <= a.alpha_ppm <= 1_000_000
+
+
+def test_krippendorff_rejects_overrated_units(spark):
+    # a unit with more ratings than the declared panel must FAIL, not
+    # silently zero its disagreement term (r14 self-review): with
+    # n_raters=3 and a 4-rating unit, "K div (m-1)" would truncate to 0
+    import pytest
+
+    units = {1: ["a", "b", "a", "b"], 2: ["a", "a"]}
+    with pytest.raises(Exception, match="more ratings than n_raters"):
+        _alpha_row(spark, units)

@@ -819,8 +819,6 @@ def fleiss_adjudicate(reps: int = 3) -> None:
     train, so its timed reps measure the amortized serve -- the number
     a deployment pays per panel run."""
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "64g")
-    import subprocess
-
     from __spark_entry__ import REGISTRY
 
     from airflow_pipeline_text_processing_spark.session import get_spark
@@ -840,9 +838,9 @@ def fleiss_adjudicate(reps: int = 3) -> None:
     ]
     for tag, _mult, d in dirs:
         for name, fn in forms:
-            jvms = subprocess.run(
-                ["pgrep", "-c", "java"], capture_output=True
-            ).stdout.strip().decode() or "0"
+            from bench import _jvm_count  # guarded pgrep (returns -1 sans pgrep)
+
+            jvms = _jvm_count()
             load1 = os.getloadavg()[0]
             _sweep_blocks(spark)
             fn(spark, d).count()  # warm (served: pays the per-dir train)

@@ -58,6 +58,21 @@ _ORDER = [
     # driver-green; the stats family keeps stats_mad_outliers /
     # stats_runs_test / stats_psi_drift / stats_anova_f in-window).
     "eval_krippendorff_alpha",
+    # -- NEW round 14 (third wave): the served NB model scoring a
+    # DOCUMENT STREAM -- readStream over documents, foreachBatch scores
+    # each micro-batch against the persisted model (broadcast-joined,
+    # never retrained) into an append parquet sink: the literal
+    # per-ingest-batch serving topology, exercised end to end through
+    # the micro-batch machinery.  foreachBatch because scoring chains
+    # two aggregations (per-(doc,label) sums then per-doc argmin),
+    # which one streaming query cannot express; rows are final per
+    # batch, so append is exactly-once under availableNow.  Training
+    # determinism makes the drained table bit-identical to the batch
+    # serve, so the oracle is the unchanged capped-NB SQL.  Displaced:
+    # mm_audio_mulaw (r12 driver-green; the audio/codec family keeps
+    # mm_audio_vad16 -- which decodes mu-law on its graded path -- plus
+    # the png/jpeg/adam7 roundtrips in-window).
+    "stream_langid_served",
     # -- NEW round 12 (fifth wave): macro-averaged per-class P/R/F1 of
     # the weak lang labeler (the which-class-is-wrong companion to
     # eval_cohen_kappa), smoothed BLEU-2 with brevity penalty in the
@@ -184,7 +199,6 @@ _ORDER = [
     # the codec-roundtrip family keeps mm_png_roundtrip_stats /
     # mm_jpeg_roundtrip_stats / mm_png_adam7_roundtrip in-window).
     "mm_png_adam7_roundtrip",
-    "mm_audio_mulaw",
     "eval_f1_macro",
     "text_bleu_bigram",
     "text_lexical_diversity",
@@ -440,6 +454,7 @@ _ORDER = [
     # r14 wave displacements (attribution in the window comments above):
     "eval_fleiss_kappa_capped",
     "stats_acf_daily",
+    "mm_audio_mulaw",
     # r13 wave displacements (attribution in the window comments
     # above):
     "eval_fleiss_kappa",

@@ -2120,52 +2120,122 @@ def text_langid_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NB_MODEL_SLOTS: set = set()
 
 
-def _nb_served_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Score the documents corpus against the persisted profile-capped
-    Cavnar-Trenkle NB model, training it at most once per (process,
-    sf_dir) into a parquet model slot -- the shared serving kernel
-    behind ``text_langid_served`` AND ``eval_fleiss_kappa_served``
-    (r14): ONE persisted model serves every consumer, which is the
-    amortization claim itself.  Training determinism (exact Q8 integer
-    arithmetic, deterministic tie-breaks) makes served predictions
-    bit-identical to the train-in-query capped form, so every consumer
-    keeps its unchanged capped-NB oracle.
-
-    The exploded token stream is checkpointed ONLY on the training
-    branch (r14): training reads toks several times (per-class counts,
-    profile rank, totals) so the lineage cut pays there, but a pure
-    serve reads toks exactly once -- straight into the broadcast join
-    -- and checkpointing it would materialize the corpus-sized stream
-    as pinned blocks for nothing (the residue class ADVICE r13 flagged;
-    measured ~0.3 s of the serve wall at sf0.1)."""
+def _ensure_nb_model(spark: SparkSession, sf_dir: str) -> tuple:
+    """Train-or-reuse the persisted profile-capped Cavnar-Trenkle NB
+    model for this (process, sf_dir): at most one training per slot,
+    then every consumer reads the parquet model back.  Returns the
+    read-back ``(cond_scores, prior_scores)`` relations.  The exploded
+    token stream is checkpointed ONLY here on the training branch
+    (r14): training reads toks several times (per-class counts,
+    profile rank, totals) so the lineage cut pays, while serve-side
+    consumers read their own toks exactly once -- straight into the
+    broadcast join -- and checkpointing there would materialize the
+    corpus-sized stream as pinned blocks for nothing (the residue
+    class ADVICE r13 flagged; measured ~0.3 s of serve wall at
+    sf0.1)."""
     import os
     import shutil
 
     from ..operators.ann_index import process_index_slot
 
-    docs = _tspread(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id", F.col("lang").alias("label_actual"), F.col("text")
-    )
-    toks = base.select(
-        "doc_id",
-        "label_actual",
-        F.explode(L.char_trigrams(F.col("text"))).alias("token"),
-    )
     path = process_index_slot(f"nb_model:{sf_dir}")
     if path not in _NB_MODEL_SLOTS or not os.path.exists(path):
         shutil.rmtree(path, ignore_errors=True)
+        docs = _tspread(spark, sf_dir, "documents")
+        base = docs.select(
+            "doc_id", F.col("lang").alias("label_actual"), F.col("text")
+        )
+        toks = base.select(
+            "doc_id",
+            "label_actual",
+            F.explode(L.char_trigrams(F.col("text"))).alias("token"),
+        ).localCheckpoint(eager=False)
         cond, prior = L.nb_train_model(
-            toks.localCheckpoint(eager=False),
-            base,
-            top_k_features=_LANGID_PROFILE_K,
+            toks, base, top_k_features=_LANGID_PROFILE_K
         )
         cond.write.parquet(os.path.join(path, "cond"))
         prior.write.parquet(os.path.join(path, "prior"))
         _NB_MODEL_SLOTS.add(path)
-    cond = spark.read.parquet(os.path.join(path, "cond"))
-    prior = spark.read.parquet(os.path.join(path, "prior"))
+    return (
+        spark.read.parquet(os.path.join(path, "cond")),
+        spark.read.parquet(os.path.join(path, "prior")),
+    )
+
+
+def _nb_served_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score the documents corpus against the persisted profile-capped
+    NB model (:func:`_ensure_nb_model`) -- the shared serving kernel
+    behind ``text_langid_served``, ``eval_fleiss_kappa_served``, and
+    ``eval_krippendorff_alpha`` (r14): ONE persisted model serves every
+    consumer, which is the amortization claim itself.  Training
+    determinism (exact Q8 integer arithmetic, deterministic tie-breaks)
+    makes served predictions bit-identical to the train-in-query capped
+    form, so every consumer keeps its unchanged capped-NB oracle."""
+    cond, prior = _ensure_nb_model(spark, sf_dir)
+    docs = _tspread(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.col("lang").alias("label_actual"),
+        F.explode(L.char_trigrams(F.col("text"))).alias("token"),
+    )
     return L.nb_score_with_model(toks, cond, prior)
+
+
+def stream_langid_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The served NB model scoring a DOCUMENT STREAM (r14): readStream
+    over the documents parquet, ``foreachBatch`` scores each
+    micro-batch against the persisted model (:func:`_ensure_nb_model`
+    -- broadcast-joined, never retrained) and appends the predictions
+    to a parquet sink -- the literal per-ingest-batch serving topology
+    the amortization story is about, now exercised END TO END through
+    Structured Streaming's micro-batch machinery rather than asserted
+    from the batch form.  ``foreachBatch`` is the right operator class
+    here because scoring needs two chained aggregations (per-(doc,
+    label) sums, then a per-doc argmin), which a single streaming query
+    cannot express -- per-batch BATCH semantics can, and each batch's
+    rows are final (no cross-batch state), so append parquet is
+    exactly-once under availableNow.  Training determinism makes the
+    drained table bit-identical to the batch served form, so the
+    oracle is ``text_langid_profile``'s unchanged capped-NB SQL.
+    Scale shape: per-batch cost is the serve cost (one explode + one
+    broadcast join + grid aggregates over THAT batch); state across
+    batches is only the file-source log."""
+    import os
+    import tempfile
+
+    cond, prior = _ensure_nb_model(spark, sf_dir)
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    # the file streaming source requires a DIRECTORY; expose the single
+    # parquet file through a temp dir symlink (testdata is read-only)
+    stream_dir = tempfile.mkdtemp(prefix="docs_stream_")
+    os.symlink(
+        f"{sf_dir}/documents.parquet",
+        os.path.join(stream_dir, "documents.parquet"),
+    )
+    docs = spark.readStream.schema(raw_schema).parquet(stream_dir)
+    out_dir = tempfile.mkdtemp(prefix="langid_served_sink_")
+
+    def _score_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        toks = batch_df.select(
+            "doc_id",
+            F.col("lang").alias("label_actual"),
+            F.explode(L.char_trigrams(F.col("text"))).alias("token"),
+        )
+        L.nb_score_with_model(toks, cond, prior).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    q = (
+        docs.writeStream.foreachBatch(_score_batch)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="ckpt_langid_served_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).orderBy("doc_id")
 
 
 def text_langid_served(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5185,6 +5255,12 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
         # bit-identical to the train-in-query form by training
         # determinism -- the amortization is graded against the
         # UNCHANGED capped-NB oracle
+        _nb_sql(_TRIGRAM_SQL, top_k=_LANGID_PROFILE_K),
+    ),
+    "stream_langid_served": (
+        stream_langid_served,
+        # the streamed per-batch serve drains to the bit-identical
+        # table, so the oracle is the same capped-NB SQL again
         _nb_sql(_TRIGRAM_SQL, top_k=_LANGID_PROFILE_K),
     ),
     "mm_binary_stats": (mm_binary_stats, MM_STATS_SQL),

@@ -231,6 +231,9 @@ BENCH_QUERIES = [
     # panel agreement (partial units kept), NB rater from the shared
     # model slot
     "eval_krippendorff_alpha",
+    # round-14 third wave: the served NB model scoring a document
+    # stream (foreachBatch per-micro-batch serve, append parquet sink)
+    "stream_langid_served",
 ]
 
 

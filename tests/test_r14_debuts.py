@@ -245,3 +245,52 @@ def test_krippendorff_rejects_overrated_units(spark):
     units = {1: ["a", "b", "a", "b"], 2: ["a", "a"]}
     with pytest.raises(Exception, match="more ratings than n_raters"):
         _alpha_row(spark, units)
+
+
+# ---------------------------------------------------------------------
+# Wave 3: the served NB model scoring a document STREAM (foreachBatch
+# per-micro-batch serve into an append parquet sink).
+# ---------------------------------------------------------------------
+
+
+def test_stream_langid_served_matches_batch_serve(spark):
+    # the drained table must be bit-identical to the batch served form:
+    # same model slot, same scoring kernel, per-batch semantics
+    from airflow_pipeline_text_processing_spark.plans.queries_llm import (
+        stream_langid_served,
+        text_langid_served,
+    )
+
+    streamed = stream_langid_served(spark, SF)
+    batch = text_langid_served(spark, SF)
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
+    assert streamed.columns == batch.columns
+
+
+def test_stream_langid_served_never_retrains(spark):
+    # the stream's foreachBatch scores against the ALREADY-persisted
+    # model: after the first drain the slot's files must not change
+    import os
+
+    from airflow_pipeline_text_processing_spark.operators.ann_index import (
+        process_index_slot,
+    )
+    from airflow_pipeline_text_processing_spark.plans.queries_llm import (
+        stream_langid_served,
+    )
+
+    stream_langid_served(spark, SF).count()
+    slot = process_index_slot(f"nb_model:{SF}")
+    mtime = max(
+        os.path.getmtime(os.path.join(root, f))
+        for root, _d, files in os.walk(slot)
+        for f in files
+    )
+    stream_langid_served(spark, SF).count()
+    mtime2 = max(
+        os.path.getmtime(os.path.join(root, f))
+        for root, _d, files in os.walk(slot)
+        for f in files
+    )
+    assert mtime2 == mtime

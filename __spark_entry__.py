@@ -73,6 +73,20 @@ _ORDER = [
     # mm_audio_vad16 -- which decodes mu-law on its graded path -- plus
     # the png/jpeg/adam7 roundtrips in-window).
     "stream_langid_served",
+    # -- NEW round 14 (fourth wave): Johnson-Lindenstrauss sign-random
+    # projection, 64 -> 16 dims -- Achlioptas {+1,-1} entries derived
+    # from md5 parity (no stored/broadcast matrix; both engines
+    # regenerate it), exact integer multiply-adds over micro-quantized
+    # components, per-row closed form in whole-stage codegen (nested
+    # higher-order functions, zero shuffle).  The dimension-reduction
+    # step before LSH/k-means/rerank at corpus scale; the JL
+    # distance-preservation lemma is pinned statistically in
+    # tests/test_linalg.py.  Displaced: text_bleu_bigram (r12
+    # driver-green; the n-gram-overlap eval family keeps
+    # text_rouge_bigram -- the clipped-overlap complement on the same
+    # Q8 kernel -- plus eval_f1_macro, text_lexical_diversity, and
+    # text_readability in-window).
+    "embed_jl_project",
     # -- NEW round 12 (fifth wave): macro-averaged per-class P/R/F1 of
     # the weak lang labeler (the which-class-is-wrong companion to
     # eval_cohen_kappa), smoothed BLEU-2 with brevity penalty in the
@@ -200,7 +214,6 @@ _ORDER = [
     # mm_jpeg_roundtrip_stats / mm_png_adam7_roundtrip in-window).
     "mm_png_adam7_roundtrip",
     "eval_f1_macro",
-    "text_bleu_bigram",
     "text_lexical_diversity",
     # -- NEW round 12: profile-capped Cavnar-Trenkle language ID --
     # nb_classify(top_k_features=300): per-class top-k trigram rank
@@ -455,6 +468,7 @@ _ORDER = [
     "eval_fleiss_kappa_capped",
     "stats_acf_daily",
     "mm_audio_mulaw",
+    "text_bleu_bigram",
     # r13 wave displacements (attribution in the window comments
     # above):
     "eval_fleiss_kappa",

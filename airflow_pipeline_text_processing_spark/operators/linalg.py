@@ -159,3 +159,57 @@ def top_pc_projections(
         lambda acc, x: acc + x,
     )
     return vecs.select(F.col(id_col), proj.alias("proj_fp"))
+
+
+def jl_project(
+    vecs: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    in_dim: int = 64,
+    out_dim: int = 16,
+    salt: str = "jl",
+) -> DataFrame:
+    """Johnson-Lindenstrauss sign-random projection (r14): reduce
+    ``in_dim``-dimensional embeddings to ``out_dim`` dimensions with a
+    {+1, -1} projection matrix -- Achlioptas (2003) showed sign-random
+    entries satisfy the JL distance-preservation lemma, and the matrix
+    needs NO storage or broadcast here because entry ``s(i, j)`` is
+    derived from the md5 parity of ``"{salt}|i|j"``, the engine's
+    shared portable-hash device.  This is the dimension-reduction step
+    an embedding pipeline runs BEFORE LSH bucketing / k-means /
+    brute-force rerank at corpus scale: 4x fewer components = 4x less
+    shuffle and state downstream, with pairwise distances preserved to
+    the JL tolerance (pinned statistically in tests/test_linalg.py).
+
+    Exact and engine-portable: components micro-quantize via
+    ``floor(x * 1e6)`` (the clustering.py convention), the projection
+    is integer multiply-adds, and the conventional ``1/sqrt(out_dim)``
+    JL scale is a CONSTANT factor deliberately left to the consumer so
+    everything stays in BIGINT.  Scale shape: the whole projection is a
+    per-row closed form inside whole-stage codegen -- nested
+    ``transform``/``zip_with``/``aggregate`` higher-order functions, no
+    UDF, no shuffle, no matrix broadcast; output is ``(id, proj
+    array<long>)``."""
+
+    def _sign(i, j):
+        key = F.concat_ws(
+            "|", F.lit(salt), i.cast("string"), j.cast("string")
+        )
+        par = F.conv(F.substring(F.md5(key), 1, 1), 16, 10).cast("long") % 2
+        return (F.lit(1) - F.lit(2) * par).cast("long")
+
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * 1000000).cast("long"),
+    )
+    idx = F.sequence(F.lit(0), F.lit(in_dim - 1))
+    dims = F.sequence(F.lit(0), F.lit(out_dim - 1))
+    proj = F.transform(
+        dims,
+        lambda j: F.aggregate(
+            F.zip_with(q, idx, lambda qv, i: qv * _sign(i, j)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ),
+    )
+    return vecs.select(F.col(id_col), proj.alias("proj"))

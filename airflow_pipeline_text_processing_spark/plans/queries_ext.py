@@ -1229,6 +1229,63 @@ ORDER BY e.vec_id
 """
 
 
+_JL_IN_DIM, _JL_OUT_DIM = 64, 16
+
+
+def embed_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sign-random projection of the embedding
+    corpus, 64 -> 16 dimensions (operators/linalg.py::jl_project):
+    Achlioptas-style {+1,-1} entries derived from md5 parity of
+    ``"jl|i|j"`` -- NO stored or broadcast matrix, both engines
+    regenerate it from the shared portable-hash device -- applied as
+    exact integer multiply-adds over micro-quantized components.  The
+    projected vectors feed the same downstream machinery (LSH
+    bucketing, k-means, rerank) at a quarter of the component count;
+    the JL lemma's distance-preservation guarantee is pinned
+    statistically in tests/test_linalg.py.  Output: one row per
+    (vector, output dim) with the exact integer projection; the
+    conventional 1/sqrt(k) scale is a constant factor left out so the
+    values stay BIGINT.  Scale shape: the projection is a per-row
+    closed form in whole-stage codegen (nested higher-order functions,
+    no UDF, no shuffle); only the output explode + order touches the
+    exchange."""
+    from ..operators.linalg import jl_project
+
+    vecs = _t(spark, sf_dir, "embeddings")
+    proj = jl_project(
+        vecs, in_dim=_JL_IN_DIM, out_dim=_JL_OUT_DIM, salt="jl"
+    )
+    return (
+        proj.select(
+            "vec_id", F.posexplode("proj").alias("j", "y_q")
+        )
+        .orderBy("vec_id", "j")
+    )
+
+
+JL_PROJECT_SQL = f"""
+WITH comp AS (
+  SELECT vec_id, i,
+         CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE) * 1000000) AS BIGINT)
+           AS q
+  FROM embeddings,
+       (SELECT UNNEST(generate_series(0, {_JL_IN_DIM - 1})) AS i)
+),
+signs AS (
+  SELECT i, j,
+         CAST(1 - 2 * ((strpos('0123456789abcdef',
+                        substr(md5('jl|' || i || '|' || j), 1, 1)) - 1) % 2)
+              AS BIGINT) AS s
+  FROM (SELECT UNNEST(generate_series(0, {_JL_IN_DIM - 1})) AS i),
+       (SELECT UNNEST(generate_series(0, {_JL_OUT_DIM - 1})) AS j)
+)
+SELECT c.vec_id, s.j, CAST(SUM(c.q * s.s) AS BIGINT) AS y_q
+FROM comp c JOIN signs s ON c.i = s.i
+GROUP BY 1, 2
+ORDER BY vec_id, j
+"""
+
+
 def stream_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact deduplication: ``dropDuplicates`` on
     (user_id, event_type) executed AS A STREAM (append-mode memory sink,
@@ -5528,6 +5585,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "text_pii_scrub": (text_pii_scrub, _pii_sql()),
     "embed_quantize_int8": (embed_quantize_int8, QUANTIZE_SQL),
     "embed_top_pc": (embed_top_pc, TOP_PC_SQL),
+    "embed_jl_project": (embed_jl_project, JL_PROJECT_SQL),
     "stream_dedup_users": (stream_dedup_users, STREAM_DEDUP_SQL),
     "stream_dedup_watermarked": (stream_dedup_watermarked, STREAM_DEDUP_SQL),
     "dedup_incremental_lsh": (dedup_incremental_lsh, INCREMENTAL_LSH_SQL),

@@ -234,6 +234,9 @@ BENCH_QUERIES = [
     # round-14 third wave: the served NB model scoring a document
     # stream (foreachBatch per-micro-batch serve, append parquet sink)
     "stream_langid_served",
+    # round-14 fourth wave: JL sign-random projection 64->16 (zero
+    # shuffle; the dimension-reduction step before LSH/k-means/rerank)
+    "embed_jl_project",
 ]
 
 

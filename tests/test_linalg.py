@@ -123,3 +123,82 @@ def test_top_pc_projection_is_exact_dot(spark):
     for i, v in enumerate(rows):
         q = _quant(v)
         assert proj[i] == sum(q[d] * comp[d] for d in range(DIM)), i
+
+
+# ---------------------------------------------------------------------
+# Johnson-Lindenstrauss sign-random projection (r14)
+# ---------------------------------------------------------------------
+
+
+def test_jl_project_matches_independent_reference(spark):
+    import hashlib
+    import math
+
+    from airflow_pipeline_text_processing_spark.operators.linalg import (
+        jl_project,
+    )
+
+    vecs = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).limit(5)
+    got = {r.vec_id: list(r.proj) for r in jl_project(vecs).collect()}
+
+    def sign(i, j):
+        h = hashlib.md5(f"jl|{i}|{j}".encode()).hexdigest()
+        return 1 - 2 * (int(h[0], 16) % 2)
+
+    for r in vecs.collect():
+        q = [math.floor(float(x) * 1000000) for x in r.embedding]
+        ref = [
+            sum(q[i] * sign(i, j) for i in range(64)) for j in range(16)
+        ]
+        assert got[r.vec_id] == ref
+
+
+def test_jl_projection_preserves_pairwise_distances(spark):
+    # the JL lemma, checked statistically: for sign-random projections
+    # the expected squared projected distance is out_dim * the original
+    # squared distance; per-pair ratios concentrate around 1 after the
+    # 1/out_dim normalization.  Tolerance is generous (the lemma is a
+    # concentration bound at k=16, eps~0.5) -- what the test pins is
+    # that distances are PRESERVED in aggregate, not distorted or
+    # collapsed.
+    import math
+
+    from airflow_pipeline_text_processing_spark.operators.linalg import (
+        jl_project,
+    )
+
+    vecs = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).limit(40)
+    orig = {
+        r.vec_id: [math.floor(float(x) * 1000000) for x in r.embedding]
+        for r in vecs.collect()
+    }
+    proj = {r.vec_id: list(r.proj) for r in jl_project(vecs).collect()}
+    ids = sorted(orig)
+    ratios = []
+    for a_i in range(0, len(ids), 3):
+        for b_i in range(a_i + 1, len(ids), 5):
+            a, b = ids[a_i], ids[b_i]
+            d2 = sum((x - y) ** 2 for x, y in zip(orig[a], orig[b]))
+            p2 = sum((x - y) ** 2 for x, y in zip(proj[a], proj[b]))
+            if d2:
+                ratios.append(p2 / (16 * d2))
+    assert len(ratios) >= 50
+    mean = sum(ratios) / len(ratios)
+    assert 0.7 < mean < 1.3          # unbiased in aggregate
+    assert all(0.2 < r < 3.0 for r in ratios)  # no pair collapses/explodes
+
+
+def test_jl_project_plan_is_shuffle_free(spark):
+    # the 100 TB claim: the projection itself is a per-row closed form
+    # -- no Exchange in the plan before the output stage
+    from airflow_pipeline_text_processing_spark.operators.linalg import (
+        jl_project,
+    )
+
+    vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = jl_project(vecs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

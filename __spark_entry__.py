@@ -87,6 +87,16 @@ _ORDER = [
     # Q8 kernel -- plus eval_f1_macro, text_lexical_diversity, and
     # text_readability in-window).
     "embed_jl_project",
+    # -- NEW round 14 (fifth wave): per-category positive specific
+    # agreement of the served panel -- the diagnostic companion to the
+    # chance-corrected scalars (kappa/alpha say "the panel disagrees";
+    # this says on WHICH category): of all rating pairs involving a
+    # category-c assignment, the ppm fraction where both members assign
+    # c; variable panel sizes native, plain-integer sums, no lcm.
+    # Displaced: search_ndcg_eval (r11 driver-green; the
+    # ranking/eval family keeps eval_cohen_kappa / eval_f1_macro /
+    # search_mmr_rerank plus the three r14 panel queries in-window).
+    "eval_specific_agreement",
     # -- NEW round 12 (fifth wave): macro-averaged per-class P/R/F1 of
     # the weak lang labeler (the which-class-is-wrong companion to
     # eval_cohen_kappa), smoothed BLEU-2 with brevity penalty in the
@@ -293,7 +303,8 @@ _ORDER = [
     # join_asof_last_click (driver-green r5; joins keep
     # q5_nation_volume / join_asof_nearest / join_bloom_prefilter
     # in-window).
-    "search_ndcg_eval",
+    # (r14: search_ndcg_eval displaced below the window by
+    # eval_specific_agreement -- see the round-14 fifth-wave note.)
     # -- NEW round 11 (fifth wave): the PSI drift monitor in its
     # production shape -- streamed bucket counting (complete-mode agg,
     # availableNow drain) feeding the shared fixed-point PSI scoring.
@@ -469,6 +480,7 @@ _ORDER = [
     "stats_acf_daily",
     "mm_audio_mulaw",
     "text_bleu_bigram",
+    "search_ndcg_eval",
     # r13 wave displacements (attribution in the window comments
     # above):
     "eval_fleiss_kappa",

@@ -474,3 +474,56 @@ def krippendorff_alpha(
             f" ELSE (({num}) - pmod({num}, {den})) div ({den}) END"
         ).alias("alpha_ppm"),
     )
+
+
+def specific_agreement(
+    ratings: DataFrame,
+    item_col: str = "item_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-category POSITIVE SPECIFIC AGREEMENT over a long-format
+    multi-rater panel -- the diagnostic a pipeline reads after a low
+    kappa/alpha to find WHICH categories the raters disagree on (the
+    chance-corrected scalars say "the panel disagrees"; this says
+    "specifically on category c").  Uspensky/Fleiss's
+    proportion-of-specific-agreement generalized to variable panel
+    sizes: of all rating pairs in which at least one member assigns
+    category c, the fraction where BOTH do,
+
+        SA_c = sum_u n_uc*(n_uc - 1) / sum_u n_uc*(m_u - 1)
+
+    (numerator: ordered same-category pairs; denominator: ordered pairs
+    involving a c-rating).  Units with m_u < 2 carry no pairs and drop
+    out naturally -- NO fixed-panel assumption and NO lcm scaling: both
+    sums are plain integers, so the ppm ratio is exact for any panel
+    shape.  Output: one row per category, ``(label, n_items_rated,
+    pairs_same, pairs_total, sa_ppm)``, ordered by label.
+
+    Scale shape: the same (item, category) hash aggregate as the
+    kappas, then a category-sized marginal -- nothing wider than the
+    natural keys ever shuffles."""
+    counts = ratings.groupBy(
+        F.col(item_col).alias("_i"), F.col(label_col).alias("_c")
+    ).agg(F.count("*").cast("long").alias("nic"))
+    mu = counts.groupBy("_i").agg(F.sum("nic").cast("long").alias("m"))
+    kept = counts.join(mu, "_i").filter(F.col("m") >= 2)
+    return (
+        kept.groupBy(F.col("_c").alias("label"))
+        .agg(
+            F.count_distinct("_i").cast("long").alias("n_items_rated"),
+            F.sum(F.col("nic") * (F.col("nic") - 1))
+            .cast("long")
+            .alias("pairs_same"),
+            F.sum(F.col("nic") * (F.col("m") - 1))
+            .cast("long")
+            .alias("pairs_total"),
+        )
+        .withColumn(
+            "sa_ppm",
+            F.expr(
+                "CASE WHEN pairs_total = 0 THEN CAST(0 AS BIGINT)"
+                " ELSE (pairs_same * 1000000) div pairs_total END"
+            ),
+        )
+        .orderBy("label")
+    )

@@ -1543,6 +1543,62 @@ def eval_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def eval_specific_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-category positive specific agreement of the served
+    three-rater panel (operators/quality.py::specific_agreement, r14)
+    -- the DIAGNOSTIC companion to the panel's chance-corrected
+    scalars: kappa/alpha say "the panel disagrees"; this says
+    "specifically on category c", which is what a curation pipeline
+    acts on (re-prompt the rater, add markers, drop the label).  Of
+    all rating pairs involving a category-c assignment, the ppm
+    fraction where both members assign c; variable panel sizes handled
+    natively (no fixed-panel assumption, no lcm -- both sums are plain
+    integers).  The NB rater serves from the shared persisted model
+    slot; the oracle replays both weak labelers and the per-category
+    ratio bit-for-bit.  One row per observed category."""
+    from ..operators.quality import specific_agreement
+
+    return specific_agreement(
+        _served_panel_ratings(spark, sf_dir), "doc_id", "label"
+    )
+
+
+def _specific_agreement_sql(top_k: int | None = None) -> str:
+    nb_inner = _nb_sql(_TRIGRAM_SQL, top_k=top_k).replace("ORDER BY doc_id", "")
+    return f"""
+WITH lang AS ({LANG_SQL.replace("ORDER BY doc_id", "")}),
+nb AS ({nb_inner}),
+ratings AS (
+  SELECT doc_id, lang AS label FROM documents
+  UNION ALL
+  SELECT doc_id, predicted_lang AS label FROM lang
+  UNION ALL
+  SELECT doc_id, label_pred AS label FROM nb
+),
+counts AS (
+  SELECT doc_id, label, CAST(COUNT(*) AS BIGINT) AS nic
+  FROM ratings GROUP BY 1, 2
+),
+mu AS (
+  SELECT doc_id, CAST(SUM(nic) AS BIGINT) AS m
+  FROM counts GROUP BY 1 HAVING SUM(nic) >= 2
+),
+kept AS (
+  SELECT c.doc_id, c.label, c.nic, m.m FROM counts c JOIN mu m USING (doc_id)
+)
+SELECT label,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_items_rated,
+       CAST(SUM(nic * (nic - 1)) AS BIGINT) AS pairs_same,
+       CAST(SUM(nic * (m - 1)) AS BIGINT) AS pairs_total,
+       CAST(CASE WHEN SUM(nic * (m - 1)) = 0 THEN 0
+            ELSE (SUM(nic * (nic - 1)) * 1000000) // SUM(nic * (m - 1))
+            END AS BIGINT) AS sa_ppm
+FROM kept
+GROUP BY label
+ORDER BY label
+"""
+
+
 def _krippendorff_sql(n: int = 3, top_k: int | None = None) -> str:
     import math
 
@@ -5233,6 +5289,10 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "eval_krippendorff_alpha": (
         eval_krippendorff_alpha,
         _krippendorff_sql(top_k=_LANGID_PROFILE_K),
+    ),
+    "eval_specific_agreement": (
+        eval_specific_agreement,
+        _specific_agreement_sql(top_k=_LANGID_PROFILE_K),
     ),
     "text_bleu_bigram": (text_bleu_bigram, _bleu_sql()),
     "text_lexical_diversity": (text_lexical_diversity, _lexdiv_sql()),

@@ -237,6 +237,9 @@ BENCH_QUERIES = [
     # round-14 fourth wave: JL sign-random projection 64->16 (zero
     # shuffle; the dimension-reduction step before LSH/k-means/rerank)
     "embed_jl_project",
+    # round-14 fifth wave: per-category specific agreement of the
+    # served panel (the which-category-disagrees diagnostic)
+    "eval_specific_agreement",
 ]
 
 

@@ -294,3 +294,76 @@ def test_stream_langid_served_never_retrains(spark):
         for f in files
     )
     assert mtime2 == mtime
+
+
+# ---------------------------------------------------------------------
+# Wave 5: per-category positive specific agreement.
+# ---------------------------------------------------------------------
+
+
+def _sa_rows(spark, units):
+    from airflow_pipeline_text_processing_spark.operators.quality import (
+        specific_agreement,
+    )
+
+    rows = [(u, c) for u, rs in units.items() for c in rs]
+    df = spark.createDataFrame(rows, "item_id long, label string")
+    return {
+        r.label: r for r in specific_agreement(df, "item_id", "label").collect()
+    }
+
+
+def test_specific_agreement_hand_computed(spark):
+    # unit 1: a,a,b -> a-pairs: same 2 of total 2*2=4; b: 0 of 2
+    # unit 2: a,b   -> a: 0 of 1; b: 0 of 1
+    # unit 3: b,b,b -> b: 6 of 6
+    # singleton unit 4 drops out entirely
+    units = {1: ["a", "a", "b"], 2: ["a", "b"], 3: ["b", "b", "b"], 4: ["a"]}
+    got = _sa_rows(spark, units)
+    assert got["a"].pairs_same == 2 and got["a"].pairs_total == 5
+    assert got["a"].sa_ppm == 400000       # 2/5
+    assert got["b"].pairs_same == 6 and got["b"].pairs_total == 9
+    assert got["b"].sa_ppm == 666666       # floor(6/9)
+    assert got["a"].n_items_rated == 2 and got["b"].n_items_rated == 3
+
+
+def test_specific_agreement_reference_on_random_panels(spark):
+    # independent pairwise-count reference over a mixed panel
+    from collections import Counter
+    from itertools import product
+
+    units = {
+        1: ["x", "x", "x"],
+        2: ["x", "y"],
+        3: ["y", "z", "y"],
+        4: ["z", "z"],
+        5: ["x", "y", "z"],
+    }
+    got = _sa_rows(spark, units)
+    cats = sorted({c for rs in units.values() for c in rs})
+    for c in cats:
+        same = tot = 0
+        for rs in units.values():
+            if len(rs) < 2:
+                continue
+            cnt = Counter(rs)
+            # ordered pairs (i, j), i != j, where rating i is c
+            same += cnt[c] * (cnt[c] - 1)
+            tot += cnt[c] * (len(rs) - 1)
+        assert got[c].pairs_same == same
+        assert got[c].pairs_total == tot
+        assert got[c].sa_ppm == (same * 1000000) // tot if tot else 0
+
+
+def test_specific_agreement_panel_categories_cover_raters(spark):
+    # at the query level: every category any rater emits appears, and
+    # unanimity on a category implies sa_ppm = 1e6
+    from airflow_pipeline_text_processing_spark.plans.queries_llm import (
+        eval_specific_agreement,
+    )
+
+    rows = eval_specific_agreement(spark, SF).collect()
+    assert rows, "panel produced no categories"
+    for r in rows:
+        assert 0 <= r.sa_ppm <= 1_000_000
+        assert r.pairs_same <= r.pairs_total

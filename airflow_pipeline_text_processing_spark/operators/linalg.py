@@ -185,31 +185,37 @@ def jl_project(
     ``floor(x * 1e6)`` (the clustering.py convention), the projection
     is integer multiply-adds, and the conventional ``1/sqrt(out_dim)``
     JL scale is a CONSTANT factor deliberately left to the consumer so
-    everything stays in BIGINT.  Scale shape: the whole projection is a
-    per-row closed form inside whole-stage codegen -- nested
-    ``transform``/``zip_with``/``aggregate`` higher-order functions, no
-    UDF, no shuffle, no matrix broadcast; output is ``(id, proj
-    array<long>)``."""
+    everything stays in BIGINT.  Scale shape: the in_dim x out_dim sign
+    matrix is derived ONCE on the driver (hashlib md5 -- the identical
+    hex parity the SQL oracle regenerates with ``md5()``) and embedded
+    as PLAN CONSTANTS, so executors run pure integer multiply-adds
+    inside whole-stage codegen -- no runtime hashing (the first cut
+    evaluated md5 inside the inner lambda: in_dim*out_dim hashes PER
+    ROW, ~8x the wall at sf0.1), no UDF, no shuffle, no broadcast;
+    output is ``(id, proj array<long>)``."""
+    import hashlib
 
-    def _sign(i, j):
-        key = F.concat_ws(
-            "|", F.lit(salt), i.cast("string"), j.cast("string")
-        )
-        par = F.conv(F.substring(F.md5(key), 1, 1), 16, 10).cast("long") % 2
-        return (F.lit(1) - F.lit(2) * par).cast("long")
+    def _sign(i: int, j: int) -> int:
+        h = hashlib.md5(f"{salt}|{i}|{j}".encode()).hexdigest()
+        return 1 - 2 * (int(h[0], 16) % 2)
 
+    signs = [[_sign(i, j) for i in range(in_dim)] for j in range(out_dim)]
     q = F.transform(
         F.col(vec_col),
         lambda x: F.floor(x.cast("double") * 1000000).cast("long"),
     )
-    idx = F.sequence(F.lit(0), F.lit(in_dim - 1))
-    dims = F.sequence(F.lit(0), F.lit(out_dim - 1))
-    proj = F.transform(
-        dims,
-        lambda j: F.aggregate(
-            F.zip_with(q, idx, lambda qv, i: qv * _sign(i, j)),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        ),
+    proj = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    q,
+                    F.array(*[F.lit(s).cast("long") for s in row_j]),
+                    lambda qv, s: qv * s,
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            for row_j in signs
+        ]
     )
     return vecs.select(F.col(id_col), proj.alias("proj"))

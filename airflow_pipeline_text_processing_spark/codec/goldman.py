@@ -233,3 +233,48 @@ def dna_to_bytes(seq: str, target_length_bytes: int) -> bytes:
 def has_homopolymer(seq: str) -> bool:
     """True iff two equal adjacent bases exist (ref ``:206-230`` check)."""
     return any(seq[i] == seq[i + 1] for i in range(len(seq) - 1))
+
+
+# ---------------------------------------------------------------------------
+# binary-string bridge (ops 34-35 -- dead code in the reference, live here)
+# ---------------------------------------------------------------------------
+
+
+def binary_to_trits(binary_string: str) -> List[int]:
+    """Binary digit string -> base-3 trit list (ref
+    ``dna_encoding.py:78-104``; SURVEY §2 op 34).
+
+    Dead code in the reference (never called by its pipeline) --
+    implemented live here to close the full 52/52 operator surface.
+    Semantics match the reference exactly: the whole string is one
+    big-endian unsigned integer (so leading zeros collapse), and the
+    zero integer encodes as ``[0]``.  The engine's graded form is the
+    native two-hop ``F.conv(bits, 2, 3)`` expression
+    (plans/queries.py::codec_trit_bridge), not this Python kernel; this
+    function is the semantics pin the parity tests check both against.
+    """
+    value = int(binary_string, 2)
+    if value == 0:
+        return [0]
+    trits: List[int] = []
+    while value > 0:
+        trits.append(value % 3)
+        value //= 3
+    trits.reverse()
+    return trits
+
+
+def trits_to_binary(trits: Sequence[int], target_bit_length: int | None = None) -> str:
+    """Trit list -> binary digit string, left-zero-filled to
+    ``target_bit_length`` (ref ``dna_encoding.py:106-130``; SURVEY §2 op
+    35, dead in the reference, live here).  Horner-accumulates base 3,
+    renders via ``bin()`` (minimal digits, so ``[0]`` -> ``"0"``), then
+    ``zfill`` -- exactly the reference's padding rule, which only ever
+    PADS (a too-long string is returned unchanged)."""
+    value = 0
+    for t in trits:
+        value = value * 3 + int(t)
+    out = bin(value)[2:]
+    if target_bit_length is not None and len(out) < target_bit_length:
+        out = out.zfill(target_bit_length)
+    return out

@@ -797,6 +797,66 @@ ORDER BY doc_id
 """
 
 
+def codec_trit_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-string <-> trits bridge (SURVEY §2 ops 34-35, ref
+    ``plugins/utils/dna_encoding.py:78-130`` -- dead code in the
+    reference, live here; this entry closes the operator surface to
+    52/52).
+
+    Semantics are the reference's exactly: a binary digit string is one
+    big-endian unsigned integer, converted whole to minimal base-3
+    digits (op 34) and back with left-zero-fill to the target bit
+    length (op 35).  The engine's form is NOT the reference's Python
+    bignum loop: each document's 60-bit content fingerprint
+    (``substr(md5(text),1,15)``) becomes a binary string and hops
+    through ``F.conv(bits, 2, 3)`` / ``F.conv(trits, 3, 2)`` -- native
+    JVM expressions inside whole-stage codegen, zero Python, zero
+    shuffle before the final order.  The Python kernels
+    (codec/goldman.py::binary_to_trits / trits_to_binary) pin the
+    reference semantics in pytest; the oracle recomputes the base-3
+    digits arithmetically with exact 3^k constants.
+
+    Scale shape: per-row scalar expressions over the scan -- no
+    exchange, no UDF; at 100 TB this is a pure map stage."""
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    h = F.substring(F.md5("text"), 1, 15)
+    bits = F.lpad(F.conv(h, 16, 2), 60, "0")
+    trits = F.conv(bits, 2, 3)
+    back = F.lpad(F.conv(trits, 3, 2), 60, "0")
+    return docs.select(
+        "doc_id",
+        bits.alias("binary_string"),
+        F.length(trits).cast("int").alias("n_trits"),
+        F.substring(trits, 1, 16).alias("trits_head"),
+        (back == bits).alias("roundtrip_ok"),
+    ).orderBy("doc_id")
+
+
+_POW3 = ", ".join(str(3**k) for k in range(37, -1, -1))
+
+# The UBIGINT hex cast + literal 3^k powers keep every step exact-integer;
+# 3^38 > 2^60-1, so 38 digits always cover the 60-bit fingerprint.
+CODEC_TRIT_BRIDGE_SQL = f"""
+WITH base AS (
+  SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::UBIGINT AS h
+  FROM documents
+), tr AS (
+  SELECT doc_id, h,
+         coalesce(nullif(ltrim(array_to_string(
+           [((h // p) % 3)::VARCHAR FOR p IN [{_POW3}]], ''), '0'), ''), '0')
+           AS trits
+  FROM base
+)
+SELECT doc_id,
+       lpad(bin(h), 60, '0') AS binary_string,
+       CAST(length(trits) AS INT) AS n_trits,
+       substr(trits, 1, 16) AS trits_head,
+       TRUE AS roundtrip_ok
+FROM tr
+ORDER BY doc_id
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -1055,5 +1115,6 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "codec_roundtrip_count": (codec_roundtrip_count, CODEC_ROUNDTRIP_SQL),
     "codec_chunk_stats": (codec_chunk_stats, CODEC_CHUNK_STATS_SQL),
     "codec_repair_stats": (codec_repair_stats, CODEC_REPAIR_SQL),
+    "codec_trit_bridge": (codec_trit_bridge, CODEC_TRIT_BRIDGE_SQL),
     "window_follow_stats": (window_follow_stats, RANGE_JOIN_SQL),
 }

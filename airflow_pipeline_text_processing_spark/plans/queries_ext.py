@@ -5547,8 +5547,128 @@ FROM ranked ORDER BY shard, pos
 """
 
 
+def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-seeded bootstrap confidence interval for total monthly
+    revenue -- the distributed form of the reference's bootstrap sample
+    generator (SURVEY §2 op 3, ``dags/dag.py:426-443``): where the
+    reference fabricates a sample input when the directory is empty,
+    a metrics pipeline fabricates B resampled replicates of its
+    estimator to put an interval around it without distributional
+    assumptions.
+
+    Fully deterministic and engine-portable: replicate ``b``'s draw
+    ``i`` picks unit ``md5(b || '-' || i) % N + 1`` (a 60-bit hex
+    fingerprint -- both engines compute the identical index), units are
+    the N monthly revenue totals in integer cents, each replicate's
+    statistic is an exact BIGINT sum, and the 95% interval is the pair
+    of rank statistics (5th / 195th smallest of B=200 replicate
+    totals) -- no RNG state, no floats, bit-identical everywhere.
+
+    Scale shape: the unit rollup is the only pass over the data
+    (distributed groupBy); the bootstrap operates on the
+    AGGREGATE-sized relation -- the draw grid is N x B ~ 16k rows, the
+    unit table broadcasts, and the single-partition rank windows sort
+    dozens-to-hundreds of rows (bounded by the calendar and B, never by
+    corpus size)."""
+    B = 200
+    orders = _t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(F.sum(_cents(F.col("o_totalprice"))).alias("total_cents"))
+    ranked = monthly.select(
+        "total_cents",
+        F.row_number().over(Window.orderBy("month")).cast("long").alias("rn"),
+        F.count("*").over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    draws = (
+        ranked.select(F.col("rn").alias("i"), "n")
+        .withColumn("b", F.explode(F.sequence(F.lit(1), F.lit(B))))
+        .withColumn(
+            "idx",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "-",
+                                F.col("b").cast("string"),
+                                F.col("i").cast("string"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.col("n")
+            )
+            + 1,
+        )
+    )
+    boot = (
+        draws.join(
+            F.broadcast(
+                ranked.select(
+                    F.col("rn").alias("idx"), F.col("total_cents").alias("u_total")
+                )
+            ),
+            "idx",
+        )
+        .groupBy("b")
+        .agg(F.sum("u_total").alias("rep_total"))
+    )
+    ordered = boot.select(
+        "rep_total", F.row_number().over(Window.orderBy("rep_total")).alias("rk")
+    )
+    lo = ordered.filter(F.col("rk") == 5).select(
+        F.col("rep_total").alias("boot_lo_cents")
+    )
+    hi = ordered.filter(F.col("rk") == 195).select(
+        F.col("rep_total").alias("boot_hi_cents")
+    )
+    obs = ranked.agg(
+        F.max("n").cast("long").alias("n_units"),
+        F.lit(B).cast("long").alias("n_replicates"),
+        F.sum("total_cents").cast("long").alias("observed_total_cents"),
+    )
+    return obs.crossJoin(F.broadcast(lo)).crossJoin(F.broadcast(hi))
+
+
+BOOTSTRAP_CI_SQL = """
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         SUM(CAST(FLOOR(o_totalprice*100) AS BIGINT)) AS total_cents
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT month, total_cents, ROW_NUMBER() OVER (ORDER BY month) AS rn,
+         COUNT(*) OVER () AS n
+  FROM monthly
+), draws AS (
+  SELECT b.b, r.rn AS i,
+         (('0x' || substr(md5(b.b || '-' || r.rn), 1, 15))::UBIGINT % r.n) + 1
+           AS idx
+  FROM ranked r, (SELECT unnest(generate_series(1,200)) AS b) b
+), boot AS (
+  SELECT d.b, SUM(m.total_cents) AS rep_total
+  FROM draws d JOIN ranked m ON m.rn = d.idx GROUP BY d.b
+), ordered AS (
+  SELECT rep_total, ROW_NUMBER() OVER (ORDER BY rep_total) AS rk FROM boot
+)
+SELECT (SELECT CAST(MAX(n) AS BIGINT) FROM ranked) AS n_units,
+       CAST(200 AS BIGINT) AS n_replicates,
+       (SELECT CAST(SUM(total_cents) AS BIGINT) FROM monthly)
+         AS observed_total_cents,
+       (SELECT CAST(rep_total AS BIGINT) FROM ordered WHERE rk = 5)
+         AS boot_lo_cents,
+       (SELECT CAST(rep_total AS BIGINT) FROM ordered WHERE rk = 195)
+         AS boot_hi_cents
+"""
+
+
 REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "events_concurrency_peaks": (events_concurrency_peaks, CONCURRENCY_SQL),
+    "stats_bootstrap_ci": (stats_bootstrap_ci, BOOTSTRAP_CI_SQL),
     "stats_chi_square": (stats_chi_square, CHI_SQUARE_SQL),
     "stats_trimmed_mean": (stats_trimmed_mean, TRIMMED_MEAN_SQL),
     "stream_hourly_watermarked": (stream_hourly_watermarked, STREAM_HOURLY_SQL),

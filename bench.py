@@ -240,6 +240,12 @@ BENCH_QUERIES = [
     # round-14 fifth wave: per-category specific agreement of the
     # served panel (the which-category-disagrees diagnostic)
     "eval_specific_agreement",
+    # round-14 sixth wave: the binary-string <-> trits bridge (SURVEY
+    # ops 34-35, closing the reference surface to 52/52; native conv()
+    # expressions) and the hash-seeded bootstrap CI (deterministic
+    # md5-indexed draws, rank-statistic interval)
+    "codec_trit_bridge",
+    "stats_bootstrap_ci",
 ]
 
 

@@ -367,3 +367,134 @@ def test_specific_agreement_panel_categories_cover_raters(spark):
     for r in rows:
         assert 0 <= r.sa_ppm <= 1_000_000
         assert r.pairs_same <= r.pairs_total
+
+
+# ------------------------------------------------------- wave 6: ops 34/35
+
+
+def test_binary_trits_reference_semantics():
+    # pins the reference's exact dead-code semantics
+    # (dna_encoding.py:78-130): big-endian int, zero -> [0], zfill pads
+    # but never truncates
+    from airflow_pipeline_text_processing_spark.codec.goldman import (
+        binary_to_trits,
+        trits_to_binary,
+    )
+
+    assert binary_to_trits("0") == [0]
+    assert binary_to_trits("0000") == [0]
+    assert binary_to_trits("101010") == [1, 1, 2, 0]  # 42 = 27+9+6
+    assert trits_to_binary([0]) == "0"
+    assert trits_to_binary([1, 1, 2, 0], 8) == "00101010"
+    assert trits_to_binary([1, 1, 2, 0]) == "101010"
+    # target shorter than the minimal rendering: returned unchanged
+    assert trits_to_binary([1, 1, 2, 0], 3) == "101010"
+
+
+def test_binary_trits_roundtrip_property():
+    from hypothesis import given, settings, strategies as st
+
+    from airflow_pipeline_text_processing_spark.codec.goldman import (
+        binary_to_trits,
+        trits_to_binary,
+    )
+
+    @given(st.integers(min_value=0, max_value=2**200))
+    @settings(max_examples=300, deadline=None)
+    def inner(value):
+        bits = bin(value)[2:]
+        trits = binary_to_trits(bits)
+        # digits are valid base-3, minimal (no leading zero unless zero)
+        assert all(t in (0, 1, 2) for t in trits)
+        if value > 0:
+            assert trits[0] != 0
+        # base-3 value identity
+        acc = 0
+        for t in trits:
+            acc = acc * 3 + t
+        assert acc == value
+        # zfill roundtrip at the original width
+        assert trits_to_binary(trits, len(bits)) == bits
+
+    inner()
+
+
+def test_codec_trit_bridge_conv_matches_python_kernels(spark):
+    # the graded query's native conv() path must agree with the
+    # semantics-pinning Python kernels on real corpus fingerprints
+    import hashlib
+
+    from airflow_pipeline_text_processing_spark.codec.goldman import (
+        binary_to_trits,
+        trits_to_binary,
+    )
+    from airflow_pipeline_text_processing_spark.plans.queries import (
+        codec_trit_bridge,
+    )
+
+    rows = codec_trit_bridge(spark, SF).limit(50).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .limit(200)
+        .collect()
+    }
+    assert rows
+    for r in rows:
+        assert r["roundtrip_ok"] is True
+        text = docs[r["doc_id"]]
+        h = int(hashlib.md5(text.encode()).hexdigest()[:15], 16)
+        bits = bin(h)[2:].zfill(60)
+        assert r["binary_string"] == bits
+        trits = binary_to_trits(bits)
+        assert r["n_trits"] == len(trits)
+        assert r["trits_head"] == "".join(map(str, trits))[:16]
+        assert trits_to_binary(trits, 60) == bits
+
+
+# ------------------------------------------------- wave 6: bootstrap CI
+
+
+def test_bootstrap_ci_matches_pure_python_reference(spark):
+    # independent reference implementation: pandas monthly rollup +
+    # hashlib-indexed draws + rank-statistic interval, no Spark, no SQL
+    import hashlib
+    import math
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from airflow_pipeline_text_processing_spark.plans.queries_ext import (
+        stats_bootstrap_ci,
+    )
+
+    row = stats_bootstrap_ci(spark, SF).collect()
+    assert len(row) == 1
+    row = row[0]
+
+    tbl = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    cents = tbl["o_totalprice"].map(lambda p: math.floor(p * 100))
+    monthly = (
+        pd.DataFrame(
+            {"month": tbl["o_orderdate"].values.astype("datetime64[M]"),
+             "cents": cents}
+        )
+        .groupby("month", sort=True)["cents"]
+        .sum()
+        .tolist()
+    )
+    n = len(monthly)
+    reps = []
+    for b in range(1, 201):
+        total = 0
+        for i in range(1, n + 1):
+            h = int(hashlib.md5(f"{b}-{i}".encode()).hexdigest()[:15], 16)
+            total += monthly[h % n]
+        reps.append(total)
+    reps.sort()
+    assert row["n_units"] == n
+    assert row["n_replicates"] == 200
+    assert row["observed_total_cents"] == sum(monthly)
+    assert row["boot_lo_cents"] == reps[4]
+    assert row["boot_hi_cents"] == reps[194]
+    assert row["boot_lo_cents"] <= row["boot_hi_cents"]

@@ -5579,7 +5579,11 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_cents",
         F.row_number().over(Window.orderBy("month")).cast("long").alias("rn"),
         F.count("*").over(Window.partitionBy()).cast("long").alias("n"),
-    )
+    # the ranked unit table feeds three consumers (draw grid, join side,
+    # observed totals); the lazy lineage cut makes the orders scan run
+    # ONCE and pins only the months-sized relation (bounded by the
+    # calendar -- the sweep API reclaims it between batches)
+    ).localCheckpoint(eager=False)
     draws = (
         ranked.select(F.col("rn").alias("i"), "n")
         .withColumn("b", F.explode(F.sequence(F.lit(1), F.lit(B))))

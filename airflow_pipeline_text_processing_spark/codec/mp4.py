@@ -236,6 +236,13 @@ def _parse_mp4_checked(payload: bytes) -> dict:
     # sizes
     s, e = boxes[b"stsz"]
     sample_size, count = struct.unpack(">II", payload[s + 4 : s + 12])
+    # untrusted count fields must never drive allocation: a corrupt
+    # 0xFFFFFFFF count with a fixed sample_size would otherwise build a
+    # multi-GB list (MemoryError -- outside the ValueError contract).
+    # A real sample needs >= 1 byte of mdat, so the payload length is a
+    # sound upper bound on any plausible sample count.
+    if count > len(payload):
+        raise ValueError(f"MP4 stsz sample count {count} exceeds payload size")
     if sample_size:
         sizes = [sample_size] * count
     else:
@@ -254,6 +261,12 @@ def _parse_mp4_checked(payload: bytes) -> dict:
     t = 0
     for i in range(n_runs):
         cnt, dur = struct.unpack(">II", body[8 * i : 8 * i + 8])
+        # same allocation bound as stsz: a single corrupt run claiming
+        # 4 billion samples must fail loud, not loop/allocate
+        if cnt > len(payload) or len(dts_list) + cnt > count:
+            raise ValueError(
+                f"MP4 stts run of {cnt} samples exceeds stsz count {count}"
+            )
         for _ in range(cnt):
             dts_list.append(t)
             t += dur

@@ -195,22 +195,26 @@ def jl_project(
     output is ``(id, proj array<long>)``."""
     import hashlib
 
+    from .clustering import quantized
+
     def _sign(i: int, j: int) -> int:
         h = hashlib.md5(f"{salt}|{i}|{j}".encode()).hexdigest()
         return 1 - 2 * (int(h[0], 16) % 2)
 
     signs = [[_sign(i, j) for i in range(in_dim)] for j in range(out_dim)]
-    q = F.transform(
-        F.col(vec_col),
-        lambda x: F.floor(x.cast("double") * 1000000).cast("long"),
-    )
+    q = quantized(F.col(vec_col))
+    # coalesce(qv*s, 0): a vector shorter than in_dim contributes 0 for
+    # its missing components and one longer is truncated by the sign
+    # array's length -- the EXACT semantics of the oracle's SQL form,
+    # whose SUM skips NULL embedding[i] addends (without this, one
+    # short vector NULL-poisons its whole projection; r14 review).
     proj = F.array(
         *[
             F.aggregate(
                 F.zip_with(
                     q,
                     F.array(*[F.lit(s).cast("long") for s in row_j]),
-                    lambda qv, s: qv * s,
+                    lambda qv, s: F.coalesce(qv * s, F.lit(0).cast("long")),
                 ),
                 F.lit(0).cast("long"),
                 lambda acc, v: acc + v,

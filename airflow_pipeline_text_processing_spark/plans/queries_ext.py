@@ -5625,11 +5625,19 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered = boot.select(
         "rep_total", F.row_number().over(Window.orderBy("rep_total")).alias("rk")
     )
-    lo = ordered.filter(F.col("rk") == 5).select(
-        F.col("rep_total").alias("boot_lo_cents")
+    # rank picks as global AGGREGATES (not filters): on an empty orders
+    # relation the whole query still emits one all-NULL row, matching
+    # the oracle's scalar subqueries (a filter would cross-join to zero
+    # rows and break the one-row output contract; r14 review)
+    lo = ordered.agg(
+        F.max(F.when(F.col("rk") == 5, F.col("rep_total"))).alias(
+            "boot_lo_cents"
+        )
     )
-    hi = ordered.filter(F.col("rk") == 195).select(
-        F.col("rep_total").alias("boot_hi_cents")
+    hi = ordered.agg(
+        F.max(F.when(F.col("rk") == 195, F.col("rep_total"))).alias(
+            "boot_hi_cents"
+        )
     )
     obs = ranked.agg(
         F.max("n").cast("long").alias("n_units"),

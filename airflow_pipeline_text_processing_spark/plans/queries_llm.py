@@ -2257,19 +2257,33 @@ def stream_langid_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast join + grid aggregates over THAT batch); state across
     batches is only the file-source log."""
     import os
-    import tempfile
+    import shutil
+
+    from ..operators.ann_index import process_index_slot
 
     cond, prior = _ensure_nb_model(spark, sf_dir)
     raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    # One pid-suffixed slot per (process, sf_dir) holds all three
+    # streaming dirs (source symlink, checkpoint, parquet sink) and is
+    # WIPED at the start of each call: repeated runs in one process
+    # (bench warm + timed, gate loops) keep at most one drained corpus
+    # on disk instead of accreting fresh mkdtemp trios forever, and
+    # dead-pid slots are GC'd by the shared slot helper (r14 review).
+    slot = process_index_slot(f"langid_stream:{os.path.abspath(sf_dir)}")
+    shutil.rmtree(slot, ignore_errors=True)
+    stream_dir = os.path.join(slot, "source")
+    out_dir = os.path.join(slot, "sink")
+    ckpt_dir = os.path.join(slot, "ckpt")
+    os.makedirs(stream_dir)
     # the file streaming source requires a DIRECTORY; expose the single
-    # parquet file through a temp dir symlink (testdata is read-only)
-    stream_dir = tempfile.mkdtemp(prefix="docs_stream_")
+    # parquet file through a symlink (testdata is read-only).  The
+    # target must be ABSOLUTE: a relative sf_dir would otherwise be
+    # stored relative to the slot dir and dangle (r14 review).
     os.symlink(
-        f"{sf_dir}/documents.parquet",
+        os.path.abspath(f"{sf_dir}/documents.parquet"),
         os.path.join(stream_dir, "documents.parquet"),
     )
     docs = spark.readStream.schema(raw_schema).parquet(stream_dir)
-    out_dir = tempfile.mkdtemp(prefix="langid_served_sink_")
 
     def _score_batch(batch_df: DataFrame, _batch_id: int) -> None:
         toks = batch_df.select(
@@ -2283,10 +2297,7 @@ def stream_langid_served(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q = (
         docs.writeStream.foreachBatch(_score_batch)
-        .option(
-            "checkpointLocation",
-            tempfile.mkdtemp(prefix="ckpt_langid_served_"),
-        )
+        .option("checkpointLocation", ckpt_dir)
         .trigger(availableNow=True)
         .start()
     )

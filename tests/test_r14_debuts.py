@@ -498,3 +498,108 @@ def test_bootstrap_ci_matches_pure_python_reference(spark):
     assert row["boot_lo_cents"] == reps[4]
     assert row["boot_hi_cents"] == reps[194]
     assert row["boot_lo_cents"] <= row["boot_hi_cents"]
+
+
+# --------------------------------------------------- wave 6 review fixes
+
+
+def test_parse_mp4_bounds_untrusted_counts():
+    # corrupt stsz/stts count fields must fail as ValueError (the
+    # sample_frames fallback contract), never MemoryError or a
+    # 4-billion-iteration loop
+    import struct
+
+    import pytest as _pytest
+
+    from airflow_pipeline_text_processing_spark.codec.mp4 import (
+        build_mp4,
+        parse_mp4,
+    )
+
+    good = build_mp4([b"xx", b"yyy"], [10, 10])
+
+    def bump_box(payload: bytes, fourcc: bytes, offset: int, value: int) -> bytes:
+        i = payload.find(fourcc)
+        assert i > 0
+        pos = i + 4 + offset
+        return payload[:pos] + struct.pack(">I", value) + payload[pos + 4 :]
+
+    # stsz with fixed sample_size: count -> 0xFFFFFFF0
+    b1 = bump_box(
+        bump_box(good, b"stsz", 4, 7), b"stsz", 8, 0xFFFFFFF0
+    )
+    with _pytest.raises(ValueError):
+        parse_mp4(b1)
+    # stts first run count -> 0xFFFFFFF0
+    b2 = bump_box(good, b"stts", 8, 0xFFFFFFF0)
+    with _pytest.raises(ValueError):
+        parse_mp4(b2)
+
+
+def test_stream_langid_served_relative_sf_dir_and_slot_reuse(spark):
+    import os
+
+    from airflow_pipeline_text_processing_spark.operators.ann_index import (
+        process_index_slot,
+    )
+    from airflow_pipeline_text_processing_spark.plans.queries_llm import (
+        stream_langid_served,
+    )
+
+    rel = os.path.relpath(SF, os.getcwd())
+    assert not os.path.isabs(rel)
+    got_abs = stream_langid_served(spark, SF).collect()
+    got_rel = stream_langid_served(spark, rel).collect()
+    assert len(got_rel) == len(got_abs) > 0
+    assert sorted(map(tuple, got_rel)) == sorted(map(tuple, got_abs))
+    # both calls resolve to the SAME per-process slot (relative and
+    # absolute sf_dir alias one slot; repeat calls reuse it instead of
+    # accreting mkdtemp trios)
+    slot = process_index_slot(f"langid_stream:{os.path.abspath(SF)}")
+    assert os.path.isdir(os.path.join(slot, "sink"))
+    assert slot == process_index_slot(
+        f"langid_stream:{os.path.abspath(rel)}"
+    )
+
+
+def test_jl_project_short_vector_contributes_zero_not_null(spark):
+    from airflow_pipeline_text_processing_spark.operators.linalg import (
+        jl_project,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0]), (2, [1.0, 2.0])],
+        "vec_id int, embedding array<double>",
+    )
+    rows = {
+        r["vec_id"]: r["proj"]
+        for r in jl_project(df, in_dim=4, out_dim=2).collect()
+    }
+    # the short vector must produce a NUMERIC projection (missing
+    # components contribute 0 -- the oracle's NULL-skipping SUM), and
+    # it must equal the zero-padded full-width vector's projection
+    assert all(v is not None for v in rows[2])
+    padded = spark.createDataFrame(
+        [(3, [1.0, 2.0, 0.0, 0.0])], "vec_id int, embedding array<double>"
+    )
+    rows3 = jl_project(padded, in_dim=4, out_dim=2).collect()[0]["proj"]
+    assert rows[2] == rows3
+
+
+def test_bootstrap_ci_empty_orders_keeps_one_row_shape(spark, tmp_path):
+    from airflow_pipeline_text_processing_spark.plans.queries_ext import (
+        stats_bootstrap_ci,
+    )
+
+    empty = spark.createDataFrame(
+        [], "o_totalprice double, o_orderdate timestamp"
+    )
+    empty.write.parquet(str(tmp_path / "orders.parquet"))
+    rows = stats_bootstrap_ci(spark, str(tmp_path)).collect()
+    # the oracle's scalar subqueries emit one all-NULL row on empty
+    # input; the engine must match that shape, not cross-join to zero
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_replicates"] == 200
+    assert r["n_units"] is None
+    assert r["boot_lo_cents"] is None and r["boot_hi_cents"] is None

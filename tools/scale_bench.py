@@ -840,10 +840,14 @@ def fleiss_adjudicate(reps: int = 3) -> None:
         for name, fn in forms:
             from bench import _jvm_count  # guarded pgrep (returns -1 sans pgrep)
 
-            jvms = _jvm_count()
-            load1 = os.getloadavg()[0]
             _sweep_blocks(spark)
             fn(spark, d).count()  # warm (served: pays the per-dir train)
+            # sample box state AFTER the warm run: the x100 warm pass
+            # takes minutes -- long enough for a neighbor JVM to appear
+            # or vanish -- so the stamp must describe the box the TIMED
+            # reps see (the same rule bench.py's sidecar follows)
+            jvms = _jvm_count()
+            load1 = os.getloadavg()[0]
             walls = []
             for _ in range(reps):
                 _sweep_blocks(spark)

@@ -123,6 +123,49 @@ def _write_meta(path: str, meta: dict) -> None:
     os.rename(tmp, os.path.join(fz, "meta.json"))
 
 
+def _meta_mutate(path: str, fn) -> bool:
+    """Serialized read-modify-write of the meta sidecar (r14 review):
+    concurrent ``ivfpq_index_add`` calls are a SUPPORTED scenario (the
+    manifest layer retries their row merges on conflict), so the
+    occupancy fold must not be a last-rename-wins race that silently
+    drops the other writer's counts.  An ``O_CREAT|O_EXCL`` lock file
+    (the same claim device as the manifest log slots) serializes
+    mutators cross-process; ``fn(meta)`` receives the sidecar re-READ
+    inside the lock and returns ``(new_meta_or_None, flag)`` -- None
+    skips the write.  The flag is returned to the caller.  A lock older
+    than the steal deadline is treated as a crashed holder's residue
+    (mutators hold it for milliseconds -- never across a Spark job)."""
+    import time as _time
+
+    fz = os.path.join(path, _FROZEN)
+    lock = os.path.join(fz, ".meta.lock")
+    deadline = _time.monotonic() + 30.0
+    while True:
+        try:
+            os.close(os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+            break
+        except FileExistsError:
+            if _time.monotonic() > deadline:
+                try:
+                    os.unlink(lock)  # crashed holder: steal
+                except OSError:
+                    pass
+            else:
+                _time.sleep(0.05)
+    try:
+        with open(os.path.join(fz, "meta.json")) as fh:
+            meta = json.load(fh)
+        new_meta, flag = fn(meta)
+        if new_meta is not None:
+            _write_meta(path, new_meta)
+        return flag
+    finally:
+        try:
+            os.unlink(lock)
+        except OSError:
+            pass
+
+
 def _write_frozen(path: str, cents_rows, codebook_rows, meta: dict) -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -172,6 +215,44 @@ def _load_frozen(path: str):
             "build_ivfpq_index / ivfpq_index_rebuild_if_stale"
         )
     return cents_rows, cents_lit, meta
+
+
+def _heal_crashed_rebuild(spark: SparkSession, path: str) -> None:
+    """Complete a rebuild swap that crashed mid-flight (r14 review):
+    ``ivfpq_index_rebuild_if_stale`` is rename -> rename -> repoint ->
+    cleanup, and a crash between any two steps leaves the live manifest
+    pointing at the vanished ``.rebuild`` staging prefix (or the index
+    dir itself missing, mid-double-rename).  Every crash point is
+    recoverable by replaying the REMAINING steps, all idempotent, so
+    the consumers call this first; the quick-existence gate makes the
+    healthy-path cost two stat() calls.  (The ``.old``/``.rebuild``
+    dirs exist ONLY during a swap or after a crash -- success removes
+    both.)"""
+    import shutil
+
+    from ..sources.manifest import read_manifest, repoint_files
+
+    base = path.rstrip("/")
+    tmp, old = base + ".rebuild", base + ".old"
+    if not os.path.exists(tmp) and not os.path.exists(old):
+        return  # healthy path
+    try:
+        if not os.path.exists(base) and os.path.exists(tmp):
+            # crashed between rename(path, old) and rename(tmp, path):
+            # the replacement is fully built -- finish its promotion
+            os.rename(tmp, base)
+        if os.path.exists(base):
+            rows_path = os.path.join(base, _ROWS)
+            man = read_manifest(spark, rows_path).collect()
+            if any(tmp + "/" in r.file for r in man):
+                # crashed before the repoint commit: replay it
+                repoint_files(spark, rows_path, tmp, base)
+        if os.path.exists(old) and os.path.exists(base):
+            shutil.rmtree(old, ignore_errors=True)
+    except OSError:
+        # a concurrent healer/rebuilder won the race; its completed
+        # swap leaves nothing to do
+        pass
 
 
 def _index_rows(cells: DataFrame, codes: DataFrame) -> DataFrame:
@@ -277,6 +358,7 @@ def ivfpq_index_add(
     same-key rows are replaced (re-adding a vector updates it), new keys
     append, and only overlapping files rewrite.  Returns merge_upsert's
     ``(files_rewritten, live_files_before)``."""
+    _heal_crashed_rebuild(spark, path)
     cents_rows, cents_lit, meta = _load_frozen(path)
     batch = batch.select("vec_id", "q").localCheckpoint(eager=False)
     cents = spark.createDataFrame(
@@ -308,20 +390,11 @@ def ivfpq_index_add(
     # last recount reach half the estimated size.  Amortized O(1) per
     # added row; the pre-r11 LIST-form sidecar (sorted counts, no cell
     # ids) is un-foldable and triggers the same exact recount.
-    occ = meta.get("cell_occupancy")
-    folded = meta.get("occupancy_folded_n", 0)
-    fcells = meta.get("occupancy_folded_cells", {})
-    batch_counts = pcells.groupBy("pcell").agg(
-        F.count("*").alias("n")
-    ).collect()
-    if isinstance(occ, dict):
-        occ, fcells = dict(occ), dict(fcells)
-        for r in batch_counts:
-            occ[str(r["pcell"])] = occ.get(str(r["pcell"]), 0) + r["n"]
-            fcells[str(r["pcell"])] = fcells.get(str(r["pcell"]), 0) + r["n"]
-        folded += sum(r["n"] for r in batch_counts)
-    else:
-        occ, folded, fcells = None, 0, {}  # legacy list: recount below
+    batch_counts = {
+        str(r["pcell"]): r["n"]
+        for r in pcells.groupBy("pcell").agg(F.count("*").alias("n")).collect()
+    }
+
     # per-cell staleness trigger (r12, ADVICE): the global-total trigger
     # bounds TOTAL inflation to <=2x but lets an individual hot cell's
     # estimate drift arbitrarily within that window, skewing the
@@ -330,21 +403,53 @@ def ivfpq_index_add(
     # last exact count (occ >= 2x exact); cells first seen by a fold
     # (exact == 0 -- their count is pure folds and correct modulo
     # re-add churn) stay under the global trigger only.
-    cell_hot = isinstance(occ, dict) and any(
-        occ[c] - f > 0 and f >= occ[c] - f for c, f in fcells.items()
-        if c in occ
-    )
-    if occ is None or cell_hot or 2 * folded >= sum(occ.values()):
-        occ = {
+    def _fold(meta: dict) -> tuple:
+        occ = meta.get("cell_occupancy")
+        folded = meta.get("occupancy_folded_n", 0)
+        fcells = dict(meta.get("occupancy_folded_cells", {}))
+        if not isinstance(occ, dict):
+            return None, True  # legacy list sidecar: recount
+        occ = dict(occ)
+        for c, n in batch_counts.items():
+            occ[c] = occ.get(c, 0) + n
+            fcells[c] = fcells.get(c, 0) + n
+        folded += sum(batch_counts.values())
+        meta["cell_occupancy"] = occ
+        meta["occupancy_folded_n"] = folded
+        meta["occupancy_folded_cells"] = fcells
+        cell_hot = any(
+            occ[c] - f > 0 and f >= occ[c] - f
+            for c, f in fcells.items()
+            if c in occ
+        )
+        return meta, (cell_hot or 2 * folded >= sum(occ.values()))
+
+    # the fold is a read-modify-write of a SHARED sidecar and the
+    # manifest layer explicitly supports concurrent adds (merge_upsert
+    # retries conflicts) -- so it runs under the meta lock with the
+    # sidecar re-READ inside, never against this call's possibly-stale
+    # snapshot: a last-rename-wins race would silently drop the other
+    # writer's folds (r14 review).
+    needs_recount = _meta_mutate(path, _fold)
+    if needs_recount:
+        exact = {
             str(r["pcell"]): r["n"]
             for r in read_live(spark, os.path.join(path, _ROWS))
             .groupBy("pcell").agg(F.count("*").alias("n")).collect()
         }
-        folded, fcells = 0, {}
-    meta["cell_occupancy"] = occ
-    meta["occupancy_folded_n"] = folded
-    meta["occupancy_folded_cells"] = fcells
-    _write_meta(path, meta)
+
+        def _install(meta: dict) -> tuple:
+            # the recount ran OUTSIDE the lock (it is a Spark job, too
+            # long to hold a filesystem lock across); a fold landing
+            # between its snapshot and this install is at most one
+            # batch's counts, absorbed by the estimate's documented
+            # upper-bound slack and re-tightened at the next trigger
+            meta["cell_occupancy"] = exact
+            meta["occupancy_folded_n"] = 0
+            meta["occupancy_folded_cells"] = {}
+            return meta, False
+
+        _meta_mutate(path, _install)
     return out
 
 
@@ -353,6 +458,7 @@ def ivfpq_index_staleness(spark: SparkSession, path: str) -> dict:
     corpus.  ``added_frac_ppm`` = (live - trained) / trained in ppm;
     rebuild when it crosses the operator's threshold (the frozen
     quantizers were fit to the training distribution)."""
+    _heal_crashed_rebuild(spark, path)
     _, _, meta = _load_frozen(path)
     live_n = read_live(spark, os.path.join(path, _ROWS)).count()
     trained_n = meta["trained_n"]
@@ -453,6 +559,7 @@ def ivfpq_index_search(
     """
     from .similarity import auto_rerank_depth
 
+    _heal_crashed_rebuild(spark, path)
     cents_rows, cents_lit, meta = _load_frozen(path)
     m, dim = meta["m"], meta["dim"]
     sub_dim = dim // m
@@ -572,10 +679,16 @@ def ivfpq_index_stream_add(
     def _apply(batch: DataFrame, _batch_id: int) -> None:
         if batch.isEmpty():
             return
+        # seq ties fall through to the q order so the survivor is a
+        # function of row content on replay (same rule as
+        # streaming/cdc.py::latest_per_key); rows equal in BOTH are
+        # interchangeable downstream
         order = (
-            F.col(seq_col).desc() if seq_col else F.col("q").desc()
+            [F.col(seq_col).desc(), F.col("q").desc()]
+            if seq_col
+            else [F.col("q").desc()]
         )
-        w = Window.partitionBy("vec_id").orderBy(order)
+        w = Window.partitionBy("vec_id").orderBy(*order)
         latest = (
             batch.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)

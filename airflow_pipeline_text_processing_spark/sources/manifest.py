@@ -389,11 +389,8 @@ def read_pruned(
     on top (pruning is file-level).  Returns ``(df, files_read,
     files_total)`` so callers -- and tests -- can see the skipping."""
     man_rows = read_manifest(spark, path).collect()  # file-count-sized
-    visible = [
-        r
-        for r in man_rows
-        if r.file in set(_files_at(man_rows, epoch))
-    ]
+    vis = set(_files_at(man_rows, epoch))  # once -- not once per row
+    visible = [r for r in man_rows if r.file in vis]
     keep = [r.file for r in visible if r.k_max >= lo and r.k_min <= hi]
     total = len(visible)
     if not keep:
@@ -948,10 +945,26 @@ def read_by_value(
     by_file = {}
     for r in idx:
         by_file.setdefault(r.file, {})[r.word_idx] = r.bits
+    # "no false negatives" must survive post-build commits: a live file
+    # with NO index rows at all (added/rewritten by merge/compact AFTER
+    # build_bloom_index ran) is indistinguishable from un-indexed and
+    # must be kept conservatively -- only a file the index has actually
+    # SEEN may be pruned.  Distinguish the two via the full per-file
+    # row presence, not the word-filtered slice (a seen file can
+    # legitimately miss the probed words when no value hashed there).
+    indexed_files = {
+        r.file
+        for r in spark.read.parquet(os.path.join(path, _BLOOM, col))
+        .select("file")
+        .distinct()
+        .collect()
+    }
     keep = []
-    for f, wm in by_file.items():
-        if f not in live:
+    for f in live:
+        if f not in indexed_files:
+            keep.append(f)  # post-build file: never prune unseen data
             continue
+        wm = by_file.get(f, {})
         if all(
             (wm.get(w, 0) >> b) & 1
             for w, bs in words.items()

@@ -28,8 +28,14 @@ from ..sources.manifest import merge_upsert
 
 def latest_per_key(batch: DataFrame, key_col: str, seq_col: str) -> DataFrame:
     """Collapse a change batch to one row per key: highest ``seq_col``
-    wins, key order breaking exact ties deterministically."""
-    w = Window.partitionBy(key_col).orderBy(F.col(seq_col).desc())
+    wins.  EXACT seq ties (two updates for one key carrying the same
+    sequence number in one batch) break on the md5 of the full row
+    payload -- a total order over arbitrary column types -- so the
+    winner is a function of row CONTENT, never of partition/iteration
+    order: a crash-replay of the batch picks the same row, which the
+    exactly-once convergence argument below requires."""
+    tie = F.md5(F.to_json(F.struct(*[F.col(c) for c in batch.columns])))
+    w = Window.partitionBy(key_col).orderBy(F.col(seq_col).desc(), tie.desc())
     return (
         batch.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

@@ -92,17 +92,15 @@ _TOTALS_STATE = StructType(
 )
 
 
-def _update_user_totals(
-    key: Tuple[Any, ...],
-    pdfs: Iterable[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """Accumulate per-user counters across micro-batches.
-
-    Money stays in integer cents inside the state (order-independent and
-    exact); it is only rendered to double on emit.
-    """
-    n, cents, last = state.get if state.exists else (0, 0, None)
+def _accumulate_totals(prev, pdfs) -> tuple:
+    """Shared accumulator body (all three stateful forms -- the two
+    legacy GroupState processors and the transformWithState port --
+    fold through THIS function, so a fix to the cents arithmetic lands
+    once): fold micro-batch rows into the ``(n_events, total_cents,
+    last_event_type)`` triple.  Money stays in integer cents inside the
+    state (order-independent and exact); it is only rendered to double
+    on emit."""
+    n, cents, last = prev
     for pdf in pdfs:
         if len(pdf) == 0:
             continue
@@ -110,6 +108,19 @@ def _update_user_totals(
         n += len(pdf)
         cents += int((pdf["value"] * 100 // 1).sum())
         last = str(pdf["event_type"].iloc[-1])
+    return n, cents, last
+
+
+def _update_user_totals(
+    key: Tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Accumulate per-user counters across micro-batches (shared body:
+    ``_accumulate_totals``)."""
+    n, cents, last = _accumulate_totals(
+        state.get if state.exists else (0, 0, None), pdfs
+    )
     state.update((n, cents, last))
     yield pd.DataFrame(
         {
@@ -246,14 +257,9 @@ def _update_totals_with_ttl(
             }
         )
         return
-    n, cents, last = state.get if state.exists else (0, 0, None)
-    for pdf in pdfs:
-        if len(pdf) == 0:
-            continue
-        pdf = pdf.sort_values("ts")
-        n += len(pdf)
-        cents += int((pdf["value"] * 100 // 1).sum())
-        last = str(pdf["event_type"].iloc[-1])
+    n, cents, last = _accumulate_totals(
+        state.get if state.exists else (0, 0, None), pdfs
+    )
     state.update((n, cents, last))
     state.setTimeoutDuration(_TTL_MS)
     yield pd.DataFrame(
@@ -336,22 +342,6 @@ from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
     StatefulProcessorHandle,
     TimerValues,
 )
-
-
-def _accumulate_totals(prev, pdfs) -> tuple:
-    """Shared accumulator body: fold micro-batch rows into the
-    ``(n_events, total_cents, last_event_type)`` triple.  Money stays in
-    integer cents inside the state (order-independent and exact); it is
-    only rendered to double on emit."""
-    n, cents, last = prev
-    for pdf in pdfs:
-        if len(pdf) == 0:
-            continue
-        pdf = pdf.sort_values("ts")
-        n += len(pdf)
-        cents += int((pdf["value"] * 100 // 1).sum())
-        last = str(pdf["event_type"].iloc[-1])
-    return n, cents, last
 
 
 class _UserTotalsProcessor(StatefulProcessor):

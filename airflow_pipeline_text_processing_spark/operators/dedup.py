@@ -1205,15 +1205,33 @@ def incremental_repeated_spans(
         .groupBy("sh_h")
         .agg(F.count("*").alias("_n_corpus"))
     )
-    probe = F.broadcast(new_counts) if broadcast_new else new_counts
-    rep = (
-        probe.join(corpus_counts, "sh_h", "left")
-        .filter(
-            F.col("_n_new") + F.coalesce(F.col("_n_corpus"), F.lit(0))
-            >= min_count
+    if broadcast_new:
+        # A LEFT-OUTER join cannot BUILD its left side (unmatched probe
+        # rows could never be emitted from the streamed side), so Spark
+        # silently drops a broadcast hint placed there and sort-merges
+        # the corpus-sized count relation every batch -- the exact
+        # shuffle this function's contract rules out (r14 review).  The
+        # broadcast-able equivalent: stream the corpus against the
+        # broadcast batch with an INNER join (shingles present in
+        # both), and union the batch-only passers (no corpus rows, so
+        # they pass iff _n_new alone clears the bar); distinct collapses
+        # shingles that qualify through both branches.
+        matched = (
+            corpus_counts.join(F.broadcast(new_counts), "sh_h", "inner")
+            .filter(F.col("_n_new") + F.col("_n_corpus") >= min_count)
+            .select("sh_h")
         )
-        .select("sh_h")
-    )
+        solo = new_counts.filter(F.col("_n_new") >= min_count).select("sh_h")
+        rep = matched.unionByName(solo).distinct()
+    else:
+        rep = (
+            new_counts.join(corpus_counts, "sh_h", "left")
+            .filter(
+                F.col("_n_new") + F.coalesce(F.col("_n_corpus"), F.lit(0))
+                >= min_count
+            )
+            .select("sh_h")
+        )
     hits = ps_new.join(rep, "sh_h").select("doc_id", "pos")
     return _spans_from_hits(hits, n)
 

@@ -778,6 +778,35 @@ def _lsh_topk_multi(
 # ------------------------------------------------------------ quantization
 
 
+def _sq8_codes(v, vmin, vmax):
+    """The SQ8 code expression -- ONE source for the quantization
+    policy (``floor((x-min)/(max-min)*255)`` clamped, flat vector ->
+    0): ``quantize_int8`` certifies these codes and ``sq8_topk``
+    searches against them, so a drift between two inline copies would
+    silently desynchronize search results from the certified hashes
+    (r14 review)."""
+    scale = vmax - vmin
+    return F.transform(
+        v,
+        lambda x: F.when(scale == 0, F.lit(0)).otherwise(
+            F.least(
+                F.floor((x.cast("double") - vmin) / scale * 255.0).cast(
+                    "int"
+                ),
+                F.lit(255),
+            )
+        ),
+    )
+
+
+def _sq8_dequant(codes, vmin, vmax):
+    """Inverse of ``_sq8_codes``: the reconstruction both the error
+    certification and the asymmetric scorer read."""
+    return F.transform(
+        codes, lambda c: vmin + c.cast("double") / 255.0 * (vmax - vmin)
+    )
+
+
 def quantize_int8(
     vectors: DataFrame,
     id_col: str = "vec_id",
@@ -797,19 +826,8 @@ def quantize_int8(
     v = F.col(vec_col)
     vmin = F.array_min(v).cast("double")
     vmax = F.array_max(v).cast("double")
-    scale = vmax - vmin
-    code = lambda x: F.when(  # noqa: E731  (degenerate flat vector -> 0)
-        scale == 0, F.lit(0)
-    ).otherwise(
-        F.least(
-            F.floor((x.cast("double") - vmin) / scale * 255.0).cast("int"),
-            F.lit(255),
-        )
-    )
-    codes = F.transform(v, code)
-    dequant = F.transform(
-        codes, lambda q: vmin + q.cast("double") / 255.0 * scale
-    )
+    codes = _sq8_codes(v, vmin, vmax)
+    dequant = _sq8_dequant(codes, vmin, vmax)
     err = F.aggregate(
         F.zip_with(
             v,
@@ -861,30 +879,24 @@ def sq8_topk(
     v = F.col(vec_col)
     vmin = F.array_min(v).cast("double")
     vmax = F.array_max(v).cast("double")
-    scale = vmax - vmin
-    code = lambda x: F.when(  # noqa: E731  (flat vector -> code 0)
-        scale == 0, F.lit(0)
-    ).otherwise(
-        F.least(
-            F.floor((x.cast("double") - vmin) / scale * 255.0).cast("int"),
-            F.lit(255),
-        )
-    )
-    # store codes + scale params; dequantize lazily at scoring time
+    # store codes + scale params; dequantize lazily at scoring time.
+    # Full-precision vectors are NOT carried on the scored pairs: the
+    # N x M approximate pass and its per-query rank window move only
+    # (ids, codes -> approx_fp), and the exact-rerank vectors join onto
+    # the shortlist AFTERWARD (shortlist-sized broadcast probes) -- the
+    # whole point of the 4x byte cut is that the dominant exchange
+    # carries codes, not floats (r14 review).
     cand = candidates.select(
         F.col(id_col).alias("neighbor_id"),
         vmin.alias("_qmin"),
         vmax.alias("_qmax"),
-        F.transform(v, code).alias("_codes"),
-        v.alias("_cvec"),  # full precision, touched only by the rerank
+        _sq8_codes(v, vmin, vmax).alias("_codes"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), v.alias("_qvec")
     )
-    dequant = F.transform(
-        F.col("_codes"),
-        lambda c: F.col("_qmin")
-        + c.cast("double") / 255.0 * (F.col("_qmax") - F.col("_qmin")),
+    dequant = _sq8_dequant(
+        F.col("_codes"), F.col("_qmin"), F.col("_qmax")
     )
     scored = (
         q.crossJoin(cand)
@@ -892,22 +904,31 @@ def sq8_topk(
         .select(
             "query_id",
             "neighbor_id",
-            "_cvec",
-            "_qvec",
             scaled_dot(F.col("_qvec"), dequant).alias("approx_fp"),
         )
     )
     wa = Window.partitionBy("query_id").orderBy(
         F.col("approx_fp").desc(), F.col("neighbor_id")
     )
-    short = scored.withColumn(
-        "_arank", F.row_number().over(wa)
-    ).filter(F.col("_arank") <= shortlist)
+    short = (
+        scored.withColumn("_arank", F.row_number().over(wa))
+        .filter(F.col("_arank") <= shortlist)
+        .select("query_id", "neighbor_id", "approx_fp")
+    )
+    rerank = short.join(
+        candidates.select(
+            F.col(id_col).alias("neighbor_id"), v.alias("_cvec")
+        ),
+        "neighbor_id",
+    ).join(
+        queries.select(F.col(id_col).alias("query_id"), v.alias("_qvec")),
+        "query_id",
+    )
     we = Window.partitionBy("query_id").orderBy(
         F.col("exact_fp").desc(), F.col("neighbor_id")
     )
     return (
-        short.select(
+        rerank.select(
             "query_id",
             "neighbor_id",
             "approx_fp",

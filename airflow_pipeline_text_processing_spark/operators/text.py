@@ -61,9 +61,23 @@ def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def quality_combine(stop_hits, n_unique, punct_count, n_tokens, n_chars):
+    """THE quality formula (0.4 stopword ratio + 0.4 unique-token ratio
+    - 0.2 punctuation density) as one column expression -- the single
+    source every consumer composes (quality_score here, the curation
+    pipeline's single-scan select, the dedup survivor pick), so a tuned
+    weight lands everywhere at once (r14 review)."""
+    return (
+        (stop_hits.cast("double") / n_tokens) * 0.4
+        + (n_unique.cast("double") / n_tokens) * 0.4
+        - (punct_count.cast("double") / n_chars) * 0.2
+    )
+
+
 def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic document quality: stopword ratio, punctuation density,
-    unique-token ratio combined into one deterministic score."""
+    unique-token ratio combined into one deterministic score
+    (``quality_combine``)."""
     toks = tokens(F.col(text_col))
     n_tokens = F.size(toks)
     stop_hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
@@ -80,30 +94,51 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
     return base.select(
         "*",
-        (
-            (F.col("stop_hits").cast("double") / F.col("n_tokens")) * 0.4
-            + (F.col("n_unique_tokens").cast("double") / F.col("n_tokens")) * 0.4
-            - (F.col("punct_count").cast("double") / F.col("n_chars_q")) * 0.2
+        quality_combine(
+            F.col("stop_hits"),
+            F.col("n_unique_tokens"),
+            F.col("punct_count"),
+            F.col("n_tokens"),
+            F.col("n_chars_q"),
         ).alias("quality"),
     )
 
 
-def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Marker-word language heuristic with deterministic argmax."""
-    toks = tokens(F.col(text_col))
-    hits = {
+def lang_hits_exprs(text_col) -> dict:
+    """Per-language marker-hit count expressions -- the marker policy's
+    single source (lang_id here, the curation pipeline's single-scan
+    select; r14 review)."""
+    toks = tokens(text_col)
+    return {
         lang: F.size(F.filter(toks, lambda t: t.isin(markers)))
         for lang, markers in LANG_MARKERS.items()
     }
+
+
+def lang_argmax(hits: dict):
+    """Deterministic argmax over a ``lang -> hit-count Column`` map:
+    zero hits -> 'unknown', exact ties break on LANG_MARKERS order."""
+    best = F.greatest(*hits.values())
+    pred = F.when(best == 0, F.lit("unknown"))
+    for lang in LANG_MARKERS:  # fixed order = deterministic tiebreak
+        pred = pred.when(hits[lang] == best, F.lit(lang))
+    return pred
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language heuristic with deterministic argmax
+    (``lang_hits_exprs`` + ``lang_argmax``)."""
+    hits = lang_hits_exprs(F.col(text_col))
     base = docs.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
         *[hits[lang].alias(f"hits_{lang}") for lang in LANG_MARKERS],
     )
-    best = F.greatest(*[F.col(f"hits_{lang}") for lang in LANG_MARKERS])
-    pred = F.when(best == 0, F.lit("unknown"))
-    for lang in LANG_MARKERS:  # fixed order = deterministic tiebreak
-        pred = pred.when(F.col(f"hits_{lang}") == best, F.lit(lang))
+    # argmax over the STAGED hit columns (projection boundary: the
+    # per-branch compares must not re-tokenize the document)
+    pred = lang_argmax(
+        {lang: F.col(f"hits_{lang}") for lang in LANG_MARKERS}
+    )
     return base.select(
         "doc_id",
         "labeled_lang",

@@ -27,10 +27,12 @@ from pyspark.sql import DataFrame, Window
 
 from ..operators.windows import ordered_running_sum
 from ..operators.text import (
-    LANG_MARKERS,
     PUNCT_CLASS,
     STOPWORDS,
     bpe_tokens,
+    lang_argmax,
+    lang_hits_exprs,
+    quality_combine,
     tokens,
 )
 
@@ -48,32 +50,22 @@ def curate_documents(
     Returns ``doc_id, predicted_lang, n_bpe_tokens, quality, cum_tokens``
     ordered by selection priority (quality desc).
     """
+    # the quality formula and the marker-argmax come from their single
+    # sources in operators/text.py (quality_combine / lang_hits_exprs /
+    # lang_argmax) composed into this one-scan select -- a tuned weight
+    # or marker list lands here and in the dedup survivor pick at once
+    # (r14 review: the previous inline copies could silently drift)
     toks = tokens(F.col(text_col))
     n_toks = F.size(toks)
-    quality = (
-        (
-            F.size(F.filter(toks, lambda t: t.isin(STOPWORDS))).cast("double")
-            / n_toks
-        )
-        * 0.4
-        + (F.size(F.array_distinct(toks)).cast("double") / n_toks) * 0.4
-        - (
-            (
-                F.length(text_col)
-                - F.length(F.regexp_replace(F.col(text_col), PUNCT_CLASS, ""))
-            ).cast("double")
-            / F.length(text_col)
-        )
-        * 0.2
+    quality = quality_combine(
+        F.size(F.filter(toks, lambda t: t.isin(STOPWORDS))),
+        F.size(F.array_distinct(toks)),
+        F.length(text_col)
+        - F.length(F.regexp_replace(F.col(text_col), PUNCT_CLASS, "")),
+        n_toks,
+        F.length(text_col),
     )
-    hits = {
-        lang: F.size(F.filter(toks, lambda t: t.isin(markers)))
-        for lang, markers in LANG_MARKERS.items()
-    }
-    best = F.greatest(*hits.values())
-    pred = F.when(best == 0, F.lit("unknown"))
-    for lang in LANG_MARKERS:  # fixed order = deterministic tiebreak
-        pred = pred.when(hits[lang] == best, F.lit(lang))
+    pred = lang_argmax(lang_hits_exprs(F.col(text_col)))
 
     base = docs.select(
         "doc_id",

@@ -49,13 +49,26 @@ class TrackingTable:
         return self.spark.read.parquet(self.path)
 
     def _exists(self) -> bool:
+        # URI-aware probe through the Hadoop filesystem API (r14
+        # review): an os.walk probe only sees the LOCAL filesystem, so
+        # an hdfs:///s3a:// tracking table would always read as absent
+        # -- voiding the idempotent-insert semantics exactly on the
+        # cluster deployments this class targets.  Local paths resolve
+        # through the same API (fs.defaultFS=file:/// in local mode).
         try:
-            return any(
-                f.endswith(".parquet")
-                for _, _, files in os.walk(self.path)
-                for f in files
+            jvm = self.spark._jvm
+            jpath = jvm.org.apache.hadoop.fs.Path(self.path)
+            fs = jpath.getFileSystem(
+                self.spark._jsc.hadoopConfiguration()
             )
-        except OSError:
+            if not fs.exists(jpath):
+                return False
+            it = fs.listFiles(jpath, True)  # recursive
+            while it.hasNext():
+                if it.next().getPath().getName().endswith(".parquet"):
+                    return True
+            return False
+        except Exception:  # noqa: BLE001 -- absent table, not an error
             return False
 
     def current(self) -> DataFrame:
@@ -236,10 +249,23 @@ class TrackingTable:
         writer.mode("append").save()
 
     def compact(self) -> None:
-        """Fold version history to current rows (maintenance operation)."""
-        cur = self.current().cache()
-        cur.count()  # materialize before overwrite
-        cur.write.mode("overwrite").parquet(self.path + ".compact")
-        self.spark.read.parquet(self.path + ".compact").write.mode(
-            "overwrite"
-        ).parquet(self.path)
+        """Fold version history to current rows (maintenance operation).
+
+        Correctness is carried by the STAGING write: current() is fully
+        materialized at ``path + ".compact"`` while the source is still
+        intact, then copied back -- so no cache pin is needed (a
+        ``.cache()`` here would sit in the session's storage registry
+        for its whole lifetime; r14 review), and the staging dir is
+        removed once the copy-back lands."""
+        staging = self.path + ".compact"
+        self.current().write.mode("overwrite").parquet(staging)
+        self.spark.read.parquet(staging).write.mode("overwrite").parquet(
+            self.path
+        )
+        try:  # URI-aware cleanup (same filesystem API as _exists)
+            jpath = self.spark._jvm.org.apache.hadoop.fs.Path(staging)
+            jpath.getFileSystem(
+                self.spark._jsc.hadoopConfiguration()
+            ).delete(jpath, True)
+        except Exception:  # noqa: BLE001 -- residue, not a failure
+            pass

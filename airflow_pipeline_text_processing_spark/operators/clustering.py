@@ -62,7 +62,15 @@ def unit_quantized(vec_col: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
-    norm = F.sqrt(n2.cast("double") / F.lit(float(QUANT)))
+    # guard the zero integer norm (every component |x| < 1e-3 floors to
+    # 0 -- e.g. a near-zero embedding from an empty document): dividing
+    # by 0.0 would emit +/-Infinity components that floor to +/-2^63
+    # and silently poison the centroid sums of whichever cluster the
+    # vector lands in (r14 review).  Dividing by +inf instead maps the
+    # whole vector to exact zeros -- "no usable direction".
+    norm = F.when(n2 == 0, F.lit(float("inf"))).otherwise(
+        F.sqrt(n2.cast("double") / F.lit(float(QUANT)))
+    )
     return F.transform(
         vec_col,
         lambda x: F.floor(x.cast("double") / norm * QUANT).cast("long"),

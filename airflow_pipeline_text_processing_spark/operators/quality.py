@@ -139,6 +139,13 @@ def cohen_kappa(
     Degenerate chance-agreement (N^2 == S, every pair in one class)
     reports kappa_ppm = 0 on both engines rather than dividing by zero.
 
+    Exact-integer headroom (same convention as krippendorff_alpha's
+    documented bound): ``S <= N^2`` and the widest product is
+    ``S * 1_000_000``, so BIGINT holds exactly up to ``N ~ 3.0e6``
+    graded rows.  Corpus-scale panels should grade a sampled or
+    stratified slice (the graded queries do); past that bound the ppm
+    terms need DECIMAL(38) -- widen rather than let the multiply wrap.
+
     Scale shape: one hash aggregate to the (|A| x |B|)-sized confusion
     relation (map-side combinable), then marginal products over that
     grid -- the corpus shuffles only into label-pair cells, never
@@ -304,7 +311,13 @@ def fleiss_kappa(
     per-item totals, then category-count-sized marginals -- the ratings
     relation shuffles only on its natural keys.  Output is ONE row:
     ``(n_items, n_raters, s_pairs, sum_t2, pbar_ppm, pe_ppm,
-    kappa_ppm)``."""
+    kappa_ppm)``.
+
+    Exact-integer headroom (krippendorff_alpha convention): the widest
+    term is ``(n-1) * sum_t2 * 1_000_000`` with ``sum_t2 <= (N*n)^2``,
+    so BIGINT holds exactly up to ``N ~ 1e6`` items on a 3-rater panel.
+    Grade a sampled slice past that (the graded queries do); widen to
+    DECIMAL(38) rather than let the multiply wrap."""
     counts = (
         ratings.groupBy(
             F.col(item_col).alias("_i"), F.col(label_col).alias("_c")

@@ -63,8 +63,18 @@ def _partition_kmv_minima(
     ) -> Iterator[pd.DataFrame]:
         state: dict = {}  # group -> set of candidate minima (<= _PRUNE_FACTOR*k)
         for pdf in batches:
-            pdf = pdf.dropna().drop_duplicates()
-            for g, hs in pdf.groupby("g", sort=False)["h"]:
+            # drop NULL VALUES only -- a blanket dropna() would also
+            # discard rows whose GROUP key is null, silently losing the
+            # null group that exact GROUP BY (and the oracle) reports
+            # (r14 review).  Null group keys normalize to None so the
+            # state dict merges them across batches (NaN != NaN would
+            # fragment a numeric null group into per-batch entries).
+            pdf = pdf[pdf["h"].notna()].drop_duplicates()
+            if pdf["g"].isna().any():
+                pdf = pdf.assign(
+                    g=pdf["g"].astype(object).where(pdf["g"].notna(), None)
+                )
+            for g, hs in pdf.groupby("g", sort=False, dropna=False)["h"]:
                 cur = state.setdefault(g, set())
                 cur.update(hs)
                 if len(cur) > _PRUNE_FACTOR * k:
@@ -75,6 +85,23 @@ def _partition_kmv_minima(
         yield pd.DataFrame(rows, columns=["g", "h"])
 
     return hashed.mapInPandas(topk_per_partition, schema=f"g {gtype}, h string")
+
+
+def _merge_topk(partial: DataFrame, k: int, key_cols=()) -> DataFrame:
+    """Merge partition sketches into THE sketch: the k smallest DISTINCT
+    hashes, per key when ``key_cols`` is given -- the ONE merge rule
+    every KMV estimator reads (r14 review: five inline copies of this
+    block could drift apart).  Input is sketch-sized; the unkeyed form's
+    global-order window sorts <= partitions x k rows."""
+    w = (
+        Window.partitionBy(*key_cols) if key_cols else Window.partitionBy()
+    ).orderBy("h")
+    return (
+        partial.distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
 
 
 def kmv_distinct(
@@ -97,11 +124,8 @@ def kmv_distinct(
     which is the 100 TB difference vs exact COUNT(DISTINCT).
     """
     partial = _partition_kmv_minima(df, group_col, value_col, k)
-    w = Window.partitionBy("g").orderBy("h")
     sk = (
-        partial.distinct()
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
+        _merge_topk(partial, k, ["g"])
         .groupBy("g")
         .agg(
             F.count("*").alias("n_in_sketch"),
@@ -168,26 +192,23 @@ def kmv_overlap(
     ``(n_a_sketch, n_b_sketch, n_union_sketch, union_kth_hash,
     n_common_in_k, est_distinct_union, est_jaccard,
     est_distinct_intersection)``."""
-    sa = (
-        _partition_kmv_minima(a.select(F.lit(0).alias("_g"), value_col), "_g", value_col, k)
-        .select("h").distinct()
-        .withColumn("_rn", F.row_number().over(Window.orderBy("h")))
-        .filter(F.col("_rn") <= k)
-        .select(F.col("h").alias("ha"))
-    )
-    sb = (
-        _partition_kmv_minima(b.select(F.lit(0).alias("_g"), value_col), "_g", value_col, k)
-        .select("h").distinct()
-        .withColumn("_rn", F.row_number().over(Window.orderBy("h")))
-        .filter(F.col("_rn") <= k)
-        .select(F.col("h").alias("hb"))
-    )
-    pooled = (
-        sa.select(F.col("ha").alias("h"))
-        .unionAll(sb.select(F.col("hb").alias("h")))
-        .distinct()
-        .withColumn("_rn", F.row_number().over(Window.orderBy("h")))
-        .filter(F.col("_rn") <= k)
+    sa = _merge_topk(
+        _partition_kmv_minima(
+            a.select(F.lit(0).alias("_g"), value_col), "_g", value_col, k
+        ).select("h"),
+        k,
+    ).select(F.col("h").alias("ha"))
+    sb = _merge_topk(
+        _partition_kmv_minima(
+            b.select(F.lit(0).alias("_g"), value_col), "_g", value_col, k
+        ).select("h"),
+        k,
+    ).select(F.col("h").alias("hb"))
+    pooled = _merge_topk(
+        sa.select(F.col("ha").alias("h")).unionAll(
+            sb.select(F.col("hb").alias("h"))
+        ),
+        k,
     )
     in_both = (
         pooled.join(sa, pooled.h == sa.ha, "left")
@@ -342,13 +363,7 @@ def kmv_overlap_matrix(
     est_jaccard, est_distinct_intersection)``.
     """
     partial = _partition_kmv_minima(df, group_col, value_col, k)
-    w = Window.partitionBy("g").orderBy("h")
-    sk = (
-        partial.distinct()
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .select("g", "h")
-    )
+    sk = _merge_topk(partial, k, ["g"]).select("g", "h")
     sk = sk.localCheckpoint(eager=False)  # reused three times below
     groups = sk.select("g").distinct()
     pairs = (
@@ -356,18 +371,10 @@ def kmv_overlap_matrix(
         .crossJoin(groups.select(F.col("g").alias("gb")))
         .filter(F.col("ga") < F.col("gb"))
     )
-    pooled = (
-        pairs.join(sk, pairs.ga == sk.g)
-        .select("ga", "gb", "h")
-        .unionAll(
-            pairs.join(sk, pairs.gb == sk.g).select("ga", "gb", "h")
-        )
-        .distinct()
-    )
-    wp = Window.partitionBy("ga", "gb").orderBy("h")
-    topk = pooled.withColumn("_rn", F.row_number().over(wp)).filter(
-        F.col("_rn") <= k
-    )
+    pooled = pairs.join(sk, pairs.ga == sk.g).select(
+        "ga", "gb", "h"
+    ).unionAll(pairs.join(sk, pairs.gb == sk.g).select("ga", "gb", "h"))
+    topk = _merge_topk(pooled, k, ["ga", "gb"])
     mark_a = sk.select(
         F.col("g").alias("ga"), "h", F.lit(1).alias("_in_a")
     )

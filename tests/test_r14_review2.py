@@ -181,3 +181,42 @@ def test_crashed_rebuild_swap_self_heals(spark, sf_dir, tmp_path):
         map(tuple, ivfpq_index_search(spark, clean, queries, qvecs, k=3).collect())
     )
     assert rows == want
+
+
+def test_unit_quantized_zero_norm_vector_maps_to_zeros(spark):
+    # a vector whose every component floors to integer-zero norm must
+    # quantize to exact zeros, not +/-2^63 poison from a 0.0 divide
+    from airflow_pipeline_text_processing_spark.operators.clustering import (
+        unit_quantized,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0005, -0.0004, 0.0]), (2, [3.0, 4.0, 0.0])],
+        "vec_id int, embedding array<double>",
+    )
+    rows = {
+        r["vec_id"]: r["q"]
+        for r in df.select(
+            "vec_id", unit_quantized(F.col("embedding")).alias("q")
+        ).collect()
+    }
+    assert rows[1] == [0, 0, 0]
+    # a normal vector still unit-normalizes: 3-4-5 -> 0.6, 0.8
+    assert rows[2][0] == 600000 and rows[2][1] == 800000
+
+
+def test_kmv_distinct_keeps_null_group(spark):
+    from airflow_pipeline_text_processing_spark.operators.sketches import (
+        kmv_distinct,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), (None, 3), (None, 4), (None, 3), ("b", None)],
+        "src string, uid int",
+    )
+    rows = {r["src"]: r for r in kmv_distinct(df, "src", "uid").collect()}
+    # the NULL group must survive with its exact distinct count; the
+    # group whose only value is NULL vanishes (no values to sketch)
+    assert rows["a"]["kmv_estimate"] == 2.0
+    assert rows[None]["kmv_estimate"] == 2.0
+    assert "b" not in rows

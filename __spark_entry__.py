@@ -308,7 +308,18 @@ _ORDER = [
     # merge_upsert_part (driver-green r5; the manifest MERGE path keeps
     # sim_ivfpq_persisted -- whose index rows table is a manifest table
     # with MERGE adds -- in-window).
-    "mm_png_roundtrip_stats",
+    # (mm_png_roundtrip_stats, debuted here r11 and green r11-r13,
+    # moved past the boundary by the r14 seventh wave to make room for
+    # the re-graded join_bloom_prefilter -- the mm family keeps
+    # mm_jpeg_roundtrip_stats, mm_png_adam7_roundtrip -- which runs the
+    # same zlib/filter machinery -- and mm_audio_vad16 in-window.)
+    # -- RE-ENTERED round 14 (seventh wave): join_bloom_prefilter's
+    # confirm join dropped its force-broadcast of the raw key set (the
+    # hint defeated the bitmap technique at the scale it targets; the
+    # planner now picks the strategy).  Values unchanged -- the fn
+    # fingerprint changed, so the rotation contract requires it to be
+    # re-graded in-window.
+    "join_bloom_prefilter",
     # -- NEW round 11 (third wave): Population Stability Index drift
     # per source (the ops-team alarm dial; symmetric (p-q)*log(p/q)
     # terms on the Q8 log2 kernel) and ROUGE-2 clipped-count overlap
@@ -525,7 +536,7 @@ _ORDER = [
     "text_ngram_novelty",
     "text_rake_keywords",
     "sim_pq_adc_topk",
-    "join_bloom_prefilter",
+    "mm_png_roundtrip_stats",
     "mm_audio_fingerprint",
     # r12 fifth-wave displacements (attribution in the window comment
     # above) -- plus the four entries whose r12 wave-1..4 comments

@@ -126,11 +126,7 @@ def rs_repair(encoded: pd.Series) -> pd.Series:
         except reed_solomon.RSError:
             return None
 
-    return data_map(encoded, _repair)
-
-
-def data_map(series: pd.Series, fn) -> pd.Series:
-    return pd.Series([fn(v) for v in series])
+    return encoded.map(_repair)
 
 
 def make_encode_chunks(chunk_size: int = chunker.DEFAULT_CHUNK_SIZE,

@@ -517,16 +517,21 @@ def _vad_wav(payload: bytes, frame_len: int, thr_milli: int) -> tuple:
         full = 32768
     a = np.abs(s)
     n_frames = (n + frame_len - 1) // frame_len
-    flags = []
-    for f in range(n_frames):
-        chunk = a[f * frame_len:(f + 1) * frame_len]
-        flags.append(
-            1 if int(chunk.sum()) * 1000 >= thr_milli * full * len(chunk) else 0
-        )
-    n_active = sum(flags)
-    n_segments = sum(
-        1 for i, fl in enumerate(flags) if fl == 1 and (i == 0 or flags[i - 1] == 0)
-    )
+    # vectorized per-frame fold (r14 review: this was the one Python
+    # per-frame loop among the multimodal kernels -- an hour of 16 kHz
+    # audio is 360k frames per ROW): reduceat sums each frame, the
+    # short final frame keeps its true length in the threshold compare,
+    # and the exact integer rule is unchanged.
+    starts = np.arange(0, n, frame_len)
+    sums = np.add.reduceat(a, starts) if n else np.zeros(0, dtype=np.int64)
+    lens = np.full(n_frames, frame_len, dtype=np.int64)
+    if n_frames:
+        lens[-1] = n - frame_len * (n_frames - 1)
+    flags = (sums * 1000 >= thr_milli * full * lens).astype(np.int64)
+    n_active = int(flags.sum())
+    # a segment starts at every 0 -> 1 transition (frame 0 counts when
+    # active)
+    n_segments = int(flags[0]) + int((np.diff(flags) == 1).sum()) if n_frames else 0
     return n_frames, n_active, n_segments
 
 

@@ -128,8 +128,15 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(bloom_might_contain("o_custkey", m_bits))
         .drop("bloom")
     )
+    # NO broadcast hint on the exact confirm join (r14 review): the
+    # premise is that the raw key set may be too big to broadcast --
+    # that is why the 512 KiB bitmap exists -- so force-broadcasting it
+    # here would defeat the technique at exactly the scale it targets
+    # (and at any scale where keys DO fit, the planner broadcasts them
+    # on its own).  The confirm join removes Bloom false positives over
+    # the already-prefiltered fact slice.
     confirmed = prefiltered.join(
-        F.broadcast(keys),
+        keys,
         prefiltered.o_custkey == keys.c_custkey,
         "left_semi",
     )
@@ -595,14 +602,13 @@ ORDER BY s.doc_id
 _KL_BUCKETS = 256
 
 
-def _source_bucket_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The sources x hashed-token-buckets grid BOTH drift statistics
-    (KL, PSI) score over -- factored so the bucketing, the five
-    aggregates, and the cross-multiplied ratio terms live once (r11
-    review).  Columns: ``(source, c_sb, tot_s, tot_c, a_, b_)`` with
-    ``a_ = c_sb * tot_c`` and ``b_ = tot_s * c_cb`` (so ``a_ >= b_``
-    iff the source over-represents the bucket); only buckets the
-    source emits appear.  Bounded at sources x _KL_BUCKETS rows."""
+def _source_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(source, b, c_sb)``: the per-source hashed-token bucket counts
+    -- the ONE bucketing pipeline both drift statistics score over and
+    the oracles' shared ``_bucket_sb_ctes`` head mirrors (r14 review:
+    ``stats_psi_drift`` had re-spelled the explode + hash + mod stage
+    inline, so a changed bucket width applied to one copy would have
+    silently desynchronized KL from PSI)."""
     from ..operators.text import tokens
 
     docs = _tspread(spark, sf_dir, "documents")
@@ -613,9 +619,23 @@ def _source_bucket_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5("item"), 1, 13), 16, 10).cast("long")
         % _KL_BUCKETS
     )
-    ib = items.select("source", bucket.alias("b"))
-    sb = ib.groupBy("source", "b").agg(F.count("*").alias("c_sb"))
-    cb = ib.groupBy("b").agg(F.count("*").alias("c_cb"))
+    return (
+        items.select("source", bucket.alias("b"))
+        .groupBy("source", "b")
+        .agg(F.count("*").alias("c_sb"))
+    )
+
+
+def _source_bucket_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sources x hashed-token-buckets grid BOTH drift statistics
+    (KL, PSI) score over -- factored so the bucketing, the five
+    aggregates, and the cross-multiplied ratio terms live once (r11
+    review).  Columns: ``(source, c_sb, tot_s, tot_c, a_, b_)`` with
+    ``a_ = c_sb * tot_c`` and ``b_ = tot_s * c_cb`` (so ``a_ >= b_``
+    iff the source over-represents the bucket); only buckets the
+    source emits appear.  Bounded at sources x _KL_BUCKETS rows."""
+    sb = _source_bucket_counts(spark, sf_dir)
+    cb = sb.groupBy("b").agg(F.sum("c_sb").alias("c_cb"))
     tots = sb.groupBy("source").agg(F.sum("c_sb").alias("tot_s"))
     totc = cb.agg(F.sum("c_cb").alias("tot_c"))
     return (
@@ -829,22 +849,7 @@ def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     probabilities.  Scoring lives in the shared
     :func:`_psi_from_counts` epilogue (also fed by the STREAMING
     variant, ``queries_ext.stream_psi_drift``)."""
-    from ..operators.text import tokens
-
-    docs = _tspread(spark, sf_dir, "documents")
-    items = docs.select(
-        "source", F.explode(tokens(F.col("text"))).alias("item")
-    )
-    bucket = (
-        F.conv(F.substring(F.md5("item"), 1, 13), 16, 10).cast("long")
-        % _KL_BUCKETS
-    )
-    sb = (
-        items.select("source", bucket.alias("b"))
-        .groupBy("source", "b")
-        .agg(F.count("*").alias("c_sb"))
-    )
-    return _psi_from_counts(sb, "source")
+    return _psi_from_counts(_source_bucket_counts(spark, sf_dir), "source")
 
 
 def _psi_sql() -> str:

@@ -731,7 +731,21 @@ assert len(_ORDER) == len(set(_ORDER)), "duplicate names in _ORDER"
 assert set(_ORDER) == set(_MERGED), (
     sorted(set(_ORDER) ^ set(_MERGED))
 )
-REGISTRY = {name: _MERGED[name] for name in _ORDER}
+
+# r15 (VERDICT r14 ask #1): every registry entry is residue-scoped -- the
+# returned DataFrame unpersists ALL pinned RDD blocks (lazy localCheckpoint
+# cuts, model-training materializations, index builds) after each terminal
+# action, so a plain library session ends every query with
+# sc.getPersistentRDDs() empty instead of relying on the bench harness to
+# sweep.  Values are bit-identical: the wrapper never touches the plan, and
+# a re-used result frame rebuilds fresh lineage before its next action
+# (every query is deterministic by construction).  functools.wraps keeps
+# the original fn reachable for the fingerprint tools (__wrapped__).
+from airflow_pipeline_text_processing_spark.session import (  # noqa: E402
+    scoped_query as _scoped,
+)
+
+REGISTRY = {name: (_scoped(_MERGED[name][0]), _MERGED[name][1]) for name in _ORDER}
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -61,6 +61,10 @@ from .similarity import (
 
 _ROWS = "rows"
 _FROZEN = "_frozen"
+# Lock-steal window for the meta sidecar's mutator lock: a lock FILE older
+# than this is crashed-holder residue (holders keep it for milliseconds,
+# never across a Spark job).  Module-level so tests can shrink it.
+_STEAL_AFTER = 30.0
 
 
 def _pid_alive(pid: int) -> bool:
@@ -132,14 +136,22 @@ def _meta_mutate(path: str, fn) -> bool:
     (the same claim device as the manifest log slots) serializes
     mutators cross-process; ``fn(meta)`` receives the sidecar re-READ
     inside the lock and returns ``(new_meta_or_None, flag)`` -- None
-    skips the write.  The flag is returned to the caller.  A lock older
-    than the steal deadline is treated as a crashed holder's residue
-    (mutators hold it for milliseconds -- never across a Spark job)."""
+    skips the write.  The flag is returned to the caller.
+
+    Steal discipline (ADVICE r15): a lock is crashed-holder residue only
+    when the lock FILE ITSELF is older than the steal window -- holders
+    keep it for milliseconds, never across a Spark job -- so staleness
+    is judged by the file's mtime, not by how long THIS caller has been
+    waiting (a wait-keyed steal let every starved contender delete a
+    live holder's freshly-created lock once past its own deadline,
+    reintroducing the lost-fold race the lock exists to prevent).
+    After any steal check the local deadline re-arms, so a contender
+    makes at most one steal attempt per stale-lock observation."""
     import time as _time
 
     fz = os.path.join(path, _FROZEN)
     lock = os.path.join(fz, ".meta.lock")
-    deadline = _time.monotonic() + 30.0
+    deadline = _time.monotonic() + _STEAL_AFTER
     while True:
         try:
             os.close(os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
@@ -147,9 +159,19 @@ def _meta_mutate(path: str, fn) -> bool:
         except FileExistsError:
             if _time.monotonic() > deadline:
                 try:
-                    os.unlink(lock)  # crashed holder: steal
+                    stale = (
+                        _time.time() - os.stat(lock).st_mtime > _STEAL_AFTER
+                    )
                 except OSError:
-                    pass
+                    stale = False  # holder released between EXCL and stat
+                if stale:
+                    try:
+                        os.unlink(lock)  # provably-crashed holder: steal
+                    except OSError:
+                        pass  # another contender claimed it first
+                # re-arm whether stolen or young: a fresh lock gets a
+                # fresh window, and one observation yields one attempt
+                deadline = _time.monotonic() + _STEAL_AFTER
             else:
                 _time.sleep(0.05)
     try:
@@ -518,14 +540,31 @@ def ivfpq_index_rebuild_if_stale(
     )
     old = path.rstrip("/") + ".old"
     shutil.rmtree(old, ignore_errors=True)
-    os.rename(path, old)
-    os.rename(tmp, path)
+    # The swap can RACE a concurrent consumer's _heal_crashed_rebuild
+    # (ADVICE r15): in the window between rename(path, old) and
+    # rename(tmp, path) a healer sees base-missing + tmp-present and
+    # promotes tmp itself, making our second rename ENOENT even though
+    # the swap COMPLETED.  Both renames therefore tolerate OSError as
+    # long as the live index ends up in place -- the healer winning the
+    # promotion race is success, not failure (same idiom as the healer's
+    # own replay steps).
+    try:
+        os.rename(path, old)
+    except OSError:
+        pass  # already moved by a healer replaying a prior crash
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        if not os.path.isdir(path):
+            raise  # genuinely failed: no live index anywhere
     # the manifest records absolute file paths; repoint them from the
     # staging prefix to the final location as a proper log commit
     # (file-count-sized rewrite; a cache-only poke would be healed back
-    # to the stale prefix from the renamed-along commit log)
+    # to the stale prefix from the renamed-along commit log).  Idempotent:
+    # if the winning healer already repointed, no file matches the tmp
+    # prefix and the rewrite is a no-op.
     repoint_files(spark, os.path.join(path, _ROWS), tmp, path)
-    shutil.rmtree(old)
+    shutil.rmtree(old, ignore_errors=True)
     return True
 
 

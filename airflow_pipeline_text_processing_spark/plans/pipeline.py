@@ -243,7 +243,15 @@ def run_pipeline(spark: SparkSession, config: PipelineConfig) -> dict:
     ok.select("path", "filename", F.col("reconstructed_text").alias("text")).write.mode(
         "append"
     ).json(f"{config.output_dir}/processed")
-    chunk_table(ok).write.mode("append").parquet(f"{config.output_dir}/chunks")
+    # batch=-1 keeps the chunk table's on-disk layout IDENTICAL to the
+    # streaming ingest's `batch=<id>` partitioning (streaming/ingest.py):
+    # a shared output_dir would otherwise mix partitioned and flat files
+    # under one root and fail Spark partition discovery, and readers
+    # would see a `batch` column on one path but not the other (ADVICE
+    # r15).  -1 is reserved: real micro-batch ids are non-negative.
+    chunk_table(ok).withColumn("batch", F.lit(-1)).write.mode(
+        "append"
+    ).partitionBy("batch").parquet(f"{config.output_dir}/chunks")
     document_report(encoded, config).write.mode("append").json(
         f"{config.output_dir}/reports"
     )

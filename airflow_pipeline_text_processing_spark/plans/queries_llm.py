@@ -2258,18 +2258,27 @@ def stream_langid_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     batches is only the file-source log."""
     import os
     import shutil
+    import threading
 
     from ..operators.ann_index import process_index_slot
 
     cond, prior = _ensure_nb_model(spark, sf_dir)
     raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    # One pid-suffixed slot per (process, sf_dir) holds all three
-    # streaming dirs (source symlink, checkpoint, parquet sink) and is
-    # WIPED at the start of each call: repeated runs in one process
-    # (bench warm + timed, gate loops) keep at most one drained corpus
-    # on disk instead of accreting fresh mkdtemp trios forever, and
-    # dead-pid slots are GC'd by the shared slot helper (r14 review).
-    slot = process_index_slot(f"langid_stream:{os.path.abspath(sf_dir)}")
+    # One pid-suffixed slot per (process, THREAD, sf_dir) holds all
+    # three streaming dirs (source symlink, checkpoint, parquet sink)
+    # and is WIPED at the start of each call: repeated runs in one
+    # process (bench warm + timed, gate loops) keep at most one drained
+    # corpus on disk instead of accreting fresh mkdtemp trios forever,
+    # and dead-pid slots are GC'd by the shared slot helper (r14
+    # review).  The thread ident in the key (ADVICE r15) keeps two
+    # concurrent threads of one process from rmtree-ing each other's
+    # ACTIVE source/checkpoint/sink mid-drain: live threads always have
+    # distinct idents, so each wipes only its own slot; a reused ident
+    # implies the previous owner is dead and its residue is safe to
+    # take over.
+    slot = process_index_slot(
+        f"langid_stream:{os.path.abspath(sf_dir)}:t{threading.get_ident()}"
+    )
     shutil.rmtree(slot, ignore_errors=True)
     stream_dir = os.path.join(slot, "source")
     out_dir = os.path.join(slot, "sink")

@@ -112,7 +112,12 @@ def _fingerprints(entrymod) -> dict:
     registry_files = set()
     for fn in queries.values():
         try:
-            registry_files.add(os.path.abspath(inspect.getfile(fn)))
+            # unwrap: registry fns are residue-scoped (functools.wraps)
+            # since r15; the fingerprint must track the DEFINING module,
+            # not the wrapper's (session.py)
+            registry_files.add(
+                os.path.abspath(inspect.getfile(inspect.unwrap(fn)))
+            )
         except TypeError:
             pass
     shared = hashlib.md5()
@@ -144,7 +149,9 @@ def _fingerprints(entrymod) -> dict:
     out = {}
     for name, fn in queries.items():
         try:
-            mod_hex = _closure_hex(os.path.abspath(inspect.getfile(fn)))
+            mod_hex = _closure_hex(
+                os.path.abspath(inspect.getfile(inspect.unwrap(fn)))
+            )
         except TypeError:
             mod_hex = repr(fn)
         out[name] = hashlib.md5(

@@ -145,7 +145,11 @@ def current_state():
     defining = {}
     for n, fn in queries.items():
         try:
-            defining[n] = os.path.relpath(inspect.getfile(fn), REPO)
+            # unwrap: registry fns are residue-scoped (functools.wraps)
+            # since r15 -- attribute to the defining module, not session.py
+            defining[n] = os.path.relpath(
+                inspect.getfile(inspect.unwrap(fn)), REPO
+            )
         except TypeError:
             defining[n] = ""
     order = list(entrymod.REGISTRY)

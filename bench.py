@@ -246,6 +246,82 @@ BENCH_QUERIES = [
     # md5-indexed draws, rank-statistic interval)
     "codec_trit_bridge",
     "stats_bootstrap_ci",
+    # round-15 (VERDICT r14 ask #3): the remaining 72 registry entries,
+    # previously receipt-less -- every queries() entry now gets a wall
+    # receipt in BENCH_CONTEXT.json each round, and the set-equality
+    # assert in main() keeps future debuts from shipping without one.
+    "window_follow_stats",
+    "map_scalar_showcase",
+    "dq_events_expectations",
+    "agg_salted_hot_keys",
+    "sample_allocate_budget",
+    "agg_mode_per_type",
+    "stats_selection_quantiles",
+    "dedup_exact_groups",
+    "sketch_cms_heavy_hitters",
+    "stats_ks_two_sample",
+    "codec_repair_stats",
+    "join_anti_idle_customers",
+    "sim_mine_triplets",
+    "orc_xml_roundtrip_part",
+    "events_retention_cohorts",
+    "agg_value_histogram",
+    "json_roundtrip_events",
+    "join_semi_active_customers",
+    "join_full_outer_year_cohorts",
+    "join_salted_lineitem_supplier",
+    "agg_rollup_priority_year",
+    "agg_cube_priority_status",
+    "percentile_value_by_type",
+    "sql_grouping_sets",
+    "window_running_customer_spend",
+    "sort_global_topk_orders",
+    "set_ops_customer_cohorts",
+    "str_scalar_showcase",
+    "date_scalar_showcase",
+    "array_scalar_showcase",
+    "json_props_extract",
+    "events_funnel_steps",
+    "events_resample_daily",
+    "events_sliding_windows",
+    "sample_stratified_events",
+    "csv_roundtrip_nation_region",
+    "codec_chunk_stats",
+    "stream_static_enrich",
+    "stream_dedup_users",
+    "stream_stateful_user_totals",
+    "stream_dedup_watermarked",
+    "curation_incremental_set",
+    "curation_snapshot_diff",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_clusters",
+    "sim_topk_bruteforce",
+    "sim_lsh_bucketed",
+    "text_token_stats",
+    "text_top_terms",
+    "text_quality_score",
+    "text_pii_scrub",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_tfidf_top_terms",
+    "text_chunk_windows",
+    "profile_documents",
+    "sketch_hll_distinct",
+    "sketch_quantiles",
+    "sketch_kmv_overlap",
+    "mm_feature_extract",
+    "mm_frame_sample",
+    "mm_binary_stats",
+    "embed_quantize_int8",
+    "stats_linear_trend",
+    "sample_temperature_sources",
+    "events_rolling_active_users",
+    "events_anomaly_days",
+    "stats_chi_square",
+    "sample_hash_split",
+    "cluster_assign_incremental",
 ]
 
 
@@ -344,12 +420,53 @@ def _jvm_count() -> int:
         return -1
 
 
+_CTX_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_CONTEXT.json"
+)
+
+# Regression tripwire thresholds (r15, verdict ask #7): flag a query when
+# its best-of-2 grew by BOTH >1.5x and >0.3 s vs the previous run's sidecar
+# (the committed BENCH_CONTEXT.json).  The absolute floor keeps sub-second
+# entries' scheduler jitter (0.1 s -> 0.2 s) from crying wolf; the ratio
+# keeps slow entries' proportional noise out.  Flags are advisory (printed
+# in the JSON receipts, never an exit code): load_env + jvm_count let the
+# reader adjudicate machine noise vs real regression.
+_REGRESS_RATIO = 1.5
+_REGRESS_FLOOR_S = 0.3
+
+
+def _load_baseline() -> tuple[dict[str, float], object]:
+    """Previous run's per-query best-of-2 from the committed sidecar
+    (written by the last bench run, committed by the round driver)."""
+    try:
+        with open(_CTX_PATH) as fh:
+            prev = json.load(fh)
+        base = {
+            n: min(row["runs"])
+            for n, row in prev.get("queries", {}).items()
+            if row.get("runs")
+        }
+        return base, prev.get("sf")
+    except Exception:  # noqa: BLE001 -- first run / corrupt sidecar: no baseline
+        return {}, None
+
+
 def main() -> None:
     from __spark_entry__ import REGISTRY
 
     from airflow_pipeline_text_processing_spark.session import (
         sweep_persistent_rdds,
     )
+
+    # full-registry receipts (r15, verdict ask #3): every queries() entry
+    # must appear in the bench list -- a future debut without a wall-time
+    # receipt is an error, not a silent gap
+    missing_receipts = sorted(set(REGISTRY) - set(BENCH_QUERIES))
+    stale_names = sorted(set(BENCH_QUERIES) - set(REGISTRY))
+    assert not missing_receipts, f"registry entries not benched: {missing_receipts}"
+    assert not stale_names, f"benched names not in registry: {stale_names}"
+
+    baseline, baseline_sf = _load_baseline()
 
     spark = _fresh_session()
     session_born = time.monotonic()
@@ -442,6 +559,22 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     total = round(sum(timings.values()), 3)
+    # round-over-round regression tripwire (r15, verdict ask #7): compare
+    # each entry's best-of-2 against the previous sidecar at the SAME sf
+    regressions = {}
+    if baseline and baseline_sf == sf_val:
+        for name, now in timings.items():
+            prev_t = baseline.get(name)
+            if (
+                prev_t
+                and now > _REGRESS_RATIO * prev_t
+                and now - prev_t > _REGRESS_FLOOR_S
+            ):
+                regressions[name] = {
+                    "prev": prev_t,
+                    "now": now,
+                    "ratio": round(now / prev_t, 2),
+                }
     load_env = {
         "load1_start": round(loads[0], 2) if loads else None,
         "load1_end": round(loads[-1], 2) if loads else None,
@@ -452,14 +585,10 @@ def main() -> None:
     }
     # full per-query context sidecar: lands in the working tree, so the
     # round driver's end-of-round commit preserves it next to BENCH_rN
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "BENCH_CONTEXT.json"),
-        "w",
-    ) as fh:
+    with open(_CTX_PATH, "w") as fh:
         json.dump(
             {"sf": sf_val, "total": total, "load_env": load_env,
-             "queries": context},
+             "regressions": regressions, "queries": context},
             fh,
             indent=1,
         )
@@ -491,6 +620,14 @@ def main() -> None:
                 "n_queries": len(timings),
                 "sf": sf_val,
                 "load_env": load_env,
+                "n_regressions": len(regressions),
+                **(
+                    {"regressions": {
+                        n: r["ratio"] for n, r in sorted(regressions.items())
+                    }}
+                    if regressions
+                    else {}
+                ),
                 **({"failed_queries": failed} if failed else {}),
             }
         )

@@ -95,3 +95,8 @@ def test_bench_headline_list_is_valid():
     missing = [n for n in names if n not in entrymod.REGISTRY]
     dupes = sorted({n for n in names if names.count(n) > 1})
     assert not missing and not dupes, (missing, dupes)
+    # r15 (VERDICT r14 ask #3): FULL-registry receipts -- every queries()
+    # entry must have a bench wall-time receipt, so a future debut cannot
+    # ship receipt-less
+    unbenched = sorted(set(entrymod.REGISTRY) - set(names))
+    assert not unbenched, f"registry entries without a bench receipt: {unbenched}"

@@ -552,13 +552,21 @@ def test_stream_langid_served_relative_sf_dir_and_slot_reuse(spark):
     got_rel = stream_langid_served(spark, rel).collect()
     assert len(got_rel) == len(got_abs) > 0
     assert sorted(map(tuple, got_rel)) == sorted(map(tuple, got_abs))
-    # both calls resolve to the SAME per-process slot (relative and
-    # absolute sf_dir alias one slot; repeat calls reuse it instead of
-    # accreting mkdtemp trios)
-    slot = process_index_slot(f"langid_stream:{os.path.abspath(SF)}")
+    # both calls resolve to the SAME per-(process, thread) slot
+    # (relative and absolute sf_dir alias one slot; repeat calls reuse
+    # it instead of accreting mkdtemp trios).  Since r15 the key carries
+    # the caller's thread ident (ADVICE r15: concurrent threads must
+    # not wipe each other's active stream) -- this test and the query
+    # ran on the same thread, so the derived slot matches.
+    import threading
+
+    tid = threading.get_ident()
+    slot = process_index_slot(
+        f"langid_stream:{os.path.abspath(SF)}:t{tid}"
+    )
     assert os.path.isdir(os.path.join(slot, "sink"))
     assert slot == process_index_slot(
-        f"langid_stream:{os.path.abspath(rel)}"
+        f"langid_stream:{os.path.abspath(rel)}:t{tid}"
     )
 
 

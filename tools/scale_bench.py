@@ -646,6 +646,59 @@ def _fleiss_capped(spark, sf_dir):
     return eval_fleiss_kappa_capped(spark, sf_dir)
 
 
+def _codec_pipeline_all_docs(spark, sf_dir):
+    """The flagship codec pipeline -- UTF-8-safe chunk -> Goldman DNA +
+    Reed-Solomon encode -> per-chunk integrity validate -> ordered
+    reassembly -> whole-document md5 roundtrip gate -- over the WHOLE
+    synthetic documents table (VERDICT r14 ask #5: the reference's
+    actual workload, and the one pure-Python bignum kernel SURVEY §7.4
+    flags as the 100 TB risk, previously had no scale-tier row).
+    Returns a 1-row aggregate so the timed action drives every encode +
+    decode and carries total_bases out for the bases/sec figure."""
+    from airflow_pipeline_text_processing_spark.plans.pipeline import (
+        encode_documents,
+    )
+    from airflow_pipeline_text_processing_spark.sources.text_dir import (
+        with_descriptor,
+    )
+
+    docs = with_descriptor(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias(
+                "path"
+            ),
+            "text",
+        )
+    )
+    return encode_documents(docs).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("total_dna_bases").alias("total_bases"),
+        F.sum(
+            F.when(F.col("status") == "completed", 1).otherwise(0)
+        ).alias("n_ok"),
+    )
+
+
+def _fresh_tier_session(prev=None, name: str = "scale-bench-x100"):
+    """Per-FAMILY session recycle for the x100 tier (VERDICT r14 ask
+    #4): the r14 single-session tier produced a 142.66 s triangle
+    reading that solo re-runs showed was 34.82 s -- session-history
+    interference (heap debt, codegen-cache pressure, shuffle metadata
+    from 19 prior families) the tier itself could not distinguish from
+    regression.  Stopping the SparkContext between families drops that
+    state while the JVM's JIT caches persist (the bench.py recycle
+    protocol applied per family), so every family's curve starts from
+    the same session state a solo run sees and no reading needs
+    post-hoc adjudication."""
+    from airflow_pipeline_text_processing_spark.session import get_spark
+
+    if prev is not None:
+        prev.stop()
+    spark = get_spark(name)
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
 def _ivfpq_serve(spark, sf_dir):
     """sim_ivfpq_index_search's registry form: builds once per
     (sf_dir, process) then serves -- so the x-scale row after the first
@@ -671,6 +724,12 @@ def x100_structural() -> None:
     on the first hot reading); the exit code still fails if any bound
     holds after the full sweep.
 
+    Since r15 the tier is SELF-ADJUDICATING (verdict r14 ask #4): every
+    family runs in a freshly recycled session (see _fresh_tier_session)
+    with load1 + JVM count stamped per reading, and the flagship codec
+    pipeline joins the tier with a bases/sec throughput figure (verdict
+    r14 ask #5).
+
     Run on an idle box; budget 30-60 min (the NB-chain family alone is
     several minutes: the 100x corpus explodes ~175M trigrams per NB
     evaluation).  The session default of 16g driver heap OOMs exactly
@@ -682,10 +741,7 @@ def x100_structural() -> None:
 
     from __spark_entry__ import REGISTRY
 
-    from airflow_pipeline_text_processing_spark.session import get_spark
-
-    spark = get_spark("scale-bench-x100")
-    spark.sparkContext.setLogLevel("ERROR")
+    spark = _fresh_tier_session()
     dirs = []
     for tag, mult in (("x10", 10), ("x30", 30), ("x100", 100)):
         t0 = time.perf_counter()
@@ -753,9 +809,17 @@ def x100_structural() -> None:
         ),
     ]
     failures = []
-    print("wall-clock curves (10x/30x/100x; warm-per-dir, residue-swept)",
-          flush=True)
+    print(
+        "wall-clock curves (10x/30x/100x; FRESH SESSION per family, "
+        "warm-per-dir, residue-swept)",
+        flush=True,
+    )
+    from bench import _jvm_count  # guarded pgrep (returns -1 sans pgrep)
+
     for name, fn, _warm_per_dir in wall_rows:
+        # per-family session recycle (verdict r14 ask #4): every family's
+        # curve starts from solo-equivalent session state
+        spark = _fresh_tier_session(spark)
         walls = []
         for tag, mult, d in dirs:
             # warm at THIS dir: JIT compilation and heap growth for a
@@ -770,12 +834,49 @@ def x100_structural() -> None:
             walls.append((mult, time.perf_counter() - t0))
         curve = " ".join(f"x{m}={w:.2f}s" for m, w in walls)
         r_30_100 = walls[2][1] / walls[1][1]
-        print(f"  {name:26s} {curve}  30x->100x: {r_30_100:.1f}x", flush=True)
+        print(
+            f"  {name:26s} {curve}  30x->100x: {r_30_100:.1f}x  "
+            f"load1={os.getloadavg()[0]:.2f} jvms={_jvm_count()}",
+            flush=True,
+        )
         if r_30_100 >= 6.7:
             failures.append(
                 f"{name}: 30x->100x wall grew {r_30_100:.1f}x (>2x linear)"
             )
 
+    # flagship codec pipeline family (verdict r14 ask #5): chunk ->
+    # DNA+RS encode -> validate -> reassemble over the synthetic corpora,
+    # reported as bases/sec throughput with the same linearity bound
+    spark = _fresh_tier_session(spark)
+    print("codec pipeline (chunk->encode->validate->reassemble)", flush=True)
+    codec_walls = []
+    for tag, mult, d in dirs:
+        _sweep_blocks(spark)
+        row = _codec_pipeline_all_docs(spark, d).collect()[0]  # warm + stats
+        if row["n_ok"] != row["n_docs"]:
+            failures.append(
+                f"codec[{tag}]: {row['n_docs'] - row['n_ok']} of "
+                f"{row['n_docs']} docs failed the roundtrip gate"
+            )
+        _sweep_blocks(spark)
+        t0 = time.perf_counter()
+        _codec_pipeline_all_docs(spark, d).count()
+        wall = time.perf_counter() - t0
+        codec_walls.append((mult, wall))
+        print(
+            f"  codec[{tag}]: {row['n_docs']} docs, "
+            f"{row['total_bases']} bases in {wall:.2f}s "
+            f"({row['total_bases'] / wall / 1e6:.1f}M bases/s)",
+            flush=True,
+        )
+    r_codec = codec_walls[2][1] / codec_walls[1][1]
+    print(f"  codec 30x->100x: {r_codec:.1f}x", flush=True)
+    if r_codec >= 6.7:
+        failures.append(
+            f"codec_pipeline: 30x->100x wall grew {r_codec:.1f}x (>2x linear)"
+        )
+
+    spark = _fresh_tier_session(spark)
     print("winnow candidates (docs -> candidate pairs, share of all-pairs)")
     prev = None
     for tag, mult, d in dirs:

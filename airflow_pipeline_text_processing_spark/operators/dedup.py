@@ -21,6 +21,9 @@ the value -- md5 is the one hash both engines share bit-for-bit.
 
 from __future__ import annotations
 
+import math
+from functools import reduce
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
@@ -184,18 +187,18 @@ def minhash_signatures(
     results.)  The wide row then unpivots to (doc_id, perm, minhash) with a
     narrow posexplode."""
     sh = shingle_table(docs, text_col, n)
+    # expression strings, not Column chains (r15): the per-perm Column
+    # construction cost ~100 py4j round trips per call (~320 ms of
+    # driver chatter, paid per build by every minhash consumer); the
+    # parsed SQL is the identical expression in two round trips.
     mins = [
-        F.min(
-            F.md5(F.concat(F.lit(f"{p}|"), F.col("shingle")))
-        ).alias(f"_mh{p}")
+        F.expr(f"min(md5(concat('{p}|', shingle))) AS _mh{p}")
         for p in range(num_perm)
     ]
     wide = sh.groupBy("doc_id").agg(*mins)
-    return wide.select(
-        "doc_id",
-        F.posexplode(
-            F.array(*[F.col(f"_mh{p}") for p in range(num_perm)])
-        ).alias("perm", "minhash"),
+    arr = ",".join(f"_mh{p}" for p in range(num_perm))
+    return wide.selectExpr(
+        "doc_id", f"posexplode(array({arr})) AS (perm, minhash)"
     )
 
 
@@ -439,29 +442,27 @@ def simhash_signatures(
     explode-per-bit form that shuffles ``bits`` x the token volume.  Both
     groupBys (votes, then signature assembly) collapse into one."""
 
-    def vote(h, b: int):
-        hexval = (
-            F.instr(F.lit("0123456789abcdef"), F.substring(h, b // 4 + 1, 1)) - 1
-        )
-        bit_set = F.floor(hexval / F.lit(float(2 ** (b % 4)))).cast("int") % 2
-        return bit_set * 2 - 1
+    # expression strings, not Column chains (r15): the 32 per-bit vote
+    # columns cost ~900 ms of py4j round trips per build (x3 builds per
+    # bench entry); the parsed SQL is the identical expression.  The
+    # 2.0D-style suffix keeps the divisor a DOUBLE literal (bare "2.0"
+    # parses as DECIMAL and would change the division's type).
+    def vote_sql(b: int) -> str:
+        hexval = f"(instr('0123456789abcdef', substring(h, {b // 4 + 1}, 1)) - 1)"
+        bit_set = f"(CAST(FLOOR({hexval} / {float(2 ** (b % 4))}D) AS INT) % 2)"
+        return f"sum({bit_set} * 2 - 1) AS _v{b}"
 
     tok = docs.select(
         "doc_id", F.explode(tokens(F.col(text_col))).alias("token")
     ).select("doc_id", F.md5("token").alias("h"))
-    sums = [F.sum(vote(F.col("h"), b)).alias(f"_v{b}") for b in range(bits)]
+    sums = [F.expr(vote_sql(b)) for b in range(bits)]
+    cat = ",".join(
+        f"CAST(CAST(_v{b} > 0 AS INT) AS STRING)" for b in range(bits)
+    )
     return (
         tok.groupBy("doc_id")
         .agg(*sums)
-        .select(
-            "doc_id",
-            F.concat(
-                *[
-                    (F.col(f"_v{b}") > 0).cast("int").cast("string")
-                    for b in range(bits)
-                ]
-            ).alias("simhash"),
-        )
+        .selectExpr("doc_id", f"concat({cat}) AS simhash")
     )
 
 
@@ -863,6 +864,61 @@ def embedding_dedup_pairs_lsh(
     )
 
 
+# Number of leading components the lossless pair prefilter compares.
+# Selectivity at threshold 0.99 on ~isotropic 64-dim data: the per-pair
+# normalized-difference sum over 8 dims is ~(2/64)*chi^2_8 for unrelated
+# pairs, so P(pass) ~ 6e-4 -- only near-parallel pairs reach the exact
+# cosine.  Cost per pair: 8 flat double subs/mults + a few scalar ops.
+_COS_PREFILTER_DIMS = 8
+
+
+def _cosine_prefilter_side(
+    vectors: DataFrame, dim: int, id_out: str, vec_out: str,
+    id_col: str, vec_col: str,
+) -> DataFrame:
+    """One side of the lossless all-pairs cosine prefilter: per-row
+    normalized leading components + the error-bound scalars the pair
+    condition needs.  See ``embedding_dedup_pairs`` for the derivation."""
+    sfx = id_out[-1]
+    v = F.col(vec_col)
+    d = scaled_norm2(v, dim)
+    dd = d.cast("double")
+    g = float(dim + 1)
+    # Escape hatch: rows the bound derivation does not cover are flagged
+    # and always pass the prefilter (the exact check then decides, raising
+    # or dropping exactly as the unfiltered plan would).  Covers: tiny or
+    # zero fixed-point norms (floor slack no longer negligible; includes
+    # the NaN>=T and 1/0 ANSI edge cases), ragged widths, NaN or huge
+    # components (where per-term IEEE rounding exceeds the +-1 slack).
+    small = (
+        (d < F.lit(int(1000 * g)))
+        | (F.size(v) != F.lit(dim))
+        | F.exists(v, lambda x: x.isNaN() | (F.abs(x) > F.lit(100.0)))
+    )
+    # greatest() guards keep every division/sqrt exception-free for the
+    # flagged rows (ANSI mode raises on double/0); inert when not flagged.
+    nrm = F.sqrt(F.greatest(dd, F.lit(1e-12)) / F.lit(1e6))
+    comps = [
+        (F.element_at(v, i).cast("double") / nrm).alias(f"_n{i}{sfx}")
+        for i in range(1, min(_COS_PREFILTER_DIMS, dim) + 1)
+    ]
+    shrink = F.sqrt(dd / (dd + F.lit(g))).alias(f"_c{sfx}")
+    widen = (
+        F.lit(1.0)
+        / F.sqrt(F.lit(1.0) - F.lit(g) / F.greatest(dd, F.lit(2.0 * g)))
+        - F.lit(1.0)
+    ).alias(f"_f{sfx}")
+    return vectors.select(
+        F.col(id_col).alias(id_out),
+        F.col(vec_col).alias(vec_out),
+        d.alias(f"norm_{sfx}"),
+        small.alias(f"_small{sfx}"),
+        shrink,
+        widen,
+        *comps,
+    )
+
+
 def embedding_dedup_pairs(
     vectors: DataFrame,
     threshold: float = 0.99,
@@ -870,28 +926,101 @@ def embedding_dedup_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Pairs (a < b) with canonicalized cosine >= threshold (exact,
-    all-pairs -- the correctness anchor; see the LSH variant for scale)."""
+    all-pairs -- the correctness anchor; see the LSH variant for scale).
+
+    The pair condition runs a LOSSLESS prefilter before the exact
+    fixed-point cosine (r15): the naive plan evaluates the interpreted
+    higher-order-function dot product (3*dim FLOOR/mul nodes plus a
+    per-pair array allocation -- HOFs never enter codegen) for every one
+    of the ~|V|^2/2 pairs, which dominated the query wall (measured
+    7.99 s at sf0.1; 8,050 vectors = 32.4 M pair evaluations).  The
+    prefilter compares the first ``_COS_PREFILTER_DIMS`` components of
+    the NORMALIZED vectors as flat double arithmetic and only lets a
+    pair through when the exact cosine could still reach ``threshold``:
+
+      fixed_cos = N / (sqrt(Da)*sqrt(Db)) with N  <= 1e6*dot + 1 and
+      1e6*|a|^2 - G <= Da <= 1e6*|a|^2 + 1  (G = dim+1 floor/rounding
+      slack, valid once |a_i| <= 100), so fixed_cos >= T implies
+      true_cos >= T*sqrt(Da/(Da+G))*sqrt(Db/(Db+G)) - 2e-5, hence
+      sum_{i<=P} (a_i/|a| - b_i/|b|)^2 <= |a/|a| - b/|b||^2
+                                       = 2 - 2*true_cos.
+      The computed components use the fixed-point norm sqrt(D/1e6)
+      (ratio to the true norm within [1, 1/sqrt(1-G/D)]), so the bound
+      widens by sqrt(P)*(f_a + f_b) + 1e-6 IEEE slack.
+
+    Rows outside the derivation's regime (D < 1000*G, ragged width, NaN
+    or |x| > 100 components) are flagged and always pass, so they reach
+    the exact expression and behave bit-identically to the unfiltered
+    plan (including the ANSI divide-by-zero raise and the NaN >= T
+    quirk).  No false negatives; false positives just pay one exact
+    cosine.  Same join/operator class as before -- the prefilter only
+    reorders per-pair work so the conjunction short-circuits on two
+    flat doubles instead of a 3*dim-node lambda fold."""
     dim = infer_dim(vectors, vec_col)
-    a = vectors.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("vec_a"),
-        scaled_norm2(F.col(vec_col), dim).alias("norm_a"),
+    if dim is None or dim < 2 or threshold <= 0.5:
+        # empty input / degenerate width / loose threshold: the bound
+        # buys nothing -- keep the plain exact plan
+        a = vectors.select(
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("vec_a"),
+            scaled_norm2(F.col(vec_col), dim).alias("norm_a"),
+        )
+        b = vectors.select(
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("vec_b"),
+            scaled_norm2(F.col(vec_col), dim).alias("norm_b"),
+        )
+        return (
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a",
+                "id_b",
+                cosine_from_norms(
+                    F.col("vec_a"), F.col("vec_b"),
+                    F.col("norm_a"), F.col("norm_b"), dim,
+                ).alias("cosine"),
+            )
+            .filter(F.col("cosine") >= threshold)
+            .orderBy("id_a", "id_b")
+        )
+    p = min(_COS_PREFILTER_DIMS, dim)
+    a = _cosine_prefilter_side(vectors, dim, "id_a", "vec_a", id_col, vec_col)
+    b = _cosine_prefilter_side(vectors, dim, "id_b", "vec_b", id_col, vec_col)
+    ssq = reduce(
+        Column.__add__,
+        [
+            (F.col(f"_n{i}a") - F.col(f"_n{i}b"))
+            * (F.col(f"_n{i}a") - F.col(f"_n{i}b"))
+            for i in range(1, p + 1)
+        ],
     )
-    b = vectors.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vec_b"),
-        scaled_norm2(F.col(vec_col), dim).alias("norm_b"),
+    bound_root = (
+        F.sqrt(
+            F.greatest(
+                F.lit(2.0)
+                - F.lit(2.0 * threshold) * F.col("_ca") * F.col("_cb"),
+                F.lit(0.0),
+            )
+            + F.lit(4e-5)
+        )
+        + F.lit(math.sqrt(p) + 1e-9) * (F.col("_fa") + F.col("_fb"))
+        + F.lit(1e-6)
+    )
+    exact_cos = cosine_from_norms(
+        F.col("vec_a"), F.col("vec_b"), F.col("norm_a"), F.col("norm_b"), dim
+    )
+    cond = (
+        (F.col("id_a") < F.col("id_b"))
+        & (
+            F.col("_smalla")
+            | F.col("_smallb")
+            | (ssq <= bound_root * bound_root)
+        )
+        & (exact_cos >= F.lit(threshold))
     )
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            cosine_from_norms(
-                F.col("vec_a"), F.col("vec_b"), F.col("norm_a"), F.col("norm_b"), dim
-            ).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
+        a.join(b, cond)
+        .select("id_a", "id_b", exact_cos.alias("cosine"))
         .orderBy("id_a", "id_b")
     )
 

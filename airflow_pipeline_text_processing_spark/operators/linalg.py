@@ -195,31 +195,42 @@ def jl_project(
     output is ``(id, proj array<long>)``."""
     import hashlib
 
-    from .clustering import quantized
-
     def _sign(i: int, j: int) -> int:
         h = hashlib.md5(f"{salt}|{i}|{j}".encode()).hexdigest()
         return 1 - 2 * (int(h[0], 16) % 2)
 
     signs = [[_sign(i, j) for i in range(in_dim)] for j in range(out_dim)]
-    q = quantized(F.col(vec_col))
     # coalesce(qv*s, 0): a vector shorter than in_dim contributes 0 for
     # its missing components and one longer is truncated by the sign
     # array's length -- the EXACT semantics of the oracle's SQL form,
     # whose SUM skips NULL embedding[i] addends (without this, one
     # short vector NULL-poisons its whole projection; r14 review).
-    proj = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    q,
-                    F.array(*[F.lit(s).cast("long") for s in row_j]),
-                    lambda qv, s: F.coalesce(qv * s, F.lit(0).cast("long")),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            )
-            for row_j in signs
-        ]
+    #
+    # Two r15 restructurings, values unchanged (same per-element IEEE /
+    # integer sequence, pinned against the independent reference in
+    # tests/test_linalg.py and the DuckDB oracle):
+    #
+    # * the quantized vector binds ONCE as a lambda variable (the
+    #   char_trigrams device) -- referenced directly, Catalyst inlines
+    #   the quantize transform into every one of the out_dim folds, so
+    #   each row was re-quantized 16x (HOFs are interpreted; no common
+    #   subexpression elimination rescues them);
+    # * the whole projection is ONE parsed SQL expression instead of
+    #   ~out_dim*in_dim Column-API literal nodes -- building the Column
+    #   tree cost 1,000+ py4j round trips PER QUERY CONSTRUCTION,
+    #   measured 4-12 s of the 4.2 s embed_jl_project wall (execution
+    #   itself was 0.5 s); one expr() string is one round trip.
+    sign_arrays = [
+        "array(" + ",".join(f"{s}L" for s in row_j) + ")" for row_j in signs
+    ]
+    folds = ",".join(
+        f"aggregate(zip_with(qv, {arr}, (x, s) -> coalesce(x * s, 0L)),"
+        " 0L, (acc, v) -> acc + v)"
+        for arr in sign_arrays
     )
+    q_sql = (
+        f"transform(`{vec_col}`,"
+        " x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0D) AS BIGINT))"
+    )
+    proj = F.expr(f"transform(array({q_sql}), qv -> array({folds}))[0]")
     return vecs.select(F.col(id_col), proj.alias("proj"))

@@ -70,32 +70,36 @@ def fixed_log2(
     Every step is BIGINT arithmetic -- identical in Spark and DuckDB
     (see ``fixed_log2_sql``, the same chain as SQL text).
     """
-    df = df.withColumn(
-        "_fl_t",
-        F.expr(
-            f"shiftleft(CAST({num_col} AS BIGINT), {_Q})"
-            f" div CAST({den_col} AS BIGINT)"
-        ),
+    # One selectExpr per derivation step (r15): the previous
+    # withColumn-per-column form made ~40 py4j round trips per call
+    # site (~170 ms of pure driver chatter; NB queries call this twice
+    # per build, three builds per bench entry).  selectExpr takes every
+    # expression string in ONE round trip; the projected columns --
+    # and therefore the plan and every value -- are identical.
+    df = df.selectExpr(
+        "*",
+        f"shiftleft(CAST({num_col} AS BIGINT), {_Q})"
+        f" div CAST({den_col} AS BIGINT) AS _fl_t",
+    ).selectExpr(
+        "*",
+        f"CAST(length(bin(_fl_t)) - {_Q + 1} AS BIGINT) AS _fl_e",
+    ).selectExpr(
+        "*",
+        "_fl_t div shiftleft(CAST(1 AS BIGINT), CAST(_fl_e AS INT))"
+        " AS _fl_m0",
+        "CAST(0 AS BIGINT) AS _fl_f0",
     )
-    df = df.withColumn(
-        "_fl_e", F.expr(f"CAST(length(bin(_fl_t)) - {_Q + 1} AS BIGINT)")
-    )
-    df = df.withColumn(
-        "_fl_m0", F.expr("_fl_t div shiftleft(CAST(1 AS BIGINT), CAST(_fl_e AS INT))")
-    ).withColumn("_fl_f0", F.lit(0).cast("long"))
     for i in range(1, FRAC_BITS + 1):
         p = i - 1
         sq = f"(_fl_m{p} * _fl_m{p}) div {1 << _Q}"
         hi = f"({sq}) >= {1 << (_Q + 1)}"
-        df = df.withColumn(
-            f"_fl_m{i}",
-            F.expr(f"CASE WHEN {hi} THEN ({sq}) div 2 ELSE ({sq}) END"),
-        ).withColumn(
-            f"_fl_f{i}",
-            F.expr(f"_fl_f{p} * 2 + CASE WHEN {hi} THEN 1 ELSE 0 END"),
+        df = df.selectExpr(
+            "*",
+            f"CASE WHEN {hi} THEN ({sq}) div 2 ELSE ({sq}) END AS _fl_m{i}",
+            f"_fl_f{p} * 2 + CASE WHEN {hi} THEN 1 ELSE 0 END AS _fl_f{i}",
         )
-    df = df.withColumn(
-        out_col, F.expr(f"_fl_e * {1 << FRAC_BITS} + _fl_f{FRAC_BITS}")
+    df = df.selectExpr(
+        "*", f"_fl_e * {1 << FRAC_BITS} + _fl_f{FRAC_BITS} AS {out_col}"
     )
     drop = (
         ["_fl_t", "_fl_e"]

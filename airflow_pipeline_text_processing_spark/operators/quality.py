@@ -19,7 +19,7 @@ from __future__ import annotations
 from typing import Optional, Sequence, Tuple
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 
 def _check_names(kind: str, names: Sequence[str]) -> None:
@@ -318,20 +318,26 @@ def fleiss_kappa(
     so BIGINT holds exactly up to ``N ~ 1e6`` items on a 3-rater panel.
     Grade a sampled slice past that (the graded queries do); widen to
     DECIMAL(38) rather than let the multiply wrap."""
-    counts = (
+    # Per-item totals come from ONE window over the (item, category)
+    # cells instead of a groupBy + self-join (r15): the join form
+    # consumed `counts` twice (forcing a checkpoint on it) and paid an
+    # extra exchange; the window keeps a single linear chain, so a
+    # single lazy checkpoint on `kept` serves both downstream aggregates
+    # -- one fewer per-build toRdd/codegen pass and one fewer shuffle,
+    # identical rows (the isNotNull filter preserves the old join's
+    # null-key drop).
+    w_item = Window.partitionBy("_i")
+    kept = (
         ratings.groupBy(
             F.col(item_col).alias("_i"), F.col(label_col).alias("_c")
         )
         .agg(F.count("*").cast("long").alias("nic"))
+        .filter(F.col("_i").isNotNull())
+        .withColumn("_nr", F.sum("nic").over(w_item))
+        .filter(F.col("_nr") == n_raters)
+        .select("_i", "_c", "nic")
         .localCheckpoint(eager=False)
     )
-    full = (
-        counts.groupBy("_i")
-        .agg(F.sum("nic").alias("_nr"))
-        .filter(F.col("_nr") == n_raters)
-        .select("_i")
-    )
-    kept = counts.join(full, "_i").localCheckpoint(eager=False)
     s_n = kept.agg(
         F.coalesce(F.sum(F.col("nic") * (F.col("nic") - 1)), F.lit(0))
         .cast("long")
@@ -409,19 +415,21 @@ def krippendorff_alpha(
     import math
 
     k_lcm = math.lcm(*range(1, max(n_raters, 2)))
-    counts = (
+    # Same single-chain window rewrite as fleiss_kappa (r15): per-unit
+    # totals from one window over the cells, no groupBy + self-join, one
+    # checkpoint instead of two; identical rows (isNotNull preserves the
+    # join's null-key drop).
+    w_unit = Window.partitionBy("_i")
+    kept = (
         ratings.groupBy(
             F.col(item_col).alias("_i"), F.col(label_col).alias("_c")
         )
         .agg(F.count("*").cast("long").alias("nic"))
+        .filter(F.col("_i").isNotNull())
+        .withColumn("m", F.sum("nic").over(w_unit).cast("long"))
+        .filter(F.col("m") >= 2)
         .localCheckpoint(eager=False)
     )
-    mu = (
-        counts.groupBy("_i")
-        .agg(F.sum("nic").cast("long").alias("m"))
-        .filter(F.col("m") >= 2)
-    )
-    kept = counts.join(mu, "_i").localCheckpoint(eager=False)
     # (m - 1) | K holds ONLY while m <= n_raters; a unit carrying MORE
     # ratings than the declared panel (duplicate rater rows, or a
     # caller under-stating n_raters) would silently zero its
@@ -453,15 +461,21 @@ def krippendorff_alpha(
         F.count_distinct("_i").cast("long").alias("n_units"),
         # total ratings: sum of cells' counts over kept units
         F.coalesce(F.sum("nic"), F.lit(0)).cast("long").alias("n_ratings"),
-    ).localCheckpoint(eager=False)  # 1 row; reused by s_e and the output
+    )
+    # S_e = sum_c n_c*(n - n_c) = n^2 - sum_c n_c^2 with n = sum_c n_c:
+    # deriving n INSIDE the marginal aggregate (r15) removes the second
+    # consumption of so_n -- previously a 1-row relation that still paid
+    # a full per-build lazy-checkpoint (toRdd + codegen) just to be read
+    # twice.  Exact-integer identity, same BIGINT headroom (n^2 <=
+    # ~2.25e12 at the documented n ~ 1.5M bound).
     se = (
         kept.groupBy("_c")
         .agg(F.sum("nic").cast("long").alias("nc"))
-        .crossJoin(F.broadcast(so_n.select("n_ratings")))
         .agg(
-            F.coalesce(
-                F.sum(F.col("nc") * (F.col("n_ratings") - F.col("nc"))),
-                F.lit(0),
+            (
+                F.coalesce(F.sum("nc"), F.lit(0))
+                * F.coalesce(F.sum("nc"), F.lit(0))
+                - F.coalesce(F.sum(F.col("nc") * F.col("nc")), F.lit(0))
             )
             .cast("long")
             .alias("s_e")
@@ -515,11 +529,21 @@ def specific_agreement(
     Scale shape: the same (item, category) hash aggregate as the
     kappas, then a category-sized marginal -- nothing wider than the
     natural keys ever shuffles."""
-    counts = ratings.groupBy(
-        F.col(item_col).alias("_i"), F.col(label_col).alias("_c")
-    ).agg(F.count("*").cast("long").alias("nic"))
-    mu = counts.groupBy("_i").agg(F.sum("nic").cast("long").alias("m"))
-    kept = counts.join(mu, "_i").filter(F.col("m") >= 2)
+    # Single-chain window rewrite (r15, same as the kappas): the old
+    # groupBy + self-join consumed the UNCHECKPOINTED cells twice, so
+    # the whole ratings subtree (the served NB panel) executed twice per
+    # run; the window keeps one pass and drops the join exchange.
+    kept = (
+        ratings.groupBy(
+            F.col(item_col).alias("_i"), F.col(label_col).alias("_c")
+        )
+        .agg(F.count("*").cast("long").alias("nic"))
+        .filter(F.col("_i").isNotNull())
+        .withColumn(
+            "m", F.sum("nic").over(Window.partitionBy("_i")).cast("long")
+        )
+        .filter(F.col("m") >= 2)
+    )
     return (
         kept.groupBy(F.col("_c").alias("label"))
         .agg(

@@ -247,6 +247,20 @@ def curate_incremental(
         remove_spans,
     )
 
+    # Stage-boundary lineage cuts (r15): the arriving batch is itself a
+    # many-branch derivation (the planted-defect union in the registry
+    # query is six expression-heavy branches), and every downstream stage
+    # consumes the previous stage's output SEVERAL times (the LSH stage
+    # reads batch1 for band signatures AND the jaccard corpus union; the
+    # span stage reads batch2 twice; decontamination reads excised twice).
+    # Without cuts each consumer re-inlines -- and re-executes -- the
+    # whole upstream subtree: the registry query's physical plan measured
+    # 2,124 operators / 502 parquet scans / 838 exchanges, and the 7.3 s
+    # wall was mostly driver-side planning plus repeated upstream
+    # recomputation.  A lazy localCheckpoint at each batch-sized stage
+    # boundary (batch rows only, never the corpus) truncates the plan the
+    # same way curate_full's boundaries do; blocks are swept by the
+    # registry's residue scope / ContextCleaner.
     w = Window.partitionBy("_h").orderBy("doc_id")
     batch1 = (
         new_docs.select("doc_id", text_col)
@@ -259,6 +273,7 @@ def curate_incremental(
             "left_anti",
         )
         .select("doc_id", text_col)
+        .localCheckpoint(eager=False)
     )
     flagged = incremental_minhash_dedup(
         batch1,
@@ -268,11 +283,15 @@ def curate_incremental(
         band_size=band_size,
         text_col=text_col,
     ).select(F.col("new_id").alias("doc_id")).distinct()
-    batch2 = batch1.join(flagged, "doc_id", "left_anti")
+    batch2 = batch1.join(flagged, "doc_id", "left_anti").localCheckpoint(
+        eager=False
+    )
     spans = incremental_repeated_spans(
         batch2, corpus_docs, text_col, n=span_n, min_count=2
     )
-    excised = remove_spans(batch2, spans, text_col)
+    excised = remove_spans(batch2, spans, text_col).localCheckpoint(
+        eager=False
+    )
     clean = decontaminate(excised, eval_docs, text_col, min_overlap=2)
     n_tokens = F.size(bpe_tokens(F.col(text_col))).cast("long")
     return (

@@ -1251,7 +1251,11 @@ def embed_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange."""
     from ..operators.linalg import jl_project
 
-    vecs = _t(spark, sf_dir, "embeddings")
+    # r15: _tspread (the single-row-group scan otherwise serializes the
+    # interpreted projection onto one core) + a lazy checkpoint of the
+    # exploded rows before the oracle orderBy (range partitioning samples
+    # its child, so an un-cut global sort executes the projection twice).
+    vecs = _tspread(spark, sf_dir, "embeddings")
     proj = jl_project(
         vecs, in_dim=_JL_IN_DIM, out_dim=_JL_OUT_DIM, salt="jl"
     )
@@ -1259,6 +1263,7 @@ def embed_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         proj.select(
             "vec_id", F.posexplode("proj").alias("j", "y_q")
         )
+        .localCheckpoint(eager=False)
         .orderBy("vec_id", "j")
     )
 
@@ -3046,67 +3051,54 @@ def curation_incremental_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_docs = docs.filter(
         (F.col("doc_id") >= 300) & (F.col("doc_id") < 340)
     )
-    prefix80 = F.expr(
-        "substring(text, 1, cast(floor(length(text)*0.8) as int))"
-    )
+    prefix80 = "substring(text, 1, cast(floor(length(text)*0.8) as int))"
 
-    def filler(tag: str, shift: int, count: int):
-        return F.array_join(
-            F.transform(
-                F.sequence(F.lit(1), F.lit(count)),
-                lambda i: F.concat(
-                    F.lit(tag),
-                    (F.col("doc_id") + shift).cast("string"),
-                    F.lit("x"),
-                    i.cast("string"),
-                ),
-            ),
-            " ",
+    # expression strings throughout (r15): the Column-API form of this
+    # six-branch planted batch cost ~200 py4j round trips per build
+    # (three builds per bench entry); each branch is now one selectExpr.
+    # Same expressions, same rows.
+    def filler(tag: str, shift: int, count: int) -> str:
+        return (
+            f"array_join(transform(sequence(1, {count}),"
+            f" i -> concat('{tag}', CAST(doc_id + {shift} AS STRING),"
+            " 'x', CAST(i AS STRING))), ' ')"
         )
 
     batch = (
-        docs.filter(F.col("doc_id") < 10)
-        .select((F.col("doc_id") + 200000).alias("doc_id"), "text")
+        docs.filter("doc_id < 10")
+        .selectExpr("doc_id + 200000 AS doc_id", "text")
         .unionAll(
-            docs.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 25))
-            .select(
-                (F.col("doc_id") + 100000).alias("doc_id"),
-                prefix80.alias("text"),
-            )
+            docs.filter("doc_id >= 10 AND doc_id < 25")
+            .selectExpr("doc_id + 100000 AS doc_id", f"{prefix80} AS text")
         )
         .unionAll(
             # two-step select: a single select would resolve the
             # filler's doc_id against the LATERAL alias (doc_id+300000)
             # and double-shift the planted token ids
-            docs.filter((F.col("doc_id") >= 25) & (F.col("doc_id") < 35))
-            .select(
+            docs.filter("doc_id >= 25 AND doc_id < 35")
+            .selectExpr(
                 "doc_id",
-                F.concat(
-                    F.expr("substring(text, 1, 80)"),
-                    F.lit(" "),
-                    filler("u", 300000, 40),
-                ).alias("text"),
+                "concat(substring(text, 1, 80), ' ', "
+                + filler("u", 300000, 40)
+                + ") AS text",
             )
-            .select((F.col("doc_id") + 300000).alias("doc_id"), "text")
+            .selectExpr("doc_id + 300000 AS doc_id", "text")
         )
         .unionAll(
-            docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 310))
-            .select(
-                (F.col("doc_id") + 400000).alias("doc_id"),
-                prefix80.alias("text"),
-            )
+            docs.filter("doc_id >= 300 AND doc_id < 310")
+            .selectExpr("doc_id + 400000 AS doc_id", f"{prefix80} AS text")
         )
         .unionAll(
-            docs.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 55))
-            .select(
-                (F.col("doc_id") + 500000).alias("doc_id"),
-                F.expr("substring(text, 1, 30)").alias("text"),
+            docs.filter("doc_id >= 50 AND doc_id < 55")
+            .selectExpr(
+                "doc_id + 500000 AS doc_id",
+                "substring(text, 1, 30) AS text",
             )
         )
         .unionAll(
-            docs.filter((F.col("doc_id") >= 60) & (F.col("doc_id") < 75))
-            .select("doc_id", filler("w", 600000, 60).alias("text"))
-            .select((F.col("doc_id") + 600000).alias("doc_id"), "text")
+            docs.filter("doc_id >= 60 AND doc_id < 75")
+            .selectExpr("doc_id", filler("w", 600000, 60) + " AS text")
+            .selectExpr("doc_id + 600000 AS doc_id", "text")
         )
     )
     return curate_incremental(batch, corpus, eval_docs).orderBy("doc_id")

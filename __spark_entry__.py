@@ -281,7 +281,16 @@ _ORDER = [
     # (eval_cohen_kappa debuted here r12, graded green r12+r13; moved
     # past the boundary by the r14 sixth wave -- see the displacement
     # note at the top of the window.)
-    "curation_domain_cap",
+    # -- ROTATED IN round 15 (optimization): curation_incremental_set's
+    # fn source changed this round (stage-boundary lineage cuts +
+    # expression-string batch construction, values bit-identical -- see
+    # OPTIMIZATION_r15.md), so the ledger invariant requires it back in
+    # the driver window for a fresh grade.  Displaced:
+    # curation_domain_cap (r12 driver-green, fn+oracle unchanged; the
+    # curation family keeps leakage_split / token_budget AND the
+    # incremental composition in-window; domain_cap stays on the full
+    # local gate).
+    "curation_incremental_set",
     # -- NEW round 12 (fourth wave): near-dup-leakage-safe holdout
     # split (hash-split by duplicate CLUSTER, composing jaccard pairs +
     # connected components + the md5-threshold rule -- no cluster
@@ -668,7 +677,7 @@ _ORDER = [
     "stream_hourly_watermarked",
     "stream_stateful_user_totals",
     "stream_dedup_watermarked",
-    "curation_incremental_set",
+    "curation_domain_cap",
     "curation_snapshot_diff",
     "dedup_ngram_jaccard",
     "dedup_simhash",

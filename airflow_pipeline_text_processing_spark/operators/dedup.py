@@ -127,6 +127,9 @@ def jaccard_candidate_pairs(
             sh.join(df_counts.filter(F.col("df") <= max_df), "shingle")
             .select("doc_id", "shingle")
         )
+    # cut before the self-join: both sides otherwise re-run the shingle
+    # explode (and, when capped, the df-count join) -- r15
+    sh = sh.localCheckpoint(eager=False)
     a, b = sh.alias("a"), sh.alias("b")
     return (
         a.join(
@@ -223,7 +226,14 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Band the signature matrix; a pair is a candidate iff it collides in
     at least one band (the classic banding trick)."""
-    band_sigs = band_signatures(signatures, band_size)
+    # the band table feeds both self-join sides; without a cut the whole
+    # signature pipeline (shingle explode + 16-min aggregate + banding)
+    # executes twice -- Spark does not recognize the aliased subtrees as
+    # one exchange (r15; the dedup_simhash plan showed the same class of
+    # duplication as doubled parquet scans)
+    band_sigs = band_signatures(signatures, band_size).localCheckpoint(
+        eager=False
+    )
     a, b = band_sigs.alias("a"), band_sigs.alias("b")
     return (
         a.join(
@@ -321,7 +331,13 @@ def prefix_filter_pairs(
         - F.expr(f"({t_num} * sz + {t_den} - 1) div {t_den}")
         + 1
     )
-    prefix = pos.filter(F.col("pos") <= plen).select("doc_id", "shingle")
+    # cut before the self-join: both sides otherwise re-run the df-count
+    # join + per-doc rarity window (r15)
+    prefix = (
+        pos.filter(F.col("pos") <= plen)
+        .select("doc_id", "shingle")
+        .localCheckpoint(eager=False)
+    )
     a, b = prefix.alias("a"), prefix.alias("b")
     cands = (
         a.join(
@@ -490,7 +506,13 @@ def simhash_pairs(
     join on (segment index, segment value).  At 100 TB the |docs|^2 product
     never materializes; only same-segment collisions are verified.
     """
-    sigs = simhash_signatures(docs, bits, text_col)
+    # sigs feeds BOTH sides of the segment self-join; cut the lineage so
+    # the tokenize + 32-vote signature pass runs once, not twice (r15 --
+    # the plan showed the whole signature subtree duplicated under the
+    # join: 8 parquet scans for a 2-scan corpus)
+    sigs = simhash_signatures(docs, bits, text_col).localCheckpoint(
+        eager=False
+    )
     nseg = max_hamming + 1
     base, extra = divmod(bits, nseg)
     bounds, start = [], 1

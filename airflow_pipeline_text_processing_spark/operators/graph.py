@@ -174,6 +174,10 @@ def cooccurrence_edges(
         )
         .select(*group_cols)
     )
+    # NOTE (r15): a lineage cut here was measured and REJECTED -- every
+    # registry consumer checkpoints the returned edge list itself (the
+    # triangle/link-predict/CC paths), so an internal cut just adds a
+    # second materialization job (+0.4-0.5 s on triangle/clustering).
     g = g.join(ok, group_cols)
     a = g.select(*group_cols, F.col(node_col).alias("src"))
     b = g.select(*group_cols, F.col(node_col).alias("dst"))
@@ -417,9 +421,11 @@ def link_prediction_ra(
         F.col("src").alias("v"), F.col("dst").alias("n")
     ).unionAll(edges.select(F.col("dst").alias("v"), F.col("src").alias("n")))
     deg = adj.groupBy("v").agg(F.count("*").cast("long").alias("deg"))
+    # cadj feeds both wedge sides; cut so the adjacency union + degree
+    # aggregate + cap join run once, not twice (r15)
     cadj = adj.join(
         deg.filter(F.col("deg") <= max_center_deg), "v"
-    )
+    ).localCheckpoint(eager=False)
     b = cadj.select("v", F.col("n").alias("w"))
     wedges = (
         cadj.select("v", "deg", F.col("n").alias("u"))

@@ -340,7 +340,11 @@ def fuzzy_name_pairs(
     rare = grams.groupBy("g").agg(F.count("*").alias("gdf")).filter(
         F.col("gdf") <= max_df
     )
-    blocked = grams.join(F.broadcast(rare.select("g")), "g")
+    # both self-join sides hang off `blocked`; cut so the q-gram explode
+    # + rarity-filter join run once, not twice (r15)
+    blocked = grams.join(F.broadcast(rare.select("g")), "g").localCheckpoint(
+        eager=False
+    )
     cand = (
         blocked.alias("a")
         .join(blocked.alias("b"), "g")

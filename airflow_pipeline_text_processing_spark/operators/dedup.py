@@ -920,8 +920,13 @@ def _cosine_prefilter_side(
     # greatest() guards keep every division/sqrt exception-free for the
     # flagged rows (ANSI mode raises on double/0); inert when not flagged.
     nrm = F.sqrt(F.greatest(dd, F.lit(1e-12)) / F.lit(1e6))
+    # try_element_at: a ragged row shorter than the prefilter depth yields
+    # null components (ANSI element_at would abort the whole query with
+    # INVALID_ARRAY_INDEX_IN_ELEMENT_AT); null ssq short-circuits nothing
+    # because the size(v) != dim flag above already routes such rows to
+    # the exact check, which drops them exactly as the unfiltered plan.
     comps = [
-        (F.element_at(v, i).cast("double") / nrm).alias(f"_n{i}{sfx}")
+        (F.try_element_at(v, F.lit(i)).cast("double") / nrm).alias(f"_n{i}{sfx}")
         for i in range(1, min(_COS_PREFILTER_DIMS, dim) + 1)
     ]
     shrink = F.sqrt(dd / (dd + F.lit(g))).alias(f"_c{sfx}")

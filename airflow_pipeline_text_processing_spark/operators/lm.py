@@ -76,6 +76,13 @@ def fixed_log2(
     # per build, three builds per bench entry).  selectExpr takes every
     # expression string in ONE round trip; the projected columns --
     # and therefore the plan and every value -- are identical.
+    # selectExpr('*', ...) APPENDS, unlike the old withColumn which
+    # replaced -- drop pre-existing _fl_* temps / out_col first so a
+    # caller frame that already carries them cannot make later
+    # references ambiguous (r16 ADVICE).
+    stale = [c for c in df.columns if c.startswith("_fl_") or c == out_col]
+    if stale:
+        df = df.drop(*stale)
     df = df.selectExpr(
         "*",
         f"shiftleft(CAST({num_col} AS BIGINT), {_Q})"

@@ -95,6 +95,11 @@ def adversarial_vecs():
     # ragged width (63 components): zip_with pads -> dropped, both paths
     vecs[400] = _unit(30)[:-1]
     vecs[401] = _unit(30)
+    # ragged width BELOW the prefilter depth (5 components): element_at
+    # past the row's width must not abort the query under ANSI mode
+    # (try_element_at pin, r16 ADVICE) -- routed to the exact check and
+    # dropped like any other ragged pair
+    vecs[410] = _unit(31)[:5]
     # unrelated noise
     for k in range(12):
         vecs[500 + k] = _unit(40 + k)

@@ -211,23 +211,26 @@ def char_trigrams(col):
     Engine-portable: both engines normalize with a global
     ``\\s+ -> ' '`` regexp_replace and slice with 1-based substring.
 
-    The normalized string is bound as a lambda VARIABLE (transform over
-    a one-element array) instead of being referenced directly inside
-    the per-trigram lambda: Catalyst inlines a referenced subexpression
-    into every lambda evaluation, so the inline form re-ran the
-    regexp_replace once PER TRIGRAM -- measured 2.05 s -> 0.43 s for
-    the bare explode at sf0.1, identical output (r12)."""
+    One codegen'd regexp_extract_all replaces the r12 HOF pipeline
+    (transform/filter/sequence/substring -- higher-order functions never
+    enter whole-stage codegen, so every trigram paid an interpreted
+    lambda evaluation; measured 1.90 s -> 0.38 s for the bare explode at
+    sf0.1, r16).  The pattern ``(?s)(?=(...)).`` captures the 3 chars of
+    lookahead at each position and then CONSUMES one char, so the match
+    loop advances by full code points -- a bare zero-width ``(?=(...))``
+    advances by UTF-16 code units and splits surrogate pairs (extra
+    half-surrogate trigrams on supplementary-plane text; pinned in
+    tests/test_r16_optim.py).  ``(?s)`` keeps ``.`` matching the line
+    separators U+0085/U+2028/U+2029, which ``\\s+`` (ASCII-only in Java
+    regex) does not normalize away.  Java regex and substring both index
+    by code points, so the captured trigrams are byte-identical to the
+    substring formulation; null text maps to the empty array exactly as
+    the old filter chain did (coalesce)."""
     s = F.regexp_replace(F.lower(col), r"\s+", " ")
-    return F.transform(
-        F.array(s),
-        lambda sv: F.filter(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.length(sv) - 2, F.lit(1))),
-                lambda i: F.substring(sv, i, 3),
-            ),
-            lambda g: F.length(g) == 3,
-        ),
-    )[0]
+    return F.coalesce(
+        F.regexp_extract_all(s, F.lit(r"(?s)(?=(...))."), 1),
+        F.array().cast("array<string>"),
+    )
 
 
 def nb_classify(

@@ -28,10 +28,16 @@ PUNCT_CLASS = "[.,;:!?]"
 
 
 def tokens(col: Column) -> Column:
-    """Lowercased alphanumeric tokens (empty strings filtered)."""
-    return F.filter(
-        F.split(F.lower(col), "[^a-z0-9]+"), lambda t: t != F.lit("")
-    )
+    """Lowercased alphanumeric tokens (empty strings filtered).
+
+    regexp_extract_all of the maximal ``[a-z0-9]+`` runs is
+    value-identical to the previous split-on-complement + drop-empties
+    form for every input (split emits '' only at run boundaries; the
+    runs themselves are what extract_all returns; null -> null in
+    both), and it stays inside whole-stage codegen -- the old
+    ``F.filter`` lambda is a higher-order function evaluated on the
+    interpreted path for every document (r16, guide §4.1)."""
+    return F.regexp_extract_all(F.lower(col), F.lit("[a-z0-9]+"), 0)
 
 
 # BPE-ish pre-tokenization (GPT-2-family shape, simplified to the subset

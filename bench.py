@@ -611,6 +611,31 @@ def main() -> None:
     failed = sorted(
         name for name, row in context.items() if "error" in row
     )
+    # Driver-parsable per-query receipts (r16, verdict ask #1): the full
+    # "queries" line above is ~6 KB -- it can NEVER fit the 2000-char tail,
+    # which is why PERF_r15 ended with per_query: {} / geomean: null.  Emit
+    # a SECOND compact line immediately before the headline line, sized so
+    # both always survive the tail capture together: entries sorted by
+    # descending wall (where optimization effects are visible), 2-decimal
+    # values, as many as fit a fixed byte budget.  ADDITION only -- the two
+    # existing lines are byte-identical in shape to r15.  Complete per-query
+    # receipts (both timed runs + environment context) remain in
+    # BENCH_CONTEXT.json, committed beside BENCH_rN each round.
+    compact_pq: dict[str, float] = {}
+    pq_line = {
+        "metric": "per_query_wall",
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "queries": compact_pq,
+    }
+    _PQ_BUDGET = 1200  # + headline line (~500 incl. regressions) < 2000
+    for name, t in sorted(timings.items(), key=lambda kv: (-kv[1], kv[0])):
+        compact_pq[name] = round(t, 2)
+        if len(json.dumps(pq_line, separators=(",", ":"))) > _PQ_BUDGET:
+            del compact_pq[name]
+            break
+    print(json.dumps(pq_line, separators=(",", ":")))
     print(
         json.dumps(
             {

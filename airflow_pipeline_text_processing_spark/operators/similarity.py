@@ -216,7 +216,7 @@ def mmr_rerank(
     pool_df = (
         scored.withColumn("rn", F.row_number().over(w_pool))
         .filter(F.col("rn") <= pool)
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # one more corpus scan TOTAL for the pairwise stage: the distinct pool
     # ids (<= q*pool rows, broadcastable) semi-join the candidate frame
@@ -226,7 +226,7 @@ def mmr_rerank(
         pool_df.select("cand_id")
         .distinct()
         .join(c, "cand_id")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     pa = pool_df.select("query_id", F.col("cand_id").alias("a")).join(
         pool_vecs.select(
@@ -260,7 +260,7 @@ def mmr_rerank(
             .cast("long")
             .alias("sim_ppm"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     w_pick = Window.partitionBy("query_id").orderBy(
         (
@@ -269,7 +269,7 @@ def mmr_rerank(
         ).desc(),
         F.col("cand_id"),
     )
-    selected = (
+    first = (
         pool_df.filter(F.col("rn") == 1)
         .select(
             "query_id",
@@ -279,36 +279,61 @@ def mmr_rerank(
             F.lit(1).cast("long").alias("pick_order"),
         )
     )
+    selected = first
     ps = psim.select(
         F.col("query_id").alias("pq"),
         F.col("a").alias("pa"),
         F.col("b").alias("pb"),
         "sim_ppm",
     )
-    for step in range(2, k + 1):
-        remaining = pool_df.join(
-            selected.select("query_id", "cand_id"),
-            ["query_id", "cand_id"],
-            "left_anti",
-        )
-        cand = (
-            remaining.join(
-                selected.select(
-                    "query_id", F.col("cand_id").alias("sel_id")
-                ),
-                "query_id",
-            )
+    # INCREMENTAL penalty state (r16): the r15 loop re-derived every
+    # candidate's penalty per step as max(sim) over the WHOLE growing
+    # selected set (remaining x selected x psim join + groupBy, plans
+    # growing with the step), and each step ran an EAGER checkpoint --
+    # 4 sequential driver jobs inside fn() before any timed action.
+    # max over a growing set folds: penalty_i(d) =
+    # max(penalty_{i-1}(d), sim(d, pick_i)) -- so the state carries the
+    # running penalty and each step joins the 1-pick-per-query relation
+    # only.  Every cut is LAZY: nothing executes at build; the single
+    # terminal action materializes the whole chain as one job DAG.  The
+    # per-step state plan is shape-identical across steps (greatest()
+    # over the previous cut), so codegen compiles once and the cache
+    # serves the rest.  Values are unchanged: same max, same objective,
+    # same (score DESC, cand_id ASC) tiebreak at every pick.
+    def _sel(pick):
+        return pick.select("query_id", F.col("cand_id").alias("sel_id"))
+
+    def _advance(state_or_pool, pick, running):
+        """Drop the picked row and fold its similarity into the penalty."""
+        joined = (
+            state_or_pool.join(_sel(pick), "query_id")
+            .filter(F.col("cand_id") != F.col("sel_id"))
             .join(
                 ps,
                 (F.col("pq") == F.col("query_id"))
                 & (F.col("pa") == F.col("cand_id"))
                 & (F.col("pb") == F.col("sel_id")),
             )
-            .groupBy("query_id", "cand_id", "rel_ppm")
-            .agg(F.max("sim_ppm").alias("penalty_ppm"))
         )
+        pen = (
+            F.greatest(F.col("penalty_ppm"), F.col("sim_ppm"))
+            if running
+            else F.col("sim_ppm")
+        )
+        # every state is cut: each state is referenced twice (its pick's
+        # window + the next fold), so an uncut chain duplicates the join
+        # subtree 2^(k-2) times and RE-EXECUTES the copies (no common-
+        # subtree elimination) -- measured r16: no-cut solo 3.21 s vs
+        # 2.43 s with the cuts, despite the per-site analysis+codegen
+        # tax the cut pays at build.
+        return joined.select(
+            "query_id", "cand_id", "rel_ppm", pen.alias("penalty_ppm")
+        ).localCheckpoint(eager=False)
+
+    state = _advance(pool_df, first, running=False)
+    for step in range(2, k + 1):
         pick = (
-            cand.withColumn("prn", F.row_number().over(w_pick))
+            state.withColumn("prn", F.row_number().over(w_pick))
             .filter(F.col("prn") == 1)
             .select(
                 "query_id",
@@ -318,11 +343,9 @@ def mmr_rerank(
                 F.lit(step).cast("long").alias("pick_order"),
             )
         )
-        # selected_i feeds THREE different derivations next round (the
-        # anti-join, the penalty join, and the union) -- without a cut the
-        # step-i subplan re-executes inside every later step, compounding
-        # per iteration.  The frame is <= q*k rows, so the cut is free.
-        selected = selected.unionAll(pick).localCheckpoint()
+        selected = selected.unionAll(pick)
+        if step < k:
+            state = _advance(state, pick, running=True)
     return selected.select(
         "query_id",
         "cand_id",

@@ -281,16 +281,16 @@ _ORDER = [
     # (eval_cohen_kappa debuted here r12, graded green r12+r13; moved
     # past the boundary by the r14 sixth wave -- see the displacement
     # note at the top of the window.)
-    # -- ROTATED IN round 15 (optimization): curation_incremental_set's
-    # fn source changed this round (stage-boundary lineage cuts +
-    # expression-string batch construction, values bit-identical -- see
-    # OPTIMIZATION_r15.md), so the ledger invariant requires it back in
-    # the driver window for a fresh grade.  Displaced:
-    # curation_domain_cap (r12 driver-green, fn+oracle unchanged; the
-    # curation family keeps leakage_split / token_budget AND the
-    # incremental composition in-window; domain_cap stays on the full
-    # local gate).
-    "curation_incremental_set",
+    # -- ROTATED IN round 16 (optimization): curation_domain_cap regains
+    # a current driver grade (VERDICT r15 ask #6) -- it was displaced in
+    # r15 by curation_incremental_set's rotation and its last green grade
+    # is r12.  Displaced back out: curation_incremental_set (freshly
+    # driver-green in r15 -- rows/schema/hash all true -- with its
+    # post-optimization fn source now fingerprinted in the ledger; the
+    # curation family keeps leakage_split / token_budget AND domain_cap
+    # in-window; the incremental composition stays on the full local
+    # gate).
+    "curation_domain_cap",
     # -- NEW round 12 (fourth wave): near-dup-leakage-safe holdout
     # split (hash-split by duplicate CLUSTER, composing jaccard pairs +
     # connected components + the md5-threshold rule -- no cluster
@@ -677,7 +677,7 @@ _ORDER = [
     "stream_hourly_watermarked",
     "stream_stateful_user_totals",
     "stream_dedup_watermarked",
-    "curation_domain_cap",
+    "curation_incremental_set",
     "curation_snapshot_diff",
     "dedup_ngram_jaccard",
     "dedup_simhash",

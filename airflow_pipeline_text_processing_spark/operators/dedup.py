@@ -623,6 +623,33 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+# One fused large-star + small-star alternation as a single SQL text.
+# sym/mins/large mirror _large_star (large-star output feeds small-star
+# WITHOUT its own trailing DISTINCT -- small-star's canonicalization
+# dedups its input anyway, r12); directed/smins and the final
+# UNION ALL + DISTINCT mirror _small_star line for line.
+_STAR_ROUND_SQL = """
+WITH sym AS (
+  SELECT u, v FROM {E} UNION ALL SELECT v AS u, u AS v FROM {E}
+),
+mins AS (SELECT u, LEAST(u, MIN(v)) AS mn FROM sym GROUP BY u),
+large AS (
+  SELECT s.v AS u, m.mn AS v FROM sym s JOIN mins m ON s.u = m.u
+  WHERE s.v > s.u AND s.v != m.mn
+),
+directed AS (
+  SELECT DISTINCT GREATEST(u, v) AS u, LEAST(u, v) AS v FROM large
+  WHERE u != v
+),
+smins AS (SELECT u, MIN(v) AS mn FROM directed GROUP BY u)
+SELECT DISTINCT u, v FROM (
+  SELECT d.v AS u, m.mn AS v FROM directed d JOIN smins m ON d.u = m.u
+  UNION ALL
+  SELECT u, mn AS v FROM smins
+) WHERE u != v
+"""
+
+
 def _star_round(edges: DataFrame) -> DataFrame:
     """One fused large-star + small-star alternation (r12, verdict ask #2).
 
@@ -630,20 +657,14 @@ def _star_round(edges: DataFrame) -> DataFrame:
     large-star output feeds small-star WITHOUT its own trailing DISTINCT:
     small-star's canonicalization (greatest/least + distinct) dedups its
     input anyway, so the elided distinct was a pure extra shuffle.  The
-    alternation costs three exchanges instead of four."""
-    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    mins = (
-        sym.groupBy("u")
-        .agg(F.min("v").alias("mnv"))
-        .select("u", F.least("u", "mnv").alias("mn"))
-    )
-    large = (
-        sym.filter(F.col("v") > F.col("u"))
-        .join(mins, "u")
-        .select(F.col("v").alias("u"), F.col("mn").alias("v"))
-        .filter(F.col("u") != F.col("v"))
-    )
-    return _small_star(large)
+    alternation costs three exchanges instead of four.
+
+    r16: built as ONE parameterized ``spark.sql`` call instead of ~35
+    DataFrame-API py4j round trips -- the logical plan is the same
+    (``tests/test_r16_optim.py`` replays the DataFrame formulation), but
+    construction drops ~0.3 s per star round, which the per-round lazy
+    checkpoint in :func:`connected_components` pays at build time."""
+    return edges.sparkSession.sql(_STAR_ROUND_SQL, E=edges)
 
 
 def connected_components(
@@ -687,24 +708,42 @@ def connected_components(
     # aggregate right after it materializes the checkpoint in the same
     # action, so each round costs ONE driver action, not two -- at toy
     # scale the rounds are pure scheduler latency, so action count is
-    # the cost model (in-session A/B, PROFILE_r12)
+    # the cost model (in-session A/B, PROFILE_r12).  r16: the INPUT
+    # fingerprint no longer pays its own action either -- round 1
+    # computes fp(edges) and fp(after) in one tagged-union aggregate
+    # (both sides are checkpointed scans, so the extra pass over edges
+    # is a cache-local re-read, not a pipeline re-execution).
     edges = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=False)
     )
-    _fp_agg = [
-        F.count("*").alias("n"),
-        # decimal(38,0) accumulator: a long sum of 64-bit hashes overflows
-        # under ANSI mode; decimal38 holds ~10^18 edges' worth of headroom
-        F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
-    ]
+    # decimal(38,0) accumulator: a long sum of 64-bit hashes overflows
+    # under ANSI mode; decimal38 holds ~10^18 edges' worth of headroom
+    _FP_EXPRS = (
+        "count(*) AS n",
+        "sum(CAST(xxhash64(u, v) AS DECIMAL(38,0))) AS h",
+    )
     converged = False
-    fp = tuple(edges.agg(*_fp_agg).first())
+    fp = None
     for _ in range(max_iter):
         after = _star_round(edges).localCheckpoint(eager=False)
-        fp_after = tuple(after.agg(*_fp_agg).first())
+        if fp is None:
+            # one action for BOTH fingerprints: materializes edges and
+            # after, and a missing tag group is an empty side (0, None)
+            by_tag = {
+                r["_t"]: (r["n"], r["h"])
+                for r in edges.selectExpr("0 AS _t", "u", "v")
+                .unionByName(after.selectExpr("1 AS _t", "u", "v"))
+                .groupBy("_t")
+                .agg(F.expr(_FP_EXPRS[0]), F.expr(_FP_EXPRS[1]))
+                .collect()
+            }
+            fp = by_tag.get(0, (0, None))
+            fp_after = by_tag.get(1, (0, None))
+        else:
+            fp_after = tuple(after.selectExpr(*_FP_EXPRS).first())
         # a converged star is a fixed point of the alternation, so the
         # fingerprint goes stable exactly at convergence; both sides are
         # DISTINCT relations, so equal counts + empty exceptAll IS set

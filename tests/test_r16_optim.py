@@ -13,6 +13,11 @@ keeping results bit-identical:
 * ``text.tokens`` -- ``regexp_extract_all('[a-z0-9]+')`` replaced
   split-on-complement + drop-empties; the pin replays the old split
   form on the same adversarial set.
+* ``dedup._star_round`` -- one parameterized ``spark.sql`` text
+  replaced the ~35-py4j-call DataFrame chain; the pin replays the old
+  DataFrame formulation (and the unfused ``_small_star(_large_star())``
+  reference) over adversarial graphs, and checks the folded round-1
+  fingerprint loop end to end via ``connected_components``.
 """
 
 from __future__ import annotations
@@ -87,3 +92,88 @@ def test_regexp_rewrites_match_old_formulations(spark, fn_new, fn_old):
     by_text = {r.text: r for r in rows}
     assert by_text[None].b is not None or fn_new is tokens  # trigrams: []
     assert any(r.b for r in rows)
+
+
+def _old_star_round(edges):
+    """The pre-r16 DataFrame-API star round, verbatim."""
+    from airflow_pipeline_text_processing_spark.operators.dedup import (
+        _small_star,
+    )
+
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mnv"))
+        .select("u", F.least("u", "mnv").alias("mn"))
+    )
+    large = (
+        sym.filter(F.col("v") > F.col("u"))
+        .join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+    )
+    return _small_star(large)
+
+
+# graphs that exercise every star-round regime: chains (diameter),
+# stars already converged, two components, self-contained triangles,
+# duplicate/reversed edges, a long path, and a hub
+_GRAPHS = [
+    [],
+    [(1, 2)],
+    [(2, 1)],
+    [(1, 2), (2, 3)],
+    [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7)],
+    [(10, 20), (30, 40)],
+    [(1, 2), (2, 3), (1, 3)],
+    [(5, 1), (5, 2), (5, 3), (5, 4)],
+    [(1, 2), (2, 1), (1, 2)],
+    [(7, 3), (3, 9), (9, 2), (2, 8), (100, 50), (50, 60)],
+]
+
+
+def test_star_round_sql_matches_dataframe_formulation(spark):
+    from airflow_pipeline_text_processing_spark.operators.dedup import (
+        _large_star,
+        _small_star,
+        _star_round,
+    )
+
+    for g in _GRAPHS:
+        edges = spark.createDataFrame(
+            g or [(0, 0)], "u long, v long"
+        ).filter(F.lit(bool(g)))
+        new = sorted(map(tuple, _star_round(edges).collect()))
+        old = sorted(map(tuple, _old_star_round(edges).collect()))
+        ref = sorted(map(tuple, _small_star(_large_star(edges)).collect()))
+        assert new == old == ref, f"star round diverges on {g}: {new} vs {old}"
+
+
+def test_connected_components_folded_fingerprint_loop(spark):
+    from airflow_pipeline_text_processing_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # chain: one component rooted at the minimum
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+
+    # already-converged star input: round 1's folded fingerprint pair
+    # must detect the fixed point without extra rounds
+    star = spark.createDataFrame([(2, 1), (3, 1)], "doc_a long, doc_b long")
+    got = {
+        (r.doc_id, r.cluster_id) for r in connected_components(star).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1)}
+
+    # empty edge set: both tag groups absent -> (0, None) fingerprints
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components(empty).count() == 0

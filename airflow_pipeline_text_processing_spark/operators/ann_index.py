@@ -311,11 +311,13 @@ def build_ivfpq_index(
     spark = corpus.sparkSession
     corpus = corpus.select("vec_id", "q").localCheckpoint(eager=False)
 
-    _, cents = kmeans_fixed_point(corpus, k=cells, iters=cell_iters)
-    cents = cents.localCheckpoint(eager=False)
-    cell_rows = assign_top_cells(corpus, cents, replicas).localCheckpoint(
-        eager=False
+    _, cents, ivf_lit = kmeans_fixed_point(
+        corpus, k=cells, iters=cell_iters, return_lit=True
     )
+    cents = cents.localCheckpoint(eager=False)
+    cell_rows = assign_top_cells(
+        corpus, cents, replicas, cents_lit=ivf_lit
+    ).localCheckpoint(eager=False)
     # RESIDUAL encoding (FAISS IndexIVFPQ): codebooks train on and codes
     # quantize q - centroid(primary cell), so the k_codebook entries only
     # span the within-cell spread -- see similarity.ivfpq_topk's docstring
@@ -386,9 +388,9 @@ def ivfpq_index_add(
     cents = spark.createDataFrame(
         [(c, v) for c, v in cents_rows], "cid int, c array<bigint>"
     )
-    cell_rows = assign_top_cells(batch, cents, meta["replicas"]).localCheckpoint(
-        eager=False
-    )
+    cell_rows = assign_top_cells(
+        batch, cents, meta["replicas"], cents_lit=cents_rows
+    ).localCheckpoint(eager=False)
     pcells = cell_rows.filter(F.col("rank") == 1).select(
         "vec_id", F.col("cid").alias("pcell")
     )
@@ -607,9 +609,9 @@ def ivfpq_index_search(
     cents = spark.createDataFrame(
         [(c, v) for c, v in cents_rows], "cid int, c array<bigint>"
     )
-    probe_cells = assign_top_cells(queries, cents, nprobe).select(
-        F.col("vec_id").alias("query_id"), "cid"
-    )
+    probe_cells = assign_top_cells(
+        queries, cents, nprobe, cents_lit=cents_rows
+    ).select(F.col("vec_id").alias("query_id"), "cid")
     rows = read_live(spark, os.path.join(path, _ROWS))
     if prefilter is None:
         stored = meta.get("cell_occupancy")

@@ -150,13 +150,18 @@ def _assign_np(qvecs: DataFrame, cents_lit) -> DataFrame:
 
 
 def kmeans_fixed_point(
-    qvecs: DataFrame, k: int = 8, iters: int = 3
-) -> Tuple[DataFrame, DataFrame]:
+    qvecs: DataFrame, k: int = 8, iters: int = 3, return_lit: bool = False
+) -> Tuple[DataFrame, ...]:
     """Lloyd's algorithm over a ``(vec_id, q)`` relation (q already
     quantized).  Runs ``iters`` assign+update rounds, then one final
     assignment against the settled centroids.  Returns
     ``(assignment, centroids)`` where assignment is
-    ``vec_id, q, cid, d2`` and centroids is ``cid, c``.
+    ``vec_id, q, cid, d2`` and centroids is ``cid, c``; with
+    ``return_lit=True`` the settled driver-side literal
+    ``[(cid, [dim values])]`` is appended (r16) so downstream
+    assignment passes (:func:`assign_top_cells`) can skip re-collecting
+    the k-row relation they are about to hold as a closure anyway --
+    each skipped collect is one driver action.
 
     A cluster that loses all members simply drops out of the next
     round's centroid relation -- both engines compute the identical
@@ -216,6 +221,8 @@ def kmeans_fixed_point(
     cents = spark.createDataFrame(
         [(cid, c) for cid, c in cents_lit], "cid int, c array<bigint>"
     )
+    if return_lit:
+        return _assign_np(base, cents_lit), cents, cents_lit
     return _assign_np(base, cents_lit), cents
 
 
@@ -314,7 +321,12 @@ def semantic_dedup(
     )
 
 
-def assign_top_cells(qvecs: DataFrame, cents: DataFrame, r: int) -> DataFrame:
+def assign_top_cells(
+    qvecs: DataFrame,
+    cents: DataFrame,
+    r: int,
+    cents_lit=None,
+) -> DataFrame:
     """Top-``r`` nearest-centroid memberships of a ``(vec_id, q)``
     relation: one output row per (vec_id, cid), nearest by (d2, cid).
     ``r=1`` is plain assignment; corpus-side ``r>1`` is the IVF *spill*
@@ -329,10 +341,18 @@ def assign_top_cells(qvecs: DataFrame, cents: DataFrame, r: int) -> DataFrame:
     what residual PQ encodes against) comes from the SAME pass instead
     of a second full distance kernel over the corpus (r10 review
     finding: the pcell-only second pass doubled the assignment cost in
-    ivfpq_topk / index build / index add)."""
+    ivfpq_topk / index build / index add).
+
+    ``cents_lit`` (r16): callers that already hold the centroid literal
+    driver-side (Lloyd training returns it; frozen indexes load it from
+    the sidecar) pass it here and skip the ``cents.collect()`` -- one
+    driver action saved per assignment pass, identical closure either
+    way (the sort below canonicalizes both sources)."""
     import pandas as pd
 
-    cents_lit = sorted((row.cid, list(row.c)) for row in cents.collect())
+    if cents_lit is None:
+        cents_lit = ((row.cid, list(row.c)) for row in cents.collect())
+    cents_lit = sorted((cid, list(c)) for cid, c in cents_lit)
     cids = [cid for cid, _ in cents_lit]
     cmat = [c for _, c in cents_lit]
 
@@ -424,16 +444,19 @@ def pooled_topk(
     qs = prep(queries).localCheckpoint(eager=False)
     cs = prep(corpus).localCheckpoint(eager=False)
 
-    _, cents = kmeans_fixed_point(
+    _, cents, cents_lit = kmeans_fixed_point(
         cs.select("vec_id", F.col("p_route").alias("q")),
         k=cells,
         iters=iters,
+        return_lit=True,
     )
     cand_cells = assign_top_cells(
-        cs.select("vec_id", F.col("p_route").alias("q")), cents, replicas
+        cs.select("vec_id", F.col("p_route").alias("q")), cents, replicas,
+        cents_lit=cents_lit,
     ).select(F.col("vec_id").alias("cand_id"), "cid")
     probe_cells = assign_top_cells(
-        qs.select("vec_id", F.col("p_route").alias("q")), cents, nprobe
+        qs.select("vec_id", F.col("p_route").alias("q")), cents, nprobe,
+        cents_lit=cents_lit,
     ).select(F.col("vec_id").alias("query_id"), "cid")
 
     pairs = (

@@ -1349,9 +1349,11 @@ def range_search(
     corpus = corpus.select("vec_id", "q").localCheckpoint(eager=False)
     queries = queries.select("vec_id", "q").localCheckpoint(eager=False)
 
-    _, cents = kmeans_fixed_point(corpus, k=cells, iters=cell_iters)
+    _, cents, cents_lit = kmeans_fixed_point(
+        corpus, k=cells, iters=cell_iters, return_lit=True
+    )
     cents = cents.localCheckpoint(eager=False)
-    members = assign_top_cells(corpus, cents, 1)
+    members = assign_top_cells(corpus, cents, 1, cents_lit=cents_lit)
     with_d2 = (
         members.join(corpus, "vec_id")
         .join(F.broadcast(cents), "cid")
@@ -1506,18 +1508,20 @@ def ivfpq_topk(
     corpus = corpus.select("vec_id", "q").localCheckpoint(eager=False)
     queries = queries.select("vec_id", "q").localCheckpoint(eager=False)
 
-    _, cents = kmeans_fixed_point(corpus, k=cells, iters=cell_iters)
+    _, cents, cents_lit = kmeans_fixed_point(
+        corpus, k=cells, iters=cell_iters, return_lit=True
+    )
     cents = cents.localCheckpoint(eager=False)
     # ONE assignment pass serves both the replica memberships and the
     # primary cell (rank 1) -- checkpointed because the two derivations
     # would otherwise re-run the distance kernel per consumer
-    memberships = assign_top_cells(corpus, cents, replicas).localCheckpoint(
-        eager=False
-    )
+    memberships = assign_top_cells(
+        corpus, cents, replicas, cents_lit=cents_lit
+    ).localCheckpoint(eager=False)
     cand_cells = memberships.select(F.col("vec_id").alias("cand_id"), "cid")
-    probe_cells = assign_top_cells(queries, cents, nprobe).select(
-        F.col("vec_id").alias("query_id"), "cid"
-    )
+    probe_cells = assign_top_cells(
+        queries, cents, nprobe, cents_lit=cents_lit
+    ).select(F.col("vec_id").alias("query_id"), "cid")
     pairs = (
         probe_cells.join(cand_cells, "cid")
         .filter(F.col("cand_id") != F.col("query_id"))

@@ -177,3 +177,34 @@ def test_connected_components_folded_fingerprint_loop(spark):
     # empty edge set: both tag groups absent -> (0, None) fingerprints
     empty = spark.createDataFrame([], "doc_a long, doc_b long")
     assert connected_components(empty).count() == 0
+
+
+def test_assign_top_cells_literal_path_matches_collect_path(spark):
+    """r16: callers thread the driver-held centroid literal into
+    assign_top_cells (skipping one collect action per assignment pass);
+    the literal path must produce the identical memberships, including
+    ties (stable argsort -> smaller cid) and r > k clamping."""
+    from airflow_pipeline_text_processing_spark.operators.clustering import (
+        assign_top_cells,
+        kmeans_fixed_point,
+    )
+
+    vecs = spark.createDataFrame(
+        [(i, [(i * 7) % 13, (i * 3) % 5, i % 2, 10 - (i % 11)])
+         for i in range(40)],
+        "vec_id long, q array<bigint>",
+    )
+    _, cents, lit = kmeans_fixed_point(vecs, k=4, iters=2, return_lit=True)
+    for r in (1, 2, 99):  # plain, spill, r > k clamp
+        via_collect = sorted(
+            map(tuple, assign_top_cells(vecs, cents, r).collect())
+        )
+        via_lit = sorted(
+            map(tuple, assign_top_cells(vecs, None, r, cents_lit=lit).collect())
+        )
+        assert via_collect == via_lit
+    # two-tuple call form unchanged for existing callers
+    assigned, cents2 = kmeans_fixed_point(vecs, k=4, iters=2)
+    assert sorted(map(tuple, cents2.collect())) == sorted(
+        map(tuple, cents.collect())
+    )

@@ -208,3 +208,37 @@ def test_assign_top_cells_literal_path_matches_collect_path(spark):
     assert sorted(map(tuple, cents2.collect())) == sorted(
         map(tuple, cents.collect())
     )
+
+
+def test_kth_smallest_multi_matches_single_rank_walks(spark):
+    """r16: _kth_smallest_multi shares one histogram action per round
+    across ranks; each rank's narrowing walk must be identical to the
+    single-rank reference on tie-heavy, skewed, and narrow-range data."""
+    from airflow_pipeline_text_processing_spark.plans.queries_scale import (
+        _kth_smallest,
+        _kth_smallest_multi,
+    )
+
+    datasets = [
+        # heavy ties: one value owns most of the mass
+        [5] * 9000 + list(range(100000, 101000)),
+        # uniform wide range (forces several narrowing rounds)
+        [i * 104729 % 100000007 for i in range(20000)],
+        # narrow range below the cap (no histogram rounds at all)
+        [i % 37 for i in range(5000)],
+        # two far-apart clumps (empty middle buckets)
+        [7] * 4000 + [10**9 + i for i in range(4000)],
+    ]
+    for data in datasets:
+        df = spark.createDataFrame([(v,) for v in data], "v long")
+        cents = df.localCheckpoint()
+        n, lo, hi = len(data), min(data), max(data)
+        ks = [(q, (n * q + 99) // 100) for q in (25, 50, 75)]
+        multi = _kth_smallest_multi(cents, ks, lo, hi)
+        data_sorted = sorted(data)
+        for q, k in ks:
+            single = _kth_smallest(cents, k, lo, hi)
+            assert multi[q] == single == data_sorted[k - 1], (
+                f"q={q} k={k}: multi={multi[q]} single={single} "
+                f"true={data_sorted[k - 1]}"
+            )
